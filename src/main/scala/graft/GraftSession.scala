@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Tuned for correctness parity with the DuckDB oracle (UTC, ANSI-ish
+  * determinism) and for scale (AQE, partition-count discipline). On a
+  * real cluster the same settings apply; only master/memory change.
+  */
+object GraftSession {
+
+  /** Apply engine settings to an externally created session (the driver
+    * owns the builder in Verify/Bench). Idempotent.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // dims (region/nation/customer/part/supplier at test SF) broadcast freely
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+    // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long and
+    // convert in Tables.events (integral ns→µs division: no precision
+    // loss, same floor semantics as the DuckDB oracle's read path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    functions.Registry.registerAll(spark)
+    spark
+  }
+
+  def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    tune(s)
+  }
+}
+
+/** Shared helpers for oracle-exact arithmetic.
+  *
+  * The driver hash-compares our parquet to DuckDB output, so every
+  * aggregate must be order-independent and bit-identical across engines:
+  *   - sums go through DECIMAL(38,6) (exact, associative);
+  *   - emitted measures are rounded then cast to DOUBLE (a 4-6 dp decimal
+  *     converts to the identical IEEE double in both engines);
+  *   - timestamps are emitted as epoch millis (both engines floor
+  *     sub-ms precision identically) or formatted dates, never raw.
+  */
+object OracleMath {
+  import org.apache.spark.sql.types.DecimalType
+
+  val Dec = DecimalType(38, 6)
+
+  /** Order-independent sum: cast to decimal first. */
+  def dsum(c: Column): Column = sum(c.cast(Dec))
+
+  /** Round a decimal/double measure and emit as double. */
+  def emit(c: Column, scale: Int = 4): Column = round(c, scale).cast("double")
+
+  /** Exact average as sum/count on decimals, emitted as double. */
+  def davg(c: Column, scale: Int = 4): Column =
+    emit(dsum(c) / count(lit(1)), scale)
+
+  /** Timestamp → epoch milliseconds (matches DuckDB epoch_ms). */
+  def epochMs(c: Column): Column = unix_millis(c)
+}

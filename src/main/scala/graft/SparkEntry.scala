@@ -1,13 +1,31 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  * Each key runs one operator's query; `oracleSql` holds the DuckDB
+  * equivalent the driver hash-compares against.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("feed_pipeline")(spark, "/root/testdata/sf0.001")
+
+  private lazy val catalog: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Analytics.queries ++
+      graft.queries.FeedBlocks.queries ++
+      graft.queries.TextOps.queries
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    catalog.map { case (k, fn) =>
+      k -> ((s: SparkSession, dir: String) => fn(GraftSession.tune(s), dir))
+    }
+
+  /** DuckDB oracle SQL per query key (rows-only ops omitted). */
+  def oracleSql: Map[String, String] =
+    graft.queries.Analytics.oracles ++
+      graft.queries.FeedBlocks.oracles ++
+      graft.queries.TextOps.oracles
 }

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Hamming distance between two 64-bit fingerprints (simhash near-dup
+  * distance). A native Catalyst expression with codegen: stays inside
+  * whole-stage codegen instead of breaking the pipeline like a UDF.
+  * Semantics of the reference's near-duplicate checks re-expressed as a
+  * scalar usable in joins/filters (ref: skyfeed main.rs:1916 duplicate
+  * filtering, generalized to near-dup).
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = (long) java.lang.Long.bitCount($a ^ $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+object Registry {
+
+  /** Column form routes through the registered SQL function (the public
+    * way to lift a catalyst Expression into the Column API on Spark 4).
+    */
+  def hamming(a: Column, b: Column): Column =
+    call_function("graft_hamming", a, b)
+
+  /** Register SQL-callable forms of the engine's native functions. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hamming",
+      exprs => HammingDistance(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Dot product of two double arrays via codegen'd higher-order
+    * functions (zip_with + aggregate): no UDF, order-deterministic
+    * left-to-right summation — bit-identical to the DuckDB oracle's
+    * list_dot_product over doubles.
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+}

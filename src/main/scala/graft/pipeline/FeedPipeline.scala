@@ -1,0 +1,171 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference engine's block chain (skyfeed main.rs:1229-2594)
+  * re-expressed as a *declarative* pipeline compiler.
+  *
+  * The Rust engine executes blocks imperatively, materializing a
+  * `Vec<&Post>` between every block. Here each block is a DataFrame →
+  * DataFrame transform and the whole chain compiles into ONE logical
+  * plan: Catalyst merges adjacent filters, pushes predicates across
+  * block boundaries into the parquet scan, prunes columns end-to-end,
+  * and picks broadcast joins for the set-membership blocks. That is the
+  * scale story: a 20-block pipeline is still a handful of stages.
+  *
+  * Conventions: the working set carries an `id` column (unique row key),
+  * a `ts` timestamp, a key column per-author ops use, and a running
+  * `score` column (the reference's global score map, main.rs:1243).
+  */
+sealed trait Block {
+  def apply(df: DataFrame): DataFrame
+}
+
+/** firehose input window (main.rs:1410): keep rows with ts in
+  * (now - seconds, now]. `now` is a fixed literal for determinism —
+  * at rest the table is time-partitioned so this prunes partitions.
+  */
+case class InputWindow(tsCol: String, nowEpochMs: Long, seconds: Long) extends Block {
+  def apply(df: DataFrame): DataFrame =
+    df.filter(
+      unix_millis(col(tsCol)) > lit(nowEpochMs - seconds * 1000L) &&
+        unix_millis(col(tsCol)) <= lit(nowEpochMs))
+}
+
+/** keep/remove comparison filter (main.rs:1831-1884). `keep` semantics:
+  * KeepCmp("value", ">=", 10) keeps rows where value >= 10 (the
+  * reference's `remove op v` retains the complement, same thing).
+  */
+case class KeepCmp(column: String, op: String, value: Column) extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val c = col(column)
+    val pred = op match {
+      case "<" => c < value
+      case "<=" => c <= value
+      case ">" => c > value
+      case ">=" => c >= value
+      case "==" => c === value
+      case "!=" => c =!= value
+      case other => throw new IllegalArgumentException(s"bad op $other")
+    }
+    df.filter(pred)
+  }
+}
+
+/** keep/remove by set membership (list filter, main.rs:1903): broadcast
+  * semi/anti join against the member set (the RoaringBitmap replacement).
+  */
+case class KeepInSet(column: String, members: DataFrame, memberCol: String, keep: Boolean)
+    extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val joinType = if (keep) "left_semi" else "left_anti"
+    df.join(broadcast(members), col(column) === col(memberCol), joinType)
+  }
+}
+
+/** regex block (main.rs:1982): case-insensitive by default, invertible,
+  * multi-target = OR over targets (text|alt_text|link unions).
+  */
+case class KeepRegex(targets: Seq[String], pattern: String, caseSensitive: Boolean, invert: Boolean)
+    extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val pat = if (caseSensitive) pattern else s"(?i)$pattern"
+    val hit = targets.map(t => col(t).rlike(pat)).reduce(_ || _)
+    df.filter(if (invert) !hit else hit)
+  }
+}
+
+/** duplicates filter (main.rs:1916): first row per key wins, in `order`
+  * order — a per-key top-1, not dropDuplicates, so the survivor is
+  * deterministic on both engines.
+  */
+case class DedupByKey(keys: Seq[String], order: Seq[Column]) extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+}
+
+/** score add (main.rs:2151): score += expr, optionally max-normalized
+  * (main.rs:2626). Normalization divides by the global max — computed
+  * with an aggregate + broadcast cross join (a single reduced row), not
+  * a driver collect, so it scales.
+  */
+case class ScoreAdd(value: Column, normalize: Boolean, multiplier: Double = 1.0) extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val base = if (!df.columns.contains("score")) df.withColumn("score", lit(0.0)) else df
+    val scored = base.withColumn("__s", value)
+    if (normalize) {
+      val mx = scored.agg(max(col("__s")).as("__mx"))
+      scored
+        .crossJoin(broadcast(mx))
+        .withColumn("score", col("score") + col("__s") / col("__mx") * lit(multiplier))
+        .drop("__s", "__mx")
+    } else {
+      scored.withColumn("score", col("score") + col("__s")).drop("__s")
+    }
+  }
+}
+
+/** `where` script filter (main.rs:1952): predicate pre-compiled (see
+  * WhereDsl) to a Catalyst Column — codegen'd, pushdown-eligible.
+  */
+case class WhereFilter(pred: Column) extends Block {
+  def apply(df: DataFrame): DataFrame = df.filter(pred)
+}
+
+/** Round a column in place (determinism guard before ranking on
+  * floating-point scores).
+  */
+case class RoundCol(column: String, scale: Int) extends Block {
+  def apply(df: DataFrame): DataFrame =
+    df.withColumn(column, round(col(column), scale))
+}
+
+/** sort block (main.rs:2229). Callers append a unique key for
+  * determinism.
+  */
+case class SortBy(order: Seq[Column]) extends Block {
+  def apply(df: DataFrame): DataFrame = df.orderBy(order: _*)
+}
+
+/** limit head-N (main.rs:2374): with a preceding SortBy this plans as
+  * TakeOrderedAndProject — per-partition heaps + single merge, no global
+  * sort even at 100 TB.
+  */
+case class LimitN(n: Int) extends Block {
+  def apply(df: DataFrame): DataFrame = df.limit(n)
+}
+
+/** posts_per_user limit (main.rs:2349): per-key top-N via row_number —
+  * one shuffle on the key, skew handled by AQE.
+  */
+case class LimitPerKey(key: String, n: Int, order: Seq[Column]) extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= n).drop("__rn")
+  }
+}
+
+/** stash subtract (main.rs:2327): anti join on the row key. */
+case class SubtractSet(other: DataFrame, key: String) extends Block {
+  def apply(df: DataFrame): DataFrame =
+    df.join(other.select(col(key)), Seq(key), "left_anti")
+}
+
+/** stash pop (main.rs:2319): union the stashed set back in. */
+case class UnionSet(other: DataFrame) extends Block {
+  def apply(df: DataFrame): DataFrame = df.unionByName(other)
+}
+
+object FeedPipeline {
+
+  /** Compile a block chain onto an input relation. Pure composition —
+    * the result is one lazy logical plan for Catalyst to optimize
+    * across all block boundaries.
+    */
+  def compile(input: DataFrame, blocks: Seq[Block]): DataFrame =
+    blocks.foldLeft(input)((df, b) => b(df))
+}

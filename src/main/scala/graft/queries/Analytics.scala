@@ -1,0 +1,438 @@
+package graft.queries
+
+import graft.{OracleMath, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General OLAP surface (§2 #21-#32): the relational base the feed
+  * engine rests on. Every query is declarative DataFrame code — Catalyst
+  * handles pushdown/pruning/join selection; dims are broadcast.
+  * Determinism: decimal sums, rounded double emission, total ordering.
+  */
+object Analytics {
+  import OracleMath._
+
+  /** #21 TPC-H Q1-style pricing summary. Single shuffle (partial agg
+    * map-side), filter pushed to parquet scan.
+    */
+  def q1Agg(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        emit(dsum(col("l_quantity"))).as("sum_qty"),
+        emit(dsum(col("l_extendedprice"))).as("sum_base_price"),
+        emit(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
+        emit(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))))
+          .as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val q1AggSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_qty,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_base_price,
+      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_charge,
+      |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
+      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) / COUNT(*), 4) AS DOUBLE) AS avg_price,
+      |  CAST(round(SUM(CAST(l_discount AS DECIMAL(38,6))) / COUNT(*), 6) AS DOUBLE) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** #22 3-way join + agg + top-k. Customer dim broadcast; top-k is
+    * TakeOrderedAndProject (per-partition heap), not a global sort.
+    */
+  def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+    val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(emit(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .select(
+        col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q3JoinTopkSql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** #23 6-way star join, all dims broadcast, one shuffle for the agg. */
+  def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val cust = Tables.customer(s, dir)
+    val sup = Tables.supplier(s, dir)
+    val ord = Tables
+      .orders(s, dir)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables
+      .lineitem(s, dir)
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(
+        broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(emit(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5MultiJoinSql: String =
+    """SELECT n_name,
+      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** #24 Running sum + moving average per user. One shuffle on user_id;
+    * both windows share the same partitioning (single sort).
+    */
+  def windowRunning(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val last3 = w.rowsBetween(-2, Window.currentRow)
+    Tables
+      .events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        epochMs(col("ts")).as("ts_ms"),
+        emit(sum(col("value").cast(Dec)).over(running)).as("running_value"),
+        emit(sum(col("value").cast(Dec)).over(last3) / count(lit(1)).over(last3)).as("avg3"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val windowRunningSql: String =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w_run, 4) AS DOUBLE) AS running_value,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w3 / COUNT(*) OVER w3, 4) AS DOUBLE) AS avg3
+      |FROM events WHERE event_type = 'purchase'
+      |WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** #25 Sessionization: gap > 30 min starts a new session. lag + running
+    * sum over one user-partitioned sort, then one agg — two shuffles total,
+    * both on user_id (AQE-coalesced; skew-join safe at scale).
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables
+      .events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(
+          col("prev_ts").isNull ||
+            (epochMs(col("ts")) - epochMs(col("prev_ts"))) > lit(30L * 60 * 1000),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("is_new")).over(w))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(epochMs(col("ts"))).as("session_start_ms"),
+        max(epochMs(col("ts"))).as("session_end_ms"),
+        count(lit(1)).as("n_events"),
+        emit(dsum(col("value"))).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val sessionizeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), sessions AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged
+      |)
+      |SELECT user_id, session_seq,
+      |  MIN(epoch_ms(ts)) AS session_start_ms,
+      |  MAX(epoch_ms(ts)) AS session_end_ms,
+      |  COUNT(*) AS n_events,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS session_value
+      |FROM sessions GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+
+  /** #26 ROLLUP multi-level aggregate (one expand + one shuffle). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(emit(dsum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"),
+        col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  val rollupAggSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** #27 Exact linear-interpolated percentiles per group (order statistic:
+    * deterministic across engines).
+    */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        emit(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+        emit(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        emit(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
+        emit(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val percentilesSql: String =
+    """SELECT l_returnflag,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) AS p75,
+      |  CAST(round(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #28 Exact distinct counts per group (two-phase distinct agg). */
+  def distinctCount(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val distinctCountSql: String =
+    """SELECT l_returnflag,
+      |  COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** #29 As-of join: each purchase event matched to the user's latest
+    * prior signup/click event. Expressed as range join + per-row argmax
+    * (row_number), identical semantics in the oracle. At 100 TB the same
+    * plan works partitioned by user; a sort-merge as-of physical operator
+    * is the round-2 upgrade.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val anchors = ev
+      .filter(col("event_type") === "signup")
+      .select(
+        col("user_id").as("a_user_id"),
+        col("event_id").as("anchor_id"),
+        col("ts").as("anchor_ts"))
+    val w = Window
+      .partitionBy(col("event_id"))
+      .orderBy(col("anchor_ts").desc, col("anchor_id").desc)
+    purchases
+      .join(
+        anchors,
+        col("user_id") === col("a_user_id") && col("anchor_ts") <= col("ts"),
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        epochMs(col("ts")).as("ts_ms"),
+        col("anchor_id"),
+        epochMs(col("anchor_ts")).as("anchor_ts_ms"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |), anchors AS (
+      |  SELECT user_id AS a_user_id, event_id AS anchor_id, ts AS anchor_ts
+      |  FROM events WHERE event_type = 'signup'
+      |), joined AS (
+      |  SELECT p.event_id, p.user_id, p.ts, a.anchor_id, a.anchor_ts,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |                       ORDER BY a.anchor_ts DESC, a.anchor_id DESC) AS rn
+      |  FROM purchases p LEFT JOIN anchors a
+      |    ON p.user_id = a.a_user_id AND a.anchor_ts <= p.ts
+      |)
+      |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms, anchor_id,
+      |       epoch_ms(anchor_ts) AS anchor_ts_ms
+      |FROM joined WHERE rn = 1 ORDER BY event_id""".stripMargin
+
+  /** #30 Time-range self join: follow-up events within 1 h of each error,
+    * same user. Banded at scale (join on time-bucket) — here the band key
+    * is floor(ts to hour) so the join has an equi-component and never
+    * degenerates to a broadcast-nested-loop over the full fact table.
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errs = ev
+      .filter(col("event_type") === "error")
+      .select(
+        col("event_id").as("err_id"),
+        col("user_id").as("err_user"),
+        col("ts").as("err_ts"))
+      // band key: events within (err_ts, err_ts+1h] live in the error's
+      // hour bucket or the next one — explode to 2 bucket keys so the
+      // join keeps an equi-component (never a nested-loop over the fact)
+      .withColumn("e_bucket", explode(array(
+        floor(epochMs(col("err_ts")) / lit(3600000L)),
+        floor(epochMs(col("err_ts")) / lit(3600000L)) + 1)))
+    val follow = ev.select(
+      col("event_id").as("f_id"),
+      col("user_id").as("f_user"),
+      col("ts").as("f_ts"),
+      floor(epochMs(col("ts")) / lit(3600000L)).as("f_bucket"))
+    errs
+      .join(
+        follow,
+        col("err_user") === col("f_user") && col("e_bucket") === col("f_bucket") &&
+          col("f_ts") > col("err_ts") &&
+          epochMs(col("f_ts")) - epochMs(col("err_ts")) <= lit(3600000L))
+      .groupBy(col("err_id"))
+      .agg(count(lit(1)).as("n_follow"), min(col("f_id")).as("first_follow_id"))
+      .orderBy(col("err_id"))
+  }
+
+  val rangeJoinSql: String =
+    """SELECT e.event_id AS err_id, COUNT(*) AS n_follow,
+      |       MIN(f.event_id) AS first_follow_id
+      |FROM events e JOIN events f
+      |  ON e.user_id = f.user_id
+      | AND f.ts > e.ts
+      | AND epoch_ms(f.ts) - epoch_ms(e.ts) <= 3600000
+      |WHERE e.event_type = 'error'
+      |GROUP BY e.event_id ORDER BY err_id""".stripMargin
+
+  /** #31 JSON property extraction + aggregation (codegen'd path getter,
+    * no UDF; pushdown keeps only the two referenced columns).
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val jsonExtractSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** #32 Pivot: event_type × calendar-day matrix. Fixed pivot values so
+    * the plan is a single agg (no extra distinct pass) and the oracle is
+    * plain conditional aggregation.
+    */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    Tables
+      .events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"), col("value"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(emit(dsum(col("value"))))
+      .na.fill(0.0, types)
+      .orderBy(col("day"))
+  }
+
+  val pivotAggSql: String =
+    """SELECT strftime(ts, '%Y-%m-%d') AS day,
+      |  CAST(coalesce(round(SUM(CASE WHEN event_type='click' THEN CAST(value AS DECIMAL(38,6)) END), 4), 0) AS DOUBLE) AS click,
+      |  CAST(coalesce(round(SUM(CASE WHEN event_type='error' THEN CAST(value AS DECIMAL(38,6)) END), 4), 0) AS DOUBLE) AS error,
+      |  CAST(coalesce(round(SUM(CASE WHEN event_type='purchase' THEN CAST(value AS DECIMAL(38,6)) END), 4), 0) AS DOUBLE) AS purchase,
+      |  CAST(coalesce(round(SUM(CASE WHEN event_type='signup' THEN CAST(value AS DECIMAL(38,6)) END), 4), 0) AS DOUBLE) AS signup,
+      |  CAST(coalesce(round(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(38,6)) END), 4), 0) AS DOUBLE) AS "view"
+      |FROM events GROUP BY day ORDER BY day""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg(_, _)),
+    "q3_join_topk" -> (q3JoinTopk(_, _)),
+    "q5_multi_join" -> (q5MultiJoin(_, _)),
+    "window_running" -> (windowRunning(_, _)),
+    "sessionize" -> (sessionize(_, _)),
+    "rollup_agg" -> (rollupAgg(_, _)),
+    "percentiles" -> (percentiles(_, _)),
+    "distinct_count" -> (distinctCount(_, _)),
+    "asof_join" -> (asofJoin(_, _)),
+    "range_join" -> (rangeJoin(_, _)),
+    "json_extract" -> (jsonExtract(_, _)),
+    "pivot_agg" -> (pivotAgg(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" -> q1AggSql,
+    "q3_join_topk" -> q3JoinTopkSql,
+    "q5_multi_join" -> q5MultiJoinSql,
+    "window_running" -> windowRunningSql,
+    "sessionize" -> sessionizeSql,
+    "rollup_agg" -> rollupAggSql,
+    "percentiles" -> percentilesSql,
+    "distinct_count" -> distinctCountSql,
+    "asof_join" -> asofJoinSql,
+    "range_join" -> rangeJoinSql,
+    "json_extract" -> jsonExtractSql,
+    "pivot_agg" -> pivotAggSql)
+}

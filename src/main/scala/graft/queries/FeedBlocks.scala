@@ -1,0 +1,523 @@
+package graft.queries
+
+import graft.{OracleMath, Tables}
+import graft.pipeline._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feed-pipeline blocks (§2 #1-#20): the reference's block types, each
+  * exercised standalone over the testdata stand-ins (§3 mapping), plus
+  * the composed pipeline (#20). Events play the post firehose
+  * (ts=created_at, user_id=author, value=like_count); lineitem plays the
+  * likes bipartite graph (l_suppkey=user, l_partkey=post).
+  */
+object FeedBlocks {
+  import OracleMath._
+
+  /** Deterministic "now": max event ts at any SF is 2024-01-30 23:57:12.x
+    * → anchor to 2024-01-31 00:00:00 UTC so window queries are stable
+    * across scale factors (the reference anchors to wall-clock now,
+    * main.rs:1417; a fixed anchor is the reproducible equivalent).
+    */
+  val NowMs: Long = java.time.Instant.parse("2024-01-31T00:00:00Z").toEpochMilli
+
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** #1 firehose window: last 7 days before the anchor. The predicate
+    * lands in PushedFilters; on a date-partitioned lake it prunes
+    * partitions instead of scanning.
+    */
+  def inputWindow(s: SparkSession, dir: String): DataFrame =
+    FeedPipeline
+      .compile(
+        events(s, dir),
+        Seq(InputWindow("ts", NowMs, 7L * 86400)))
+      .select(col("event_id"), epochMs(col("ts")).as("ts_ms"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  val inputWindowSql: String =
+    s"""SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type
+       |FROM events
+       |WHERE epoch_ms(ts) > $NowMs - 7*86400*1000 AND epoch_ms(ts) <= $NowMs
+       |ORDER BY event_id""".stripMargin
+
+  /** #2 count-comparison filters (keep value>=, !=-style). */
+  def filterCompare(s: SparkSession, dir: String): DataFrame =
+    FeedPipeline
+      .compile(
+        events(s, dir),
+        Seq(
+          KeepCmp("value", ">=", lit(100.0)),
+          KeepCmp("event_type", "!=", lit("error"))))
+      .select(col("event_id"), col("user_id"), col("event_type"), emit(col("value")).as("value"))
+      .orderBy(col("event_id"))
+
+  val filterCompareSql: String =
+    """SELECT event_id, user_id, event_type,
+      |  CAST(round(value, 4) AS DOUBLE) AS value
+      |FROM events WHERE value >= 100.0 AND event_type <> 'error'
+      |ORDER BY event_id""".stripMargin
+
+  /** #3 author-list membership: keep events whose user is a BUILDING-
+    * segment customer — broadcast left-semi join (the RoaringBitmap
+    * set-intersection, distributed).
+    */
+  def filterInSet(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    FeedPipeline
+      .compile(events(s, dir), Seq(KeepInSet("user_id", members, "c_custkey", keep = true)))
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
+  val filterInSetSql: String =
+    """SELECT event_id, user_id, event_type
+      |FROM events
+      |WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |ORDER BY event_id""".stripMargin
+
+  /** #4 language filter (main.rs:1885). */
+  def filterLanguage(s: SparkSession, dir: String): DataFrame =
+    FeedPipeline
+      .compile(Tables.documents(s, dir), Seq(KeepCmp("lang", "==", lit("en"))))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val filterLanguageSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+
+  /** #5 regex filter: case-insensitive, multi-target OR, plus an inverted
+    * second stage (main.rs:1982-2140).
+    */
+  def filterRegex(s: SparkSession, dir: String): DataFrame =
+    FeedPipeline
+      .compile(
+        Tables.documents(s, dir),
+        Seq(
+          KeepRegex(Seq("text", "source"), "(data|query)", caseSensitive = false, invert = false),
+          KeepRegex(Seq("text"), "stream", caseSensitive = false, invert = true)))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  val filterRegexSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE (regexp_matches(text, '(?i)(data|query)') OR regexp_matches(source, '(?i)(data|query)'))
+      |  AND NOT regexp_matches(text, '(?i)stream')
+      |ORDER BY doc_id""".stripMargin
+
+  /** #6 `where` script filter: the Rhai surface compiled to a Catalyst
+    * predicate (WhereDsl) — codegen'd, pushdown-eligible.
+    */
+  def filterWhere(s: SparkSession, dir: String): DataFrame = {
+    val pred = WhereDsl.compile(
+      """value > 100 && (eventType == "purchase" || eventType == "view") && userId < 100""",
+      Map(
+        "value" -> col("value"),
+        "eventType" -> col("event_type"),
+        "userId" -> col("user_id")))
+    events(s, dir)
+      .filter(pred)
+      .select(col("event_id"), col("user_id"), col("event_type"), emit(col("value")).as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val filterWhereSql: String =
+    """SELECT event_id, user_id, event_type, CAST(round(value, 4) AS DOUBLE) AS value
+      |FROM events
+      |WHERE value > 100 AND (event_type = 'purchase' OR event_type = 'view') AND user_id < 100
+      |ORDER BY event_id""".stripMargin
+
+  /** #7 duplicate removal: first event per (user, type) in time order
+    * (main.rs:1916 keeps first occurrence; order made explicit).
+    */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    FeedPipeline
+      .compile(
+        events(s, dir),
+        Seq(DedupByKey(Seq("user_id", "event_type"), Seq(col("ts"), col("event_id")))))
+      .select(col("user_id"), col("event_type"), col("event_id"), epochMs(col("ts")).as("ts_ms"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val dedupExactSql: String =
+    """SELECT user_id, event_type, event_id, epoch_ms(ts) AS ts_ms FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+
+  /** #8 HN gravity score (main.rs:4338): value / (age_h + 2)^1.8 against
+    * the fixed anchor; pure arithmetic Columns → whole-stage codegen.
+    */
+  def scoreHn(s: SparkSession, dir: String): DataFrame = {
+    val ageH = (lit(NowMs) - epochMs(col("ts"))).cast("double") / lit(3600000.0)
+    events(s, dir)
+      .withColumn("score", col("value") / pow(ageH + lit(2.0), lit(1.8)))
+      .select(col("event_id"), emit(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("event_id"))
+      .limit(100)
+  }
+
+  val scoreHnSql: String =
+    s"""SELECT event_id,
+       |  CAST(round(value / power(($NowMs - epoch_ms(ts)) / 3600000.0 + 2.0, 1.8), 6) AS DOUBLE) AS score
+       |FROM events
+       |ORDER BY score DESC, event_id LIMIT 100""".stripMargin
+
+  /** #9 normalized score accumulation (main.rs:2626): two sources, each
+    * divided by its global max (aggregate + broadcast, no driver round
+    * trip), summed into the running score.
+    */
+  def scoreNormalize(s: SparkSession, dir: String): DataFrame = {
+    val base = events(s, dir)
+    val recency = (epochMs(col("ts")) - lit(NowMs - 30L * 86400 * 1000)).cast("double")
+    val scored = FeedPipeline.compile(
+      base,
+      Seq(
+        ScoreAdd(col("value"), normalize = true),
+        ScoreAdd(recency, normalize = true)))
+    scored
+      .select(col("event_id"), emit(col("score"), 6).as("score"))
+      .orderBy(col("score").desc, col("event_id"))
+      .limit(200)
+  }
+
+  val scoreNormalizeSql: String =
+    s"""SELECT event_id,
+       |  CAST(round(
+       |    value / (SELECT max(value) FROM events)
+       |    + (epoch_ms(ts) - (${NowMs} - ${30L * 86400 * 1000})) / CAST((SELECT max(epoch_ms(ts) - (${NowMs} - ${30L * 86400 * 1000})) FROM events) AS DOUBLE)
+       |  , 6) AS DOUBLE) AS score
+       |FROM events ORDER BY score DESC, event_id LIMIT 200""".stripMargin
+
+  /** #10 sort + head-N (main.rs:2229,2374): plans as
+    * TakeOrderedAndProject — per-partition heap, single merge.
+    */
+  def sortTopk(s: SparkSession, dir: String): DataFrame =
+    FeedPipeline
+      .compile(
+        events(s, dir),
+        Seq(
+          SortBy(Seq(col("value").desc, col("event_id"))),
+          LimitN(50)))
+      .select(col("event_id"), col("user_id"), emit(col("value")).as("value"))
+
+  val sortTopkSql: String =
+    """SELECT event_id, user_id, CAST(round(value, 4) AS DOUBLE) AS value
+      |FROM events ORDER BY value DESC, event_id LIMIT 50""".stripMargin
+
+  /** #11 posts_per_user limit (main.rs:2349): top 3 by value per user. */
+  def limitPerUser(s: SparkSession, dir: String): DataFrame =
+    FeedPipeline
+      .compile(
+        events(s, dir),
+        Seq(LimitPerKey("user_id", 3, Seq(col("value").desc, col("event_id")))))
+      .select(col("user_id"), col("event_id"), emit(col("value")).as("value"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+
+  val limitPerUserSql: String =
+    """SELECT user_id, event_id, CAST(round(value, 4) AS DOUBLE) AS value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |                               ORDER BY value DESC, event_id) AS rn
+      |  FROM events
+      |) WHERE rn <= 3 ORDER BY user_id, value DESC, event_id""".stripMargin
+
+  /** #12 stash subtract (main.rs:2327): purchases minus any user who ever
+    * errored — left-anti join on the key.
+    */
+  def stashSubtract(s: SparkSession, dir: String): DataFrame = {
+    val errUsers = events(s, dir)
+      .filter(col("event_type") === "error" && col("value") > 180.0)
+      .select(col("user_id"))
+    FeedPipeline
+      .compile(
+        events(s, dir).filter(col("event_type") === "purchase"),
+        Seq(SubtractSet(errUsers, "user_id")))
+      .select(col("event_id"), col("user_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val stashSubtractSql: String =
+    """SELECT event_id, user_id FROM events
+      |WHERE event_type = 'purchase'
+      |  AND user_id NOT IN (SELECT user_id FROM events
+      |                      WHERE event_type = 'error' AND value > 180.0)
+      |ORDER BY event_id""".stripMargin
+
+  /** #13 stash pop = union (main.rs:2319): top purchases ∪ top signups. */
+  def stashPopUnion(s: SparkSession, dir: String): DataFrame = {
+    def top(t: String) =
+      events(s, dir)
+        .filter(col("event_type") === t)
+        .orderBy(col("value").desc, col("event_id"))
+        .limit(20)
+        .select(col("event_id"), col("event_type"), emit(col("value")).as("value"))
+    FeedPipeline
+      .compile(top("purchase"), Seq(UnionSet(top("signup"))))
+      .orderBy(col("event_id"))
+  }
+
+  val stashPopUnionSql: String =
+    """SELECT event_id, event_type, value FROM (
+      |  (SELECT event_id, event_type, CAST(round(value,4) AS DOUBLE) AS value
+      |   FROM events WHERE event_type = 'purchase' ORDER BY value DESC, event_id LIMIT 20)
+      |  UNION ALL
+      |  (SELECT event_id, event_type, CAST(round(value,4) AS DOUBLE) AS value
+      |   FROM events WHERE event_type = 'signup' ORDER BY value DESC, event_id LIMIT 20)
+      |) ORDER BY event_id""".stripMargin
+
+  /** #14 replace-with-parent (main.rs:2402): lineitem → its parent order;
+    * missing parents kept (keepItemsWithMissingTarget=true) with key -1.
+    */
+  def replaceParent(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .filter(col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"))
+    li.join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"), "left")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        coalesce(col("o_orderkey"), lit(-1L)).as("parent_key"),
+        emit(coalesce(col("o_totalprice"), lit(0.0))).as("parent_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val replaceParentSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  coalesce(o_orderkey, -1) AS parent_key,
+      |  CAST(round(coalesce(o_totalprice, 0.0), 4) AS DOUBLE) AS parent_price
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_quantity >= 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** #15 direct_replies inversion (main.rs:2462): children whose parent
+    * is in the seed set — semi join against the full store.
+    */
+  def replaceReplies(s: SparkSession, dir: String): DataFrame = {
+    val seed = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
+    Tables
+      .lineitem(s, dir)
+      .join(broadcast(seed), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val replaceRepliesSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** #16 custom_likedweighted (main.rs:1453): likes = lineitem
+    * (l_suppkey likes l_partkey); prolific likers weigh less:
+    * weight(u) = 1/(base + n_likes(u)); post score = Σ weights.
+    * Per-row weight rounded then summed as DECIMAL → order-independent,
+    * bit-identical to the oracle.
+    */
+  def likesWeighted(s: SparkSession, dir: String): DataFrame = {
+    val likes = Tables.lineitem(s, dir).select(col("l_suppkey").as("u"), col("l_partkey").as("p"))
+    val userCnt = likes.groupBy(col("u")).agg(count(lit(1)).as("n_likes"))
+    likes
+      .join(userCnt, "u")
+      .withColumn("w", round(lit(1.0) / (lit(5.0) + col("n_likes")), 10).cast(Dec12))
+      .groupBy(col("p"))
+      .agg(sum(col("w")).as("raw"), count(lit(1)).as("n_likers"))
+      .select(col("p"), emit(col("raw"), 8).as("like_score"), col("n_likers"))
+      .orderBy(col("like_score").desc, col("p"))
+      .limit(50)
+  }
+
+  val likesWeightedSql: String =
+    """WITH likes AS (SELECT l_suppkey AS u, l_partkey AS p FROM lineitem),
+      |user_cnt AS (SELECT u, COUNT(*) AS n_likes FROM likes GROUP BY u)
+      |SELECT p,
+      |  CAST(round(SUM(CAST(round(1.0/(5.0 + n_likes), 10) AS DECIMAL(38,12))), 8) AS DOUBLE) AS like_score,
+      |  COUNT(*) AS n_likers
+      |FROM likes JOIN user_cnt USING (u)
+      |GROUP BY p ORDER BY like_score DESC, p LIMIT 50""".stripMargin
+
+  /** #17 custom_likedbylikers (main.rs:1515): two-hop like-graph walk.
+    * Seeds: top parts by raw like count. Curators: users who liked a
+    * seed, scored f1 = Σ 1/likers(seed). Output: posts re-scored by the
+    * curators who liked them. Both hops shuffle on the same like-table
+    * keys; the curator side is small → broadcast.
+    */
+  def likesBylikers(s: SparkSession, dir: String): DataFrame = {
+    val likes = Tables.lineitem(s, dir).select(col("l_suppkey").as("u"), col("l_partkey").as("p"))
+    val postLikers = likes.groupBy(col("p")).agg(count(lit(1)).as("n_likers"))
+    val seeds = postLikers.orderBy(col("n_likers").desc, col("p")).limit(10).select(col("p"), col("n_likers"))
+    val curators = likes
+      .join(broadcast(seeds), "p")
+      .withColumn("w", round(lit(1.0) / col("n_likers"), 10).cast(Dec12))
+      .groupBy(col("u"))
+      .agg(sum(col("w")).as("curator_score"))
+    likes
+      .join(broadcast(curators), "u")
+      .groupBy(col("p"))
+      .agg(sum(col("curator_score")).as("raw"))
+      .select(col("p"), emit(col("raw"), 8).as("score"))
+      .orderBy(col("score").desc, col("p"))
+      .limit(50)
+  }
+
+  val likesBylikersSql: String =
+    """WITH likes AS (SELECT l_suppkey AS u, l_partkey AS p FROM lineitem),
+      |post_likers AS (SELECT p, COUNT(*) AS n_likers FROM likes GROUP BY p),
+      |seeds AS (SELECT p, n_likers FROM post_likers ORDER BY n_likers DESC, p LIMIT 10),
+      |curators AS (
+      |  SELECT u, SUM(CAST(round(1.0/n_likers, 10) AS DECIMAL(38,12))) AS curator_score
+      |  FROM likes JOIN seeds USING (p) GROUP BY u
+      |)
+      |SELECT p, CAST(round(SUM(curator_score), 8) AS DOUBLE) AS score
+      |FROM likes JOIN curators USING (u)
+      |GROUP BY p ORDER BY score DESC, p LIMIT 50""".stripMargin
+
+  /** #18 trending tags (main.rs:626): words = tags; distinct-doc count
+    * per word above a floor, top 20. Explode → two-phase agg.
+    */
+  def trendingTags(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tag"))
+      .filter(length(col("tag")) > 3)
+      .groupBy(col("tag"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 2)
+      .orderBy(col("n_docs").desc, col("tag"))
+      .limit(20)
+
+  val trendingTagsSql: String =
+    """SELECT tag, COUNT(DISTINCT doc_id) AS n_docs
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tag FROM documents)
+      |WHERE length(tag) > 3
+      |GROUP BY tag HAVING COUNT(DISTINCT doc_id) > 2
+      |ORDER BY n_docs DESC, tag LIMIT 20""".stripMargin
+
+  /** #19 tag variations (main.rs:58,660): per language, the most frequent
+    * word — rank-1 per group with explicit tie-break (the reference's
+    * HashMap argmax made deterministic).
+    */
+  def tagVariations(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables
+      .documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 2)
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("word"))
+    counts
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("lang"), col("word"), col("cnt"), col("rn"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val tagVariationsSql: String =
+    """WITH counts AS (
+      |  SELECT lang, word, COUNT(*) AS cnt FROM (
+      |    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+      |  ) WHERE length(word) > 2 GROUP BY lang, word
+      |), ranked AS (
+      |  SELECT lang, word, cnt,
+      |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
+      |  FROM counts
+      |)
+      |SELECT lang, word, cnt, rn FROM ranked WHERE rn <= 3
+      |ORDER BY lang, rn""".stripMargin
+
+  /** #20 the composed pipeline (= SparkEntry.entry flagship): input
+    * window → remove errors → where-script → hn score (normalized) →
+    * per-user limit → top 100. One logical plan; Catalyst merges all
+    * three filters into the scan.
+    */
+  def feedPipeline(s: SparkSession, dir: String): DataFrame = {
+    val ageH = (lit(NowMs) - epochMs(col("ts"))).cast("double") / lit(3600000.0)
+    val wherePred = WhereDsl.compile(
+      """value > 20 && eventType != "error"""",
+      Map("value" -> col("value"), "eventType" -> col("event_type")))
+    FeedPipeline
+      .compile(
+        events(s, dir),
+        Seq(
+          InputWindow("ts", NowMs, 14L * 86400),
+          KeepCmp("event_type", "!=", lit("click")),
+          WhereFilter(wherePred),
+          ScoreAdd(col("value") / pow(ageH + lit(2.0), lit(1.8)), normalize = true),
+          // rank on the rounded score: double `pow` may differ by 1 ulp
+          // across engines — 6-dp rounding + id tie-break keeps ranking
+          // bit-stable between Spark and the oracle
+          RoundCol("score", 6),
+          LimitPerKey("user_id", 3, Seq(col("score").desc, col("event_id"))),
+          SortBy(Seq(col("score").desc, col("event_id"))),
+          LimitN(100)))
+      .select(col("event_id"), col("user_id"), col("score").cast("double").as("score"))
+  }
+
+  val feedPipelineSql: String =
+    s"""WITH windowed AS (
+       |  SELECT * FROM events
+       |  WHERE epoch_ms(ts) > $NowMs - 14*86400*1000 AND epoch_ms(ts) <= $NowMs
+       |    AND event_type <> 'click' AND value > 20 AND event_type <> 'error'
+       |), scored AS (
+       |  SELECT event_id, user_id,
+       |    value / power(($NowMs - epoch_ms(ts)) / 3600000.0 + 2.0, 1.8) AS raw
+       |  FROM windowed
+       |), normed AS (
+       |  SELECT event_id, user_id,
+       |    CAST(round(raw / MAX(raw) OVER (), 6) AS DOUBLE) AS score
+       |  FROM scored
+       |), limited AS (
+       |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, event_id) AS rn
+       |  FROM normed
+       |)
+       |SELECT event_id, user_id, score
+       |FROM limited WHERE rn <= 3
+       |ORDER BY score DESC, event_id LIMIT 100""".stripMargin
+
+  private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "input_window" -> (inputWindow(_, _)),
+    "filter_compare" -> (filterCompare(_, _)),
+    "filter_in_set" -> (filterInSet(_, _)),
+    "filter_language" -> (filterLanguage(_, _)),
+    "filter_regex" -> (filterRegex(_, _)),
+    "filter_where" -> (filterWhere(_, _)),
+    "dedup_exact" -> (dedupExact(_, _)),
+    "score_hn" -> (scoreHn(_, _)),
+    "score_normalize" -> (scoreNormalize(_, _)),
+    "sort_topk" -> (sortTopk(_, _)),
+    "limit_per_user" -> (limitPerUser(_, _)),
+    "stash_subtract" -> (stashSubtract(_, _)),
+    "stash_pop_union" -> (stashPopUnion(_, _)),
+    "replace_parent" -> (replaceParent(_, _)),
+    "replace_replies" -> (replaceReplies(_, _)),
+    "likes_weighted" -> (likesWeighted(_, _)),
+    "likes_bylikers" -> (likesBylikers(_, _)),
+    "trending_tags" -> (trendingTags(_, _)),
+    "tag_variations" -> (tagVariations(_, _)),
+    "feed_pipeline" -> (feedPipeline(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "input_window" -> inputWindowSql,
+    "filter_compare" -> filterCompareSql,
+    "filter_in_set" -> filterInSetSql,
+    "filter_language" -> filterLanguageSql,
+    "filter_regex" -> filterRegexSql,
+    "filter_where" -> filterWhereSql,
+    "dedup_exact" -> dedupExactSql,
+    "score_hn" -> scoreHnSql,
+    "score_normalize" -> scoreNormalizeSql,
+    "sort_topk" -> sortTopkSql,
+    "limit_per_user" -> limitPerUserSql,
+    "stash_subtract" -> stashSubtractSql,
+    "stash_pop_union" -> stashPopUnionSql,
+    "replace_parent" -> replaceParentSql,
+    "replace_replies" -> replaceRepliesSql,
+    "likes_weighted" -> likesWeightedSql,
+    "likes_bylikers" -> likesBylikersSql,
+    "trending_tags" -> trendingTagsSql,
+    "tag_variations" -> tagVariationsSql,
+    "feed_pipeline" -> feedPipelineSql)
+}

@@ -1,0 +1,414 @@
+package graft.queries
+
+import graft.{OracleMath, Tables}
+import graft.functions.Registry
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operators (§2 #33-#43) over `documents` / `embeddings`:
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity
+  * search (brute-force + LSH ANN), text analysis (lang-id, quality,
+  * tokens, fingerprints), multimodal plumbing. Everything is built from
+  * codegen'd builtins (split/explode/hash/agg) — no UDF in any hot path.
+  */
+object TextOps {
+  import OracleMath._
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  // ---------------------------------------------------------------- dedup
+
+  /** #33 exact dedup by content hash: first doc_id per md5(text) wins.
+    * At 100 TB this is THE dedup primitive: hash-shuffle on a 16-byte
+    * key instead of the full text.
+    */
+  def dedupExactDocs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"), col("source"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("h"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupExactDocsSql: String =
+    """SELECT doc_id, h, source FROM (
+      |  SELECT doc_id, md5(text) AS h, source,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Word 3-shingles as an array column (codegen'd HOFs, no UDF). */
+  private def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    val k = size(words) - (n - 1)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(k - 1, lit(0))),
+        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
+  }
+
+  /** MinHash signature component: min over shingles of a seeded 64-bit
+    * hash (xxhash64 seeded by permutation index).
+    */
+  private def minhashSig(sh: Column, perm: Int): Column =
+    array_min(transform(sh, x => xxhash64(lit(perm), x)))
+
+  /** #34 MinHash + LSH near-dup candidates (rows-only oracle).
+    * 16 permutations, 4 bands × 4 rows: docs sharing any band hash are
+    * candidates; est. Jaccard = matching signature fraction ≥ 0.5.
+    * Scale path: the shuffle key is the (band, bandhash) pair — O(n)
+    * shuffle + per-bucket pairing, never O(n²).
+    */
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+    val sig = docs(s, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(
+        col("doc_id") +: (0 until 16).map(i => minhashSig(col("sh"), i).as(s"m$i")): _*)
+    val sigCols = (0 until 16).map(i => col(s"m$i"))
+    val banded = sig.select(
+      col("doc_id") +: sigCols :+
+        posexplode(
+          array((0 until 4).map(b => hash(sigCols.slice(b * 4, b * 4 + 4): _*)): _*)): _*)
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+    val left = banded.select(
+      col("band"), col("bandhash"), col("doc_id").as("a"),
+      array(sigCols: _*).as("sig_a"))
+    val right = banded.select(
+      col("band"), col("bandhash"), col("doc_id").as("b"),
+      array(sigCols: _*).as("sig_b"))
+    left
+      .join(right, Seq("band", "bandhash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bool => bool)).cast("double") / 16.0).as("est_jaccard"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** #35 SimHash near-dup (rows-only oracle): 64-bit fingerprint from
+    * word hashes; pairs at hamming ≤ 8 found by 4-segment blocking
+    * (pigeonhole: ≤8 differing bits can't hit all 4 of the 16-bit
+    * segments... ≤3 guaranteed; 8 used as the report threshold with
+    * segment blocking as candidate generation). Hamming runs in the
+    * native codegen'd HammingDistance expression.
+    */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val words = array_distinct(split(col("text"), " "))
+    val bitCols = (0 until 64).map { b =>
+      // +1 if majority of word hashes have bit b set, else -1; sign → bit
+      when(
+        aggregate(
+          transform(words, w => shiftright(xxhash64(w), b).bitwiseAND(1) * 2 - 1),
+          lit(0L), (acc, x) => acc + x) > 0,
+        lit(1L)).otherwise(lit(0L)) * lit(1L << b)
+    }
+    val sims = docs(s, dir)
+      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+    val seg = sims.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(k =>
+        shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*)))
+      .withColumnRenamed("pos", "seg")
+      .withColumnRenamed("col", "seghash")
+    val l = seg.select(col("seg"), col("seghash"), col("doc_id").as("a"), col("simhash").as("sim_a"))
+    val r = seg.select(col("seg"), col("seghash"), col("doc_id").as("b"), col("simhash").as("sim_b"))
+    l.join(r, Seq("seg", "seghash"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), Registry.hamming(col("sim_a"), col("sim_b")).as("hamming"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** #36 n-gram Jaccard similarity, exact relational form (SQL oracle):
+    * explode distinct 3-grams, equi-join consecutive doc pairs on the
+    * gram, intersection/union from counts. The same plan shape scales:
+    * gram-key shuffle, no array crossproducts.
+    */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = grams
+      .join(
+        grams.select((col("doc_id") - 1).as("doc_id"), col("g")),
+        Seq("doc_id", "g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    sizes
+      .join(sizes.select((col("doc_id") - 1).as("doc_id"), col("n").as("n2")), Seq("doc_id"))
+      .join(inter, Seq("doc_id"), "left")
+      .na.fill(0, Seq("inter"))
+      .select(
+        col("doc_id").as("a"),
+        (col("doc_id") + 1).as("b"),
+        emit(col("inter") / (col("n") + col("n2") - col("inter")), 4).as("jaccard"))
+      .orderBy(col("a"))
+  }
+
+  val ngramJaccardSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, gr AS g FROM (
+      |    SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                           for i in range(1, greatest(len(ws)-1, 1))]) AS gr
+      |    FROM w
+      |  )
+      |),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT g1.doc_id, COUNT(*) AS inter
+      |  FROM g g1 JOIN g g2 ON g2.doc_id = g1.doc_id + 1 AND g1.g = g2.g
+      |  GROUP BY g1.doc_id
+      |)
+      |SELECT s1.doc_id AS a, s1.doc_id + 1 AS b,
+      |  CAST(round(coalesce(i.inter, 0) * 1.0 / (s1.n + s2.n - coalesce(i.inter, 0)), 4) AS DOUBLE) AS jaccard
+      |FROM sizes s1
+      |JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1
+      |LEFT JOIN inter i ON i.doc_id = s1.doc_id
+      |ORDER BY a""".stripMargin
+
+  // ------------------------------------------------------- similarity knn
+
+  private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
+
+  /** #37 brute-force cosine top-k (k=10) for query vectors vec_id<5.
+    * Queries broadcast; dot products via zip_with+aggregate — sequential
+    * left-to-right double summation, bit-identical to the oracle's
+    * list ops. Ranking on the raw cosine with id tie-break.
+    */
+  def embedKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val q = emb
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    emb
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Registry.cosine(col("qe"), col("e")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"), emit(col("cosine"), 6).as("cosine"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val embedKnnSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_dot_product(q.qe, e.emb) /
+      |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))) AS cosine
+      |  FROM e JOIN q ON e.vec_id <> q.query_id
+      |), ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+      |  FROM scored
+      |)
+      |SELECT query_id, vec_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine, rn
+      |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
+  /** #38 LSH-bucketed ANN (rows-only oracle): 8 random-hyperplane sign
+    * bits (deterministic pseudo-planes from xxhash64(plane, dim)) bucket
+    * the space; top-3 neighbors per query within its bucket. The 100 TB
+    * path: bucket key shuffle + per-bucket top-k, candidate set ~n/2^8.
+    */
+  def embedLshKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // pseudo-random hyperplane component for (plane p, dim i):
+    // centered hash in [-0.5, 0.5] — deterministic across runs/engines
+    def planeDot(e: Column, p: Int): Column =
+      aggregate(
+        zip_with(
+          e,
+          sequence(lit(0), size(e) - 1),
+          (x, i) => x * (pmod(xxhash64(lit(p), i), lit(1000L)).cast("double") / 1000.0 - 0.5)),
+        lit(0.0), (acc, x) => acc + x)
+    val bucketed = emb.withColumn(
+      "bucket",
+      (0 until 8).map(p => when(planeDot(col("e"), p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _))
+    val q = bucketed
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    bucketed
+      .join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Registry.cosine(col("qe"), col("e")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id"), col("bucket"), emit(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  // ----------------------------------------------------------- text stats
+
+  private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** #39 language-ID heuristic (rows-only oracle): per-language marker
+    * hits over the token set, argmax with deterministic tie-break;
+    * compared against the labeled `lang` for an accuracy readout.
+    */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> StopwordsEn,
+      "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+      "fr" -> Seq("le", "la", "et", "est", "un", "une", "avec"),
+      "es" -> Seq("el", "la", "y", "es", "un", "una", "con"),
+      "zh" -> Seq("de", "shi", "he", "zai"))
+    val words = split(col("text"), " ")
+    val hitCols = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+      struct(
+        size(filter(words, w => w.isin(ms.map(lit(_)): _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    docs(s, dir)
+      .withColumn("best", sort_array(array(hitCols: _*), asc = false).getItem(0))
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled"),
+        col("best.lang").as("predicted"),
+        col("best.hits").as("marker_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** #40 quality scoring: word counts, distinct ratio, char stats —
+    * the reference-free quality gates of a pretraining pipeline.
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        emit(size(array_distinct(words)).cast("double") / size(words), 4).as("distinct_ratio"),
+        emit(length(col("text")).cast("double") / size(words), 4).as("avg_token_len"),
+        emit(
+          size(filter(words, w => w.isin(StopwordsEn.map(lit(_)): _*))).cast("double") /
+            size(words), 4).as("stopword_ratio"),
+        (length(col("text")) === col("n_chars")).cast("int").as("len_matches_meta"))
+      .orderBy(col("doc_id"))
+  }
+
+  val textQualitySql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  CAST(round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) AS distinct_ratio,
+       |  CAST(round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) AS avg_token_len,
+       |  CAST(round(len(list_filter(string_split(text, ' '), w -> list_contains(${StopwordsEn
+        .mkString("['", "','", "']")}, w))) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) AS stopword_ratio,
+       |  CAST(length(text) = n_chars AS INT) AS len_matches_meta
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** #41 token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (≤4-char alpha chunks, digits, punctuation singletons).
+    */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("doc_id"),
+        col("source"),
+        size(split(col("text"), " +")).as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .as("bpe_ish_tokens"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("bpe_ish_tokens")).as("total_bpe_tokens"))
+      .orderBy(col("source"))
+
+  val tokenCountSql: String =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(regexp_split_to_array(text, ' +'))) AS BIGINT) AS total_ws_tokens,
+      |  CAST(SUM(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_bpe_tokens
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** #42 document fingerprint: min-md5 over word 5-grams (winnowing-style
+    * rolling fingerprint, order-independent min → exact oracle).
+    */
+  def docFingerprint(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("g"))).as("fingerprint"), count(lit(1)).as("n_grams"))
+      .orderBy(col("doc_id"))
+
+  val docFingerprintSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id, gr AS g FROM (
+      |    SELECT doc_id,
+      |      unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+      |              for i in range(1, greatest(len(ws)-3, 1))]) AS gr
+      |    FROM w
+      |  )
+      |)
+      |SELECT doc_id, MIN(md5(g)) AS fingerprint, COUNT(*) AS n_grams
+      |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------------------- multimodal
+
+  /** #43 multimodal plumbing (rows-only oracle): media as opaque binary +
+    * typed metadata; "decode" is a clearly-stubbed deterministic fake
+    * (crc32 of payload) running partition-wise — the batch shape a real
+    * decoder (image/audio lib) would use, with the Spark-side schema,
+    * partitioning and column flow fully real.
+    */
+  def multimodalStub(s: SparkSession, dir: String): DataFrame = {
+    val withPayload = docs(s, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        struct(
+          col("n_chars").cast("int").as("width"),
+          (col("n_chars") % 3 + 1).cast("int").as("channels"),
+          lit("fake/utf8").as("format")).as("meta"))
+    // STUB: a real pipeline decodes `payload` (image/audio bytes) here,
+    // batch-wise per partition. The container has no media libs, so the
+    // "feature" is a deterministic placeholder over the same plumbing.
+    withPayload
+      .select(
+        col("doc_id"),
+        col("meta.width").as("width"),
+        col("meta.channels").as("channels"),
+        col("meta.format").as("format"),
+        crc32(col("payload")).as("fake_feature"),
+        length(col("payload")).as("payload_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_docs" -> (dedupExactDocs(_, _)),
+    "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_simhash" -> (dedupSimhash(_, _)),
+    "ngram_jaccard" -> (ngramJaccard(_, _)),
+    "embed_knn" -> (embedKnn(_, _)),
+    "embed_lsh_knn" -> (embedLshKnn(_, _)),
+    "lang_id" -> (langId(_, _)),
+    "text_quality" -> (textQuality(_, _)),
+    "token_count" -> (tokenCount(_, _)),
+    "doc_fingerprint" -> (docFingerprint(_, _)),
+    "multimodal_stub" -> (multimodalStub(_, _)))
+
+  /** rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
+    * embed_lsh_knn, lang_id, multimodal_stub.
+    */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_docs" -> dedupExactDocsSql,
+    "ngram_jaccard" -> ngramJaccardSql,
+    "embed_knn" -> embedKnnSql,
+    "text_quality" -> textQualitySql,
+    "token_count" -> tokenCountSql,
+    "doc_fingerprint" -> docFingerprintSql)
+}

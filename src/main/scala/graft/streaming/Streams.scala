@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for typed stateful streaming. */
+case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type: String, value: Double)
+
+/** Running per-user aggregate state (the reference's incrementally
+  * refreshed like/reply counters, main.rs:3815 run_update_counts_query,
+  * re-expressed as Structured Streaming state instead of poll loops).
+  */
+case class UserCounts(user_id: Long, n_events: Long, total_value: Double, last_event_id: Long)
+
+/** Structured Streaming counterparts of the reference's ingestion loop
+  * (§2 #44-#46). The reference polls SurrealDB every 5 s and mutates
+  * in-memory BTreeMaps behind an ArcSwap (main.rs:3143, 3287, 3815);
+  * here each poll loop is a continuous query with watermarked state —
+  * the same semantics, but distributed, fault-tolerant and backpressured.
+  */
+object Streams {
+
+  /** #44 windowed counts (trending window, main.rs:626): sliding window
+    * aggregation with a watermark bounding state.
+    */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"),
+        col("n"),
+        col("total_value"))
+
+  /** #45 incremental per-user counters via explicit state
+    * (run_update_counts_query as a keyed state machine). Update-mode
+    * output: one refreshed row per user per micro-batch.
+    */
+  def incrementalCounts(events: Dataset[Ev]): Dataset[UserCounts] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserCounts, UserCounts](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserCounts]) =>
+          val prev = state.getOption.getOrElse(UserCounts(uid, 0L, 0.0, -1L))
+          val next = rows.foldLeft(prev) { (acc, e) =>
+            UserCounts(
+              uid,
+              acc.n_events + 1,
+              acc.total_value + e.value,
+              math.max(acc.last_event_id, e.event_id))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** #46 streaming dedup (the duplicates filter, main.rs:1916, applied
+    * on ingest): watermark-bounded drop of re-deliveries by key.
+    */
+  def streamingDedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+}

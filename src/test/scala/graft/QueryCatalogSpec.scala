@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + invariant checks for every §2 query at sf0.001. The real
+  * correctness gate is the driver's DuckDB compare (tools/check.py
+  * locally); these tests pin structural invariants cheaply.
+  */
+class QueryCatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("catalog and oracle keys line up") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
+    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "embed_lsh_knn", "lang_id", "multimodal_stub")
+    assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
+  }
+
+  test("every query returns rows at sf0.001") {
+    val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      if (n == 0) Some(name) else None
+    }
+    assert(empties.isEmpty, s"empty results: $empties")
+  }
+
+  test("entry flagship runs") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1 aggregates are stable") {
+    val rows = SparkEntry.queries("q1_agg")(spark, dir).collect()
+    assert(rows.length == 6)
+    val first = rows.head
+    assert(first.getAs[String]("l_returnflag") == "A")
+    assert(first.getAs[Long]("count_order") > 0)
+  }
+
+  test("limit_per_user caps at 3 per user") {
+    val df = SparkEntry.queries("limit_per_user")(spark, dir)
+    val overCap = df.groupBy("user_id").count().filter("count > 3").count()
+    assert(overCap == 0)
+  }
+
+  test("dedup_exact leaves one row per key") {
+    val df = SparkEntry.queries("dedup_exact")(spark, dir)
+    assert(df.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0)
+  }
+
+  test("embed_knn: 10 neighbors per query, self excluded, cosine in [-1,1]") {
+    val rows = SparkEntry.queries("embed_knn")(spark, dir).collect()
+    assert(rows.length == 50)
+    assert(rows.forall(r => r.getAs[Long]("query_id") != r.getAs[Long]("vec_id")))
+    assert(rows.forall(r => math.abs(r.getAs[Double]("cosine")) <= 1.0 + 1e-9))
+  }
+
+  test("minhash candidates are symmetric-free ordered pairs") {
+    val rows = SparkEntry.queries("dedup_minhash")(spark, dir).collect()
+    assert(rows.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")))
+  }
+
+  test("feed pipeline respects window, per-user cap and limit") {
+    val df = SparkEntry.queries("feed_pipeline")(spark, dir)
+    val rows = df.collect()
+    assert(rows.length <= 100)
+    assert(df.groupBy("user_id").count().filter("count > 3").count() == 0)
+  }
+
+  test("where DSL compiles comparisons and boolean algebra") {
+    import graft.pipeline.WhereDsl
+    import org.apache.spark.sql.functions.col
+    val c = WhereDsl.compile(
+      """(a > 1 && b == "x") || !(a <= 0) || a + 2 * 3 >= 7""",
+      Map("a" -> col("a"), "b" -> col("b")))
+    assert(c.toString.nonEmpty)
+    intercept[IllegalArgumentException](WhereDsl.compile("unknown > 1", Map.empty))
+  }
+
+  test("hamming expression (native codegen) computes popcount of xor") {
+    import org.apache.spark.sql.functions._
+    GraftSession.tune(spark)
+    val df = spark.range(1).select(
+      graft.functions.Registry.hamming(lit(0xFFL), lit(0x0FL)).as("h"))
+    assert(df.head().getLong(0) == 4L)
+  }
+}

@@ -1,0 +1,63 @@
+package graft
+
+import graft.streaming.{Ev, Streams}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+
+  private def ev(id: Long, minute: Int, uid: Long, t: String, v: Double) =
+    Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), uid, t, v)
+
+  test("windowed counts aggregate by sliding window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(ev(1, 0, 1, "view", 1.0), ev(2, 10, 1, "view", 2.0), ev(3, 20, 2, "click", 3.0))
+    val q = Streams
+      .windowedCounts(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("wc").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wc").collect()
+    assert(rows.nonEmpty)
+    val views = rows.filter(_.getAs[String]("event_type") == "view")
+    assert(views.map(_.getAs[Long]("n")).max == 2)
+  }
+
+  test("incremental per-user counters accumulate across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = Streams
+      .incrementalCounts(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("ic").start()
+    in.addData(ev(1, 0, 7, "view", 1.5), ev(2, 1, 7, "click", 2.5))
+    q.processAllAvailable()
+    in.addData(ev(3, 2, 7, "purchase", 6.0))
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("ic").collect().filter(_.getAs[Long]("user_id") == 7)
+      .maxBy(_.getAs[Long]("n_events"))
+    assert(last.getAs[Long]("n_events") == 3)
+    assert(math.abs(last.getAs[Double]("total_value") - 10.0) < 1e-9)
+    assert(last.getAs[Long]("last_event_id") == 3)
+  }
+
+  test("streaming dedup drops redelivered event_ids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(ev(1, 0, 1, "view", 1.0), ev(1, 0, 1, "view", 1.0), ev(2, 1, 1, "view", 1.0))
+    val q = Streams
+      .streamingDedup(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("sd").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("sd").select("event_id").distinct().count() ==
+      spark.table("sd").count())
+  }
+}
