@@ -225,11 +225,15 @@ object Analytics {
     Tables
       .lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(
-        emit(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
-        emit(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        emit(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
-        emit(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+      // one shared percentile buffer (array form) instead of four
+      // independent collect-and-sort buffers
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99))").as("ps"))
+      .select(
+        col("l_returnflag"),
+        emit(col("ps").getItem(0)).as("p25"),
+        emit(col("ps").getItem(1)).as("p50"),
+        emit(col("ps").getItem(2)).as("p75"),
+        emit(col("ps").getItem(3)).as("p99"))
       .orderBy(col("l_returnflag"))
   }
 

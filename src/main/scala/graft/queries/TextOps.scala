@@ -40,21 +40,26 @@ object TextOps {
       |  FROM documents
       |) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** Word 3-shingles as an array column (codegen'd HOFs, no UDF). */
-  private def shingles(text: Column, n: Int = 3): Column = {
-    val words = split(text, " ")
-    val k = size(words) - (n - 1)
-    array_distinct(
-      transform(
-        sequence(lit(0), greatest(k - 1, lit(0))),
-        i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j + 1)): _*)))
-  }
-
-  /** MinHash signature component: min over shingles of a seeded 64-bit
-    * hash (xxhash64 seeded by permutation index).
+  /** Distinct word n-grams as rows (doc_id, g).
+    *
+    * Deliberately NOT an array-typed higher-order-function pipeline:
+    * exploding a transform/sequence-built array re-evaluates the
+    * interpreted HOF per output row (profiled 10-20× slower). Instead:
+    * posexplode words → window lead() → concat — every step whole-stage
+    * codegen, and the (doc_id) exchange introduced by the window is
+    * reused by every downstream groupBy(doc_id).
     */
-  private def minhashSig(sh: Column, perm: Int): Column =
-    array_min(transform(sh, x => xxhash64(lit(perm), x)))
+  private def gramRows(docsDf: DataFrame, n: Int): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val parts = col("w0") +: (1 until n).map(j => lead(col("w0"), j).over(w))
+    docsDf
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .withColumn("g", concat_ws(" ", parts: _*))
+      .withColumn("last", lead(col("w0"), n - 1).over(w))
+      .filter(col("last").isNotNull)
+      .select(col("doc_id"), col("g"))
+      .dropDuplicates("doc_id", "g")
+  }
 
   /** #34 MinHash + LSH near-dup candidates (rows-only oracle).
     * 16 permutations, 4 bands × 4 rows: docs sharing any band hash are
@@ -63,10 +68,15 @@ object TextOps {
     * shuffle + per-bucket pairing, never O(n²).
     */
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
-    val sig = docs(s, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .select(
-        col("doc_id") +: (0 until 16).map(i => minhashSig(col("sh"), i).as(s"m$i")): _*)
+    // one pass: gram rows → 64-bit base hash → 16 cheap re-hashes under
+    // codegen'd min aggregates (the O(perms × shingles) string work of a
+    // naive per-permutation shingle hash collapses to one string hash)
+    val sig = gramRows(docs(s, dir), 3)
+      .select(col("doc_id"), xxhash64(col("g")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(xxhash64(lit(0), col("h"))).as("m0"),
+        (1 until 16).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
     val sigCols = (0 until 16).map(i => col(s"m$i"))
     val banded = sig.select(
       col("doc_id") +: sigCols :+
@@ -100,17 +110,24 @@ object TextOps {
     * native codegen'd HammingDistance expression.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val words = array_distinct(split(col("text"), " "))
-    val bitCols = (0 until 64).map { b =>
-      // +1 if majority of word hashes have bit b set, else -1; sign → bit
-      when(
-        aggregate(
-          transform(words, w => shiftright(xxhash64(w), b).bitwiseAND(1) * 2 - 1),
-          lit(0L), (acc, x) => acc + x) > 0,
-        lit(1L)).otherwise(lit(0L)) * lit(1L << b)
-    }
-    val sims = docs(s, dir)
-      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+    // exploded form: one codegen'd word hash per row, then 64 integer
+    // sum aggregates (±1 per bit); sign of each sum → fingerprint bit
+    val wordHashes = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .dropDuplicates("doc_id", "w")
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val bitSums = wordHashes
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("b0"),
+        (1 until 64).map(b => sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")): _*)
+    val sims = bitSums
+      .select(
+        col("doc_id"),
+        (0 until 64)
+          .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash"))
     val seg = sims.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
@@ -134,8 +151,7 @@ object TextOps {
     * gram-key shuffle, no array crossproducts.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = docs(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("g"))
+    val grams = gramRows(docs(s, dir), 3)
     val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = grams
       .join(
@@ -338,8 +354,7 @@ object TextOps {
     * rolling fingerprint, order-independent min → exact oracle).
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), explode(shingles(col("text"), 5)).as("g"))
+    gramRows(docs(s, dir), 5)
       .groupBy(col("doc_id"))
       .agg(min(md5(col("g"))).as("fingerprint"), count(lit(1)).as("n_grams"))
       .orderBy(col("doc_id"))
