@@ -25,6 +25,12 @@ object GraftSession {
     // convert in Tables.events (integral ns→µs division: no precision
     // loss, same floor semantics as the DuckDB oracle's read path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // custom operators (SURVEY §2: native as-of join) — injected through
+    // the public experimental-strategies hook so externally created
+    // sessions (the driver's Verify/Bench) get them too
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
     functions.Registry.registerAll(spark)
     spark
   }

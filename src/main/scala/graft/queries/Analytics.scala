@@ -319,6 +319,33 @@ object Analytics {
       |       epoch_ms(anchor_ts) AS anchor_ts_ms
       |FROM joined WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** #29b the same as-of semantics through the engine's NATIVE operator
+    * (graft.plans.AsOfJoin): hash-partitioned sorted streaming merge,
+    * O(1) state per partition, no candidate pairs — vs the range-join +
+    * row_number fallback above. Same DuckDB oracle: both must agree.
+    */
+  def asofJoinNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val anchors = ev
+      .filter(col("event_type") === "signup")
+      .select(
+        col("user_id").as("a_user_id"),
+        col("event_id").as("anchor_id"),
+        col("ts").as("anchor_ts"))
+    org.apache.spark.sql.graftext.GraftOps
+      .asofJoin(purchases, anchors, "user_id", "a_user_id", "ts", "anchor_ts", "anchor_id")
+      .select(
+        col("event_id"),
+        col("user_id"),
+        epochMs(col("ts")).as("ts_ms"),
+        col("anchor_id"),
+        epochMs(col("anchor_ts")).as("anchor_ts_ms"))
+      .orderBy(col("event_id"))
+  }
+
   /** #30 Time-range self join: follow-up events within 1 h of each error,
     * same user. Banded at scale (join on time-bucket) — here the band key
     * is floor(ts to hour) so the join has an equi-component and never
@@ -422,6 +449,7 @@ object Analytics {
     "percentiles" -> (percentiles(_, _)),
     "distinct_count" -> (distinctCount(_, _)),
     "asof_join" -> (asofJoin(_, _)),
+    "asof_join_native" -> (asofJoinNative(_, _)),
     "range_join" -> (rangeJoin(_, _)),
     "json_extract" -> (jsonExtract(_, _)),
     "pivot_agg" -> (pivotAgg(_, _)))
@@ -436,6 +464,7 @@ object Analytics {
     "percentiles" -> percentilesSql,
     "distinct_count" -> distinctCountSql,
     "asof_join" -> asofJoinSql,
+    "asof_join_native" -> asofJoinSql,
     "range_join" -> rangeJoinSql,
     "json_extract" -> jsonExtractSql,
     "pivot_agg" -> pivotAggSql)

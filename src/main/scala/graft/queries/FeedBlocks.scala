@@ -426,6 +426,22 @@ object FeedBlocks {
       |SELECT lang, word, cnt, rn FROM ranked WHERE rn <= 3
       |ORDER BY lang, rn""".stripMargin
 
+  /** #1b point lookup (input `post` block, main.rs:1345): fetch specific
+    * rows by key. The In-predicate reaches the scan (PushedFilters), so
+    * on a sorted/bucketed 100 TB table this is row-group skipping, not
+    * a scan.
+    */
+  def pointLookup(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_id").isin(7L, 42L, 4242L))
+      .select(col("event_id"), col("user_id"), col("event_type"), emit(col("value")).as("value"))
+      .orderBy(col("event_id"))
+
+  val pointLookupSql: String =
+    """SELECT event_id, user_id, event_type, CAST(round(value, 4) AS DOUBLE) AS value
+      |FROM events WHERE event_id IN (7, 42, 4242)
+      |ORDER BY event_id""".stripMargin
+
   /** #20 the composed pipeline (= SparkEntry.entry flagship): input
     * window → remove errors → where-script → hn score (normalized) →
     * per-user limit → top 100. One logical plan; Catalyst merges all
@@ -479,6 +495,7 @@ object FeedBlocks {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "input_window" -> (inputWindow(_, _)),
+    "point_lookup" -> (pointLookup(_, _)),
     "filter_compare" -> (filterCompare(_, _)),
     "filter_in_set" -> (filterInSet(_, _)),
     "filter_language" -> (filterLanguage(_, _)),
@@ -501,6 +518,7 @@ object FeedBlocks {
 
   val oracles: Map[String, String] = Map(
     "input_window" -> inputWindowSql,
+    "point_lookup" -> pointLookupSql,
     "filter_compare" -> filterCompareSql,
     "filter_in_set" -> filterInSetSql,
     "filter_language" -> filterLanguageSql,

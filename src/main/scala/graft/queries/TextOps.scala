@@ -267,6 +267,39 @@ object TextOps {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** #38b IVF-style ANN (rows-only oracle): 16 deterministic seed
+    * centroids; every vector is assigned to its nearest centroid
+    * (inverted lists); queries probe their 2 nearest lists and rank
+    * candidates. The 100 TB path: lists are pre-partitioned by
+    * centroid id, so a query touches ~2/16 of the data instead of a
+    * full scan; centroid assignment is a broadcast join.
+    */
+  def embedIvfKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val cents = emb.filter(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("e").as("ce"))
+    def nearest(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
+      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cent_id"))
+      df.crossJoin(broadcast(cents))
+        .withColumn("csim", Registry.cosine(col(vecCol), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") <= keep)
+        .drop("ce", "csim", "crn")
+    }
+    val lists = nearest(emb, "vec_id", "e", 1) // inverted lists: vec → home centroid
+    val probes = nearest(
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e").as("qe")),
+      "query_id", "qe", 2) // each query probes its 2 nearest lists
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    probes
+      .join(lists, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Registry.cosine(col("qe"), col("e")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id"), col("cent_id"), emit(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
   // ----------------------------------------------------------- text stats
 
   private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -410,6 +443,7 @@ object TextOps {
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "embed_knn" -> (embedKnn(_, _)),
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
+    "embed_ivf_knn" -> (embedIvfKnn(_, _)),
     "lang_id" -> (langId(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "token_count" -> (tokenCount(_, _)),

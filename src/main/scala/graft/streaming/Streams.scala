@@ -65,4 +65,18 @@ object Streams {
     events
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** #47 streaming trending tags (main.rs:626 as a continuous query):
+    * explode words of a (ts, text) stream, windowed distinct-ish counts
+    * per tag. The reference recomputes trending over its in-memory maps
+    * per request; here the window state maintains it incrementally.
+    */
+  def trendingTagsStream(texts: DataFrame): DataFrame =
+    texts
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), explode(split(col("text"), " ")).as("tag"))
+      .filter(length(col("tag")) > 3)
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("tag"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("tag"), col("n"))
 }

@@ -1,0 +1,45 @@
+package org.apache.spark.sql.graftext
+
+import graft.plans.AsOfJoin
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Bridge from the engine's custom logical operators into the public
+  * Dataset API. Lives under org.apache.spark.sql because lifting a
+  * LogicalPlan into a DataFrame (Dataset.ofRows) is private[sql] — the
+  * standard extension-library pattern.
+  */
+object GraftOps {
+
+  /** As-of join `left` to `right`: per left row, the latest right row
+    * (by `rightTimeCol`, ties by `rightTieCol`) with time <= left time
+    * in the same key group; left-outer semantics.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeyCol: String,
+      rightKeyCol: String,
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTieCol: String): DataFrame = {
+    val l = left.asInstanceOf[Dataset[Row]]
+    val r = right.asInstanceOf[Dataset[Row]]
+    val lp = l.queryExecution.analyzed
+    val rp = r.queryExecution.analyzed
+    def attr(p: LogicalPlan, name: String): Attribute =
+      p.output
+        .find(_.name == name)
+        .getOrElse(throw new IllegalArgumentException(
+          s"column $name not in ${p.output.map(_.name).mkString(",")}"))
+    Dataset.ofRows(
+      l.sparkSession.asInstanceOf[SparkSession],
+      AsOfJoin(
+        lp, rp,
+        attr(lp, leftKeyCol), attr(rp, rightKeyCol),
+        attr(lp, leftTimeCol), attr(rp, rightTimeCol),
+        attr(rp, rightTieCol)))
+  }
+}

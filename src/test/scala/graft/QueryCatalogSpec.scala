@@ -15,7 +15,9 @@ class QueryCatalogSpec extends AnyFunSuite {
     val q = SparkEntry.queries.keySet
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
-    val rowsOnly = Set("dedup_minhash", "dedup_simhash", "embed_lsh_knn", "lang_id", "multimodal_stub")
+    val rowsOnly = Set(
+      "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
+      "lang_id", "multimodal_stub")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -77,6 +79,13 @@ class QueryCatalogSpec extends AnyFunSuite {
       Map("a" -> col("a"), "b" -> col("b")))
     assert(c.toString.nonEmpty)
     intercept[IllegalArgumentException](WhereDsl.compile("unknown > 1", Map.empty))
+  }
+
+  test("native as-of join agrees with the compositional window form") {
+    val nat = SparkEntry.queries("asof_join_native")(spark, dir).collect()
+    val comp = SparkEntry.queries("asof_join")(spark, dir).collect()
+    assert(nat.length == comp.length && nat.length > 0)
+    nat.zip(comp).foreach { case (a, b) => assert(a == b, s"mismatch: $a vs $b") }
   }
 
   test("hamming expression (native codegen) computes popcount of xor") {

@@ -47,6 +47,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Long]("last_event_id") == 3)
   }
 
+  test("streaming trending tags counts words per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    in.addData(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "spark engine query engine"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "query engine"))
+    val q = Streams
+      .trendingTagsStream(in.toDF().toDF("ts", "text"))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("tt").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("tt").collect()
+    val engineCounts = rows.filter(_.getAs[String]("tag") == "engine").map(_.getAs[Long]("n"))
+    assert(engineCounts.nonEmpty && engineCounts.max == 3)
+  }
+
   test("streaming dedup drops redelivered event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
