@@ -15,7 +15,8 @@ object SparkEntry {
   private lazy val catalog: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Analytics.queries ++
       graft.queries.FeedBlocks.queries ++
-      graft.queries.TextOps.queries
+      graft.queries.TextOps.queries ++
+      graft.queries.GraphOps.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -27,5 +28,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.Analytics.oracles ++
       graft.queries.FeedBlocks.oracles ++
-      graft.queries.TextOps.oracles
+      graft.queries.TextOps.oracles ++
+      graft.queries.GraphOps.oracles
 }

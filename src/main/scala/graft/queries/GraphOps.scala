@@ -1,0 +1,194 @@
+package graft.queries
+
+import graft.{OracleMath, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Social-graph list expansions (§2 #48-#53): the reference's
+  * `fetch_list` sources — following / following-of-following / mutuals
+  * (SurrealDB graph traversals, main.rs:3037-3043), skygraph topMoots
+  * (weighted edges, main.rs:3077) and community membership
+  * (main.rs:3059) — re-expressed as joins over an edge relation.
+  *
+  * The edge list is derived deterministically from the testdata
+  * (purchases projected into one user-id space) so both engines build
+  * the identical graph. Every traversal is an equi-join + distinct:
+  * the shape that shuffles on the edge key and scales linearly.
+  */
+object GraphOps {
+  import OracleMath._
+
+  /** Deterministic follows-graph: src buys-from dst, both mapped into
+    * the 0..149 user space. ~one edge per order line, deduped.
+    */
+  private def edges(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") % 150).as("src"),
+        ((col("l_suppkey") * 17 + col("l_partkey")) % 150).as("dst"))
+      .filter(col("src") =!= col("dst"))
+
+  private val edgesSql: String =
+    """SELECT o_custkey % 150 AS src, (l_suppkey * 17 + l_partkey) % 150 AS dst
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_custkey % 150 <> (l_suppkey * 17 + l_partkey) % 150""".stripMargin
+
+  /** #48 following: 1-hop out-neighbors of the seed users. */
+  def graphFollowing(s: SparkSession, dir: String): DataFrame =
+    edges(s, dir)
+      .filter(col("src") < 5)
+      .select(col("src"), col("dst"))
+      .distinct()
+      .orderBy(col("src"), col("dst"))
+
+  val graphFollowingSql: String =
+    s"""WITH edges AS ($edgesSql)
+       |SELECT DISTINCT src, dst FROM edges WHERE src < 5
+       |ORDER BY src, dst""".stripMargin
+
+  /** #49 following-of-following: 2-hop expansion (main.rs:3040). Two
+    * shuffles on the hop key; distinct collapses the fan-out early.
+    */
+  def graph2hop(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val hop1 = e.filter(col("src") < 3).select(col("src"), col("dst").as("mid")).distinct()
+    hop1
+      .join(e.select(col("src").as("mid"), col("dst")).distinct(), "mid")
+      .select(col("src"), col("dst"))
+      .distinct()
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val graph2hopSql: String =
+    s"""WITH edges AS ($edgesSql),
+       |hop1 AS (SELECT DISTINCT src, dst AS mid FROM edges WHERE src < 3),
+       |hop2 AS (SELECT DISTINCT src AS mid, dst FROM edges)
+       |SELECT DISTINCT h1.src, h2.dst
+       |FROM hop1 h1 JOIN hop2 h2 USING (mid)
+       |ORDER BY src, dst""".stripMargin
+
+  /** #50 mutuals (main.rs:3043): follow-backs — semi join of the edge
+    * set against its own reverse.
+    */
+  def graphMutuals(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).distinct()
+    e.join(
+        e.select(col("dst").as("src"), col("src").as("dst")),
+        Seq("src", "dst"),
+        "left_semi")
+      .filter(col("src") < 20)
+      .orderBy(col("src"), col("dst"))
+  }
+
+  val graphMutualsSql: String =
+    s"""WITH edges AS (SELECT DISTINCT * FROM ($edgesSql))
+       |SELECT src, dst FROM edges e
+       |WHERE src < 20
+       |  AND EXISTS (SELECT 1 FROM edges r WHERE r.src = e.dst AND r.dst = e.src)
+       |ORDER BY src, dst""".stripMargin
+
+  /** #51 topMoots (main.rs:3077): weighted edges (interaction counts),
+    * top 5 strongest per seed user — per-key top-k over the weighted
+    * edge aggregate.
+    */
+  def graphTopMoots(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("weight").desc, col("dst"))
+    edges(s, dir)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("weight"))
+      .filter(col("src") < 10)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("src"), col("dst"), col("weight"), col("rn"))
+      .orderBy(col("src"), col("rn"))
+  }
+
+  val graphTopMootsSql: String =
+    s"""WITH edges AS ($edgesSql),
+       |weighted AS (
+       |  SELECT src, dst, COUNT(*) AS weight FROM edges
+       |  GROUP BY src, dst
+       |), ranked AS (
+       |  SELECT src, dst, weight,
+       |    row_number() OVER (PARTITION BY src ORDER BY weight DESC, dst) AS rn
+       |  FROM weighted WHERE src < 10
+       |)
+       |SELECT src, dst, weight, rn FROM ranked WHERE rn <= 5
+       |ORDER BY src, rn""".stripMargin
+
+  /** #52 community membership input (main.rs:3059): nations play the
+    * community layer — events authored by members of the seed user's
+    * community, aggregated per member. Membership set broadcast.
+    */
+  def communityInput(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val seedNation = cust.filter(col("c_custkey") === 7).select(col("c_nationkey").as("seed_nation"))
+    val members = cust
+      .join(broadcast(seedNation), col("c_nationkey") === col("seed_nation"))
+      .select(col("c_custkey"))
+    Tables
+      .events(s, dir)
+      .join(broadcast(members), col("user_id") === col("c_custkey"), "left_semi")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"), emit(dsum(col("value"))).as("total_value"))
+      .orderBy(col("user_id"))
+  }
+
+  val communityInputSql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value
+      |FROM events
+      |WHERE user_id IN (
+      |  SELECT c_custkey FROM customer
+      |  WHERE c_nationkey = (SELECT c_nationkey FROM customer WHERE c_custkey = 7)
+      |)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** #53 admin stats (main.rs:690): table cardinalities + key spans in
+    * one unioned scan-light pass.
+    */
+  def adminStats(s: SparkSession, dir: String): DataFrame = {
+    def statsOf(name: String, df: DataFrame, keyCol: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        min(col(keyCol)).cast("long").as("min_key"),
+        max(col(keyCol)).cast("long").as("max_key"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("min_key"), col("max_key"))
+    statsOf("customer", Tables.customer(s, dir), "c_custkey")
+      .unionByName(statsOf("events", Tables.events(s, dir), "event_id"))
+      .unionByName(statsOf("lineitem", Tables.lineitem(s, dir), "l_orderkey"))
+      .unionByName(statsOf("orders", Tables.orders(s, dir), "o_orderkey"))
+      .orderBy(col("tbl"))
+  }
+
+  val adminStatsSql: String =
+    """SELECT * FROM (
+      |  SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+      |    CAST(MIN(c_custkey) AS BIGINT) AS min_key, CAST(MAX(c_custkey) AS BIGINT) AS max_key FROM customer
+      |  UNION ALL
+      |  SELECT 'events', COUNT(*), CAST(MIN(event_id) AS BIGINT), CAST(MAX(event_id) AS BIGINT) FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem', COUNT(*), CAST(MIN(l_orderkey) AS BIGINT), CAST(MAX(l_orderkey) AS BIGINT) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', COUNT(*), CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT) FROM orders
+      |) ORDER BY tbl""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_following" -> (graphFollowing(_, _)),
+    "graph_2hop" -> (graph2hop(_, _)),
+    "graph_mutuals" -> (graphMutuals(_, _)),
+    "graph_top_moots" -> (graphTopMoots(_, _)),
+    "community_input" -> (communityInput(_, _)),
+    "admin_stats" -> (adminStats(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "graph_following" -> graphFollowingSql,
+    "graph_2hop" -> graph2hopSql,
+    "graph_mutuals" -> graphMutualsSql,
+    "graph_top_moots" -> graphTopMootsSql,
+    "community_input" -> communityInputSql,
+    "admin_stats" -> adminStatsSql)
+}

@@ -103,11 +103,12 @@ object TextOps {
   }
 
   /** #35 SimHash near-dup (rows-only oracle): 64-bit fingerprint from
-    * word hashes; pairs at hamming ≤ 8 found by 4-segment blocking
-    * (pigeonhole: ≤8 differing bits can't hit all 4 of the 16-bit
-    * segments... ≤3 guaranteed; 8 used as the report threshold with
-    * segment blocking as candidate generation). Hamming runs in the
-    * native codegen'd HammingDistance expression.
+    * word hashes; near-dup pairs at hamming ≤ 3 via 4-segment blocking —
+    * with 4 segments of 16 bits, any pair within distance 3 shares at
+    * least one exact segment (pigeonhole), so candidate generation is
+    * complete, and the threshold keeps candidate buckets small on
+    * highly-similar corpora. Hamming runs in the native codegen'd
+    * HammingDistance expression.
     */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
     // exploded form: one codegen'd word hash per row, then 64 integer
@@ -141,7 +142,7 @@ object TextOps {
       .select(col("a"), col("b"), Registry.hamming(col("sim_a"), col("sim_b")).as("hamming"))
       .groupBy(col("a"), col("b"))
       .agg(min(col("hamming")).as("hamming"))
-      .filter(col("hamming") <= 8)
+      .filter(col("hamming") <= 3)
       .orderBy(col("a"), col("b"))
   }
 

@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink surface (§2 #54-#55).
+  *
+  * The reference persists daily rkyv blobs (generate_daily_blobs,
+  * main.rs:1004) and ingests external JSON lists (fetch_list,
+  * main.rs:3046). The lake-native equivalents: a date-partitioned
+  * parquet sink whose partition column prunes at read time, and a
+  * schema-explicit JSON-lines reader.
+  */
+object Sources {
+
+  /** Daily archive writer: hive-style `day=YYYY-MM-DD/` parquet
+    * partitions. At 100 TB this layout IS the firehose-window index:
+    * InputWindow filters become PartitionFilters (zero data touched
+    * outside the window).
+    */
+  def writeDailyArchive(events: DataFrame, outDir: String): Unit =
+    events
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("day")) // one writer wave per day partition
+      .write
+      .partitionBy("day")
+      .mode(SaveMode.Overwrite)
+      .parquet(outDir)
+
+  /** Read back with a day range — the filter must land in
+    * PartitionFilters, not in post-scan evaluation.
+    */
+  def readDailyArchive(s: SparkSession, dir: String, fromDay: String, toDay: String): DataFrame =
+    s.read.parquet(dir).filter(col("day") >= fromDay && col("day") <= toDay)
+
+  /** JSON-lines sink/source with explicit schema (schema inference is a
+    * full extra pass at scale — never rely on it).
+    */
+  def writeJsonl(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(outDir)
+
+  def readJsonl(s: SparkSession, dir: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(dir)
+}

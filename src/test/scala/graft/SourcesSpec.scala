@@ -1,0 +1,36 @@
+package graft
+
+import graft.sources.Sources
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+  val dir = "/root/testdata/sf0.001"
+
+  test("daily archive round-trips and prunes partitions at read") {
+    val out = Files.createTempDirectory("graft_archive").toString
+    val events = Tables.events(spark, dir)
+    Sources.writeDailyArchive(events, out)
+
+    val days = new java.io.File(out).listFiles().map(_.getName).filter(_.startsWith("day="))
+    assert(days.length >= 28, s"expected ~30 day partitions, got ${days.length}")
+
+    val window = Sources.readDailyArchive(spark, out, "2024-01-10", "2024-01-12")
+    val n = window.count()
+    assert(n > 0 && n < events.count())
+    val scan = window.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && !scan.contains("PartitionFilters: []"),
+      s"day range must prune partitions:\n$scan")
+  }
+
+  test("jsonl round-trip preserves rows under explicit schema") {
+    val out = Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(spark, dir)
+    Sources.writeJsonl(docs, out)
+    val back = Sources.readJsonl(spark, out, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id", "lang").except(docs.select("doc_id", "lang")).count() == 0)
+  }
+}
