@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** JSON front-end for the pipeline compiler: accepts the reference
+  * engine's block payload shape (main.rs:1243 `payload["blocks"]` — the
+  * SkyFeed builder wire format) and compiles it onto a relation. A user
+  * of the reference can POST the same JSON; here it becomes ONE Catalyst
+  * plan instead of an interpreted block loop.
+  *
+  * `Binding` maps the reference's logical post fields onto the actual
+  * relation's columns (id, author, created-at, engagement value, regex
+  * target columns, and the field names the `where` scripts may use).
+  */
+case class Binding(
+    idCol: String,
+    authorCol: String,
+    tsCol: String,
+    valueCol: String,
+    nowEpochMs: Long,
+    regexTargets: Map[String, Seq[String]],
+    whereFields: Map[String, Column],
+    scoreRoundScale: Int = 6)
+
+object PipelineJson {
+  private val mapper = new ObjectMapper
+
+  def parse(payload: String, b: Binding): Seq[Block] = {
+    val root = mapper.readTree(payload)
+    val blocks = root.path("blocks")
+    require(blocks.isArray, "payload must carry a blocks array")
+    blocks.elements().asScala.flatMap(node => compileBlock(node, b)).toSeq
+  }
+
+  private def str(n: JsonNode, field: String, dflt: String): String =
+    if (n.hasNonNull(field)) n.get(field).asText() else dflt
+
+  private def compileBlock(n: JsonNode, b: Binding): Seq[Block] = {
+    str(n, "type", "") match {
+      case "input" =>
+        str(n, "inputType", "firehose") match {
+          case "firehose" =>
+            val secs = if (n.hasNonNull("firehoseSeconds")) n.get("firehoseSeconds").asLong() else 86400L
+            Seq(InputWindow(b.tsCol, b.nowEpochMs, secs))
+          case other => throw new IllegalArgumentException(s"unsupported inputType $other")
+        }
+
+      case t @ ("keep" | "remove") =>
+        val subject = str(n, "subject", "")
+        val op = str(n, "operator", "==")
+        val v = n.get("value")
+        val value = if (v != null && v.isNumber) lit(v.asDouble()) else lit(v.asText())
+        // `remove X op v` retains the complement — invert the operator
+        val effOp = if (t == "keep") op
+        else op match {
+          case "==" => "!="
+          case "!=" => "=="
+          case "<" => ">="
+          case ">" => "<="
+          case "<=" => ">"
+          case ">=" => "<"
+        }
+        Seq(KeepCmp(subject, effOp, value))
+
+      case "regex" =>
+        val targets = b.regexTargets.getOrElse(
+          str(n, "target", "text"),
+          throw new IllegalArgumentException(s"unbound regex target ${str(n, "target", "text")}"))
+        Seq(KeepRegex(
+          targets,
+          n.get("value").asText(),
+          caseSensitive = n.path("caseSensitive").asBoolean(false),
+          invert = n.path("invert").asBoolean(false)))
+
+      case "where" =>
+        Seq(WhereFilter(WhereDsl.compile(n.get("value").asText(), b.whereFields)))
+
+      case "score" =>
+        require(str(n, "scoreType", "add") == "add", "only scoreType=add exists in the reference")
+        val normalize = n.path("normalize").asBoolean(true)
+        val expr = str(n, "from", "hn") match {
+          case "hn" =>
+            val gravity = str(n, "gravity", "1.8").toDouble
+            val ageH = (lit(b.nowEpochMs) - unix_millis(col(b.tsCol))).cast("double") / lit(3600000.0)
+            col(b.valueCol) / pow(ageH + lit(2.0), lit(gravity))
+          case "like_count" => col(b.valueCol)
+          case "created_at" => unix_millis(col(b.tsCol)).cast("double") / lit(1000.0)
+          case other => throw new IllegalArgumentException(s"unsupported score from=$other")
+        }
+        // rounding after each score block keeps later rankings bit-stable
+        // across engines (same policy as the hand-built pipelines)
+        Seq(ScoreAdd(expr, normalize), RoundCol("score", b.scoreRoundScale))
+
+      case "sort" =>
+        val desc = str(n, "sortDirection", "desc") == "desc"
+        def dir(c: Column) = if (desc) c.desc else c.asc
+        val keys = str(n, "sortType", "score") match {
+          case "score" => Seq(dir(col("score")), col(b.idCol))
+          case "created_at" => Seq(dir(col(b.tsCol)), col(b.idCol))
+          case "likes" => Seq(dir(col(b.valueCol)), col(b.idCol))
+          case other => throw new IllegalArgumentException(s"unsupported sortType $other")
+        }
+        Seq(SortBy(keys))
+
+      case "limit" =>
+        if (str(n, "limitType", "default") == "posts_per_user") {
+          val cnt = if (n.hasNonNull("count")) n.get("count").asInt() else 5
+          Seq(LimitPerKey(b.authorCol, cnt, Seq(col("score").desc, col(b.idCol))))
+        } else {
+          Seq(LimitN(if (n.hasNonNull("count")) n.get("count").asInt() else 100))
+        }
+
+      case other => throw new IllegalArgumentException(s"unsupported block type $other")
+    }
+  }
+}

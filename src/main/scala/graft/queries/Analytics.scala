@@ -218,6 +218,59 @@ object Analytics {
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** #26b Salted two-phase aggregation: the skew pattern for hot keys.
+    * event_type has 5 values → a plain groupBy lands 1/5 of 100 TB on
+    * one reducer; salting fans each key over 16 partial groups first.
+    * Identical result to the plain aggregate — the oracle is the
+    * UNsalted SQL, proving the rewrite is semantics-preserving.
+    */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(s, dir)
+      .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(dsum(col("value")).as("pv"), count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(emit(sum(col("pv"))).as("total_value"), sum(col("pn")).as("n"))
+      .orderBy(col("event_type"))
+  }
+
+  val skewSaltedAggSql: String =
+    """SELECT event_type,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** #27b count refresh (run_update_counts_query, main.rs:3815): the
+    * reference re-polls per-post like/reply counters; the batch
+    * equivalent recomputes counters for the active window from the
+    * interaction table in one aggregate+join pass.
+    */
+  def updateCounts(s: SparkSession, dir: String): DataFrame = {
+    val likes = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("like_count"), countDistinct(col("l_suppkey")).as("unique_likers"))
+    Tables
+      .part(s, dir)
+      .join(likes, col("p_partkey") === col("l_partkey"), "left")
+      .select(
+        col("p_partkey"),
+        coalesce(col("like_count"), lit(0L)).as("like_count"),
+        coalesce(col("unique_likers"), lit(0L)).as("unique_likers"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val updateCountsSql: String =
+    """SELECT p_partkey,
+      |  coalesce(like_count, 0) AS like_count,
+      |  coalesce(unique_likers, 0) AS unique_likers
+      |FROM part LEFT JOIN (
+      |  SELECT l_partkey, COUNT(*) AS like_count,
+      |         COUNT(DISTINCT l_suppkey) AS unique_likers
+      |  FROM lineitem GROUP BY l_partkey
+      |) ON p_partkey = l_partkey
+      |ORDER BY p_partkey""".stripMargin
+
   /** #27 Exact linear-interpolated percentiles per group (order statistic:
     * deterministic across engines).
     */
@@ -446,6 +499,8 @@ object Analytics {
     "window_running" -> (windowRunning(_, _)),
     "sessionize" -> (sessionize(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
+    "skew_salted_agg" -> (skewSaltedAgg(_, _)),
+    "update_counts" -> (updateCounts(_, _)),
     "percentiles" -> (percentiles(_, _)),
     "distinct_count" -> (distinctCount(_, _)),
     "asof_join" -> (asofJoin(_, _)),
@@ -461,6 +516,8 @@ object Analytics {
     "window_running" -> windowRunningSql,
     "sessionize" -> sessionizeSql,
     "rollup_agg" -> rollupAggSql,
+    "skew_salted_agg" -> skewSaltedAggSql,
+    "update_counts" -> updateCountsSql,
     "percentiles" -> percentilesSql,
     "distinct_count" -> distinctCountSql,
     "asof_join" -> asofJoinSql,

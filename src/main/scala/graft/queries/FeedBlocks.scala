@@ -491,6 +491,34 @@ object FeedBlocks {
        |FROM limited WHERE rn <= 3
        |ORDER BY score DESC, event_id LIMIT 100""".stripMargin
 
+  /** #20b the SAME pipeline as #20, but arriving as the reference's JSON
+    * wire payload (PipelineJson). Shares #20's oracle: the JSON front-end
+    * must compile to a semantically identical plan.
+    */
+  def feedPipelineJson(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":1209600},
+        |  {"type":"remove","subject":"event_type","operator":"==","value":"click"},
+        |  {"type":"where","value":"value > 20 && eventType != \"error\""},
+        |  {"type":"score","scoreType":"add","from":"hn","gravity":"1.8","normalize":true},
+        |  {"type":"limit","limitType":"posts_per_user","count":3},
+        |  {"type":"sort","sortType":"score","sortDirection":"desc"},
+        |  {"type":"limit","count":100}
+        |]}""".stripMargin
+    val binding = Binding(
+      idCol = "event_id",
+      authorCol = "user_id",
+      tsCol = "ts",
+      valueCol = "value",
+      nowEpochMs = NowMs,
+      regexTargets = Map("text" -> Seq("event_type")),
+      whereFields = Map("value" -> col("value"), "eventType" -> col("event_type")))
+    FeedPipeline
+      .compile(events(s, dir), PipelineJson.parse(payload, binding))
+      .select(col("event_id"), col("user_id"), col("score").cast("double").as("score"))
+  }
+
   private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -514,7 +542,8 @@ object FeedBlocks {
     "likes_bylikers" -> (likesBylikers(_, _)),
     "trending_tags" -> (trendingTags(_, _)),
     "tag_variations" -> (tagVariations(_, _)),
-    "feed_pipeline" -> (feedPipeline(_, _)))
+    "feed_pipeline" -> (feedPipeline(_, _)),
+    "feed_pipeline_json" -> (feedPipelineJson(_, _)))
 
   val oracles: Map[String, String] = Map(
     "input_window" -> inputWindowSql,
@@ -537,5 +566,6 @@ object FeedBlocks {
     "likes_bylikers" -> likesBylikersSql,
     "trending_tags" -> trendingTagsSql,
     "tag_variations" -> tagVariationsSql,
-    "feed_pipeline" -> feedPipelineSql)
+    "feed_pipeline" -> feedPipelineSql,
+    "feed_pipeline_json" -> feedPipelineSql)
 }

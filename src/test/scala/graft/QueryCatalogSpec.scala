@@ -81,6 +81,13 @@ class QueryCatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WhereDsl.compile("unknown > 1", Map.empty))
   }
 
+  test("JSON wire payload compiles to the same pipeline as the Scala DSL") {
+    val json = SparkEntry.queries("feed_pipeline_json")(spark, dir).collect()
+    val dsl = SparkEntry.queries("feed_pipeline")(spark, dir).collect()
+    assert(json.length == dsl.length && json.length > 0)
+    json.zip(dsl).foreach { case (a, b) => assert(a == b, s"mismatch: $a vs $b") }
+  }
+
   test("native as-of join agrees with the compositional window form") {
     val nat = SparkEntry.queries("asof_join_native")(spark, dir).collect()
     val comp = SparkEntry.queries("asof_join")(spark, dir).collect()
