@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * tokens, fingerprints), multimodal plumbing. Everything is built from
   * codegen'd builtins (split/explode/hash/agg) — no UDF in any hot path.
   */
+/** Typed rows for the multimodal partition-wise decode path. */
+case class MediaMeta(width: Int, channels: Int, format: String)
+case class MediaRow(doc_id: Long, payload: Array[Byte], meta: MediaMeta)
+case class MediaFeature(
+    doc_id: Long, width: Int, channels: Int, format: String,
+    fake_feature: Long, payload_bytes: Long)
+
 object TextOps {
   import OracleMath._
 
@@ -137,12 +144,16 @@ object TextOps {
       .withColumnRenamed("col", "seghash")
     val l = seg.select(col("seg"), col("seghash"), col("doc_id").as("a"), col("simhash").as("sim_a"))
     val r = seg.select(col("seg"), col("seghash"), col("doc_id").as("b"), col("simhash").as("sim_b"))
-    l.join(r, Seq("seg", "seghash"))
-      .filter(col("a") < col("b"))
+    // hamming + ordering checked inside the join probe: candidates that
+    // fail the threshold never materialize into the downstream shuffle
+    l.join(
+        r,
+        l("seg") === r("seg") && l("seghash") === r("seghash") &&
+          col("a") < col("b") &&
+          Registry.hamming(col("sim_a"), col("sim_b")) <= 3)
       .select(col("a"), col("b"), Registry.hamming(col("sim_a"), col("sim_b")).as("hamming"))
       .groupBy(col("a"), col("b"))
       .agg(min(col("hamming")).as("hamming"))
-      .filter(col("hamming") <= 3)
       .orderBy(col("a"), col("b"))
   }
 
@@ -415,6 +426,7 @@ object TextOps {
     * partitioning and column flow fully real.
     */
   def multimodalStub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val withPayload = docs(s, dir)
       .select(
         col("doc_id"),
@@ -423,18 +435,29 @@ object TextOps {
           col("n_chars").cast("int").as("width"),
           (col("n_chars") % 3 + 1).cast("int").as("channels"),
           lit("fake/utf8").as("format")).as("meta"))
-    // STUB: a real pipeline decodes `payload` (image/audio bytes) here,
-    // batch-wise per partition. The container has no media libs, so the
-    // "feature" is a deterministic placeholder over the same plumbing.
-    withPayload
-      .select(
-        col("doc_id"),
-        col("meta.width").as("width"),
-        col("meta.channels").as("channels"),
-        col("meta.format").as("format"),
-        crc32(col("payload")).as("fake_feature"),
-        length(col("payload")).as("payload_bytes"))
-      .orderBy(col("doc_id"))
+      .as[MediaRow]
+    // Partition-wise "decode": the exact shape a real media pipeline
+    // uses — grab a batch of rows, hand the byte payloads to a decoder
+    // library, emit typed features. STUB: no media libs in this
+    // container, so decode() is a deterministic CRC32 placeholder; the
+    // schema, batching and partition flow are the real plumbing.
+    val decoded = withPayload.mapPartitions { rows =>
+      rows.grouped(64).flatMap { batch =>
+        batch.map { r =>
+          MediaFeature(
+            r.doc_id, r.meta.width, r.meta.channels, r.meta.format,
+            decodeStub(r.payload), r.payload.length.toLong)
+        }
+      }
+    }
+    decoded.toDF().orderBy(col("doc_id"))
+  }
+
+  /** STUB decoder — stands in for an image/audio library call. */
+  private def decodeStub(payload: Array[Byte]): Long = {
+    val crc = new java.util.zip.CRC32
+    crc.update(payload)
+    crc.getValue
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -66,6 +66,17 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** #48s stream-static enrichment: the reference resolves author
+    * profile data per post at query time from its in-memory profile map
+    * (main.rs:63 all_profiles); streaming-side the profile dimension is
+    * a static broadcast joined to each micro-batch.
+    */
+  def enrichWithProfiles(events: DataFrame, profiles: DataFrame): DataFrame =
+    events.join(
+      broadcast(profiles),
+      events("user_id") === profiles("profile_user_id"),
+      "left")
+
   /** #47 streaming trending tags (main.rs:626 as a continuous query):
     * explode words of a (ts, text) stream, windowed distinct-ish counts
     * per tag. The reference recomputes trending over its in-memory maps

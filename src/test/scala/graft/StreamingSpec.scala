@@ -64,6 +64,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(engineCounts.nonEmpty && engineCounts.max == 3)
   }
 
+  test("stream-static enrichment joins the profile dimension per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val profiles = Seq((1L, "alice"), (2L, "bob")).toDF("profile_user_id", "handle")
+    val in = MemoryStream[Ev]
+    in.addData(ev(1, 0, 1, "view", 1.0), ev(2, 1, 9, "view", 1.0))
+    val q = Streams
+      .enrichWithProfiles(in.toDF(), profiles)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("en").start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("en").collect()
+    assert(rows.length == 2)
+    assert(rows.find(_.getAs[Long]("event_id") == 1).get.getAs[String]("handle") == "alice")
+    assert(rows.find(_.getAs[Long]("event_id") == 2).get.getAs[String]("handle") == null)
+  }
+
   test("streaming dedup drops redelivered event_ids") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
