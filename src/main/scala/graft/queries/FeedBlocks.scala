@@ -309,6 +309,95 @@ object FeedBlocks {
       |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** #14b replace-with-root (main.rs:2415): two-hop lookup — each line
+    * item resolves through its order to the root customer (the thread
+    * root), keeping rows whose chain breaks (left joins + coalesce).
+    */
+  def replaceRoot(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .filter(col("l_quantity") >= 48)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"), "left")
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        coalesce(col("c_custkey"), lit(-1L)).as("root_key"),
+        coalesce(col("c_name"), lit("(missing)")).as("root_name"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val replaceRootSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  coalesce(c_custkey, -1) AS root_key,
+      |  coalesce(c_name, '(missing)') AS root_name
+      |FROM lineitem
+      |LEFT JOIN orders ON l_orderkey = o_orderkey
+      |LEFT JOIN customer ON o_custkey = c_custkey
+      |WHERE l_quantity >= 48
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** #10b random sort (main.rs:2283): the reference shuffles with a
+    * thread RNG; the reproducible distributed equivalent is ordering by
+    * a keyed cryptographic hash — deterministic, uniform, and exactly
+    * reproducible by the oracle.
+    */
+  def sortRandom(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("event_id"), md5(concat(col("event_id").cast("string"), lit("#42"))).as("shuffle_key"))
+      .orderBy(col("shuffle_key"))
+      .limit(100)
+
+  val sortRandomSql: String =
+    """SELECT event_id, md5(CAST(event_id AS VARCHAR) || '#42') AS shuffle_key
+      |FROM events WHERE event_type = 'signup'
+      |ORDER BY shuffle_key LIMIT 100""".stripMargin
+
+  /** #3b tags input (main.rs:1606): documents carrying any of the wanted
+    * tags — array membership over the tokenized text (the inverted-index
+    * lookup as a scan-side predicate; at rest this is a bloom/zone-map
+    * assisted scan, not an index server).
+    */
+  def inputTags(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    docsT(s, dir)
+      .filter(array_contains(words, "window") || array_contains(words, "stream"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val inputTagsSql: String =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE list_contains(string_split(text, ' '), 'window')
+      |   OR list_contains(string_split(text, ' '), 'stream')
+      |ORDER BY doc_id""".stripMargin
+
+  /** #2b null/existence filter (the has_labels / embed=none subjects,
+    * main.rs:1812,1929): presence of a JSON property as predicate.
+    */
+  def filterNullProps(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .filter(
+        get_json_object(col("props"), "$.k").isNotNull &&
+          get_json_object(col("props"), "$.missing").isNull &&
+          col("event_type") === "view")
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .filter(col("k") >= 90)
+      .orderBy(col("event_id"))
+
+  val filterNullPropsSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |  AND json_extract_string(props, '$.missing') IS NULL
+      |  AND event_type = 'view'
+      |  AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  private def docsT(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
   /** #16 custom_likedweighted (main.rs:1453): likes = lineitem
     * (l_suppkey likes l_partkey); prolific likers weigh less:
     * weight(u) = 1/(base + n_likes(u)); post score = Σ weights.
@@ -343,13 +432,30 @@ object FeedBlocks {
     * curators who liked them. Both hops shuffle on the same like-table
     * keys; the curator side is small → broadcast.
     */
+  /** The reference's user-score function family f0..f5 (main.rs:1548):
+    * how much one like from a seed post's liker is worth, as a function
+    * of that post's total liker count.
+    */
+  def userScoreFn(name: String, exponent: Double = 1.3): Column => Column = {
+    val n = (c: Column) => c.cast("double")
+    name match {
+      case "f0" => c => lit(1.0) / pow(n(c), lit(exponent))
+      case "f1" => c => lit(1.0) / n(c)
+      case "f2" => c => lit(100.0) - sqrt(n(c))
+      case "f3" => c => lit(10.0) - log(n(c))
+      case "f4" => c => lit(1.0) / sqrt(n(c))
+      case "f5" => c => lit(1.0) / log(n(c))
+      case _ => _ => lit(1.0)
+    }
+  }
+
   def likesBylikers(s: SparkSession, dir: String): DataFrame = {
     val likes = Tables.lineitem(s, dir).select(col("l_suppkey").as("u"), col("l_partkey").as("p"))
     val postLikers = likes.groupBy(col("p")).agg(count(lit(1)).as("n_likers"))
     val seeds = postLikers.orderBy(col("n_likers").desc, col("p")).limit(10).select(col("p"), col("n_likers"))
     val curators = likes
       .join(broadcast(seeds), "p")
-      .withColumn("w", round(lit(1.0) / col("n_likers"), 10).cast(Dec12))
+      .withColumn("w", round(userScoreFn("f1")(col("n_likers")), 10).cast(Dec12))
       .groupBy(col("u"))
       .agg(sum(col("w")).as("curator_score"))
     likes
@@ -527,6 +633,10 @@ object FeedBlocks {
     "filter_compare" -> (filterCompare(_, _)),
     "filter_in_set" -> (filterInSet(_, _)),
     "filter_language" -> (filterLanguage(_, _)),
+    "filter_null_props" -> (filterNullProps(_, _)),
+    "input_tags" -> (inputTags(_, _)),
+    "replace_root" -> (replaceRoot(_, _)),
+    "sort_random" -> (sortRandom(_, _)),
     "filter_regex" -> (filterRegex(_, _)),
     "filter_where" -> (filterWhere(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
@@ -551,6 +661,10 @@ object FeedBlocks {
     "filter_compare" -> filterCompareSql,
     "filter_in_set" -> filterInSetSql,
     "filter_language" -> filterLanguageSql,
+    "filter_null_props" -> filterNullPropsSql,
+    "input_tags" -> inputTagsSql,
+    "replace_root" -> replaceRootSql,
+    "sort_random" -> sortRandomSql,
     "filter_regex" -> filterRegexSql,
     "filter_where" -> filterWhereSql,
     "dedup_exact" -> dedupExactSql,
