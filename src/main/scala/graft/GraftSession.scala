@@ -31,6 +31,9 @@ object GraftSession {
     if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushableTokenPredicate))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushableTokenPredicate
     functions.Registry.registerAll(spark)
     spark
   }

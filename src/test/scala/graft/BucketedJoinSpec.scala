@@ -15,6 +15,16 @@ class BucketedJoinSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     spark.sql("DROP TABLE IF EXISTS likes_b")
     spark.sql("DROP TABLE IF EXISTS posts_b")
+    // the in-memory catalog can't see tables written by a previous JVM —
+    // clear their warehouse locations on disk too
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("likes_b", "posts_b").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete())
+        d.delete()
+      }
+    }
     Tables
       .lineitem(spark, dir)
       .select(col("l_suppkey").as("u"), col("l_partkey").as("p"))

@@ -95,6 +95,18 @@ class QueryCatalogSpec extends AnyFunSuite {
     nat.zip(comp).foreach { case (a, b) => assert(a == b, s"mismatch: $a vs $b") }
   }
 
+  test("token-membership filters derive a pushable StringContains prefilter") {
+    val df = SparkEntry.queries("input_tags")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("StringContains(text,window)"),
+      s"derived prefilter must reach PushedFilters:\n$plan")
+    // and the rule must be idempotent across optimizer reruns
+    val once = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
+    val twice = spark.sessionState.optimizer.execute(once)
+    assert(once.toString == twice.toString)
+  }
+
   test("hamming expression (native codegen) computes popcount of xor") {
     import org.apache.spark.sql.functions._
     GraftSession.tune(spark)
