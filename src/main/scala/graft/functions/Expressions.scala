@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
 
 /** Hamming distance between two 64-bit fingerprints (simhash near-dup
   * distance). A native Catalyst expression with codegen: stays inside
@@ -24,6 +24,49 @@ case class HammingDistance(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Sequential dot product of two ARRAY<DOUBLE> columns, as a native
+  * codegen'd expression: the zip_with+aggregate HOF composition stays
+  * interpreted (lambda per element); this compiles to a tight loop over
+  * the unsafe array data. Summation is strictly left-to-right, so the
+  * result is bit-identical to the HOF form and to the DuckDB oracle's
+  * list_dot_product.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object Registry {
 
   /** Column form routes through the registered SQL function (the public
@@ -38,15 +81,18 @@ object Registry {
       "graft_hamming",
       exprs => HammingDistance(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot",
+      exprs => DotProduct(exprs(0), exprs(1)),
+      "built-in")
   }
 
-  /** Dot product of two double arrays via codegen'd higher-order
-    * functions (zip_with + aggregate): no UDF, order-deterministic
-    * left-to-right summation — bit-identical to the DuckDB oracle's
-    * list_dot_product over doubles.
+  /** Dot product of two ARRAY<DOUBLE> columns — the native codegen'd
+    * DotProduct expression; left-to-right summation, bit-identical to
+    * the DuckDB oracle's list_dot_product over doubles.
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

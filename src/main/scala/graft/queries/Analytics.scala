@@ -298,6 +298,26 @@ object Analytics {
       |  CAST(round(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** #27c sketch-based percentiles (rows-only oracle): the 100 TB path.
+    * Exact percentiles must see every value of a group in one place;
+    * approx_percentile merges bounded sketches map-side instead, so the
+    * reduce state is O(sketch), not O(rows). Kept alongside the exact
+    * oracle-path query; the test bounds the sketch error against it.
+    */
+  def percentilesApprox(s: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.99), 10000)").as("ps"))
+      .select(
+        col("l_returnflag"),
+        emit(col("ps").getItem(0)).as("p25"),
+        emit(col("ps").getItem(1)).as("p50"),
+        emit(col("ps").getItem(2)).as("p75"),
+        emit(col("ps").getItem(3)).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** #28 Exact distinct counts per group (two-phase distinct agg). */
   def distinctCount(s: SparkSession, dir: String): DataFrame = {
     Tables
@@ -502,6 +522,7 @@ object Analytics {
     "skew_salted_agg" -> (skewSaltedAgg(_, _)),
     "update_counts" -> (updateCounts(_, _)),
     "percentiles" -> (percentiles(_, _)),
+    "percentiles_approx" -> (percentilesApprox(_, _)),
     "distinct_count" -> (distinctCount(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "asof_join_native" -> (asofJoinNative(_, _)),

@@ -163,18 +163,18 @@ object TextOps {
     * gram-key shuffle, no array crossproducts.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val grams = gramRows(docs(s, dir), 3)
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = grams
-      .join(
-        grams.select((col("doc_id") - 1).as("doc_id"), col("g")),
-        Seq("doc_id", "g"))
+    // one gram pass: per-doc distinct gram SETS (the dropDuplicates
+    // exchange feeds the collect agg), then a broadcast self-join of the
+    // 1-row-per-doc summaries — the 500k-row gram-key shuffle of the
+    // naive form disappears
+    val gramSets = gramRows(docs(s, dir), 3)
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("inter"))
-    sizes
-      .join(sizes.select((col("doc_id") - 1).as("doc_id"), col("n").as("n2")), Seq("doc_id"))
-      .join(inter, Seq("doc_id"), "left")
-      .na.fill(0, Seq("inter"))
+      .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
+    val shifted = gramSets.select(
+      (col("doc_id") - 1).as("doc_id"), col("gs").as("gs2"), col("n").as("n2"))
+    gramSets
+      .join(broadcast(shifted), Seq("doc_id"))
+      .withColumn("inter", size(array_intersect(col("gs"), col("gs2"))))
       .select(
         col("doc_id").as("a"),
         (col("doc_id") + 1).as("b"),

@@ -17,7 +17,7 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val rowsOnly = Set(
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
-      "lang_id", "multimodal_stub")
+      "lang_id", "multimodal_stub", "percentiles_approx")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -105,6 +105,30 @@ class QueryCatalogSpec extends AnyFunSuite {
     val once = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
     val twice = spark.sessionState.optimizer.execute(once)
     assert(once.toString == twice.toString)
+  }
+
+  test("approx percentiles stay within 2% of the exact oracle path") {
+    val exact = SparkEntry.queries("percentiles")(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p50")).toMap
+    val approx = SparkEntry.queries("percentiles_approx")(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Double]("p50")).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(approx(k) - v) / v < 0.02, s"$k: approx ${approx(k)} vs exact $v")
+    }
+  }
+
+  test("native dot product matches the interpreted HOF form bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    GraftSession.tune(spark)
+    val df = Tables.embeddings(spark, dir).limit(50).select(
+      col("vec_id"),
+      graft.functions.Registry.dot(
+        col("embedding").cast("array<double>"), col("embedding").cast("array<double>")).as("native"),
+      aggregate(
+        zip_with(col("embedding").cast("array<double>"), col("embedding").cast("array<double>"),
+          (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
   }
 
   test("hamming expression (native codegen) computes popcount of xor") {
