@@ -398,6 +398,28 @@ object FeedBlocks {
 
   private def docsT(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
+  /** #15b all_replies inversion (main.rs:2470): members of the full
+    * store whose ROOT (two hops up) is in the seed set — chain the
+    * root lookup into a semi join.
+    */
+  def replaceAllReplies(s: SparkSession, dir: String): DataFrame = {
+    val seedRoots = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 9000.0)
+      .select(col("c_custkey"))
+    val rooted = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"))
+    rooted
+      .join(broadcast(seedRoots), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val replaceAllRepliesSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** #16 custom_likedweighted (main.rs:1453): likes = lineitem
     * (l_suppkey likes l_partkey); prolific likers weigh less:
     * weight(u) = 1/(base + n_likes(u)); post score = Σ weights.
@@ -636,6 +658,7 @@ object FeedBlocks {
     "filter_null_props" -> (filterNullProps(_, _)),
     "input_tags" -> (inputTags(_, _)),
     "replace_root" -> (replaceRoot(_, _)),
+    "replace_all_replies" -> (replaceAllReplies(_, _)),
     "sort_random" -> (sortRandom(_, _)),
     "filter_regex" -> (filterRegex(_, _)),
     "filter_where" -> (filterWhere(_, _)),
@@ -664,6 +687,7 @@ object FeedBlocks {
     "filter_null_props" -> filterNullPropsSql,
     "input_tags" -> inputTagsSql,
     "replace_root" -> replaceRootSql,
+    "replace_all_replies" -> replaceAllRepliesSql,
     "sort_random" -> sortRandomSql,
     "filter_regex" -> filterRegexSql,
     "filter_where" -> filterWhereSql,

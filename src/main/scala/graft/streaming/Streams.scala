@@ -66,6 +66,38 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** A user's current feed: their top-scored events so far. */
+  case class FeedState(entries: List[(Double, Long)])
+  case class FeedRow(user_id: Long, rank: Int, event_id: Long, score: Double)
+
+  /** #49s continuous feed maintenance: the reference serves feeds by
+    * rerunning the block pipeline over its in-RAM store on every
+    * request; here the per-user top-k IS the state — each micro-batch
+    * folds new events into a bounded heap per user
+    * (mapGroupsWithState), so serving is a state read, not a recompute.
+    * Scoring uses the same hn shape with a fixed anchor for
+    * reproducibility.
+    */
+  def streamingFeed(events: Dataset[Ev], k: Int, anchorMs: Long): Dataset[FeedRow] = {
+    import events.sparkSession.implicits._
+    def score(e: Ev): Double = {
+      val ageH = (anchorMs - e.ts.getTime).toDouble / 3600000.0
+      e.value / math.pow(ageH + 2.0, 1.8)
+    }
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FeedState, List[FeedRow]](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[FeedState]) =>
+          val prev = state.getOption.getOrElse(FeedState(Nil))
+          val merged = (prev.entries ++ rows.map(e => (score(e), e.event_id)))
+            .sortBy { case (s, id) => (-s, id) }
+            .take(k)
+          state.update(FeedState(merged))
+          merged.zipWithIndex.map { case ((s, id), i) => FeedRow(uid, i + 1, id, s) }
+      }
+      .flatMap(identity)
+  }
+
   /** #48s stream-static enrichment: the reference resolves author
     * profile data per post at query time from its in-memory profile map
     * (main.rs:63 all_profiles); streaming-side the profile dimension is

@@ -64,6 +64,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(engineCounts.nonEmpty && engineCounts.max == 3)
   }
 
+  test("streaming feed keeps a bounded per-user top-k across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val anchor = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val in = MemoryStream[Ev]
+    val q = Streams
+      .streamingFeed(in.toDS(), k = 2, anchorMs = anchor)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("sf").start()
+    in.addData(ev(1, 0, 5, "view", 10.0), ev(2, 1, 5, "view", 50.0))
+    q.processAllAvailable()
+    in.addData(ev(3, 2, 5, "view", 100.0)) // displaces event 1
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("sf").collect()
+      .filter(_.getAs[Long]("user_id") == 5)
+      .groupBy(_.getAs[Int]("rank")).map { case (r, rows) => r -> rows.last.getAs[Long]("event_id") }
+    assert(last(1) == 3L && last(2) == 2L, s"expected [3,2], got $last")
+  }
+
   test("stream-static enrichment joins the profile dimension per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
