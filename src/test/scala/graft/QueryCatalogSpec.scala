@@ -117,6 +117,28 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("SimHash Aggregator equals the relational 64-sum form") {
+    import org.apache.spark.sql.functions._
+    val wordHashes = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .dropDuplicates("doc_id", "w")
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val viaAggregator = wordHashes
+      .groupBy("doc_id")
+      .agg(udaf(graft.functions.SimHashAggregator).apply(col("h")).as("simhash"))
+    val viaSums = {
+      import spark.implicits._
+      val bitSums = wordHashes.groupBy(col("doc_id")).agg(
+        sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("b0"),
+        (1 until 64).map(b => sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")): _*)
+      bitSums.select(
+        col("doc_id"),
+        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    }
+    assert(viaAggregator.except(viaSums).count() == 0 && viaSums.except(viaAggregator).count() == 0)
+  }
+
   test("native dot product matches the interpreted HOF form bit-for-bit") {
     import org.apache.spark.sql.functions._
     GraftSession.tune(spark)
