@@ -34,6 +34,9 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.PushableTokenPredicate))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PushableTokenPredicate
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PushdownTimeConversions))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PushdownTimeConversions
     functions.Registry.registerAll(spark)
     spark
   }

@@ -40,6 +40,10 @@ object SimHashAggregator extends Aggregator[Long, Array[Int], Long] {
     sim
   }
 
-  override def bufferEncoder: Encoder[Array[Int]] = Encoders.javaSerialization[Array[Int]]
+  // native ArrayType(IntegerType) buffer encoding — the partial buffer
+  // crosses the map-side shuffle on every merge, so it must not fall
+  // back to opaque Java serialization
+  override def bufferEncoder: Encoder[Array[Int]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

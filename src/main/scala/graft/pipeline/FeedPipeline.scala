@@ -28,10 +28,17 @@ sealed trait Block {
   * at rest the table is time-partitioned so this prunes partitions.
   */
 case class InputWindow(tsCol: String, nowEpochMs: Long, seconds: Long) extends Block {
-  def apply(df: DataFrame): DataFrame =
+  def apply(df: DataFrame): DataFrame = {
+    // direct timestamp comparisons (no unix_millis wrapper) so the
+    // predicate reaches PushedFilters / partition pruning. The bounds
+    // are shifted to stay exactly equivalent to the ms-floor semantics
+    // `floor_ms(ts) in (now-s, now]` that the oracles express:
+    //   floor_ms(ts) >  A  ⟺  ts >= A+1 ms
+    //   floor_ms(ts) <= B  ⟺  ts <  B+1 ms
     df.filter(
-      unix_millis(col(tsCol)) > lit(nowEpochMs - seconds * 1000L) &&
-        unix_millis(col(tsCol)) <= lit(nowEpochMs))
+      col(tsCol) >= timestamp_millis(lit(nowEpochMs - seconds * 1000L + 1)) &&
+        col(tsCol) < timestamp_millis(lit(nowEpochMs + 1)))
+  }
 }
 
 /** keep/remove comparison filter (main.rs:1831-1884). `keep` semantics:

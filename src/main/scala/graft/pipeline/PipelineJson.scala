@@ -52,7 +52,9 @@ object PipelineJson {
         val subject = str(n, "subject", "")
         val op = str(n, "operator", "==")
         val v = n.get("value")
-        val value = if (v != null && v.isNumber) lit(v.asDouble()) else lit(v.asText())
+        // wire input: validate, don't NPE
+        require(v != null && !v.isNull, s"$t block on '$subject' is missing a value")
+        val value = if (v.isNumber) lit(v.asDouble()) else lit(v.asText())
         // `remove X op v` retains the complement — invert the operator
         val effOp = if (t == "keep") op
         else op match {
@@ -62,6 +64,7 @@ object PipelineJson {
           case ">" => "<="
           case "<=" => ">"
           case ">=" => "<"
+          case other => throw new IllegalArgumentException(s"unknown operator '$other' in $t block")
         }
         Seq(KeepCmp(subject, effOp, value))
 

@@ -15,8 +15,14 @@ import org.apache.spark.sql.functions._
   */
 object WhereDsl {
 
-  def compile(src: String, cols: Map[String, Column]): Column =
-    new Parser(tokenize(src), cols).parseOr()
+  def compile(src: String, cols: Map[String, Column]): Column = {
+    val p = new Parser(tokenize(src), cols)
+    val out = p.parseOr()
+    require(
+      p.toks.isEmpty,
+      s"trailing tokens ${p.toks.take(3)} in: $src — a truncated parse would silently weaken the filter")
+    out
+  }
 
   // --- lexer ---
   private sealed trait Tok

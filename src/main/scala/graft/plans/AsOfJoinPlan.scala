@@ -99,23 +99,36 @@ case class AsOfJoinExec(
       var lastAnchorKey: Long = 0L
 
       lIter.map { lRow =>
-        val k = lKeyB.eval(lRow).asInstanceOf[Long]
-        val t = lTimeB.eval(lRow).asInstanceOf[Long]
-        // consume right rows up to (k, t]; remember the last one of key k
-        var advancing = true
-        while (advancing && rBuf.hasNext) {
-          val head = rBuf.head
-          val rk = rKeyB.eval(head).asInstanceOf[Long]
-          if (rk < k || (rk == k && rTimeB.eval(head).asInstanceOf[Long] <= t)) {
-            val consumed = rBuf.next()
-            if (rk == k) {
-              lastAnchor = consumed.copy()
-              lastAnchorKey = rk
+        val kRaw = lKeyB.eval(lRow)
+        val tRaw = lTimeB.eval(lRow)
+        if (kRaw == null || tRaw == null) {
+          // SQL join semantics: null keys/times never match
+          joined(lRow, nullRight)
+        } else {
+          val k = kRaw.asInstanceOf[Long]
+          val t = tRaw.asInstanceOf[Long]
+          // consume right rows up to (k, t]; remember the last one of key k
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val head = rBuf.head
+            val rkRaw = rKeyB.eval(head)
+            val rtRaw = if (rkRaw == null) null else rTimeB.eval(head)
+            if (rkRaw == null || rtRaw == null) {
+              rBuf.next() // null-keyed/timed anchors can never match — skip
+            } else {
+              val rk = rkRaw.asInstanceOf[Long]
+              if (rk < k || (rk == k && rtRaw.asInstanceOf[Long] <= t)) {
+                val consumed = rBuf.next()
+                if (rk == k) {
+                  lastAnchor = consumed.copy()
+                  lastAnchorKey = rk
+                }
+              } else advancing = false
             }
-          } else advancing = false
+          }
+          if (lastAnchor != null && lastAnchorKey == k) joined(lRow, lastAnchor)
+          else joined(lRow, nullRight)
         }
-        if (lastAnchor != null && lastAnchorKey == k) joined(lRow, lastAnchor)
-        else joined(lRow, nullRight)
       }
     }
   }

@@ -117,25 +117,35 @@ object TextOps {
     * highly-similar corpora. Hamming runs in the native codegen'd
     * HammingDistance expression.
     */
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    // exploded form: one codegen'd word hash per row, then 64 integer
-    // sum aggregates (±1 per bit); sign of each sum → fingerprint bit
-    val wordHashes = docs(s, dir)
+  /** Per-doc distinct word hashes — the input relation for both simhash
+    * implementations.
+    */
+  def wordHashRows(docsDf: DataFrame): DataFrame =
+    docsDf
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .dropDuplicates("doc_id", "w")
       .select(col("doc_id"), xxhash64(col("w")).as("h"))
+
+  /** The relational simhash: 64 integer sum aggregates (±1 per bit);
+    * sign of each sum → fingerprint bit. Shared by the catalog query
+    * and the Aggregator-equivalence test.
+    */
+  def simhashFingerprints(wordHashes: DataFrame): DataFrame = {
     val bitSums = wordHashes
       .groupBy(col("doc_id"))
       .agg(
         sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("b0"),
         (1 until 64).map(b => sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")): _*)
-    val sims = bitSums
-      .select(
-        col("doc_id"),
-        (0 until 64)
-          .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _)
-          .as("simhash"))
+    bitSums.select(
+      col("doc_id"),
+      (0 until 64)
+        .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+        .as("simhash"))
+  }
+
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
+    val sims = simhashFingerprints(wordHashRows(docs(s, dir)))
     val seg = sims.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>

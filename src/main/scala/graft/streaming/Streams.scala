@@ -81,7 +81,10 @@ object Streams {
   def streamingFeed(events: Dataset[Ev], k: Int, anchorMs: Long): Dataset[FeedRow] = {
     import events.sparkSession.implicits._
     def score(e: Ev): Double = {
-      val ageH = (anchorMs - e.ts.getTime).toDouble / 3600000.0
+      // clamp at 0: events newer than the anchor (normal in a live
+      // stream) must not shrink the denominator below 2 — unclamped,
+      // ageH < -2 turns pow() into NaN and poisons the top-k state
+      val ageH = math.max(0.0, (anchorMs - e.ts.getTime).toDouble / 3600000.0)
       e.value / math.pow(ageH + 2.0, 1.8)
     }
     events

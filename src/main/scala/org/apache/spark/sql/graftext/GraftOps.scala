@@ -29,17 +29,26 @@ object GraftOps {
     val r = right.asInstanceOf[Dataset[Row]]
     val lp = l.queryExecution.analyzed
     val rp = r.queryExecution.analyzed
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output
         .find(_.name == name)
         .getOrElse(throw new IllegalArgumentException(
           s"column $name not in ${p.output.map(_.name).mkString(",")}"))
+    // the physical operator unboxes keys/ties as Long and times as the
+    // Long-backed timestamp — validate here, not with a mid-query CCE
+    def requireType(a: Attribute, ok: Set[org.apache.spark.sql.types.DataType]): Attribute = {
+      require(ok.contains(a.dataType), s"asofJoin column ${a.name} must be ${ok.mkString("/")}, got ${a.dataType}")
+      a
+    }
+    def keyAttr(p: LogicalPlan, name: String) = requireType(attr(p, name), Set(LongType))
+    def timeAttr(p: LogicalPlan, name: String) = requireType(attr(p, name), Set(LongType, TimestampType))
     Dataset.ofRows(
       l.sparkSession.asInstanceOf[SparkSession],
       AsOfJoin(
         lp, rp,
-        attr(lp, leftKeyCol), attr(rp, rightKeyCol),
-        attr(lp, leftTimeCol), attr(rp, rightTimeCol),
-        attr(rp, rightTieCol)))
+        keyAttr(lp, leftKeyCol), keyAttr(rp, rightKeyCol),
+        timeAttr(lp, leftTimeCol), timeAttr(rp, rightTimeCol),
+        keyAttr(rp, rightTieCol)))
   }
 }

@@ -95,6 +95,14 @@ class QueryCatalogSpec extends AnyFunSuite {
     nat.zip(comp).foreach { case (a, b) => assert(a == b, s"mismatch: $a vs $b") }
   }
 
+  test("time-window predicates push through the ns->ts conversion to the raw scan column") {
+    val df = SparkEntry.queries("input_window")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThan(ts,"),
+      s"window bounds must land in PushedFilters on the raw int64 column:\n$plan")
+  }
+
   test("token-membership filters derive a pushable StringContains prefilter") {
     val df = SparkEntry.queries("input_tags")(spark, dir)
     df.collect()
@@ -119,23 +127,12 @@ class QueryCatalogSpec extends AnyFunSuite {
 
   test("SimHash Aggregator equals the relational 64-sum form") {
     import org.apache.spark.sql.functions._
-    val wordHashes = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .dropDuplicates("doc_id", "w")
-      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    import graft.queries.TextOps
+    val wordHashes = TextOps.wordHashRows(Tables.documents(spark, dir))
     val viaAggregator = wordHashes
       .groupBy("doc_id")
       .agg(udaf(graft.functions.SimHashAggregator).apply(col("h")).as("simhash"))
-    val viaSums = {
-      import spark.implicits._
-      val bitSums = wordHashes.groupBy(col("doc_id")).agg(
-        sum(shiftright(col("h"), 0).bitwiseAND(1) * 2 - 1).as("b0"),
-        (1 until 64).map(b => sum(shiftright(col("h"), b).bitwiseAND(1) * 2 - 1).as(s"b$b")): _*)
-      bitSums.select(
-        col("doc_id"),
-        (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-    }
+    val viaSums = TextOps.simhashFingerprints(wordHashes)
     assert(viaAggregator.except(viaSums).count() == 0 && viaSums.except(viaAggregator).count() == 0)
   }
 
