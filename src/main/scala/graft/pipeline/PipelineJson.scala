@@ -35,6 +35,50 @@ object PipelineJson {
     blocks.elements().asScala.flatMap(node => compileBlock(node, b)).toSeq
   }
 
+  /** Full program semantics over a base relation — the reference's
+    * whole-payload execution model (main.rs:1398-2508): input blocks
+    * APPEND a fresh window of the store to the working set, stash
+    * blocks move the working set into named slots and back
+    * (stash / pop=union / subtract=anti-join, main.rs:2308), everything
+    * else transforms the working set. Still fully lazy: the result is
+    * one composed logical plan over however many scan branches the
+    * program pulled in.
+    */
+  def run(base: org.apache.spark.sql.DataFrame, payload: String, b: Binding): org.apache.spark.sql.DataFrame = {
+    val root = mapper.readTree(payload)
+    val blockNodes = root.path("blocks")
+    require(blockNodes.isArray, "payload must carry a blocks array")
+    var working: Option[org.apache.spark.sql.DataFrame] = None
+    val stash = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+
+    blockNodes.elements().asScala.foreach { node =>
+      str(node, "type", "") match {
+        case "input" =>
+          val pulled = compileBlock(node, b).foldLeft(base)((df, blk) => blk(df))
+          working = Some(working.fold(pulled)(_.unionByName(pulled)))
+        case "stash" =>
+          val key = node.get("key").asText()
+          str(node, "action", "stash") match {
+            case "stash" =>
+              stash(key) = working.getOrElse(base.limit(0))
+              working = Some(base.limit(0))
+            case "pop" =>
+              val stashed = stash.getOrElse(key, throw new IllegalArgumentException(s"no stash '$key'"))
+              working = Some(working.fold(stashed)(_.unionByName(stashed)))
+            case "subtract" =>
+              val stashed = stash.getOrElse(key, throw new IllegalArgumentException(s"no stash '$key'"))
+              working = working.map(SubtractSet(stashed, b.idCol)(_))
+            case other => throw new IllegalArgumentException(s"unknown stash action '$other'")
+          }
+        case _ =>
+          val w = working.getOrElse(
+            throw new IllegalArgumentException("pipeline must start with an input block"))
+          working = Some(compileBlock(node, b).foldLeft(w)((df, blk) => blk(df)))
+      }
+    }
+    working.getOrElse(base.limit(0))
+  }
+
   private def str(n: JsonNode, field: String, dflt: String): String =
     if (n.hasNonNull(field)) n.get(field).asText() else dflt
 
@@ -84,7 +128,11 @@ object PipelineJson {
       case "score" =>
         require(str(n, "scoreType", "add") == "add", "only scoreType=add exists in the reference")
         val normalize = n.path("normalize").asBoolean(true)
-        val expr = str(n, "from", "hn") match {
+        // a "value" script (the reference's Rhai expression, main.rs:2162)
+        // compiles through the same DSL as `where` — arithmetic included
+        val expr = if (n.hasNonNull("value"))
+          WhereDsl.compile(n.get("value").asText(), b.whereFields)
+        else str(n, "from", "hn") match {
           case "hn" =>
             val gravity = str(n, "gravity", "1.8").toDouble
             val ageH = (lit(b.nowEpochMs) - unix_millis(col(b.tsCol))).cast("double") / lit(3600000.0)

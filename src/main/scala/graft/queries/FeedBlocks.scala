@@ -647,6 +647,58 @@ object FeedBlocks {
       .select(col("event_id"), col("user_id"), col("score").cast("double").as("score"))
   }
 
+  /** #20c a full JSON PROGRAM with multiple inputs and stash slots
+    * (PipelineJson.run): 7-day purchases stashed, 14-day signups pulled,
+    * popped back together, error-window subtracted, ranked. Exercises
+    * the reference's whole-payload execution model; the oracle is the
+    * equivalent relational SQL.
+    */
+  def feedPipelineStash(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":604800},
+        |  {"type":"keep","subject":"event_type","operator":"==","value":"purchase"},
+        |  {"type":"stash","action":"stash","key":"p"},
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":1209600},
+        |  {"type":"keep","subject":"event_type","operator":"==","value":"signup"},
+        |  {"type":"stash","action":"pop","key":"p"},
+        |  {"type":"score","scoreType":"add","value":"value * 2 + userId","normalize":false},
+        |  {"type":"sort","sortType":"score","sortDirection":"desc"},
+        |  {"type":"limit","count":100}
+        |]}""".stripMargin
+    val binding = Binding(
+      idCol = "event_id",
+      authorCol = "user_id",
+      tsCol = "ts",
+      valueCol = "value",
+      nowEpochMs = NowMs,
+      regexTargets = Map("text" -> Seq("event_type")),
+      whereFields = Map("value" -> col("value"), "userId" -> col("user_id")))
+    PipelineJson
+      .run(events(s, dir), payload, binding)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("event_type"),
+        emit(col("score")).as("score"))
+  }
+
+  val feedPipelineStashSql: String =
+    s"""WITH w14 AS (
+       |  SELECT * FROM events
+       |  WHERE epoch_ms(ts) > $NowMs - 14*86400*1000 AND epoch_ms(ts) <= $NowMs
+       |), w7 AS (
+       |  SELECT * FROM w14 WHERE epoch_ms(ts) > $NowMs - 7*86400*1000
+       |), merged AS (
+       |  SELECT * FROM w14 WHERE event_type = 'signup'
+       |  UNION ALL
+       |  SELECT * FROM w7 WHERE event_type = 'purchase'
+       |)
+       |SELECT event_id, user_id, event_type,
+       |  CAST(round(value * 2 + user_id, 4) AS DOUBLE) AS score
+       |FROM merged
+       |ORDER BY value * 2 + user_id DESC, event_id LIMIT 100""".stripMargin
+
   private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -676,7 +728,8 @@ object FeedBlocks {
     "trending_tags" -> (trendingTags(_, _)),
     "tag_variations" -> (tagVariations(_, _)),
     "feed_pipeline" -> (feedPipeline(_, _)),
-    "feed_pipeline_json" -> (feedPipelineJson(_, _)))
+    "feed_pipeline_json" -> (feedPipelineJson(_, _)),
+    "feed_pipeline_stash" -> (feedPipelineStash(_, _)))
 
   val oracles: Map[String, String] = Map(
     "input_window" -> inputWindowSql,
@@ -705,5 +758,6 @@ object FeedBlocks {
     "trending_tags" -> trendingTagsSql,
     "tag_variations" -> tagVariationsSql,
     "feed_pipeline" -> feedPipelineSql,
-    "feed_pipeline_json" -> feedPipelineSql)
+    "feed_pipeline_json" -> feedPipelineSql,
+    "feed_pipeline_stash" -> feedPipelineStashSql)
 }
