@@ -175,4 +175,22 @@ object FeedPipeline {
     */
   def compile(input: DataFrame, blocks: Seq[Block]): DataFrame =
     blocks.foldLeft(input)((df, b) => b(df))
+
+  /** Debug-mode compile: per-block row counters via the Observation API
+    * (the reference's per-block debug counts, main.rs:2496, without a
+    * second pass — metrics ride along with the single job). Each
+    * CollectMetrics node is an optimizer barrier, so this mode trades
+    * cross-block pushdown for observability — use `compile` in
+    * production paths.
+    */
+  def compileObserved(
+      input: DataFrame,
+      blocks: Seq[Block]): (DataFrame, Seq[(String, org.apache.spark.sql.Observation)]) = {
+    blocks.zipWithIndex.foldLeft((input, Seq.empty[(String, org.apache.spark.sql.Observation)])) {
+      case ((df, obs), (block, i)) =>
+        val name = s"block_${i}_${block.getClass.getSimpleName}"
+        val o = org.apache.spark.sql.Observation(name)
+        (block(df).observe(o, count(lit(1)).as("rows")), obs :+ (name -> o))
+    }
+  }
 }

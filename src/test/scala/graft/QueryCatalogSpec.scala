@@ -81,6 +81,22 @@ class QueryCatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WhereDsl.compile("unknown > 1", Map.empty))
   }
 
+  test("observed pipeline reports per-block row counts in one job") {
+    import graft.pipeline._
+    import org.apache.spark.sql.functions._
+    val (df, obs) = FeedPipeline.compileObserved(
+      Tables.events(spark, dir),
+      Seq(
+        KeepCmp("event_type", "==", lit("purchase")),
+        KeepCmp("value", ">=", lit(100.0)),
+        LimitN(10)))
+    df.collect()
+    val counts = obs.map { case (name, o) => name -> o.get("rows").asInstanceOf[Long] }
+    assert(counts.length == 3)
+    val Seq(afterType, afterValue, afterLimit) = counts.map(_._2)
+    assert(afterType >= afterValue && afterValue >= afterLimit && afterLimit == 10)
+  }
+
   test("JSON wire payload compiles to the same pipeline as the Scala DSL") {
     val json = SparkEntry.queries("feed_pipeline_json")(spark, dir).collect()
     val dsl = SparkEntry.queries("feed_pipeline")(spark, dir).collect()
