@@ -147,6 +147,32 @@ object FeedBlocks {
       |  FROM events
       |) WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
 
+  /** #7b non_duplicates filter (main.rs:1919): keep ONLY the rows whose
+    * key already appeared — the complement of dedup (rank > 1 per key).
+    */
+  def dedupKeepDupes(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window
+            .partitionBy(col("user_id"), col("event_type"))
+            .orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") > 1)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_dupes"), min(col("event_id")).as("first_dupe_id"))
+      .orderBy(col("user_id"), col("event_type"))
+
+  val dedupKeepDupesSql: String =
+    """SELECT user_id, event_type, COUNT(*) AS n_dupes,
+      |  MIN(event_id) AS first_dupe_id
+      |FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+      |                               ORDER BY ts, event_id) AS rn
+      |  FROM events
+      |) WHERE rn > 1
+      |GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin
+
   /** #8 HN gravity score (main.rs:4338): value / (age_h + 2)^1.8 against
     * the fixed anchor; pure arithmetic Columns → whole-stage codegen.
     */
@@ -715,6 +741,7 @@ object FeedBlocks {
     "filter_regex" -> (filterRegex(_, _)),
     "filter_where" -> (filterWhere(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
+    "dedup_keep_dupes" -> (dedupKeepDupes(_, _)),
     "score_hn" -> (scoreHn(_, _)),
     "score_normalize" -> (scoreNormalize(_, _)),
     "sort_topk" -> (sortTopk(_, _)),
@@ -745,6 +772,7 @@ object FeedBlocks {
     "filter_regex" -> filterRegexSql,
     "filter_where" -> filterWhereSql,
     "dedup_exact" -> dedupExactSql,
+    "dedup_keep_dupes" -> dedupKeepDupesSql,
     "score_hn" -> scoreHnSql,
     "score_normalize" -> scoreNormalizeSql,
     "sort_topk" -> sortTopkSql,

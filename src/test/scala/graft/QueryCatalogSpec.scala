@@ -81,6 +81,17 @@ class QueryCatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](WhereDsl.compile("unknown > 1", Map.empty))
   }
 
+  test("incremental counter merge equals full recompute") {
+    import graft.operators.IncrementalCounters._
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir)
+    val old = ev.filter(col("event_id") < 700)
+    val delta = ev.filter(col("event_id") >= 700)
+    val merged = merge(countersOf(old, "user_id", "value"), countersOf(delta, "user_id", "value"))
+    val full = countersOf(ev, "user_id", "value")
+    assert(merged.except(full).count() == 0 && full.except(merged).count() == 0)
+  }
+
   test("observed pipeline reports per-block row counts in one job") {
     import graft.pipeline._
     import org.apache.spark.sql.functions._
