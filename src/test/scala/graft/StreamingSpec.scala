@@ -64,6 +64,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(engineCounts.nonEmpty && engineCounts.max == 3)
   }
 
+  test("stateful counters survive a checkpointed stop/restart") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val src = java.nio.file.Files.createTempDirectory("graft_ckpt_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val results = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+
+    def startQuery() = {
+      val stream = spark.readStream
+        .schema(Tables.events(spark, "/root/testdata/sf0.001").schema)
+        .parquet(src)
+        .as[graft.streaming.Ev]
+      graft.streaming.Streams
+        .incrementalCounts(stream)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.UserCounts], _: Long) =>
+          results.synchronized {
+            results ++= batch.collect().map(u => (u.user_id, u.n_events, u.total_value))
+          }
+          ()
+        }
+        .start()
+    }
+
+    // batch 1: two events for user 1
+    Seq(
+      graft.streaming.Ev(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+      graft.streaming.Ev(2, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 1, "view", 2.0))
+      .toDS().write.mode("append").parquet(src)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    assert(results.exists(r => r._1 == 1L && r._2 == 2L))
+
+    // restart from the checkpoint, then a third event arrives: the
+    // counter must resume at 2, not restart at 0
+    Seq(graft.streaming.Ev(3, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 1, "view", 4.0))
+      .toDS().write.mode("append").parquet(src)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val last = results.filter(_._1 == 1L).maxBy(_._2)
+    assert(last._2 == 3L && math.abs(last._3 - 7.0) < 1e-9,
+      s"state lost across restart: $results")
+  }
+
   test("streaming feed keeps a bounded per-user top-k across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
