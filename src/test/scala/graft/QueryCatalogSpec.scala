@@ -79,6 +79,25 @@ class QueryCatalogSpec extends AnyFunSuite {
       Map("a" -> col("a"), "b" -> col("b")))
     assert(c.toString.nonEmpty)
     intercept[IllegalArgumentException](WhereDsl.compile("unknown > 1", Map.empty))
+    // a missing && must be an error, not a silently truncated filter
+    intercept[IllegalArgumentException](
+      WhereDsl.compile("a > 1 a < 5", Map("a" -> col("a"))))
+  }
+
+  test("malformed JSON payloads get validation errors, not NPE/MatchError") {
+    import graft.pipeline.{Binding, PipelineJson}
+    import org.apache.spark.sql.functions.col
+    val b = Binding("id", "author", "ts", "value", 0L, Map.empty, Map.empty)
+    intercept[IllegalArgumentException](PipelineJson.parse(
+      """{"blocks":[{"type":"keep","subject":"x","operator":"=="}]}""", b))
+    intercept[IllegalArgumentException](PipelineJson.parse(
+      """{"blocks":[{"type":"remove","subject":"x","operator":"~","value":1}]}""", b))
+    intercept[IllegalArgumentException](PipelineJson.parse(
+      """{"blocks":[{"type":"warp"}]}""", b))
+    intercept[IllegalArgumentException](PipelineJson.run(
+      Tables.events(spark, dir),
+      """{"blocks":[{"type":"stash","action":"pop","key":"never_stashed"}]}""",
+      b.copy(idCol = "event_id")))
   }
 
   test("incremental counter merge equals full recompute") {
