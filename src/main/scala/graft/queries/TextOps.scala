@@ -214,6 +214,103 @@ object TextOps {
       |LEFT JOIN inter i ON i.doc_id = s1.doc_id
       |ORDER BY a""".stripMargin
 
+  /** #36b near-dup clustering: bounded min-label propagation over a
+    * similarity graph (star edges: doc → min-doc of its fingerprint
+    * group; chain edges: consecutive pairs with 3-gram Jaccard ≥ 0.35).
+    * Three propagation rounds — the iterative self-join pattern of
+    * distributed connected components, with O(E) work per round and a
+    * deterministic label set the SQL oracle reproduces exactly.
+    * (Dedup needs clusters, not pairs: one survivor per cluster.)
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val fp = gramRows(docs(s, dir), 5)
+      .groupBy(col("doc_id"))
+      .agg(min(md5(col("g"))).as("fp"))
+    val roots = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("root"))
+    val star = fp
+      .join(roots, "fp")
+      .filter(col("doc_id") =!= col("root"))
+      .select(col("doc_id").as("a"), col("root").as("b"))
+    val chain = ngramJaccard(s, dir)
+      .filter(col("jaccard") >= 0.35)
+      .select(col("a"), col("b"))
+    val edges = star.unionByName(chain)
+    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+
+    val labels0 = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
+    val labels = (1 to 3).foldLeft(labels0) { (labels, _) =>
+      val nbrMin = sym
+        .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), "b")
+        .groupBy(col("a"))
+        .agg(min(col("nl")).as("nbr_min"))
+      labels
+        .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
+        .select(col("doc_id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+    }
+    labels.select(col("doc_id"), col("label").as("cluster")).orderBy(col("doc_id"))
+  }
+
+  val dedupClustersSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g5 AS (
+      |  SELECT DISTINCT doc_id, gr AS g FROM (
+      |    SELECT doc_id,
+      |      unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+      |              for i in range(1, greatest(len(ws)-3, 1))]) AS gr
+      |    FROM w
+      |  )
+      |),
+      |fp AS (SELECT doc_id, MIN(md5(g)) AS fp FROM g5 GROUP BY doc_id),
+      |roots AS (SELECT fp, MIN(doc_id) AS root FROM fp GROUP BY fp),
+      |star AS (
+      |  SELECT f.doc_id AS a, r.root AS b FROM fp f JOIN roots r USING (fp)
+      |  WHERE f.doc_id <> r.root
+      |),
+      |g3 AS (
+      |  SELECT DISTINCT doc_id, gr AS g FROM (
+      |    SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+      |                           for i in range(1, greatest(len(ws)-1, 1))]) AS gr
+      |    FROM w
+      |  )
+      |),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n FROM g3 GROUP BY doc_id),
+      |inter AS (
+      |  SELECT x.doc_id, COUNT(*) AS inter
+      |  FROM g3 x JOIN g3 y ON y.doc_id = x.doc_id + 1 AND x.g = y.g
+      |  GROUP BY x.doc_id
+      |),
+      |chain AS (
+      |  SELECT s1.doc_id AS a, s1.doc_id + 1 AS b
+      |  FROM sizes s1 JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1
+      |  LEFT JOIN inter i ON i.doc_id = s1.doc_id
+      |  WHERE round(coalesce(i.inter, 0) * 1.0 / (s1.n + s2.n - coalesce(i.inter, 0)), 4) >= 0.35
+      |),
+      |edges AS (SELECT a, b FROM star UNION ALL SELECT a, b FROM chain),
+      |sym AS (SELECT a, b FROM edges UNION ALL SELECT b AS a, a AS b FROM edges),
+      |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+      |l1 AS (
+      |  SELECT l.doc_id, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+      |  FROM l0 l LEFT JOIN (
+      |    SELECT s.a AS doc_id, MIN(n.label) AS nbr_min
+      |    FROM sym s JOIN l0 n ON n.doc_id = s.b GROUP BY s.a
+      |  ) m USING (doc_id)
+      |),
+      |l2 AS (
+      |  SELECT l.doc_id, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+      |  FROM l1 l LEFT JOIN (
+      |    SELECT s.a AS doc_id, MIN(n.label) AS nbr_min
+      |    FROM sym s JOIN l1 n ON n.doc_id = s.b GROUP BY s.a
+      |  ) m USING (doc_id)
+      |),
+      |l3 AS (
+      |  SELECT l.doc_id, least(l.label, coalesce(m.nbr_min, l.label)) AS label
+      |  FROM l2 l LEFT JOIN (
+      |    SELECT s.a AS doc_id, MIN(n.label) AS nbr_min
+      |    FROM sym s JOIN l2 n ON n.doc_id = s.b GROUP BY s.a
+      |  ) m USING (doc_id)
+      |)
+      |SELECT doc_id, label AS cluster FROM l3 ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------- similarity knn
 
   private def toDouble(a: Column): Column = transform(a, x => x.cast("double"))
@@ -475,6 +572,7 @@ object TextOps {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "ngram_jaccard" -> (ngramJaccard(_, _)),
+    "dedup_clusters" -> (dedupClusters(_, _)),
     "embed_knn" -> (embedKnn(_, _)),
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
@@ -490,6 +588,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,
     "ngram_jaccard" -> ngramJaccardSql,
+    "dedup_clusters" -> dedupClustersSql,
     "embed_knn" -> embedKnnSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
