@@ -386,6 +386,41 @@ object TextOps {
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
 
+  /** #37b embedding-cosine near-dup pair mining: every pair above the
+    * similarity threshold (brute-force half-matrix; the synthetic
+    * vectors top out at cosine ≈ 0.51, so 0.4 stands in for the 0.99
+    * an embedding-dedup run would use). Exact oracle — the native
+    * DotProduct is bit-identical to DuckDB's list_dot_product, so the
+    * threshold cut selects the same pairs. Scale path: LSH/IVF bucket
+    * candidates first (see embed_lsh_knn / embed_ivf_knn), then this
+    * same verification join within buckets.
+    */
+  def embedPairSim(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val withNorm = emb.withColumn("nrm", sqrt(Registry.dot(col("e"), col("e"))))
+    val left = withNorm.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+    val right = withNorm.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
+    left
+      .join(broadcast(right), col("a") < col("b"))
+      .withColumn("cosine", Registry.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= 0.4)
+      .select(col("a"), col("b"), emit(col("cosine"), 6).as("cosine"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val embedPairSimSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
+      |)
+      |SELECT a.vec_id AS a, b.vec_id AS b,
+      |  CAST(round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS DOUBLE) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY a, b""".stripMargin
+
   /** #38b IVF-style ANN (rows-only oracle): 16 deterministic seed
     * centroids; every vector is assigned to its nearest centroid
     * (inverted lists); queries probe their 2 nearest lists and rank
@@ -574,6 +609,7 @@ object TextOps {
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "embed_knn" -> (embedKnn(_, _)),
+    "embed_pair_sim" -> (embedPairSim(_, _)),
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
     "lang_id" -> (langId(_, _)),
@@ -590,6 +626,7 @@ object TextOps {
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "embed_knn" -> embedKnnSql,
+    "embed_pair_sim" -> embedPairSimSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql)
