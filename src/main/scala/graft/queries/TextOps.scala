@@ -235,7 +235,12 @@ object TextOps {
       .filter(col("jaccard") >= 0.35)
       .select(col("a"), col("b"))
     val edges = star.unionByName(chain)
-    val sym = edges.unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    // the edge set feeds every propagation round: materialize once
+    // (eager localCheckpoint) instead of re-deriving both gram passes
+    // per iteration — the standard iterative-algorithm lineage cut
+    val sym = edges
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
 
     val labels0 = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
     val labels = (1 to 3).foldLeft(labels0) { (labels, _) =>
@@ -246,6 +251,9 @@ object TextOps {
       labels
         .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
         .select(col("doc_id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        // each round references the previous twice — cut the lineage or
+        // round r recomputes round r-1 twice (2^rounds blow-up)
+        .localCheckpoint(true)
     }
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy(col("doc_id"))
   }
