@@ -329,14 +329,18 @@ object TextOps {
     * list ops. Ranking on the raw cosine with id tie-break.
     */
   def embedKnn(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // norms precomputed per side (Registry.cosine would recompute both
+    // norms for every candidate pair — O(pairs·dim) wasted at scale)
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", sqrt(Registry.dot(col("e"), col("e"))))
     val q = emb
       .filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     emb
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", Registry.cosine(col("qe"), col("e")))
+      .withColumn("cosine", Registry.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 10)
       .select(col("query_id"), col("vec_id"), emit(col("cosine"), 6).as("cosine"), col("rn"))

@@ -42,4 +42,13 @@ object Sources {
 
   def readJsonl(s: SparkSession, dir: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(dir)
+
+  /** CSV sink/source, schema-explicit, header on, proper quoting — the
+    * interchange format externals hand over (the reference's list files).
+    */
+  def writeCsv(df: DataFrame, outDir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(outDir)
+
+  def readCsv(s: SparkSession, dir: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").csv(dir)
 }

@@ -66,6 +66,22 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** #50s streaming sessionization: the batch gap-sessionize (§2 #25)
+    * as a continuous query — Spark's native session_window assigns
+    * events to gap-bounded sessions with watermarked state eviction.
+    */
+  def sessionizeStream(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"),
+        col("session_value"))
+
   /** A user's current feed: their top-scored events so far. */
   case class FeedState(entries: List[(Double, Long)])
   case class FeedRow(user_id: Long, rank: Int, event_id: Long, score: Double)

@@ -134,6 +134,18 @@ class QueryCatalogSpec extends AnyFunSuite {
     json.zip(dsl).foreach { case (a, b) => assert(a == b, s"mismatch: $a vs $b") }
   }
 
+  test("as-of join API rejects non-Long key columns upfront") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir)
+    val badKey = ev.select(col("event_id"), col("user_id").cast("int").as("user_id"), col("ts"))
+    val err = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graftext.GraftOps
+        .asofJoin(badKey, ev.select(col("user_id").as("u"), col("event_id").as("i"), col("ts").as("t")),
+          "user_id", "u", "ts", "t", "i")
+    }
+    assert(err.getMessage.contains("user_id"))
+  }
+
   test("native as-of join agrees with the compositional window form") {
     val nat = SparkEntry.queries("asof_join_native")(spark, dir).collect()
     val comp = SparkEntry.queries("asof_join")(spark, dir).collect()

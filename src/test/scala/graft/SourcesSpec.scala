@@ -25,6 +25,15 @@ class SourcesSpec extends AnyFunSuite {
       s"day range must prune partitions:\n$scan")
   }
 
+  test("csv round-trip preserves rows including quoted text") {
+    val out = Files.createTempDirectory("graft_csv").toString
+    val docs = Tables.documents(spark, dir)
+    Sources.writeCsv(docs, out)
+    val back = Sources.readCsv(spark, out, docs.schema)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id", "text").except(docs.select("doc_id", "text")).count() == 0)
+  }
+
   test("jsonl round-trip preserves rows under explicit schema") {
     val out = Files.createTempDirectory("graft_jsonl").toString
     val docs = Tables.documents(spark, dir)

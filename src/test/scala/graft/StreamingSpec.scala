@@ -64,6 +64,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(engineCounts.nonEmpty && engineCounts.max == 3)
   }
 
+  test("streaming sessionization splits on the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // two bursts for user 1 separated by > 30 min → two sessions
+    in.addData(
+      ev(1, 0, 1, "view", 1.0), ev(2, 5, 1, "view", 2.0),
+      ev(3, 50, 1, "view", 4.0))
+    val q = Streams
+      .sessionizeStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("ss").start()
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("ss").collect().filter(_.getAs[Long]("user_id") == 1L)
+    assert(sessions.length == 2, s"expected 2 sessions, got ${sessions.mkString(";")}")
+    assert(sessions.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("stateful counters survive a checkpointed stop/restart") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
