@@ -333,7 +333,7 @@ object TextOps {
     // norms for every candidate pair — O(pairs·dim) wasted at scale)
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
-      .withColumn("nrm", sqrt(Registry.dot(col("e"), col("e"))))
+      .withColumn("nrm", Registry.l2norm(col("e")))
     val q = emb
       .filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
@@ -409,7 +409,7 @@ object TextOps {
     */
   def embedPairSim(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    val withNorm = emb.withColumn("nrm", sqrt(Registry.dot(col("e"), col("e"))))
+    val withNorm = emb.withColumn("nrm", Registry.l2norm(col("e")))
     val left = withNorm.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
     val right = withNorm.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
     left

@@ -43,12 +43,24 @@ object Sources {
   def readJsonl(s: SparkSession, dir: String, schema: StructType): DataFrame =
     s.read.schema(schema).json(dir)
 
-  /** CSV sink/source, schema-explicit, header on, proper quoting — the
-    * interchange format externals hand over (the reference's list files).
+  /** CSV sink/source, schema-explicit, header on — the interchange
+    * format externals hand over (the reference's list files). The
+    * option set makes the round trip actually lossless: `\N` marks
+    * nulls so empty strings survive as empty strings, and multiLine
+    * reassembles quoted fields containing newlines.
     */
   def writeCsv(df: DataFrame, outDir: String): Unit =
-    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(outDir)
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .csv(outDir)
 
   def readCsv(s: SparkSession, dir: String, schema: StructType): DataFrame =
-    s.read.schema(schema).option("header", "true").csv(dir)
+    s.read
+      .schema(schema)
+      .option("header", "true")
+      .option("nullValue", "\\N")
+      .option("multiLine", "true")
+      .csv(dir)
 }

@@ -34,6 +34,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.select("doc_id", "text").except(docs.select("doc_id", "text")).count() == 0)
   }
 
+  test("csv round-trip keeps newlines, empty strings and nulls distinct") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_csv_edge").toString
+    val tricky = Seq(
+      (1L, "line1\nline2"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "comma, \"quote\"")).toDF("id", "text")
+    Sources.writeCsv(tricky, out)
+    val back = Sources.readCsv(spark, out, tricky.schema).collect().sortBy(_.getLong(0))
+    assert(back(0).getString(1) == "line1\nline2")
+    assert(back(1).getString(1) == "")
+    assert(back(2).isNullAt(1))
+    assert(back(3).getString(1) == "comma, \"quote\"")
+  }
+
   test("jsonl round-trip preserves rows under explicit schema") {
     val out = Files.createTempDirectory("graft_jsonl").toString
     val docs = Tables.documents(spark, dir)
