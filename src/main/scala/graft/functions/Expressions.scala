@@ -25,11 +25,13 @@ case class HammingDistance(left: Expression, right: Expression)
 }
 
 /** Sequential dot product of two ARRAY<DOUBLE> columns, as a native
-  * codegen'd expression: the zip_with+aggregate HOF composition stays
-  * interpreted (lambda per element); this compiles to a tight loop over
-  * the unsafe array data. Summation is strictly left-to-right, so the
-  * result is bit-identical to the HOF form and to the DuckDB oracle's
-  * list_dot_product.
+  * codegen'd expression: a tight loop over the unsafe array data with
+  * no lambda dispatch or intermediate arrays (the zip_with+aggregate
+  * HOF composition allocates a zipped array per row and interprets the
+  * lambdas; measured ~10% faster warm at pair-mining scale, and O(1)
+  * allocation per row instead of O(dim)). Summation is strictly
+  * left-to-right, so the result is bit-identical to the HOF form and
+  * to the DuckDB oracle's list_dot_product.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -45,6 +45,23 @@ object Profile {
     time("full-ngram-jaccard")(TextOps.ngramJaccard(spark, dir).count())
     time("full-doc-fingerprint")(TextOps.docFingerprint(spark, dir).count())
 
+    // native codegen'd DotProduct vs interpreted HOF composition, at
+    // pair-mining scale (half-matrix of embeddings)
+    val embp = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val lp = embp.select(col("vec_id").as("a"), col("e").as("ea"))
+    val rp = embp.select(col("vec_id").as("b"), col("e").as("eb"))
+    val pairs = lp.join(broadcast(rp), col("a") < col("b"))
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    for (round <- 1 to 3) {
+      time(s"dot-native-pairs-$round")(
+        pairs.select(graft.functions.Registry.dot(col("ea"), col("eb")).as("d"))
+          .agg(sum("d")).count())
+      time(s"dot-hof-pairs-$round")(
+        pairs.select(hofDot(col("ea"), col("eb")).as("d")).agg(sum("d")).count())
+    }
+
     val li = Tables.lineitem(spark, dir)
     time("rollup-plain-double")(li.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("l_quantity")), count(lit(1))).count())

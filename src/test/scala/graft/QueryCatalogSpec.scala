@@ -71,6 +71,25 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.groupBy("user_id").count().filter("count > 3").count() == 0)
   }
 
+  test("graph expansions hold their invariants") {
+    val moots = SparkEntry.queries("graph_top_moots")(spark, dir)
+    assert(moots.groupBy("src").count().filter("count > 5").count() == 0)
+    val mutuals = SparkEntry.queries("graph_mutuals")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    // follow-backs under src<20 must be symmetric when both ends are <20
+    mutuals.filter { case (s, d) => d < 20 }.foreach { case (s, d) =>
+      assert(mutuals.contains((d, s)), s"($d,$s) missing for mutual ($s,$d)")
+    }
+  }
+
+  test("cluster labels are component minima (never exceed the member id)") {
+    val rows = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("cluster") <= r.getAs[Long]("doc_id")))
+    // at least one non-trivial cluster must exist in this similar corpus
+    assert(rows.exists(r => r.getAs[Long]("cluster") != r.getAs[Long]("doc_id")))
+  }
+
   test("where DSL compiles comparisons and boolean algebra") {
     import graft.pipeline.WhereDsl
     import org.apache.spark.sql.functions.col
