@@ -79,7 +79,10 @@ case class KeepRegex(targets: Seq[String], pattern: String, caseSensitive: Boole
     extends Block {
   def apply(df: DataFrame): DataFrame = {
     val pat = if (caseSensitive) pattern else s"(?i)$pattern"
-    val hit = targets.map(t => col(t).rlike(pat)).reduce(_ || _)
+    // null target ⇒ "no match" (the reference matches absent text as
+    // empty string) — without the coalesce, inverted filters would
+    // silently drop null-text rows (null rlike ⇒ null ⇒ filtered)
+    val hit = targets.map(t => coalesce(col(t).rlike(pat), lit(false))).reduce(_ || _)
     df.filter(if (invert) !hit else hit)
   }
 }
@@ -108,7 +111,11 @@ case class ScoreAdd(value: Column, normalize: Boolean, multiplier: Double = 1.0)
       val mx = scored.agg(max(col("__s")).as("__mx"))
       scored
         .crossJoin(broadcast(mx))
-        .withColumn("score", col("score") + col("__s") / col("__mx") * lit(multiplier))
+        // zero/absent max ⇒ contribution 0, not null-poisoned scores
+        .withColumn(
+          "score",
+          col("score") + when(col("__mx") =!= 0, col("__s") / col("__mx") * lit(multiplier))
+            .otherwise(lit(0.0)))
         .drop("__s", "__mx")
     } else {
       scored.withColumn("score", col("score") + col("__s")).drop("__s")

@@ -32,7 +32,16 @@ object PipelineJson {
     val root = mapper.readTree(payload)
     val blocks = root.path("blocks")
     require(blocks.isArray, "payload must carry a blocks array")
-    blocks.elements().asScala.flatMap(node => compileBlock(node, b)).toSeq
+    // track whether a score block has run: blocks downstream of scoring
+    // rank by score; before any scoring they rank by recency (the
+    // reference's "current order" is its insertion order — newest-first
+    // recency is the deterministic distributed equivalent)
+    var scored = false
+    blocks.elements().asScala.flatMap { node =>
+      val out = compileBlock(node, b, scored)
+      if (str(node, "type", "") == "score") scored = true
+      out
+    }.toSeq
   }
 
   /** Full program semantics over a base relation — the reference's
@@ -50,30 +59,44 @@ object PipelineJson {
     require(blockNodes.isArray, "payload must carry a blocks array")
     var working: Option[org.apache.spark.sql.DataFrame] = None
     val stash = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    var scored = false
+
+    // frames on either side of a union may or may not have picked up a
+    // score column yet — align on score=0.0 (the reference's side-map
+    // default) before unioning
+    def aligned(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) = {
+      def ensure(df: org.apache.spark.sql.DataFrame) =
+        if (df.columns.contains("score")) df
+        else df.withColumn("score", org.apache.spark.sql.functions.lit(0.0))
+      if (x.columns.contains("score") || y.columns.contains("score"))
+        ensure(x).unionByName(ensure(y))
+      else x.unionByName(y)
+    }
 
     blockNodes.elements().asScala.foreach { node =>
       str(node, "type", "") match {
         case "input" =>
-          val pulled = compileBlock(node, b).foldLeft(base)((df, blk) => blk(df))
-          working = Some(working.fold(pulled)(_.unionByName(pulled)))
+          val pulled = compileBlock(node, b, scored).foldLeft(base)((df, blk) => blk(df))
+          working = Some(working.fold(pulled)(aligned(_, pulled)))
         case "stash" =>
-          val key = node.get("key").asText()
+          val key = reqStr(node, "key", "stash")
           str(node, "action", "stash") match {
             case "stash" =>
               stash(key) = working.getOrElse(base.limit(0))
               working = Some(base.limit(0))
             case "pop" =>
               val stashed = stash.getOrElse(key, throw new IllegalArgumentException(s"no stash '$key'"))
-              working = Some(working.fold(stashed)(_.unionByName(stashed)))
+              working = Some(working.fold(stashed)(aligned(_, stashed)))
             case "subtract" =>
               val stashed = stash.getOrElse(key, throw new IllegalArgumentException(s"no stash '$key'"))
               working = working.map(SubtractSet(stashed, b.idCol)(_))
             case other => throw new IllegalArgumentException(s"unknown stash action '$other'")
           }
-        case _ =>
+        case t =>
           val w = working.getOrElse(
             throw new IllegalArgumentException("pipeline must start with an input block"))
-          working = Some(compileBlock(node, b).foldLeft(w)((df, blk) => blk(df)))
+          working = Some(compileBlock(node, b, scored).foldLeft(w)((df, blk) => blk(df)))
+          if (t == "score") scored = true
       }
     }
     working.getOrElse(base.limit(0))
@@ -82,7 +105,12 @@ object PipelineJson {
   private def str(n: JsonNode, field: String, dflt: String): String =
     if (n.hasNonNull(field)) n.get(field).asText() else dflt
 
-  private def compileBlock(n: JsonNode, b: Binding): Seq[Block] = {
+  private def reqStr(n: JsonNode, field: String, blockType: String): String = {
+    require(n.hasNonNull(field), s"$blockType block is missing '$field'")
+    n.get(field).asText()
+  }
+
+  private def compileBlock(n: JsonNode, b: Binding, scored: Boolean = true): Seq[Block] = {
     str(n, "type", "") match {
       case "input" =>
         str(n, "inputType", "firehose") match {
@@ -118,12 +146,12 @@ object PipelineJson {
           throw new IllegalArgumentException(s"unbound regex target ${str(n, "target", "text")}"))
         Seq(KeepRegex(
           targets,
-          n.get("value").asText(),
+          reqStr(n, "value", "regex"),
           caseSensitive = n.path("caseSensitive").asBoolean(false),
           invert = n.path("invert").asBoolean(false)))
 
       case "where" =>
-        Seq(WhereFilter(WhereDsl.compile(n.get("value").asText(), b.whereFields)))
+        Seq(WhereFilter(WhereDsl.compile(reqStr(n, "value", "where"), b.whereFields)))
 
       case "score" =>
         require(str(n, "scoreType", "add") == "add", "only scoreType=add exists in the reference")
@@ -141,14 +169,20 @@ object PipelineJson {
           case "created_at" => unix_millis(col(b.tsCol)).cast("double") / lit(1000.0)
           case other => throw new IllegalArgumentException(s"unsupported score from=$other")
         }
+        // the reference's scoreNormalizationMultiplier (main.rs:2631)
+        // scales the normalized contribution; it arrives as a string
+        val multiplier = str(n, "scoreNormalizationMultiplier", "1.0").toDouble
         // rounding after each score block keeps later rankings bit-stable
         // across engines (same policy as the hand-built pipelines)
-        Seq(ScoreAdd(expr, normalize), RoundCol("score", b.scoreRoundScale))
+        Seq(ScoreAdd(expr, normalize, multiplier), RoundCol("score", b.scoreRoundScale))
 
       case "sort" =>
         val desc = str(n, "sortDirection", "desc") == "desc"
         def dir(c: Column) = if (desc) c.desc else c.asc
         val keys = str(n, "sortType", "score") match {
+          // sort-by-score before any score block: every score is an
+          // implicit 0 in the reference — order degrades to recency
+          case "score" if !scored => Seq(col(b.tsCol).desc, col(b.idCol))
           case "score" => Seq(dir(col("score")), col(b.idCol))
           case "created_at" => Seq(dir(col(b.tsCol)), col(b.idCol))
           case "likes" => Seq(dir(col(b.valueCol)), col(b.idCol))
@@ -159,7 +193,13 @@ object PipelineJson {
       case "limit" =>
         if (str(n, "limitType", "default") == "posts_per_user") {
           val cnt = if (n.hasNonNull("count")) n.get("count").asInt() else 5
-          Seq(LimitPerKey(b.authorCol, cnt, Seq(col("score").desc, col(b.idCol))))
+          // rank by score once scoring has happened; before that, by
+          // recency (no score column exists yet — referencing it would
+          // fail on a valid program)
+          val order =
+            if (scored) Seq(col("score").desc, col(b.idCol))
+            else Seq(col(b.tsCol).desc, col(b.idCol))
+          Seq(LimitPerKey(b.authorCol, cnt, order))
         } else {
           Seq(LimitN(if (n.hasNonNull("count")) n.get("count").asInt() else 100))
         }

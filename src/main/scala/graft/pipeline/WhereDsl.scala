@@ -63,7 +63,10 @@ object WhereDsl {
   // --- recursive-descent parser over precedence levels ---
   private class Parser(var toks: List[Tok], cols: Map[String, Column]) {
     private def peek: Option[Tok] = toks.headOption
-    private def eat(): Tok = { val t = toks.head; toks = toks.tail; t }
+    private def eat(): Tok = {
+      require(toks.nonEmpty, "unexpected end of expression (unbalanced parenthesis?)")
+      val t = toks.head; toks = toks.tail; t
+    }
 
     def parseOr(): Column = {
       var l = parseAnd()

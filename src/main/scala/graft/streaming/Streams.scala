@@ -108,7 +108,13 @@ object Streams {
       .mapGroupsWithState[FeedState, List[FeedRow]](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Ev], state: GroupState[FeedState]) =>
           val prev = state.getOption.getOrElse(FeedState(Nil))
+          // dedup by event_id before the cut: an at-least-once source
+          // may redeliver an event, which must not occupy two feed slots
           val merged = (prev.entries ++ rows.map(e => (score(e), e.event_id)))
+            .groupBy(_._2)
+            .valuesIterator
+            .map(_.maxBy(_._1))
+            .toList
             .sortBy { case (s, id) => (-s, id) }
             .take(k)
           state.update(FeedState(merged))

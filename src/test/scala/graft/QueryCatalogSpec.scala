@@ -103,6 +103,44 @@ class QueryCatalogSpec extends AnyFunSuite {
       WhereDsl.compile("a > 1 a < 5", Map("a" -> col("a"))))
   }
 
+  test("stash pop aligns score schemas and per-user limit works pre-score") {
+    import graft.pipeline.{Binding, PipelineJson}
+    import org.apache.spark.sql.functions.col
+    val b = Binding(
+      "event_id", "user_id", "ts", "value",
+      graft.queries.FeedBlocks.NowMs,
+      Map.empty, Map("value" -> col("value")))
+    // scored working set unioned with an unscored stash: must not throw
+    val scoredPop = PipelineJson.run(
+      Tables.events(spark, dir),
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":604800},
+        |  {"type":"stash","action":"stash","key":"a"},
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":86400},
+        |  {"type":"score","scoreType":"add","from":"like_count","normalize":true},
+        |  {"type":"stash","action":"pop","key":"a"},
+        |  {"type":"limit","count":10}
+        |]}""".stripMargin, b)
+    assert(scoredPop.count() == 10)
+    // posts_per_user before any score block ranks by recency, not a
+    // missing score column
+    val preScore = PipelineJson.run(
+      Tables.events(spark, dir),
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":604800},
+        |  {"type":"limit","limitType":"posts_per_user","count":2}
+        |]}""".stripMargin, b)
+    assert(preScore.groupBy("user_id").count().filter("count > 2").count() == 0)
+  }
+
+  test("inverted regex keeps rows with null targets") {
+    import spark.implicits._
+    import graft.pipeline.KeepRegex
+    val df = Seq((1L, "has data"), (2L, null.asInstanceOf[String])).toDF("id", "text")
+    val kept = KeepRegex(Seq("text"), "data", caseSensitive = false, invert = true)(df).collect()
+    assert(kept.map(_.getLong(0)).toSeq == Seq(2L), "null-text row must survive inversion")
+  }
+
   test("malformed JSON payloads get validation errors, not NPE/MatchError") {
     import graft.pipeline.{Binding, PipelineJson}
     import org.apache.spark.sql.functions.col

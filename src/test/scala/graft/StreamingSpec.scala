@@ -126,6 +126,26 @@ class StreamingSpec extends AnyFunSuite {
       s"state lost across restart: $results")
   }
 
+  test("streaming feed dedups redelivered events in the top-k") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val anchor = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val in = MemoryStream[Ev]
+    val q = Streams
+      .streamingFeed(in.toDS(), k = 3, anchorMs = anchor)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("sfd").start()
+    in.addData(ev(9, 0, 8, "view", 50.0), ev(10, 1, 8, "view", 10.0))
+    q.processAllAvailable()
+    in.addData(ev(9, 0, 8, "view", 50.0)) // redelivery of event 9
+    q.processAllAvailable(); q.stop()
+    val lastBatch = spark.table("sfd").collect().filter(_.getAs[Long]("user_id") == 8L)
+      .groupBy(_.getAs[Int]("rank")).map { case (r, rows) => r -> rows.last.getAs[Long]("event_id") }
+    assert(lastBatch.values.toSeq.distinct.length == lastBatch.size,
+      s"redelivered event occupies multiple slots: $lastBatch")
+    assert(lastBatch(1) == 9L && lastBatch(2) == 10L)
+  }
+
   test("streaming feed keeps a bounded per-user top-k across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
