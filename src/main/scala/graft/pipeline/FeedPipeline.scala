@@ -79,10 +79,11 @@ case class KeepRegex(targets: Seq[String], pattern: String, caseSensitive: Boole
     extends Block {
   def apply(df: DataFrame): DataFrame = {
     val pat = if (caseSensitive) pattern else s"(?i)$pattern"
-    // null target ⇒ "no match" (the reference matches absent text as
-    // empty string) — without the coalesce, inverted filters would
-    // silently drop null-text rows (null rlike ⇒ null ⇒ filtered)
-    val hit = targets.map(t => coalesce(col(t).rlike(pat), lit(false))).reduce(_ || _)
+    // the reference matches absent text as the empty string, so coalesce
+    // the COLUMN (not the match result): patterns that match "" (a*, ^$)
+    // then keep null-text rows exactly like the reference, and inverted
+    // filters still see a non-null boolean
+    val hit = targets.map(t => coalesce(col(t), lit("")).rlike(pat)).reduce(_ || _)
     df.filter(if (invert) !hit else hit)
   }
 }

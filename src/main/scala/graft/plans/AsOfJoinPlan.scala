@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection
 }
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
@@ -90,9 +90,13 @@ case class AsOfJoinExec(
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
     val nRightCols = right.output.length
 
+    val outputAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val rBuf = rIter.buffered
       val joined = new JoinedRow
+      // SparkPlan contract: doExecute output must be UnsafeRow (consumers
+      // like getByteArrayRdd / shuffle / sort cast unconditionally)
+      val toUnsafe = UnsafeProjection.create(outputAttrs, outputAttrs)
       val nullRight = new GenericInternalRow(nRightCols)
       // O(1) merge state: the best-so-far anchor for the current key
       var lastAnchor: InternalRow = null
@@ -103,7 +107,7 @@ case class AsOfJoinExec(
         val tRaw = lTimeB.eval(lRow)
         if (kRaw == null || tRaw == null) {
           // SQL join semantics: null keys/times never match
-          joined(lRow, nullRight)
+          toUnsafe(joined(lRow, nullRight))
         } else {
           val k = kRaw.asInstanceOf[Long]
           val t = tRaw.asInstanceOf[Long]
@@ -126,8 +130,8 @@ case class AsOfJoinExec(
               } else advancing = false
             }
           }
-          if (lastAnchor != null && lastAnchorKey == k) joined(lRow, lastAnchor)
-          else joined(lRow, nullRight)
+          if (lastAnchor != null && lastAnchorKey == k) toUnsafe(joined(lRow, lastAnchor))
+          else toUnsafe(joined(lRow, nullRight))
         }
       }
     }

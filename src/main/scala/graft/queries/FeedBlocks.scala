@@ -723,7 +723,7 @@ object FeedBlocks {
        |SELECT event_id, user_id, event_type,
        |  CAST(round(value * 2 + user_id, 4) AS DOUBLE) AS score
        |FROM merged
-       |ORDER BY value * 2 + user_id DESC, event_id LIMIT 100""".stripMargin
+       |ORDER BY round(value * 2 + user_id, 6) DESC, event_id LIMIT 100""".stripMargin
 
   private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
 

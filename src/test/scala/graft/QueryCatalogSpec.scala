@@ -141,6 +141,18 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(kept.map(_.getLong(0)).toSeq == Seq(2L), "null-text row must survive inversion")
   }
 
+  test("regex treats null targets as empty string (reference semantics)") {
+    import spark.implicits._
+    import graft.pipeline.KeepRegex
+    val df = Seq((1L, "xyz"), (2L, null.asInstanceOf[String])).toDF("id", "text")
+    // 'a*' matches "" → the null-text row is KEPT on the non-inverted path
+    val kept = KeepRegex(Seq("text"), "a*", caseSensitive = false, invert = false)(df).collect()
+    assert(kept.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L), "empty-match pattern must keep null text")
+    // and symmetrically DROPPED when inverted
+    val inv = KeepRegex(Seq("text"), "a*", caseSensitive = false, invert = true)(df).collect()
+    assert(inv.isEmpty, "empty-match pattern inverted must drop null text")
+  }
+
   test("malformed JSON payloads get validation errors, not NPE/MatchError") {
     import graft.pipeline.{Binding, PipelineJson}
     import org.apache.spark.sql.functions.col
@@ -201,6 +213,17 @@ class QueryCatalogSpec extends AnyFunSuite {
           "user_id", "u", "ts", "t", "i")
     }
     assert(err.getMessage.contains("user_id"))
+  }
+
+  test("bare native as-of join collects without a Project on top (UnsafeRow contract)") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val anchors = ev.select(col("user_id").as("u"), col("event_id").as("i"), col("ts").as("t"))
+    // no .select afterwards: executeCollect casts every row to UnsafeRow
+    val rows = org.apache.spark.sql.graftext.GraftOps
+      .asofJoin(ev, anchors, "user_id", "u", "ts", "t", "i")
+      .collect()
+    assert(rows.nonEmpty)
   }
 
   test("native as-of join agrees with the compositional window form") {
