@@ -10,6 +10,9 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated query names (local profiling subset)
+    val only: Set[String] = args.headOption.map(_.split(',').toSet).getOrElse(Set.empty)
+    def selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,14 +25,14 @@ object Bench {
 
     // one warm-up pass over a tiny SF amortizes JIT/codegen compilation
     // out of the measured numbers (the driver measures steady-state)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
 
     // min of two timed runs per query: a single shared-JVM measurement
     // is dominated by GC scheduling noise at these sub-second scales
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -405,11 +405,17 @@ object FeedBlocks {
     */
   def filterNullProps(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
+      // ONE from_json parse per row (get_json_object would re-parse the
+      // document per referenced property; Catalyst also schema-prunes
+      // from_json down to the referenced fields)
+      .withColumn("j",
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k STRING, missing STRING")))
       .filter(
-        get_json_object(col("props"), "$.k").isNotNull &&
-          get_json_object(col("props"), "$.missing").isNull &&
+        col("j.k").isNotNull &&
+          col("j.missing").isNull &&
           col("event_type") === "view")
-      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(col("event_id"), col("j.k").cast("long").as("k"))
       .filter(col("k") >= 90)
       .orderBy(col("event_id"))
 

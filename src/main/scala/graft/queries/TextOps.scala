@@ -56,16 +56,38 @@ object TextOps {
     * codegen, and the (doc_id) exchange introduced by the window is
     * reused by every downstream groupBy(doc_id).
     */
-  private def gramRows(docsDf: DataFrame, n: Int): DataFrame = {
+  private def gramRows(docsDf: DataFrame, n: Int, distinct: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = col("w0") +: (1 until n).map(j => lead(col("w0"), j).over(w))
-    docsDf
+    val raw = docsDf
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .withColumn("g", concat_ws(" ", parts: _*))
       .withColumn("last", lead(col("w0"), n - 1).over(w))
       .filter(col("last").isNotNull)
       .select(col("doc_id"), col("g"))
-      .dropDuplicates("doc_id", "g")
+    if (distinct) raw.dropDuplicates("doc_id", "g") else raw
+  }
+
+  /** Per-doc gram summaries for the near-dup family, ONE exploded pass:
+    * the window's (doc_id) sort feeds lead(1..4), and the groupBy(doc_id)
+    * reuses the window's exchange — 3-gram sets and the 5-gram min-hash
+    * fingerprint come out of a single scan + single shuffle (the naive
+    * form runs the explode/window/distinct chain once per gram width).
+    */
+  private def gramSummaries(docsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def ld(j: Int) = lead(col("w0"), j).over(w)
+    docsDf
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(
+        col("doc_id"),
+        when(ld(2).isNotNull, concat_ws(" ", col("w0"), ld(1), ld(2))).as("g3"),
+        when(ld(4).isNotNull, concat_ws(" ", col("w0"), ld(1), ld(2), ld(3), ld(4))).as("g5"))
+      .groupBy(col("doc_id"))
+      .agg(
+        collect_set(col("g3")).as("gs"), // distinct 3-grams (order-free consumers only)
+        min(md5(col("g5"))).as("fp")) // min over dupes == min over distinct
+      .select(col("doc_id"), col("gs"), size(col("gs")).as("n"), col("fp"))
   }
 
   /** #34 MinHash + LSH near-dup candidates (rows-only oracle).
@@ -77,8 +99,10 @@ object TextOps {
   def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
     // one pass: gram rows → 64-bit base hash → 16 cheap re-hashes under
     // codegen'd min aggregates (the O(perms × shingles) string work of a
-    // naive per-permutation shingle hash collapses to one string hash)
-    val sig = gramRows(docs(s, dir), 3)
+    // naive per-permutation shingle hash collapses to one string hash).
+    // No per-doc distinct needed: min() over repeated gram hashes is
+    // identical, so the dedup exchange would be pure waste.
+    val sig = gramRows(docs(s, dir), 3, distinct = false)
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .groupBy(col("doc_id"))
       .agg(
@@ -172,14 +196,35 @@ object TextOps {
     * gram, intersection/union from counts. The same plan shape scales:
     * gram-key shuffle, no array crossproducts.
     */
-  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // one gram pass: per-doc distinct gram SETS (the dropDuplicates
-    // exchange feeds the collect agg), then a broadcast self-join of the
-    // 1-row-per-doc summaries — the 500k-row gram-key shuffle of the
-    // naive form disappears
-    val gramSets = gramRows(docs(s, dir), 3)
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(jaccardSets(docs(s, dir)))
+      .select(col("a"), col("b"), emit(col("jacc"), 4).as("jaccard"))
+      .orderBy(col("a"))
+
+  /** Per-doc distinct 3-gram sets: collect_set under one groupBy — the
+    * separate dropDuplicates exchange of the naive form is folded into
+    * the aggregate (set semantics dedup for free; every consumer is
+    * order-insensitive: size + array_intersect).
+    */
+  private def jaccardSets(docsDf: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def ld(j: Int) = lead(col("w0"), j).over(w)
+    docsDf
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(
+        col("doc_id"),
+        when(ld(2).isNotNull, concat_ws(" ", col("w0"), ld(1), ld(2))).as("g"))
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("g")).as("gs"), count(lit(1)).as("n"))
+      .agg(collect_set(col("g")).as("gs"))
+      .select(col("doc_id"), col("gs"), size(col("gs")).as("n"))
+      .filter(col("n") > 0)
+  }
+
+  /** Consecutive-pair Jaccard from per-doc sets: broadcast self-join of
+    * the 1-row-per-doc summaries — the 500k-row gram-key shuffle of the
+    * naive pair join disappears.
+    */
+  private def jaccardPairs(gramSets: DataFrame): DataFrame = {
     val shifted = gramSets.select(
       (col("doc_id") - 1).as("doc_id"), col("gs").as("gs2"), col("n").as("n2"))
     gramSets
@@ -188,8 +233,7 @@ object TextOps {
       .select(
         col("doc_id").as("a"),
         (col("doc_id") + 1).as("b"),
-        emit(col("inter") / (col("n") + col("n2") - col("inter")), 4).as("jaccard"))
-      .orderBy(col("a"))
+        (col("inter") / (col("n") + col("n2") - col("inter"))).as("jacc"))
   }
 
   val ngramJaccardSql: String =
@@ -223,16 +267,18 @@ object TextOps {
     * (Dedup needs clusters, not pairs: one survivor per cluster.)
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val fp = gramRows(docs(s, dir), 5)
-      .groupBy(col("doc_id"))
-      .agg(min(md5(col("g"))).as("fp"))
+    // ONE exploded gram pass yields both edge families (the naive form
+    // runs the explode/window/distinct chain once for the 5-gram
+    // fingerprints and again for the 3-gram jaccard sets)
+    val summaries = gramSummaries(docs(s, dir)).localCheckpoint(true)
+    val fp = summaries.filter(col("fp").isNotNull).select(col("doc_id"), col("fp"))
     val roots = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("root"))
     val star = fp
       .join(roots, "fp")
       .filter(col("doc_id") =!= col("root"))
       .select(col("doc_id").as("a"), col("root").as("b"))
-    val chain = ngramJaccard(s, dir)
-      .filter(col("jaccard") >= 0.35)
+    val chain = jaccardPairs(summaries.filter(col("n") > 0).select(col("doc_id"), col("gs"), col("n")))
+      .filter(emit(col("jacc"), 4) >= 0.35)
       .select(col("a"), col("b"))
     val edges = star.unionByName(chain)
     // the edge set feeds every propagation round: materialize once
