@@ -16,7 +16,8 @@ object SparkEntry {
     graft.queries.Analytics.queries ++
       graft.queries.FeedBlocks.queries ++
       graft.queries.TextOps.queries ++
-      graft.queries.GraphOps.queries
+      graft.queries.GraphOps.queries ++
+      graft.queries.Round2Ops.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Analytics.oracles ++
       graft.queries.FeedBlocks.oracles ++
       graft.queries.TextOps.oracles ++
-      graft.queries.GraphOps.oracles
+      graft.queries.GraphOps.oracles ++
+      graft.queries.Round2Ops.oracles
 }

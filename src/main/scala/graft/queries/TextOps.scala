@@ -599,9 +599,12 @@ object TextOps {
     * rolling fingerprint, order-independent min → exact oracle).
     */
   def docFingerprint(s: SparkSession, dir: String): DataFrame =
-    gramRows(docs(s, dir), 5)
+    // distinct folded into the aggregate (count_distinct): the groupBy
+    // reuses the gram window's (doc_id) exchange, so the separate
+    // (doc_id, g) dedup shuffle of the naive form disappears
+    gramRows(docs(s, dir), 5, distinct = false)
       .groupBy(col("doc_id"))
-      .agg(min(md5(col("g"))).as("fingerprint"), count(lit(1)).as("n_grams"))
+      .agg(min(md5(col("g"))).as("fingerprint"), count_distinct(col("g")).as("n_grams"))
       .orderBy(col("doc_id"))
 
   val docFingerprintSql: String =
