@@ -27,10 +27,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 65+ catalog queries × 3 executions in one JVM: an undersized heap
+// turns the bench into a GC benchmark (r01 measured 2-4× inflation) —
+// but a fixed 28g default fails JVM startup outright on smaller hosts,
+// so derive the default from physical memory (~70%, capped at 28g)
+// and let SPARK_DRIVER_MEM override either way.
+val forkedHeap: String = sys.env.getOrElse(
+  "SPARK_DRIVER_MEM", {
+    val physGb =
+      try {
+        val kb = scala.io.Source
+          .fromFile("/proc/meminfo")
+          .getLines()
+          .collectFirst { case l if l.startsWith("MemTotal:") => l.split("\\s+")(1).toLong }
+          .getOrElse(8L * 1024 * 1024)
+        kb / 1024 / 1024
+      } catch { case _: Throwable => 8L }
+    s"${math.max(2L, math.min(28L, physGb * 7 / 10))}g"
+  })
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 65 catalog queries × 3 executions in one JVM: an undersized heap
-  // turns the bench into a GC benchmark (r01 measured 2-4× inflation)
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  s"-Xmx$forkedHeap",
 )

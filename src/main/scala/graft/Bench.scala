@@ -12,6 +12,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: comma-separated query names (local profiling subset)
     val only: Set[String] = args.headOption.map(_.split(',').toSet).getOrElse(Set.empty)
+    // a typo'd subset would otherwise silently benchmark nothing
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty)
+      System.err.println(s"[bench] unknown query names ignored: ${unknown.toSeq.sorted.mkString(", ")}")
     def selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -47,8 +51,11 @@ object Bench {
       val goodTimes = runs.collect { case (t, true) => t }
       (name, if (goodTimes.nonEmpty) goodTimes.min else -1.0, goodTimes.nonEmpty)
     }
+    // failed queries serialize as null, never a numeric sentinel: a
+    // consumer that sums the map without reading "failed" should break
+    // loudly, not ingest -1.0 as a timing
     val qs = results
-      .map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null") }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum

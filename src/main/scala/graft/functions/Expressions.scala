@@ -88,16 +88,24 @@ object Registry {
   def hamming(a: Column, b: Column): Column =
     call_function("graft_hamming", a, b)
 
-  /** Register SQL-callable forms of the engine's native functions. */
+  /** Register SQL-callable forms of the engine's native functions.
+    * Idempotent per session: re-registering an identical builder only
+    * spams "replaced a previously registered function" warnings through
+    * every log, so skip when the names are already bound.
+    */
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_hamming",
-      exprs => HammingDistance(exprs(0), exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot",
-      exprs => DotProduct(exprs(0), exprs(1)),
-      "built-in")
+    val registry = spark.sessionState.functionRegistry
+    if (!registry.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hamming"))) {
+      registry.createOrReplaceTempFunction(
+        "graft_hamming",
+        exprs => HammingDistance(exprs(0), exprs(1)),
+        "built-in")
+      registry.createOrReplaceTempFunction(
+        "graft_dot",
+        exprs => DotProduct(exprs(0), exprs(1)),
+        "built-in")
+    }
   }
 
   /** Dot product of two ARRAY<DOUBLE> columns — the native codegen'd

@@ -55,7 +55,11 @@ object GraphOps {
   def graph2hop(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     val hop1 = e.filter(col("src") < 3).select(col("src"), col("dst").as("mid")).distinct()
-    hop1
+    // hop1 is seed-bounded (≤ seeds × |V| rows) but sits behind an
+    // aggregate, so the size estimate balloons past the broadcast
+    // threshold and the planner falls back to a sort-merge join — pin
+    // the broadcast on the provably-small side
+    broadcast(hop1)
       .join(e.select(col("src").as("mid"), col("dst")).distinct(), "mid")
       .select(col("src"), col("dst"))
       .distinct()

@@ -220,15 +220,19 @@ object TextOps {
       .filter(col("n") > 0)
   }
 
-  /** Consecutive-pair Jaccard from per-doc sets: broadcast self-join of
-    * the 1-row-per-doc summaries — the 500k-row gram-key shuffle of the
-    * naive pair join disappears.
+  /** Consecutive-pair Jaccard from per-doc sets: equi self-join of the
+    * 1-row-per-doc summaries on doc_id — the 500k-row gram-key shuffle
+    * of the naive pair join disappears. No broadcast hint: the relation
+    * carries full gram sets, so a forced broadcast would ship every
+    * doc's grams to every executor (OOM at 100 TB); under the hint-free
+    * equi-join AQE still picks broadcast when the side is actually
+    * small, and degrades to a shuffle join when it isn't.
     */
   private def jaccardPairs(gramSets: DataFrame): DataFrame = {
     val shifted = gramSets.select(
       (col("doc_id") - 1).as("doc_id"), col("gs").as("gs2"), col("n").as("n2"))
     gramSets
-      .join(broadcast(shifted), Seq("doc_id"))
+      .join(shifted, Seq("doc_id"))
       .withColumn("inter", size(array_intersect(col("gs"), col("gs2"))))
       .select(
         col("doc_id").as("a"),
@@ -516,9 +520,11 @@ object TextOps {
 
   private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
-  /** #39 language-ID heuristic (rows-only oracle): per-language marker
-    * hits over the token set, argmax with deterministic tie-break;
-    * compared against the labeled `lang` for an accuracy readout.
+  /** #39 language-ID heuristic: per-language marker hits over the token
+    * stream, argmax with deterministic tie-break (max hits, then
+    * lexicographically greatest language — both engines sort the
+    * (hits, lang) struct descending); compared against the labeled
+    * `lang` for an accuracy readout. Exact DuckDB oracle.
     */
   def langId(s: SparkSession, dir: String): DataFrame = {
     val markers: Map[String, Seq[String]] = Map(
@@ -541,6 +547,27 @@ object TextOps {
         col("best.lang").as("predicted"),
         col("best.hits").as("marker_hits"))
       .orderBy(col("doc_id"))
+  }
+
+  val langIdSql: String = {
+    val markers = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+      "en" -> StopwordsEn,
+      "es" -> Seq("el", "la", "y", "es", "un", "una", "con"),
+      "fr" -> Seq("le", "la", "et", "est", "un", "une", "avec"),
+      "zh" -> Seq("de", "shi", "he", "zai"))
+    val cands = markers
+      .map { case (lang, ms) =>
+        s"{'hits': CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${ms
+            .mkString("['", "','", "']")}, w))) AS INT), 'lang': '$lang'}"
+      }
+      .mkString("[", ", ", "]")
+    s"""WITH ranked AS (
+       |  SELECT doc_id, lang AS labeled, list_reverse_sort($cands)[1] AS best
+       |  FROM documents
+       |)
+       |SELECT doc_id, labeled, best.lang AS predicted, best.hits AS marker_hits
+       |FROM ranked ORDER BY doc_id""".stripMargin
   }
 
   /** #40 quality scoring: word counts, distinct ratio, char stats —
@@ -680,10 +707,11 @@ object TextOps {
     "multimodal_stub" -> (multimodalStub(_, _)))
 
   /** rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
-    * embed_lsh_knn, lang_id, multimodal_stub.
+    * embed_lsh_knn, embed_ivf_knn, multimodal_stub.
     */
   val oracles: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,
+    "lang_id" -> langIdSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "embed_knn" -> embedKnnSql,
