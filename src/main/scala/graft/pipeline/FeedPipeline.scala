@@ -45,9 +45,8 @@ case class InputWindow(tsCol: String, nowEpochMs: Long, seconds: Long) extends B
   * KeepCmp("value", ">=", 10) keeps rows where value >= 10 (the
   * reference's `remove op v` retains the complement, same thing).
   */
-case class KeepCmp(column: String, op: String, value: Column) extends Block {
+case class KeepCmp(c: Column, op: String, value: Column) extends Block {
   def apply(df: DataFrame): DataFrame = {
-    val c = col(column)
     val pred = op match {
       case "<" => c < value
       case "<=" => c <= value
@@ -59,6 +58,11 @@ case class KeepCmp(column: String, op: String, value: Column) extends Block {
     }
     df.filter(pred)
   }
+}
+
+object KeepCmp {
+  def apply(column: String, op: String, value: Column): KeepCmp =
+    KeepCmp(col(column), op, value)
 }
 
 /** keep/remove by set membership (list filter, main.rs:1903): broadcast
@@ -173,6 +177,65 @@ case class SubtractSet(other: DataFrame, key: String) extends Block {
 /** stash pop (main.rs:2319): union the stashed set back in. */
 case class UnionSet(other: DataFrame) extends Block {
   def apply(df: DataFrame): DataFrame = df.unionByName(other)
+}
+
+/** Swap the working relation wholesale (the `archived` input,
+  * main.rs:1792: posts pulled from the archive store, not the live
+  * window — in PipelineJson.run the result is unioned with the other
+  * input branches).
+  */
+case class UseRelation(relation: DataFrame) extends Block {
+  def apply(df: DataFrame): DataFrame = relation
+}
+
+/** non_duplicates filter (main.rs:1919): retain ONLY rows whose key
+  * already appeared in `order` — the exact complement of DedupByKey.
+  */
+case class KeepDupes(keys: Seq[String], order: Seq[Column]) extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") > 1).drop("__rn")
+  }
+}
+
+/** replace with parent/root/record (main.rs:2386-2437): each working row
+  * is swapped for the store row its ref column points at. Reference
+  * semantics, exactly: a null/absent ref keeps the original row iff
+  * keepItemsWithMissingTarget; a dangling ref (target not in the store)
+  * always drops the row; several rows resolving to the same target all
+  * yield that target (duplicates survive until a duplicates filter).
+  * The lookup is an equi-join on the store's key — broadcast or
+  * shuffle-hash at the planner's discretion, never a driver lookup.
+  * Replaced rows carry the STORE's columns; a running score column is
+  * dropped (the replacement post starts unscored — the reference's
+  * score map simply has no entry for the new key).
+  */
+case class ReplaceWith(store: DataFrame, storeIdCol: String, refCol: String, keepMissing: Boolean)
+    extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val storeCols = store.columns.map(col).toSeq
+    val replaced = df
+      .filter(col(refCol).isNotNull)
+      .select(col(refCol).as("__ref"))
+      .join(store, col("__ref") === store(storeIdCol))
+      .select(storeCols: _*)
+    if (keepMissing)
+      df.filter(col(refCol).isNull).select(storeCols: _*).unionByName(replaced)
+    else replaced
+  }
+}
+
+/** replace inversions direct_replies / all_replies / quote_posts
+  * (main.rs:2440-2487): the working set becomes a TARGET set; the
+  * result is every store row whose ref column (parent / root / record)
+  * points at a target — a semi join against the full store, the
+  * RoaringBitmap membership walk distributed.
+  */
+case class ReplaceInversion(store: DataFrame, refCol: String, idCol: String) extends Block {
+  def apply(df: DataFrame): DataFrame = {
+    val targets = df.select(col(idCol).as("__target")).distinct()
+    store.join(targets, col(refCol) === col("__target"), "left_semi")
+  }
 }
 
 object FeedPipeline {

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -11,9 +11,39 @@ import scala.jdk.CollectionConverters._
   * of the reference can POST the same JSON; here it becomes ONE Catalyst
   * plan instead of an interpreted block loop.
   *
+  * Wire surface parsed (reference evidence):
+  *  - input: firehose / list / did / tags / labels / post / archived
+  *    (main.rs:1410, 1427, 1606, 1669, 1780, 1786, 1792). `feed`
+  *    (main.rs:1704) is an external HTTP fetch — permanently out of
+  *    scope for a batch engine, rejected with a clear error.
+  *  - keep/remove subjects: item, image_count, reply_count,
+  *    repost_count, like_count, language, list, duplicates,
+  *    non_duplicates, embed, labels, where, videos (main.rs:1798-1980),
+  *    plus a generic column-compare extension for any other subject.
+  *  - regex (main.rs:1982), score add from like/repost/reply counts /
+  *    hn / created_at / value script (main.rs:2151-2227), sort by
+  *    created_at / hn / likes / repost_count / reply_count / random /
+  *    score (main.rs:2229-2306), stash (main.rs:2308), limit +
+  *    posts_per_user (main.rs:2342), replace parent / root / record /
+  *    direct_replies / all_replies / quote_posts (main.rs:2386-2508).
+  *
   * `Binding` maps the reference's logical post fields onto the actual
-  * relation's columns (id, author, created-at, engagement value, regex
-  * target columns, and the field names the `where` scripts may use).
+  * relation's columns. The core identity/time/engagement columns are
+  * required; everything else is optional and only needed when the
+  * payload uses the corresponding block:
+  *  - `fieldCols`: logical field name → Column for the count/flag
+  *    subjects (like_count, repost_count, reply_count, image_count,
+  *    language, record, video, is_reply). like_count falls back to
+  *    `valueCol`; anything else unmapped falls back to a column of the
+  *    same name.
+  *  - `lists`: listUri → one-column member-key relation (the
+  *    reference's fetch_list result as a broadcastable set).
+  *  - `tagsCol` / `labelsCol`: array<string> columns for tags/labels
+  *    inputs and label subjects.
+  *  - `refCols`: "parent"/"root"/"record" → nullable ref column names
+  *    on the store (the thread/quote structure).
+  *  - `store`: the full post store replace blocks look targets up in.
+  *  - `archive`: the archived-posts relation the `archived` input pulls.
   */
 case class Binding(
     idCol: String,
@@ -23,7 +53,14 @@ case class Binding(
     nowEpochMs: Long,
     regexTargets: Map[String, Seq[String]],
     whereFields: Map[String, Column],
-    scoreRoundScale: Int = 6)
+    scoreRoundScale: Int = 6,
+    fieldCols: Map[String, Column] = Map.empty,
+    lists: Map[String, DataFrame] = Map.empty,
+    tagsCol: Option[Column] = None,
+    labelsCol: Option[Column] = None,
+    refCols: Map[String, String] = Map.empty,
+    store: Option[DataFrame] = None,
+    archive: Option[DataFrame] = None)
 
 object PipelineJson {
   private val mapper = new ObjectMapper
@@ -35,11 +72,17 @@ object PipelineJson {
     // track whether a score block has run: blocks downstream of scoring
     // rank by score; before any scoring they rank by recency (the
     // reference's "current order" is its insertion order — newest-first
-    // recency is the deterministic distributed equivalent)
+    // recency is the deterministic distributed equivalent). A replace
+    // block swaps the rows for store rows with no score entry yet, so
+    // it resets the flag (ReplaceWith drops the score column).
     var scored = false
     blocks.elements().asScala.flatMap { node =>
       val out = compileBlock(node, b, scored)
-      if (str(node, "type", "") == "score") scored = true
+      str(node, "type", "") match {
+        case "score" => scored = true
+        case "replace" => scored = false
+        case _ => ()
+      }
       out
     }.toSeq
   }
@@ -53,21 +96,21 @@ object PipelineJson {
     * one composed logical plan over however many scan branches the
     * program pulled in.
     */
-  def run(base: org.apache.spark.sql.DataFrame, payload: String, b: Binding): org.apache.spark.sql.DataFrame = {
+  def run(base: DataFrame, payload: String, b: Binding): DataFrame = {
     val root = mapper.readTree(payload)
     val blockNodes = root.path("blocks")
     require(blockNodes.isArray, "payload must carry a blocks array")
-    var working: Option[org.apache.spark.sql.DataFrame] = None
-    val stash = scala.collection.mutable.Map[String, org.apache.spark.sql.DataFrame]()
+    var working: Option[DataFrame] = None
+    val stash = scala.collection.mutable.Map[String, DataFrame]()
     var scored = false
 
     // frames on either side of a union may or may not have picked up a
     // score column yet — align on score=0.0 (the reference's side-map
     // default) before unioning
-    def aligned(x: org.apache.spark.sql.DataFrame, y: org.apache.spark.sql.DataFrame) = {
-      def ensure(df: org.apache.spark.sql.DataFrame) =
+    def aligned(x: DataFrame, y: DataFrame) = {
+      def ensure(df: DataFrame) =
         if (df.columns.contains("score")) df
-        else df.withColumn("score", org.apache.spark.sql.functions.lit(0.0))
+        else df.withColumn("score", lit(0.0))
       if (x.columns.contains("score") || y.columns.contains("score"))
         ensure(x).unionByName(ensure(y))
       else x.unionByName(y)
@@ -97,6 +140,7 @@ object PipelineJson {
             throw new IllegalArgumentException("pipeline must start with an input block"))
           working = Some(compileBlock(node, b, scored).foldLeft(w)((df, blk) => blk(df)))
           if (t == "score") scored = true
+          if (t == "replace") scored = false
       }
     }
     working.getOrElse(base.limit(0))
@@ -110,6 +154,59 @@ object PipelineJson {
     n.get(field).asText()
   }
 
+  /** Typed literal from a JSON scalar: numbers stay numeric so id/author
+    * comparisons don't silently string-compare against long columns.
+    */
+  private def jsonLit(v: JsonNode): Column =
+    if (v.isNumber) lit(v.asLong()) else lit(v.asText())
+
+  private def strSeq(n: JsonNode, field: String, blockType: String): Seq[String] = {
+    val arr = n.get(field)
+    require(arr != null && arr.isArray, s"$blockType block needs a '$field' array")
+    // the reference's inverted indexes are lowercase (main.rs:1609)
+    arr.elements().asScala.map(_.asText().toLowerCase).toSeq
+  }
+
+  /** Logical post field → bound Column. like_count defaults to the
+    * binding's engagement column; everything else unmapped resolves to
+    * a relation column of the same name.
+    */
+  private def resolveField(b: Binding, name: String): Column =
+    b.fieldCols.getOrElse(name, if (name == "like_count") col(b.valueCol) else col(name))
+
+  /** The reference's HN score (main.rs:4338): likes / (age_h + 2)^gravity
+    * against the deterministic anchor.
+    */
+  private def hnExpr(b: Binding, gravity: Double): Column = {
+    val ageH = (lit(b.nowEpochMs) - unix_millis(col(b.tsCol))).cast("double") / lit(3600000.0)
+    col(b.valueCol) / pow(ageH + lit(2.0), lit(gravity))
+  }
+
+  private def histWindow(n: JsonNode, b: Binding): Seq[Block] = {
+    val secs = if (n.hasNonNull("historySeconds")) n.get("historySeconds").asLong() else 604800L
+    // the reference skips the cutoff at/beyond the 7-day retention
+    // (is_cutoff_beyond_7_days, main.rs:1621): the store never holds
+    // older posts anyway, and the batch equivalent of "everything the
+    // store has" is no time filter at all
+    if (secs < 604800L) Seq(InputWindow(b.tsCol, b.nowEpochMs, secs)) else Nil
+  }
+
+  private def boundList(n: JsonNode, b: Binding, blockType: String): DataFrame = {
+    val uri = reqStr(n, "listUri", blockType)
+    b.lists.getOrElse(
+      uri,
+      throw new IllegalArgumentException(s"unbound listUri '$uri' (add it to Binding.lists)"))
+  }
+
+  private def boundStore(b: Binding): DataFrame =
+    b.store.getOrElse(
+      throw new IllegalArgumentException("replace blocks need Binding.store (the full post store)"))
+
+  private def boundRef(b: Binding, target: String): String =
+    b.refCols.getOrElse(
+      target,
+      throw new IllegalArgumentException(s"unbound replace ref '$target' (add it to Binding.refCols)"))
+
   private def compileBlock(n: JsonNode, b: Binding, scored: Boolean = true): Seq[Block] = {
     str(n, "type", "") match {
       case "input" =>
@@ -117,28 +214,178 @@ object PipelineJson {
           case "firehose" =>
             val secs = if (n.hasNonNull("firehoseSeconds")) n.get("firehoseSeconds").asLong() else 86400L
             Seq(InputWindow(b.tsCol, b.nowEpochMs, secs))
+          case "list" =>
+            // posts by the list's authors within the history window
+            // (main.rs:1427): membership is a broadcast semi join. The
+            // cutoff always applies for list inputs (the reference
+            // filters `post.id > cutoff_tid` unconditionally here —
+            // the ≥7-day skip below is specific to tags/labels)
+            val members = boundList(n, b, "input")
+            val secs = if (n.hasNonNull("historySeconds")) n.get("historySeconds").asLong() else 604800L
+            Seq(
+              InputWindow(b.tsCol, b.nowEpochMs, secs),
+              KeepInSet(b.authorCol, members, members.columns.head, keep = true))
+          case "did" =>
+            // single author's posts (main.rs:1780)
+            require(n.hasNonNull("did"), "did input is missing 'did'")
+            Seq(WhereFilter(col(b.authorCol) === jsonLit(n.get("did"))))
+          case "tags" =>
+            // inverted tag index lookup (main.rs:1606) → array-membership
+            // predicate over the bound tags column (scan-side at rest)
+            val tagsCol = b.tagsCol.getOrElse(
+              throw new IllegalArgumentException("tags input needs Binding.tagsCol"))
+            val tags = strSeq(n, "tags", "tags input")
+            require(tags.nonEmpty, "tags input needs at least one tag")
+            histWindow(n, b) :+ WhereFilter(tags.map(t => array_contains(tagsCol, t)).reduce(_ || _))
+          case "labels" =>
+            // label index lookup (main.rs:1669)
+            val labelsCol = b.labelsCol.getOrElse(
+              throw new IllegalArgumentException("labels input needs Binding.labelsCol"))
+            val labels = strSeq(n, "labels", "labels input")
+            require(labels.nonEmpty, "labels input needs at least one label")
+            histWindow(n, b) :+ WhereFilter(labels.map(l => array_contains(labelsCol, l)).reduce(_ || _))
+          case "post" =>
+            // point lookup by post id(s) (main.rs:1786) — the In
+            // predicate reaches PushedFilters / row-group skipping
+            val uris = n.get("postUri")
+            require(uris != null && !uris.isNull, "post input is missing 'postUri'")
+            val ids =
+              if (uris.isArray) uris.elements().asScala.map(jsonLit).toSeq else Seq(jsonLit(uris))
+            Seq(WhereFilter(col(b.idCol).isin(ids: _*)))
+          case "archived" =>
+            // archive store pull (main.rs:1792): swap in the bound
+            // archive relation; run() unions it with the other branches
+            UseRelation(b.archive.getOrElse(
+              throw new IllegalArgumentException("archived input needs Binding.archive"))) +:
+              histWindow(n, b)
+          case "feed" =>
+            throw new IllegalArgumentException(
+              "inputType 'feed' fetches an external feed over HTTP (main.rs:1704) — out of scope for a batch engine")
           case other => throw new IllegalArgumentException(s"unsupported inputType $other")
         }
 
       case t @ ("keep" | "remove") =>
-        val subject = str(n, "subject", "")
-        val op = str(n, "operator", "==")
-        val v = n.get("value")
-        // wire input: validate, don't NPE
-        require(v != null && !v.isNull, s"$t block on '$subject' is missing a value")
-        val value = if (v.isNumber) lit(v.asDouble()) else lit(v.asText())
-        // `remove X op v` retains the complement — invert the operator
-        val effOp = if (t == "keep") op
-        else op match {
-          case "==" => "!="
-          case "!=" => "=="
-          case "<" => ">="
-          case ">" => "<="
-          case "<=" => ">"
-          case ">=" => "<"
-          case other => throw new IllegalArgumentException(s"unknown operator '$other' in $t block")
+        str(n, "subject", "") match {
+          case subject @ ("like_count" | "reply_count" | "repost_count") =>
+            // reference semantics (main.rs:1831-1884): the operator
+            // names the rows to REMOVE — `<  v` retains count >= v —
+            // and keep/remove dispatch identically for count subjects
+            val c = resolveField(b, subject)
+            val v = n.get("value")
+            require(v != null && v.isNumber, s"$subject filter needs a numeric value")
+            val value = lit(v.asDouble())
+            val retain = str(n, "operator", "<") match {
+              case "<" => c >= value
+              case ">" => c <= value
+              case "==" => c =!= value
+              case "!=" => c === value
+              case other => throw new IllegalArgumentException(s"unknown operator '$other' on $subject")
+            }
+            Seq(WhereFilter(retain))
+
+          case "image_count" =>
+            // (main.rs:1817): remove the named bucket
+            val c = resolveField(b, "image_count")
+            Seq(WhereFilter(str(n, "value", "0") match {
+              case "0" => c =!= 0
+              case "1" => c =!= 1
+              case "2+" => c < 2
+              case other => throw new IllegalArgumentException(s"unknown image_count value '$other'")
+            }))
+
+          case "language" =>
+            // (main.rs:1885): the operator encodes polarity — "=="
+            // removes the language, "!=" (default) keeps only it
+            val langC = resolveField(b, "language")
+            val lang = lit(str(n, "language", "en"))
+            Seq(WhereFilter(str(n, "operator", "!=") match {
+              case "==" => langC =!= lang
+              case "!=" => langC === lang
+              case other => throw new IllegalArgumentException(s"unknown operator '$other' on language")
+            }))
+
+          case "list" =>
+            // author-set membership (main.rs:1903): keep=semi, remove=anti
+            val members = boundList(n, b, t)
+            Seq(KeepInSet(b.authorCol, members, members.columns.head, keep = t == "keep"))
+
+          case "duplicates" =>
+            // first occurrence per key wins (main.rs:1916); id order is
+            // the deterministic stand-in for insertion order
+            Seq(DedupByKey(Seq(b.idCol), Seq(col(b.idCol))))
+
+          case "non_duplicates" =>
+            Seq(KeepDupes(Seq(b.idCol), Seq(col(b.idCol))))
+
+          case "embed" =>
+            // (main.rs:1929): retain rows NOT matching the named embed
+            val rec = resolveField(b, "record")
+            Seq(WhereFilter(str(n, "value", "none") match {
+              case "none" => rec.isNotNull && rec =!= ""
+              case "feed" => !coalesce(rec, lit("")).startsWith("feed")
+              case "post" => !coalesce(rec, lit("")).startsWith("post")
+              case other => throw new IllegalArgumentException(s"unknown embed value '$other'")
+            }))
+
+          case "labels" =>
+            // (main.rs:1938): remove every post carrying a named label
+            val labelsCol = b.labelsCol.getOrElse(
+              throw new IllegalArgumentException("labels filter needs Binding.labelsCol"))
+            val labels = strSeq(n, "labels", "labels filter")
+            Seq(WhereFilter(!labels.map(l => array_contains(labelsCol, l)).reduce(_ || _)))
+
+          case "videos" =>
+            // (main.rs:1973): the one subject where keep/remove differ
+            val v = resolveField(b, "video")
+            Seq(WhereFilter(if (t == "keep") v.isNotNull else v.isNull))
+
+          case "item" =>
+            // (main.rs:1800): remove the named item kind
+            str(n, "value", "reply") match {
+              case "post" => Seq(WhereFilter(resolveField(b, "is_reply")))
+              case "reply" => Seq(WhereFilter(!resolveField(b, "is_reply")))
+              case "repost" => Nil // reference no-ops (main.rs:1811)
+              case "has_labels" =>
+                val labelsCol = b.labelsCol.getOrElse(
+                  throw new IllegalArgumentException("item has_labels needs Binding.labelsCol"))
+                Seq(WhereFilter(size(labelsCol) === 0))
+              case "has_no_labels" =>
+                val labelsCol = b.labelsCol.getOrElse(
+                  throw new IllegalArgumentException("item has_no_labels needs Binding.labelsCol"))
+                Seq(WhereFilter(size(labelsCol) > 0))
+              case other => throw new IllegalArgumentException(s"unknown item value '$other'")
+            }
+
+          case "where" =>
+            // Rhai `where` as a keep/remove subject (main.rs:1952):
+            // remove inverts the compiled predicate
+            val pred = WhereDsl.compile(reqStr(n, "value", t), b.whereFields)
+            Seq(WhereFilter(if (t == "keep") pred else !pred))
+
+          case subject =>
+            // engine extension: generic column compare for subjects the
+            // reference doesn't name — keep retains matches, remove the
+            // complement (our DSL semantics, not reference-specified)
+            val op = str(n, "operator", "==")
+            val v = n.get("value")
+            require(v != null && !v.isNull, s"$t block on '$subject' is missing a value")
+            val value = if (v.isNumber) lit(v.asDouble()) else lit(v.asText())
+            val effOp = if (t == "keep") op
+            else op match {
+              case "==" => "!="
+              case "!=" => "=="
+              case "<" => ">="
+              case ">" => "<="
+              case "<=" => ">"
+              case ">=" => "<"
+              case other => throw new IllegalArgumentException(s"unknown operator '$other' in $t block")
+            }
+            Seq(KeepCmp(subject, effOp, value))
         }
-        Seq(KeepCmp(subject, effOp, value))
+
+      case "where" =>
+        // standalone where block (alias of the keep/subject=where form)
+        Seq(WhereFilter(WhereDsl.compile(reqStr(n, "value", "where"), b.whereFields)))
 
       case "regex" =>
         val targets = b.regexTargets.getOrElse(
@@ -150,9 +397,6 @@ object PipelineJson {
           caseSensitive = n.path("caseSensitive").asBoolean(false),
           invert = n.path("invert").asBoolean(false)))
 
-      case "where" =>
-        Seq(WhereFilter(WhereDsl.compile(reqStr(n, "value", "where"), b.whereFields)))
-
       case "score" =>
         require(str(n, "scoreType", "add") == "add", "only scoreType=add exists in the reference")
         val normalize = n.path("normalize").asBoolean(true)
@@ -161,11 +405,10 @@ object PipelineJson {
         val expr = if (n.hasNonNull("value"))
           WhereDsl.compile(n.get("value").asText(), b.whereFields)
         else str(n, "from", "hn") match {
-          case "hn" =>
-            val gravity = str(n, "gravity", "1.8").toDouble
-            val ageH = (lit(b.nowEpochMs) - unix_millis(col(b.tsCol))).cast("double") / lit(3600000.0)
-            col(b.valueCol) / pow(ageH + lit(2.0), lit(gravity))
-          case "like_count" => col(b.valueCol)
+          case "hn" => hnExpr(b, str(n, "gravity", "1.8").toDouble)
+          case "like_count" => resolveField(b, "like_count").cast("double")
+          case "repost_count" => resolveField(b, "repost_count").cast("double")
+          case "reply_count" => resolveField(b, "reply_count").cast("double")
           case "created_at" => unix_millis(col(b.tsCol)).cast("double") / lit(1000.0)
           case other => throw new IllegalArgumentException(s"unsupported score from=$other")
         }
@@ -186,6 +429,17 @@ object PipelineJson {
           case "score" => Seq(dir(col("score")), col(b.idCol))
           case "created_at" => Seq(dir(col(b.tsCol)), col(b.idCol))
           case "likes" => Seq(dir(col(b.valueCol)), col(b.idCol))
+          case st @ ("repost_count" | "reply_count") => Seq(dir(resolveField(b, st)), col(b.idCol))
+          case "hn" =>
+            // sort-time HN score (main.rs:2246): ranked on the rounded
+            // value so double `pow` ulp drift can't flip ranks vs the
+            // oracle; id tie-break for determinism
+            Seq(dir(round(hnExpr(b, str(n, "gravity", "1.8").toDouble), b.scoreRoundScale)), col(b.idCol))
+          case "random" =>
+            // the reference shuffles with a thread RNG (main.rs:2283);
+            // the reproducible distributed equivalent orders by a keyed
+            // cryptographic hash of the row id
+            Seq(md5(concat(col(b.idCol).cast("string"), lit("#" + str(n, "seed", "42")))).asc, col(b.idCol))
           case other => throw new IllegalArgumentException(s"unsupported sortType $other")
         }
         Seq(SortBy(keys))
@@ -202,6 +456,24 @@ object PipelineJson {
           Seq(LimitPerKey(b.authorCol, cnt, order))
         } else {
           Seq(LimitN(if (n.hasNonNull("count")) n.get("count").asInt() else 100))
+        }
+
+      case "replace" =>
+        // (main.rs:2386-2508): lookups swap each row for the store row
+        // its ref points at; inversions swap the working set for the
+        // store rows pointing INTO it
+        val target = str(n, "with", "parent")
+        val keepMissing = n.path("keepItemsWithMissingTarget").asBoolean(true)
+        target match {
+          case "parent" | "root" | "record" =>
+            Seq(ReplaceWith(boundStore(b), b.idCol, boundRef(b, target), keepMissing))
+          case "direct_replies" =>
+            Seq(ReplaceInversion(boundStore(b), boundRef(b, "parent"), b.idCol))
+          case "all_replies" =>
+            Seq(ReplaceInversion(boundStore(b), boundRef(b, "root"), b.idCol))
+          case "quote_posts" =>
+            Seq(ReplaceInversion(boundStore(b), boundRef(b, "record"), b.idCol))
+          case other => throw new IllegalArgumentException(s"unknown replace target '$other'")
         }
 
       case other => throw new IllegalArgumentException(s"unsupported block type $other")

@@ -731,6 +731,278 @@ object FeedBlocks {
        |FROM merged
        |ORDER BY round(value * 2 + user_id, 6) DESC, event_id LIMIT 100""".stripMargin
 
+  /** #14c replace-with-record (the quote lookup, main.rs:2429): each
+    * line item resolves through its quote ref (a partkey subset) to the
+    * record store; null refs are kept (keepItemsWithMissingTarget=true),
+    * dangling refs (target absent from the store) always drop — the
+    * reference's three-way replace semantics exactly. Broadcast lookup.
+    */
+  def replaceRecord(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables
+      .lineitem(s, dir)
+      .filter(col("l_quantity") >= 49)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        when(col("l_partkey") % 3 === 0, col("l_partkey")).as("record_ref"))
+    val store = Tables.part(s, dir).filter(col("p_size") <= 40)
+    li.join(broadcast(store), col("record_ref") === col("p_partkey"), "left")
+      .filter(col("record_ref").isNull || col("p_partkey").isNotNull)
+      .select(
+        col("l_orderkey"),
+        col("l_linenumber"),
+        coalesce(col("p_partkey"), lit(-1L)).as("record_key"),
+        coalesce(col("p_name"), lit("(missing)")).as("record_name"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+      // total order needs the resolved key too
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("record_key"))
+  }
+
+  val replaceRecordSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  coalesce(p_partkey, -1) AS record_key,
+      |  coalesce(p_name, '(missing)') AS record_name
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |        CASE WHEN l_partkey % 3 = 0 THEN l_partkey END AS record_ref
+      |      FROM lineitem WHERE l_quantity >= 49) li
+      |LEFT JOIN (SELECT * FROM part WHERE p_size <= 40) p ON record_ref = p_partkey
+      |WHERE record_ref IS NULL OR p_partkey IS NOT NULL
+      |ORDER BY l_orderkey, l_linenumber, record_key""".stripMargin
+
+  /** #15c quote_posts inversion (main.rs:2478): every store row QUOTING
+    * a seed-set member — semi join on the quote ref against the seeds
+    * (the third ref-column inversion, after parent/root).
+    */
+  def quotePosts(s: SparkSession, dir: String): DataFrame = {
+    val seeds = Tables.part(s, dir).filter(col("p_size") >= 48).select(col("p_partkey"))
+    Tables
+      .lineitem(s, dir)
+      .withColumn("record_ref", when(col("l_partkey") % 3 === 0, col("l_partkey")))
+      .join(broadcast(seeds), col("record_ref") === col("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("record_ref").as("quoted_key"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("quoted_key"))
+  }
+
+  val quotePostsSql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey AS quoted_key
+      |FROM lineitem
+      |WHERE l_partkey % 3 = 0
+      |  AND l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+      |ORDER BY l_orderkey, l_linenumber, quoted_key""".stripMargin
+
+  /** The events store with derived thread/quote refs — the Binding's
+    * `store` for the wire-payload queries. The refs are deterministic
+    * functions of the id so the DuckDB oracle rebuilds the identical
+    * structure: parent_ref exercises all three replace outcomes (null →
+    * kept, resolvable → replaced, dangling beyond max id → dropped);
+    * record_ref points 7 ids back on every 4th row.
+    */
+  private def eventsStore(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn(
+        "parent_ref",
+        when(col("event_id") % 3 === 1, floor(col("event_id") / 2).cast("long"))
+          .when(col("event_id") % 3 === 2, col("event_id") + 7919))
+      .withColumn(
+        "record_ref",
+        when(col("event_id") % 4 === 2 && col("event_id") >= 7, col("event_id") - 7))
+
+  private val eventsStoreSql: String =
+    """SELECT *,
+      |  CASE WHEN event_id % 3 = 1 THEN CAST(floor(event_id / 2.0) AS BIGINT)
+      |       WHEN event_id % 3 = 2 THEN event_id + 7919 END AS parent_ref,
+      |  CASE WHEN event_id % 4 = 2 AND event_id >= 7 THEN event_id - 7 END AS record_ref
+      |FROM events""".stripMargin
+
+  private def wireBinding(s: SparkSession, dir: String): Binding = {
+    val members = Tables
+      .customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    Binding(
+      idCol = "event_id",
+      authorCol = "user_id",
+      tsCol = "ts",
+      valueCol = "value",
+      nowEpochMs = NowMs,
+      regexTargets = Map("text" -> Seq("event_type")),
+      whereFields = Map("value" -> col("value"), "eventType" -> col("event_type")),
+      lists = Map("at://lists/building" -> members),
+      refCols = Map("parent" -> "parent_ref", "record" -> "record_ref"),
+      store = Some(eventsStore(s, dir)))
+  }
+
+  /** #20d the full WIRE surface in one reference-shaped payload:
+    * three input types (firehose + list + post), a duplicates filter, a
+    * reference-semantics count filter (`remove like_count < 30` retains
+    * ≥ 30), a parent replace with keep-missing, and a sort-time HN
+    * ranking — every block arriving as the reference's JSON and
+    * compiling into one lazy plan.
+    */
+  def feedPipelineWire(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":604800},
+        |  {"type":"input","inputType":"list","listUri":"at://lists/building","historySeconds":1209600},
+        |  {"type":"input","inputType":"post","postUri":[7,42,4242]},
+        |  {"type":"remove","subject":"duplicates"},
+        |  {"type":"remove","subject":"like_count","operator":"<","value":30},
+        |  {"type":"replace","with":"parent","keepItemsWithMissingTarget":true},
+        |  {"type":"remove","subject":"duplicates"},
+        |  {"type":"sort","sortType":"hn","gravity":"1.8","sortDirection":"desc"},
+        |  {"type":"limit","count":100}
+        |]}""".stripMargin
+    val ageH = (lit(NowMs) - epochMs(col("ts"))).cast("double") / lit(3600000.0)
+    PipelineJson
+      .run(eventsStore(s, dir), payload, wireBinding(s, dir))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        round(col("value") / pow(ageH + lit(2.0), lit(1.8)), 6).cast("double").as("hn_score"))
+  }
+
+  val feedPipelineWireSql: String =
+    s"""WITH store AS ($eventsStoreSql),
+       |merged AS (
+       |  SELECT * FROM store
+       |  WHERE epoch_ms(ts) > $NowMs - 7*86400*1000 AND epoch_ms(ts) <= $NowMs
+       |  UNION ALL
+       |  SELECT * FROM store
+       |  WHERE epoch_ms(ts) > $NowMs - 14*86400*1000 AND epoch_ms(ts) <= $NowMs
+       |    AND user_id IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+       |  UNION ALL
+       |  SELECT * FROM store WHERE event_id IN (7, 42, 4242)
+       |),
+       |dedup1 AS (
+       |  SELECT * FROM merged
+       |  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY event_id) = 1
+       |),
+       |filt AS (SELECT * FROM dedup1 WHERE value >= 30),
+       |replaced AS (
+       |  SELECT f.* FROM filt f WHERE f.parent_ref IS NULL
+       |  UNION ALL
+       |  SELECT s.* FROM filt f JOIN store s ON s.event_id = f.parent_ref
+       |),
+       |dedup2 AS (
+       |  SELECT * FROM replaced
+       |  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY event_id) = 1
+       |)
+       |SELECT event_id, user_id,
+       |  CAST(round(value / power(($NowMs - epoch_ms(ts)) / 3600000.0 + 2.0, 1.8), 6) AS DOUBLE) AS hn_score
+       |FROM dedup2
+       |ORDER BY hn_score DESC, event_id LIMIT 100""".stripMargin
+
+  /** #20e quote-structure wire program: 14-day purchases → quote_posts
+    * inversion (who quoted them) → replace with=record (back to the
+    * quoted posts, drop-missing) — the reference's record/quote family
+    * (main.rs:2429, 2478) exercised end-to-end through the JSON parser.
+    */
+  def feedPipelineQuotes(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":1209600},
+        |  {"type":"keep","subject":"event_type","operator":"==","value":"purchase"},
+        |  {"type":"replace","with":"quote_posts"},
+        |  {"type":"remove","subject":"duplicates"},
+        |  {"type":"replace","with":"record","keepItemsWithMissingTarget":false},
+        |  {"type":"remove","subject":"duplicates"},
+        |  {"type":"sort","sortType":"created_at","sortDirection":"asc"},
+        |  {"type":"limit","count":200}
+        |]}""".stripMargin
+    PipelineJson
+      .run(eventsStore(s, dir), payload, wireBinding(s, dir))
+      .select(col("event_id"), col("user_id"), col("event_type"), epochMs(col("ts")).as("ts_ms"))
+  }
+
+  val feedPipelineQuotesSql: String =
+    s"""WITH store AS ($eventsStoreSql),
+       |seed AS (
+       |  SELECT * FROM store
+       |  WHERE epoch_ms(ts) > $NowMs - 14*86400*1000 AND epoch_ms(ts) <= $NowMs
+       |    AND event_type = 'purchase'
+       |),
+       |quoting AS (
+       |  SELECT DISTINCT s.* FROM store s
+       |  WHERE s.record_ref IN (SELECT event_id FROM seed)
+       |),
+       |recs AS (
+       |  SELECT DISTINCT t.* FROM quoting q JOIN store t ON t.event_id = q.record_ref
+       |)
+       |SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+       |FROM recs ORDER BY ts_ms ASC, event_id LIMIT 200""".stripMargin
+
+  /** #20f tags/labels/archived wire program over `documents`: the three
+    * index-style input types, the language filter's reference polarity
+    * (`== zh` removes the language), a where-script, score from a bound
+    * count field (reply_count), per-author cap, ranked output — the
+    * Binding maps the reference's logical post fields onto a completely
+    * different relation, which is the point of the front-end.
+    */
+  def feedPipelineTags(s: SparkSession, dir: String): DataFrame = {
+    val docsAll = Tables.documents(s, dir)
+    // live/archive split of the document store: the archived input pulls
+    // the slice the live window no longer holds
+    val live = docsAll.filter(col("doc_id") % 10 < 8)
+    val archive = docsAll.filter(col("doc_id") % 10 >= 8)
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"tags","tags":["Window","stream"]},
+        |  {"type":"input","inputType":"labels","labels":["en","de"]},
+        |  {"type":"input","inputType":"archived"},
+        |  {"type":"remove","subject":"duplicates"},
+        |  {"type":"keep","subject":"where","value":"nChars > 100"},
+        |  {"type":"keep","subject":"language","operator":"==","language":"zh"},
+        |  {"type":"score","scoreType":"add","from":"reply_count","normalize":false},
+        |  {"type":"limit","limitType":"posts_per_user","count":10},
+        |  {"type":"sort","sortType":"score","sortDirection":"desc"},
+        |  {"type":"limit","count":150}
+        |]}""".stripMargin
+    val binding = Binding(
+      idCol = "doc_id",
+      authorCol = "source",
+      tsCol = "doc_id", // documents carry no timestamp; nothing here sorts by time
+      valueCol = "n_chars",
+      nowEpochMs = NowMs,
+      regexTargets = Map("text" -> Seq("text")),
+      whereFields = Map("nChars" -> col("n_chars")),
+      fieldCols = Map(
+        "reply_count" -> pmod(col("n_chars"), lit(17)),
+        "language" -> col("lang")),
+      tagsCol = Some(split(col("text"), " ")),
+      labelsCol = Some(array(col("lang"))),
+      archive = Some(archive))
+    PipelineJson
+      .run(live, payload, binding)
+      .select(col("doc_id"), col("source"), col("score").cast("double").as("score"))
+  }
+
+  val feedPipelineTagsSql: String =
+    """WITH live AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
+      |tagsel AS (
+      |  SELECT * FROM live
+      |  WHERE list_contains(string_split(text, ' '), 'window')
+      |     OR list_contains(string_split(text, ' '), 'stream')
+      |),
+      |labsel AS (SELECT * FROM live WHERE lang IN ('en', 'de')),
+      |arch AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
+      |merged AS (
+      |  SELECT * FROM tagsel UNION ALL SELECT * FROM labsel UNION ALL SELECT * FROM arch
+      |),
+      |dedup AS (
+      |  SELECT * FROM merged
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY doc_id) = 1
+      |),
+      |filt AS (SELECT * FROM dedup WHERE n_chars > 100 AND lang <> 'zh'),
+      |scored AS (
+      |  SELECT doc_id, source, CAST(round(n_chars % 17, 6) AS DOUBLE) AS score FROM filt
+      |),
+      |lim AS (
+      |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, source, score FROM lim WHERE rn <= 10
+      |ORDER BY score DESC, doc_id LIMIT 150""".stripMargin
+
   private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -760,9 +1032,14 @@ object FeedBlocks {
     "likes_bylikers" -> (likesBylikers(_, _)),
     "trending_tags" -> (trendingTags(_, _)),
     "tag_variations" -> (tagVariations(_, _)),
+    "replace_record" -> (replaceRecord(_, _)),
+    "quote_posts" -> (quotePosts(_, _)),
     "feed_pipeline" -> (feedPipeline(_, _)),
     "feed_pipeline_json" -> (feedPipelineJson(_, _)),
-    "feed_pipeline_stash" -> (feedPipelineStash(_, _)))
+    "feed_pipeline_stash" -> (feedPipelineStash(_, _)),
+    "feed_pipeline_wire" -> (feedPipelineWire(_, _)),
+    "feed_pipeline_quotes" -> (feedPipelineQuotes(_, _)),
+    "feed_pipeline_tags" -> (feedPipelineTags(_, _)))
 
   val oracles: Map[String, String] = Map(
     "input_window" -> inputWindowSql,
@@ -791,7 +1068,12 @@ object FeedBlocks {
     "likes_bylikers" -> likesBylikersSql,
     "trending_tags" -> trendingTagsSql,
     "tag_variations" -> tagVariationsSql,
+    "replace_record" -> replaceRecordSql,
+    "quote_posts" -> quotePostsSql,
     "feed_pipeline" -> feedPipelineSql,
     "feed_pipeline_json" -> feedPipelineSql,
-    "feed_pipeline_stash" -> feedPipelineStashSql)
+    "feed_pipeline_stash" -> feedPipelineStashSql,
+    "feed_pipeline_wire" -> feedPipelineWireSql,
+    "feed_pipeline_quotes" -> feedPipelineQuotesSql,
+    "feed_pipeline_tags" -> feedPipelineTagsSql)
 }

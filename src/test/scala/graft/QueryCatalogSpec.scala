@@ -17,7 +17,7 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val rowsOnly = Set(
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
-      "lang_id", "multimodal_stub", "percentiles_approx")
+      "multimodal_stub", "percentiles_approx")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 

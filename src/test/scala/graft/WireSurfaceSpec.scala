@@ -1,0 +1,216 @@
+package graft
+
+import graft.pipeline.{Binding, FeedPipeline, PipelineJson}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One synthetic post row carrying every logical field the reference's
+  * wire format can address (PostV1, main.rs:4215).
+  */
+case class WirePost(
+    id: Long,
+    author: Long,
+    ts: java.sql.Timestamp,
+    likes: Double,
+    reposts: Int,
+    replies: Int,
+    imgs: Int,
+    lang: String,
+    record: String, // embed kind-prefixed ref ("post:3" / "feed:x" / "")
+    video: Option[String],
+    is_reply: Boolean,
+    labels: Seq[String],
+    tags: Seq[String],
+    parent: Option[Long],
+    root: Option[Long],
+    record_id: Option[Long])
+
+/** The wire subjects and block variants the oracle-checked catalog
+  * queries don't reach (item / embed / videos / labels / image_count
+  * filters, did input, non_duplicates, count-sort variants, reply
+  * inversions) — pinned against the reference's semantics
+  * (main.rs:1798-1980, 2229-2306, 2386-2508) on a synthetic store
+  * where expected outputs are enumerable by hand.
+  */
+class WireSurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+
+  val NowMs: Long = 1700000000000L
+  private def tsAt(minsAgo: Long) = new java.sql.Timestamp(NowMs - minsAgo * 60000L)
+
+  lazy val store: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      //       id author ts         likes reposts replies imgs lang  record    video        is_reply labels           tags              parent   root     record_id
+      WirePost(1L, 10L, tsAt(10), 50.0, 7, 1, 0, "en", "", None, false, Nil, Seq("spark"), None, None, None),
+      WirePost(2L, 10L, tsAt(20), 5.0, 2, 9, 1, "de", "post:3", Some("v.mp4"), false, Seq("spoiler"), Seq("scala"), None, None, Some(3L)),
+      WirePost(3L, 11L, tsAt(30), 30.0, 9, 4, 2, "en", "", None, true, Nil, Nil, Some(1L), Some(1L), None),
+      WirePost(4L, 11L, tsAt(40), 8.0, 1, 2, 3, "fr", "feed:xyz", None, true, Seq("nsfw", "spoiler"), Seq("spark", "sql"), Some(3L), Some(1L), None),
+      WirePost(5L, 12L, tsAt(50), 90.0, 4, 0, 0, "en", "post:1", Some("w.mp4"), false, Nil, Nil, None, None, Some(1L))
+    ).toDF()
+  }
+
+  lazy val binding: Binding = Binding(
+    idCol = "id",
+    authorCol = "author",
+    tsCol = "ts",
+    valueCol = "likes",
+    nowEpochMs = NowMs,
+    regexTargets = Map("text" -> Seq("lang")),
+    whereFields = Map("likes" -> col("likes")),
+    fieldCols = Map(
+      "repost_count" -> col("reposts"),
+      "reply_count" -> col("replies"),
+      "image_count" -> col("imgs"),
+      "language" -> col("lang"),
+      "record" -> col("record"),
+      "video" -> col("video"),
+      "is_reply" -> col("is_reply")),
+    labelsCol = Some(col("labels")),
+    tagsCol = Some(col("tags")),
+    refCols = Map("parent" -> "parent", "root" -> "root", "record" -> "record_id"),
+    store = Some(store),
+    archive = Some(store.filter(col("id") === 5L)))
+
+  private def runWire(blocksJson: String): Seq[Long] = {
+    val df = FeedPipeline.compile(
+      store,
+      PipelineJson.parse(s"""{"blocks":[$blocksJson]}""", binding))
+    df.select(col("id")).collect().map(_.getLong(0)).toSeq
+  }
+
+  test("count filters use reference remove-complement semantics for keep AND remove") {
+    // remove like_count < 30 → retain likes >= 30 (main.rs:1867-1884)
+    assert(runWire("""{"type":"remove","subject":"like_count","operator":"<","value":30}""").sorted
+      == Seq(1L, 3L, 5L))
+    // keep dispatches identically for count subjects in the reference
+    assert(runWire("""{"type":"keep","subject":"like_count","operator":"<","value":30}""").sorted
+      == Seq(1L, 3L, 5L))
+    // operator > removes the upper tail; == removes equals
+    assert(runWire("""{"type":"remove","subject":"repost_count","operator":">","value":4}""").sorted
+      == Seq(2L, 4L, 5L))
+    assert(runWire("""{"type":"remove","subject":"reply_count","operator":"==","value":9}""").sorted
+      == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("item filter removes the named kind; has_labels branches on the labels array") {
+    // value=reply removes replies (retains non-replies? no: main.rs:1810
+    // retains !is_reply ... 'reply' removes replies)
+    assert(runWire("""{"type":"remove","subject":"item","value":"reply"}""").sorted == Seq(1L, 2L, 5L))
+    // value=post removes plain posts
+    assert(runWire("""{"type":"remove","subject":"item","value":"post"}""").sorted == Seq(3L, 4L))
+    // has_labels removes posts CARRYING labels (retain empty)
+    assert(runWire("""{"type":"remove","subject":"item","value":"has_labels"}""").sorted == Seq(1L, 3L, 5L))
+    assert(runWire("""{"type":"remove","subject":"item","value":"has_no_labels"}""").sorted == Seq(2L, 4L))
+  }
+
+  test("embed filter removes by record kind; videos respects keep/remove polarity") {
+    // none → retain rows WITH an embed
+    assert(runWire("""{"type":"remove","subject":"embed","value":"none"}""").sorted == Seq(2L, 4L, 5L))
+    // feed → retain rows whose embed is not a feed
+    assert(runWire("""{"type":"remove","subject":"embed","value":"feed"}""").sorted == Seq(1L, 2L, 3L, 5L))
+    assert(runWire("""{"type":"keep","subject":"videos"}""").sorted == Seq(2L, 5L))
+    assert(runWire("""{"type":"remove","subject":"videos"}""").sorted == Seq(1L, 3L, 4L))
+  }
+
+  test("labels filter removes any post carrying a named label") {
+    assert(runWire("""{"type":"remove","subject":"labels","labels":["NSFW"]}""").sorted
+      == Seq(1L, 2L, 3L, 5L)) // lowercased like the reference's index
+    assert(runWire("""{"type":"remove","subject":"labels","labels":["spoiler","nsfw"]}""").sorted
+      == Seq(1L, 3L, 5L))
+  }
+
+  test("image_count buckets remove 0 / 1 / 2+ (reference polarity)") {
+    assert(runWire("""{"type":"remove","subject":"image_count","value":"0"}""").sorted == Seq(2L, 3L, 4L))
+    assert(runWire("""{"type":"remove","subject":"image_count","value":"1"}""").sorted == Seq(1L, 3L, 4L, 5L))
+    assert(runWire("""{"type":"remove","subject":"image_count","value":"2+"}""").sorted == Seq(1L, 2L, 5L))
+  }
+
+  test("language operator encodes polarity: == removes, != keeps-only") {
+    assert(runWire("""{"type":"keep","subject":"language","operator":"==","language":"en"}""").sorted
+      == Seq(2L, 4L))
+    assert(runWire("""{"type":"keep","subject":"language","operator":"!=","language":"en"}""").sorted
+      == Seq(1L, 3L, 5L))
+  }
+
+  test("did input narrows to one author; post input is a point lookup") {
+    assert(runWire("""{"type":"input","inputType":"did","did":11}""").sorted == Seq(3L, 4L))
+    assert(runWire("""{"type":"input","inputType":"post","postUri":[2,5]}""").sorted == Seq(2L, 5L))
+  }
+
+  test("tags input matches any tag, lowercased like the reference index") {
+    assert(runWire("""{"type":"input","inputType":"tags","tags":["SQL","scala"]}""").sorted
+      == Seq(2L, 4L))
+  }
+
+  test("count sorts rank by the bound field with id tie-break") {
+    assert(runWire("""{"type":"sort","sortType":"repost_count","sortDirection":"desc"}""")
+      == Seq(3L, 1L, 5L, 2L, 4L))
+    assert(runWire("""{"type":"sort","sortType":"reply_count","sortDirection":"asc"}""")
+      == Seq(5L, 1L, 4L, 3L, 2L))
+  }
+
+  test("random sort is a deterministic keyed shuffle (stable across runs)") {
+    val a = runWire("""{"type":"sort","sortType":"random","seed":"7"}""")
+    val b = runWire("""{"type":"sort","sortType":"random","seed":"7"}""")
+    val c = runWire("""{"type":"sort","sortType":"random","seed":"8"}""")
+    assert(a == b)
+    assert(a.sorted == c.sorted) // same rows, (almost surely) different order
+  }
+
+  test("replace inversions: direct_replies / all_replies / quote_posts") {
+    // working set {1} → children whose parent=1: {3}
+    assert(runWire(
+      """{"type":"input","inputType":"post","postUri":[1]},
+        |{"type":"replace","with":"direct_replies"}""".stripMargin).sorted == Seq(3L))
+    // all_replies walks the root ref: {3, 4}
+    assert(runWire(
+      """{"type":"input","inputType":"post","postUri":[1]},
+        |{"type":"replace","with":"all_replies"}""".stripMargin).sorted == Seq(3L, 4L))
+    // quote_posts: who quoted 1 → {5}
+    assert(runWire(
+      """{"type":"input","inputType":"post","postUri":[1]},
+        |{"type":"replace","with":"quote_posts"}""".stripMargin).sorted == Seq(5L))
+  }
+
+  test("replace record keeps null refs only with keepItemsWithMissingTarget") {
+    assert(runWire("""{"type":"replace","with":"record","keepItemsWithMissingTarget":true}""").sorted
+      == Seq(1L, 1L, 3L, 3L, 4L)) // 2→3, 5→1 replaced; 1,3,4 kept
+    assert(runWire("""{"type":"replace","with":"record","keepItemsWithMissingTarget":false}""").sorted
+      == Seq(1L, 3L))
+  }
+
+  test("non_duplicates keeps only re-seen keys") {
+    val s = spark
+    import s.implicits._
+    val doubled = store.unionByName(store.filter(col("id") === 2L))
+    val ids = FeedPipeline
+      .compile(doubled, PipelineJson.parse(
+        """{"blocks":[{"type":"remove","subject":"non_duplicates"}]}""", binding))
+      .select(col("id")).as[Long].collect().toSeq
+    assert(ids == Seq(2L))
+  }
+
+  test("archived input swaps in the archive relation inside run()") {
+    val out = PipelineJson.run(
+      store.filter(col("id") < 3L),
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":86400},
+        |  {"type":"input","inputType":"archived"},
+        |  {"type":"remove","subject":"duplicates"}
+        |]}""".stripMargin,
+      binding)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 5L))
+  }
+
+  test("feed input is rejected as out of scope, unknown blocks still throw") {
+    val e = intercept[IllegalArgumentException](
+      runWire("""{"type":"input","inputType":"feed","feedUri":"at://x"}"""))
+    assert(e.getMessage.contains("out of scope"))
+    intercept[IllegalArgumentException](runWire("""{"type":"frobnicate"}"""))
+    intercept[IllegalArgumentException](
+      runWire("""{"type":"input","inputType":"list","listUri":"at://unbound"}"""))
+  }
+}
