@@ -55,6 +55,33 @@ object GraftSession {
   }
 }
 
+/** Lineage cut for iterative algorithms (label propagation, k-means):
+  * each round references the previous round's frame more than once, so
+  * without a cut round r recomputes round r-1 repeatedly (2^rounds
+  * blow-up).
+  *
+  * Default is `localCheckpoint` — blocks pinned to executor storage,
+  * fast, but NOT recomputable on executor loss, which is fine on
+  * local[n] and fragile on a real cluster. Set
+  * `spark.graft.checkpoint.reliable=true` for cluster runs: the cut
+  * becomes a fault-tolerant `checkpoint()` into
+  * `spark.graft.checkpoint.dir` (default /tmp/graft-checkpoints —
+  * point it at durable storage on a cluster). Results are identical
+  * either way (test-pinned); only failure semantics differ.
+  */
+object Lineage {
+  def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val reliable = spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")
+    if (reliable) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse("/tmp/graft-checkpoints"))
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(true)
+  }
+}
+
 /** Shared helpers for oracle-exact arithmetic.
   *
   * The driver hash-compares our parquet to DuckDB output, so every

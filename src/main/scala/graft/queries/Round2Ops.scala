@@ -42,11 +42,13 @@ object Round2Ops {
     */
   def graphCommunities(s: SparkSession, dir: String): DataFrame = {
     val dedges = edgesDf(s, dir).distinct()
-    val sym = dedges
-      .unionByName(dedges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      // three propagation reads of the same edge set: materialize once
-      .localCheckpoint(true)
+    // three propagation reads of the same edge set: materialize once
+    // (Lineage.cut: localCheckpoint locally, reliable checkpoint when
+    // spark.graft.checkpoint.reliable=true)
+    val sym = graft.Lineage.cut(
+      dedges
+        .unionByName(dedges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
     val labels0 = sym.select(col("src").as("node")).distinct().withColumn("label", col("node"))
     val labels = (1 to 2).foldLeft(labels0) { (labels, _) =>
       val counted = sym
@@ -58,10 +60,10 @@ object Round2Ops {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("src").as("node"), col("nl").as("new_label"))
-      labels
-        .join(mode, Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
-        .localCheckpoint(true) // labels feeds two subtrees next round
+      graft.Lineage.cut( // labels feeds two subtrees next round
+        labels
+          .join(mode, Seq("node"), "left")
+          .select(col("node"), coalesce(col("new_label"), col("label")).as("label")))
     }
     labels.select(col("node"), col("label").as("community")).orderBy(col("node"))
   }

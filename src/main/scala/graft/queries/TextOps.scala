@@ -274,7 +274,7 @@ object TextOps {
     // ONE exploded gram pass yields both edge families (the naive form
     // runs the explode/window/distinct chain once for the 5-gram
     // fingerprints and again for the 3-gram jaccard sets)
-    val summaries = gramSummaries(docs(s, dir)).localCheckpoint(true)
+    val summaries = graft.Lineage.cut(gramSummaries(docs(s, dir)))
     val fp = summaries.filter(col("fp").isNotNull).select(col("doc_id"), col("fp"))
     val roots = fp.groupBy(col("fp")).agg(min(col("doc_id")).as("root"))
     val star = fp
@@ -286,11 +286,10 @@ object TextOps {
       .select(col("a"), col("b"))
     val edges = star.unionByName(chain)
     // the edge set feeds every propagation round: materialize once
-    // (eager localCheckpoint) instead of re-deriving both gram passes
-    // per iteration — the standard iterative-algorithm lineage cut
-    val sym = edges
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+    // (Lineage.cut — localCheckpoint locally, reliable checkpoint on a
+    // cluster) instead of re-deriving both gram passes per iteration
+    val sym = graft.Lineage.cut(
+      edges.unionByName(edges.select(col("b").as("a"), col("a").as("b"))))
 
     val labels0 = docs(s, dir).select(col("doc_id"), col("doc_id").as("label"))
     val labels = (1 to 3).foldLeft(labels0) { (labels, _) =>
@@ -298,12 +297,12 @@ object TextOps {
         .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), "b")
         .groupBy(col("a"))
         .agg(min(col("nl")).as("nbr_min"))
-      labels
-        .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
-        .select(col("doc_id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        // each round references the previous twice — cut the lineage or
-        // round r recomputes round r-1 twice (2^rounds blow-up)
-        .localCheckpoint(true)
+      // each round references the previous twice — cut the lineage or
+      // round r recomputes round r-1 twice (2^rounds blow-up)
+      graft.Lineage.cut(
+        labels
+          .join(nbrMin.select(col("a").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
+          .select(col("doc_id"), least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
     }
     labels.select(col("doc_id"), col("label").as("cluster")).orderBy(col("doc_id"))
   }
@@ -420,17 +419,19 @@ object TextOps {
     * the space; top-3 neighbors per query within its bucket. The 100 TB
     * path: bucket key shuffle + per-bucket top-k, candidate set ~n/2^8.
     */
+  /** Pseudo-random hyperplane component for (plane p, dim i): centered
+    * hash in [-0.5, 0.5] — deterministic across runs/engines.
+    */
+  private def planeDot(e: Column, p: Int): Column =
+    aggregate(
+      zip_with(
+        e,
+        sequence(lit(0), size(e) - 1),
+        (x, i) => x * (pmod(xxhash64(lit(p), i), lit(1000L)).cast("double") / 1000.0 - 0.5)),
+      lit(0.0), (acc, x) => acc + x)
+
   def embedLshKnn(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    // pseudo-random hyperplane component for (plane p, dim i):
-    // centered hash in [-0.5, 0.5] — deterministic across runs/engines
-    def planeDot(e: Column, p: Int): Column =
-      aggregate(
-        zip_with(
-          e,
-          sequence(lit(0), size(e) - 1),
-          (x, i) => x * (pmod(xxhash64(lit(p), i), lit(1000L)).cast("double") / 1000.0 - 0.5)),
-        lit(0.0), (acc, x) => acc + x)
     val bucketed = emb.withColumn(
       "bucket",
       (0 until 8).map(p => when(planeDot(col("e"), p) > 0, lit(1L << p)).otherwise(lit(0L))).reduce(_ + _))
@@ -483,28 +484,70 @@ object TextOps {
       |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY a, b""".stripMargin
 
-  /** #38b IVF-style ANN (rows-only oracle): 16 deterministic seed
-    * centroids; every vector is assigned to its nearest centroid
-    * (inverted lists); queries probe their 2 nearest lists and rank
+  /** Seed centroids: the first k vectors (deterministic, zero-cost). */
+  def seedCentroids(emb: DataFrame, k: Int): DataFrame =
+    emb.filter(col("vec_id") < k).select(col("vec_id").as("cent_id"), col("e").as("ce"))
+
+  /** Lloyd's k-means expressed as joins/aggregates: assign each vector
+    * to its nearest centroid (broadcast crossJoin + per-vector argmax),
+    * recompute each centroid as the element-wise mean of its members
+    * (posexplode → per-(centroid, dim) average → re-assemble), repeat.
+    * Deterministic: seeds are the first k vectors, means aggregate
+    * through DECIMAL (order-independent), argmax tie-breaks on cent_id.
+    * Empty clusters drop out (k can only shrink). Every iteration is
+    * O(n·k) compares + one O(n·dim) shuffle — the shape that scales;
+    * at 100 TB k grows toward √n and assignment stays a broadcast of
+    * k·dim doubles. Lineage.cut per round keeps the plan from
+    * re-deriving all prior rounds.
+    */
+  def ivfCentroids(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    val exactAvg = org.apache.spark.sql.types.DecimalType(38, 18)
+    var cents = seedCentroids(emb, k)
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      val assigned = emb
+        .crossJoin(broadcast(cents))
+        .withColumn("csim", Registry.cosine(col("e"), col("ce")))
+        .withColumn("crn", row_number().over(w))
+        .filter(col("crn") === 1)
+      cents = graft.Lineage.cut(
+        assigned
+          .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "v")))
+          .groupBy(col("cent_id"), col("pos"))
+          .agg(avg(col("v").cast(exactAvg)).cast("double").as("m"))
+          .groupBy(col("cent_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cent_id"), transform(col("pm"), x => x.getField("m")).as("ce")))
+    }
+    cents
+  }
+
+  /** Per-row top-`keep` centroid assignment (broadcast of k·dim). */
+  private def nearestCentroids(
+      df: DataFrame, cents: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cent_id"))
+    df.crossJoin(broadcast(cents))
+      .withColumn("csim", Registry.cosine(col(vecCol), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") <= keep)
+      .drop("ce", "csim", "crn")
+  }
+
+  /** #38b IVF ANN, parameterized on centroid quality (`trained` = 2
+    * Lloyd's iterations vs raw first-16 seeds — the recall test pins
+    * trained ≥ seeded). Every vector joins its nearest centroid's
+    * inverted list; queries probe their 2 nearest lists and rank
     * candidates. The 100 TB path: lists are pre-partitioned by
-    * centroid id, so a query touches ~2/16 of the data instead of a
+    * centroid id, so a query touches ~2/k of the data instead of a
     * full scan; centroid assignment is a broadcast join.
     */
-  def embedIvfKnn(s: SparkSession, dir: String): DataFrame = {
+  def embedIvfKnnWith(s: SparkSession, dir: String, trained: Boolean): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    val cents = emb.filter(col("vec_id") < 16).select(col("vec_id").as("cent_id"), col("e").as("ce"))
-    def nearest(df: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
-      val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cent_id"))
-      df.crossJoin(broadcast(cents))
-        .withColumn("csim", Registry.cosine(col(vecCol), col("ce")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") <= keep)
-        .drop("ce", "csim", "crn")
-    }
-    val lists = nearest(emb, "vec_id", "e", 1) // inverted lists: vec → home centroid
-    val probes = nearest(
+    val cents = if (trained) ivfCentroids(emb, 16, 2) else seedCentroids(emb, 16)
+    val lists = nearestCentroids(emb, cents, "vec_id", "e", 1) // vec → home centroid
+    val probes = nearestCentroids(
       emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e").as("qe")),
-      "query_id", "qe", 2) // each query probes its 2 nearest lists
+      cents, "query_id", "qe", 2) // each query probes its 2 nearest lists
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
     probes
       .join(lists, Seq("cent_id"))
@@ -515,6 +558,51 @@ object TextOps {
       .select(col("query_id"), col("vec_id"), col("cent_id"), emit(col("cosine"), 6).as("cosine"))
       .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
   }
+
+  def embedIvfKnn(s: SparkSession, dir: String): DataFrame =
+    embedIvfKnnWith(s, dir, trained = true)
+
+  /** #37c SCALE-SAFE pair mining core: IVF candidate generation + exact
+    * cosine verification inside buckets, over any (vec_id, e) relation.
+    * Each vector lands in its 2 nearest centroid lists (trained
+    * centroids, 2-probe); candidate pairs are generated WITHIN each
+    * list by an equi-join on cent_id and verified with the exact
+    * native dot product — false positives are impossible by
+    * construction, recall comes from near-dup pairs (the production
+    * threshold regime, cosine ≳ 0.9) sharing a probed list with
+    * near-certainty. O(Σ list²) work instead of O(n²), shuffled on the
+    * centroid key — at 100 TB, k grows toward √n and per-list work
+    * stays bounded. `embed_pair_sim` remains the exact-oracle form;
+    * this is the production path. (On structure-free data with a LOW
+    * threshold no partition can prune AND keep recall — the recall
+    * test plants near-duplicates and pins ≥ 0.9 at the 0.95 design
+    * point.)
+    */
+  def pairMineBucketed(emb: DataFrame, threshold: Double, k: Int = 16): DataFrame = {
+    val withNorm = emb.withColumn("nrm", Registry.l2norm(col("e")))
+    val cents = ivfCentroids(emb.select(col("vec_id"), col("e")), k, 2)
+    val probed = nearestCentroids(withNorm, cents, "vec_id", "e", 2)
+    val l = probed.select(col("cent_id"), col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
+    val r = probed.select(col("cent_id"), col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
+    l.join(r, Seq("cent_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cosine", Registry.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      // a pair can meet in up to 2 shared lists — collapse to one row
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("cosine")).as("cosine"))
+  }
+
+  /** #37c catalog entry (rows-only): the bucketed miner at the
+    * testdata-calibrated 0.4 threshold (the synthetic vectors top out
+    * at cosine ≈ 0.51; see embedPairSim).
+    */
+  def embedPairSimBucketed(s: SparkSession, dir: String): DataFrame =
+    pairMineBucketed(
+      Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e")),
+      threshold = 0.4)
+      .select(col("a"), col("b"), emit(col("cosine"), 6).as("cosine"))
+      .orderBy(col("a"), col("b"))
 
   // ----------------------------------------------------------- text stats
 
@@ -698,6 +786,7 @@ object TextOps {
     "dedup_clusters" -> (dedupClusters(_, _)),
     "embed_knn" -> (embedKnn(_, _)),
     "embed_pair_sim" -> (embedPairSim(_, _)),
+    "embed_pair_sim_bucketed" -> (embedPairSimBucketed(_, _)),
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
     "lang_id" -> (langId(_, _)),

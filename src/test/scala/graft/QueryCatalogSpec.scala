@@ -17,7 +17,7 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val rowsOnly = Set(
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
-      "multimodal_stub", "percentiles_approx")
+      "embed_pair_sim_bucketed", "multimodal_stub", "percentiles_approx")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -50,6 +50,81 @@ class QueryCatalogSpec extends AnyFunSuite {
   test("dedup_exact leaves one row per key") {
     val df = SparkEntry.queries("dedup_exact")(spark, dir)
     assert(df.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0)
+  }
+
+  test("bucketed pair mining: no false positives, recall >= 0.9 on planted near-dups") {
+    import org.apache.spark.sql.functions._
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact in-bucket verification ⇒ every emitted pair must also pass
+    // the brute-force threshold cut (precision 1 by construction)
+    val brute = pairs(SparkEntry.queries("embed_pair_sim")(spark, dir))
+    val bucketed = pairs(SparkEntry.queries("embed_pair_sim_bucketed")(spark, dir))
+    assert(bucketed.subsetOf(brute), "bucketed emitted a pair the exact form rejects")
+
+    // recall at the production design point (~0.95 cosine near-dups):
+    // the testdata vectors are isotropic noise (max pair cosine ≈ 0.5),
+    // so plant jittered copies (vec_id + 10000) and require the miner
+    // to find ≥ 0.9 of them
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val dups = emb.select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      transform(
+        col("e"),
+        (x, i) =>
+          x + (pmod(xxhash64(col("vec_id"), i), lit(100L)).cast("double") / 1000.0 - 0.05))
+        .as("e"))
+    val planted = queries.TextOps
+      .pairMineBucketed(emb.unionByName(dups), threshold = 0.95)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = emb.select("vec_id").collect().map(_.getLong(0)).map(id => (id, id + 10000L)).toSet
+    val found = truth.intersect(planted)
+    assert(found.size >= truth.size * 0.9, s"planted-dup recall ${found.size}/${truth.size} below 0.9")
+  }
+
+  test("trained IVF centroids improve the quantization objective over raw seeds") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    // Lloyd's optimizes how well each vector is represented by its home
+    // centroid (here: mean best-cosine). That is the guarantee worth
+    // pinning — on isotropic testdata, neighbor recall of trained vs
+    // seeded lists is statistical noise, but the objective must improve.
+    def meanHomeSim(cents: org.apache.spark.sql.DataFrame): Double =
+      emb.crossJoin(broadcast(cents))
+        .withColumn("csim", functions.Registry.cosine(col("e"), col("ce")))
+        .groupBy(col("vec_id")).agg(max(col("csim")).as("best"))
+        .agg(avg(col("best"))).head.getDouble(0)
+    val seeded = meanHomeSim(queries.TextOps.seedCentroids(emb, 16))
+    val trained = meanHomeSim(queries.TextOps.ivfCentroids(emb, 16, 2))
+    assert(trained > seeded, s"trained objective $trained not above seeded $seeded")
+    // and the trained IVF search stays a usable ANN: top-3 recall ≥ 0.6
+    import org.apache.spark.sql.expressions.Window
+    val q = emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = emb
+      .join(q, col("vec_id") =!= col("query_id"))
+      .withColumn("cos", functions.Registry.cosine(col("qe"), col("e")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = queries.TextOps.embedIvfKnnWith(spark, dir, trained = true)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.6, s"trained IVF top-3 recall $recall below floor")
+  }
+
+  test("iterative ops give identical results under the reliable-checkpoint switch") {
+    val default = SparkEntry.queries("dedup_clusters")(spark, dir).collect().toSeq
+    spark.conf.set("spark.graft.checkpoint.reliable", "true")
+    try {
+      val reliable = SparkEntry.queries("dedup_clusters")(spark, dir).collect().toSeq
+      assert(reliable == default)
+    } finally spark.conf.unset("spark.graft.checkpoint.reliable")
   }
 
   test("embed_knn: 10 neighbors per query, self excluded, cosine in [-1,1]") {
