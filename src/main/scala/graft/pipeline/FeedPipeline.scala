@@ -188,6 +188,34 @@ case class UseRelation(relation: DataFrame) extends Block {
   def apply(df: DataFrame): DataFrame = relation
 }
 
+/** Escape hatch for whole-relation transforms that need more than a
+  * per-row predicate/projection (the custom_liked* like-graph inputs):
+  * still a lazy DataFrame → DataFrame function, so the composed plan
+  * stays one Catalyst tree.
+  */
+case class Compute(f: DataFrame => DataFrame) extends Block {
+  def apply(df: DataFrame): DataFrame = f(df)
+}
+
+/** The reference's user-score function family f0..f5 (main.rs:1548):
+  * how much one like from a post's liker is worth, as a function of
+  * that post's total liker count.
+  */
+object UserScore {
+  def fn(name: String, exponent: Double = 1.3): Column => Column = {
+    val n = (c: Column) => c.cast("double")
+    name match {
+      case "f0" => c => lit(1.0) / pow(n(c), lit(exponent))
+      case "f1" => c => lit(1.0) / n(c)
+      case "f2" => c => lit(100.0) - sqrt(n(c))
+      case "f3" => c => lit(10.0) - log(n(c))
+      case "f4" => c => lit(1.0) / sqrt(n(c))
+      case "f5" => c => lit(1.0) / log(n(c))
+      case _ => _ => lit(1.0)
+    }
+  }
+}
+
 /** non_duplicates filter (main.rs:1919): retain ONLY rows whose key
   * already appeared in `order` — the exact complement of DedupByKey.
   */

@@ -60,7 +60,13 @@ case class Binding(
     labelsCol: Option[Column] = None,
     refCols: Map[String, String] = Map.empty,
     store: Option[DataFrame] = None,
-    archive: Option[DataFrame] = None)
+    archive: Option[DataFrame] = None,
+    /** Likes bipartite graph for the custom_liked* inputs: first column
+      * = liker user key, second = liked post key (the reference's
+      * likes_user_to_posts / likes_post_to_users RoaringBitmaps as one
+      * edge relation).
+      */
+    likes: Option[DataFrame] = None)
 
 object PipelineJson {
   private val mapper = new ObjectMapper
@@ -80,6 +86,7 @@ object PipelineJson {
       val out = compileBlock(node, b, scored)
       str(node, "type", "") match {
         case "score" => scored = true
+        case "input" if str(node, "inputType", "").startsWith("custom_") => scored = true
         case "replace" => scored = false
         case _ => ()
       }
@@ -118,6 +125,17 @@ object PipelineJson {
 
     blockNodes.elements().asScala.foreach { node =>
       str(node, "type", "") match {
+        case "input" if str(node, "inputType", "").startsWith("custom_") =>
+          // the custom like-graph inputs REPLACE the working set
+          // (posts.clear(), main.rs:1504/1586): likedweighted builds it
+          // from the store, likedbylikers is seeded by the current set
+          val src =
+            if (str(node, "inputType", "") == "custom_likedbylikers")
+              working.getOrElse(throw new IllegalArgumentException(
+                "custom_likedbylikers needs a seeded working set (add an input block before it)"))
+            else base
+          working = Some(compileBlock(node, b, scored).foldLeft(src)((df, blk) => blk(df)))
+          scored = true
         case "input" =>
           val pulled = compileBlock(node, b, scored).foldLeft(base)((df, blk) => blk(df))
           working = Some(working.fold(pulled)(aligned(_, pulled)))
@@ -202,6 +220,12 @@ object PipelineJson {
     b.store.getOrElse(
       throw new IllegalArgumentException("replace blocks need Binding.store (the full post store)"))
 
+  private def boundLikes(b: Binding, blockType: String): DataFrame =
+    b.likes.getOrElse(
+      throw new IllegalArgumentException(s"$blockType needs Binding.likes (liker, post)"))
+
+  private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+
   private def boundRef(b: Binding, target: String): String =
     b.refCols.getOrElse(
       target,
@@ -258,6 +282,77 @@ object PipelineJson {
             UseRelation(b.archive.getOrElse(
               throw new IllegalArgumentException("archived input needs Binding.archive"))) +:
               histWindow(n, b)
+          case "custom_likedweighted" =>
+            // (main.rs:1453): posts liked by the list's users; prolific
+            // likers weigh less — per-like weight 1/(base + likes(u)),
+            // post score = max-normalized weight sum. Replaces the
+            // working set with the scored posts. Weight rounded then
+            // decimal-summed (order-independent, oracle-exact); the
+            // normalizing max arrives by single-row broadcast, no
+            // driver collect.
+            val likes = boundLikes(b, "custom_likedweighted")
+            val members = boundList(n, b, "input")
+            val baseCnt =
+              if (n.hasNonNull("baseLikeCount")) n.get("baseLikeCount").asDouble() else 0.0
+            val mult = str(n, "scoreNormalizationMultiplier", "1.0").toDouble
+            val (uCol, pCol) = (likes.columns(0), likes.columns(1))
+            val win = histWindow(n, b)
+            Seq(Compute { _ =>
+              val userCnt = likes.groupBy(col(uCol)).agg(count(lit(1)).as("__n"))
+              val raw = likes
+                .join(broadcast(members), likes(uCol) === members(members.columns.head), "left_semi")
+                .join(userCnt, uCol)
+                .withColumn("__w", round(lit(1.0) / (lit(baseCnt) + col("__n")), 10).cast(Dec12))
+                .groupBy(col(pCol).as("__post"))
+                .agg(sum(col("__w")).as("__raw"))
+              val mx = raw.agg(max(col("__raw")).as("__mx"))
+              val scored = raw
+                .crossJoin(broadcast(mx))
+                .select(
+                  col("__post"),
+                  round(col("__raw").cast("double") / col("__mx").cast("double") * mult,
+                    b.scoreRoundScale).as("score"))
+              val store = win.foldLeft(boundStore(b))((df, blk) => blk(df))
+              store.join(scored, col(b.idCol) === col("__post")).drop("__post")
+            })
+
+          case "custom_likedbylikers" =>
+            // (main.rs:1515): two-hop like-graph walk seeded by the
+            // CURRENT working set — each seed post's likers become
+            // curators scored by f0..f5 of that post's liker count;
+            // the new working set is everything the curators liked,
+            // scored by the max-normalized curator-score sum.
+            val likes = boundLikes(b, "custom_likedbylikers")
+            val fnName = str(n, "userScoreFunction", "f1")
+            val exponent = str(n, "scoreExponent", "1.3").toDouble
+            val mult = str(n, "scoreNormalizationMultiplier", "1.0").toDouble
+            val (uCol, pCol) = (likes.columns(0), likes.columns(1))
+            val win = histWindow(n, b)
+            Seq(Compute { working =>
+              val postCnt = likes.groupBy(col(pCol)).agg(count(lit(1)).as("__cnt"))
+              val seeds = working.select(col(b.idCol).as("__sid")).distinct()
+              val curators = likes
+                .join(seeds, likes(pCol) === col("__sid"))
+                .join(postCnt, pCol)
+                .withColumn("__s", round(UserScore.fn(fnName, exponent)(col("__cnt")), 10).cast(Dec12))
+                .filter(col("__s") > 0) // the reference drops non-positive scores
+                .groupBy(col(uCol).as("__cu"))
+                .agg(sum(col("__s")).as("__cscore"))
+              val raw = likes
+                .join(curators, likes(uCol) === col("__cu"))
+                .groupBy(col(pCol).as("__post"))
+                .agg(sum(col("__cscore")).as("__raw"))
+              val mx = raw.agg(max(col("__raw")).as("__mx"))
+              val scored = raw
+                .crossJoin(broadcast(mx))
+                .select(
+                  col("__post"),
+                  round(col("__raw").cast("double") / col("__mx").cast("double") * mult,
+                    b.scoreRoundScale).as("score"))
+              val store = win.foldLeft(boundStore(b))((df, blk) => blk(df))
+              store.join(scored, col(b.idCol) === col("__post")).drop("__post")
+            })
+
           case "feed" =>
             throw new IllegalArgumentException(
               "inputType 'feed' fetches an external feed over HTTP (main.rs:1704) — out of scope for a batch engine")

@@ -486,22 +486,11 @@ object FeedBlocks {
     * curators who liked them. Both hops shuffle on the same like-table
     * keys; the curator side is small → broadcast.
     */
-  /** The reference's user-score function family f0..f5 (main.rs:1548):
-    * how much one like from a seed post's liker is worth, as a function
-    * of that post's total liker count.
+  /** The reference's user-score function family f0..f5 (main.rs:1548) —
+    * shared with the wire front-end (pipeline.UserScore).
     */
-  def userScoreFn(name: String, exponent: Double = 1.3): Column => Column = {
-    val n = (c: Column) => c.cast("double")
-    name match {
-      case "f0" => c => lit(1.0) / pow(n(c), lit(exponent))
-      case "f1" => c => lit(1.0) / n(c)
-      case "f2" => c => lit(100.0) - sqrt(n(c))
-      case "f3" => c => lit(10.0) - log(n(c))
-      case "f4" => c => lit(1.0) / sqrt(n(c))
-      case "f5" => c => lit(1.0) / log(n(c))
-      case _ => _ => lit(1.0)
-    }
-  }
+  def userScoreFn(name: String, exponent: Double = 1.3): Column => Column =
+    UserScore.fn(name, exponent)
 
   def likesBylikers(s: SparkSession, dir: String): DataFrame = {
     val likes = Tables.lineitem(s, dir).select(col("l_suppkey").as("u"), col("l_partkey").as("p"))
@@ -829,7 +818,12 @@ object FeedBlocks {
       whereFields = Map("value" -> col("value"), "eventType" -> col("event_type")),
       lists = Map("at://lists/building" -> members),
       refCols = Map("parent" -> "parent_ref", "record" -> "record_ref"),
-      store = Some(eventsStore(s, dir)))
+      store = Some(eventsStore(s, dir)),
+      // likes graph for the custom_liked* inputs: lineitem projected to
+      // (liker = l_suppkey, post = l_partkey); partkeys ⊂ event ids at
+      // every SF, so liked "posts" resolve in the events store
+      likes = Some(
+        Tables.lineitem(s, dir).select(col("l_suppkey").as("liker"), col("l_partkey").as("post"))))
   }
 
   /** #20d the full WIRE surface in one reference-shaped payload:
@@ -1003,6 +997,81 @@ object FeedBlocks {
       |SELECT doc_id, source, score FROM lim WHERE rn <= 10
       |ORDER BY score DESC, doc_id LIMIT 150""".stripMargin
 
+  /** #16b custom_likedweighted arriving AS WIRE JSON (main.rs:1453):
+    * the like-graph input parsed by PipelineJson — posts liked by the
+    * list's members, prolific likers damped, max-normalized score.
+    * Same join-aggregate shape as the standalone #16, reached through
+    * the reference's payload format.
+    */
+  def feedPipelineLiked(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"custom_likedweighted","listUri":"at://lists/building","baseLikeCount":5,"historySeconds":999999999},
+        |  {"type":"sort","sortType":"score","sortDirection":"desc"},
+        |  {"type":"limit","count":100}
+        |]}""".stripMargin
+    PipelineJson
+      .run(eventsStore(s, dir), payload, wireBinding(s, dir))
+      .select(col("event_id"), col("user_id"), col("score").cast("double").as("score"))
+  }
+
+  val feedPipelineLikedSql: String =
+    """WITH likes AS (SELECT l_suppkey AS u, l_partkey AS p FROM lineitem),
+      |ucnt AS (SELECT u, COUNT(*) AS n FROM likes GROUP BY u),
+      |raw AS (
+      |  SELECT p, SUM(CAST(round(1.0/(5 + n), 10) AS DECIMAL(38,12))) AS raw
+      |  FROM likes JOIN ucnt USING (u)
+      |  WHERE u IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+      |  GROUP BY p
+      |),
+      |scored AS (
+      |  SELECT p,
+      |    CAST(round(CAST(raw AS DOUBLE) / (SELECT CAST(MAX(raw) AS DOUBLE) FROM raw), 6) AS DOUBLE) AS score
+      |  FROM raw
+      |)
+      |SELECT e.event_id, e.user_id, s.score
+      |FROM events e JOIN scored s ON e.event_id = s.p
+      |ORDER BY score DESC, event_id LIMIT 100""".stripMargin
+
+  /** #17b custom_likedbylikers AS WIRE JSON (main.rs:1515): seed posts
+    * via a point-lookup input, walk to their likers (curators, scored
+    * f1 = 1/likers-of-seed), then to everything the curators liked —
+    * the working set REPLACED by the two-hop result, max-normalized.
+    */
+  def feedPipelineBylikers(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"post","postUri":[10,11,12,13,14]},
+        |  {"type":"input","inputType":"custom_likedbylikers","userScoreFunction":"f1","historySeconds":999999999},
+        |  {"type":"sort","sortType":"score","sortDirection":"desc"},
+        |  {"type":"limit","count":100}
+        |]}""".stripMargin
+    PipelineJson
+      .run(eventsStore(s, dir), payload, wireBinding(s, dir))
+      .select(col("event_id"), col("user_id"), col("score").cast("double").as("score"))
+  }
+
+  val feedPipelineBylikersSql: String =
+    """WITH likes AS (SELECT l_suppkey AS u, l_partkey AS p FROM lineitem),
+      |pcnt AS (SELECT p, COUNT(*) AS cnt FROM likes GROUP BY p),
+      |seedlikes AS (
+      |  SELECT l.u, l.p, c.cnt FROM likes l JOIN pcnt c USING (p)
+      |  WHERE l.p IN (10, 11, 12, 13, 14)
+      |),
+      |curators AS (
+      |  SELECT u, SUM(CAST(round(1.0/cnt, 10) AS DECIMAL(38,12))) AS cs
+      |  FROM seedlikes GROUP BY u
+      |),
+      |raw AS (SELECT p, SUM(cs) AS raw FROM likes JOIN curators USING (u) GROUP BY p),
+      |scored AS (
+      |  SELECT p,
+      |    CAST(round(CAST(raw AS DOUBLE) / (SELECT CAST(MAX(raw) AS DOUBLE) FROM raw), 6) AS DOUBLE) AS score
+      |  FROM raw
+      |)
+      |SELECT e.event_id, e.user_id, s.score
+      |FROM events e JOIN scored s ON e.event_id = s.p
+      |ORDER BY score DESC, event_id LIMIT 100""".stripMargin
+
   private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1039,7 +1108,9 @@ object FeedBlocks {
     "feed_pipeline_stash" -> (feedPipelineStash(_, _)),
     "feed_pipeline_wire" -> (feedPipelineWire(_, _)),
     "feed_pipeline_quotes" -> (feedPipelineQuotes(_, _)),
-    "feed_pipeline_tags" -> (feedPipelineTags(_, _)))
+    "feed_pipeline_tags" -> (feedPipelineTags(_, _)),
+    "feed_pipeline_liked" -> (feedPipelineLiked(_, _)),
+    "feed_pipeline_bylikers" -> (feedPipelineBylikers(_, _)))
 
   val oracles: Map[String, String] = Map(
     "input_window" -> inputWindowSql,
@@ -1075,5 +1146,7 @@ object FeedBlocks {
     "feed_pipeline_stash" -> feedPipelineStashSql,
     "feed_pipeline_wire" -> feedPipelineWireSql,
     "feed_pipeline_quotes" -> feedPipelineQuotesSql,
-    "feed_pipeline_tags" -> feedPipelineTagsSql)
+    "feed_pipeline_tags" -> feedPipelineTagsSql,
+    "feed_pipeline_liked" -> feedPipelineLikedSql,
+    "feed_pipeline_bylikers" -> feedPipelineBylikersSql)
 }
