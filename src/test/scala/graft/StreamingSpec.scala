@@ -47,6 +47,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Long]("last_event_id") == 3)
   }
 
+  test("stateful streams run on the RocksDB state store (the large-state provider)") {
+    // The default HDFS-backed provider keeps every key in executor heap;
+    // at 100 TB of per-user state that is an OOM. RocksDB spills state
+    // to local disk with the same exactly-once semantics — flipping the
+    // provider must not change results.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[Ev]
+      val q = Streams
+        .incrementalCounts(in.toDS())
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .format("memory").queryName("ic_rocks").start()
+      in.addData(ev(1, 0, 7, "view", 1.5), ev(2, 1, 7, "click", 2.5))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, 7, "purchase", 6.0))
+      q.processAllAvailable(); q.stop()
+      val last = spark.table("ic_rocks").collect().filter(_.getAs[Long]("user_id") == 7)
+        .maxBy(_.getAs[Long]("n_events"))
+      assert(last.getAs[Long]("n_events") == 3)
+      assert(math.abs(last.getAs[Double]("total_value") - 10.0) < 1e-9)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("streaming trending tags counts words per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
