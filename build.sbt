@@ -36,13 +36,20 @@ val forkedHeap: String = sys.env.getOrElse(
   "SPARK_DRIVER_MEM", {
     val physGb =
       try {
-        val kb = scala.io.Source
-          .fromFile("/proc/meminfo")
-          .getLines()
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines()
           .collectFirst { case l if l.startsWith("MemTotal:") => l.split("\\s+")(1).toLong }
-          .getOrElse(8L * 1024 * 1024)
-        kb / 1024 / 1024
-      } catch { case _: Throwable => 8L }
+          .map(_ / 1024 / 1024)
+          .getOrElse {
+            System.err.println("[build] MemTotal not found in /proc/meminfo; assuming 8 GB — set SPARK_DRIVER_MEM to override")
+            8L
+          }
+        finally src.close()
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[build] could not read /proc/meminfo (${e.getMessage}); assuming 8 GB — set SPARK_DRIVER_MEM to override")
+          8L
+      }
     s"${math.max(2L, math.min(28L, physGb * 7 / 10))}g"
   })
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -74,9 +74,15 @@ object Lineage {
     val spark = df.sparkSession
     val reliable = spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")
     if (reliable) {
-      if (spark.sparkContext.getCheckpointDir.isEmpty)
-        spark.sparkContext.setCheckpointDir(
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        // delete checkpoint files once the frame is no longer referenced
+        // — otherwise every cut leaves a full materialized copy on disk
+        // and long-running cluster sessions fill the volume
+        sc.getConf.set("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        sc.setCheckpointDir(
           spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse("/tmp/graft-checkpoints"))
+      }
       df.checkpoint(eager = true)
     } else df.localCheckpoint(true)
   }

@@ -95,17 +95,14 @@ object Registry {
     */
   def registerAll(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    if (!registry.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hamming"))) {
-      registry.createOrReplaceTempFunction(
-        "graft_hamming",
-        exprs => HammingDistance(exprs(0), exprs(1)),
-        "built-in")
-      registry.createOrReplaceTempFunction(
-        "graft_dot",
-        exprs => DotProduct(exprs(0), exprs(1)),
-        "built-in")
-    }
+    // each name gated independently: gating both on one would leave the
+    // other permanently unregistered if a session ever binds just one
+    def ensure(name: String, builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+        => org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      if (!registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    ensure("graft_hamming", exprs => HammingDistance(exprs(0), exprs(1)))
+    ensure("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
   }
 
   /** Dot product of two ARRAY<DOUBLE> columns — the native codegen'd

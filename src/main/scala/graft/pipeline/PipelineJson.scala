@@ -193,12 +193,22 @@ object PipelineJson {
     b.fieldCols.getOrElse(name, if (name == "like_count") col(b.valueCol) else col(name))
 
   /** The reference's HN score (main.rs:4338): likes / (age_h + 2)^gravity
-    * against the deterministic anchor.
+    * against the deterministic anchor. Reads like_count through the
+    * same field resolution as the count filters, so a Binding that maps
+    * like_count explicitly gets consistent semantics everywhere.
     */
   private def hnExpr(b: Binding, gravity: Double): Column = {
     val ageH = (lit(b.nowEpochMs) - unix_millis(col(b.tsCol))).cast("double") / lit(3600000.0)
-    col(b.valueCol) / pow(ageH + lit(2.0), lit(gravity))
+    resolveField(b, "like_count") / pow(ageH + lit(2.0), lit(gravity))
   }
+
+  /** Case-insensitive membership over a bound array column: the
+    * reference's tag/label indexes are lowercase on BOTH sides
+    * (main.rs:1609) — lowercasing only the query side would silently
+    * drop mixed-case store values.
+    */
+  private def containsAnyToken(arrCol: Column, tokens: Seq[String]): Column =
+    tokens.map(t => exists(arrCol, x => lower(x) === lit(t))).reduce(_ || _)
 
   private def histWindow(n: JsonNode, b: Binding): Seq[Block] = {
     val secs = if (n.hasNonNull("historySeconds")) n.get("historySeconds").asLong() else 604800L
@@ -223,6 +233,23 @@ object PipelineJson {
   private def boundLikes(b: Binding, blockType: String): DataFrame =
     b.likes.getOrElse(
       throw new IllegalArgumentException(s"$blockType needs Binding.likes (liker, post)"))
+
+  /** Shared tail of the custom_liked* inputs: max-normalize the raw
+    * decimal per-post scores (single-row broadcast, no driver collect)
+    * and join the scored ids back onto the (optionally windowed) store.
+    */
+  private def normalizedStoreJoin(
+      raw: DataFrame, b: Binding, win: Seq[Block], mult: Double): DataFrame = {
+    val mx = raw.agg(max(col("__raw")).as("__mx"))
+    val scored = raw
+      .crossJoin(broadcast(mx))
+      .select(
+        col("__post"),
+        round(col("__raw").cast("double") / col("__mx").cast("double") * mult,
+          b.scoreRoundScale).as("score"))
+    val store = win.foldLeft(boundStore(b))((df, blk) => blk(df))
+    store.join(scored, col(b.idCol) === col("__post")).drop("__post")
+  }
 
   private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
 
@@ -260,14 +287,14 @@ object PipelineJson {
               throw new IllegalArgumentException("tags input needs Binding.tagsCol"))
             val tags = strSeq(n, "tags", "tags input")
             require(tags.nonEmpty, "tags input needs at least one tag")
-            histWindow(n, b) :+ WhereFilter(tags.map(t => array_contains(tagsCol, t)).reduce(_ || _))
+            histWindow(n, b) :+ WhereFilter(containsAnyToken(tagsCol, tags))
           case "labels" =>
             // label index lookup (main.rs:1669)
             val labelsCol = b.labelsCol.getOrElse(
               throw new IllegalArgumentException("labels input needs Binding.labelsCol"))
             val labels = strSeq(n, "labels", "labels input")
             require(labels.nonEmpty, "labels input needs at least one label")
-            histWindow(n, b) :+ WhereFilter(labels.map(l => array_contains(labelsCol, l)).reduce(_ || _))
+            histWindow(n, b) :+ WhereFilter(containsAnyToken(labelsCol, labels))
           case "post" =>
             // point lookup by post id(s) (main.rs:1786) — the In
             // predicate reaches PushedFilters / row-group skipping
@@ -305,15 +332,7 @@ object PipelineJson {
                 .withColumn("__w", round(lit(1.0) / (lit(baseCnt) + col("__n")), 10).cast(Dec12))
                 .groupBy(col(pCol).as("__post"))
                 .agg(sum(col("__w")).as("__raw"))
-              val mx = raw.agg(max(col("__raw")).as("__mx"))
-              val scored = raw
-                .crossJoin(broadcast(mx))
-                .select(
-                  col("__post"),
-                  round(col("__raw").cast("double") / col("__mx").cast("double") * mult,
-                    b.scoreRoundScale).as("score"))
-              val store = win.foldLeft(boundStore(b))((df, blk) => blk(df))
-              store.join(scored, col(b.idCol) === col("__post")).drop("__post")
+              normalizedStoreJoin(raw, b, win, mult)
             })
 
           case "custom_likedbylikers" =>
@@ -342,15 +361,7 @@ object PipelineJson {
                 .join(curators, likes(uCol) === col("__cu"))
                 .groupBy(col(pCol).as("__post"))
                 .agg(sum(col("__cscore")).as("__raw"))
-              val mx = raw.agg(max(col("__raw")).as("__mx"))
-              val scored = raw
-                .crossJoin(broadcast(mx))
-                .select(
-                  col("__post"),
-                  round(col("__raw").cast("double") / col("__mx").cast("double") * mult,
-                    b.scoreRoundScale).as("score"))
-              val store = win.foldLeft(boundStore(b))((df, blk) => blk(df))
-              store.join(scored, col(b.idCol) === col("__post")).drop("__post")
+              normalizedStoreJoin(raw, b, win, mult)
             })
 
           case "feed" =>
@@ -427,7 +438,7 @@ object PipelineJson {
             val labelsCol = b.labelsCol.getOrElse(
               throw new IllegalArgumentException("labels filter needs Binding.labelsCol"))
             val labels = strSeq(n, "labels", "labels filter")
-            Seq(WhereFilter(!labels.map(l => array_contains(labelsCol, l)).reduce(_ || _)))
+            Seq(WhereFilter(!containsAnyToken(labelsCol, labels)))
 
           case "videos" =>
             // (main.rs:1973): the one subject where keep/remove differ
@@ -523,7 +534,7 @@ object PipelineJson {
           case "score" if !scored => Seq(col(b.tsCol).desc, col(b.idCol))
           case "score" => Seq(dir(col("score")), col(b.idCol))
           case "created_at" => Seq(dir(col(b.tsCol)), col(b.idCol))
-          case "likes" => Seq(dir(col(b.valueCol)), col(b.idCol))
+          case "likes" => Seq(dir(resolveField(b, "like_count")), col(b.idCol))
           case st @ ("repost_count" | "reply_count") => Seq(dir(resolveField(b, st)), col(b.idCol))
           case "hn" =>
             // sort-time HN score (main.rs:2246): ranked on the rounded

@@ -974,10 +974,10 @@ object FeedBlocks {
     """WITH live AS (SELECT * FROM documents WHERE doc_id % 10 < 8),
       |tagsel AS (
       |  SELECT * FROM live
-      |  WHERE list_contains(string_split(text, ' '), 'window')
-      |     OR list_contains(string_split(text, ' '), 'stream')
+      |  WHERE list_contains(list_transform(string_split(text, ' '), w -> lower(w)), 'window')
+      |     OR list_contains(list_transform(string_split(text, ' '), w -> lower(w)), 'stream')
       |),
-      |labsel AS (SELECT * FROM live WHERE lang IN ('en', 'de')),
+      |labsel AS (SELECT * FROM live WHERE lower(lang) IN ('en', 'de')),
       |arch AS (SELECT * FROM documents WHERE doc_id % 10 >= 8),
       |merged AS (
       |  SELECT * FROM tagsel UNION ALL SELECT * FROM labsel UNION ALL SELECT * FROM arch

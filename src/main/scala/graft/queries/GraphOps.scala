@@ -55,10 +55,12 @@ object GraphOps {
   def graph2hop(s: SparkSession, dir: String): DataFrame = {
     val e = edges(s, dir)
     val hop1 = e.filter(col("src") < 3).select(col("src"), col("dst").as("mid")).distinct()
-    // hop1 is seed-bounded (≤ seeds × |V| rows) but sits behind an
-    // aggregate, so the size estimate balloons past the broadcast
-    // threshold and the planner falls back to a sort-merge join — pin
-    // the broadcast on the provably-small side
+    // hop1 sits behind an aggregate, so the size estimate balloons past
+    // the broadcast threshold and the planner falls back to a sort-merge
+    // join. The pinned broadcast is justified HERE because this query's
+    // hop1 is doubly bounded (3 seeds × a 150-node projected graph); a
+    // general 2-hop over unbounded fanout should drop the hint and let
+    // AQE decide (cf. jaccardPairs)
     broadcast(hop1)
       .join(e.select(col("src").as("mid"), col("dst")).distinct(), "mid")
       .select(col("src"), col("dst"))

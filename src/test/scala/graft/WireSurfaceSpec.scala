@@ -45,7 +45,7 @@ class WireSurfaceSpec extends AnyFunSuite {
     Seq(
       //       id author ts         likes reposts replies imgs lang  record    video        is_reply labels           tags              parent   root     record_id
       WirePost(1L, 10L, tsAt(10), 50.0, 7, 1, 0, "en", "", None, false, Nil, Seq("spark"), None, None, None),
-      WirePost(2L, 10L, tsAt(20), 5.0, 2, 9, 1, "de", "post:3", Some("v.mp4"), false, Seq("spoiler"), Seq("scala"), None, None, Some(3L)),
+      WirePost(2L, 10L, tsAt(20), 5.0, 2, 9, 1, "de", "post:3", Some("v.mp4"), false, Seq("Spoiler"), Seq("Scala"), None, None, Some(3L)),
       WirePost(3L, 11L, tsAt(30), 30.0, 9, 4, 2, "en", "", None, true, Nil, Nil, Some(1L), Some(1L), None),
       WirePost(4L, 11L, tsAt(40), 8.0, 1, 2, 3, "fr", "feed:xyz", None, true, Seq("nsfw", "spoiler"), Seq("spark", "sql"), Some(3L), Some(1L), None),
       WirePost(5L, 12L, tsAt(50), 90.0, 4, 0, 0, "en", "post:1", Some("w.mp4"), false, Nil, Nil, None, None, Some(1L))
@@ -115,9 +115,10 @@ class WireSurfaceSpec extends AnyFunSuite {
     assert(runWire("""{"type":"remove","subject":"videos"}""").sorted == Seq(1L, 3L, 4L))
   }
 
-  test("labels filter removes any post carrying a named label") {
+  test("labels filter removes any post carrying a named label, case-folded BOTH sides") {
     assert(runWire("""{"type":"remove","subject":"labels","labels":["NSFW"]}""").sorted
-      == Seq(1L, 2L, 3L, 5L)) // lowercased like the reference's index
+      == Seq(1L, 2L, 3L, 5L)) // query side lowercased like the reference's index
+    // post 2 carries "Spoiler" (mixed-case store value) — must still match
     assert(runWire("""{"type":"remove","subject":"labels","labels":["spoiler","nsfw"]}""").sorted
       == Seq(1L, 3L, 5L))
   }
@@ -140,7 +141,8 @@ class WireSurfaceSpec extends AnyFunSuite {
     assert(runWire("""{"type":"input","inputType":"post","postUri":[2,5]}""").sorted == Seq(2L, 5L))
   }
 
-  test("tags input matches any tag, lowercased like the reference index") {
+  test("tags input matches any tag, case-folded both sides like the reference index") {
+    // post 2's tag is stored as "Scala" — the fold must hit it anyway
     assert(runWire("""{"type":"input","inputType":"tags","tags":["SQL","scala"]}""").sorted
       == Seq(2L, 4L))
   }
