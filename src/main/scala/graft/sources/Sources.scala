@@ -63,4 +63,20 @@ object Sources {
       .option("nullValue", "\\N")
       .option("multiLine", "true")
       .csv(dir)
+
+  /** Text-corpus parquet sink tuned for 100 TB document tables: zstd
+    * (higher ratio than the snappy default at comparable scan speed —
+    * on a 100 TB corpus the delta is tens of TB of storage AND of scan
+    * I/O) with a large dictionary-friendly page budget. Sorting within
+    * partitions by the cluster-ish key first makes similar documents
+    * adjacent, which is where parquet dictionary/prefix encodings win.
+    */
+  def writeTextCorpus(df: DataFrame, outDir: String, sortCols: Seq[String] = Nil): Unit = {
+    val arranged = if (sortCols.nonEmpty) df.sortWithinPartitions(sortCols.map(col): _*) else df
+    arranged.write
+      .mode(SaveMode.Overwrite)
+      .option("compression", "zstd")
+      .option("parquet.page.size", (1024 * 1024).toString) // bigger pages → better zstd ratio
+      .parquet(outDir)
+  }
 }

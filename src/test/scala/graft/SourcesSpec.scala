@@ -58,4 +58,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.count() == docs.count())
     assert(back.select("doc_id", "lang").except(docs.select("doc_id", "lang")).count() == 0)
   }
+
+  test("zstd text-corpus layout round-trips losslessly and beats snappy on size") {
+    def dirBytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length else Option(f.listFiles).map(_.map(walk).sum).getOrElse(0L)
+      walk(new java.io.File(p))
+    }
+    val docs = Tables.documents(spark, dir).coalesce(1)
+    val snappyOut = Files.createTempDirectory("graft_snappy").toString
+    val zstdOut = Files.createTempDirectory("graft_zstd").toString
+    docs.write.mode("overwrite").option("compression", "snappy").parquet(snappyOut)
+    // sort by the similarity-ish key (source) so near-identical docs sit
+    // adjacent for the dictionary/prefix encoders
+    Sources.writeTextCorpus(docs, zstdOut, sortCols = Seq("source", "doc_id"))
+    val back = spark.read.parquet(zstdOut)
+    assert(back.count() == docs.count())
+    assert(back.select("doc_id", "text").except(docs.select("doc_id", "text")).count() == 0)
+    val (snappyB, zstdB) = (dirBytes(snappyOut), dirBytes(zstdOut))
+    assert(zstdB < snappyB, s"zstd $zstdB not smaller than snappy $snappyB")
+  }
 }
