@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.FeedBlocks.queries ++
       graft.queries.TextOps.queries ++
       graft.queries.GraphOps.queries ++
-      graft.queries.Round2Ops.queries
+      graft.queries.Round2Ops.queries ++
+      graft.queries.Round3Ops.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.FeedBlocks.oracles ++
       graft.queries.TextOps.oracles ++
       graft.queries.GraphOps.oracles ++
-      graft.queries.Round2Ops.oracles
+      graft.queries.Round2Ops.oracles ++
+      graft.queries.Round3Ops.oracles
 }

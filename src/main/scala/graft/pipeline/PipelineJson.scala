@@ -493,6 +493,9 @@ object PipelineJson {
         // standalone where block (alias of the keep/subject=where form)
         Seq(WhereFilter(WhereDsl.compile(reqStr(n, "value", "where"), b.whereFields)))
 
+      case "remember_posts" =>
+        Nil // a declared no-op in the reference (main.rs:2384)
+
       case "regex" =>
         val targets = b.regexTargets.getOrElse(
           str(n, "target", "text"),
