@@ -82,6 +82,34 @@ object Streams {
         col("n_events"),
         col("session_value"))
 
+  /** Per-post liker-set state: the reference's likes_post_to_users
+    * RoaringBitmap (main.rs:61) as keyed stream state.
+    */
+  case class LikerSet(likers: Seq[Long])
+  case class PostLikes(post_id: Long, n_likes: Long)
+
+  /** #45b likes-graph ingestion (run_likes_query, main.rs:3287): the
+    * reference polls the likes table and unions new likers into a
+    * per-post bitmap. Here each micro-batch folds its likes into a
+    * per-post liker SET held as keyed state — set semantics make
+    * at-least-once redelivery and double-likes idempotent, exactly
+    * like the bitmap. At scale the state lives in RocksDB (test-pinned
+    * provider parity), sharded by post key; emission is the refreshed
+    * (post, n_likes) counter row per batch.
+    */
+  def likesGraphStream(likes: Dataset[(Long, Long)]): Dataset[PostLikes] = {
+    import likes.sparkSession.implicits._
+    likes
+      .groupByKey(_._2) // key = post
+      .mapGroupsWithState[LikerSet, PostLikes](GroupStateTimeout.NoTimeout) {
+        (pid: Long, rows: Iterator[(Long, Long)], state: GroupState[LikerSet]) =>
+          val prev = state.getOption.getOrElse(LikerSet(Nil))
+          val merged = (prev.likers.toSet ++ rows.map(_._1)).toSeq.sorted
+          state.update(LikerSet(merged))
+          PostLikes(pid, merged.size)
+      }
+  }
+
   /** A user's current feed: their top-scored events so far. */
   case class FeedState(entries: List[(Double, Long)])
   case class FeedRow(user_id: Long, rank: Int, event_id: Long, score: Double)

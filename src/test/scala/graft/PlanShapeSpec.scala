@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression guard for the physical-plan shapes the 100 TB story
+  * depends on. A wrong answer fails the oracle gate; a wrong PLAN
+  * (lost pushdown, a broadcast that became a sort-merge join, a top-k
+  * that became a global sort) fails only at scale — so pin the shapes
+  * here, on the executed AQE-final plans.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.local(cores = 4, shufflePartitions = 4)
+  val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(df: DataFrame): String = {
+    df.collect() // finalizes AQE on df's own QueryExecution
+    df.queryExecution.executedPlan.toString
+  }
+  private def planOf(name: String): String =
+    executedPlan(SparkEntry.queries(name)(spark, dir))
+
+  test("firehose window reaches the parquet scan (PushedFilters)") {
+    val plan = planOf("input_window")
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"), plan.take(800))
+  }
+
+  test("top-k queries plan as TakeOrderedAndProject, not a global sort") {
+    for (q <- Seq("sort_topk", "feed_pipeline", "feed_pipeline_wire"))
+      assert(planOf(q).contains("TakeOrderedAndProject"), s"$q lost its top-k")
+  }
+
+  test("set-membership filters stay broadcast joins") {
+    val plan = planOf("filter_in_set")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), "membership filter degraded to SMJ")
+  }
+
+  test("graph 2-hop keeps its pinned broadcast (no sort-merge join)") {
+    assert(!planOf("graph_2hop").contains("SortMergeJoin"))
+  }
+
+  test("star-schema join broadcasts every dimension") {
+    val plan = planOf("q5_multi_join")
+    assert(!plan.contains("SortMergeJoin"), "a dimension fell out of broadcast range")
+  }
+
+  test("no driver-side collect hides in any catalog query plan") {
+    // CollectLimit at the ROOT is fine (the final .limit the driver
+    // reads); what must never appear is a LocalTableScan materialized
+    // from a mid-plan collect — spot-check the heavies
+    for (q <- Seq("dedup_clusters", "likes_bylikers", "embed_pair_sim_bucketed")) {
+      val plan = planOf(q)
+      // localCheckpoint shows as scan-from-RDD; LocalTableScan from
+      // driver-materialized rows would mean a hidden collect
+      assert(!plan.contains("LocalTableScan ["), s"$q materializes driver-side rows")
+    }
+  }
+}

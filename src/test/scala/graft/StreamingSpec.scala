@@ -74,6 +74,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("likes-graph state dedups double-likes like the reference bitmap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)] // (user, post)
+    val q = Streams
+      .likesGraphStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("lg").start()
+    in.addData((1L, 100L), (2L, 100L), (1L, 100L), (1L, 200L))
+    q.processAllAvailable()
+    in.addData((3L, 100L), (2L, 100L)) // one new liker, one redelivery
+    q.processAllAvailable(); q.stop()
+    val latest = spark.table("lg").collect()
+      .groupBy(_.getAs[Long]("post_id")).map { case (p, rs) => p -> rs.map(_.getAs[Long]("n_likes")).max }
+    assert(latest(100L) == 3) // u1, u2, u3 — double-likes collapsed
+    assert(latest(200L) == 1)
+  }
+
   test("streaming trending tags counts words per window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
