@@ -245,7 +245,11 @@ object PipelineJson {
       .crossJoin(broadcast(mx))
       .select(
         col("__post"),
-        round(col("__raw").cast("double") / col("__mx").cast("double") * mult,
+        // zero max ⇒ contribution 0, not an Infinity-poisoned score
+        // (same guard as ScoreAdd; f2/f3 user-score sums can be ≤ 0)
+        round(
+          when(col("__mx") =!= 0, col("__raw").cast("double") / col("__mx").cast("double") * mult)
+            .otherwise(lit(0.0)),
           b.scoreRoundScale).as("score"))
     val store = win.foldLeft(boundStore(b))((df, blk) => blk(df))
     store.join(scored, col(b.idCol) === col("__post")).drop("__post")
