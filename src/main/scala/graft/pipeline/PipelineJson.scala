@@ -202,6 +202,20 @@ object PipelineJson {
     resolveField(b, "like_count") / pow(ageH + lit(2.0), lit(gravity))
   }
 
+  /** `where` script filter. The reference pushes the RUNNING SCORE into
+    * the script scope as a constant (main.rs:1969), defaulting to 0 for
+    * unscored posts — so `score` resolves to the score column when the
+    * working frame has one and to literal 0.0 before any score block.
+    * Resolved lazily (Compute) because only the frame itself knows.
+    * A user-bound `score` field in whereFields wins over the built-in.
+    */
+  private def whereBlock(script: String, b: Binding, invert: Boolean): Block = Compute { df =>
+    val scoreCol = if (df.columns.contains("score")) col("score") else lit(0.0)
+    val fields = Map("score" -> scoreCol) ++ b.whereFields
+    val pred = WhereDsl.compile(script, fields)
+    df.filter(if (invert) !pred else pred)
+  }
+
   /** Case-insensitive membership over a bound array column: the
     * reference's tag/label indexes are lowercase on BOTH sides
     * (main.rs:1609) — lowercasing only the query side would silently
@@ -469,8 +483,7 @@ object PipelineJson {
           case "where" =>
             // Rhai `where` as a keep/remove subject (main.rs:1952):
             // remove inverts the compiled predicate
-            val pred = WhereDsl.compile(reqStr(n, "value", t), b.whereFields)
-            Seq(WhereFilter(if (t == "keep") pred else !pred))
+            Seq(whereBlock(reqStr(n, "value", t), b, invert = t == "remove"))
 
           case subject =>
             // engine extension: generic column compare for subjects the
@@ -495,7 +508,7 @@ object PipelineJson {
 
       case "where" =>
         // standalone where block (alias of the keep/subject=where form)
-        Seq(WhereFilter(WhereDsl.compile(reqStr(n, "value", "where"), b.whereFields)))
+        Seq(whereBlock(reqStr(n, "value", "where"), b, invert = false))
 
       case "remember_posts" =>
         Nil // a declared no-op in the reference (main.rs:2384)

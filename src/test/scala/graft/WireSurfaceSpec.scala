@@ -195,6 +195,24 @@ class WireSurfaceSpec extends AnyFunSuite {
     assert(ids == Seq(2L))
   }
 
+  test("where scripts see the running score (0 before any score block)") {
+    // before scoring: score is the constant 0, so score >= 0 keeps all
+    assert(runWire("""{"type":"where","value":"score >= 0"}""").size == 5)
+    assert(runWire("""{"type":"where","value":"score > 0"}""").isEmpty)
+    // after a score block the same script reads the real column
+    val out = PipelineJson.run(
+      store,
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":86400},
+        |  {"type":"score","scoreType":"add","from":"like_count","normalize":true},
+        |  {"type":"keep","subject":"where","value":"score > 0.5"}
+        |]}""".stripMargin,
+      binding)
+    val ids = out.select(col("id")).collect().map(_.getLong(0)).toSeq.sorted
+    // normalized like_count: 90 is the max → 1.0; 50/90 ≈ 0.56 also > 0.5
+    assert(ids == Seq(1L, 5L))
+  }
+
   test("archived input swaps in the archive relation inside run()") {
     val out = PipelineJson.run(
       store.filter(col("id") < 3L),
