@@ -65,14 +65,17 @@ object KeepCmp {
     KeepCmp(col(column), op, value)
 }
 
-/** keep/remove by set membership (list filter, main.rs:1903): broadcast
-  * semi/anti join against the member set (the RoaringBitmap replacement).
+/** keep/remove by set membership (list filter, main.rs:1903): semi/anti
+  * join against the member set (the RoaringBitmap replacement). No
+  * forced broadcast: reference lists are small curated sets and AQE
+  * broadcasts them when they actually are — a pathological list then
+  * degrades to a shuffle join instead of an executor OOM.
   */
 case class KeepInSet(column: String, members: DataFrame, memberCol: String, keep: Boolean)
     extends Block {
   def apply(df: DataFrame): DataFrame = {
     val joinType = if (keep) "left_semi" else "left_anti"
-    df.join(broadcast(members), col(column) === col(memberCol), joinType)
+    df.join(members, col(column) === col(memberCol), joinType)
   }
 }
 

@@ -345,7 +345,7 @@ object PipelineJson {
             Seq(Compute { _ =>
               val userCnt = likes.groupBy(col(uCol)).agg(count(lit(1)).as("__n"))
               val raw = likes
-                .join(broadcast(members), likes(uCol) === members(members.columns.head), "left_semi")
+                .join(members, likes(uCol) === members(members.columns.head), "left_semi")
                 .join(userCnt, uCol)
                 .withColumn("__w", round(lit(1.0) / (lit(baseCnt) + col("__n")), 10).cast(Dec12))
                 .groupBy(col(pCol).as("__post"))

@@ -49,15 +49,18 @@ object Analytics {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** #22 3-way join + agg + top-k. Customer dim broadcast; top-k is
-    * TakeOrderedAndProject (per-partition heap), not a global sort.
+  /** #22 3-way join + agg + top-k. No forced broadcasts: orders and
+    * customer SCALE WITH THE DATA — a pinned hint OOMs at 100 TB, while
+    * the hint-free equi-joins let the planner/AQE broadcast whenever a
+    * filtered side is actually small and shuffle when it isn't. Top-k
+    * is TakeOrderedAndProject (per-partition heap), not a global sort.
     */
   def q3JoinTopk(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     val ord = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
     val li = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1996-03-15").cast("timestamp"))
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(emit(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
       .select(
@@ -79,7 +82,12 @@ object Analytics {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
-  /** #23 6-way star join, all dims broadcast, one shuffle for the agg. */
+  /** #23 6-way star join. Hints ONLY on the constant-size dims
+    * (nation: 25 rows, region: 5 — fixed regardless of SF); orders/
+    * customer/supplier scale with the data, so their joins stay
+    * hint-free for the planner/AQE to pick broadcast vs shuffle by
+    * actual size. One shuffle for the agg.
+    */
   def q5MultiJoin(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
     val nation = Tables.nation(s, dir)
@@ -92,10 +100,10 @@ object Analytics {
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
     Tables
       .lineitem(s, dir)
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .join(
-        broadcast(sup),
+        sup,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

@@ -60,8 +60,9 @@ object FeedBlocks {
       |ORDER BY event_id""".stripMargin
 
   /** #3 author-list membership: keep events whose user is a BUILDING-
-    * segment customer — broadcast left-semi join (the RoaringBitmap
-    * set-intersection, distributed).
+    * segment customer — a left-semi join (the RoaringBitmap
+    * set-intersection, distributed; AQE broadcasts the member side
+    * when it is actually small).
     */
   def filterInSet(s: SparkSession, dir: String): DataFrame = {
     val members = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
@@ -301,7 +302,7 @@ object FeedBlocks {
       .lineitem(s, dir)
       .filter(col("l_quantity") >= 45)
       .select(col("l_orderkey"), col("l_linenumber"))
-    li.join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"), "left")
+    li.join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"), "left")
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
@@ -325,7 +326,7 @@ object FeedBlocks {
     val seed = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0).select(col("o_orderkey"))
     Tables
       .lineitem(s, dir)
-      .join(broadcast(seed), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(seed, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
@@ -344,8 +345,8 @@ object FeedBlocks {
       .lineitem(s, dir)
       .filter(col("l_quantity") >= 48)
       .select(col("l_orderkey"), col("l_linenumber"))
-      .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"), "left")
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"), "left")
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"), "left")
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"), "left")
       .select(
         col("l_orderkey"),
         col("l_linenumber"),
@@ -439,9 +440,9 @@ object FeedBlocks {
       .filter(col("c_acctbal") > 9000.0)
       .select(col("c_custkey"))
     val rooted = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.orders(s, dir)), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
     rooted
-      .join(broadcast(seedRoots), col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(seedRoots, col("o_custkey") === col("c_custkey"), "left_semi")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
@@ -502,7 +503,7 @@ object FeedBlocks {
       .groupBy(col("u"))
       .agg(sum(col("w")).as("curator_score"))
     likes
-      .join(broadcast(curators), "u")
+      .join(curators, "u")
       .groupBy(col("p"))
       .agg(sum(col("curator_score")).as("raw"))
       .select(col("p"), emit(col("raw"), 8).as("score"))
@@ -724,7 +725,9 @@ object FeedBlocks {
     * line item resolves through its quote ref (a partkey subset) to the
     * record store; null refs are kept (keepItemsWithMissingTarget=true),
     * dangling refs (target absent from the store) always drop — the
-    * reference's three-way replace semantics exactly. Broadcast lookup.
+    * reference's three-way replace semantics exactly. The record-store
+    * lookup is hint-free: the store scales with the data, so the
+    * planner/AQE picks broadcast vs shuffle by actual size.
     */
   def replaceRecord(s: SparkSession, dir: String): DataFrame = {
     val li = Tables
@@ -735,7 +738,7 @@ object FeedBlocks {
         col("l_linenumber"),
         when(col("l_partkey") % 3 === 0, col("l_partkey")).as("record_ref"))
     val store = Tables.part(s, dir).filter(col("p_size") <= 40)
-    li.join(broadcast(store), col("record_ref") === col("p_partkey"), "left")
+    li.join(store, col("record_ref") === col("p_partkey"), "left")
       .filter(col("record_ref").isNull || col("p_partkey").isNotNull)
       .select(
         col("l_orderkey"),
@@ -767,7 +770,7 @@ object FeedBlocks {
     Tables
       .lineitem(s, dir)
       .withColumn("record_ref", when(col("l_partkey") % 3 === 0, col("l_partkey")))
-      .join(broadcast(seeds), col("record_ref") === col("p_partkey"), "left_semi")
+      .join(seeds, col("record_ref") === col("p_partkey"), "left_semi")
       .select(col("l_orderkey"), col("l_linenumber"), col("record_ref").as("quoted_key"))
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("quoted_key"))
   }

@@ -127,7 +127,9 @@ object GraphOps {
 
   /** #52 community membership input (main.rs:3059): nations play the
     * community layer — events authored by members of the seed user's
-    * community, aggregated per member. Membership set broadcast.
+    * community, aggregated per member. The single-row seed lookup is
+    * broadcast; the member set scales with the customer table, so its
+    * semi join is hint-free (AQE broadcasts when it is small).
     */
   def communityInput(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
@@ -137,7 +139,7 @@ object GraphOps {
       .select(col("c_custkey"))
     Tables
       .events(s, dir)
-      .join(broadcast(members), col("user_id") === col("c_custkey"), "left_semi")
+      .join(members, col("user_id") === col("c_custkey"), "left_semi")
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"), emit(dsum(col("value"))).as("total_value"))
       .orderBy(col("user_id"))
