@@ -614,49 +614,99 @@ object TextOps {
     * (hits, lang) struct descending); compared against the labeled
     * `lang` for an accuracy readout. Exact DuckDB oracle.
     */
-  def langId(s: SparkSession, dir: String): DataFrame = {
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> StopwordsEn,
-      "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
-      "fr" -> Seq("le", "la", "et", "est", "un", "une", "avec"),
-      "es" -> Seq("el", "la", "y", "es", "un", "una", "con"),
-      "zh" -> Seq("de", "shi", "he", "zai"))
+  /** Per-language marker word lists (shared by lang_id and the corpus
+    * pipeline, and mirrored literally into their DuckDB oracles).
+    */
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
+    "en" -> StopwordsEn,
+    "es" -> Seq("el", "la", "y", "es", "un", "una", "con"),
+    "fr" -> Seq("le", "la", "et", "est", "un", "une", "avec"),
+    "zh" -> Seq("de", "shi", "he", "zai"))
+
+  /** (hits, lang) struct of the winning language — descending struct
+    * sort = max hits, ties to the lexicographically greatest language.
+    */
+  private def bestLang: Column = {
     val words = split(col("text"), " ")
-    val hitCols = markers.toSeq.sortBy(_._1).map { case (lang, ms) =>
+    val hitCols = LangMarkers.map { case (lang, ms) =>
       struct(
         size(filter(words, w => w.isin(ms.map(lit(_)): _*))).as("hits"),
         lit(lang).as("lang"))
     }
+    sort_array(array(hitCols: _*), asc = false).getItem(0)
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
-      .withColumn("best", sort_array(array(hitCols: _*), asc = false).getItem(0))
+      .withColumn("best", bestLang)
       .select(
         col("doc_id"),
         col("lang").as("labeled"),
         col("best.lang").as("predicted"),
         col("best.hits").as("marker_hits"))
       .orderBy(col("doc_id"))
-  }
 
-  val langIdSql: String = {
-    val markers = Seq(
-      "de" -> Seq("der", "die", "das", "und", "ist", "mit", "ein"),
-      "en" -> StopwordsEn,
-      "es" -> Seq("el", "la", "y", "es", "un", "una", "con"),
-      "fr" -> Seq("le", "la", "et", "est", "un", "une", "avec"),
-      "zh" -> Seq("de", "shi", "he", "zai"))
-    val cands = markers
-      .map { case (lang, ms) =>
-        s"{'hits': CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${ms
-            .mkString("['", "','", "']")}, w))) AS INT), 'lang': '$lang'}"
-      }
-      .mkString("[", ", ", "]")
+  /** The bestLang expression in DuckDB terms (shared oracle fragment). */
+  private val bestLangSql: String = LangMarkers
+    .map { case (lang, ms) =>
+      s"{'hits': CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${ms
+          .mkString("['", "','", "']")}, w))) AS INT), 'lang': '$lang'}"
+    }
+    .mkString("list_reverse_sort([", ", ", "])[1]")
+
+  val langIdSql: String =
     s"""WITH ranked AS (
-       |  SELECT doc_id, lang AS labeled, list_reverse_sort($cands)[1] AS best
+       |  SELECT doc_id, lang AS labeled, $bestLangSql AS best
        |  FROM documents
        |)
        |SELECT doc_id, labeled, best.lang AS predicted, best.hits AS marker_hits
        |FROM ranked ORDER BY doc_id""".stripMargin
+
+  /** #39b the LLM-corpus intake pipeline END-TO-END, as one lazy plan
+    * (the documents-side analogue of feed_pipeline): language-ID gate →
+    * quality gates (length, lexical diversity) → exact dedup (first doc
+    * per content hash) → stable output. Every stage reuses the
+    * catalog's building blocks; Catalyst fuses the gates into one scan
+    * and the only shuffle is the dedup hash partition — the shape a
+    * 100 TB pretraining intake actually runs.
+    */
+  def corpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val w = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+    docs(s, dir)
+      .withColumn("predicted", bestLang.getField("lang"))
+      .withColumn("n_words", size(words))
+      .filter(
+        col("predicted") === "en" &&
+          col("n_words") >= 30 &&
+          size(array_distinct(words)).cast("double") / col("n_words") >= 0.3)
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_words"))
+      .orderBy(col("doc_id"))
   }
+
+  val corpusPipelineSql: String =
+    s"""WITH pred AS (
+       |  SELECT doc_id, source, text,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    ($bestLangSql).lang AS predicted
+       |  FROM documents
+       |),
+       |qual AS (
+       |  SELECT * FROM pred
+       |  WHERE predicted = 'en' AND n_words >= 30
+       |    AND len(list_distinct(string_split(text, ' '))) * 1.0 / n_words >= 0.3
+       |),
+       |dedup AS (
+       |  SELECT doc_id, source, n_words,
+       |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |  FROM qual
+       |)
+       |SELECT doc_id, source, n_words FROM dedup WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin
 
   /** #40 quality scoring: word counts, distinct ratio, char stats —
     * the reference-free quality gates of a pretraining pipeline.
@@ -790,6 +840,7 @@ object TextOps {
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
     "lang_id" -> (langId(_, _)),
+    "corpus_pipeline" -> (corpusPipeline(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
@@ -801,6 +852,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,
     "lang_id" -> langIdSql,
+    "corpus_pipeline" -> corpusPipelineSql,
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "embed_knn" -> embedKnnSql,
