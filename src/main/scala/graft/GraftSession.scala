@@ -49,6 +49,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // must be set BEFORE the context starts (ContextCleaner reads it
+      // once at construction): GC'd reliable checkpoints get deleted
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     tune(s)
@@ -75,14 +78,15 @@ object Lineage {
     val reliable = spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")
     if (reliable) {
       val sc = spark.sparkContext
-      if (sc.getCheckpointDir.isEmpty) {
-        // delete checkpoint files once the frame is no longer referenced
-        // — otherwise every cut leaves a full materialized copy on disk
-        // and long-running cluster sessions fill the volume
-        sc.getConf.set("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      if (sc.getCheckpointDir.isEmpty)
         sc.setCheckpointDir(
           spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse("/tmp/graft-checkpoints"))
-      }
+      // checkpoint-file cleanup is governed by
+      // spark.cleaner.referenceTracking.cleanCheckpoints, which the
+      // ContextCleaner reads ONCE at context construction — it cannot
+      // be flipped here. GraftSession.local sets it on the builder;
+      // cluster submissions must pass it in spark-submit conf, or every
+      // cut leaves a materialized copy on disk until the dir is purged.
       df.checkpoint(eager = true)
     } else df.localCheckpoint(true)
   }

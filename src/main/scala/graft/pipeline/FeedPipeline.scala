@@ -235,24 +235,35 @@ case class KeepDupes(keys: Seq[String], order: Seq[Column]) extends Block {
   * keepItemsWithMissingTarget; a dangling ref (target not in the store)
   * always drops the row; several rows resolving to the same target all
   * yield that target (duplicates survive until a duplicates filter).
-  * The lookup is an equi-join on the store's key — broadcast or
-  * shuffle-hash at the planner's discretion, never a driver lookup.
-  * Replaced rows carry the STORE's columns; a running score column is
-  * dropped (the replacement post starts unscored — the reference's
-  * score map simply has no entry for the new key).
+  * ONE left join on the store's key — broadcast or shuffle-hash at the
+  * planner's discretion, never a driver lookup, and never a second
+  * scan of the upstream working plan (a split-and-union form would
+  * re-execute the whole upstream subtree for the kept branch).
+  * Score semantics mirror the reference's global score map: kept
+  * originals RETAIN their earned running score (their key is
+  * unchanged); replaced rows start at 0 (the store row's key has no
+  * entry yet).
   */
 case class ReplaceWith(store: DataFrame, storeIdCol: String, refCol: String, keepMissing: Boolean)
     extends Block {
   def apply(df: DataFrame): DataFrame = {
-    val storeCols = store.columns.map(col).toSeq
-    val replaced = df
-      .filter(col(refCol).isNotNull)
-      .select(col(refCol).as("__ref"))
-      .join(store, col("__ref") === store(storeIdCol))
-      .select(storeCols: _*)
-    if (keepMissing)
-      df.filter(col(refCol).isNull).select(storeCols: _*).unionByName(replaced)
-    else replaced
+    val hasScore = df.columns.contains("score")
+    // alias every store column: the working frame carries the same
+    // column names (it IS store-shaped), so the join output would
+    // otherwise be ambiguous
+    val s2 = store.select(store.columns.map(c => col(c).as(s"__s_$c")): _*)
+    val sid = col(s"__s_$storeIdCol")
+    val joined = df.join(s2, col(refCol) === sid, "left")
+    val kept =
+      if (keepMissing) col(refCol).isNull || sid.isNotNull
+      else col(refCol).isNotNull && sid.isNotNull
+    val outCols = store.columns.toSeq.map(c =>
+      when(col(refCol).isNull, col(c)).otherwise(col(s"__s_$c")).as(c))
+    val withScore =
+      if (hasScore)
+        outCols :+ when(col(refCol).isNull, col("score")).otherwise(lit(0.0)).as("score")
+      else outCols
+    joined.filter(kept).select(withScore: _*)
   }
 }
 

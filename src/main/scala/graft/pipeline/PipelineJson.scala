@@ -78,16 +78,16 @@ object PipelineJson {
     // track whether a score block has run: blocks downstream of scoring
     // rank by score; before any scoring they rank by recency (the
     // reference's "current order" is its insertion order — newest-first
-    // recency is the deterministic distributed equivalent). A replace
-    // block swaps the rows for store rows with no score entry yet, so
-    // it resets the flag (ReplaceWith drops the score column).
+    // recency is the deterministic distributed equivalent). The score
+    // column SURVIVES replace blocks (kept originals retain their
+    // earned score; replaced rows restart at 0 — the reference's
+    // global-map semantics), so the flag never resets.
     var scored = false
     blocks.elements().asScala.flatMap { node =>
       val out = compileBlock(node, b, scored)
       str(node, "type", "") match {
         case "score" => scored = true
         case "input" if str(node, "inputType", "").startsWith("custom_") => scored = true
-        case "replace" => scored = false
         case _ => ()
       }
       out
@@ -158,7 +158,6 @@ object PipelineJson {
             throw new IllegalArgumentException("pipeline must start with an input block"))
           working = Some(compileBlock(node, b, scored).foldLeft(w)((df, blk) => blk(df)))
           if (t == "score") scored = true
-          if (t == "replace") scored = false
       }
     }
     working.getOrElse(base.limit(0))
@@ -434,9 +433,20 @@ object PipelineJson {
             Seq(KeepInSet(b.authorCol, members, members.columns.head, keep = t == "keep"))
 
           case "duplicates" =>
-            // first occurrence per key wins (main.rs:1916); id order is
-            // the deterministic stand-in for insertion order
-            Seq(DedupByKey(Seq(b.idCol), Seq(col(b.idCol))))
+            // one row per key survives (main.rs:1916). In the reference
+            // the survivor's identity is irrelevant (scores live in a
+            // global map keyed by id); here the score rides on the row,
+            // and same-id rows from different input branches can differ
+            // in it (aligned() zero-fills unscored branches) — keep the
+            // highest-scored variant, deterministically, so the score a
+            // later sort reads matches the map's accumulated value
+            Seq(Compute { df =>
+              val order =
+                if (df.columns.contains("score"))
+                  Seq(col("score").desc_nulls_last, col(b.idCol))
+                else Seq(col(b.idCol))
+              DedupByKey(Seq(b.idCol), order)(df)
+            })
 
           case "non_duplicates" =>
             Seq(KeepDupes(Seq(b.idCol), Seq(col(b.idCol))))
@@ -452,11 +462,13 @@ object PipelineJson {
             }))
 
           case "labels" =>
-            // (main.rs:1938): remove every post carrying a named label
+            // (main.rs:1938): remove every post carrying a named label.
+            // A null label array means "no labels" — coalesce before
+            // inverting, or `!null` silently drops every unlabeled post
             val labelsCol = b.labelsCol.getOrElse(
               throw new IllegalArgumentException("labels filter needs Binding.labelsCol"))
             val labels = strSeq(n, "labels", "labels filter")
-            Seq(WhereFilter(!containsAnyToken(labelsCol, labels)))
+            Seq(WhereFilter(!coalesce(containsAnyToken(labelsCol, labels), lit(false))))
 
           case "videos" =>
             // (main.rs:1973): the one subject where keep/remove differ
@@ -470,13 +482,14 @@ object PipelineJson {
               case "reply" => Seq(WhereFilter(!resolveField(b, "is_reply")))
               case "repost" => Nil // reference no-ops (main.rs:1811)
               case "has_labels" =>
+                // null label array = no labels (size(null) is null, not 0)
                 val labelsCol = b.labelsCol.getOrElse(
                   throw new IllegalArgumentException("item has_labels needs Binding.labelsCol"))
-                Seq(WhereFilter(size(labelsCol) === 0))
+                Seq(WhereFilter(coalesce(size(labelsCol), lit(0)) === 0))
               case "has_no_labels" =>
                 val labelsCol = b.labelsCol.getOrElse(
                   throw new IllegalArgumentException("item has_no_labels needs Binding.labelsCol"))
-                Seq(WhereFilter(size(labelsCol) > 0))
+                Seq(WhereFilter(coalesce(size(labelsCol), lit(0)) > 0))
               case other => throw new IllegalArgumentException(s"unknown item value '$other'")
             }
 

@@ -847,7 +847,9 @@ object TextOps {
     "multimodal_stub" -> (multimodalStub(_, _)))
 
   /** rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
-    * embed_lsh_knn, embed_ivf_knn, multimodal_stub.
+    * embed_lsh_knn, embed_ivf_knn, embed_pair_sim_bucketed,
+    * multimodal_stub (the authoritative pinned set lives in
+    * QueryCatalogSpec "catalog and oracle keys line up").
     */
   val oracles: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,

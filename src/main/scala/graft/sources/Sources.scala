@@ -76,7 +76,9 @@ object Sources {
     arranged.write
       .mode(SaveMode.Overwrite)
       .option("compression", "zstd")
-      .option("parquet.page.size", (1024 * 1024).toString) // bigger pages → better zstd ratio
+      // 8 MiB pages (parquet-mr default is 1 MiB): larger compression
+      // windows help zstd on long text values
+      .option("parquet.page.size", (8 * 1024 * 1024).toString)
       .parquet(outDir)
   }
 }

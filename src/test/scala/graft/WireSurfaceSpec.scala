@@ -184,6 +184,58 @@ class WireSurfaceSpec extends AnyFunSuite {
       == Seq(1L, 3L))
   }
 
+  test("replace preserves kept originals' earned score; replaced rows restart at 0") {
+    val out = PipelineJson.run(
+      store,
+      """{"blocks":[
+        |  {"type":"input","inputType":"post","postUri":[1,2,5]},
+        |  {"type":"score","scoreType":"add","from":"like_count","normalize":false},
+        |  {"type":"replace","with":"record","keepItemsWithMissingTarget":true},
+        |  {"type":"sort","sortType":"score","sortDirection":"desc"}
+        |]}""".stripMargin,
+      binding)
+    val rows = out.select(col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // 1 has no record ref → kept WITH its score (likes=50); 2→3 and
+    // 5→1 are replacements → score 0. Sort must rank the kept original
+    // first (the global-map semantics the reference implements).
+    assert(rows.head == (1L, 50.0), s"got $rows")
+    assert(rows.tail.map(_._2).forall(_ == 0.0))
+    assert(rows.map(_._1).sorted == Seq(1L, 1L, 3L))
+  }
+
+  test("duplicates filter keeps the highest-scored variant deterministically") {
+    val out = PipelineJson.run(
+      store,
+      """{"blocks":[
+        |  {"type":"input","inputType":"post","postUri":[2]},
+        |  {"type":"score","scoreType":"add","from":"like_count","normalize":false},
+        |  {"type":"input","inputType":"post","postUri":[2,4]},
+        |  {"type":"remove","subject":"duplicates"}
+        |]}""".stripMargin,
+      binding)
+    val rows = out.select(col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // id 2 exists scored (5.0) and zero-filled — the scored one survives
+    assert(rows(2L) == 5.0)
+    assert(rows(4L) == 0.0)
+  }
+
+  test("null label arrays mean 'no labels' for inverted predicates") {
+    val nulled = store.withColumn(
+      "labels",
+      when(col("id") === 1L, lit(null).cast("array<string>")).otherwise(col("labels")))
+    def run(blocks: String): Seq[Long] =
+      FeedPipeline.compile(nulled, PipelineJson.parse(s"""{"blocks":[$blocks]}""", binding))
+        .select(col("id")).collect().map(_.getLong(0)).toSeq.sorted
+    // unlabeled post 1 must survive a labels-remove...
+    assert(run("""{"type":"remove","subject":"labels","labels":["nsfw","spoiler"]}""")
+      == Seq(1L, 3L, 5L))
+    // ...and count as label-free for the item subject
+    assert(run("""{"type":"remove","subject":"item","value":"has_labels"}""") == Seq(1L, 3L, 5L))
+    assert(run("""{"type":"remove","subject":"item","value":"has_no_labels"}""") == Seq(2L, 4L))
+  }
+
   test("non_duplicates keeps only re-seen keys") {
     val s = spark
     import s.implicits._
