@@ -37,6 +37,10 @@ object Bench {
     // min of two timed runs per query: a single shared-JVM measurement
     // is dominated by GC scheduling noise at these sub-second scales
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // drain the previous queries' garbage outside the timed window —
+      // otherwise a random query pays a multi-second collection for its
+      // predecessors and the per-query numbers swing 3-5x run to run
+      System.gc()
       val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =
