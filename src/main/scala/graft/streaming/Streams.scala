@@ -151,6 +151,27 @@ object Streams {
       .flatMap(identity)
   }
 
+  /** #39s the corpus intake pipeline (batch form: corpus_pipeline) as a
+    * CONTINUOUS query: documents stream in, the language/quality gates
+    * run codegen'd per micro-batch (stateless — they fuse into the
+    * batch scan exactly like the batch plan), and exact content-hash
+    * dedup holds md5(text) keys as watermark-bounded state. The shape
+    * of a streaming pretraining-data intake: bounded state, no
+    * reprocessing, same gates as the batch path.
+    */
+  def corpusIntakeStream(docs: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    docs
+      .withWatermark("ts", "1 hour")
+      .withColumn("n_words", size(words))
+      .filter(
+        col("n_words") >= 30 &&
+          size(array_distinct(words)).cast("double") / col("n_words") >= 0.3)
+      .withColumn("h", md5(col("text")))
+      .dropDuplicatesWithinWatermark("h")
+      .select(col("doc_id"), col("ts"), col("n_words"), col("h"))
+  }
+
   /** #48s stream-static enrichment: the reference resolves author
     * profile data per post at query time from its in-memory profile map
     * (main.rs:63 all_profiles); streaming-side the profile dimension is

@@ -74,6 +74,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming corpus intake gates quality and dedups by content hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val long = (1 to 40).map(i => s"word$i").mkString(" ") // 40 distinct words
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streams
+      .corpusIntakeStream(in.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("ci").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    in.addData((1L, t, long), (2L, t, "too short"), (3L, t, long)) // 3 = exact dup of 1
+    q.processAllAvailable(); q.stop()
+    val ids = spark.table("ci").collect().map(_.getAs[Long]("doc_id")).sorted
+    assert(ids.length == 1, s"got ${ids.toSeq}") // short doc gated, dup dropped
+  }
+
   test("likes-graph state dedups double-likes like the reference bitmap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
