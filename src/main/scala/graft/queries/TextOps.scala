@@ -133,6 +133,76 @@ object TextOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** #34b the SAME MinHash-LSH machinery under an EXACT DuckDB oracle:
+    * xxhash64 (the fast production hash) is not reproducible outside
+    * Spark, so this variant derives the 16 permutation mins from md5
+    * strings — min over hex strings is plain lexicographic order, and
+    * every step (signature, band hash, match fraction) is expressible
+    * identically in SQL. Slower per gram than the xxhash64 form
+    * (`dedup_minhash` stays the production path); its job is to pin
+    * the banded-LSH pipeline's CORRECTNESS, not its throughput.
+    */
+  def dedupMinhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val sig = gramRows(docs(s, dir), 3, distinct = false)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("g")))).as("m0"),
+        (1 until 16).map(i => min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i")): _*)
+    val sigCols = (0 until 16).map(i => col(s"m$i"))
+    val banded = sig
+      .select(
+        col("doc_id") +: sigCols :+
+          posexplode(array((0 until 4).map(b =>
+            md5(concat_ws("|", sigCols.slice(b * 4, b * 4 + 4): _*))): _*)): _*)
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandhash")
+    def side(tag: String) = banded.select(
+      col("band") +: col("bandhash") +: col("doc_id").as(tag) +:
+        (0 until 16).map(i => col(s"m$i").as(s"m${i}_$tag")): _*)
+    val matches = (0 until 16).map(i => (col(s"m${i}_a") === col(s"m${i}_b")).cast("int")).reduce(_ + _)
+    side("a")
+      .join(side("b"), Seq("band", "bandhash"))
+      .filter(col("a") < col("b"))
+      .withColumn("est", matches.cast("double") / 16.0)
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("est")).as("est"))
+      .filter(col("est") >= 0.5)
+      .select(col("a"), col("b"), emit(col("est"), 4).as("est_jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val dedupMinhashMd5Sql: String = {
+    val sigExprs = (0 until 16)
+      .map(i => s"min(md5('$i:' || g)) AS m$i").mkString(",\n      |    ")
+    val bandHash = (0 until 4)
+      .map(b => s"WHEN $b THEN md5(${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")})")
+      .mkString(" ")
+    val matchSum = (0 until 16).map(i => s"CAST(l.m$i = r.m$i AS INT)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+       |                         for i in range(1, greatest(len(ws)-1, 1))]) AS g
+       |  FROM w
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM g GROUP BY doc_id
+       |),
+       |banded AS (
+       |  SELECT s.*, b.band, CASE b.band $bandHash END AS bandhash
+       |  FROM sig s, (SELECT unnest([0, 1, 2, 3]) AS band) b
+       |),
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, ($matchSum) / 16.0 AS est
+       |  FROM banded l
+       |  JOIN banded r ON l.band = r.band AND l.bandhash = r.bandhash AND l.doc_id < r.doc_id
+       |)
+       |SELECT a, b, CAST(round(MAX(est), 4) AS DOUBLE) AS est_jaccard
+       |FROM pairs GROUP BY a, b HAVING MAX(est) >= 0.5
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** #35 SimHash near-dup (rows-only oracle): 64-bit fingerprint from
     * word hashes; near-dup pairs at hamming ≤ 3 via 4-segment blocking —
     * with 4 segments of 16 bits, any pair within distance 3 shares at
@@ -831,6 +901,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
+    "dedup_minhash_md5" -> (dedupMinhashMd5(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
@@ -855,6 +926,7 @@ object TextOps {
     "dedup_exact_docs" -> dedupExactDocsSql,
     "lang_id" -> langIdSql,
     "corpus_pipeline" -> corpusPipelineSql,
+    "dedup_minhash_md5" -> dedupMinhashMd5Sql,
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "embed_knn" -> embedKnnSql,
