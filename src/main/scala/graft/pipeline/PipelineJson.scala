@@ -102,6 +102,13 @@ object PipelineJson {
     * else transforms the working set. Still fully lazy: the result is
     * one composed logical plan over however many scan branches the
     * program pulled in.
+    *
+    * Deliberate divergence: the reference truncates every feed to 500
+    * AFTER the pipeline in "current order" (main.rs:2511) — its
+    * in-memory insertion order. A distributed frame has no insertion
+    * order, so an implicit cap would select nondeterministic rows;
+    * express the cap as an explicit trailing sort + limit block (every
+    * real SkyFeed payload ends with one anyway).
     */
   def run(base: DataFrame, payload: String, b: Binding): DataFrame = {
     val root = mapper.readTree(payload)
