@@ -605,21 +605,22 @@ object TextOps {
 
   /** #38b IVF ANN, parameterized on centroid quality (`trained` = 2
     * Lloyd's iterations vs raw first-16 seeds — the recall test pins
-    * trained ≥ seeded). Every vector joins its nearest centroid's
-    * inverted list; queries probe their 2 nearest lists and rank
-    * candidates. The 100 TB path: lists are pre-partitioned by
-    * centroid id, so a query touches ~2/k of the data instead of a
-    * full scan; centroid assignment is a broadcast join.
+    * trained ≥ seeded) and on `probes` (how many nearest lists a query
+    * scans: more probes ⇒ candidate superset ⇒ weakly higher recall at
+    * proportionally more list I/O — the knob a 100 TB deployment turns
+    * per latency budget). Every vector joins its nearest centroid's
+    * inverted list; centroid assignment is a broadcast of k·dim.
     */
-  def embedIvfKnnWith(s: SparkSession, dir: String, trained: Boolean): DataFrame = {
+  def embedIvfKnnWith(
+      s: SparkSession, dir: String, trained: Boolean, probes: Int = 2): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
     val cents = if (trained) ivfCentroids(emb, 16, 2) else seedCentroids(emb, 16)
     val lists = nearestCentroids(emb, cents, "vec_id", "e", 1) // vec → home centroid
-    val probes = nearestCentroids(
+    val probed = nearestCentroids(
       emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e").as("qe")),
-      cents, "query_id", "qe", 2) // each query probes its 2 nearest lists
+      cents, "query_id", "qe", probes)
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    probes
+    probed
       .join(lists, Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("cosine", Registry.cosine(col("qe"), col("e")))
@@ -648,10 +649,10 @@ object TextOps {
     * test plants near-duplicates and pins ≥ 0.9 at the 0.95 design
     * point.)
     */
-  def pairMineBucketed(emb: DataFrame, threshold: Double, k: Int = 16): DataFrame = {
+  def pairMineBucketed(emb: DataFrame, threshold: Double, k: Int = 16, probes: Int = 2): DataFrame = {
     val withNorm = emb.withColumn("nrm", Registry.l2norm(col("e")))
     val cents = ivfCentroids(emb.select(col("vec_id"), col("e")), k, 2)
-    val probed = nearestCentroids(withNorm, cents, "vec_id", "e", 2)
+    val probed = nearestCentroids(withNorm, cents, "vec_id", "e", probes)
     val l = probed.select(col("cent_id"), col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
     val r = probed.select(col("cent_id"), col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
     l.join(r, Seq("cent_id"))

@@ -112,10 +112,31 @@ class QueryCatalogSpec extends AnyFunSuite {
       .filter(col("rn") <= 3)
       .select("query_id", "vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val got = queries.TextOps.embedIvfKnnWith(spark, dir, trained = true)
-      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = got.intersect(truth).size.toDouble / truth.size
-    assert(recall >= 0.6, s"trained IVF top-3 recall $recall below floor")
+    def ivfRecall(probes: Int): Double = {
+      val got = queries.TextOps.embedIvfKnnWith(spark, dir, trained = true, probes = probes)
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val recall2 = ivfRecall(2)
+    assert(recall2 >= 0.6, s"trained IVF top-3 recall $recall2 below floor")
+    // more probes = candidate superset = weakly higher recall (the
+    // latency-vs-quality knob a deployment turns)
+    assert(ivfRecall(4) >= recall2)
+  }
+
+  test("trained centroids survive a parquet round trip (train once, search many)") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val cents = queries.TextOps.ivfCentroids(emb, 16, 2)
+    val out = java.nio.file.Files.createTempDirectory("graft_cents").toString
+    cents.write.mode("overwrite").parquet(out)
+    val back = spark.read.parquet(out)
+    // bit-identical centroids → identical inverted lists and search
+    val a = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val b = back.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
   }
 
   test("iterative ops give identical results under the reliable-checkpoint switch") {
