@@ -113,6 +113,11 @@ object OracleMath {
 
   val Dec = DecimalType(38, 6)
 
+  /** Wider scale for per-row weights that get rounded to 10 dp before
+    * the order-independent decimal sum (the likes-weighting pattern).
+    */
+  val Dec12 = DecimalType(38, 12)
+
   /** Order-independent sum: cast to decimal first. */
   def dsum(c: Column): Column = sum(c.cast(Dec))
 

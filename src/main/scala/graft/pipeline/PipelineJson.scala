@@ -275,7 +275,7 @@ object PipelineJson {
     store.join(scored, col(b.idCol) === col("__post")).drop("__post")
   }
 
-  private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
+  private val Dec12 = graft.OracleMath.Dec12
 
   private def boundRef(b: Binding, target: String): String =
     b.refCols.getOrElse(

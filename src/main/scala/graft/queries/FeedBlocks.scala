@@ -24,6 +24,12 @@ object FeedBlocks {
 
   private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
 
+  /** Age in hours against the fixed anchor — the HN-score denominator
+    * input, shared by every hand-built hn expression (the wire
+    * front-end has its own Binding-resolved copy in PipelineJson).
+    */
+  private def ageHours: Column = (lit(NowMs) - epochMs(col("ts"))).cast("double") / lit(3600000.0)
+
   /** #1 firehose window: last 7 days before the anchor. The predicate
     * lands in PushedFilters; on a date-partitioned lake it prunes
     * partitions instead of scanning.
@@ -178,9 +184,8 @@ object FeedBlocks {
     * the fixed anchor; pure arithmetic Columns → whole-stage codegen.
     */
   def scoreHn(s: SparkSession, dir: String): DataFrame = {
-    val ageH = (lit(NowMs) - epochMs(col("ts"))).cast("double") / lit(3600000.0)
     events(s, dir)
-      .withColumn("score", col("value") / pow(ageH + lit(2.0), lit(1.8)))
+      .withColumn("score", col("value") / pow(ageHours + lit(2.0), lit(1.8)))
       .select(col("event_id"), emit(col("score"), 6).as("score"))
       .orderBy(col("score").desc, col("event_id"))
       .limit(100)
@@ -598,7 +603,7 @@ object FeedBlocks {
     * three filters into the scan.
     */
   def feedPipeline(s: SparkSession, dir: String): DataFrame = {
-    val ageH = (lit(NowMs) - epochMs(col("ts"))).cast("double") / lit(3600000.0)
+    val ageH = ageHours
     val wherePred = WhereDsl.compile(
       """value > 20 && eventType != "error"""",
       Map("value" -> col("value"), "eventType" -> col("event_type")))
@@ -849,7 +854,7 @@ object FeedBlocks {
         |  {"type":"sort","sortType":"hn","gravity":"1.8","sortDirection":"desc"},
         |  {"type":"limit","count":100}
         |]}""".stripMargin
-    val ageH = (lit(NowMs) - epochMs(col("ts"))).cast("double") / lit(3600000.0)
+    val ageH = ageHours
     PipelineJson
       .run(eventsStore(s, dir), payload, wireBinding(s, dir))
       .select(
@@ -1075,7 +1080,6 @@ object FeedBlocks {
       |FROM events e JOIN scored s ON e.event_id = s.p
       |ORDER BY score DESC, event_id LIMIT 100""".stripMargin
 
-  private val Dec12 = org.apache.spark.sql.types.DecimalType(38, 12)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "input_window" -> (inputWindow(_, _)),
