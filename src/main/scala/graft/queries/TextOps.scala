@@ -135,19 +135,27 @@ object TextOps {
 
   /** #34b the SAME MinHash-LSH machinery under an EXACT DuckDB oracle:
     * xxhash64 (the fast production hash) is not reproducible outside
-    * Spark, so this variant derives the 16 permutation mins from md5
-    * strings — min over hex strings is plain lexicographic order, and
-    * every step (signature, band hash, match fraction) is expressible
-    * identically in SQL. Slower per gram than the xxhash64 form
-    * (`dedup_minhash` stays the production path); its job is to pin
-    * the banded-LSH pipeline's CORRECTNESS, not its throughput.
+    * Spark, so this variant derives the 16 permutation mins from md5 —
+    * min over hex strings is plain lexicographic order, and every step
+    * (signature, band hash, match fraction) is expressible identically
+    * in SQL. Each gram pays FOUR md5 calls, not sixteen: the 16
+    * permutations are the non-overlapping 8-hex (32-bit) windows of
+    * md5(0:g)..md5(3:g) — disjoint windows of a cryptographic hash are
+    * effectively independent. Still slower per gram than the xxhash64
+    * form (`dedup_minhash` stays the production path); this variant's
+    * job is to pin the banded-LSH pipeline's CORRECTNESS.
     */
   def dedupMinhashMd5(s: SparkSession, dir: String): DataFrame = {
-    val sig = gramRows(docs(s, dir), 3, distinct = false)
+    val withHashes = gramRows(docs(s, dir), 3, distinct = false)
+      .select(
+        col("doc_id") +:
+          (0 until 4).map(j => md5(concat(lit(s"$j:"), col("g"))).as(s"h$j")): _*)
+    val sig = withHashes
       .groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0:"), col("g")))).as("m0"),
-        (1 until 16).map(i => min(md5(concat(lit(s"$i:"), col("g")))).as(s"m$i")): _*)
+        min(substring(col("h0"), 1, 8)).as("m0"),
+        (1 until 16).map(i =>
+          min(substring(col(s"h${i / 4}"), 1 + 8 * (i % 4), 8)).as(s"m$i")): _*)
     val sigCols = (0 until 16).map(i => col(s"m$i"))
     val banded = sig
       .select(
@@ -173,7 +181,8 @@ object TextOps {
 
   val dedupMinhashMd5Sql: String = {
     val sigExprs = (0 until 16)
-      .map(i => s"min(md5('$i:' || g)) AS m$i").mkString(",\n      |    ")
+      .map(i => s"min(substr(md5('${i / 4}:' || g), ${1 + 8 * (i % 4)}, 8)) AS m$i")
+      .mkString(",\n      |    ")
     val bandHash = (0 until 4)
       .map(b => s"WHEN $b THEN md5(${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || '|' || ")})")
       .mkString(" ")
