@@ -581,6 +581,58 @@ object FeedBlocks {
       |SELECT lang, word, cnt, rn FROM ranked WHERE rn <= 3
       |ORDER BY lang, rn""".stripMargin
 
+  /** #18b the trending-tags RESPONSE shape (main.rs:626-690): windowed
+    * per-tag counts JOINED with each tag's most popular display
+    * variation — the reference walks two in-memory maps; here one plan
+    * joins the count aggregate with the rank-1 variation aggregate
+    * (both shuffles on the tag key), count floor > 2, top 100.
+    * Variations are cased forms; the testdata stand-in derives the
+    * variation layer from word case-folding.
+    */
+  def trendingTagsNamed(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 3)
+      .withColumn("tag", lower(col("word")))
+    val counts = words
+      .groupBy(col("tag"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > 2)
+    val w = Window.partitionBy(col("tag")).orderBy(col("cnt").desc, col("word"))
+    val variations = words
+      .groupBy(col("tag"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("tag"), col("word").as("name"))
+    counts
+      .join(variations, "tag")
+      .orderBy(col("n_docs").desc, col("tag"))
+      .limit(100)
+  }
+
+  val trendingTagsNamedSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, w AS word, lower(w) AS tag FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      |  ) WHERE length(w) > 3
+      |),
+      |counts AS (
+      |  SELECT tag, COUNT(DISTINCT doc_id) AS n_docs FROM words
+      |  GROUP BY tag HAVING COUNT(DISTINCT doc_id) > 2
+      |),
+      |variations AS (
+      |  SELECT tag, word AS name FROM (
+      |    SELECT tag, word, row_number() OVER (
+      |      PARTITION BY tag ORDER BY COUNT(*) DESC, word) AS rn
+      |    FROM words GROUP BY tag, word
+      |  ) WHERE rn = 1
+      |)
+      |SELECT tag, n_docs, name
+      |FROM counts JOIN variations USING (tag)
+      |ORDER BY n_docs DESC, tag LIMIT 100""".stripMargin
+
   /** #1b point lookup (input `post` block, main.rs:1345): fetch specific
     * rows by key. The In-predicate reaches the scan (PushedFilters), so
     * on a sorted/bucketed 100 TB table this is row-group skipping, not
@@ -1107,6 +1159,7 @@ object FeedBlocks {
     "likes_weighted" -> (likesWeighted(_, _)),
     "likes_bylikers" -> (likesBylikers(_, _)),
     "trending_tags" -> (trendingTags(_, _)),
+    "trending_tags_named" -> (trendingTagsNamed(_, _)),
     "tag_variations" -> (tagVariations(_, _)),
     "replace_record" -> (replaceRecord(_, _)),
     "quote_posts" -> (quotePosts(_, _)),
@@ -1145,6 +1198,7 @@ object FeedBlocks {
     "likes_weighted" -> likesWeightedSql,
     "likes_bylikers" -> likesBylikersSql,
     "trending_tags" -> trendingTagsSql,
+    "trending_tags_named" -> trendingTagsNamedSql,
     "tag_variations" -> tagVariationsSql,
     "replace_record" -> replaceRecordSql,
     "quote_posts" -> quotePostsSql,
