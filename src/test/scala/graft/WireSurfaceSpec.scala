@@ -52,6 +52,12 @@ class WireSurfaceSpec extends AnyFunSuite {
     ).toDF()
   }
 
+  lazy val memberList: org.apache.spark.sql.DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(10L, 12L).toDF("member")
+  }
+
   lazy val binding: Binding = Binding(
     idCol = "id",
     authorCol = "author",
@@ -72,7 +78,8 @@ class WireSurfaceSpec extends AnyFunSuite {
     tagsCol = Some(col("tags")),
     refCols = Map("parent" -> "parent", "root" -> "root", "record" -> "record_id"),
     store = Some(store),
-    archive = Some(store.filter(col("id") === 5L)))
+    archive = Some(store.filter(col("id") === 5L)),
+    lists = Map("at://lists/team" -> memberList))
 
   private def runWire(blocksJson: String): Seq[Long] = {
     val df = FeedPipeline.compile(
@@ -145,6 +152,34 @@ class WireSurfaceSpec extends AnyFunSuite {
     // post 2's tag is stored as "Scala" — the fold must hit it anyway
     assert(runWire("""{"type":"input","inputType":"tags","tags":["SQL","scala"]}""").sorted
       == Seq(2L, 4L))
+  }
+
+  test("list subject keeps or removes by author membership") {
+    // authors: 1,2→10; 3,4→11; 5→12; members = {10, 12}
+    assert(runWire("""{"type":"keep","subject":"list","listUri":"at://lists/team"}""").sorted
+      == Seq(1L, 2L, 5L))
+    assert(runWire("""{"type":"remove","subject":"list","listUri":"at://lists/team"}""").sorted
+      == Seq(3L, 4L))
+  }
+
+  test("likes sort ranks by the resolved like_count field") {
+    // likes: 5:90, 1:50, 3:30, 4:8, 2:5
+    assert(runWire("""{"type":"sort","sortType":"likes","sortDirection":"desc"}""")
+      == Seq(5L, 1L, 3L, 4L, 2L))
+  }
+
+  test("score normalization multiplier scales the normalized contribution") {
+    val out = PipelineJson.run(
+      store,
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":86400},
+        |  {"type":"score","scoreType":"add","from":"like_count","normalize":true,"scoreNormalizationMultiplier":"10"}
+        |]}""".stripMargin,
+      binding)
+    val scores = out.select(col("id"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(scores(5L) == 10.0) // max likes → 1.0 × 10
+    assert(math.abs(scores(1L) - 50.0 / 90.0 * 10) < 1e-6)
   }
 
   test("count sorts rank by the bound field with id tie-break") {
