@@ -255,13 +255,19 @@ object TextOps {
         shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "seg")
       .withColumnRenamed("col", "seghash")
+    // distinct column names on the probe side: joining two projections
+    // of the same frame on same-named attributes makes Spark warn about
+    // trivially-true predicates while it disambiguates — renaming is
+    // explicit and keeps every log line meaningful
     val l = seg.select(col("seg"), col("seghash"), col("doc_id").as("a"), col("simhash").as("sim_a"))
-    val r = seg.select(col("seg"), col("seghash"), col("doc_id").as("b"), col("simhash").as("sim_b"))
+    val r = seg.select(
+      col("seg").as("seg_b"), col("seghash").as("seghash_b"),
+      col("doc_id").as("b"), col("simhash").as("sim_b"))
     // hamming + ordering checked inside the join probe: candidates that
     // fail the threshold never materialize into the downstream shuffle
     l.join(
         r,
-        l("seg") === r("seg") && l("seghash") === r("seghash") &&
+        col("seg") === col("seg_b") && col("seghash") === col("seghash_b") &&
           col("a") < col("b") &&
           Registry.hamming(col("sim_a"), col("sim_b")) <= 3)
       .select(col("a"), col("b"), Registry.hamming(col("sim_a"), col("sim_b")).as("hamming"))
