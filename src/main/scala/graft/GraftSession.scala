@@ -21,11 +21,10 @@ object GraftSession {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     // dims (region/nation/customer/part/supplier at test SF) broadcast freely
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
-    // runtime Bloom-filter pruning: when a selective side feeds a
-    // shuffle join (the replace-store lookups, member semi joins after
-    // the hint sweep), inject a bloom filter on the probe side so most
-    // non-matching rows die before the exchange — a 100 TB lever that
-    // costs nothing when the thresholds don't trigger locally
+    // PIN runtime Bloom-filter pruning on (it is Spark 4's default, but
+    // the engine's shuffle joins — replace-store lookups, member semi
+    // joins — depend on it at scale, so state the dependency explicitly
+    // rather than inherit whatever a deployment's base conf says)
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     // events.parquet carries INT64 TIMESTAMP(NANOS) — read as long and
     // convert in Tables.events (integral ns→µs division: no precision

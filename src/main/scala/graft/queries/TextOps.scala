@@ -712,8 +712,9 @@ object TextOps {
 
   /** (hits, lang) struct of the winning language — descending struct
     * sort = max hits, ties to the lexicographically greatest language.
+    * Public: the streaming corpus intake applies the same gate.
     */
-  private def bestLang: Column = {
+  def bestLang: Column = {
     val words = split(col("text"), " ")
     val hitCols = LangMarkers.map { case (lang, ms) =>
       struct(

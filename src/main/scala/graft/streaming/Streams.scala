@@ -165,7 +165,10 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .withColumn("n_words", size(words))
       .filter(
-        col("n_words") >= 30 &&
+        // the SAME gates as the batch corpus_pipeline: language-ID
+        // argmax, length, lexical diversity
+        graft.queries.TextOps.bestLang.getField("lang") === "en" &&
+          col("n_words") >= 30 &&
           size(array_distinct(words)).cast("double") / col("n_words") >= 0.3)
       .withColumn("h", md5(col("text")))
       .dropDuplicatesWithinWatermark("h")

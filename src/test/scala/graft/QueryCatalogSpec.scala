@@ -130,13 +130,19 @@ class QueryCatalogSpec extends AnyFunSuite {
       .embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
     val cents = queries.TextOps.ivfCentroids(emb, 16, 2)
-    val out = java.nio.file.Files.createTempDirectory("graft_cents").toString
-    cents.write.mode("overwrite").parquet(out)
-    val back = spark.read.parquet(out)
-    // bit-identical centroids → identical inverted lists and search
-    val a = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    val b = back.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
-    assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cents")
+    try {
+      cents.write.mode("overwrite").parquet(outDir.toString)
+      val back = spark.read.parquet(outDir.toString)
+      // bit-identical centroids → identical inverted lists and search
+      val a = cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val b = back.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      assert(a.length == b.length && a.zip(b).forall { case (x, y) => x == y })
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outDir).iterator.asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("iterative ops give identical results under the reliable-checkpoint switch") {

@@ -77,7 +77,8 @@ class StreamingSpec extends AnyFunSuite {
   test("streaming corpus intake gates quality and dedups by content hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val long = (1 to 40).map(i => s"word$i").mkString(" ") // 40 distinct words
+    // 30 distinct words + English stopwords so the language gate passes
+    val long = ((1 to 30).map(i => s"word$i") ++ Seq("the", "of", "and", "to", "in")).mkString(" ")
     val in = MemoryStream[(Long, java.sql.Timestamp, String)]
     val q = Streams
       .corpusIntakeStream(in.toDF().toDF("doc_id", "ts", "text"))
