@@ -21,6 +21,16 @@ case class UserCounts(user_id: Long, n_events: Long, total_value: Double, last_e
   */
 object Streams {
 
+  /** Keyed-state retention horizon. The reference continuously evicts
+    * posts (and their likes/index entries) older than 7 days
+    * (clean_up_old_posts, main.rs:4008; clean_memory, main.rs:1101);
+    * the streaming analogue is an event-time timeout on every keyed
+    * state: a key with no activity for this long is dropped, so state
+    * cardinality is bounded by the active-key set, not the all-time
+    * key space.
+    */
+  val RetentionMs: Long = 7L * 24 * 60 * 60 * 1000
+
   /** #44 windowed counts (trending window, main.rs:626): sliding window
     * aggregation with a watermark bounding state.
     */
@@ -39,22 +49,39 @@ object Streams {
     * (run_update_counts_query as a keyed state machine). Update-mode
     * output: one refreshed row per user per micro-batch.
     */
-  def incrementalCounts(events: Dataset[Ev]): Dataset[UserCounts] = {
+  def incrementalCounts(
+      events: Dataset[Ev],
+      lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[UserCounts] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[UserCounts, UserCounts](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[UserCounts, UserCounts](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[Ev], state: GroupState[UserCounts]) =>
-          val prev = state.getOption.getOrElse(UserCounts(uid, 0L, 0.0, -1L))
-          val next = rows.foldLeft(prev) { (acc, e) =>
-            UserCounts(
-              uid,
-              acc.n_events + 1,
-              acc.total_value + e.value,
-              math.max(acc.last_event_id, e.event_id))
+          if (state.hasTimedOut) {
+            // user idle past the retention horizon: drop the counter
+            // (the reference's clean_memory sweep for this key)
+            state.remove(); Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserCounts(uid, 0L, 0.0, -1L))
+            var maxTs = Long.MinValue
+            val next = rows.foldLeft(prev) { (acc, e) =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              UserCounts(
+                uid,
+                acc.n_events + 1,
+                acc.total_value + e.value,
+                math.max(acc.last_event_id, e.event_id))
+            }
+            state.update(next)
+            // evict once the watermark passes <last activity + retention>
+            // (the timestamp must sit above the current watermark)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(next)
           }
-          state.update(next)
-          next
       }
   }
 
@@ -82,31 +109,71 @@ object Streams {
         col("n_events"),
         col("session_value"))
 
-  /** Per-post liker-set state: the reference's likes_post_to_users
-    * RoaringBitmap (main.rs:61) as keyed stream state.
-    */
-  case class LikerSet(likers: Seq[Long])
+  /** A timestamped like edge (one row of run_likes_query, main.rs:3287). */
+  case class Like(ts: java.sql.Timestamp, user_id: Long, post_id: Long)
   case class PostLikes(post_id: Long, n_likes: Long)
+  private[streaming] case class LikeCount(n: Long)
 
-  /** #45b likes-graph ingestion (run_likes_query, main.rs:3287): the
-    * reference polls the likes table and unions new likers into a
-    * per-post bitmap. Here each micro-batch folds its likes into a
-    * per-post liker SET held as keyed state — set semantics make
-    * at-least-once redelivery and double-likes idempotent, exactly
-    * like the bitmap. At scale the state lives in RocksDB (test-pinned
-    * provider parity), sharded by post key; emission is the refreshed
-    * (post, n_likes) counter row per batch.
+  /** The idempotent (post, liker) upsert feed: watermark-bounded
+    * dedup of like edges by their (user, post) pair. Appending this
+    * stream to a sink keyed/partitioned by (post_id, user_id) IS the
+    * likes graph — the distributed form of the reference's
+    * likes_post_to_users RoaringBitmap (main.rs:61). Each pair is one
+    * small state entry (not one giant per-post value), so a viral post
+    * costs many tiny KVs sharded across the state store, never an
+    * 80 MB blob rewritten per batch. Dedup state is evicted by the
+    * watermark: a redelivered edge inside the lateness window is
+    * dropped; the per-post retention eviction happens downstream.
     */
-  def likesGraphStream(likes: Dataset[(Long, Long)]): Dataset[PostLikes] = {
-    import likes.sparkSession.implicits._
+  def likesGraphUpserts(likes: Dataset[Like], lateness: String = "1 hour"): Dataset[Like] =
     likes
-      .groupByKey(_._2) // key = post
-      .mapGroupsWithState[LikerSet, PostLikes](GroupStateTimeout.NoTimeout) {
-        (pid: Long, rows: Iterator[(Long, Long)], state: GroupState[LikerSet]) =>
-          val prev = state.getOption.getOrElse(LikerSet(Nil))
-          val merged = (prev.likers.toSet ++ rows.map(_._1)).toSeq.sorted
-          state.update(LikerSet(merged))
-          PostLikes(pid, merged.size)
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("user_id", "post_id")
+
+  /** #45b likes-graph ingestion (run_likes_query, main.rs:3287).
+    *
+    * Round-3 shape (per-post `Seq[Long]` liker set in one state value,
+    * rebuilt wholesale per batch) was a per-key hot-spot: 10M likers =
+    * ~80 MB deserialized, unioned, re-sorted, re-serialized on every
+    * micro-batch that touches the post. This round splits the roles:
+    *
+    *   1. [[likesGraphUpserts]] dedups (user, post) pairs — the liker
+    *      SET lives there (as a sinkable edge stream), not here;
+    *   2. per-post state is a COUNT — O(1) bytes per key, folded from
+    *      the batch iterator without materializing any set;
+    *   3. every post state carries an event-time timeout at
+    *      <last like + retention>: once the watermark passes it the
+    *      state is dropped — the streaming analogue of the reference's
+    *      7-day clean_up_old_posts (main.rs:4008). A like arriving
+    *      after eviction restarts the count, exactly as the reference
+    *      recreates a re-seen post after retention dropped it.
+    *
+    * Emission is the refreshed (post, n_likes) row per touched post per
+    * batch (update mode). At scale the state lives in RocksDB
+    * (test-pinned provider parity), sharded by post key.
+    */
+  def likesGraphStream(
+      likes: Dataset[Like],
+      lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[PostLikes] = {
+    import likes.sparkSession.implicits._
+    likesGraphUpserts(likes, lateness)
+      .groupByKey(_.post_id)
+      .flatMapGroupsWithState[LikeCount, PostLikes](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (pid: Long, rows: Iterator[Like], state: GroupState[LikeCount]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            var added = 0L
+            var maxTs = Long.MinValue
+            rows.foreach { l => added += 1; maxTs = math.max(maxTs, l.ts.getTime) }
+            val next = state.getOption.map(_.n).getOrElse(0L) + added
+            state.update(LikeCount(next))
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.single(PostLikes(pid, next))
+          }
       }
   }
 
@@ -122,7 +189,12 @@ object Streams {
     * Scoring uses the same hn shape with a fixed anchor for
     * reproducibility.
     */
-  def streamingFeed(events: Dataset[Ev], k: Int, anchorMs: Long): Dataset[FeedRow] = {
+  def streamingFeed(
+      events: Dataset[Ev],
+      k: Int,
+      anchorMs: Long,
+      lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[FeedRow] = {
     import events.sparkSession.implicits._
     def score(e: Ev): Double = {
       // clamp at 0: events newer than the anchor (normal in a live
@@ -132,23 +204,36 @@ object Streams {
       e.value / math.pow(ageH + 2.0, 1.8)
     }
     events
+      .withWatermark("ts", lateness)
       .groupByKey(_.user_id)
-      .mapGroupsWithState[FeedState, List[FeedRow]](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[FeedState, FeedRow](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, rows: Iterator[Ev], state: GroupState[FeedState]) =>
-          val prev = state.getOption.getOrElse(FeedState(Nil))
-          // dedup by event_id before the cut: an at-least-once source
-          // may redeliver an event, which must not occupy two feed slots
-          val merged = (prev.entries ++ rows.map(e => (score(e), e.event_id)))
-            .groupBy(_._2)
-            .valuesIterator
-            .map(_.maxBy(_._1))
-            .toList
-            .sortBy { case (s, id) => (-s, id) }
-            .take(k)
-          state.update(FeedState(merged))
-          merged.zipWithIndex.map { case ((s, id), i) => FeedRow(uid, i + 1, id, s) }
+          if (state.hasTimedOut) {
+            // user idle past retention: their cached feed is dropped;
+            // the next event rebuilds it from scratch
+            state.remove(); Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(FeedState(Nil))
+            var maxTs = Long.MinValue
+            // dedup by event_id before the cut: an at-least-once source
+            // may redeliver an event, which must not occupy two feed slots
+            val merged = (prev.entries ++ rows.map { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              (score(e), e.event_id)
+            })
+              .groupBy(_._2)
+              .valuesIterator
+              .map(_.maxBy(_._1))
+              .toList
+              .sortBy { case (s, id) => (-s, id) }
+              .take(k)
+            state.update(FeedState(merged))
+            state.setTimeoutTimestamp(
+              math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            merged.iterator.zipWithIndex.map { case ((s, id), i) => FeedRow(uid, i + 1, id, s) }
+          }
       }
-      .flatMap(identity)
   }
 
   /** #39s the corpus intake pipeline (batch form: corpus_pipeline) as a
@@ -173,6 +258,55 @@ object Streams {
       .withColumn("h", md5(col("text")))
       .dropDuplicatesWithinWatermark("h")
       .select(col("doc_id"), col("ts"), col("n_words"), col("h"))
+  }
+
+  /** One poll result of the reference's profile refresh loop
+    * (run_profiles_query, main.rs:3369): a profile snapshot stamped
+    * with the time it was fetched.
+    */
+  case class ProfileRow(fetched_at: java.sql.Timestamp, user_id: Long, handle: String, display_name: String)
+
+  /** #48b profile ingestion (run_profiles_query, main.rs:3369): the
+    * reference polls profiles and overwrites its in-memory map
+    * (all_profiles, main.rs:63) with whatever arrived last. A
+    * distributed stream cannot assume arrival order = fetch order, so
+    * the upsert is LATEST-WINS BY FETCH TIMESTAMP: per-user keyed state
+    * holds the newest snapshot seen, an out-of-order (older) fetch
+    * never overwrites a newer one, and only a strictly newer snapshot
+    * re-emits. The update stream feeds the profile dimension that
+    * [[enrichWithProfiles]] joins against (e.g. via a foreachBatch
+    * merge keyed on user_id). State is one profile row per active user,
+    * evicted after the retention horizon like every keyed state here.
+    */
+  def profilesUpsertStream(
+      profiles: Dataset[ProfileRow],
+      lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[ProfileRow] = {
+    import profiles.sparkSession.implicits._
+    profiles
+      .withWatermark("fetched_at", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ProfileRow, ProfileRow](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[ProfileRow], state: GroupState[ProfileRow]) =>
+          if (state.hasTimedOut) {
+            state.remove(); Iterator.empty
+          } else {
+            val prev = state.getOption
+            // strictly-newer wins; a redelivered or stale snapshot is a no-op
+            val latest = rows.foldLeft(prev) { (acc, r) =>
+              if (acc.forall(a => r.fetched_at.getTime > a.fetched_at.getTime)) Some(r) else acc
+            }
+            latest match {
+              case Some(p) =>
+                state.update(p)
+                state.setTimeoutTimestamp(
+                  math.max(p.fetched_at.getTime + retentionMs, state.getCurrentWatermarkMs() + 1))
+                if (prev.contains(p)) Iterator.empty else Iterator.single(p)
+              case None => Iterator.empty
+            }
+          }
+      }
   }
 
   /** #48s stream-static enrichment: the reference resolves author

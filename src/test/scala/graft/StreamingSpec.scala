@@ -91,22 +91,149 @@ class StreamingSpec extends AnyFunSuite {
     assert(ids.length == 1, s"got ${ids.toSeq}") // short doc gated, dup dropped
   }
 
-  test("likes-graph state dedups double-likes like the reference bitmap") {
+  private def like(minute: Int, uid: Long, pid: Long) =
+    Streams.Like(java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), uid, pid)
+
+  test("likes-graph counts dedup double-likes and redeliveries like the reference bitmap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Long, Long)] // (user, post)
+    val in = MemoryStream[Streams.Like]
     val q = Streams
       .likesGraphStream(in.toDS())
       .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
       .format("memory").queryName("lg").start()
-    in.addData((1L, 100L), (2L, 100L), (1L, 100L), (1L, 200L))
+    in.addData(like(0, 1, 100), like(1, 2, 100), like(0, 1, 100), like(2, 1, 200))
     q.processAllAvailable()
-    in.addData((3L, 100L), (2L, 100L)) // one new liker, one redelivery
+    in.addData(like(3, 3, 100), like(1, 2, 100)) // one new liker, one cross-batch redelivery
     q.processAllAvailable(); q.stop()
     val latest = spark.table("lg").collect()
       .groupBy(_.getAs[Long]("post_id")).map { case (p, rs) => p -> rs.map(_.getAs[Long]("n_likes")).max }
     assert(latest(100L) == 3) // u1, u2, u3 — double-likes collapsed
     assert(latest(200L) == 1)
+  }
+
+  test("likes-graph state evicts posts idle past the retention horizon") {
+    // the reference drops >7-day posts and their like entries
+    // (clean_up_old_posts, main.rs:4008); here the per-post count state
+    // times out on event time: once the watermark passes
+    // <last like + 7 days>, the key is gone, and a later like restarts
+    // the count at 1 instead of resuming the stale counter.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(day: Int, hm: String, uid: Long, pid: Long) =
+      Streams.Like(java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hm:00"), uid, pid)
+    val in = MemoryStream[Streams.Like]
+    val q = Streams
+      .likesGraphStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("lg_ttl").start()
+    in.addData(at(1, "10:00", 1, 100)) // post 100 liked on Jan 1
+    q.processAllAvailable()
+    in.addData(at(10, "10:00", 5, 900)) // unrelated traffic advances event time to Jan 10
+    q.processAllAvailable()
+    in.addData(at(10, "11:00", 6, 900)) // watermark now ≈ Jan 10 — past Jan 1 + 7 days
+    q.processAllAvailable()
+    in.addData(at(10, "12:00", 2, 100)) // post 100 re-liked AFTER eviction
+    q.processAllAvailable(); q.stop()
+    val p100 = spark.table("lg_ttl").collect()
+      .filter(_.getAs[Long]("post_id") == 100L).map(_.getAs[Long]("n_likes"))
+    // last emission restarts at 1 — the stale pre-retention count (which
+    // would make it 2) was evicted, matching the reference's re-seen-post
+    // behavior after cleanup
+    assert(p100.last == 1L, s"expected restart at 1 after eviction, got ${p100.toSeq}")
+  }
+
+  test("likes-graph handles a hot post (100k likers in one key) with O(1) state") {
+    // round-3 shape held the full liker set in ONE state value and
+    // rebuilt it per batch (the 80 MB-per-viral-post hot-spot); the
+    // fixed shape folds the batch iterator into a count and never
+    // materializes a set, so a hot key costs the same bytes as a cold
+    // one. This pins correctness at 100k likers plus a 50k-redelivery
+    // batch — which also exercises the pair-dedup path at volume.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val in = MemoryStream[Streams.Like]
+    val q = Streams
+      .likesGraphStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("lg_hot").start()
+    in.addData((0L until 100000L).map(u => Streams.Like(t, u, 7L)))
+    q.processAllAvailable()
+    // 50k redeliveries + one genuinely new liker
+    in.addData((0L until 50000L).map(u => Streams.Like(t, u, 7L)) :+ Streams.Like(t, 100000L, 7L))
+    q.processAllAvailable(); q.stop()
+    val counts = spark.table("lg_hot").collect()
+      .filter(_.getAs[Long]("post_id") == 7L).map(_.getAs[Long]("n_likes"))
+    assert(counts.max == 100001L, s"expected 100001 distinct likers, got ${counts.toSeq}")
+  }
+
+  test("likes-graph upsert feed emits each (post, liker) edge exactly once") {
+    // the liker SET lives in this deduped edge stream (append it to a
+    // sink keyed by (post, user) and you have the distributed bitmap),
+    // not in the per-post state
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Like]
+    val q = Streams
+      .likesGraphUpserts(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("lg_up").start()
+    in.addData(like(0, 1, 100), like(0, 1, 100), like(1, 2, 100))
+    q.processAllAvailable()
+    in.addData(like(2, 1, 100), like(3, 1, 300)) // redelivery + new edge
+    q.processAllAvailable(); q.stop()
+    val edges = spark.table("lg_up").collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("post_id")))
+    assert(edges.length == edges.distinct.length, s"duplicate edges: ${edges.toSeq}")
+    assert(edges.toSet == Set((1L, 100L), (2L, 100L), (1L, 300L)))
+  }
+
+  test("profile ingestion is latest-wins under out-of-order delivery") {
+    // run_profiles_query (main.rs:3369) overwrites the in-memory map in
+    // poll order; distributed arrival order is not fetch order, so the
+    // upsert keys on fetched_at — an older snapshot arriving late must
+    // not clobber a newer one.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def prof(minute: Int, uid: Long, handle: String) =
+      Streams.ProfileRow(java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), uid, handle, s"Display $handle")
+    val in = MemoryStream[Streams.ProfileRow]
+    val q = Streams
+      .profilesUpsertStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("pu").start()
+    in.addData(prof(30, 1, "alice_new"), prof(0, 2, "bob"))
+    q.processAllAvailable()
+    in.addData(prof(10, 1, "alice_old"), prof(5, 2, "bob_newer")) // u1: STALE, u2: newer
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("pu").collect()
+    val u1 = rows.filter(_.getAs[Long]("user_id") == 1L)
+    // the stale snapshot produced no update row at all
+    assert(u1.map(_.getAs[String]("handle")).toSeq == Seq("alice_new"))
+    val u2 = rows.filter(_.getAs[Long]("user_id") == 2L)
+      .maxBy(_.getAs[java.sql.Timestamp]("fetched_at").getTime)
+    assert(u2.getAs[String]("handle") == "bob_newer")
+  }
+
+  test("profile ingestion feeds the enrichment dimension via foreachBatch merge") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def prof(minute: Int, uid: Long, handle: String) =
+      Streams.ProfileRow(java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), uid, handle, s"Display $handle")
+    val dim = scala.collection.concurrent.TrieMap[Long, String]()
+    val in = MemoryStream[Streams.ProfileRow]
+    val q = Streams
+      .profilesUpsertStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streams.ProfileRow], _: Long) =>
+        batch.collect().foreach(p => dim.put(p.user_id, p.handle)); ()
+      }
+      .start()
+    in.addData(prof(0, 1, "alice"))
+    q.processAllAvailable()
+    in.addData(prof(10, 1, "alice_renamed"), prof(0, 3, "carol"))
+    q.processAllAvailable(); q.stop()
+    assert(dim(1L) == "alice_renamed" && dim(3L) == "carol")
   }
 
   test("streaming trending tags counts words per window") {
