@@ -276,6 +276,101 @@ object TextOps {
       .orderBy(col("a"), col("b"))
   }
 
+  /** #35b the SAME SimHash blocking pipeline under an EXACT DuckDB
+    * oracle — the md5 trick that promoted minhash (#34b). Per-word bits
+    * come from md5 hex nibbles: `locate(nibble, '0123456789abcdef') - 1`
+    * (strpos in DuckDB) is engine-portable, so the 64 bit-sums, the
+    * sign fingerprint, the 4×16-bit pigeonhole segments and the
+    * hamming distance (sum of per-segment bit_count(xor)) are all
+    * expressible identically in SQL. The xxhash64 `dedup_simhash`
+    * stays the production path (one 64-bit hash per word instead of an
+    * md5 + 16 nibble decodes); this variant's job is to pin the
+    * fingerprint→segment→block-join→hamming machinery end-to-end.
+    */
+  def dedupSimhashMd5(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .dropDuplicates("doc_id", "w")
+      .select(col("doc_id"), md5(col("w")).as("h"))
+    // decode the 16 leading hex nibbles ONCE per word row; the 64 bit
+    // sums below each read one bit of one decoded nibble
+    val nibs = words.select(
+      col("doc_id") +: (0 until 16).map(i =>
+        (expr(s"locate(substring(h, ${i + 1}, 1), '0123456789abcdef')") - 1).as(s"n$i")): _*)
+    val sums = nibs
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n0").bitwiseAND(1) * 2 - 1).as("sb0"),
+        (1 until 64).map(b =>
+          sum(shiftright(col(s"n${b / 4}"), b % 4).bitwiseAND(1) * 2 - 1).as(s"sb$b")): _*)
+    def fb(b: Int) = when(col(s"sb$b") > 0, lit(1)).otherwise(lit(0))
+    val seg = sums.select(
+      col("doc_id") +: (0 until 4).map(k =>
+        (0 until 16).map(j => fb(16 * k + j) * lit(1 << j)).reduce(_ + _).as(s"s$k")): _*)
+    val exploded = seg
+      .select(
+        col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
+        posexplode(array(col("s0"), col("s1"), col("s2"), col("s3"))))
+      .withColumnRenamed("pos", "seg")
+      .withColumnRenamed("col", "segval")
+    val l = exploded.select(
+      col("seg"), col("segval"), col("doc_id").as("a"),
+      col("s0").as("a0"), col("s1").as("a1"), col("s2").as("a2"), col("s3").as("a3"))
+    val r = exploded.select(
+      col("seg").as("seg_b"), col("segval").as("segval_b"), col("doc_id").as("b"),
+      col("s0").as("b0"), col("s1").as("b1"), col("s2").as("b2"), col("s3").as("b3"))
+    val ham = (0 until 4).map(k => bit_count(col(s"a$k").bitwiseXOR(col(s"b$k")))).reduce(_ + _)
+    l.join(
+        r,
+        col("seg") === col("seg_b") && col("segval") === col("segval_b") &&
+          col("a") < col("b") && ham <= 3)
+      .select(col("a"), col("b"), ham.cast("int").as("hamming"))
+      .groupBy(col("a"), col("b"))
+      .agg(min(col("hamming")).as("hamming"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val dedupSimhashMd5Sql: String = {
+    val nibExprs = (0 until 16)
+      .map(i => s"strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1 AS n$i")
+      .mkString(",\n       |    ")
+    val sumExprs = (0 until 64)
+      .map(b => s"SUM(((n${b / 4} >> ${b % 4}) & 1) * 2 - 1) AS sb$b")
+      .mkString(",\n       |    ")
+    val segExprs = (0 until 4)
+      .map { k =>
+        (0 until 16)
+          .map(j => s"(CASE WHEN sb${16 * k + j} > 0 THEN ${1 << j} ELSE 0 END)")
+          .mkString(" + ") + s" AS s$k"
+      }
+      .mkString(",\n       |    ")
+    val ham = (0 until 4).map(k => s"bit_count(xor(l.s$k, r.s$k))").mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+       |  )
+       |),
+       |h AS (SELECT doc_id, md5(w) AS h FROM w),
+       |nib AS (SELECT doc_id,
+       |    $nibExprs
+       |  FROM h),
+       |sums AS (SELECT doc_id,
+       |    $sumExprs
+       |  FROM nib GROUP BY doc_id),
+       |seg AS (SELECT doc_id,
+       |    $segExprs
+       |  FROM sums),
+       |pairs AS (
+       |  SELECT l.doc_id AS a, r.doc_id AS b, CAST($ham AS INT) AS hamming
+       |  FROM seg l JOIN seg r
+       |    ON l.doc_id < r.doc_id
+       |   AND (l.s0 = r.s0 OR l.s1 = r.s1 OR l.s2 = r.s2 OR l.s3 = r.s3)
+       |)
+       |SELECT DISTINCT a, b, hamming FROM pairs
+       |WHERE hamming <= 3
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** #36 n-gram Jaccard similarity, exact relational form (SQL oracle):
     * explode distinct 3-grams, equi-join consecutive doc pairs on the
     * gram, intersection/union from counts. The same plan shape scales:
@@ -545,6 +640,15 @@ object TextOps {
     */
   def embedPairSim(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // MACHINE-ENFORCED role guard: this is the O(n²) oracle twin of
+    // embed_pair_sim_bucketed (the production path). The half-matrix
+    // is fine at oracle SFs (≤ 5k vectors) and a cluster-killer beyond;
+    // refuse rather than silently run a quadratic plan at scale.
+    val n = emb.count()
+    require(
+      n <= 20000,
+      s"embed_pair_sim_oracle is the brute-force O(n²) oracle twin ($n vectors > 20000 cap); " +
+        "use embed_pair_sim_bucketed (IVF-bucketed, O(sum list^2)) at scale")
     val withNorm = emb.withColumn("nrm", Registry.l2norm(col("e")))
     val left = withNorm.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))
     val right = withNorm.select(col("vec_id").as("b"), col("e").as("eb"), col("nrm").as("nb"))
@@ -658,7 +762,7 @@ object TextOps {
     * threshold regime, cosine ≳ 0.9) sharing a probed list with
     * near-certainty. O(Σ list²) work instead of O(n²), shuffled on the
     * centroid key — at 100 TB, k grows toward √n and per-list work
-    * stays bounded. `embed_pair_sim` remains the exact-oracle form;
+    * stays bounded. `embed_pair_sim_oracle` remains the exact-oracle form;
     * this is the production path. (On structure-free data with a LOW
     * threshold no partition can prune AND keep recall — the recall
     * test plants near-duplicates and pins ≥ 0.9 at the 0.95 design
@@ -920,10 +1024,11 @@ object TextOps {
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_minhash_md5" -> (dedupMinhashMd5(_, _)),
     "dedup_simhash" -> (dedupSimhash(_, _)),
+    "dedup_simhash_md5" -> (dedupSimhashMd5(_, _)),
     "ngram_jaccard" -> (ngramJaccard(_, _)),
     "dedup_clusters" -> (dedupClusters(_, _)),
     "embed_knn" -> (embedKnn(_, _)),
-    "embed_pair_sim" -> (embedPairSim(_, _)),
+    "embed_pair_sim_oracle" -> (embedPairSim(_, _)),
     "embed_pair_sim_bucketed" -> (embedPairSimBucketed(_, _)),
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
@@ -944,10 +1049,11 @@ object TextOps {
     "lang_id" -> langIdSql,
     "corpus_pipeline" -> corpusPipelineSql,
     "dedup_minhash_md5" -> dedupMinhashMd5Sql,
+    "dedup_simhash_md5" -> dedupSimhashMd5Sql,
     "ngram_jaccard" -> ngramJaccardSql,
     "dedup_clusters" -> dedupClustersSql,
     "embed_knn" -> embedKnnSql,
-    "embed_pair_sim" -> embedPairSimSql,
+    "embed_pair_sim_oracle" -> embedPairSimSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql)

@@ -58,7 +58,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       df.select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // exact in-bucket verification ⇒ every emitted pair must also pass
     // the brute-force threshold cut (precision 1 by construction)
-    val brute = pairs(SparkEntry.queries("embed_pair_sim")(spark, dir))
+    val brute = pairs(SparkEntry.queries("embed_pair_sim_oracle")(spark, dir))
     val bucketed = pairs(SparkEntry.queries("embed_pair_sim_bucketed")(spark, dir))
     assert(bucketed.subsetOf(brute), "bucketed emitted a pair the exact form rejects")
 
