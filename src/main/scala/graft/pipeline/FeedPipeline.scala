@@ -75,7 +75,12 @@ case class KeepInSet(column: String, members: DataFrame, memberCol: String, keep
     extends Block {
   def apply(df: DataFrame): DataFrame = {
     val joinType = if (keep) "left_semi" else "left_anti"
-    df.join(members, col(column) === col(memberCol), joinType)
+    // re-alias the member key: a fresh exprId keeps the join predicate
+    // unambiguous even when the member set derives from the SAME base
+    // relation under the same column name (e.g. a feed skeleton carved
+    // out of the store, where bare col("event_id") would be ambiguous)
+    val m = members.select(col(memberCol).as("__member_key"))
+    df.join(m, col(column) === col("__member_key"), joinType)
   }
 }
 

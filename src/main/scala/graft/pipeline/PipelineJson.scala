@@ -66,7 +66,17 @@ case class Binding(
       * likes_user_to_posts / likes_post_to_users RoaringBitmaps as one
       * edge relation).
       */
-    likes: Option[DataFrame] = None)
+    likes: Option[DataFrame] = None,
+    /** Resolved feed skeletons for the `feed` input (main.rs:1704):
+      * feedUri → one-column relation of the post ids the external feed
+      * served. The reference fetches these over HTTP inside the query;
+      * here the fetch is an ingestion concern — whatever fetcher the
+      * deployment uses lands the skeleton as a relation, and the block
+      * itself is a pure semi join against the store (the reference's
+      * all_posts_by_id containment check). Unresolved URIs still fail
+      * with a clear error.
+      */
+    feeds: Map[String, DataFrame] = Map.empty)
 
 object PipelineJson {
   private val mapper = new ObjectMapper
@@ -180,9 +190,13 @@ object PipelineJson {
 
   /** Typed literal from a JSON scalar: numbers stay numeric so id/author
     * comparisons don't silently string-compare against long columns.
+    * Fractional values stay DOUBLE — `asLong()` would truncate 7.5 to 7
+    * and silently match the wrong row.
     */
   private def jsonLit(v: JsonNode): Column =
-    if (v.isNumber) lit(v.asLong()) else lit(v.asText())
+    if (v.isIntegralNumber) lit(v.asLong())
+    else if (v.isNumber) lit(v.asDouble())
+    else lit(v.asText())
 
   private def strSeq(n: JsonNode, field: String, blockType: String): Seq[String] = {
     val arr = n.get(field)
@@ -389,8 +403,22 @@ object PipelineJson {
             })
 
           case "feed" =>
-            throw new IllegalArgumentException(
-              "inputType 'feed' fetches an external feed over HTTP (main.rs:1704) — out of scope for a batch engine")
+            // (main.rs:1704): the reference GETs the feed's skeleton
+            // (a post-id list) and keeps the store posts it names.
+            // The HTTP fetch itself stays out of the engine; the
+            // resolved skeleton arrives via Binding.feeds and the
+            // block is the containment check as a semi join — id-set
+            // pushdown / broadcast semi at scale. Feed ORDER is not
+            // preserved (a distributed frame has no insertion order;
+            // same documented divergence as the 500-cap): payloads
+            // rank the result with their own sort block.
+            val uri = reqStr(n, "feedUri", "feed input")
+            val skeleton = b.feeds.getOrElse(
+              uri,
+              throw new IllegalArgumentException(
+                s"unbound feedUri '$uri' — the HTTP skeleton fetch (main.rs:1704) is an ingestion " +
+                  "concern; resolve it to a post-id relation in Binding.feeds"))
+            Seq(KeepInSet(b.idCol, skeleton, skeleton.columns.head, keep = true))
           case other => throw new IllegalArgumentException(s"unsupported inputType $other")
         }
 

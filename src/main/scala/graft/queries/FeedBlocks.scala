@@ -778,6 +778,58 @@ object FeedBlocks {
        |FROM merged
        |ORDER BY round(value * 2 + user_id, 6) DESC, event_id LIMIT 100""".stripMargin
 
+  /** #20i the `feed` input (main.rs:1704): the reference fetches an
+    * external feed's skeleton (post-id list) over HTTP and keeps the
+    * store posts it names. The fetch is ingestion — here a resolver
+    * relation stands in for the fetched skeleton ("purchases scoring
+    * ≥ 80", as if another feed served them) via Binding.feeds, and the
+    * block is a semi join of the store against the skeleton's id set.
+    * The rest of the payload ranks the kept posts hn-style — proving
+    * a real SkyFeed feed-input payload runs end-to-end instead of
+    * hard-erroring (round-3 behavior).
+    */
+  def feedPipelineFeedinput(s: SparkSession, dir: String): DataFrame = {
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"feed","feedUri":"at://did:plc:ext/app.bsky.feed.generator/hot"},
+        |  {"type":"score","scoreType":"add","from":"hn","gravity":"1.8","normalize":true},
+        |  {"type":"sort","sortType":"score","sortDirection":"desc"},
+        |  {"type":"limit","count":50}
+        |]}""".stripMargin
+    val skeleton = events(s, dir)
+      .filter(col("event_type") === "purchase" && col("value") >= 80)
+      .select(col("event_id"))
+    val binding = Binding(
+      idCol = "event_id",
+      authorCol = "user_id",
+      tsCol = "ts",
+      valueCol = "value",
+      nowEpochMs = NowMs,
+      regexTargets = Map.empty,
+      whereFields = Map.empty,
+      feeds = Map("at://did:plc:ext/app.bsky.feed.generator/hot" -> skeleton))
+    PipelineJson
+      .run(events(s, dir), payload, binding)
+      .select(col("event_id"), col("user_id"), col("score").cast("double").as("score"))
+  }
+
+  val feedPipelineFeedinputSql: String =
+    s"""WITH kept AS (
+       |  SELECT * FROM events
+       |  WHERE event_id IN (
+       |    SELECT event_id FROM events WHERE event_type = 'purchase' AND value >= 80)
+       |), scored AS (
+       |  SELECT event_id, user_id,
+       |    value / power(($NowMs - epoch_ms(ts)) / 3600000.0 + 2.0, 1.8) AS raw
+       |  FROM kept
+       |), normed AS (
+       |  SELECT event_id, user_id,
+       |    CAST(round(raw / MAX(raw) OVER (), 6) AS DOUBLE) AS score
+       |  FROM scored
+       |)
+       |SELECT event_id, user_id, score
+       |FROM normed ORDER BY score DESC, event_id LIMIT 50""".stripMargin
+
   /** #14c replace-with-record (the quote lookup, main.rs:2429): each
     * line item resolves through its quote ref (a partkey subset) to the
     * record store; null refs are kept (keepItemsWithMissingTarget=true),
@@ -1170,7 +1222,8 @@ object FeedBlocks {
     "feed_pipeline_quotes" -> (feedPipelineQuotes(_, _)),
     "feed_pipeline_tags" -> (feedPipelineTags(_, _)),
     "feed_pipeline_liked" -> (feedPipelineLiked(_, _)),
-    "feed_pipeline_bylikers" -> (feedPipelineBylikers(_, _)))
+    "feed_pipeline_bylikers" -> (feedPipelineBylikers(_, _)),
+    "feed_pipeline_feedinput" -> (feedPipelineFeedinput(_, _)))
 
   val oracles: Map[String, String] = Map(
     "input_window" -> inputWindowSql,
@@ -1209,5 +1262,6 @@ object FeedBlocks {
     "feed_pipeline_quotes" -> feedPipelineQuotesSql,
     "feed_pipeline_tags" -> feedPipelineTagsSql,
     "feed_pipeline_liked" -> feedPipelineLikedSql,
-    "feed_pipeline_bylikers" -> feedPipelineBylikersSql)
+    "feed_pipeline_bylikers" -> feedPipelineBylikersSql,
+    "feed_pipeline_feedinput" -> feedPipelineFeedinputSql)
 }

@@ -312,10 +312,27 @@ class WireSurfaceSpec extends AnyFunSuite {
     assert(out.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 5L))
   }
 
-  test("feed input is rejected as out of scope, unknown blocks still throw") {
+  test("feed input resolves through Binding.feeds as a store semi join") {
+    // the resolved skeleton names posts 2, 5 and one id the store does
+    // not hold (99) — the reference's all_posts_by_id containment check
+    // (main.rs:1734) keeps only the held posts
+    val s = spark
+    import s.implicits._
+    val skeleton = Seq(2L, 5L, 99L).toDF("post_id")
+    val withFeed = binding.copy(feeds = Map("at://feeds/hot" -> skeleton))
+    val out = PipelineJson.run(
+      store,
+      """{"blocks":[
+        |  {"type":"input","inputType":"feed","feedUri":"at://feeds/hot"}
+        |]}""".stripMargin,
+      withFeed)
+    assert(out.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L))
+  }
+
+  test("unresolved feedUri keeps a clear error, unknown blocks still throw") {
     val e = intercept[IllegalArgumentException](
       runWire("""{"type":"input","inputType":"feed","feedUri":"at://x"}"""))
-    assert(e.getMessage.contains("out of scope"))
+    assert(e.getMessage.contains("unbound feedUri"))
     intercept[IllegalArgumentException](runWire("""{"type":"frobnicate"}"""))
     intercept[IllegalArgumentException](
       runWire("""{"type":"input","inputType":"list","listUri":"at://unbound"}"""))
