@@ -34,6 +34,34 @@ object Sources {
   def readDailyArchive(s: SparkSession, dir: String, fromDay: String, toDay: String): DataFrame =
     s.read.parquet(dir).filter(col("day") >= fromDay && col("day") <= toDay)
 
+  /** Retention sweep on the daily archive — the batch analogue of the
+    * reference's clean_up_old_posts loop (main.rs:4008: posts older
+    * than 7 days are continuously dropped from the store and its
+    * indexes). On a date-partitioned lake the sweep is a PARTITION
+    * DROP: one metadata delete per expired `day=` directory, zero data
+    * rewritten — O(partitions), not O(rows), which is what a 100 TB
+    * archive needs. Goes through the Hadoop FileSystem API so the same
+    * call works on HDFS / object stores, not just local disk.
+    *
+    * Returns the dropped day values (observability; the reference logs
+    * its cleanup counts the same way).
+    */
+  def expireDailyArchive(s: SparkSession, dir: String, olderThanDay: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val expired = fs
+      .listStatus(root)
+      .toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      // hive-style day=yyyy-MM-dd partition names compare lexicographically
+      .filter(p => p.getName.startsWith("day=") && p.getName.stripPrefix("day=") < olderThanDay)
+    expired.foreach(p => fs.delete(p, true))
+    expired.map(_.getName.stripPrefix("day=")).sorted
+  }
+
   /** JSON-lines sink/source with explicit schema (schema inference is a
     * full extra pass at scale — never rely on it).
     */

@@ -25,6 +25,39 @@ class SourcesSpec extends AnyFunSuite {
       s"day range must prune partitions:\n$scan")
   }
 
+  test("archive retention drops expired day partitions; reads and pruning stay intact") {
+    val out = Files.createTempDirectory("graft_archive_ttl").toString
+    val events = Tables.events(spark, dir)
+    Sources.writeDailyArchive(events, out)
+    import org.apache.spark.sql.functions.col
+    val before = spark.read.parquet(out)
+    // the partition column reads back as DATE — compare as strings
+    val beforeDays =
+      before.select(col("day").cast("string")).distinct().collect().map(_.getString(0)).sorted
+    val cutoff = "2024-01-08"
+    val expectedDropped = beforeDays.filter(_ < cutoff).toSeq
+    assert(expectedDropped.nonEmpty, "test premise: archive must span days before the cutoff")
+    val keptCount = before.filter(col("day").cast("string") >= cutoff).count()
+
+    val dropped = Sources.expireDailyArchive(spark, out, cutoff)
+    assert(dropped == expectedDropped, s"dropped $dropped, expected $expectedDropped")
+
+    val after = spark.read.parquet(out)
+    val afterDays =
+      after.select(col("day").cast("string")).distinct().collect().map(_.getString(0)).sorted
+    assert(afterDays.forall(_ >= cutoff), s"expired day still readable: ${afterDays.toSeq}")
+    // surviving rows are untouched — expiry is a partition drop, not a rewrite
+    assert(after.count() == keptCount)
+    // and the read path still prunes: PartitionFilters survive the sweep
+    val window = Sources.readDailyArchive(spark, out, "2024-01-10", "2024-01-12")
+    val scan = window.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") && !scan.contains("PartitionFilters: []"),
+      s"day range must still prune partitions after expiry:\n$scan")
+    assert(window.count() > 0)
+    // idempotent: a second sweep at the same horizon is a no-op
+    assert(Sources.expireDailyArchive(spark, out, cutoff).isEmpty)
+  }
+
   test("csv round-trip preserves rows including quoted text") {
     val out = Files.createTempDirectory("graft_csv").toString
     val docs = Tables.documents(spark, dir)
