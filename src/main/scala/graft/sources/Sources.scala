@@ -92,6 +92,41 @@ object Sources {
       .option("multiLine", "true")
       .csv(dir)
 
+  /** Served-links audit sink (dump_links, main.rs:587 + LinkedPostsState,
+    * main.rs:2546): the reference periodically persists which posts each
+    * feed served. Here every pipeline run APPENDS its served frame's ids
+    * as (feed_id, post_id, served_at_ms) rows to a
+    * `day=/feed_id=/`-partitioned sink:
+    *  - append-only parquet, so concurrent feed runs never clobber;
+    *  - `day` first ⇒ [[expireDailyArchive]] doubles as the
+    *    clean_post_links sweep (main.rs:161) — link retention is the
+    *    same partition drop as post retention;
+    *  - `feed_id` second ⇒ per-feed audit reads prune to one feed's
+    *    partitions (PartitionFilters, test-pinned).
+    */
+  def appendServedLinks(
+      served: DataFrame,
+      idCol: String,
+      feedId: String,
+      servedAtMs: Long,
+      outDir: String): Unit =
+    served
+      .select(
+        date_format(timestamp_millis(lit(servedAtMs)), "yyyy-MM-dd").as("day"),
+        lit(feedId).as("feed_id"),
+        col(idCol).as("post_id"),
+        lit(servedAtMs).as("served_at_ms"))
+      // a feed serves one result page per run — single file per run, not
+      // one shard per upstream partition
+      .coalesce(1)
+      .write
+      .partitionBy("day", "feed_id")
+      .mode(SaveMode.Append)
+      .parquet(outDir)
+
+  def readServedLinks(s: SparkSession, dir: String, feedId: String): DataFrame =
+    s.read.parquet(dir).filter(col("feed_id") === feedId)
+
   /** Text-corpus parquet sink tuned for 100 TB document tables: zstd
     * (higher ratio than the snappy default at comparable scan speed —
     * on a 100 TB corpus the delta is tens of TB of storage AND of scan

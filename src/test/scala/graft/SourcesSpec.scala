@@ -58,6 +58,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(Sources.expireDailyArchive(spark, out, cutoff).isEmpty)
   }
 
+  test("served-links audit: written links equal the served frame, per-feed reads prune") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_links").toString
+    val servedAt = 1700000000000L // 2023-11-14
+    val feedA = SparkEntry.queries("sort_topk")(spark, dir)
+    Sources.appendServedLinks(feedA, "event_id", "feed/hot", servedAt, out)
+    val feedB = SparkEntry.queries("limit_per_user")(spark, dir)
+    Sources.appendServedLinks(feedB, "event_id", "feed/new", servedAt, out)
+
+    // the audit rows are exactly the served ids — nothing dropped, added
+    // or clobbered by the second feed's append
+    val gotA = Sources.readServedLinks(spark, out, "feed/hot")
+      .select("post_id").collect().map(_.getLong(0)).sorted
+    val wantA = feedA.select("event_id").collect().map(_.getLong(0)).sorted
+    assert(gotA.toSeq == wantA.toSeq)
+    assert(Sources.readServedLinks(spark, out, "feed/new").count() == feedB.count())
+
+    // per-feed audit reads prune on the feed_id partition column
+    val plan = Sources.readServedLinks(spark, out, "feed/hot")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"),
+      s"feed_id filter must prune partitions:\n$plan")
+
+    // link retention is the same partition-drop sweep as post retention
+    assert(Sources.expireDailyArchive(spark, out, "2024-01-01") == Seq("2023-11-14"))
+    assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("day=")))
+  }
+
   test("csv round-trip preserves rows including quoted text") {
     val out = Files.createTempDirectory("graft_csv").toString
     val docs = Tables.documents(spark, dir)
