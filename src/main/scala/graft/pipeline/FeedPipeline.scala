@@ -244,10 +244,15 @@ case class KeepDupes(keys: Seq[String], order: Seq[Column]) extends Block {
   * planner's discretion, never a driver lookup, and never a second
   * scan of the upstream working plan (a split-and-union form would
   * re-execute the whole upstream subtree for the kept branch).
-  * Score semantics mirror the reference's global score map: kept
-  * originals RETAIN their earned running score (their key is
-  * unchanged); replaced rows start at 0 (the store row's key has no
-  * entry yet).
+  * Score semantics are a KNOWN APPROXIMATION of the reference's global
+  * score map (post_score_global): kept originals RETAIN their earned
+  * running score (their key is unchanged); replaced rows restart at 0.
+  * In the reference a replacement target that itself earned score
+  * earlier in the pipeline (e.g. a parent that was also in the working
+  * set during a score block) keeps that map entry and ranks by it;
+  * reconstructing that here would mean a second join against (a
+  * re-scan of) the scored working set for a rarely-exercised nuance —
+  * documented instead, next to the same trade the 500-cap makes.
   */
 case class ReplaceWith(store: DataFrame, storeIdCol: String, refCol: String, keepMissing: Boolean)
     extends Block {
@@ -277,6 +282,16 @@ case class ReplaceWith(store: DataFrame, storeIdCol: String, refCol: String, kee
   * result is every store row whose ref column (parent / root / record)
   * points at a target — a semi join against the full store, the
   * RoaringBitmap membership walk distributed.
+  *
+  * DELIBERATE DIVERGENCE (documented like the run() 500-cap): the
+  * reference code as written always returns an EMPTY set for these
+  * targets — its inversion branch repopulates `posts`, then the
+  * unconditional `posts = new_posts;` at main.rs:2490 clobbers it with
+  * the never-filled `new_posts` vec. That is an evident bug (the walk
+  * it carefully builds is thrown away), so this implements the
+  * evidently intended semantics above rather than bug-compatible
+  * emptiness. Parity audits must NOT treat the reference's empty
+  * result as the target.
   */
 case class ReplaceInversion(store: DataFrame, refCol: String, idCol: String) extends Block {
   def apply(df: DataFrame): DataFrame = {

@@ -198,6 +198,10 @@ class WireSurfaceSpec extends AnyFunSuite {
   }
 
   test("replace inversions: direct_replies / all_replies / quote_posts") {
+    // Pins the inversions' INTENDED semantics, not literal reference
+    // output: the reference's own inversion results are clobbered to an
+    // empty vec by `posts = new_posts;` (main.rs:2490) — a documented
+    // deliberate divergence (see ReplaceInversion's scaladoc)
     // working set {1} → children whose parent=1: {3}
     assert(runWire(
       """{"type":"input","inputType":"post","postUri":[1]},
