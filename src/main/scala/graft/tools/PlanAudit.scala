@@ -27,7 +27,11 @@ object PlanAudit {
         if (plan.contains("TakeOrderedAndProject")) "topk" else "-",
         s"xchg=${n("Exchange")}",
         // codegen'd operators print with a "*(stageId)" prefix
-        s"wscg=${n("*(")}")
+        s"wscg=${n("*(")}",
+        // advised vs configured shuffle partitions (Advisor): flags the
+        // queries where the static knob is mis-sized for the input
+        s"shufadv=${Advisor.advisedShufflePartitions(df)}/" +
+          spark.conf.get("spark.sql.shuffle.partitions"))
       println(f"[audit] $name%-18s ${flags.mkString(" ")}")
     }
     spark.stop()

@@ -45,6 +45,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin"), "a dimension fell out of broadcast range")
   }
 
+  test("shuffle-partition advice tracks input size and stays sane") {
+    import graft.tools.Advisor
+    val tiny = SparkEntry.queries("q1_agg")(spark, dir)
+    val advTiny = Advisor.advisedShufflePartitions(tiny)
+    // sf0.001 lineitem is ~100s of KB: one 64 MiB-target partition
+    assert(advTiny == 1, s"tiny input advised $advTiny partitions")
+    val bigger = SparkEntry.queries("q1_agg")(spark, "/root/testdata/sf0.1")
+    val advBigger = Advisor.advisedShufflePartitions(bigger)
+    assert(advBigger >= advTiny, "advice must be monotone in input size")
+    // a synthetic 1 TB input should advise ~16k partitions of 64 MiB,
+    // scaled linearly — the formula, pinned at the 100 TB direction
+    assert(Advisor.advisedShufflePartitions(tiny, targetBytes = 1) ==
+      Advisor.leafInputBytes(tiny).toInt.max(1).min(100000))
+  }
+
   test("no driver-side collect hides in any catalog query plan") {
     // CollectLimit at the ROOT is fine (the final .limit the driver
     // reads); what must never appear is a LocalTableScan materialized
