@@ -411,18 +411,20 @@ object FeedBlocks {
     */
   def filterNullProps(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
-      // ONE from_json parse per row (get_json_object would re-parse the
-      // document per referenced property; Catalyst also schema-prunes
-      // from_json down to the referenced fields)
-      .withColumn("j",
-        from_json(col("props"),
-          org.apache.spark.sql.types.StructType.fromDDL("k STRING, missing STRING")))
-      .filter(
-        col("j.k").isNotNull &&
-          col("j.missing").isNull &&
-          col("event_type") === "view")
-      .select(col("event_id"), col("j.k").cast("long").as("k"))
-      .filter(col("k") >= 90)
+      // scan-level filter first (event_type pushes to the parquet scan),
+      // THEN one json_tuple parse per surviving row. The obvious
+      // from_json-into-a-column form parses the document FIVE times per
+      // row: predicate pushdown substitutes the parse expression into
+      // every filter conjunct and the output projection (r3 plan,
+      // measured 1.6-1.9 s at sf0.1). json_tuple extracts both
+      // properties in a single streaming parse, and its Generate node
+      // is a pushdown barrier — the property predicates stay ABOVE the
+      // parse instead of being rewritten into copies of it.
+      .filter(col("event_type") === "view")
+      .select(col("event_id"), col("props"))
+      .select(col("event_id"), json_tuple(col("props"), "k", "missing").as(Seq("k0", "m0")))
+      .filter(col("m0").isNull && col("k0").cast("long") >= 90)
+      .select(col("event_id"), col("k0").cast("long").as("k"))
       .orderBy(col("event_id"))
 
   val filterNullPropsSql: String =
