@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.TextOps.queries ++
       graft.queries.GraphOps.queries ++
       graft.queries.Round2Ops.queries ++
-      graft.queries.Round3Ops.queries
+      graft.queries.Round3Ops.queries ++
+      graft.queries.Round4Ops.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.TextOps.oracles ++
       graft.queries.GraphOps.oracles ++
       graft.queries.Round2Ops.oracles ++
-      graft.queries.Round3Ops.oracles
+      graft.queries.Round3Ops.oracles ++
+      graft.queries.Round4Ops.oracles
 }

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{OracleMath, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-4 LLM-pipeline additions (§2 #68-#70): the three standard
+  * training-data operations the catalog still lacked —
+  * benchmark decontamination, deterministic stratified sampling for
+  * data mixing, and repetition-based quality filtering (the Gopher
+  * rules). All exact-oracle, all built from the same codegen'd
+  * gram/hash/aggregate primitives as the dedup family.
+  */
+object Round4Ops {
+  import OracleMath._
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** #68 benchmark decontamination: remove every corpus document that
+    * shares an n-gram with the evaluation set (the GPT-3/Pile-style
+    * overlap rule — there 13-grams; on this small-vocabulary synthetic
+    * corpus 4-grams play the same role). The benchmark here is the
+    * first five documents; production swaps in the real eval-suite
+    * grams. Shape at 100 TB: one gram pass over the corpus (shared
+    * with the minhash family), an equi-join on the gram key against
+    * the (bounded, but hint-free per policy — AQE broadcasts it when
+    * small) benchmark gram set, and an anti join back on doc_id —
+    * never an all-pairs comparison.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val grams = TextOps.gramRows(docs(s, dir), 4)
+    val benchGrams = grams.filter(col("doc_id") < 5).select(col("g")).distinct()
+    val contaminated = grams
+      .filter(col("doc_id") >= 5)
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+    docs(s, dir)
+      .filter(col("doc_id") >= 5)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+      |            for i in range(1, greatest(len(ws)-2, 1))]) AS g
+      |  FROM w
+      |),
+      |bg AS (SELECT DISTINCT g FROM g WHERE doc_id < 5),
+      |contaminated AS (
+      |  SELECT DISTINCT g.doc_id FROM g JOIN bg USING (g) WHERE g.doc_id >= 5
+      |)
+      |SELECT doc_id, source FROM documents
+      |WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY doc_id""".stripMargin
+
+  /** #69 deterministic stratified sampling (data mixing): each source
+    * group keeps a configured fraction of its documents, decided by a
+    * seeded cryptographic hash of the document id — reproducible
+    * across runs/engines (no RNG), uniform by hash property, and
+    * requiring zero coordination: the filter is embarrassingly
+    * parallel and pushes into the scan side of any downstream plan.
+    * Rates here: even-numbered sources 12/16 (0.75), odd 4/16 (0.25) —
+    * hex-prefix thresholds so the cut is exact in lexicographic hash
+    * space on both engines.
+    */
+  def corpusSample(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("grp", substring(col("source"), 4, 10).cast("int") % 2)
+      .withColumn("h", md5(concat(lit("mix1:"), col("doc_id").cast("string"))))
+      .filter(col("h") < when(col("grp") === 0, lit("c")).otherwise(lit("4")))
+      .select(col("doc_id"), col("source"), col("grp"))
+      .orderBy(col("doc_id"))
+
+  val corpusSampleSql: String =
+    """SELECT doc_id, source, CAST(substr(source, 4) AS INT) % 2 AS grp
+      |FROM documents
+      |WHERE md5('mix1:' || CAST(doc_id AS VARCHAR)) <
+      |  (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN 'c' ELSE '4' END)
+      |ORDER BY doc_id""".stripMargin
+
+  /** #70 repetition-based quality stats (the Gopher repetition rules,
+    * Rae et al. 2021 §A1.1 re-expressed relationally): per document,
+    * the fraction of 2-gram mass in the single most frequent 2-gram
+    * and the fraction in any repeated 2-gram; `flagged` marks
+    * documents over either threshold. One gram explode → two
+    * aggregations, both on the doc_id key — the (doc_id) exchange is
+    * shared, and at 100 TB this is the same one-pass shape as
+    * token_count/text_quality.
+    */
+  def docRepetition(s: SparkSession, dir: String): DataFrame =
+    TextOps
+      .gramRows(docs(s, dir), 2, distinct = false)
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n2"),
+        max(col("c")).as("topc"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dupc"))
+      .select(
+        col("doc_id"),
+        col("n2"),
+        emit(col("topc").cast("double") / col("n2"), 4).as("top_frac"),
+        emit(col("dupc").cast("double") / col("n2"), 4).as("dup_frac"))
+      // flag on the ROUNDED fractions so the cut is bit-identical to
+      // the oracle's
+      .withColumn(
+        "flagged",
+        (col("top_frac") >= 0.06 || col("dup_frac") >= 0.10).cast("int"))
+      .orderBy(col("doc_id"))
+
+  val docRepetitionSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest([ws[i]||' '||ws[i+1]
+      |                         for i in range(1, greatest(len(ws), 1))]) AS g
+      |  FROM w
+      |),
+      |cnt AS (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS topc,
+      |    CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupc
+      |  FROM cnt GROUP BY doc_id
+      |),
+      |fr AS (
+      |  SELECT doc_id, n2,
+      |    CAST(round(CAST(topc AS DOUBLE) / n2, 4) AS DOUBLE) AS top_frac,
+      |    CAST(round(CAST(dupc AS DOUBLE) / n2, 4) AS DOUBLE) AS dup_frac
+      |  FROM stats
+      |)
+      |SELECT doc_id, n2, top_frac, dup_frac,
+      |  CAST(top_frac >= 0.06 OR dup_frac >= 0.10 AS INT) AS flagged
+      |FROM fr ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> (decontaminate(_, _)),
+    "corpus_sample" -> (corpusSample(_, _)),
+    "doc_repetition" -> (docRepetition(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "decontaminate" -> decontaminateSql,
+    "corpus_sample" -> corpusSampleSql,
+    "doc_repetition" -> docRepetitionSql)
+}

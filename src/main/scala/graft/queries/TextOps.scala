@@ -56,7 +56,7 @@ object TextOps {
     * codegen, and the (doc_id) exchange introduced by the window is
     * reused by every downstream groupBy(doc_id).
     */
-  private def gramRows(docsDf: DataFrame, n: Int, distinct: Boolean = true): DataFrame = {
+  private[queries] def gramRows(docsDf: DataFrame, n: Int, distinct: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = col("w0") +: (1 until n).map(j => lead(col("w0"), j).over(w))
     val raw = docsDf
