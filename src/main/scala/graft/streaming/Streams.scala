@@ -236,6 +236,35 @@ object Streams {
       }
   }
 
+  /** #49d serve feeds from the STATE STORE, no recompute: the payoff of
+    * holding each user's top-k as keyed state ([[streamingFeed]]) is
+    * that serving is a state read. The state data source
+    * (`format("statestore")`) reads the query's checkpoint directly —
+    * a serving layer (or a debug console) gets every user's current
+    * feed as a DataFrame without touching the stream, replaying the
+    * log, or holding the store in RAM like the reference does
+    * (generate_feed_skeleton over ArcSwap'd maps, main.rs:1229).
+    * Pass `batchId` to time-travel to an earlier micro-batch's state
+    * (the reference has no equivalent — its state is overwrite-only).
+    */
+  def readFeedState(
+      s: SparkSession,
+      checkpointDir: String,
+      batchId: Option[Long] = None): Dataset[FeedRow] = {
+    import s.implicits._
+    val reader = s.read.format("statestore").option("path", checkpointDir)
+    batchId.foreach(b => reader.option("batchId", b))
+    reader
+      .load()
+      .select(col("key.value").as("user_id"), posexplode(col("value.groupState.entries")))
+      .select(
+        col("user_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col").getField("_2").as("event_id"),
+        col("col").getField("_1").as("score"))
+      .as[FeedRow]
+  }
+
   /** #39s the corpus intake pipeline (batch form: corpus_pipeline) as a
     * CONTINUOUS query: documents stream in, the language/quality gates
     * run codegen'd per micro-batch (stateless — they fuse into the

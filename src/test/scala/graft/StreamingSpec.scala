@@ -354,6 +354,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(1) == 3L && last(2) == 2L, s"expected [3,2], got $last")
   }
 
+  test("feeds serve from a state-store read, including time travel") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feed_state").toString
+    val anchor = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val in = MemoryStream[Ev]
+    val q = Streams
+      .streamingFeed(in.toDS(), k = 2, anchorMs = anchor)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("sf_state").start()
+    in.addData(ev(1, 0, 5, "view", 10.0), ev(2, 1, 5, "view", 50.0))
+    q.processAllAvailable()
+    in.addData(ev(3, 2, 5, "view", 100.0)) // displaces event 1
+    q.processAllAvailable(); q.stop()
+
+    // the served feed is a STATE READ — no stream replay, no recompute
+    val served = Streams.readFeedState(spark, ckpt).collect()
+      .filter(_.user_id == 5L).sortBy(_.rank)
+    assert(served.map(_.event_id).toSeq == Seq(3L, 2L), s"state serve wrong: ${served.toSeq}")
+    // state ranks agree with the stream's last update output
+    val lastEmitted = spark.table("sf_state").collect()
+      .filter(_.getAs[Long]("user_id") == 5L)
+      .groupBy(_.getAs[Int]("rank")).map { case (r, rows) => r -> rows.last.getAs[Long]("event_id") }
+    assert(served.map(r => r.rank -> r.event_id).toMap == lastEmitted)
+    // time travel: batch 0's state still ranks event 2 first, event 1 second
+    val at0 = Streams.readFeedState(spark, ckpt, batchId = Some(0L)).collect()
+      .filter(_.user_id == 5L).sortBy(_.rank)
+    assert(at0.map(_.event_id).toSeq == Seq(2L, 1L), s"batch-0 state wrong: ${at0.toSeq}")
+  }
+
   test("stream-static enrichment joins the profile dimension per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
