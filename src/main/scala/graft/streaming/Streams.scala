@@ -177,6 +177,31 @@ object Streams {
       }
   }
 
+  /** Serve the likes graph's per-post counts from the state store
+    * (same pattern as [[readFeedState]]): the reference answers
+    * "how many likes does post X have" from its in-RAM maps; here the
+    * checkpoint IS the queryable store — no replay, no recompute.
+    */
+  def readLikesState(
+      s: SparkSession,
+      checkpointDir: String,
+      batchId: Option[Long] = None): Dataset[PostLikes] = {
+    import s.implicits._
+    val reader = s.read.format("statestore").option("path", checkpointDir)
+    batchId.foreach(b => reader.option("batchId", b))
+    reader
+      // the likes query has TWO stateful operators; ids are assigned
+      // top-down in the physical plan, so the per-post count state
+      // (the downstream flatMapGroupsWithState) is operator 0 and the
+      // (user, post) pair dedup below it is operator 1 — read the counts
+      .option("operatorId", 0)
+      .load()
+      .select(
+        col("key.value").as("post_id"),
+        col("value.groupState").getField("n").as("n_likes"))
+      .as[PostLikes]
+  }
+
   /** A user's current feed: their top-scored events so far. */
   case class FeedState(entries: List[(Double, Long)])
   case class FeedRow(user_id: Long, rank: Int, event_id: Long, score: Double)

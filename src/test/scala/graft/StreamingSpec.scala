@@ -168,6 +168,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts.max == 100001L, s"expected 100001 distinct likers, got ${counts.toSeq}")
   }
 
+  test("likes counts serve from a state-store read") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_likes_state").toString
+    val in = MemoryStream[Streams.Like]
+    val q = Streams
+      .likesGraphStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("lg_state").start()
+    in.addData(like(0, 1, 100), like(1, 2, 100), like(2, 3, 200))
+    q.processAllAvailable(); q.stop()
+    val counts = Streams.readLikesState(spark, ckpt).collect()
+      .map(p => p.post_id -> p.n_likes).toMap
+    assert(counts == Map(100L -> 2L, 200L -> 1L), s"state read wrong: $counts")
+  }
+
   test("likes-graph upsert feed emits each (post, liker) edge exactly once") {
     // the liker SET lives in this deduped edge stream (append it to a
     // sink keyed by (post, user) and you have the distributed bitmap),
