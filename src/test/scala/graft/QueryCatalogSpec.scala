@@ -52,6 +52,41 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0)
   }
 
+  test("decontaminate keeps only non-benchmark docs and is a subset of candidates") {
+    import org.apache.spark.sql.functions.col
+    val kept = SparkEntry.queries("decontaminate")(spark, dir)
+    assert(kept.filter(col("doc_id") < 5).count() == 0, "benchmark docs leaked into the kept set")
+    val candidates = Tables.documents(spark, dir).filter(col("doc_id") >= 5).count()
+    val n = kept.count()
+    assert(n > 0 && n < candidates, s"expected a strict subset: kept $n of $candidates")
+  }
+
+  test("corpus_sample hits its per-source rates and is deterministic") {
+    import org.apache.spark.sql.functions.col
+    val a = SparkEntry.queries("corpus_sample")(spark, dir)
+    val total = Tables.documents(spark, dir)
+      .withColumn("grp", org.apache.spark.sql.functions.substring(col("source"), 4, 10).cast("int") % 2)
+      .groupBy("grp").count().collect().map(r => r.getAs[Int]("grp") -> r.getAs[Long]("count")).toMap
+    val kept = a.groupBy("grp").count().collect().map(r => r.getAs[Int]("grp") -> r.getAs[Long]("count")).toMap
+    val rate0 = kept(0).toDouble / total(0)
+    val rate1 = kept(1).toDouble / total(1)
+    assert(rate0 > 0.6 && rate0 < 0.9, s"group 0 rate $rate0 outside 0.75 band")
+    assert(rate1 > 0.1 && rate1 < 0.4, s"group 1 rate $rate1 outside 0.25 band")
+    // same hash, same cut — sampling is reproducible run to run
+    val b = SparkEntry.queries("corpus_sample")(spark, dir)
+    assert(a.collect().toSeq == b.collect().toSeq)
+  }
+
+  test("doc_repetition fractions are consistent with the flag") {
+    val rows = SparkEntry.queries("doc_repetition")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (top, dup) = (r.getAs[Double]("top_frac"), r.getAs[Double]("dup_frac"))
+      assert(top > 0 && top <= 1.0 && dup >= 0 && dup <= 1.0)
+      assert(r.getAs[Int]("flagged") == (if (top >= 0.06 || dup >= 0.10) 1 else 0))
+    }
+  }
+
   test("bucketed pair mining: no false positives, recall >= 0.9 on planted near-dups") {
     import org.apache.spark.sql.functions._
     def pairs(df: org.apache.spark.sql.DataFrame) =
