@@ -23,8 +23,23 @@ import org.apache.spark.sql.DataFrame
   */
 object Advisor {
 
+  /** Leaves with no real statistics are excluded rather than letting
+    * them poison the estimate: a LogicalRDD (lineage-cut checkpoint,
+    * RDD handoff) has no relation behind it and reports a garbage
+    * size (measured ~1.9e15 for a 16-row checkpoint), and anything at
+    * the defaultSizeInBytes sentinel is equally meaningless. File
+    * relations — the leaves that actually dominate input size — carry
+    * real file-length stats and are always kept.
+    */
+  private val UnknownSize = BigInt(Long.MaxValue) / 2
+
   def leafInputBytes(df: DataFrame): BigInt =
-    df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).sum
+    df.queryExecution.optimizedPlan
+      .collectLeaves()
+      .filterNot(_.getClass.getSimpleName == "LogicalRDD")
+      .map(_.stats.sizeInBytes)
+      .filter(_ < UnknownSize)
+      .sum
 
   def advisedShufflePartitions(
       df: DataFrame,
