@@ -899,6 +899,67 @@ object TextOps {
        |SELECT doc_id, source, n_words FROM dedup WHERE rn = 1
        |ORDER BY doc_id""".stripMargin
 
+  /** #71 the data-mixing report: per-source corpus composition before
+    * and after the intake gates — docs, tokens, survivors of the SAME
+    * language/length/diversity gates as corpus_pipeline, and each
+    * source's share of surviving tokens (its pretraining MIXTURE
+    * WEIGHT, the number a data-recipe decision actually consumes).
+    * Gate-level only by design: exact dedup is cross-source, so its
+    * effect belongs to the corpus, not a source row. One scan + one
+    * (source) aggregation; the normalizing total arrives by single-row
+    * broadcast, not a window-over-all.
+    */
+  def corpusMixReport(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val per = docs(s, dir)
+      .withColumn("n_words", size(words))
+      .withColumn(
+        "kept",
+        (bestLang.getField("lang") === "en" &&
+          col("n_words") >= 30 &&
+          size(array_distinct(words)).cast("double") / col("n_words") >= 0.3).cast("int"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_tokens"),
+        sum(col("kept")).cast("long").as("kept_docs"),
+        sum(col("kept") * col("n_words")).as("kept_tokens"))
+    val total = per.agg(sum(col("kept_tokens")).as("__tot"))
+    per
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("kept_docs"),
+        col("kept_tokens"),
+        emit(col("kept_tokens").cast("double") / col("__tot"), 6).as("mix_frac"))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixReportSql: String =
+    s"""WITH pred AS (
+       |  SELECT source,
+       |    len(string_split(text, ' ')) AS n_words,
+       |    CASE WHEN ($bestLangSql).lang = 'en'
+       |      AND len(string_split(text, ' ')) >= 30
+       |      AND len(list_distinct(string_split(text, ' '))) * 1.0
+       |          / len(string_split(text, ' ')) >= 0.3
+       |    THEN 1 ELSE 0 END AS kept
+       |  FROM documents
+       |),
+       |per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |    CAST(sum(kept) AS BIGINT) AS kept_docs,
+       |    CAST(sum(kept * n_words) AS BIGINT) AS kept_tokens
+       |  FROM pred GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens, kept_docs, kept_tokens,
+       |  CAST(round(CAST(kept_tokens AS DOUBLE)
+       |    / (SELECT sum(kept_tokens) FROM per), 6) AS DOUBLE) AS mix_frac
+       |FROM per ORDER BY source""".stripMargin
+
   /** #40 quality scoring: word counts, distinct ratio, char stats —
     * the reference-free quality gates of a pretraining pipeline.
     */
@@ -1034,6 +1095,7 @@ object TextOps {
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
     "lang_id" -> (langId(_, _)),
     "corpus_pipeline" -> (corpusPipeline(_, _)),
+    "corpus_mix_report" -> (corpusMixReport(_, _)),
     "text_quality" -> (textQuality(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
@@ -1048,6 +1110,7 @@ object TextOps {
     "dedup_exact_docs" -> dedupExactDocsSql,
     "lang_id" -> langIdSql,
     "corpus_pipeline" -> corpusPipelineSql,
+    "corpus_mix_report" -> corpusMixReportSql,
     "dedup_minhash_md5" -> dedupMinhashMd5Sql,
     "dedup_simhash_md5" -> dedupSimhashMd5Sql,
     "ngram_jaccard" -> ngramJaccardSql,

@@ -87,6 +87,17 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_mix_report mixture weights sum to 1 over sources") {
+    val rows = SparkEntry.queries("corpus_mix_report")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val fracSum = rows.map(_.getAs[Double]("mix_frac")).sum
+    assert(math.abs(fracSum - 1.0) < 1e-3, s"mix fractions sum to $fracSum")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
   test("bucketed pair mining: no false positives, recall >= 0.9 on planted near-dups") {
     import org.apache.spark.sql.functions._
     def pairs(df: org.apache.spark.sql.DataFrame) =
