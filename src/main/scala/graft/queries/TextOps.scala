@@ -673,6 +673,71 @@ object TextOps {
       |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY a, b""".stripMargin
 
+  /** #38c the LSH ANN under an EXACT DuckDB oracle (the md5 pattern
+    * that promoted minhash and simhash): hyperplane component (p, i) =
+    * (hex16(md5("p:i")) mod 1000)/1000 − 0.5, portable to SQL via
+    * `CAST('0x'||substr(md5(...),1,4) AS INT)`; the plane projection is
+    * the same native dot product already proven bit-identical to
+    * DuckDB's list_dot_product (embed_knn), so sign cuts, bucket keys
+    * and in-bucket rankings agree exactly. xxhash64 `embed_lsh_knn`
+    * stays the production path; this pins bucketing + in-bucket top-k
+    * end-to-end.
+    */
+  def embedLshKnnMd5(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    def planeW(p: Int): Column = transform(
+      sequence(lit(0), size(col("e")) - 1),
+      i =>
+        (conv(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 1000).cast("double") / lit(1000.0) - lit(0.5))
+    val bucketed = emb.withColumn(
+      "bucket",
+      (0 until 8)
+        .map(p => when(Registry.dot(col("e"), planeW(p)) > 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    val q = bucketed
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    bucketed
+      .join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", Registry.cosine(col("qe"), col("e")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("query_id"), col("vec_id"), col("bucket"), emit(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  val embedLshKnnMd5Sql: String = {
+    val planeDot = (p: Int) =>
+      s"list_dot_product(emb, list_transform(range(0, len(emb)), i -> " +
+        s"(CAST(concat('0x', substr(md5(concat('$p:', i)), 1, 4)) AS INT) % 1000) / 1000.0 - 0.5))"
+    val bucket = (0 until 8)
+      .map(p => s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |),
+       |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, emb AS qe, bucket FROM b WHERE vec_id < 20),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id, b.bucket,
+       |    list_dot_product(q.qe, b.emb) /
+       |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(b.emb, b.emb))) AS cosine
+       |  FROM b JOIN q ON b.bucket = q.bucket AND b.vec_id <> q.query_id
+       |),
+       |ranked AS (
+       |  SELECT query_id, vec_id, bucket, cosine,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id, bucket, CAST(round(cosine, 6) AS DOUBLE) AS cosine
+       |FROM ranked WHERE rn <= 3
+       |ORDER BY query_id, cosine DESC, vec_id""".stripMargin
+  }
+
   /** Seed centroids: the first k vectors (deterministic, zero-cost). */
   def seedCentroids(emb: DataFrame, k: Int): DataFrame =
     emb.filter(col("vec_id") < k).select(col("vec_id").as("cent_id"), col("e").as("ce"))
@@ -1092,6 +1157,7 @@ object TextOps {
     "embed_pair_sim_oracle" -> (embedPairSim(_, _)),
     "embed_pair_sim_bucketed" -> (embedPairSimBucketed(_, _)),
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
+    "embed_lsh_knn_md5" -> (embedLshKnnMd5(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
     "lang_id" -> (langId(_, _)),
     "corpus_pipeline" -> (corpusPipeline(_, _)),
@@ -1117,6 +1183,7 @@ object TextOps {
     "dedup_clusters" -> dedupClustersSql,
     "embed_knn" -> embedKnnSql,
     "embed_pair_sim_oracle" -> embedPairSimSql,
+    "embed_lsh_knn_md5" -> embedLshKnnMd5Sql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql)
