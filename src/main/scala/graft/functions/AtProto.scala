@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The reference's AT-proto id codecs (main.rs:4105-4200) as pure
+  * Catalyst column expressions — no UDFs, everything codegen'd, so id
+  * translation can run inside a 100 TB scan at full speed.
+  *
+  * TID (datetime_to_tid, main.rs:4195): epoch micros shifted left 9
+  * bits, encoded big-endian in the SORTABLE base32 alphabet
+  * "234567abcdefghijklmnopqrstuvwxyz" — 13 symbols covering 65 bits
+  * (the final symbol carries the low 4 bits plus one zero pad bit).
+  * Lexicographic TID order == timestamp order (the property the
+  * reference's BTreeMap range scans rely on; here it makes TID columns
+  * range-prunable exactly like timestamps).
+  */
+object AtProto {
+
+  private val Alphabet = "234567abcdefghijklmnopqrstuvwxyz"
+
+  private def sym(idx: Column): Column =
+    element_at(array(Alphabet.map(c => lit(c.toString)): _*), idx.cast("int") + 1)
+
+  private val symVal: Column =
+    map(Alphabet.zipWithIndex.flatMap { case (c, i) => Seq(lit(c.toString), lit(i.toLong)) }: _*)
+
+  /** Epoch microseconds → 13-char sortable-base32 TID. Valid for
+    * micros < 2^54 (year ~2540): the <<9 stays inside a signed long.
+    */
+  def microsToTid(micros: Column): Column = {
+    val v = micros * lit(512L) // << 9
+    val head = (0 until 12).map(k => sym(shiftrightunsigned(v, 59 - 5 * k).bitwiseAND(31)))
+    val last = sym(v.bitwiseAND(15) * 2) // low 4 bits + zero pad bit
+    concat(head :+ last: _*)
+  }
+
+  /** 13-char TID → epoch microseconds (inverse of [[microsToTid]]). */
+  def tidToMicros(tid: Column): Column = {
+    val head = (0 until 12)
+      .map(k => element_at(symVal, substring(tid, k + 1, 1)) * lit(1L << (59 - 5 * k)))
+      .reduce(_ + _)
+    val last = shiftrightunsigned(element_at(symVal, substring(tid, 13, 1)), 1)
+    // >> 9, NOT `/ 512`: Spark's `/` on longs is double division
+    shiftrightunsigned(head + last, 9)
+  }
+
+  /** did:plc:x → plc_x; did:web:a.b-c → web_a_b__c (did_to_key,
+    * main.rs:4151 — '.'→'_' then '-'→'__', in that order).
+    */
+  def didToKey(did: Column): Column =
+    when(did.startsWith("did:plc:"), concat(lit("plc_"), substring(did, 9, 2048)))
+      .when(
+        did.startsWith("did:web:"),
+        concat(
+          lit("web_"),
+          regexp_replace(regexp_replace(substring(did, 9, 2048), "\\.", "_"), "-", "__")))
+      .otherwise(lit(null).cast("string"))
+
+  /** at://<did>/<collection>/<rkey> → "<post|list>:<rkey>_<didkey>"
+    * (at_uri_to_post_id, main.rs:4127). Unsupported collections and
+    * invalid DIDs/rkeys yield null (the relational form of the
+    * reference's Err) — filterable, never throwing mid-scan.
+    */
+  def atUriToPostId(uri: Column): Column = {
+    val parts = split(uri, "/")
+    val host = element_at(parts, 3)
+    val collection = element_at(parts, 4)
+    val rkey = element_at(parts, 5)
+    val coll = when(collection === "app.bsky.feed.post", lit("post"))
+      .when(collection === "app.bsky.graph.list", lit("list"))
+    val didKey = didToKey(host)
+    when(
+      coll.isNotNull && didKey.isNotNull && rkey.rlike("^[a-z0-9\\-]+$"),
+      concat(coll, lit(":"), rkey, lit("_"), didKey))
+  }
+}

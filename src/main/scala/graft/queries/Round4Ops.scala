@@ -137,12 +137,51 @@ object Round4Ops {
       |  CAST(top_frac >= 0.06 OR dup_frac >= 0.10 AS INT) AS flagged
       |FROM fr ORDER BY doc_id""".stripMargin
 
+  /** #72 the TID codec (datetime_to_tid main.rs:4195 / the id scheme
+    * every reference post key embeds) over the events table: encode
+    * each timestamp as a sortable-base32 TID and decode it back — both
+    * directions pure codegen'd column arithmetic (graft.functions
+    * .AtProto), verified bit-exact against the oracle's independent
+    * SQL re-derivation. The sortability property (TID lexical order ==
+    * time order) is what lets TID-keyed stores range-prune like
+    * timestamp partitions.
+    */
+  def tidCodec(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(
+        col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        graft.functions.AtProto.microsToTid(unix_micros(col("ts"))).as("tid"))
+      .withColumn("decoded_us", graft.functions.AtProto.tidToMicros(col("tid")))
+      .orderBy(col("event_id"))
+
+  val tidCodecSql: String = {
+    val alphabet = "234567abcdefghijklmnopqrstuvwxyz"
+    val headChars = (0 until 12)
+      .map(k => s"substr('$alphabet', CAST((v >> ${59 - 5 * k}) & 31 AS INT) + 1, 1)")
+    val lastChar = s"substr('$alphabet', CAST((v & 15) * 2 AS INT) + 1, 1)"
+    val tidExpr = (headChars :+ lastChar).mkString("concat(", ", ", ")")
+    val decodeHead = (0 until 12)
+      .map(k => s"(strpos('$alphabet', substr(tid, ${k + 1}, 1)) - 1) * ${1L << (59 - 5 * k)}")
+      .mkString(" + ")
+    val decode = s"(($decodeHead + ((strpos('$alphabet', substr(tid, 13, 1)) - 1) >> 1)) >> 9)"
+    s"""WITH v AS (
+       |  SELECT event_id, epoch_us(ts) AS ts_us, epoch_us(ts) * 512 AS v FROM events
+       |),
+       |enc AS (SELECT event_id, ts_us, $tidExpr AS tid FROM v)
+       |SELECT event_id, ts_us, tid, $decode AS decoded_us
+       |FROM enc ORDER BY event_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tid_codec" -> (tidCodec(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
     "corpus_sample" -> (corpusSample(_, _)),
     "doc_repetition" -> (docRepetition(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "tid_codec" -> tidCodecSql,
     "decontaminate" -> decontaminateSql,
     "corpus_sample" -> corpusSampleSql,
     "doc_repetition" -> docRepetitionSql)
