@@ -180,6 +180,87 @@ object PipelineJson {
     working.getOrElse(base.limit(0))
   }
 
+  /** The reference's SECOND pipeline endpoint: the LIST BUILDER
+    * (generate_list_skeleton, main.rs:2678) — the same block wire
+    * format over the PROFILE dimension instead of posts. Inputs
+    * `network` (the whole profile store) and `list` (membership) APPEND
+    * to the working set like post inputs; filters are remove subjects
+    * `profile` (avatar/banner flags, main.rs:2758), `list`,
+    * `duplicates`, and the regex block over name / handle / description
+    * and their unions (main.rs:2778). `sort` is a declared no-op in the
+    * reference (TODO stub, main.rs:2864) and stays one here; `limit`
+    * truncates. Same documented divergence as run(): a distributed
+    * frame has no insertion order, so deterministic truncation needs an
+    * upstream order — the reference's own sort being a no-op means real
+    * payloads never relied on one.
+    */
+  def runListBuilder(profiles: DataFrame, payload: String, b: Binding): DataFrame = {
+    val root = mapper.readTree(payload)
+    val blockNodes = root.path("blocks")
+    require(blockNodes.isArray, "payload must carry a blocks array")
+    var working: Option[DataFrame] = None
+    blockNodes.elements().asScala.foreach { node =>
+      str(node, "type", "") match {
+        case "input" =>
+          val pulled = str(node, "inputType", "network") match {
+            case "network" => profiles
+            case "list" =>
+              val members = boundList(node, b, "list-builder input")
+              KeepInSet(b.idCol, members, members.columns.head, keep = true)(profiles)
+            case other =>
+              throw new IllegalArgumentException(s"unsupported list-builder inputType '$other'")
+          }
+          working = Some(working.fold(pulled)(_.unionByName(pulled)))
+        case _ =>
+          val w = working.getOrElse(
+            throw new IllegalArgumentException("list builder must start with an input block"))
+          working = Some(compileListBlock(node, b).foldLeft(w)((df, blk) => blk(df)))
+      }
+    }
+    working.getOrElse(profiles.limit(0))
+  }
+
+  private def compileListBlock(n: JsonNode, b: Binding): Seq[Block] =
+    str(n, "type", "") match {
+      case "remove" =>
+        str(n, "subject", "profile") match {
+          case "profile" =>
+            // (main.rs:2764): remove the named flag bucket
+            val (field, keepWhenTrue) = str(n, "value", "has_avatar") match {
+              case "has_avatar" => ("has_avatar", false)
+              case "has_no_avatar" => ("has_avatar", true)
+              case "has_banner" => ("has_banner", false)
+              case "has_no_banner" => ("has_banner", true)
+              case other =>
+                throw new IllegalArgumentException(s"unknown profile filter value '$other'")
+            }
+            val c = resolveField(b, field)
+            Seq(WhereFilter(if (keepWhenTrue) c else !c))
+          case "list" =>
+            val members = boundList(n, b, "remove")
+            Seq(KeepInSet(b.idCol, members, members.columns.head, keep = false))
+          case "duplicates" =>
+            Seq(DedupByKey(Seq(b.idCol), Seq(col(b.idCol))))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported list-builder remove subject '$other'")
+        }
+      case "regex" =>
+        // same compilation as the post regex block; targets resolve
+        // through regexTargets (name / handle / description + unions)
+        val targets = b.regexTargets.getOrElse(
+          str(n, "target", "name"),
+          throw new IllegalArgumentException(s"unbound regex target ${str(n, "target", "name")}"))
+        Seq(KeepRegex(
+          targets,
+          reqStr(n, "value", "regex"),
+          caseSensitive = n.path("caseSensitive").asBoolean(false),
+          invert = n.path("invert").asBoolean(false)))
+      case "limit" =>
+        Seq(LimitN(if (n.hasNonNull("count")) n.get("count").asInt() else 100))
+      case "sort" => Nil // the reference's list-builder sort is a TODO no-op (main.rs:2864)
+      case other => throw new IllegalArgumentException(s"unsupported list-builder block '$other'")
+    }
+
   private def str(n: JsonNode, field: String, dflt: String): String =
     if (n.hasNonNull(field)) n.get(field).asText() else dflt
 

@@ -4,12 +4,13 @@ import graft.{OracleMath, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-4 LLM-pipeline additions (§2 #68-#70): the three standard
-  * training-data operations the catalog still lacked —
-  * benchmark decontamination, deterministic stratified sampling for
-  * data mixing, and repetition-based quality filtering (the Gopher
-  * rules). All exact-oracle, all built from the same codegen'd
-  * gram/hash/aggregate primitives as the dedup family.
+/** Round-4 additions (§2 #68-#73): the standard training-data
+  * operations the catalog still lacked — benchmark decontamination,
+  * deterministic stratified sampling for data mixing, and
+  * repetition-based quality filtering (the Gopher rules) — plus the
+  * reference's id codec (tid_codec) and its second pipeline endpoint,
+  * the profile list builder (list_pipeline). All exact-oracle, built
+  * from the same codegen'd gram/hash/aggregate primitives.
   */
 object Round4Ops {
   import OracleMath._
@@ -174,14 +175,70 @@ object Round4Ops {
        |FROM enc ORDER BY event_id""".stripMargin
   }
 
+  /** #73 the LIST BUILDER endpoint (generate_list_skeleton,
+    * main.rs:2678) end-to-end from the wire: the reference's second
+    * pipeline — blocks over the PROFILE dimension. customer plays the
+    * profile store (name/handle ← c_name / c_mktsegment; has_banner ←
+    * even nation). The payload unions a vip list input with the whole
+    * network, dedups, keeps bannered profiles matching a handle regex
+    * — vip ⊆ network makes the
+    * oracle the plain filtered network while the union/dedup wire
+    * machinery still executes.
+    */
+  def listPipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Binding, PipelineJson}
+    val customer = Tables.customer(s, dir)
+    val vip = customer.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+    val binding = Binding(
+      idCol = "c_custkey",
+      authorCol = "c_custkey",
+      tsCol = "c_custkey", // unused by the list builder
+      valueCol = "c_acctbal",
+      nowEpochMs = 0L,
+      regexTargets = Map(
+        "name" -> Seq("c_name"),
+        "handle" -> Seq("c_mktsegment"),
+        "name|handle" -> Seq("c_name", "c_mktsegment")),
+      whereFields = Map.empty,
+      fieldCols = Map(
+        "has_avatar" -> (col("c_acctbal") > 0),
+        "has_banner" -> (col("c_nationkey") % 2 === 0)),
+      lists = Map("at://lists/vip" -> vip))
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"list","listUri":"at://lists/vip"},
+        |  {"type":"input","inputType":"network"},
+        |  {"type":"remove","subject":"duplicates"},
+        |  {"type":"remove","subject":"profile","value":"has_no_banner"},
+        |  {"type":"regex","target":"handle","value":"auto|build"},
+        |  {"type":"sort","sortType":"created_at"}
+        |]}""".stripMargin
+    PipelineJson
+      .runListBuilder(customer, payload, binding)
+      .select(
+        col("c_custkey").as("did"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("handle"))
+      .orderBy(col("did"))
+  }
+
+  val listPipelineSql: String =
+    """SELECT c_custkey AS did, c_name AS name, c_mktsegment AS handle
+      |FROM customer
+      |WHERE c_nationkey % 2 = 0
+      |  AND regexp_matches(c_mktsegment, '(?i)auto|build')
+      |ORDER BY did""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tid_codec" -> (tidCodec(_, _)),
+    "list_pipeline" -> (listPipeline(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
     "corpus_sample" -> (corpusSample(_, _)),
     "doc_repetition" -> (docRepetition(_, _)))
 
   val oracles: Map[String, String] = Map(
     "tid_codec" -> tidCodecSql,
+    "list_pipeline" -> listPipelineSql,
     "decontaminate" -> decontaminateSql,
     "corpus_sample" -> corpusSampleSql,
     "doc_repetition" -> docRepetitionSql)

@@ -333,6 +333,59 @@ class WireSurfaceSpec extends AnyFunSuite {
     assert(out.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 5L))
   }
 
+  test("list builder: profile flags, list removal, dedup, regex targets, limit") {
+    val s = spark
+    import s.implicits._
+    val profiles = Seq(
+      //  did  name      handle          description        has_avatar has_banner
+      (10L, "Alice", "alice.example", "spark posts daily", true, false),
+      (11L, "Bob", "bob.example", "databases", false, true),
+      (12L, "Carol", "carol.test", "spark and flink", false, false),
+      (13L, "Dave", "dave.example", "cooking", true, true)
+    ).toDF("did", "name", "handle", "description", "has_avatar", "has_banner")
+    val b = Binding(
+      idCol = "did",
+      authorCol = "did",
+      tsCol = "did",
+      valueCol = "did",
+      nowEpochMs = 0L,
+      regexTargets = Map(
+        "name" -> Seq("name"),
+        "handle" -> Seq("handle"),
+        "description" -> Seq("description"),
+        "name|description" -> Seq("name", "description")),
+      whereFields = Map.empty,
+      fieldCols = Map("has_avatar" -> col("has_avatar"), "has_banner" -> col("has_banner")),
+      lists = Map("at://lists/blocked" -> Seq(13L).toDF("member")))
+    def run(blocks: String): Seq[Long] =
+      PipelineJson
+        .runListBuilder(profiles, s"""{"blocks":[$blocks]}""", b)
+        .select(col("did")).collect().map(_.getLong(0)).sorted.toSeq
+
+    val network = """{"type":"input","inputType":"network"}"""
+    // remove has_avatar drops avatar'd profiles (main.rs:2769)
+    assert(run(s"""$network,{"type":"remove","subject":"profile","value":"has_avatar"}""")
+      == Seq(11L, 12L))
+    assert(run(s"""$network,{"type":"remove","subject":"profile","value":"has_no_banner"}""")
+      == Seq(11L, 13L))
+    // remove by list membership
+    assert(run(s"""$network,{"type":"remove","subject":"list","listUri":"at://lists/blocked"}""")
+      == Seq(10L, 11L, 12L))
+    // double input + dedup collapses to one row per did
+    assert(run(s"""$network,$network,{"type":"remove","subject":"duplicates"}""")
+      == Seq(10L, 11L, 12L, 13L))
+    // regex keeps matches (union target), invert flips
+    assert(run(s"""$network,{"type":"regex","target":"name|description","value":"spark|bob"}""")
+      == Seq(10L, 11L, 12L)) // 10,12 via description, 11 via case-folded name
+    assert(run(s"""$network,{"type":"regex","target":"handle","value":"example$$","invert":true}""")
+      == Seq(12L))
+    // sort is the reference's no-op; limit truncates
+    assert(run(s"""$network,{"type":"sort","sortType":"created_at"},{"type":"limit","count":2}""").size == 2)
+    // errors stay loud
+    intercept[IllegalArgumentException](run("""{"type":"input","inputType":"posts"}"""))
+    intercept[IllegalArgumentException](run(s"""$network,{"type":"remove","subject":"language"}"""))
+  }
+
   test("unresolved feedUri keeps a clear error, unknown blocks still throw") {
     val e = intercept[IllegalArgumentException](
       runWire("""{"type":"input","inputType":"feed","feedUri":"at://x"}"""))
