@@ -35,14 +35,19 @@ object AtProto {
     concat(head :+ last: _*)
   }
 
-  /** 13-char TID → epoch microseconds (inverse of [[microsToTid]]). */
+  /** 13-char TID → epoch microseconds (inverse of [[microsToTid]]).
+    * Malformed input (wrong length, characters outside the alphabet)
+    * decodes to null — try_element_at, not element_at, because Spark
+    * 4's default ANSI mode would otherwise throw on the first bad row
+    * and kill the scan.
+    */
   def tidToMicros(tid: Column): Column = {
     val head = (0 until 12)
-      .map(k => element_at(symVal, substring(tid, k + 1, 1)) * lit(1L << (59 - 5 * k)))
+      .map(k => try_element_at(symVal, substring(tid, k + 1, 1)) * lit(1L << (59 - 5 * k)))
       .reduce(_ + _)
-    val last = shiftrightunsigned(element_at(symVal, substring(tid, 13, 1)), 1)
+    val last = shiftrightunsigned(try_element_at(symVal, substring(tid, 13, 1)), 1)
     // >> 9, NOT `/ 512`: Spark's `/` on longs is double division
-    shiftrightunsigned(head + last, 9)
+    when(length(tid) === 13, shiftrightunsigned(head + last, 9))
   }
 
   /** did:plc:x → plc_x; did:web:a.b-c → web_a_b__c (did_to_key,
@@ -64,9 +69,11 @@ object AtProto {
     */
   def atUriToPostId(uri: Column): Column = {
     val parts = split(uri, "/")
-    val host = element_at(parts, 3)
-    val collection = element_at(parts, 4)
-    val rkey = element_at(parts, 5)
+    // get() is 0-indexed and null-safe: a URI with fewer segments must
+    // yield null, not an ANSI INVALID_ARRAY_INDEX error mid-scan
+    val host = get(parts, lit(2))
+    val collection = get(parts, lit(3))
+    val rkey = get(parts, lit(4))
     val coll = when(collection === "app.bsky.feed.post", lit("post"))
       .when(collection === "app.bsky.graph.list", lit("list"))
     val didKey = didToKey(host)

@@ -220,6 +220,20 @@ object PipelineJson {
     working.getOrElse(profiles.limit(0))
   }
 
+  /** Regex block compilation shared by BOTH pipeline endpoints (posts
+    * and the profile list builder) — only the default target differs.
+    */
+  private def compileRegexBlock(n: JsonNode, b: Binding, defaultTarget: String): Seq[Block] = {
+    val targets = b.regexTargets.getOrElse(
+      str(n, "target", defaultTarget),
+      throw new IllegalArgumentException(s"unbound regex target ${str(n, "target", defaultTarget)}"))
+    Seq(KeepRegex(
+      targets,
+      reqStr(n, "value", "regex"),
+      caseSensitive = n.path("caseSensitive").asBoolean(false),
+      invert = n.path("invert").asBoolean(false)))
+  }
+
   private def compileListBlock(n: JsonNode, b: Binding): Seq[Block] =
     str(n, "type", "") match {
       case "remove" =>
@@ -245,16 +259,9 @@ object PipelineJson {
             throw new IllegalArgumentException(s"unsupported list-builder remove subject '$other'")
         }
       case "regex" =>
-        // same compilation as the post regex block; targets resolve
-        // through regexTargets (name / handle / description + unions)
-        val targets = b.regexTargets.getOrElse(
-          str(n, "target", "name"),
-          throw new IllegalArgumentException(s"unbound regex target ${str(n, "target", "name")}"))
-        Seq(KeepRegex(
-          targets,
-          reqStr(n, "value", "regex"),
-          caseSensitive = n.path("caseSensitive").asBoolean(false),
-          invert = n.path("invert").asBoolean(false)))
+        // shared with the post pipeline; the list builder defaults the
+        // target to "name" (main.rs:2793)
+        compileRegexBlock(n, b, defaultTarget = "name")
       case "limit" =>
         Seq(LimitN(if (n.hasNonNull("count")) n.get("count").asInt() else 100))
       case "sort" => Nil // the reference's list-builder sort is a TODO no-op (main.rs:2864)
@@ -643,14 +650,7 @@ object PipelineJson {
         Nil // a declared no-op in the reference (main.rs:2384)
 
       case "regex" =>
-        val targets = b.regexTargets.getOrElse(
-          str(n, "target", "text"),
-          throw new IllegalArgumentException(s"unbound regex target ${str(n, "target", "text")}"))
-        Seq(KeepRegex(
-          targets,
-          reqStr(n, "value", "regex"),
-          caseSensitive = n.path("caseSensitive").asBoolean(false),
-          invert = n.path("invert").asBoolean(false)))
+        compileRegexBlock(n, b, defaultTarget = "text")
 
       case "score" =>
         require(str(n, "scoreType", "add") == "add", "only scoreType=add exists in the reference")

@@ -643,11 +643,13 @@ object TextOps {
     // MACHINE-ENFORCED role guard: this is the O(n²) oracle twin of
     // embed_pair_sim_bucketed (the production path). The half-matrix
     // is fine at oracle SFs (≤ 5k vectors) and a cluster-killer beyond;
-    // refuse rather than silently run a quadratic plan at scale.
-    val n = emb.count()
+    // refuse rather than silently run a quadratic plan at scale. The
+    // check is limit(cap+1).count() — an early-terminating probe, not
+    // a full scan inflating every construction (bench, plan tools).
+    val cap = 20000L
     require(
-      n <= 20000,
-      s"embed_pair_sim_oracle is the brute-force O(n²) oracle twin ($n vectors > 20000 cap); " +
+      emb.limit((cap + 1).toInt).count() <= cap,
+      s"embed_pair_sim_oracle is the brute-force O(n²) oracle twin (input exceeds $cap vectors); " +
         "use embed_pair_sim_bucketed (IVF-bucketed, O(sum list^2)) at scale")
     val withNorm = emb.withColumn("nrm", Registry.l2norm(col("e")))
     val left = withNorm.select(col("vec_id").as("a"), col("e").as("ea"), col("nrm").as("na"))

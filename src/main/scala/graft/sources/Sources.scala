@@ -58,8 +58,14 @@ object Sources {
       .map(_.getPath)
       // hive-style day=yyyy-MM-dd partition names compare lexicographically
       .filter(p => p.getName.startsWith("day=") && p.getName.stripPrefix("day=") < olderThanDay)
-    expired.foreach(p => fs.delete(p, true))
-    expired.map(_.getName.stripPrefix("day=")).sorted
+    // fs.delete returns false (instead of throwing) on some stores —
+    // only report days whose delete actually succeeded, so consumers
+    // never record retention that did not happen and a re-sweep retries
+    // the failures
+    expired
+      .filter(p => fs.delete(p, true))
+      .map(_.getName.stripPrefix("day="))
+      .sorted
   }
 
   /** JSON-lines sink/source with explicit schema (schema inference is a

@@ -31,6 +31,14 @@ object Streams {
     */
   val RetentionMs: Long = 7L * 24 * 60 * 60 * 1000
 
+  /** The same horizon as a watermark-delay string, for the stages whose
+    * DEDUP horizon must cover the whole retention window (the
+    * reference's likes bitmap is idempotent for a post's entire 7-day
+    * life, so the pair-dedup state must be too — a shorter lateness
+    * window would let a >window-late redelivery double-count).
+    */
+  val RetentionWindow: String = "7 days"
+
   /** #44 windowed counts (trending window, main.rs:626): sliding window
     * aggregation with a watermark bounding state.
     */
@@ -122,10 +130,17 @@ object Streams {
     * small state entry (not one giant per-post value), so a viral post
     * costs many tiny KVs sharded across the state store, never an
     * 80 MB blob rewritten per batch. Dedup state is evicted by the
-    * watermark: a redelivered edge inside the lateness window is
-    * dropped; the per-post retention eviction happens downstream.
+    * watermark, and the DEFAULT horizon is the full 7-day retention:
+    * the reference's bitmap is idempotent for a post's whole life, so
+    * a pair redelivered any time inside the retention window must
+    * still be dropped (a shorter window would double-count late
+    * replays). That sizes the dedup state at the live like graph
+    * itself — the same bytes the reference's bitmaps hold in RAM, here
+    * as many small KVs in RocksDB. The per-post retention eviction
+    * happens downstream; its timeout fires once the watermark passes
+    * it, i.e. effectively retention + lateness after the last like.
     */
-  def likesGraphUpserts(likes: Dataset[Like], lateness: String = "1 hour"): Dataset[Like] =
+  def likesGraphUpserts(likes: Dataset[Like], lateness: String = RetentionWindow): Dataset[Like] =
     likes
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "post_id")
@@ -154,7 +169,7 @@ object Streams {
     */
   def likesGraphStream(
       likes: Dataset[Like],
-      lateness: String = "1 hour",
+      lateness: String = RetentionWindow,
       retentionMs: Long = RetentionMs): Dataset[PostLikes] = {
     import likes.sparkSession.implicits._
     likesGraphUpserts(likes, lateness)
@@ -347,9 +362,15 @@ object Streams {
             state.remove(); Iterator.empty
           } else {
             val prev = state.getOption
-            // strictly-newer wins; a redelivered or stale snapshot is a no-op
+            // strictly-newer wins; a redelivered or stale snapshot is a
+            // no-op. Equal-timestamp conflicts tie-break on content
+            // (handle, display_name) — the group iterator has no
+            // deterministic order, and a first-seen-wins rule would let
+            // the surviving snapshot differ run to run
+            def rank(p: ProfileRow) = (p.fetched_at.getTime, p.handle, p.display_name)
+            val ord = Ordering[(Long, String, String)]
             val latest = rows.foldLeft(prev) { (acc, r) =>
-              if (acc.forall(a => r.fetched_at.getTime > a.fetched_at.getTime)) Some(r) else acc
+              if (acc.forall(a => ord.gt(rank(r), rank(a)))) Some(r) else acc
             }
             latest match {
               case Some(p) =>

@@ -58,4 +58,17 @@ class AtProtoSpec extends AnyFunSuite {
     assert(one(AtProto.atUriToPostId(lit("at://did:plc:abc/app.bsky.feed.post/3kABC"))) == null)
     assert(one(AtProto.atUriToPostId(lit("at://did:key:abc/app.bsky.feed.post/3kabc"))) == null)
   }
+
+  test("malformed input degrades to null under ANSI mode, never a thrown scan error") {
+    // Spark 4 defaults spark.sql.ansi.enabled=true: element_at on a
+    // missing array index / map key would kill the whole job — these
+    // must all be null rows instead
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    assert(one(AtProto.atUriToPostId(lit("at://did:plc:abc"))) == null) // too few segments
+    assert(one(AtProto.atUriToPostId(lit(""))) == null)
+    assert(one(AtProto.atUriToPostId(lit("not a uri at all"))) == null)
+    assert(one(AtProto.tidToMicros(lit("3kizgrgwug21!"))) == null) // char outside alphabet
+    assert(one(AtProto.tidToMicros(lit("3kiz"))) == null) // wrong length
+    assert(one(AtProto.tidToMicros(lit("3KIZGRGWUG222"))) == null) // uppercase
+  }
 }

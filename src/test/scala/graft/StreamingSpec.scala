@@ -124,7 +124,10 @@ class StreamingSpec extends AnyFunSuite {
       Streams.Like(java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hm:00"), uid, pid)
     val in = MemoryStream[Streams.Like]
     val q = Streams
-      .likesGraphStream(in.toDS())
+      // compressed-time test: a short lateness window lets the 9-day
+      // event gap drive the watermark past the retention timeout; the
+      // production default is the full retention window (see scaladoc)
+      .likesGraphStream(in.toDS(), lateness = "1 hour")
       .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
       .format("memory").queryName("lg_ttl").start()
     in.addData(at(1, "10:00", 1, 100)) // post 100 liked on Jan 1
