@@ -229,7 +229,69 @@ object Round4Ops {
       |  AND regexp_matches(c_mktsegment, '(?i)auto|build')
       |ORDER BY did""".stripMargin
 
+  /** #74 passage-level duplicate detection by WINNOWING (the MOSS
+    * fingerprinting scheme, Schleimer/Wilkerson/Aiken SIGMOD'03): hash
+    * every 8-gram, keep the MINIMUM hash of each 4-gram window as a
+    * fingerprint — any shared passage of ≥ 11 words between two
+    * documents is guaranteed to surface at least one common
+    * fingerprint, while only ~1/4 of gram hashes are retained. Pairs
+    * sharing ≥ 2 fingerprints are passage-duplicate candidates. This
+    * catches COPIED SPANS inside otherwise-different documents — the
+    * case whole-document dedup (exact/minhash/simhash) misses. Scale
+    * shape: the shuffle key is the fingerprint (bucketed join, never
+    * all-pairs), and winnowing keeps the fingerprint table at a
+    * fraction of the gram table. Exact oracle: md5 hashes and
+    * row-frame window minima are engine-portable.
+    */
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def ld(j: Int) = lead(col("w0"), j).over(w)
+    val grams = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(
+        col("doc_id"),
+        col("pos"),
+        when(ld(7).isNotNull, concat_ws(" ", col("w0") +: (1 to 7).map(ld): _*)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(col("doc_id"), col("pos"), substring(md5(col("g")), 1, 16).as("h"))
+    val fp = grams
+      .withColumn("fp", min(col("h")).over(w.rowsBetween(Window.currentRow, 3)))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+    val l = fp.select(col("doc_id").as("a"), col("fp"))
+    val r = fp.select(col("doc_id").as("b"), col("fp"))
+    l.join(r, Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count_distinct(col("fp")).as("shared"))
+      .filter(col("shared") >= 2)
+      .orderBy(col("a"), col("b"))
+  }
+
+  val dedupWinnowSql: String = {
+    val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString("||' '||")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT doc_id,
+       |    unnest([{'p': i, 'g': $gram8} for i in range(1, greatest(len(ws)-6, 1))]) AS s
+       |  FROM w
+       |),
+       |gh AS (SELECT doc_id, s.p AS pos, substr(md5(s.g), 1, 16) AS h FROM g),
+       |fp AS (
+       |  SELECT DISTINCT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM gh
+       |)
+       |SELECT l.doc_id AS a, r.doc_id AS b, count(DISTINCT l.fp) AS shared
+       |FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+       |GROUP BY 1, 2 HAVING count(DISTINCT l.fp) >= 2
+       |ORDER BY a, b""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_winnow" -> (dedupWinnow(_, _)),
     "tid_codec" -> (tidCodec(_, _)),
     "list_pipeline" -> (listPipeline(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
@@ -237,6 +299,7 @@ object Round4Ops {
     "doc_repetition" -> (docRepetition(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_winnow" -> dedupWinnowSql,
     "tid_codec" -> tidCodecSql,
     "list_pipeline" -> listPipelineSql,
     "decontaminate" -> decontaminateSql,
