@@ -243,18 +243,30 @@ object Round4Ops {
     * fraction of the gram table. Exact oracle: md5 hashes and
     * row-frame window minima are engine-portable.
     */
-  def dedupWinnow(s: SparkSession, dir: String): DataFrame = {
+  def dedupWinnow(s: SparkSession, dir: String): DataFrame =
+    winnowPairs(docs(s, dir), g => substring(md5(g), 1, 16))
+
+  /** The winnowing core over any (doc_id, text) frame, parameterized on
+    * the gram hash — md5-prefix (oracle-portable strings) or xxhash64
+    * (production: numeric min-agg, no string materialization). The
+    * winnowing guarantee (any ≥ gramN+winN-1 word shared span yields a
+    * common fingerprint) holds for ANY hash choice.
+    */
+  def winnowPairs(
+      docsDf: DataFrame,
+      hashed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      minShared: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     def ld(j: Int) = lead(col("w0"), j).over(w)
-    val grams = docs(s, dir)
+    val grams = docsDf
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .select(
         col("doc_id"),
         col("pos"),
         when(ld(7).isNotNull, concat_ws(" ", col("w0") +: (1 to 7).map(ld): _*)).as("g"))
       .filter(col("g").isNotNull)
-      .select(col("doc_id"), col("pos"), substring(md5(col("g")), 1, 16).as("h"))
+      .select(col("doc_id"), col("pos"), hashed(col("g")).as("h"))
     val fp = grams
       .withColumn("fp", min(col("h")).over(w.rowsBetween(Window.currentRow, 3)))
       .select(col("doc_id"), col("fp"))
@@ -265,9 +277,18 @@ object Round4Ops {
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count_distinct(col("fp")).as("shared"))
-      .filter(col("shared") >= 2)
+      .filter(col("shared") >= minShared)
       .orderBy(col("a"), col("b"))
   }
+
+  /** #74b the PRODUCTION winnowing path: xxhash64 fingerprints (a
+    * numeric min-agg instead of md5 hex strings — the same
+    * oracle-tax/production split as the minhash and simhash families).
+    * Rows-only; the planted-span test pins that both variants honor
+    * the winnowing guarantee on a shared 11-word passage.
+    */
+  def dedupWinnowFast(s: SparkSession, dir: String): DataFrame =
+    winnowPairs(docs(s, dir), g => xxhash64(g))
 
   val dedupWinnowSql: String = {
     val gram8 = (0 until 8).map(j => s"ws[i+$j]").mkString("||' '||")
@@ -292,6 +313,7 @@ object Round4Ops {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (dedupWinnow(_, _)),
+    "dedup_winnow_fast" -> (dedupWinnowFast(_, _)),
     "tid_codec" -> (tidCodec(_, _)),
     "list_pipeline" -> (listPipeline(_, _)),
     "decontaminate" -> (decontaminate(_, _)),

@@ -17,7 +17,8 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val rowsOnly = Set(
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
-      "embed_pair_sim_bucketed", "multimodal_stub", "percentiles_approx")
+      "embed_pair_sim_bucketed", "multimodal_stub", "percentiles_approx",
+      "dedup_winnow_fast")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -95,6 +96,31 @@ class QueryCatalogSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getAs[Long]("kept_docs") <= r.getAs[Long]("n_docs"))
       assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+  }
+
+  test("winnowing guarantee: a planted 11-word shared span surfaces in BOTH variants") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 8-gram hashes, 4-gram windows: any shared span of >= 8+4-1 = 11
+    // words must yield at least one common fingerprint REGARDLESS of
+    // the hash function — pin it for the md5 oracle path and the
+    // xxhash64 production path
+    val span = (1 to 11).map(i => s"shared$i").mkString(" ")
+    def pad(seed: String) = (1 to 30).map(i => s"$seed$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"${pad("alpha")} $span ${pad("beta")}"),
+      (2L, s"${pad("gamma")} $span ${pad("delta")}"),
+      (3L, pad("unrelated"))).toDF("doc_id", "text")
+    for ((name, h) <- Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
+        "md5" -> (g => substring(md5(g), 1, 16)),
+        "xxhash64" -> (g => xxhash64(g)))) {
+      // the guarantee is >= 1 common fingerprint per shared span — test
+      // at that bound (the catalog queries keep the >= 2 noise cut)
+      val pairs = queries.Round4Ops.winnowPairs(docs, h, minShared = 1)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 2L)), s"$name variant missed the planted span")
+      assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"$name variant false positive")
     }
   }
 
