@@ -520,8 +520,41 @@ object Analytics {
       |  CAST(coalesce(round(SUM(CASE WHEN event_type='view' THEN CAST(value AS DECIMAL(38,6)) END), 4), 0) AS DOUBLE) AS "view"
       |FROM events GROUP BY day ORDER BY day""".stripMargin
 
+  /** #26c CUBE aggregate over (event_type, month): all four grouping
+    * combinations in ONE expand + ONE shuffle — the OLAP dashboard
+    * query (totals by type, by month, by both, grand total) that would
+    * otherwise be four scans. Nulls from the expand are coalesced to a
+    * sentinel so ordering is engine-portable. Same scale shape as
+    * rollup_agg: the expand multiplies rows 4× map-side but partial
+    * aggregation collapses them before the exchange.
+    */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .events(s, dir)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM").as("month"), col("value"))
+      .cube(col("event_type"), col("month"))
+      .agg(emit(dsum(col("value"))).as("total_value"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("month"), lit("ALL")).as("month"),
+        col("total_value"),
+        col("n"))
+      .orderBy(col("event_type"), col("month"))
+
+  val cubeAggSql: String =
+    """WITH e AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m') AS month, value FROM events
+      |)
+      |SELECT coalesce(event_type, 'ALL') AS event_type,
+      |       coalesce(month, 'ALL') AS month,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value,
+      |  COUNT(*) AS n
+      |FROM e GROUP BY CUBE(event_type, month)
+      |ORDER BY event_type, month""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> (q1Agg(_, _)),
+    "cube_agg" -> (cubeAgg(_, _)),
     "q3_join_topk" -> (q3JoinTopk(_, _)),
     "q5_multi_join" -> (q5MultiJoin(_, _)),
     "window_running" -> (windowRunning(_, _)),
@@ -540,6 +573,7 @@ object Analytics {
 
   val oracles: Map[String, String] = Map(
     "q1_agg" -> q1AggSql,
+    "cube_agg" -> cubeAggSql,
     "q3_join_topk" -> q3JoinTopkSql,
     "q5_multi_join" -> q5MultiJoinSql,
     "window_running" -> windowRunningSql,

@@ -311,6 +311,75 @@ object Round4Ops {
        |ORDER BY a, b""".stripMargin
   }
 
+  /** #75 corpus vocabulary builder: global token frequencies + document
+    * frequencies, top 50 by term frequency. The first step of any
+    * tokenizer/vocab training run (BPE seeding, stopword induction,
+    * vocabulary pruning) and the same one-explode-one-aggregate shape
+    * as token_count — at 100 TB the shuffle key is the token, partial
+    * aggregation absorbs the heavy hitters map-side, and the top-k is
+    * a TakeOrderedAndProject (no global sort).
+    */
+  def corpusVocab(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(50)
+
+  val corpusVocabSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |)
+      |SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+      |FROM t WHERE token <> ''
+      |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin
+
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  /** #76 PII scrubbing: redact emails and phone numbers before a corpus
+    * leaves the pipeline, and report per-document redaction counts (the
+    * audit trail a compliance pass needs). The synthetic corpus carries
+    * no PII, so the op plants a deterministic contact line per document
+    * and then proves the scrubber removes it — counts and the scrubbed
+    * text are both oracle-hashed. Pure codegen'd regexp work: at
+    * 100 TB this is an embarrassingly parallel map with zero shuffles
+    * (the ORDER BY here exists only for the deterministic oracle).
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val withPii = docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    withPii
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")).as("scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiScrubSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS INT) AS n_phones,
+      |  regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+      |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (dedupWinnow(_, _)),
     "dedup_winnow_fast" -> (dedupWinnowFast(_, _)),
@@ -318,7 +387,9 @@ object Round4Ops {
     "list_pipeline" -> (listPipeline(_, _)),
     "decontaminate" -> (decontaminate(_, _)),
     "corpus_sample" -> (corpusSample(_, _)),
-    "doc_repetition" -> (docRepetition(_, _)))
+    "doc_repetition" -> (docRepetition(_, _)),
+    "corpus_vocab" -> (corpusVocab(_, _)),
+    "pii_scrub" -> (piiScrub(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_winnow" -> dedupWinnowSql,
@@ -326,5 +397,7 @@ object Round4Ops {
     "list_pipeline" -> listPipelineSql,
     "decontaminate" -> decontaminateSql,
     "corpus_sample" -> corpusSampleSql,
-    "doc_repetition" -> docRepetitionSql)
+    "doc_repetition" -> docRepetitionSql,
+    "corpus_vocab" -> corpusVocabSql,
+    "pii_scrub" -> piiScrubSql)
 }

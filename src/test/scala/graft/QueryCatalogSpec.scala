@@ -78,6 +78,41 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(a.collect().toSeq == b.collect().toSeq)
   }
 
+  test("corpus_vocab is tf-ordered with df <= tf and df bounded by corpus size") {
+    val rows = SparkEntry.queries("corpus_vocab")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val nDocs = Tables.documents(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") <= r.getAs[Long]("tf"))
+      assert(r.getAs[Long]("df") <= nDocs)
+    }
+    val tfs = rows.map(_.getAs[Long]("tf")).toSeq
+    assert(tfs == tfs.sorted.reverse, "vocabulary must be ordered by descending tf")
+  }
+
+  test("pii_scrub removes every planted email/phone and counts them") {
+    val rows = SparkEntry.queries("pii_scrub")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_emails") == 1 && r.getAs[Int]("n_phones") == 1)
+      val t = r.getAs[String]("scrubbed")
+      assert(!t.contains("@example.com") && !t.contains("+1-555-"), s"PII survived: $t")
+      assert(t.contains("<EMAIL>") && t.contains("<PHONE>"))
+    }
+  }
+
+  test("cube_agg grand total equals the sum of per-type totals") {
+    val rows = SparkEntry.queries("cube_agg")(spark, dir).collect()
+    val grand = rows.filter(r =>
+      r.getAs[String]("event_type") == "ALL" && r.getAs[String]("month") == "ALL")
+    assert(grand.length == 1)
+    val perType = rows.filter(r =>
+      r.getAs[String]("event_type") != "ALL" && r.getAs[String]("month") == "ALL")
+    assert(perType.map(_.getAs[Long]("n")).sum == grand.head.getAs[Long]("n"))
+    assert(math.abs(perType.map(_.getAs[Double]("total_value")).sum -
+      grand.head.getAs[Double]("total_value")) < 1e-6)
+  }
+
   test("doc_repetition fractions are consistent with the flag") {
     val rows = SparkEntry.queries("doc_repetition")(spark, dir).collect()
     assert(rows.nonEmpty)
