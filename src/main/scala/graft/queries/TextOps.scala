@@ -779,7 +779,7 @@ object TextOps {
   }
 
   /** Per-row top-`keep` centroid assignment (broadcast of k·dim). */
-  private def nearestCentroids(
+  private[graft] def nearestCentroids(
       df: DataFrame, cents: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cent_id"))
     df.crossJoin(broadcast(cents))
@@ -818,6 +818,27 @@ object TextOps {
 
   def embedIvfKnn(s: SparkSession, dir: String): DataFrame =
     embedIvfKnnWith(s, dir, trained = true)
+
+  /** #38c the SAME search against a persisted index (sources.IvfIndex):
+    * train-once / search-many. The first call per sf dir materializes
+    * centroids + partitioned inverted lists; every later call (the
+    * steady state a serving deployment lives in) skips training
+    * entirely and reads ONLY the probed list partitions via dynamic
+    * partition pruning. Byte-identical to embed_ivf_knn (test-pinned:
+    * doubles round-trip parquet exactly), so it shares that entry's
+    * rows-only status.
+    */
+  def embedIvfKnnIndexed(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    val indexDir = s"/tmp/graft-ivf-index/${new java.io.File(dir).getName}"
+    // _SUCCESS guards against a torn half-written index, not staleness
+    // (testdata is immutable; production would version the index dir)
+    if (!new java.io.File(s"$indexDir/lists/_SUCCESS").exists())
+      graft.sources.IvfIndex.build(emb, indexDir)
+    graft.sources.IvfIndex.search(
+      s, indexDir,
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e").as("qe")))
+  }
 
   /** #37c SCALE-SAFE pair mining core: IVF candidate generation + exact
     * cosine verification inside buckets, over any (vec_id, e) relation.
@@ -1161,6 +1182,7 @@ object TextOps {
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
     "embed_lsh_knn_md5" -> (embedLshKnnMd5(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
+    "embed_ivf_knn_indexed" -> (embedIvfKnnIndexed(_, _)),
     "lang_id" -> (langId(_, _)),
     "corpus_pipeline" -> (corpusPipeline(_, _)),
     "corpus_mix_report" -> (corpusMixReport(_, _)),

@@ -17,8 +17,8 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val rowsOnly = Set(
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
-      "embed_pair_sim_bucketed", "multimodal_stub", "percentiles_approx",
-      "dedup_winnow_fast")
+      "embed_ivf_knn_indexed", "embed_pair_sim_bucketed", "multimodal_stub",
+      "percentiles_approx", "dedup_winnow_fast")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -229,6 +229,27 @@ class QueryCatalogSpec extends AnyFunSuite {
     // more probes = candidate superset = weakly higher recall (the
     // latency-vs-quality knob a deployment turns)
     assert(ivfRecall(4) >= recall2)
+  }
+
+  test("persisted IVF index: search equals the retrain form and prunes unprobed lists") {
+    import org.apache.spark.sql.functions._
+    // byte-identical results: parquet round-trips doubles exactly, so
+    // the index search must reproduce the retrain-every-time form
+    val fresh = new java.io.File("/tmp/graft-ivf-index/sf0.001")
+    if (fresh.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fresh.toPath).iterator.asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val indexed = SparkEntry.queries("embed_ivf_knn_indexed")(spark, dir)
+    val retrain = SparkEntry.queries("embed_ivf_knn")(spark, dir).collect().toSeq
+    assert(indexed.collect().toSeq == retrain)
+
+    // the probe→lists join must prune at the STORAGE level: the lists
+    // scan carries a dynamic-pruning partition filter on cent_id
+    val planStr = indexed.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruning"),
+      s"lists scan must be dynamically partition-pruned on cent_id:\n$planStr")
   }
 
   test("trained centroids survive a parquet round trip (train once, search many)") {
