@@ -145,6 +145,38 @@ object Streams {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("user_id", "post_id")
 
+  /** #45c stream-stream join: live likes ⋈ live posts. The reference
+    * resolves each like against its post the moment both are in RAM
+    * (run_likes_query mutating the post's counters, main.rs:3287);
+    * the distributed form is a watermarked INTERVAL join — the extra
+    * time-range predicate (a like lands within [post_ts, post_ts +
+    * retention]) is not decoration, it is what lets Spark BOUND both
+    * state stores: from the condition it derives how long a buffered
+    * post can still meet a future like (retention + lateness) and
+    * evicts it after, the same 7-day horizon as clean_up_old_posts
+    * (main.rs:4008). Without the range the posts side would buffer
+    * forever. Inner join here; left-outer over the same condition
+    * emits never-liked posts once their window expires.
+    */
+  def likesJoinPostsStream(
+      posts: Dataset[Ev], likes: Dataset[Like], lateness: String = "1 hour"): DataFrame = {
+    val p = posts
+      .select(
+        col("event_id").as("post_id"),
+        col("user_id").as("author"),
+        col("ts").as("post_ts"))
+      .withWatermark("post_ts", lateness)
+    val l = likes
+      .select(col("post_id").as("liked_post"), col("user_id").as("liker"), col("ts").as("like_ts"))
+      .withWatermark("like_ts", lateness)
+    p.join(
+        l,
+        col("post_id") === col("liked_post") &&
+          col("like_ts") >= col("post_ts") &&
+          col("like_ts") <= col("post_ts") + expr(s"INTERVAL $RetentionWindow"))
+      .select(col("post_id"), col("author"), col("liker"), col("post_ts"), col("like_ts"))
+  }
+
   /** #45b likes-graph ingestion (run_likes_query, main.rs:3287).
     *
     * Round-3 shape (per-post `Seq[Long]` liker set in one state value,

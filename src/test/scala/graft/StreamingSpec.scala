@@ -188,6 +188,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(counts == Map(100L -> 2L, 200L -> 1L), s"state read wrong: $counts")
   }
 
+  test("stream-stream interval join matches likes to posts inside the retention window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def like(min: Int, uid: Long, post: Long) =
+      Streams.Like(java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00"), uid, post)
+    val posts = MemoryStream[Ev]
+    val likes = MemoryStream[Streams.Like]
+    val q = Streams
+      .likesJoinPostsStream(posts.toDS(), likes.toDS())
+      .writeStream.format("memory").queryName("ssj").start()
+    posts.addData(ev(100, 0, 1, "post", 0.0), ev(200, 5, 2, "post", 0.0))
+    likes.addData(
+      like(10, 7, 100), // in-window like → must join
+      like(12, 8, 100), // second liker, same post
+      like(2, 9, 200), // BEFORE the post's timestamp → must not join
+      like(10, 9, 999)) // like for an unknown post → must not join
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssj").collect()
+      .map(r => (r.getAs[Long]("post_id"), r.getAs[Long]("liker"))).toSet
+    assert(rows == Set((100L, 7L), (100L, 8L)), s"unexpected join rows: $rows")
+  }
+
   test("likes-graph upsert feed emits each (post, liker) edge exactly once") {
     // the liker SET lives in this deduped edge stream (append it to a
     // sink keyed by (post, user) and you have the distributed bitmap),
