@@ -326,6 +326,108 @@ object Analytics {
       .orderBy(col("l_returnflag"))
   }
 
+  /** #28b approximate distinct counts (HyperLogLog++): the 100 TB twin
+    * of distinct_count. Exact distinct shuffles every distinct value;
+    * the sketch is a fixed few-KB state per group that merges
+    * associatively map-side — the only form that survives a
+    * billion-distinct column. Rows-only (sketches are
+    * engine-specific); the error-bound test pins it within 2% of the
+    * exact path, and percentiles_approx plays the same role for
+    * quantiles.
+    */
+  def distinctApprox(s: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** #28c calendar gap-fill: densify a sparse daily series so every
+    * (event_type, day) cell of the observed span exists, zero-filled —
+    * the step every dashboard/forecasting consumer needs before a
+    * window function (a moving average over a sparse series silently
+    * skips missing days). The grid is sequence+explode over a
+    * single-row min/max aggregate (a broadcast, never a driver
+    * collect) × the distinct types, left-joined to the real
+    * aggregates. Scale: the grid is |days|·|types| rows — trivially
+    * small next to the fact table at any SF; the one real shuffle is
+    * the daily aggregate.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val daily = ev
+      .filter(col("value") >= 300) // sparse slice: most day-cells are empty
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), emit(dsum(col("value"))).as("total_value"))
+    val days = ev
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = days.crossJoin(ev.select(col("event_type")).distinct())
+    grid
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(
+        col("event_type"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val gapFillSql: String =
+    """WITH f AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day, value FROM events WHERE value >= 300
+      |),
+      |span AS (SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events),
+      |days AS (
+      |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM span
+      |),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |daily AS (
+      |  SELECT event_type, day, count(*) AS n,
+      |    CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value
+      |  FROM f GROUP BY 1, 2
+      |)
+      |SELECT t.event_type, strftime(g.day, '%Y-%m-%d') AS day,
+      |  coalesce(d.n, 0) AS n, coalesce(d.total_value, 0.0) AS total_value
+      |FROM days g CROSS JOIN types t
+      |LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = g.day
+      |ORDER BY t.event_type, g.day""".stripMargin
+
+  /** #28d retention cohorts: users grouped by their first-activity week
+    * (ISO-Monday truncation, identical in both engines), counted
+    * distinct in each subsequent week-offset — the activation/retention
+    * matrix behind every growth dashboard. Two shuffles total: the
+    * per-user first-day aggregate, then the (cohort, week_n) distinct
+    * count; the first-day relation joins back on user_id (AQE
+    * broadcasts it at small SF, hash join at scale — hint-free per
+    * policy).
+    */
+  def retentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+    ev.join(first, Seq("user_id"))
+      .select(
+        date_format(date_trunc("week", col("first_day")), "yyyy-MM-dd").as("cohort_week"),
+        floor(datediff(col("day"), col("first_day")) / 7).as("week_n"),
+        col("user_id"))
+      .groupBy(col("cohort_week"), col("week_n"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("week_n"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+      |first AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY user_id)
+      |SELECT strftime(date_trunc('week', f.first_day), '%Y-%m-%d') AS cohort_week,
+      |  CAST(floor(date_diff('day', f.first_day, e.day) / 7) AS BIGINT) AS week_n,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM ev e JOIN first f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin
+
   /** #28 Exact distinct counts per group (two-phase distinct agg). */
   def distinctCount(s: SparkSession, dir: String): DataFrame = {
     Tables
@@ -565,6 +667,9 @@ object Analytics {
     "percentiles" -> (percentiles(_, _)),
     "percentiles_approx" -> (percentilesApprox(_, _)),
     "distinct_count" -> (distinctCount(_, _)),
+    "distinct_approx" -> (distinctApprox(_, _)),
+    "gap_fill" -> (gapFill(_, _)),
+    "retention_cohorts" -> (retentionCohorts(_, _)),
     "asof_join" -> (asofJoin(_, _)),
     "asof_join_native" -> (asofJoinNative(_, _)),
     "range_join" -> (rangeJoin(_, _)),
@@ -583,6 +688,8 @@ object Analytics {
     "update_counts" -> updateCountsSql,
     "percentiles" -> percentilesSql,
     "distinct_count" -> distinctCountSql,
+    "gap_fill" -> gapFillSql,
+    "retention_cohorts" -> retentionCohortsSql,
     "asof_join" -> asofJoinSql,
     "asof_join_native" -> asofJoinSql,
     "range_join" -> rangeJoinSql,

@@ -18,7 +18,7 @@ class QueryCatalogSpec extends AnyFunSuite {
     val rowsOnly = Set(
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
       "embed_ivf_knn_indexed", "embed_pair_sim_bucketed", "multimodal_stub",
-      "percentiles_approx", "dedup_winnow_fast")
+      "percentiles_approx", "dedup_winnow_fast", "distinct_approx")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -481,6 +481,44 @@ class QueryCatalogSpec extends AnyFunSuite {
     val once = spark.sessionState.optimizer.execute(df.queryExecution.analyzed)
     val twice = spark.sessionState.optimizer.execute(once)
     assert(once.toString == twice.toString)
+  }
+
+  test("approx distinct counts stay within 2% of the exact path") {
+    def byFlag(key: String, field: String) =
+      SparkEntry.queries(key)(spark, dir).collect()
+        .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long](field)).toMap
+    for (field <- Seq("n_parts", "n_supps", "n_orders")) {
+      val exact = byFlag("distinct_count", field)
+      val approx = byFlag("distinct_approx", field)
+      exact.foreach { case (k, v) =>
+        assert(math.abs(approx(k) - v).toDouble / v < 0.02,
+          s"$field/$k: approx ${approx(k)} vs exact $v")
+      }
+    }
+  }
+
+  test("gap_fill densifies the full span with zero-filled cells") {
+    val rows = SparkEntry.queries("gap_fill")(spark, dir).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val days = rows.map(_.getAs[String]("day")).distinct
+    assert(rows.length == types.length * days.length, "grid must be complete")
+    assert(rows.exists(_.getAs[Long]("n") == 0L), "sparse slice must have zero-filled cells")
+    rows.filter(_.getAs[Long]("n") == 0L).foreach { r =>
+      assert(r.getAs[Double]("total_value") == 0.0)
+    }
+  }
+
+  test("retention cohorts: week 0 holds every cohort member, later weeks never exceed it") {
+    val rows = SparkEntry.queries("retention_cohorts")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[String]("cohort_week"))
+    byCohort.foreach { case (cw, rs) =>
+      val w0 = rs.find(_.getAs[Long]("week_n") == 0L)
+      assert(w0.isDefined, s"cohort $cw missing week 0 (first activity IS week 0)")
+      val base = w0.get.getAs[Long]("n_users")
+      rs.foreach(r => assert(r.getAs[Long]("n_users") <= base,
+        s"cohort $cw week ${r.getAs[Long]("week_n")} exceeds its week-0 population"))
+    }
   }
 
   test("approx percentiles stay within 2% of the exact oracle path") {
