@@ -159,7 +159,8 @@ object Streams {
     * emits never-liked posts once their window expires.
     */
   def likesJoinPostsStream(
-      posts: Dataset[Ev], likes: Dataset[Like], lateness: String = "1 hour"): DataFrame = {
+      posts: Dataset[Ev], likes: Dataset[Like], lateness: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val p = posts
       .select(
         col("event_id").as("post_id"),
@@ -169,11 +170,15 @@ object Streams {
     val l = likes
       .select(col("post_id").as("liked_post"), col("user_id").as("liker"), col("ts").as("like_ts"))
       .withWatermark("like_ts", lateness)
+    // leftOuter additionally emits never-liked posts (liker = null) —
+    // but only once the watermark proves no matching like can still
+    // arrive, i.e. after the post's whole join window expires
     p.join(
         l,
         col("post_id") === col("liked_post") &&
           col("like_ts") >= col("post_ts") &&
-          col("like_ts") <= col("post_ts") + expr(s"INTERVAL $RetentionWindow"))
+          col("like_ts") <= col("post_ts") + expr(s"INTERVAL $RetentionWindow"),
+        joinType)
       .select(col("post_id"), col("author"), col("liker"), col("post_ts"), col("like_ts"))
   }
 

@@ -210,6 +210,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Set((100L, 7L), (100L, 8L)), s"unexpected join rows: $rows")
   }
 
+  test("left-outer stream-stream join emits never-liked posts once their window closes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def like(day: Int, uid: Long, post: Long) =
+      Streams.Like(java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00"), uid, post)
+    def post(id: Long, day: Int, author: Long) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-$day%02d 09:00:00"), author, "post", 0.0)
+    val posts = MemoryStream[Ev]
+    val likes = MemoryStream[Streams.Like]
+    val q = Streams
+      .likesJoinPostsStream(posts.toDS(), likes.toDS(), joinType = "leftOuter")
+      .writeStream.format("memory").queryName("ssjo").start()
+    posts.addData(post(100, 1, 1), post(200, 1, 2)) // day 1: one will be liked, one never
+    likes.addData(like(2, 7, 100))
+    q.processAllAvailable()
+    // advance both watermarks past post_ts + 7d + lateness so the
+    // unmatched post's join window provably closes
+    posts.addData(post(999, 20, 9))
+    likes.addData(like(20, 9, 999))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("ssjo").collect()
+      .map(r => (r.getAs[Long]("post_id"), Option(r.getAs[Any]("liker")))).toSet
+    assert(rows.contains((100L, Some(7L))), "matched like must join")
+    assert(rows.contains((200L, None)), "never-liked post must surface with a null liker")
+  }
+
   test("likes-graph upsert feed emits each (post, liker) edge exactly once") {
     // the liker SET lives in this deduped edge stream (append it to a
     // sink keyed by (post, user) and you have the distributed bitmap),
