@@ -340,9 +340,11 @@ object Analytics {
       .lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("n_parts"),
-        approx_count_distinct(col("l_suppkey"), 0.01).as("n_supps"),
-        approx_count_distinct(col("l_orderkey"), 0.01).as("n_orders"),
+        // rsd 0.025: 4× fewer registers than 0.01 for ~2.5% worst-case
+        // error — the sketch's value is its fixed size, not precision
+        approx_count_distinct(col("l_partkey"), 0.025).as("n_parts"),
+        approx_count_distinct(col("l_suppkey"), 0.025).as("n_supps"),
+        approx_count_distinct(col("l_orderkey"), 0.025).as("n_orders"),
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag"))
 

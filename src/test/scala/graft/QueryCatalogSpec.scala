@@ -483,7 +483,7 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(once.toString == twice.toString)
   }
 
-  test("approx distinct counts stay within 2% of the exact path") {
+  test("approx distinct counts stay within 2x the configured rsd of the exact path") {
     def byFlag(key: String, field: String) =
       SparkEntry.queries(key)(spark, dir).collect()
         .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long](field)).toMap
@@ -491,7 +491,8 @@ class QueryCatalogSpec extends AnyFunSuite {
       val exact = byFlag("distinct_count", field)
       val approx = byFlag("distinct_approx", field)
       exact.foreach { case (k, v) =>
-        assert(math.abs(approx(k) - v).toDouble / v < 0.02,
+        // rsd = 0.025 ⇒ 2σ bound 5% (HLL error is gaussian-ish in rsd)
+        assert(math.abs(approx(k) - v).toDouble / v < 0.05,
           s"$field/$k: approx ${approx(k)} vs exact $v")
       }
     }
