@@ -380,6 +380,100 @@ object Round4Ops {
       |                 '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** #77 document chunking: split each document into fixed-size
+    * overlapping word windows (32 words, stride 24 — the shape an
+    * embedding/RAG pipeline feeds to its encoder; the 8-word overlap
+    * keeps passage boundaries from cutting context). Pure per-row
+    * array arithmetic — sequence over chunk starts + slice — so it's
+    * an embarrassingly parallel map with zero shuffles; the chunk
+    * count per doc is ceil((len-overlap)/stride), deterministic.
+    */
+  def docChunks(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 32
+    val stride = 24
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_words"),
+        posexplode(
+          transform(
+            sequence(
+              lit(0),
+              // last start = ceil((len - chunk)/stride); Column `/` is
+              // double division, so floor it back to the integer index
+              greatest(
+                floor((size(col("ws")) - lit(chunk) + lit(stride) - 1) / lit(stride)).cast("int"),
+                lit(0))),
+            i => concat_ws(" ", slice(col("ws"), i * stride + 1, lit(chunk)))))
+          .as(Seq("chunk_id", "chunk")))
+      .filter(col("chunk") =!= "")
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val docChunksSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, len(ws) AS n_words,
+      |    unnest([{'cid': i, 'chunk': array_to_string(ws[i*24+1 : i*24+32], ' ')}
+      |            for i in range(0, greatest(CAST(ceil((len(ws) - 32.0 + 24) / 24) AS INT), 1))]) AS s
+      |  FROM w
+      |)
+      |SELECT doc_id, n_words, s.cid AS chunk_id, s.chunk AS chunk
+      |FROM c WHERE s.chunk <> ''
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** #78 tf-idf term scoring: the classic relevance weight, top-3
+    * terms per document. Two aggregates sharing the one gram pass —
+    * per-(doc, token) tf and corpus-wide df — joined on the token key;
+    * idf = ln((N+1)/(df+1)) with N a single-row broadcast. Ranking
+    * happens on the ROUNDED score (OracleMath rule: both engines rank
+    * identical 4-dp values, token tie-break), so the top-3 cut is
+    * engine-portable. Scale: token-key shuffles with map-side partial
+    * aggregation; never a cross join — the df relation joins the tf
+    * relation token-to-token.
+    */
+  def docTfidf(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = toks.groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = toks.select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("token"))
+    tf.join(dfreq, Seq("token"))
+      .crossJoin(broadcast(n)) // single-row corpus size
+      .withColumn(
+        "tfidf",
+        emit(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("tfidf"))
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
+  val docTfidfSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |),
+      |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+      |    CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1)), 4) AS DOUBLE) AS tfidf
+      |  FROM tf JOIN df USING (token) CROSS JOIN n
+      |),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+      |  FROM scored
+      |)
+      |SELECT doc_id, token, tf, df, tfidf FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, tfidf DESC, token""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (dedupWinnow(_, _)),
     "dedup_winnow_fast" -> (dedupWinnowFast(_, _)),
@@ -389,7 +483,9 @@ object Round4Ops {
     "corpus_sample" -> (corpusSample(_, _)),
     "doc_repetition" -> (docRepetition(_, _)),
     "corpus_vocab" -> (corpusVocab(_, _)),
-    "pii_scrub" -> (piiScrub(_, _)))
+    "pii_scrub" -> (piiScrub(_, _)),
+    "doc_chunks" -> (docChunks(_, _)),
+    "doc_tfidf" -> (docTfidf(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_winnow" -> dedupWinnowSql,
@@ -399,5 +495,7 @@ object Round4Ops {
     "corpus_sample" -> corpusSampleSql,
     "doc_repetition" -> docRepetitionSql,
     "corpus_vocab" -> corpusVocabSql,
-    "pii_scrub" -> piiScrubSql)
+    "pii_scrub" -> piiScrubSql,
+    "doc_chunks" -> docChunksSql,
+    "doc_tfidf" -> docTfidfSql)
 }

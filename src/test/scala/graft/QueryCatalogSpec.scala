@@ -113,6 +113,38 @@ class QueryCatalogSpec extends AnyFunSuite {
       grand.head.getAs[Double]("total_value")) < 1e-6)
   }
 
+  test("doc_chunks windows are bounded, stride-aligned and cover every word") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("doc_chunks")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      val nWords = rs.head.getAs[Int]("n_words")
+      rs.foreach { r =>
+        val words = r.getAs[String]("chunk").split(" ")
+        assert(words.length <= 32, s"doc $id chunk over 32 words")
+      }
+      // chunk ids are dense from 0 and the last window reaches the end:
+      // last start + its length == n_words for docs longer than a chunk
+      val ids = rs.map(_.getAs[Int]("chunk_id")).sorted
+      assert(ids.toSeq == (0 until rs.length), s"doc $id chunk ids not dense")
+      val lastLen = rs.maxBy(_.getAs[Int]("chunk_id")).getAs[String]("chunk").split(" ").length
+      assert(ids.max * 24 + lastLen == nWords || nWords <= 32,
+        s"doc $id: last chunk does not reach the end")
+    }
+  }
+
+  test("doc_tfidf keeps top-3 non-negative scores in order") {
+    val rows = SparkEntry.queries("doc_tfidf")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("tfidf") >= 0.0))
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      assert(rs.length <= 3, s"doc $id has more than 3 terms")
+      val scores = rs.map(_.getAs[Double]("tfidf")).toSeq
+      assert(scores == scores.sorted.reverse, s"doc $id terms out of order")
+    }
+  }
+
   test("doc_repetition fractions are consistent with the flag") {
     val rows = SparkEntry.queries("doc_repetition")(spark, dir).collect()
     assert(rows.nonEmpty)
