@@ -161,9 +161,13 @@ object Round2Ops {
     Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("post_id"), concat(col("l_returnflag"), col("l_linestatus")).as("lab"))
       .groupBy(col("post_id"))
-      .agg(
-        concat_ws(",", sort_array(collect_set(col("lab")))).as("labels"),
-        count_distinct(col("lab")).as("n_labels"))
+      // one set aggregate serves both outputs: n_labels = |set| (a
+      // separate count_distinct would add an Expand + second agg path)
+      .agg(sort_array(collect_set(col("lab"))).as("labs"))
+      .select(
+        col("post_id"),
+        concat_ws(",", col("labs")).as("labels"),
+        size(col("labs")).cast("long").as("n_labels"))
       .orderBy(col("post_id"))
 
   val updateLabelsSql: String =
