@@ -184,12 +184,86 @@ object GraphOps {
       |  SELECT 'orders', COUNT(*), CAST(MIN(o_orderkey) AS BIGINT), CAST(MAX(o_orderkey) AS BIGINT) FROM orders
       |) ORDER BY tbl""".stripMargin
 
+  /** #57 PageRank, 3 fixed iterations (d = 0.85) over the deduped
+    * follow graph — the canonical iterative graph op, exact-oracle by
+    * construction: per-edge contributions are rounded to 12 dp and
+    * summed through DECIMAL (order-independent), each iteration's rank
+    * re-rounds to 12 dp, so both engines walk bit-identical values and
+    * the DuckDB oracle is the same three iterations unrolled as CTEs.
+    * Dangling mass is not redistributed (simplified PageRank) —
+    * identical on both sides, documented here. Scale shape: each
+    * iteration is one edge-key join + one (dst) aggregate — O(E)
+    * shuffle per round, the node vector never leaves the cluster, and
+    * Lineage.cut stops plan re-derivation across rounds (2^iters
+    * blow-up otherwise). Final ranking sorts ROUNDED doubles with an
+    * id tie-break (the engine-portable rank rule).
+    */
+  def pageRank(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("n")) // single-row broadcast
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = nodes
+      .crossJoin(broadcast(nRow))
+      .select(col("id"), (lit(1.0) / col("n")).as("rank"), col("n"))
+    for (_ <- 1 to 3) {
+      val inflow = e
+        .join(r.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), round(col("rank") / col("deg"), 12).cast(Dec12).as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("inflow"))
+      r = graft.Lineage.cut(
+        nodes
+          .crossJoin(broadcast(nRow))
+          .join(inflow, Seq("id"), "left")
+          .select(
+            col("id"),
+            round(
+              lit(0.15) / col("n") +
+                lit(0.85) * coalesce(col("inflow").cast("double"), lit(0.0)),
+              12).as("rank"),
+            col("n")))
+    }
+    r.select(col("id"), emit(col("rank"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("id"))
+  }
+
+  val pageRankSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""c$k AS (
+         |  SELECT e.dst AS id, CAST(round($prev.rank / deg.deg, 12) AS DECIMAL(38,12)) AS c
+         |  FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+         |),
+         |i$k AS (
+         |  SELECT nodes.id,
+         |    round(0.15 / n.n + 0.85 * coalesce(CAST(t.s AS DOUBLE), 0), 12) AS rank
+         |  FROM nodes CROSS JOIN n
+         |  LEFT JOIN (SELECT id, sum(c) AS s FROM c$k GROUP BY id) t ON nodes.id = t.id
+         |)""".stripMargin
+    s"""WITH edges_raw AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM edges_raw),
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+       |),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |i0 AS (SELECT id, 1.0 / n.n AS rank FROM nodes CROSS JOIN n),
+       |${iter("i0", 1)},
+       |${iter("i1", 2)},
+       |${iter("i2", 3)}
+       |SELECT id, CAST(round(rank, 6) AS DOUBLE) AS rank
+       |FROM i3 ORDER BY rank DESC, id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_following" -> (graphFollowing(_, _)),
     "graph_2hop" -> (graph2hop(_, _)),
     "graph_mutuals" -> (graphMutuals(_, _)),
     "graph_top_moots" -> (graphTopMoots(_, _)),
     "community_input" -> (communityInput(_, _)),
+    "page_rank" -> (pageRank(_, _)),
     "admin_stats" -> (adminStats(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -198,5 +272,6 @@ object GraphOps {
     "graph_mutuals" -> graphMutualsSql,
     "graph_top_moots" -> graphTopMootsSql,
     "community_input" -> communityInputSql,
+    "page_rank" -> pageRankSql,
     "admin_stats" -> adminStatsSql)
 }

@@ -344,6 +344,19 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("page_rank holds probability-mass invariants") {
+    val rows = SparkEntry.queries("page_rank")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    val n = ranks.length
+    ranks.foreach(r => assert(r >= 0.15 / n - 1e-9, "rank below the teleport floor"))
+    val mass = ranks.sum
+    // dangling nodes leak mass (documented simplification): total mass
+    // stays in (teleport floor, 1]
+    assert(mass <= 1.0 + 1e-6 && mass > 0.15, s"total mass $mass out of range")
+    assert(ranks.max > 1.0 / n, "a non-uniform graph must concentrate rank somewhere")
+  }
+
   test("cluster labels are component minima (never exceed the member id)") {
     val rows = SparkEntry.queries("dedup_clusters")(spark, dir).collect()
     assert(rows.nonEmpty)
