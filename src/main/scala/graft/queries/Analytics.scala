@@ -430,6 +430,68 @@ object Analytics {
       |FROM ev e JOIN first f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin
 
+  /** #24b ordered conversion funnel: how deep does each user get in
+    * view → click → purchase, each later stage strictly after the
+    * earlier one AND within a 24 h conversion window (the window is
+    * what makes the funnel discriminate — without it, a month of
+    * activity converts everyone)? Three same-key aggregates: first
+    * view per user, first qualifying click, first qualifying purchase
+    * — each a conditional min over the (user_id) exchange, which AQE
+    * plans once and reuses (same key throughout, no re-shuffle
+    * between stages). Timestamp comparisons are exact micros in both
+    * engines; output is the stage histogram.
+    */
+  def funnelStages(s: SparkSession, dir: String): DataFrame = {
+    val step = expr("INTERVAL 24 HOURS")
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val c = ev.join(v, Seq("user_id"))
+      .filter(
+        col("event_type") === "click" && col("ts") > col("v_ts") &&
+          col("ts") <= col("v_ts") + step)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+    val p = ev.join(c, Seq("user_id"))
+      .filter(
+        col("event_type") === "purchase" && col("ts") > col("c_ts") &&
+          col("ts") <= col("c_ts") + step)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+    val all = Tables.events(s, dir).select(col("user_id")).distinct()
+    all
+      .join(v.select(col("user_id"), lit(1).as("s1")), Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1).as("s2")), Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1).as("s3")), Seq("user_id"), "left")
+      .select(
+        (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+          coalesce(col("s3"), lit(0))).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH ev AS (SELECT user_id, event_type, ts FROM events),
+      |v AS (SELECT user_id, min(ts) AS v_ts FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT ev.user_id, min(ev.ts) AS c_ts FROM ev JOIN v USING (user_id)
+      |  WHERE ev.event_type = 'click' AND ev.ts > v.v_ts
+      |    AND ev.ts <= v.v_ts + INTERVAL 24 HOUR GROUP BY 1
+      |),
+      |p AS (
+      |  SELECT ev.user_id, min(ev.ts) AS p_ts FROM ev JOIN c USING (user_id)
+      |  WHERE ev.event_type = 'purchase' AND ev.ts > c.c_ts
+      |    AND ev.ts <= c.c_ts + INTERVAL 24 HOUR GROUP BY 1
+      |),
+      |stages AS (
+      |  SELECT a.user_id,
+      |    (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END) +
+      |    (CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) +
+      |    (CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage
+      |  FROM (SELECT DISTINCT user_id FROM events) a
+      |  LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+      |)
+      |SELECT stage, count(*) AS n_users FROM stages GROUP BY stage ORDER BY stage""".stripMargin
+
   /** #28 Exact distinct counts per group (two-phase distinct agg). */
   def distinctCount(s: SparkSession, dir: String): DataFrame = {
     Tables
@@ -663,6 +725,7 @@ object Analytics {
     "q5_multi_join" -> (q5MultiJoin(_, _)),
     "window_running" -> (windowRunning(_, _)),
     "sessionize" -> (sessionize(_, _)),
+    "funnel_stages" -> (funnelStages(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "skew_salted_agg" -> (skewSaltedAgg(_, _)),
     "update_counts" -> (updateCounts(_, _)),
@@ -685,6 +748,7 @@ object Analytics {
     "q5_multi_join" -> q5MultiJoinSql,
     "window_running" -> windowRunningSql,
     "sessionize" -> sessionizeSql,
+    "funnel_stages" -> funnelStagesSql,
     "rollup_agg" -> rollupAggSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "update_counts" -> updateCountsSql,

@@ -257,6 +257,39 @@ object GraphOps {
        |FROM i3 ORDER BY rank DESC, id""".stripMargin
   }
 
+  /** #58 triangle count: the clustering metric over the undirected
+    * follow graph. Canonical ordered-wedge form — undirect edges to
+    * (lo, hi) pairs, join wedges a<b<c, close against the edge set —
+    * so each triangle is found exactly once and the join never
+    * explodes symmetric duplicates. Scale: two equi-joins on edge
+    * keys; the a<b<c ordering bounds wedge fan-out by the
+    * smaller-degree endpoint (the standard trick that keeps the
+    * shuffle near O(E^1.5) instead of Σdeg²).
+    */
+  def triangleCount(s: SparkSession, dir: String): DataFrame = {
+    val und = edges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = und
+      .join(und.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .filter(col("b") < col("c"))
+    wedges
+      .join(und.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val triangleCountSql: String =
+    s"""WITH edges_raw AS ($edgesSql),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges_raw
+       |),
+       |wedges AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a WHERE e1.b < e2.b
+       |)
+       |SELECT count(*) AS n_triangles FROM wedges w
+       |WHERE EXISTS (SELECT 1 FROM und WHERE und.a = w.a AND und.b = w.c)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_following" -> (graphFollowing(_, _)),
     "graph_2hop" -> (graph2hop(_, _)),
@@ -264,6 +297,7 @@ object GraphOps {
     "graph_top_moots" -> (graphTopMoots(_, _)),
     "community_input" -> (communityInput(_, _)),
     "page_rank" -> (pageRank(_, _)),
+    "triangle_count" -> (triangleCount(_, _)),
     "admin_stats" -> (adminStats(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -273,5 +307,6 @@ object GraphOps {
     "graph_top_moots" -> graphTopMootsSql,
     "community_input" -> communityInputSql,
     "page_rank" -> pageRankSql,
+    "triangle_count" -> triangleCountSql,
     "admin_stats" -> adminStatsSql)
 }

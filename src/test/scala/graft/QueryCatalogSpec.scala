@@ -344,6 +344,38 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel stages partition the user base and shrink monotonically") {
+    val rows = SparkEntry.queries("funnel_stages")(spark, dir).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
+    val allUsers = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.values.sum == allUsers, "stages must partition the user base")
+    // deeper stages require the shallower ones: reached(k) is
+    // monotonically non-increasing in k
+    val reached = (0 to 3).map(k => (k to 3).flatMap(rows.get).sum)
+    assert(reached == reached.sorted.reverse, s"funnel widened downstream: $reached")
+  }
+
+  test("triangle_count matches a brute-force check at sf0.001") {
+    val n = SparkEntry.queries("triangle_count")(spark, dir)
+      .head().getAs[Long]("n_triangles")
+    // brute-force reference on the small graph
+    import org.apache.spark.sql.functions._
+    val und = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") % 150).as("src"),
+        ((col("l_suppkey") * 17 + col("l_partkey")) % 150).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.distinct.sorted
+    var brute = 0L
+    for (i <- nodes; j <- nodes if j > i && und(( i, j)); k <- nodes if k > j)
+      if (und((i, k)) && und((j, k))) brute += 1
+    assert(n == brute, s"operator says $n triangles, brute force says $brute")
+  }
+
   test("page_rank holds probability-mass invariants") {
     val rows = SparkEntry.queries("page_rank")(spark, dir).collect()
     assert(rows.nonEmpty)
