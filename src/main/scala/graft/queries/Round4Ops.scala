@@ -474,6 +474,59 @@ object Round4Ops {
       |SELECT doc_id, token, tf, df, tfidf FROM ranked WHERE rn <= 3
       |ORDER BY doc_id, tfidf DESC, token""".stripMargin
 
+  /** #79 unigram-LM perplexity scoring: the cheap quality-filter proxy
+    * (CCNet-style — there a 5-gram KenLM; on this synthetic vocabulary
+    * the unigram model plays the same role). The model IS the corpus:
+    * p(token) = tf / total, a doc's perplexity = exp(-mean ln p) over
+    * its tokens; repetitive low-entropy docs score LOW, vocabulary-
+    * stretching docs HIGH — the flag marks the high-perplexity tail
+    * (the out-of-distribution candidates a quality pass reviews).
+    * Per-token log-probs are rounded to 12 dp before the DECIMAL mean
+    * (the engine-portable float rule), perplexity re-rounds at 4 dp.
+    * Scale: the model table is |vocab| rows (token-key join, AQE
+    * broadcasts it when small), one gram pass, one (doc) aggregate.
+    */
+  def docPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val model = toks.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = toks.agg(count(lit(1)).as("total")) // single-row broadcast
+    val ppl = toks
+      .join(model, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("doc_id"),
+        round(log(col("tf").cast("double") / col("total")), 12).cast(OracleMath.Dec12).as("lp"))
+      .groupBy(col("doc_id"))
+      // cast the exact sum to double BEFORE dividing: decimal-division
+      // scale rules differ across engines, double division does not
+      .agg(emit(exp(-(sum(col("lp")).cast("double") / count(lit(1)))), 4).as("perplexity"))
+    ppl
+      .withColumn("flagged", (col("perplexity") >= 31.0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docPerplexitySql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |),
+      |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+      |model AS (SELECT token, count(*) AS tf FROM tok GROUP BY 1),
+      |total AS (SELECT count(*) AS total FROM tok),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln(CAST(tf AS DOUBLE) / total), 12) AS DECIMAL(38,12)) AS lp
+      |  FROM tok JOIN model USING (token) CROSS JOIN total
+      |),
+      |ppl AS (
+      |  SELECT doc_id,
+      |    CAST(round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS DOUBLE) AS perplexity
+      |  FROM lp GROUP BY doc_id
+      |)
+      |SELECT doc_id, perplexity, CAST(perplexity >= 31.0 AS INT) AS flagged
+      |FROM ppl ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (dedupWinnow(_, _)),
     "dedup_winnow_fast" -> (dedupWinnowFast(_, _)),
@@ -485,7 +538,8 @@ object Round4Ops {
     "corpus_vocab" -> (corpusVocab(_, _)),
     "pii_scrub" -> (piiScrub(_, _)),
     "doc_chunks" -> (docChunks(_, _)),
-    "doc_tfidf" -> (docTfidf(_, _)))
+    "doc_tfidf" -> (docTfidf(_, _)),
+    "doc_perplexity" -> (docPerplexity(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_winnow" -> dedupWinnowSql,
@@ -497,5 +551,6 @@ object Round4Ops {
     "corpus_vocab" -> corpusVocabSql,
     "pii_scrub" -> piiScrubSql,
     "doc_chunks" -> docChunksSql,
-    "doc_tfidf" -> docTfidfSql)
+    "doc_tfidf" -> docTfidfSql,
+    "doc_perplexity" -> docPerplexitySql)
 }

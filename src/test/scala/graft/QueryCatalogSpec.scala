@@ -145,6 +145,23 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("doc_perplexity is positive and flags exactly the threshold tail") {
+    val rows = SparkEntry.queries("doc_perplexity")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("perplexity")
+      assert(p > 0.0)
+      assert(r.getAs[Int]("flagged") == (if (p >= 31.0) 1 else 0))
+    }
+    // perplexity under a unigram model is bounded by vocabulary size:
+    // exp(mean -ln p) <= total/min_tf <= total tokens
+    val vocabBound = Tables.documents(spark, dir)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "))).count()
+    rows.foreach(r => assert(r.getAs[Double]("perplexity") <= vocabBound))
+  }
+
   test("doc_repetition fractions are consistent with the flag") {
     val rows = SparkEntry.queries("doc_repetition")(spark, dir).collect()
     assert(rows.nonEmpty)
