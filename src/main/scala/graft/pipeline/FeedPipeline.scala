@@ -201,8 +201,16 @@ case class UseRelation(relation: DataFrame) extends Block {
   * still a lazy DataFrame → DataFrame function, so the composed plan
   * stays one Catalyst tree.
   */
-case class Compute(f: DataFrame => DataFrame) extends Block {
+case class Compute(f: DataFrame => DataFrame, streamSafe: Boolean = false) extends Block {
   def apply(df: DataFrame): DataFrame = f(df)
+}
+
+object Compute {
+  /** A Compute that is a pure per-row map/filter (no aggregates, joins
+    * or ordering) and therefore runs unchanged on an unbounded stream —
+    * the flag PipelineJson.runStreaming trusts.
+    */
+  def streamSafe(f: DataFrame => DataFrame): Compute = Compute(f, streamSafe = true)
 }
 
 /** The reference's user-score function family f0..f5 (main.rs:1548):

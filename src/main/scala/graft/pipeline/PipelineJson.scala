@@ -180,6 +180,87 @@ object PipelineJson {
     working.getOrElse(base.limit(0))
   }
 
+  /** Run a wire payload as a CONTINUOUS query — the reference's actual
+    * operating mode (it recomputes every feed as the firehose arrives;
+    * main.rs:3143's poll loop IS a streaming pipeline). The stateless
+    * block subset compiles onto an unbounded stream unchanged:
+    * comparison/regex/where filters, list membership (stream-static
+    * join), un-normalized score adds; the duplicates filter becomes
+    * watermark-bounded ingest dedup (dropDuplicatesWithinWatermark —
+    * the reference's at-ingest duplicates check, main.rs:1916).
+    *
+    * The firehose input IS the stream: the payload's time window is
+    * enforced by the watermark + downstream state TTL instead of a
+    * fixed `now` (a fixed window over an unbounded stream would pin a
+    * historical slice — not what a live feed means). Blocks that need
+    * a bounded working set — sort/limit/top-k, normalization's global
+    * max, stash slots, replace lookups, custom like-walks — are
+    * rejected with a pointer to the right tool: the batch runner for
+    * one-shot evaluation, or Streams.streamingFeed, which maintains
+    * exactly that bounded per-user top-k as keyed state over this
+    * function's output.
+    */
+  def runStreaming(
+      stream: DataFrame, payload: String, b: Binding, lateness: String = "1 hour"): DataFrame = {
+    val root = mapper.readTree(payload)
+    val blockNodes = root.path("blocks")
+    require(blockNodes.isArray, "payload must carry a blocks array")
+    var working: Option[DataFrame] = None
+    var scored = false
+
+    def reject(what: String, hint: String): Nothing =
+      throw new IllegalArgumentException(
+        s"streaming pipeline cannot run $what — $hint")
+
+    blockNodes.elements().asScala.foreach { node =>
+      str(node, "type", "") match {
+        case "input" =>
+          val it = str(node, "inputType", "firehose")
+          if (it != "firehose")
+            reject(s"input '$it'",
+              "a continuous pipeline takes its one input FROM the stream; " +
+                "other inputs are batch recomputation (PipelineJson.run)")
+          if (working.nonEmpty)
+            reject("a second input block", "a stream has exactly one firehose")
+          working = Some(stream.withWatermark(b.tsCol, lateness))
+        case "remove" if str(node, "subject", "") == "duplicates" =>
+          // the wire duplicates filter compiles to an opaque Compute in
+          // the batch path (score-carrying survivor choice); on a stream
+          // it is first-arrival-wins ingest dedup over the id key
+          val w = working.getOrElse(
+            throw new IllegalArgumentException("pipeline must start with an input block"))
+          working = Some(w.dropDuplicatesWithinWatermark(b.idCol))
+        case t =>
+          val w = working.getOrElse(
+            throw new IllegalArgumentException("pipeline must start with an input block"))
+          val next = compileBlock(node, b, scored).foldLeft(w) { (df, blk) =>
+            blk match {
+              case _: KeepCmp | _: KeepRegex | _: WhereFilter | _: RoundCol => blk(df)
+              case _: KeepInSet => blk(df) // stream-static join
+              case c: Compute if c.streamSafe => c(df) // pure per-row map/filter
+              case s: ScoreAdd =>
+                if (s.normalize)
+                  reject("a normalized score block",
+                    "the global max is unbounded on a stream; normalize at serve " +
+                      "time (Streams.streamingFeed ranks within its bounded state)")
+                blk(df)
+              case d: DedupByKey =>
+                // first-arrival-wins ingest dedup (the streaming form of
+                // the duplicates filter); survivor order is arrival order
+                df.dropDuplicatesWithinWatermark(d.keys.head, d.keys.tail: _*)
+              case other =>
+                reject(s"block ${other.getClass.getSimpleName}",
+                  "sort/limit/stash/replace need a bounded working set — run them " +
+                    "in the batch runner or serve via Streams.streamingFeed state")
+            }
+          }
+          working = Some(next)
+          if (t == "score") scored = true
+      }
+    }
+    working.getOrElse(reject("an empty payload", "add an input block"))
+  }
+
   /** The reference's SECOND pipeline endpoint: the LIST BUILDER
     * (generate_list_skeleton, main.rs:2678) — the same block wire
     * format over the PROFILE dimension instead of posts. Inputs
@@ -317,7 +398,7 @@ object PipelineJson {
     * Resolved lazily (Compute) because only the frame itself knows.
     * A user-bound `score` field in whereFields wins over the built-in.
     */
-  private def whereBlock(script: String, b: Binding, invert: Boolean): Block = Compute { df =>
+  private def whereBlock(script: String, b: Binding, invert: Boolean): Block = Compute.streamSafe { df =>
     val scoreCol = if (df.columns.contains("score")) col("score") else lit(0.0)
     val fields = Map("score" -> scoreCol) ++ b.whereFields
     val pred = WhereDsl.compile(script, fields)

@@ -236,6 +236,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains((200L, None)), "never-liked post must surface with a null liker")
   }
 
+  test("wire payload runs as a continuous query: filters, dedup and score on the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Binding, PipelineJson}
+    import org.apache.spark.sql.functions.col
+    val b = Binding(
+      "event_id", "user_id", "ts", "value", 0L,
+      Map("text" -> Seq("event_type")), Map("value" -> col("value")))
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":604800},
+        |  {"type":"remove","subject":"duplicates"},
+        |  {"type":"regex","target":"text","value":"view|click"},
+        |  {"type":"where","value":"value >= 2"},
+        |  {"type":"score","scoreType":"add","from":"like_count","normalize":false}
+        |]}""".stripMargin
+    val in = MemoryStream[Ev]
+    val q = PipelineJson
+      .runStreaming(in.toDF(), payload, b)
+      .writeStream.format("memory").queryName("wirestream").start()
+    in.addData(
+      ev(1, 0, 1, "view", 5.0), // passes: view, value >= 2
+      ev(1, 0, 1, "view", 5.0), // exact redelivery → deduped
+      ev(2, 1, 1, "click", 1.0), // dropped: value < 2
+      ev(3, 2, 2, "purchase", 9.0), // dropped: regex
+      ev(4, 3, 2, "click", 4.0)) // passes
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("wirestream").collect()
+    assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq == Seq(1L, 4L))
+    // score block ran on the stream: like_count (value) became score
+    rows.foreach(r => assert(r.getAs[Double]("score") == r.getAs[Double]("value")))
+
+    // bounded-working-set blocks are rejected with a pointer, not run
+    val err = intercept[IllegalArgumentException] {
+      PipelineJson.runStreaming(
+        in.toDF(),
+        """{"blocks":[
+          |  {"type":"input","inputType":"firehose","firehoseSeconds":60},
+          |  {"type":"limit","count":10}
+          |]}""".stripMargin,
+        b)
+    }
+    assert(err.getMessage.contains("streamingFeed"))
+  }
+
   test("likes-graph upsert feed emits each (post, liker) edge exactly once") {
     // the liker SET lives in this deduped edge stream (append it to a
     // sink keyed by (post, user) and you have the distributed bitmap),
