@@ -47,6 +47,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(last.getAs[Long]("last_event_id") == 3)
   }
 
+  test("keyed state survives a stop and restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_restart").toString
+    val in = MemoryStream[Ev]
+    // the memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape (same as the profile-upsert merge path)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    def start() = Streams
+      .incrementalCounts(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[graft.streaming.UserCounts], _: Long) =>
+        batch.collect().foreach(u => seen.add((u.user_id, u.n_events, u.total_value)))
+      }
+      .start()
+    val q1 = start()
+    in.addData(ev(1, 0, 7, "view", 1.0), ev(2, 1, 7, "click", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    // a NEW query instance over the same checkpoint must resume the
+    // counter at 2, not restart at 0 — this is the property that makes
+    // executor/driver loss survivable on a cluster
+    val q2 = start()
+    in.addData(ev(3, 2, 7, "purchase", 4.0))
+    q2.processAllAvailable(); q2.stop()
+    import scala.jdk.CollectionConverters._
+    val last = seen.asScala.filter(_._1 == 7L).maxBy(_._2)
+    assert(last._2 == 3, s"state did not survive the restart: $last")
+    assert(math.abs(last._3 - 7.0) < 1e-9)
+  }
+
   test("stateful streams run on the RocksDB state store (the large-state provider)") {
     // The default HDFS-backed provider keeps every key in executor heap;
     // at 100 TB of per-user state that is an OOM. RocksDB spills state
