@@ -68,6 +68,38 @@ object Sources {
       .sorted
   }
 
+  /** Small-file compaction for one partition of an append-only sink
+    * (the operational twin of [[appendServedLinks]]: every pipeline run
+    * appends a file, so a hot partition accumulates thousands of tiny
+    * parquet files and scan cost becomes file-open cost). Rewrites the
+    * partition's rows into `targetFiles` files in a sibling temp dir,
+    * then swaps it in via two renames — the standard lake compaction
+    * move (rename is atomic-per-path on HDFS; object-store deployments
+    * would version the directory instead). Readers between the two
+    * renames see the partition briefly absent, never half-written —
+    * acceptable for maintenance windows, and the swap is idempotent to
+    * re-runs. Returns (filesBefore, filesAfter).
+    */
+  def compactPartition(s: SparkSession, partitionDir: String, targetFiles: Int = 1): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val part = new Path(partitionDir)
+    val fs = part.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(part), s"no such partition: $partitionDir")
+    def parquetFiles() =
+      fs.listStatus(part).count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    if (before <= targetFiles) return (before, before)
+    val tmp = new Path(partitionDir + ".compact.tmp")
+    val old = new Path(partitionDir + ".compact.old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    s.read.parquet(partitionDir).repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    require(fs.rename(part, old), s"compaction swap failed: could not move $part aside")
+    require(fs.rename(tmp, part), s"compaction swap failed: could not move $tmp into place")
+    fs.delete(old, true)
+    (before, parquetFiles())
+  }
+
   /** JSON-lines sink/source with explicit schema (schema inference is a
     * full extra pass at scale — never rely on it).
     */

@@ -86,6 +86,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("day=")))
   }
 
+  test("compaction collapses an append-heavy partition without changing its rows") {
+    import org.apache.spark.sql.functions.col
+    val out = Files.createTempDirectory("graft_compact").toString
+    val servedAt = 1700000000000L // 2023-11-14
+    val feed = SparkEntry.queries("sort_topk")(spark, dir)
+    // five appends → at least five files in the one (day, feed) partition
+    (1 to 5).foreach(_ => Sources.appendServedLinks(feed, "event_id", "feed/hot", servedAt, out))
+    val part = s"$out/day=2023-11-14/feed_id=feed%2Fhot"
+    val partDir = new java.io.File(part)
+    def files() = partDir.listFiles().count(f => f.getName.endsWith(".parquet"))
+    val before = Sources.readServedLinks(spark, out, "feed/hot")
+      .orderBy(col("post_id"), col("served_at_ms")).collect().toSeq
+    assert(files() >= 5)
+    val (b, a) = Sources.compactPartition(spark, part)
+    assert(b >= 5 && a == 1, s"expected 5+ files to compact to 1, got $b -> $a")
+    val after = Sources.readServedLinks(spark, out, "feed/hot")
+      .orderBy(col("post_id"), col("served_at_ms")).collect().toSeq
+    assert(after == before, "compaction must be a pure layout change")
+    // idempotent: an already-compact partition is left alone
+    assert(Sources.compactPartition(spark, part) == (1, 1))
+  }
+
   test("csv round-trip preserves rows including quoted text") {
     val out = Files.createTempDirectory("graft_csv").toString
     val docs = Tables.documents(spark, dir)
