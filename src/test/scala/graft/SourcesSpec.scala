@@ -86,6 +86,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(out).listFiles().exists(_.getName.startsWith("day=")))
   }
 
+  test("archive survives schema evolution: a new nullable column appears mid-stream") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_evolve").toString
+    // day 1 written before the producer added the `lang` column
+    Seq((1L, "a"), (2L, "b")).toDF("event_id", "text")
+      .write.parquet(s"$out/day=2024-01-01")
+    // day 2 carries the new column
+    Seq((3L, "c", "en")).toDF("event_id", "text", "lang")
+      .write.parquet(s"$out/day=2024-01-02")
+    // mergeSchema unions the schemas; pre-evolution rows read as null —
+    // the contract that lets a 100 TB archive evolve without rewrites
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("event_id", "text", "lang", "day"))
+    val rows = merged.orderBy(col("event_id")).collect()
+    assert(rows.length == 3)
+    assert(rows.take(2).forall(_.getAs[String]("lang") == null))
+    assert(rows.last.getAs[String]("lang") == "en")
+    // and partition pruning still works on the evolved table
+    val plan = merged.filter(col("day") === "2024-01-02")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && !plan.contains("PartitionFilters: []"))
+  }
+
   test("compaction collapses an append-heavy partition without changing its rows") {
     import org.apache.spark.sql.functions.col
     val out = Files.createTempDirectory("graft_compact").toString
