@@ -204,6 +204,88 @@ object Analytics {
       |FROM sessions GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
+  /** #25b sweep-line concurrency: the peak number of SIMULTANEOUSLY
+    * open sessions per day — capacity planning's basic question, and
+    * the one algorithmic shape (interval → ±1 boundary events →
+    * running sum → max) nothing else in the catalog exercises.
+    * Sessions come from the verified #25 logic; each is clipped to the
+    * days it touches (a session is one `sequence` explode — sessions
+    * are gap-bounded, so the fan-out is 1-2 days). The sweep partition
+    * key is the DAY, so no global single-partition sort exists at any
+    * scale; within a day the boundary order (ts, +1 before -1, then
+    * session identity) is a total order, making the running sum — and
+    * therefore the max — engine-deterministic.
+    */
+  def concurrencyPeak(s: SparkSession, dir: String): DataFrame = {
+    val sess = sessionize(s, dir)
+      .select(
+        col("user_id"), col("session_seq"),
+        col("session_start_ms").as("st"), col("session_end_ms").as("en"))
+    val clipped = sess
+      .withColumn(
+        "day",
+        explode(sequence(
+          to_date(timestamp_millis(col("st"))), to_date(timestamp_millis(col("en"))))))
+      .withColumn("day_start", unix_millis(col("day").cast("timestamp")))
+      .withColumn("cst", greatest(col("st"), col("day_start")))
+      .withColumn("cen", least(col("en"), col("day_start") + lit(86399999L)))
+    val deltas = clipped
+      .select(col("day"), col("cst").as("ts"), lit(1).as("delta"), col("user_id"), col("session_seq"))
+      .unionByName(clipped.select(
+        col("day"), col("cen").as("ts"), lit(-1).as("delta"), col("user_id"), col("session_seq")))
+    val w = Window
+      .partitionBy(col("day"))
+      .orderBy(col("ts"), col("delta").desc, col("user_id"), col("session_seq"))
+    deltas
+      .withColumn("run", sum(col("delta")).over(w))
+      .groupBy(col("day"))
+      .agg(max(col("run")).as("peak"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("peak").cast("long").as("peak"))
+      .orderBy(col("day"))
+  }
+
+  val concurrencyPeakSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, session_seq,
+      |    MIN(epoch_ms(ts)) AS st, MAX(epoch_ms(ts)) AS en
+      |  FROM numbered GROUP BY user_id, session_seq
+      |), clipped AS (
+      |  SELECT user_id, session_seq, st, en,
+      |    CAST(unnest(generate_series(
+      |      CAST(make_timestamp(st * 1000) AS DATE),
+      |      CAST(make_timestamp(en * 1000) AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM sess
+      |), bounded AS (
+      |  SELECT user_id, session_seq, day,
+      |    epoch_ms(CAST(day AS TIMESTAMP)) AS day_start,
+      |    greatest(st, epoch_ms(CAST(day AS TIMESTAMP))) AS cst,
+      |    least(en, epoch_ms(CAST(day AS TIMESTAMP)) + 86399999) AS cen
+      |  FROM clipped
+      |), deltas AS (
+      |  SELECT day, cst AS ts, 1 AS delta, user_id, session_seq FROM bounded
+      |  UNION ALL
+      |  SELECT day, cen AS ts, -1 AS delta, user_id, session_seq FROM bounded
+      |), swept AS (
+      |  SELECT day,
+      |    SUM(delta) OVER (PARTITION BY day ORDER BY ts, delta DESC, user_id, session_seq
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM deltas
+      |)
+      |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(max(run) AS BIGINT) AS peak
+      |FROM swept GROUP BY day ORDER BY day""".stripMargin
+
   /** #26 ROLLUP multi-level aggregate (one expand + one shuffle). */
   def rollupAgg(s: SparkSession, dir: String): DataFrame = {
     Tables
@@ -726,6 +808,7 @@ object Analytics {
     "window_running" -> (windowRunning(_, _)),
     "sessionize" -> (sessionize(_, _)),
     "funnel_stages" -> (funnelStages(_, _)),
+    "concurrency_peak" -> (concurrencyPeak(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "skew_salted_agg" -> (skewSaltedAgg(_, _)),
     "update_counts" -> (updateCounts(_, _)),
@@ -749,6 +832,7 @@ object Analytics {
     "window_running" -> windowRunningSql,
     "sessionize" -> sessionizeSql,
     "funnel_stages" -> funnelStagesSql,
+    "concurrency_peak" -> concurrencyPeakSql,
     "rollup_agg" -> rollupAggSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "update_counts" -> updateCountsSql,

@@ -361,6 +361,23 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("concurrency peak is bounded by the day's active users and exceeds 1 somewhere") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("concurrency_peak")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val activeByDay = Tables.events(spark, dir)
+      .groupBy(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getAs[String]("day") -> r.getAs[Long]("n")).toMap
+    rows.foreach { r =>
+      val (day, peak) = (r.getAs[String]("day"), r.getAs[Long]("peak"))
+      assert(peak >= 1, s"$day: peak below 1")
+      assert(peak <= activeByDay.getOrElse(day, 0L),
+        s"$day: peak $peak exceeds active users ${activeByDay.get(day)}")
+    }
+    assert(rows.exists(_.getAs[Long]("peak") > 1), "some day must have overlapping sessions")
+  }
+
   test("funnel stages partition the user base and shrink monotonically") {
     val rows = SparkEntry.queries("funnel_stages")(spark, dir).collect()
       .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_users")).toMap
