@@ -527,6 +527,34 @@ object Round4Ops {
       |SELECT doc_id, perplexity, CAST(perplexity >= 31.0 AS INT) AS flagged
       |FROM ppl ORDER BY doc_id""".stripMargin
 
+  /** #80 deterministic train/val/test assignment: every document gets
+    * exactly one split from a seeded hash of its id — ~90/5/5 by hex
+    * prefix ("e"/"f" hex thresholds = 14/16, 15/16), reproducible
+    * across runs AND engines, coordination-free (no global shuffle or
+    * sort decides membership — the assignment is a per-row map that
+    * composes with any downstream filter pushdown). The standard last
+    * step of a corpus pipeline; leakage-safety comes from hashing the
+    * ID, so near-duplicate docs must be deduped BEFORE splitting (the
+    * dedup family upstream).
+    */
+  def corpusSplit(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("h", md5(concat(lit("split1:"), col("doc_id").cast("string"))))
+      .select(
+        col("doc_id"),
+        col("source"),
+        when(col("h") < "e", lit("train"))
+          .when(col("h") < "f", lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+
+  val corpusSplitSql: String =
+    """SELECT doc_id, source,
+      |  CASE WHEN md5('split1:' || CAST(doc_id AS VARCHAR)) < 'e' THEN 'train'
+      |       WHEN md5('split1:' || CAST(doc_id AS VARCHAR)) < 'f' THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_winnow" -> (dedupWinnow(_, _)),
     "dedup_winnow_fast" -> (dedupWinnowFast(_, _)),
@@ -539,7 +567,8 @@ object Round4Ops {
     "pii_scrub" -> (piiScrub(_, _)),
     "doc_chunks" -> (docChunks(_, _)),
     "doc_tfidf" -> (docTfidf(_, _)),
-    "doc_perplexity" -> (docPerplexity(_, _)))
+    "doc_perplexity" -> (docPerplexity(_, _)),
+    "corpus_split" -> (corpusSplit(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_winnow" -> dedupWinnowSql,
@@ -552,5 +581,6 @@ object Round4Ops {
     "pii_scrub" -> piiScrubSql,
     "doc_chunks" -> docChunksSql,
     "doc_tfidf" -> docTfidfSql,
-    "doc_perplexity" -> docPerplexitySql)
+    "doc_perplexity" -> docPerplexitySql,
+    "corpus_split" -> corpusSplitSql)
 }

@@ -62,6 +62,16 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(n > 0 && n < candidates, s"expected a strict subset: kept $n of $candidates")
   }
 
+  test("corpus_split covers every doc once with plausible split rates") {
+    val rows = SparkEntry.queries("corpus_split")(spark, dir).collect()
+    val total = Tables.documents(spark, dir).count()
+    assert(rows.length == total, "every doc gets exactly one split")
+    val bydist = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bydist.keySet == Set("train", "val", "test"))
+    val trainRate = bydist("train").toDouble / total
+    assert(trainRate > 0.8 && trainRate < 0.95, s"train rate $trainRate outside the 0.875 band")
+  }
+
   test("corpus_sample hits its per-source rates and is deterministic") {
     import org.apache.spark.sql.functions.col
     val a = SparkEntry.queries("corpus_sample")(spark, dir)
