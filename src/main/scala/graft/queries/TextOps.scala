@@ -740,6 +740,126 @@ object TextOps {
        |ORDER BY query_id, cosine DESC, vec_id""".stripMargin
   }
 
+  /** Semantic dedup (SemDeDup-style: cluster the embedding space, then
+    * drop near-identical vectors within each cluster — Abbas et al. 2023,
+    * arXiv:2303.09540). Clusters here are the deterministic md5
+    * random-hyperplane sign buckets (so every step is DuckDB-expressible
+    * and the keep/drop rule gets an EXACT oracle); production swaps the
+    * 8-bit sign bucket for trained IVF centroids (ivfCentroids — same
+    * within-cluster pair join, k grows toward √n at 100 TB). Keep rule:
+    * a vector is dropped iff a LOWER-id vector in its bucket has
+    * cosine ≥ the threshold — deterministic, order-free, one bucketed
+    * shuffle + within-bucket pair join, never all-pairs.
+    */
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    def planeW(p: Int): Column = transform(
+      sequence(lit(0), size(col("e")) - 1),
+      i =>
+        (conv(substring(md5(concat(lit(s"$p:"), i.cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 1000).cast("double") / lit(1000.0) - lit(0.5))
+    val bucketed = emb.withColumn(
+      "bucket",
+      (0 until 8)
+        .map(p => when(Registry.dot(col("e"), planeW(p)) > 0, lit(1L << p)).otherwise(lit(0L)))
+        .reduce(_ + _))
+    // the synthetic vectors top out near cosine 0.51 (see embedPairSim),
+    // so 0.30 stands in for the ~0.95 a real SemDeDup run would use
+    val lo = bucketed.select(col("bucket"), col("vec_id").as("a"), col("e").as("ea"))
+    val hi = bucketed.select(col("bucket"), col("vec_id").as("b"), col("e").as("eb"))
+    val dropped = lo
+      .join(hi, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .filter(Registry.cosine(col("ea"), col("eb")) >= 0.30)
+      .select(col("b").as("vec_id"))
+      .distinct()
+    bucketed
+      .join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("bucket"))
+      .orderBy(col("vec_id"))
+  }
+
+  val dedupSemanticSql: String = {
+    val planeDot = (p: Int) =>
+      s"list_dot_product(emb, list_transform(range(0, len(emb)), i -> " +
+        s"(CAST(concat('0x', substr(md5(concat('$p:', i)), 1, 4)) AS INT) % 1000) / 1000.0 - 0.5))"
+    val bucket = (0 until 8)
+      .map(p => s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+       |  FROM embeddings
+       |),
+       |b AS (SELECT vec_id, emb, $bucket AS bucket FROM e),
+       |dropped AS (
+       |  SELECT DISTINCT hi.vec_id
+       |  FROM b lo JOIN b hi ON lo.bucket = hi.bucket AND lo.vec_id < hi.vec_id
+       |  WHERE list_dot_product(lo.emb, hi.emb) /
+       |    (sqrt(list_dot_product(lo.emb, lo.emb)) * sqrt(list_dot_product(hi.emb, hi.emb))) >= 0.30
+       |)
+       |SELECT vec_id, bucket FROM b WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  /** int8 scalar-quantized kNN: per-vector symmetric quantization
+    * (scale = max|x|/127, q_i = floor(x_i/scale + 0.5)) and ranking by
+    * the QUANTIZED cosine — integer dot products, so candidate scoring
+    * is exact in both engines (every intermediate ≤ 127²·dim fits a
+    * double) and byte-sized vectors cut ANN memory/IO 4× at 100 TB.
+    * floor(x+0.5) instead of round(): Spark HALF_UP and DuckDB
+    * half-away-from-zero disagree on negative .5 ties; floor is
+    * bit-identical in both. Brute-force probe set like embed_knn (the
+    * baseline twin); the bucketed paths compose the same quantized
+    * scoring inside their candidate lists.
+    */
+  def embedQuantizedKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+      .withColumn("q", transform(col("e"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
+      .withColumn("qnrm", sqrt(Registry.dot(col("q").cast("array<double>"), col("q").cast("array<double>"))))
+    val probes = emb
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("qnrm").as("qqnrm"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("qcos").desc, col("vec_id"))
+    emb
+      .join(broadcast(probes), col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "qcos",
+        Registry.dot(col("qq").cast("array<double>"), col("q").cast("array<double>")) /
+          (col("qqnrm") * col("qnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("vec_id"), emit(col("qcos"), 6).as("qcos"), col("rn"))
+      .orderBy(col("query_id"), col("rn"))
+  }
+
+  val embedQuantizedKnnSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |), s AS (
+      |  SELECT vec_id, list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale, emb
+      |  FROM e
+      |), qv AS (
+      |  SELECT vec_id,
+      |    list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS q
+      |  FROM s
+      |), n AS (
+      |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qnrm FROM qv
+      |), p AS (SELECT vec_id AS query_id, q AS qq, qnrm AS qqnrm FROM n WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT p.query_id, n.vec_id,
+      |    list_dot_product(p.qq, n.q) / (p.qqnrm * n.qnrm) AS qcos
+      |  FROM n JOIN p ON n.vec_id <> p.query_id
+      |), ranked AS (
+      |  SELECT query_id, vec_id, qcos,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS rn
+      |  FROM scored
+      |)
+      |SELECT query_id, vec_id, CAST(round(qcos, 6) AS DOUBLE) AS qcos, rn
+      |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   /** Seed centroids: the first k vectors (deterministic, zero-cost). */
   def seedCentroids(emb: DataFrame, k: Int): DataFrame =
     emb.filter(col("vec_id") < k).select(col("vec_id").as("cent_id"), col("e").as("ce"))
@@ -1181,6 +1301,8 @@ object TextOps {
     "embed_pair_sim_bucketed" -> (embedPairSimBucketed(_, _)),
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
     "embed_lsh_knn_md5" -> (embedLshKnnMd5(_, _)),
+    "dedup_semantic" -> (dedupSemantic(_, _)),
+    "embed_quantized_knn" -> (embedQuantizedKnn(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
     "embed_ivf_knn_indexed" -> (embedIvfKnnIndexed(_, _)),
     "lang_id" -> (langId(_, _)),
@@ -1208,6 +1330,8 @@ object TextOps {
     "embed_knn" -> embedKnnSql,
     "embed_pair_sim_oracle" -> embedPairSimSql,
     "embed_lsh_knn_md5" -> embedLshKnnMd5Sql,
+    "dedup_semantic" -> dedupSemanticSql,
+    "embed_quantized_knn" -> embedQuantizedKnnSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql)

@@ -250,6 +250,40 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(found.size >= truth.size * 0.9, s"planted-dup recall ${found.size}/${truth.size} below 0.9")
   }
 
+  test("semantic dedup: kept set has no in-bucket pair above the threshold, and drops happen") {
+    import org.apache.spark.sql.functions._
+    val kept = SparkEntry.queries("dedup_semantic")(spark, dir)
+    val total = Tables.embeddings(spark, dir).count()
+    val nKept = kept.count()
+    assert(nKept < total, "dedup_semantic dropped nothing — threshold too high for the testdata")
+    // keep rule: any in-bucket pair >= tau would have dropped the higher id
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val withVec = kept.join(emb, Seq("vec_id"))
+    val lo = withVec.select(col("bucket"), col("vec_id").as("a"), col("e").as("ea"))
+    val hi = withVec.select(col("bucket"), col("vec_id").as("b"), col("e").as("eb"))
+    val offenders = lo
+      .join(hi, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .filter(graft.functions.Registry.cosine(col("ea"), col("eb")) >= 0.30)
+      .count()
+    assert(offenders == 0, s"$offenders kept in-bucket pairs exceed the dedup threshold")
+  }
+
+  test("quantized kNN ranks close to the exact float ranking") {
+    def top(df: org.apache.spark.sql.DataFrame) =
+      df.collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val exact = top(SparkEntry.queries("embed_knn")(spark, dir))
+    val quant = top(SparkEntry.queries("embed_quantized_knn")(spark, dir))
+    exact.foreach { case (q, ids) =>
+      val overlap = ids.intersect(quant(q)).size
+      assert(overlap >= 7, s"query $q: quantized top-10 recalls only $overlap/10 of the exact top-10")
+    }
+  }
+
   test("trained IVF centroids improve the quantization objective over raw seeds") {
     import org.apache.spark.sql.functions._
     val emb = Tables
