@@ -1002,6 +1002,17 @@ object TextOps {
       .select(col("a"), col("b"), emit(col("cosine"), 6).as("cosine"))
       .orderBy(col("a"), col("b"))
 
+  /** Production semantic dedup (the trained-cluster form of
+    * dedup_semantic): mine within-cluster pairs ≥ threshold over the
+    * 2-probe IVF lists, then drop every pair's higher id. Same keep
+    * rule as the catalog entry, clusters from ivfCentroids instead of
+    * sign buckets — O(Σ list²) pair work, shuffled on cent_id.
+    */
+  def semanticDedupIvf(emb: DataFrame, threshold: Double): DataFrame =
+    emb.join(
+      pairMineBucketed(emb, threshold).select(col("b").as("vec_id")).distinct(),
+      Seq("vec_id"), "left_anti")
+
   // ----------------------------------------------------------- text stats
 
   private val StopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")

@@ -271,6 +271,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(offenders == 0, s"$offenders kept in-bucket pairs exceed the dedup threshold")
   }
 
+  test("IVF semantic dedup partitions the input and drops exactly the mined higher ids") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables
+      .embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val kept = queries.TextOps.semanticDedupIvf(emb, threshold = 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val minedHigher = queries.TextOps.pairMineBucketed(emb, threshold = 0.4)
+      .select("b").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(minedHigher.nonEmpty, "no near-dup pairs mined — threshold too high for the testdata")
+    assert(kept == all.diff(minedHigher), "kept set is not input minus mined higher ids")
+  }
+
   test("quantized kNN ranks close to the exact float ranking") {
     def top(df: org.apache.spark.sql.DataFrame) =
       df.collect()
