@@ -205,44 +205,85 @@ object Analytics {
       |ORDER BY user_id, session_seq""".stripMargin
 
   /** #25b sweep-line concurrency: the peak number of SIMULTANEOUSLY
-    * open sessions per day — capacity planning's basic question, and
-    * the one algorithmic shape (interval → ±1 boundary events →
-    * running sum → max) nothing else in the catalog exercises.
-    * Sessions come from the verified #25 logic; each is clipped to the
-    * days it touches (a session is one `sequence` explode — sessions
-    * are gap-bounded, so the fan-out is 1-2 days). The sweep partition
-    * key is the DAY, so no global single-partition sort exists at any
-    * scale; within a day the boundary order (ts, +1 before -1, then
-    * session identity) is a total order, making the running sum — and
-    * therefore the max — engine-deterministic.
+    * open sessions per grain bucket (a day, by default) — capacity
+    * planning's basic question, and the one algorithmic shape
+    * (interval → ±1 boundary events → running sum → max) nothing else
+    * in the catalog exercises. Sessions come from the verified #25
+    * logic; each is clipped to the grain buckets it touches (sessions
+    * are gap-bounded, so the `sequence` fan-out is 1-2 buckets).
+    *
+    * TWO-LEVEL SWEEP: a window partitioned on the bare grain key would
+    * ship every boundary event of a day to ONE task — billions of rows
+    * in one partition on a 100 TB firehose (the r4 verdict's one scale
+    * defect). The running sum decomposes instead:
+    *   1. boundary events bucket to (grain, sub) — (day, hour) for the
+    *      day grain — and the sweep window partitions on BOTH keys, so
+    *      no task ever owns more than one sub-bucket;
+    *   2. each sub-bucket reduces to (in-bucket running max, net
+    *      delta): ≤ grainMs/subMs rows per grain REGARDLESS of volume;
+    *   3. the per-grain combine is a bounded left fold over the
+    *      sorted sub-bucket array (collect_list + aggregate(); no
+    *      bare-grain window anywhere in the plan — PlanShapeSpec pins
+    *      this): the true peak is max over sub-buckets of
+    *      (prefix-sum of earlier nets + in-bucket max).
+    * Within a sub-bucket the boundary order (ts, +1 before -1, then
+    * session identity) is a total order, and ts ties cannot cross
+    * sub-buckets, so the decomposed sweep equals the single-partition
+    * sweep by construction — the DuckDB oracle keeps the plain
+    * one-window form and the hashes still match.
     */
-  def concurrencyPeak(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def concurrencyPeakGrain(
+      s: SparkSession, dir: String, grainMs: Long, subMs: Long, fmt: String): DataFrame = {
     val sess = sessionize(s, dir)
       .select(
         col("user_id"), col("session_seq"),
         col("session_start_ms").as("st"), col("session_end_ms").as("en"))
+    // exact integral floor-to-grain (epoch ms are non-negative)
+    def grainOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      c - pmod(c, lit(grainMs))
     val clipped = sess
-      .withColumn(
-        "day",
-        explode(sequence(
-          to_date(timestamp_millis(col("st"))), to_date(timestamp_millis(col("en"))))))
-      .withColumn("day_start", unix_millis(col("day").cast("timestamp")))
-      .withColumn("cst", greatest(col("st"), col("day_start")))
-      .withColumn("cen", least(col("en"), col("day_start") + lit(86399999L)))
+      .withColumn("g", explode(sequence(grainOf(col("st")), grainOf(col("en")), lit(grainMs))))
+      .withColumn("cst", greatest(col("st"), col("g")))
+      .withColumn("cen", least(col("en"), col("g") + lit(grainMs - 1)))
     val deltas = clipped
-      .select(col("day"), col("cst").as("ts"), lit(1).as("delta"), col("user_id"), col("session_seq"))
+      .select(col("g"), col("cst").as("ts"), lit(1).as("delta"), col("user_id"), col("session_seq"))
       .unionByName(clipped.select(
-        col("day"), col("cen").as("ts"), lit(-1).as("delta"), col("user_id"), col("session_seq")))
-    val w = Window
-      .partitionBy(col("day"))
+        col("g"), col("cen").as("ts"), lit(-1).as("delta"), col("user_id"), col("session_seq")))
+      .withColumn("sub", (col("ts") - col("g")) - pmod(col("ts") - col("g"), lit(subMs)))
+    val wSub = Window
+      .partitionBy(col("g"), col("sub"))
       .orderBy(col("ts"), col("delta").desc, col("user_id"), col("session_seq"))
-    deltas
-      .withColumn("run", sum(col("delta")).over(w))
-      .groupBy(col("day"))
-      .agg(max(col("run")).as("peak"))
-      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("peak").cast("long").as("peak"))
-      .orderBy(col("day"))
+    val buckets = deltas
+      .withColumn("run", sum(col("delta")).over(wSub))
+      .groupBy(col("g"), col("sub"))
+      .agg(max(col("run")).as("bmax"), sum(col("delta")).cast("long").as("bnet"))
+    buckets
+      .groupBy(col("g"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("bnet"), col("bmax")))).as("subs"))
+      .select(
+        date_format(timestamp_millis(col("g")), fmt).as("bucket"),
+        aggregate(
+          col("subs"),
+          struct(lit(0L).as("off"), lit(Long.MinValue).as("mx")),
+          (acc, x) =>
+            struct(
+              (acc.getField("off") + x.getField("bnet")).as("off"),
+              greatest(acc.getField("mx"), acc.getField("off") + x.getField("bmax")).as("mx")),
+          acc => acc.getField("mx")).as("peak"))
+      .orderBy(col("bucket"))
   }
+
+  def concurrencyPeak(s: SparkSession, dir: String): DataFrame =
+    concurrencyPeakGrain(s, dir, grainMs = 86400000L, subMs = 3600000L, fmt = "yyyy-MM-dd")
+      .withColumnRenamed("bucket", "day")
+
+  /** #25c the same sweep at HOUR grain (minute sub-buckets) — the grain
+    * knob the two-level machinery exists for, demonstrated at a second
+    * grain with its own oracle.
+    */
+  def concurrencyPeakHourly(s: SparkSession, dir: String): DataFrame =
+    concurrencyPeakGrain(s, dir, grainMs = 3600000L, subMs = 60000L, fmt = "yyyy-MM-dd HH:00")
+      .withColumnRenamed("bucket", "hour")
 
   val concurrencyPeakSql: String =
     """WITH flagged AS (
@@ -285,6 +326,49 @@ object Analytics {
       |)
       |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(max(run) AS BIGINT) AS peak
       |FROM swept GROUP BY day ORDER BY day""".stripMargin
+
+  /** Hour-grain oracle: the plain one-window sweep per hour bucket
+    * (the oracle need not be scale-shaped — only value-identical).
+    */
+  val concurrencyPeakHourlySql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), numbered AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged
+      |), sess AS (
+      |  SELECT user_id, session_seq,
+      |    MIN(epoch_ms(ts)) AS st, MAX(epoch_ms(ts)) AS en
+      |  FROM numbered GROUP BY user_id, session_seq
+      |), clipped AS (
+      |  SELECT user_id, session_seq, st, en,
+      |    unnest(generate_series(st - (st % 3600000), en - (en % 3600000), 3600000)) AS g
+      |  FROM sess
+      |), bounded AS (
+      |  SELECT user_id, session_seq, g,
+      |    greatest(st, g) AS cst,
+      |    least(en, g + 3599999) AS cen
+      |  FROM clipped
+      |), deltas AS (
+      |  SELECT g, cst AS ts, 1 AS delta, user_id, session_seq FROM bounded
+      |  UNION ALL
+      |  SELECT g, cen AS ts, -1 AS delta, user_id, session_seq FROM bounded
+      |), swept AS (
+      |  SELECT g,
+      |    SUM(delta) OVER (PARTITION BY g ORDER BY ts, delta DESC, user_id, session_seq
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM deltas
+      |)
+      |SELECT strftime(make_timestamp(g * 1000), '%Y-%m-%d %H:00') AS hour,
+      |  CAST(max(run) AS BIGINT) AS peak
+      |FROM swept GROUP BY g ORDER BY hour""".stripMargin
 
   /** #26 ROLLUP multi-level aggregate (one expand + one shuffle). */
   def rollupAgg(s: SparkSession, dir: String): DataFrame = {
@@ -809,6 +893,7 @@ object Analytics {
     "sessionize" -> (sessionize(_, _)),
     "funnel_stages" -> (funnelStages(_, _)),
     "concurrency_peak" -> (concurrencyPeak(_, _)),
+    "concurrency_peak_hourly" -> (concurrencyPeakHourly(_, _)),
     "rollup_agg" -> (rollupAgg(_, _)),
     "skew_salted_agg" -> (skewSaltedAgg(_, _)),
     "update_counts" -> (updateCounts(_, _)),
@@ -833,6 +918,7 @@ object Analytics {
     "sessionize" -> sessionizeSql,
     "funnel_stages" -> funnelStagesSql,
     "concurrency_peak" -> concurrencyPeakSql,
+    "concurrency_peak_hourly" -> concurrencyPeakHourlySql,
     "rollup_agg" -> rollupAggSql,
     "skew_salted_agg" -> skewSaltedAggSql,
     "update_counts" -> updateCountsSql,

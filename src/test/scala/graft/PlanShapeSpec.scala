@@ -60,6 +60,20 @@ class PlanShapeSpec extends AnyFunSuite {
       Advisor.leafInputBytes(tiny).toInt.max(1).min(100000))
   }
 
+  test("concurrency sweep never windows on the bare grain key") {
+    // the r4 verdict's one scale defect: a window partitioned on the
+    // bare day key ships a whole day's boundary events to ONE task.
+    // Pin the two-level shape: the sweep window must carry BOTH keys
+    // (grain g AND sub-bucket), and no window may partition on g alone.
+    val bareGrain = """windowspecdefinition\(g#\d+\w*, \w+#\d+\w* (?:ASC|DESC)""".r
+    val twoLevel = """windowspecdefinition\(g#\d+\w*, sub#\d+\w*, """.r
+    for (q <- Seq("concurrency_peak", "concurrency_peak_hourly")) {
+      val plan = planOf(q)
+      assert(bareGrain.findFirstIn(plan).isEmpty, s"$q windows on the bare grain key")
+      assert(twoLevel.findFirstIn(plan).nonEmpty, s"$q lost the (grain, sub) sweep window")
+    }
+  }
+
   test("no driver-side collect hides in any catalog query plan") {
     // CollectLimit at the ROOT is fine (the final .limit the driver
     // reads); what must never appear is a LocalTableScan materialized
