@@ -742,17 +742,38 @@ object TextOps {
 
   /** Semantic dedup (SemDeDup-style: cluster the embedding space, then
     * drop near-identical vectors within each cluster — Abbas et al. 2023,
-    * arXiv:2303.09540). Clusters here are the deterministic md5
-    * random-hyperplane sign buckets (so every step is DuckDB-expressible
-    * and the keep/drop rule gets an EXACT oracle); production swaps the
-    * 8-bit sign bucket for trained IVF centroids (ivfCentroids — same
-    * within-cluster pair join, k grows toward √n at 100 TB). Keep rule:
-    * a vector is dropped iff a LOWER-id vector in its bucket has
-    * cosine ≥ the threshold — deterministic, order-free, one bucketed
-    * shuffle + within-bucket pair join, never all-pairs.
+    * arXiv:2303.09540). THIS IS THE ORACLE/TEST FORM: clusters are the
+    * deterministic md5 random-hyperplane sign buckets so every step is
+    * DuckDB-expressible and the keep/drop rule gets an EXACT oracle —
+    * but the plane count is FIXED at 8 (256 buckets), so in-bucket pair
+    * work grows O(n²/256) with input size and the form carries a
+    * machine-enforced input cap (mirroring embed_pair_sim_oracle). The
+    * production path is `dedup_semantic_ivf` / semanticDedupIvf below:
+    * trained IVF centroids with k growing toward √n, same keep rule.
+    * Keep rule: a vector is dropped iff a LOWER-id vector in its bucket
+    * has cosine ≥ the threshold — deterministic, order-free, one
+    * bucketed shuffle + within-bucket pair join, never all-pairs.
+    * DELIBERATE deviation from Abbas et al.'s greedy
+    * keep-one-exemplar-per-group rule: the lower-id rule also counts
+    * already-dropped vectors as droppers (a~b, b~c, a!~c drops BOTH b
+    * and c where the greedy rule would keep c). Chains need
+    * within-bucket near-dups of near-dups, so at real thresholds
+    * (≥0.9) the inflation is marginal — and the rule is order-free and
+    * engine-portable, which the greedy sequential rule is not. Both
+    * engines implement the same rule, so the oracle is exact; expect a
+    * slightly higher drop rate than greedy SemDeDup on heavily
+    * duplicated corpora.
     */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
+    // MACHINE-ENFORCED role guard (the embed_pair_sim_oracle pattern):
+    // fixed 256 buckets make in-bucket pairing O(n²/256) — fine at
+    // oracle SFs, a cluster-killer beyond. Early-terminating probe.
+    val cap = 100000L
+    require(
+      emb.limit((cap + 1).toInt).count() <= cap,
+      s"dedup_semantic is the fixed-256-bucket oracle form (input exceeds $cap vectors); " +
+        "use dedup_semantic_ivf (trained centroids, k -> sqrt(n)) at scale")
     def planeW(p: Int): Column = transform(
       sequence(lit(0), size(col("e")) - 1),
       i =>
@@ -816,6 +837,11 @@ object TextOps {
     val emb = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("e"))
       .withColumn("scale", array_max(transform(col("e"), x => abs(x))) / lit(127.0))
+      // an all-zero embedding has scale 0: x/scale is NaN, and Spark's
+      // non-ANSI cast(NaN as long) silently yields 0 while DuckDB keeps
+      // NaN through floor — engine-divergent. A zero vector cannot be
+      // cosine-ranked in ANY engine, so both sides drop it up front.
+      .filter(col("scale") > 0)
       .withColumn("q", transform(col("e"), x => floor(x / col("scale") + lit(0.5)).cast("long")))
       .withColumn("qnrm", sqrt(Registry.dot(col("q").cast("array<double>"), col("q").cast("array<double>"))))
     val probes = emb
@@ -844,7 +870,7 @@ object TextOps {
       |), qv AS (
       |  SELECT vec_id,
       |    list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS DOUBLE)) AS q
-      |  FROM s
+      |  FROM s WHERE scale > 0
       |), n AS (
       |  SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS qnrm FROM qv
       |), p AS (SELECT vec_id AS query_id, q AS qq, qnrm AS qqnrm FROM n WHERE vec_id < 5),
@@ -1005,13 +1031,26 @@ object TextOps {
   /** Production semantic dedup (the trained-cluster form of
     * dedup_semantic): mine within-cluster pairs ≥ threshold over the
     * 2-probe IVF lists, then drop every pair's higher id. Same keep
-    * rule as the catalog entry, clusters from ivfCentroids instead of
-    * sign buckets — O(Σ list²) pair work, shuffled on cent_id.
+    * rule as the catalog entry (including its documented over-drop
+    * deviation from greedy SemDeDup — see dedupSemantic), clusters from
+    * ivfCentroids instead of sign buckets — O(Σ list²) pair work,
+    * shuffled on cent_id, k grows toward √n at 100 TB.
     */
   def semanticDedupIvf(emb: DataFrame, threshold: Double): DataFrame =
     emb.join(
       pairMineBucketed(emb, threshold).select(col("b").as("vec_id")).distinct(),
       Seq("vec_id"), "left_anti")
+
+  /** #37e catalog entry for the production path (rows-only: trained
+    * centroids aren't SQL-expressible; the independent kept-set
+    * invariant lives in QueryCatalogSpec).
+    */
+  def dedupSemanticIvf(s: SparkSession, dir: String): DataFrame =
+    semanticDedupIvf(
+      Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e")),
+      threshold = 0.4)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
 
   // ----------------------------------------------------------- text stats
 
@@ -1313,6 +1352,7 @@ object TextOps {
     "embed_lsh_knn" -> (embedLshKnn(_, _)),
     "embed_lsh_knn_md5" -> (embedLshKnnMd5(_, _)),
     "dedup_semantic" -> (dedupSemantic(_, _)),
+    "dedup_semantic_ivf" -> (dedupSemanticIvf(_, _)),
     "embed_quantized_knn" -> (embedQuantizedKnn(_, _)),
     "embed_ivf_knn" -> (embedIvfKnn(_, _)),
     "embed_ivf_knn_indexed" -> (embedIvfKnnIndexed(_, _)),
@@ -1326,8 +1366,8 @@ object TextOps {
 
   /** rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
     * embed_lsh_knn, embed_ivf_knn, embed_pair_sim_bucketed,
-    * multimodal_stub (the authoritative pinned set lives in
-    * QueryCatalogSpec "catalog and oracle keys line up").
+    * dedup_semantic_ivf, multimodal_stub (the authoritative pinned set
+    * lives in QueryCatalogSpec "catalog and oracle keys line up").
     */
   val oracles: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,

@@ -18,7 +18,8 @@ class QueryCatalogSpec extends AnyFunSuite {
     val rowsOnly = Set(
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
       "embed_ivf_knn_indexed", "embed_pair_sim_bucketed", "multimodal_stub",
-      "percentiles_approx", "dedup_winnow_fast", "distinct_approx")
+      "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
+      "dedup_semantic_ivf")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -271,18 +272,32 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(offenders == 0, s"$offenders kept in-bucket pairs exceed the dedup threshold")
   }
 
-  test("IVF semantic dedup partitions the input and drops exactly the mined higher ids") {
+  test("IVF semantic dedup keeps no probed-list pair above the threshold") {
+    // INDEPENDENT invariant on the OUTPUT (not a recomputation of the
+    // internal mined set via pairMineBucketed, which could only verify
+    // the anti-join wiring): re-derive the probed lists for the KEPT
+    // vectors and assert no two kept vectors sharing a probed list are
+    // >= threshold — the same shape as the dedup_semantic invariant. A
+    // regression in the keep/mining rule that retains a near-dup pair
+    // fails this even if the anti-join is wired correctly.
     import org.apache.spark.sql.functions._
     val emb = Tables
       .embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
     val kept = queries.TextOps.semanticDedupIvf(emb, threshold = 0.4)
-      .select("vec_id").collect().map(_.getLong(0)).toSet
-    val minedHigher = queries.TextOps.pairMineBucketed(emb, threshold = 0.4)
-      .select("b").collect().map(_.getLong(0)).toSet
-    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
-    assert(minedHigher.nonEmpty, "no near-dup pairs mined — threshold too high for the testdata")
-    assert(kept == all.diff(minedHigher), "kept set is not input minus mined higher ids")
+    val total = emb.count()
+    val nKept = kept.count()
+    assert(nKept < total, "dedup_semantic_ivf dropped nothing — threshold too high for testdata")
+    val cents = queries.TextOps.ivfCentroids(emb, 16, 2) // deterministic: same lists
+    val probed = queries.TextOps.nearestCentroids(kept, cents, "vec_id", "e", 2)
+    val lo = probed.select(col("cent_id"), col("vec_id").as("a"), col("e").as("ea"))
+    val hi = probed.select(col("cent_id"), col("vec_id").as("b"), col("e").as("eb"))
+    val offenders = lo
+      .join(hi, Seq("cent_id"))
+      .filter(col("a") < col("b"))
+      .filter(graft.functions.Registry.cosine(col("ea"), col("eb")) >= 0.4)
+      .count()
+    assert(offenders == 0, s"$offenders kept probed-list pairs exceed the dedup threshold")
   }
 
   test("quantized kNN ranks close to the exact float ranking") {
