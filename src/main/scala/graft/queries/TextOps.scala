@@ -1297,11 +1297,15 @@ object TextOps {
 
   // ----------------------------------------------------------- multimodal
 
-  /** #43 multimodal plumbing (rows-only oracle): media as opaque binary +
-    * typed metadata; "decode" is a clearly-stubbed deterministic fake
-    * (crc32 of payload) running partition-wise — the batch shape a real
-    * decoder (image/audio lib) would use, with the Spark-side schema,
-    * partitioning and column flow fully real.
+  /** #43 multimodal BATCH plumbing (test-pinned, NOT a catalog entry —
+    * multimodalDecode below is the oracle-verified catalog operator):
+    * media as opaque binary + typed metadata; "decode" is a
+    * clearly-stubbed deterministic fake (crc32 of payload) running
+    * partition-wise — the batch shape a real decoder LIBRARY
+    * (image/audio) would plug into, with the Spark-side schema,
+    * partitioning and column flow fully real. Kept because header
+    * parsing (multimodalDecode) covers metadata but a pixel decoder
+    * genuinely needs this mapPartitions shape.
     */
   def multimodalStub(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1338,6 +1342,120 @@ object TextOps {
     crc.getValue
   }
 
+  /** #43b multimodal decode — REAL image-header parsing (this replaces
+    * the CRC32 stub's catalog row; the stub stays as the test-pinned
+    * mapPartitions batch shape a decoder LIBRARY would plug into). The
+    * payload column carries genuine PNG / GIF89a / BMP headers
+    * (synthesized deterministically from doc_id since the container
+    * ships no image fixtures — the header bytes are real, per the
+    * format specs), and the decode side reads format, width and height
+    * back OUT OF THE BYTES alone: magic-number dispatch, big-endian
+    * PNG IHDR dims, little-endian GIF/BMP dims, all over the hex
+    * transcription of the payload with codegen'd column expressions —
+    * no UDF, no mapPartitions, DuckDB-expressible, EXACT oracle. At
+    * 100 TB this is a narrow per-row projection that never shuffles;
+    * header sniffing prunes decode work to the rows a real batch
+    * decoder must touch.
+    */
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+    def le(v: Column, bytes: Int): Column =
+      concat((0 until bytes).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    def be(v: Column, bytes: Int): Column = lpad(hex(v), bytes * 2, "0")
+    val w = lit(16L) + pmod(col("doc_id"), lit(1920L))
+    val h = lit(16L) + pmod(col("doc_id") * 7, lit(1080L))
+    val hdr = when(
+      pmod(col("doc_id"), lit(3)) === 0,
+      concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"), be(w, 4), be(h, 4), lit("0806000000")))
+      .when(pmod(col("doc_id"), lit(3)) === 1, concat(lit("474946383961"), le(w, 2), le(h, 2)))
+      .otherwise(concat(
+        lit("424D" + "00000000" + "0000" + "0000" + "36000000" + "28000000"),
+        le(w, 4), le(h, 4)))
+    val withPayload = docs(s, dir)
+      .select(col("doc_id"), unhex(concat(hdr, hex(encode(col("text"), "UTF-8")))).as("payload"))
+    // ---- decode: ONLY the payload bytes from here on
+    val hx = hex(col("payload"))
+    def hexInt(c: Column): Column = conv(c, 16, 10).cast("long")
+    withPayload
+      .withColumn(
+        "format",
+        when(substring(hx, 1, 16) === "89504E470D0A1A0A", lit("png"))
+          .when(substring(hx, 1, 12) === "474946383961", lit("gif"))
+          .when(substring(hx, 1, 4) === "424D", lit("bmp"))
+          .otherwise(lit("unknown")))
+      .withColumn(
+        "width",
+        when(col("format") === "png", hexInt(substring(hx, 33, 8)))
+          .when(col("format") === "gif",
+            hexInt(concat(substring(hx, 15, 2), substring(hx, 13, 2))))
+          .when(col("format") === "bmp",
+            hexInt(concat(
+              substring(hx, 43, 2), substring(hx, 41, 2),
+              substring(hx, 39, 2), substring(hx, 37, 2)))))
+      .withColumn(
+        "height",
+        when(col("format") === "png", hexInt(substring(hx, 41, 8)))
+          .when(col("format") === "gif",
+            hexInt(concat(substring(hx, 19, 2), substring(hx, 17, 2))))
+          .when(col("format") === "bmp",
+            hexInt(concat(
+              substring(hx, 51, 2), substring(hx, 49, 2),
+              substring(hx, 47, 2), substring(hx, 45, 2)))))
+      .select(
+        col("doc_id"), col("format"), col("width"), col("height"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalDecodeSql: String =
+    """WITH src AS (
+      |  SELECT doc_id, text,
+      |    16 + doc_id % 1920 AS w,
+      |    16 + (doc_id * 7) % 1080 AS h
+      |  FROM documents
+      |), gen AS (
+      |  SELECT doc_id, text,
+      |    CASE doc_id % 3
+      |      WHEN 0 THEN concat('89504E470D0A1A0A', '0000000D', '49484452',
+      |        lpad(hex(w), 8, '0'), lpad(hex(h), 8, '0'), '0806000000')
+      |      WHEN 1 THEN concat('474946383961',
+      |        lpad(hex(w % 256), 2, '0'), lpad(hex((w // 256) % 256), 2, '0'),
+      |        lpad(hex(h % 256), 2, '0'), lpad(hex((h // 256) % 256), 2, '0'))
+      |      ELSE concat('424D', '00000000', '0000', '0000', '36000000', '28000000',
+      |        lpad(hex(w % 256), 2, '0'), lpad(hex((w // 256) % 256), 2, '0'),
+      |        lpad(hex((w // 65536) % 256), 2, '0'), lpad(hex((w // 16777216) % 256), 2, '0'),
+      |        lpad(hex(h % 256), 2, '0'), lpad(hex((h // 256) % 256), 2, '0'),
+      |        lpad(hex((h // 65536) % 256), 2, '0'), lpad(hex((h // 16777216) % 256), 2, '0'))
+      |    END AS hdr
+      |  FROM src
+      |), payloads AS (
+      |  SELECT doc_id, unhex(concat(hdr, hex(encode(text)))) AS payload FROM gen
+      |), hx AS (
+      |  SELECT doc_id, payload, hex(payload) AS hx FROM payloads
+      |)
+      |SELECT doc_id,
+      |  CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+      |       WHEN substr(hx, 1, 12) = '474946383961' THEN 'gif'
+      |       WHEN substr(hx, 1, 4) = '424D' THEN 'bmp'
+      |       ELSE 'unknown' END AS format,
+      |  CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
+      |         THEN CAST(concat('0x', substr(hx, 33, 8)) AS BIGINT)
+      |       WHEN substr(hx, 1, 12) = '474946383961'
+      |         THEN CAST(concat('0x', substr(hx, 15, 2), substr(hx, 13, 2)) AS BIGINT)
+      |       WHEN substr(hx, 1, 4) = '424D'
+      |         THEN CAST(concat('0x', substr(hx, 43, 2), substr(hx, 41, 2),
+      |                          substr(hx, 39, 2), substr(hx, 37, 2)) AS BIGINT)
+      |  END AS width,
+      |  CASE WHEN substr(hx, 1, 16) = '89504E470D0A1A0A'
+      |         THEN CAST(concat('0x', substr(hx, 41, 8)) AS BIGINT)
+      |       WHEN substr(hx, 1, 12) = '474946383961'
+      |         THEN CAST(concat('0x', substr(hx, 19, 2), substr(hx, 17, 2)) AS BIGINT)
+      |       WHEN substr(hx, 1, 4) = '424D'
+      |         THEN CAST(concat('0x', substr(hx, 51, 2), substr(hx, 49, 2),
+      |                          substr(hx, 47, 2), substr(hx, 45, 2)) AS BIGINT)
+      |  END AS height,
+      |  CAST(octet_length(payload) AS BIGINT) AS n_bytes
+      |FROM hx ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
@@ -1362,12 +1480,12 @@ object TextOps {
     "text_quality" -> (textQuality(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
-    "multimodal_stub" -> (multimodalStub(_, _)))
+    "multimodal_decode" -> (multimodalDecode(_, _)))
 
   /** rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
     * embed_lsh_knn, embed_ivf_knn, embed_pair_sim_bucketed,
-    * dedup_semantic_ivf, multimodal_stub (the authoritative pinned set
-    * lives in QueryCatalogSpec "catalog and oracle keys line up").
+    * dedup_semantic_ivf (the authoritative pinned set lives in
+    * QueryCatalogSpec "catalog and oracle keys line up").
     */
   val oracles: Map[String, String] = Map(
     "dedup_exact_docs" -> dedupExactDocsSql,
@@ -1385,5 +1503,6 @@ object TextOps {
     "embed_quantized_knn" -> embedQuantizedKnnSql,
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
-    "doc_fingerprint" -> docFingerprintSql)
+    "doc_fingerprint" -> docFingerprintSql,
+    "multimodal_decode" -> multimodalDecodeSql)
 }

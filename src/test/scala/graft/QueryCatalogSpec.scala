@@ -17,7 +17,7 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(o.subsetOf(q), s"oracle keys without query: ${o.diff(q)}")
     val rowsOnly = Set(
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
-      "embed_ivf_knn_indexed", "embed_pair_sim_bucketed", "multimodal_stub",
+      "embed_ivf_knn_indexed", "embed_pair_sim_bucketed",
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
       "dedup_semantic_ivf")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
@@ -298,6 +298,27 @@ class QueryCatalogSpec extends AnyFunSuite {
       .filter(graft.functions.Registry.cosine(col("ea"), col("eb")) >= 0.4)
       .count()
     assert(offenders == 0, s"$offenders kept probed-list pairs exceed the dedup threshold")
+  }
+
+  test("multimodal decode parses the dims that were encoded into the header bytes") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("multimodal_decode")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("format")).toSet == Set("png", "gif", "bmp"))
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("width") == 16 + id % 1920, s"doc $id width")
+      assert(r.getAs[Long]("height") == 16 + (id * 7) % 1080, s"doc $id height")
+      assert(r.getAs[Long]("n_bytes") > 0)
+    }
+  }
+
+  test("multimodal batch-decode plumbing (the mapPartitions library shape) still runs") {
+    // non-catalog since r5 (multimodal_decode is the oracle-verified
+    // operator) but a real pixel decoder needs this batch shape — pin it
+    val out = queries.TextOps.multimodalStub(spark, dir)
+    assert(out.count() > 0)
+    assert(out.columns.contains("fake_feature"), out.columns.mkString(","))
   }
 
   test("quantized kNN ranks close to the exact float ranking") {
