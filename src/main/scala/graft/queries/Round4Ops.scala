@@ -244,33 +244,46 @@ object Round4Ops {
     * row-frame window minima are engine-portable.
     */
   def dedupWinnow(s: SparkSession, dir: String): DataFrame =
-    winnowPairs(docs(s, dir), g => substring(md5(g), 1, 16))
+    winnowPairs(docs(s, dir), g => substring(md5(concat_ws(" ", g)), 1, 16))
 
   /** The winnowing core over any (doc_id, text) frame, parameterized on
     * the gram hash — md5-prefix (oracle-portable strings) or xxhash64
     * (production: numeric min-agg, no string materialization). The
     * winnowing guarantee (any ≥ gramN+winN-1 word shared span yields a
     * common fingerprint) holds for ANY hash choice.
+    *
+    * Fingerprinting is a pure PER-DOC ARRAY pipeline: 8-grams via
+    * slice(), hash per gram, then each window start takes array_min of
+    * its 4-hash neighborhood (tail windows clip, exactly like ROWS
+    * BETWEEN CURRENT ROW AND 3 FOLLOWING — the DuckDB oracle keeps that
+    * window form and the hashes match). The r4 form posexploded grams
+    * through TWO per-doc window sorts (a lead chain, then a sliding
+    * min) — one shuffle plus two sorts that this form does entirely
+    * map-side; the only shuffle left is the fingerprint-key join,
+    * which is the part that must shuffle.
     */
   def winnowPairs(
       docsDf: DataFrame,
       hashed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       minShared: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    def ld(j: Int) = lead(col("w0"), j).over(w)
-    val grams = docsDf
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+    val ws = split(col("text"), " ")
+    // docs with < 8 words yield no grams (and sequence() must not see a
+    // negative upper bound) — drop them up front like the r4 form did.
+    // `hashed` receives the 8-word gram as an ARRAY slice: the md5
+    // oracle path concat_ws's it back to the gram string (hash-stable
+    // vs r4); the xxhash64 production path hashes the slice
+    // structurally and never materializes a gram string at all
+    val hs = transform(
+      sequence(lit(0), size(ws) - 8),
+      i => hashed(slice(ws, i + 1, lit(8))))
+    val fp = docsDf
+      .filter(size(ws) >= 8)
+      .select(col("doc_id"), hs.as("hs"))
       .select(
         col("doc_id"),
-        col("pos"),
-        when(ld(7).isNotNull, concat_ws(" ", col("w0") +: (1 to 7).map(ld): _*)).as("g"))
-      .filter(col("g").isNotNull)
-      .select(col("doc_id"), col("pos"), hashed(col("g")).as("h"))
-    val fp = grams
-      .withColumn("fp", min(col("h")).over(w.rowsBetween(Window.currentRow, 3)))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("hs")) - 1),
+          i => array_min(slice(col("hs"), i + 1, lit(4)))))).as("fp"))
     val l = fp.select(col("doc_id").as("a"), col("fp"))
     val r = fp.select(col("doc_id").as("b"), col("fp"))
     l.join(r, Seq("fp"))
@@ -288,6 +301,7 @@ object Round4Ops {
     * the winnowing guarantee on a shared 11-word passage.
     */
   def dedupWinnowFast(s: SparkSession, dir: String): DataFrame =
+    // hash the 8-word slice STRUCTURALLY — no gram-string concat at all
     winnowPairs(docs(s, dir), g => xxhash64(g))
 
   val dedupWinnowSql: String = {

@@ -207,8 +207,11 @@ class QueryCatalogSpec extends AnyFunSuite {
       (1L, s"${pad("alpha")} $span ${pad("beta")}"),
       (2L, s"${pad("gamma")} $span ${pad("delta")}"),
       (3L, pad("unrelated"))).toDF("doc_id", "text")
+    // the hash receives the 8-word gram as an ARRAY slice (mirror the
+    // catalog call sites: md5 over the joined gram string, xxhash64
+    // structural over the slice)
     for ((name, h) <- Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)](
-        "md5" -> (g => substring(md5(g), 1, 16)),
+        "md5" -> (g => substring(md5(concat_ws(" ", g)), 1, 16)),
         "xxhash64" -> (g => xxhash64(g)))) {
       // the guarantee is >= 1 common fingerprint per shared span — test
       // at that bound (the catalog queries keep the >= 2 noise cut)
