@@ -386,6 +386,65 @@ class WireSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](run(s"""$network,{"type":"remove","subject":"language"}"""))
   }
 
+  test("list builder wire variants: network-only, 3-way regex unions, sort no-op") {
+    // the rest of the reference's list surface (main.rs:2678-2900):
+    // a bare network input, the name|handle|description 3-way regex
+    // union (with invert = NOT(any match), De Morgan like the
+    // reference's retain closures), caseSensitive + default-target
+    // regex knobs, the defaulted remove value, and the sort block as a
+    // declared no-op for EVERY sortType/direction (TODO stub,
+    // main.rs:2864)
+    val s = spark
+    import s.implicits._
+    val profiles = Seq(
+      (10L, "Alice", "alice.example", "spark posts daily"),
+      (11L, "Bob", "bob.example", "databases"),
+      (12L, "Carol", "carol.test", "spark and flink"),
+      (13L, "SPARKY", "dave.example", "cooking")
+    ).toDF("did", "name", "handle", "description")
+      .withColumn("has_avatar", col("did") === 10L)
+      .withColumn("has_banner", col("did") === 11L)
+    val b = Binding(
+      idCol = "did", authorCol = "did", tsCol = "did", valueCol = "did", nowEpochMs = 0L,
+      regexTargets = Map(
+        "name" -> Seq("name"),
+        "name|handle|description" -> Seq("name", "handle", "description")),
+      whereFields = Map.empty,
+      fieldCols = Map("has_avatar" -> col("has_avatar"), "has_banner" -> col("has_banner")),
+      lists = Map.empty)
+    def run(blocks: String): Seq[Long] =
+      PipelineJson
+        .runListBuilder(profiles, s"""{"blocks":[$blocks]}""", b)
+        .select(col("did")).collect().map(_.getLong(0)).sorted.toSeq
+
+    val network = """{"type":"input","inputType":"network"}"""
+    // network-only payload: the whole profile store, nothing else
+    assert(run(network) == Seq(10L, 11L, 12L, 13L))
+    // 3-way union: spark matches 10 (description), 12 (description),
+    // 13 (name, case-folded); carol matches 12 (handle)
+    assert(run(s"""$network,{"type":"regex","target":"name|handle|description","value":"spark|carol"}""")
+      == Seq(10L, 12L, 13L))
+    // inverted 3-way union keeps only rows matching NO target
+    assert(run(s"""$network,{"type":"regex","target":"name|handle|description","value":"spark|carol","invert":true}""")
+      == Seq(11L))
+    // caseSensitive drops the (?i) default: SPARKY no longer matches 'spark'
+    assert(run(s"""$network,{"type":"regex","target":"name|handle|description","value":"spark","caseSensitive":true}""")
+      == Seq(10L, 12L))
+    // regex target defaults to "name" (main.rs:2793)
+    assert(run(s"""$network,{"type":"regex","value":"ali"}""") == Seq(10L))
+    // remove value defaults to has_avatar (main.rs:2758)
+    assert(run(s"""$network,{"type":"remove","subject":"profile"}""") == Seq(11L, 12L, 13L))
+    // sort is a no-op for every sortType/direction the reference stubs:
+    // identical result WITH and WITHOUT the block
+    val base = run(s"""$network,{"type":"regex","value":"a"}""")
+    for (sort <- Seq(
+        """{"type":"sort","sortType":"created_at"}""",
+        """{"type":"sort","sortType":"hn","gravity":"1.8"}""",
+        """{"type":"sort","sortType":"likes","sortDirection":"asc"}"""))
+      assert(run(s"""$network,$sort,{"type":"regex","value":"a"}""") == base,
+        s"sort block was not a no-op: $sort")
+  }
+
   test("unresolved feedUri keeps a clear error, unknown blocks still throw") {
     val e = intercept[IllegalArgumentException](
       runWire("""{"type":"input","inputType":"feed","feedUri":"at://x"}"""))
