@@ -261,6 +261,73 @@ object PipelineJson {
     working.getOrElse(reject("an empty payload", "add an input block"))
   }
 
+  /** The reference's WHOLE production loop (poll → pipeline → serve,
+    * main.rs:3143 + generate_feed_skeleton main.rs:1229) as ONE
+    * continuous system: a full wire payload — filters AND its trailing
+    * sort/limit — compiles into
+    *   stateless prefix  → runStreaming (codegen'd filters on the
+    *                       firehose, watermark-bounded dedup), then
+    *   serving suffix    → Streams.streamingFeed (the sort-hn + limit
+    *                       tail becomes the bounded per-user top-k
+    *                       keyed state; k = the limit count, gravity =
+    *                       the sort block's knob).
+    * Serving is then a state read (Streams.readFeedState over the
+    * query's checkpoint) — no recompute per request, unlike the
+    * reference, which reruns the block loop over its in-RAM store on
+    * every poll. The suffix must rank by hn (the reference's own
+    * live-feed ranking); other sort types are one-shot orderings —
+    * use the batch runner for those.
+    */
+  def runServingFeed(
+      stream: DataFrame,
+      payload: String,
+      b: Binding,
+      anchorMs: Long,
+      lateness: String = "1 hour"): org.apache.spark.sql.Dataset[graft.streaming.Streams.FeedRow] = {
+    import graft.streaming.{Ev, Streams}
+    val root = mapper.readTree(payload)
+    val blockNodes = root.path("blocks")
+    require(blockNodes.isArray, "payload must carry a blocks array")
+    val nodes = blockNodes.elements().asScala.toVector
+    // the serving suffix is the longest trailing run of sort/limit
+    // blocks; everything before it must be streaming-safe (enforced by
+    // runStreaming)
+    val servingTypes = Set("sort", "limit")
+    var cut = nodes.length
+    while (cut > 0 && servingTypes(str(nodes(cut - 1), "type", ""))) cut -= 1
+    val (prefix, suffix) = nodes.splitAt(cut)
+    require(
+      suffix.exists(n => str(n, "type", "") == "sort"),
+      "a serving feed needs a trailing sort block (hn) — for an unranked " +
+        "continuous filter use runStreaming directly")
+    val sorts = suffix.filter(n => str(n, "type", "") == "sort")
+    val limits = suffix.filter(n => str(n, "type", "") == "limit")
+    require(sorts.size == 1 && limits.size <= 1, "serving suffix allows one sort and one limit")
+    val sortType = str(sorts.head, "sortType", "hn")
+    require(
+      sortType == "hn",
+      s"continuous serving ranks by hn (the reference's live-feed score); " +
+        s"sort '$sortType' is a one-shot ordering — run it in the batch runner")
+    val gravity = sorts.head.path("gravity").asText("1.8").toDouble
+    val k = limits.headOption
+      .map(n => if (n.hasNonNull("count")) n.get("count").asInt() else 100)
+      .getOrElse(100)
+    val prefixRoot = mapper.createObjectNode()
+    val arr = prefixRoot.putArray("blocks")
+    prefix.foreach(arr.add)
+    val filtered = runStreaming(stream, mapper.writeValueAsString(prefixRoot), b, lateness)
+    val s = stream.sparkSession
+    import s.implicits._
+    Streams.streamingFeed(
+      filtered.select(
+        col(b.idCol).cast("long").as("event_id"),
+        col(b.tsCol).as("ts"),
+        col(b.authorCol).cast("long").as("user_id"),
+        lit("wire").as("event_type"),
+        col(b.valueCol).cast("double").as("value")).as[Ev],
+      k = k, anchorMs = anchorMs, lateness = lateness, gravity = gravity)
+  }
+
   /** The reference's SECOND pipeline endpoint: the LIST BUILDER
     * (generate_list_skeleton, main.rs:2678) — the same block wire
     * format over the PROFILE dimension instead of posts. Inputs

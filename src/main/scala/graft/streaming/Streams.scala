@@ -271,17 +271,23 @@ object Streams {
       k: Int,
       anchorMs: Long,
       lateness: String = "1 hour",
-      retentionMs: Long = RetentionMs): Dataset[FeedRow] = {
+      retentionMs: Long = RetentionMs,
+      gravity: Double = 1.8): Dataset[FeedRow] = {
     import events.sparkSession.implicits._
     def score(e: Ev): Double = {
       // clamp at 0: events newer than the anchor (normal in a live
       // stream) must not shrink the denominator below 2 — unclamped,
       // ageH < -2 turns pow() into NaN and poisons the top-k state
       val ageH = math.max(0.0, (anchorMs - e.ts.getTime).toDouble / 3600000.0)
-      e.value / math.pow(ageH + 2.0, 1.8)
+      e.value / math.pow(ageH + 2.0, gravity)
     }
-    events
-      .withWatermark("ts", lateness)
+    // idempotent watermarking: a payload-compiled upstream
+    // (PipelineJson.runServingFeed) already watermarked the firehose,
+    // and Spark disallows redefining it
+    val watermarked =
+      if (events.schema("ts").metadata.contains("spark.watermarkDelayMs")) events
+      else events.withWatermark("ts", lateness)
+    watermarked
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FeedState, FeedRow](
         OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {

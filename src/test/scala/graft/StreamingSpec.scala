@@ -529,6 +529,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(at0.map(_.event_id).toSeq == Seq(2L, 1L), s"batch-0 state wrong: ${at0.toSeq}")
   }
 
+  test("wire payload serves end-to-end: stateless prefix -> keyed top-k -> state read") {
+    // the reference's whole production loop (poll -> pipeline -> serve,
+    // main.rs:3143) as one continuous system: the payload's filters run
+    // on the stream, its sort-hn+limit tail IS the bounded keyed top-k,
+    // and serving reads the state store — no per-request recompute
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Binding, PipelineJson}
+    import org.apache.spark.sql.functions.col
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_serving_feed").toString
+    val anchor = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val b = Binding(
+      "event_id", "user_id", "ts", "value", 0L,
+      Map("text" -> Seq("event_type")), Map("value" -> col("value")))
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose"},
+        |  {"type":"regex","target":"text","value":"view|click"},
+        |  {"type":"where","value":"value >= 2"},
+        |  {"type":"sort","sortType":"hn","gravity":"1.8"},
+        |  {"type":"limit","count":2}
+        |]}""".stripMargin
+    val in = MemoryStream[Ev]
+    val q = PipelineJson
+      .runServingFeed(in.toDF(), payload, b, anchorMs = anchor)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .format("memory").queryName("serve_loop").start()
+    in.addData(
+      ev(1, 0, 5, "view", 10.0),
+      ev(2, 10, 5, "view", 50.0),
+      ev(3, 20, 5, "purchase", 500.0), // regex-dropped: must never reach state
+      ev(4, 30, 5, "click", 1.0)) // where-dropped
+    q.processAllAvailable()
+    in.addData(ev(5, 40, 5, "click", 100.0)) // displaces event 1 from the top-2
+    q.processAllAvailable(); q.stop()
+    val served = Streams.readFeedState(spark, ckpt).collect()
+      .filter(_.user_id == 5L).sortBy(_.rank)
+    assert(served.map(_.event_id).toSeq == Seq(5L, 2L), s"served feed wrong: ${served.toSeq}")
+    // the state's scores are the hn formula the sort block declared
+    def hn(minute: Int, v: Double) = {
+      val ts = java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00").getTime
+      v / math.pow((anchor - ts).toDouble / 3600000.0 + 2.0, 1.8)
+    }
+    assert(math.abs(served.head.score - hn(40, 100.0)) < 1e-9)
+    assert(math.abs(served(1).score - hn(10, 50.0)) < 1e-9)
+    // suffix guards stay loud: no sort, and non-hn sorts, are rejected
+    intercept[IllegalArgumentException](PipelineJson.runServingFeed(
+      in.toDF(),
+      """{"blocks":[{"type":"input","inputType":"firehose"},{"type":"limit","count":5}]}""",
+      b, anchor))
+    intercept[IllegalArgumentException](PipelineJson.runServingFeed(
+      in.toDF(),
+      """{"blocks":[{"type":"input","inputType":"firehose"},{"type":"sort","sortType":"likes"}]}""",
+      b, anchor))
+  }
+
   test("stream-static enrichment joins the profile dimension per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
