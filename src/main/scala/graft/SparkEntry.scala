@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.GraphOps.queries ++
       graft.queries.Round2Ops.queries ++
       graft.queries.Round3Ops.queries ++
-      graft.queries.Round4Ops.queries
+      graft.queries.Round4Ops.queries ++
+      graft.queries.Round5Ops.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.GraphOps.oracles ++
       graft.queries.Round2Ops.oracles ++
       graft.queries.Round3Ops.oracles ++
-      graft.queries.Round4Ops.oracles
+      graft.queries.Round4Ops.oracles ++
+      graft.queries.Round5Ops.oracles
 }

@@ -324,6 +324,31 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(out.columns.contains("fake_feature"), out.columns.mkString(","))
   }
 
+  test("normalized dedup folds case/punct/whitespace variants; overlap report counts them") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // three renderings of one article + one distinct doc, across sources
+    val planted = Seq(
+      (1L, "The  quick, brown fox!", "crawl_a"),
+      (2L, "the quick brown fox", "crawl_b"), // same after normalization
+      (3L, "THE QUICK   BROWN FOX.", "crawl_a"), // same again
+      (4L, "an entirely different document", "crawl_b")
+    ).toDF("doc_id", "text", "source")
+    val kept = queries.Round5Ops.dedupNormalizedOver(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_variants")).toMap
+    assert(kept == Map(1L -> 3L, 4L -> 1L), s"variant folding wrong: $kept")
+    val report = queries.Round5Ops.corpusOverlapReportOver(planted).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_duplicated"), r.getAs[Long]("n_cross_source")))
+      .toMap
+    // crawl_a: docs 1,3 — both duplicated, both collide with crawl_b's doc 2
+    // crawl_b: docs 2,4 — doc 2 duplicated cross-source, doc 4 clean
+    assert(report == Map("crawl_a" -> ((2L, 2L, 2L)), "crawl_b" -> ((2L, 1L, 1L))), s"report wrong: $report")
+    // on the (duplicate-free) testdata both still return full rows
+    assert(SparkEntry.queries("dedup_normalized")(spark, dir).count() > 0)
+    assert(SparkEntry.queries("corpus_overlap_report")(spark, dir).count() > 0)
+  }
+
   test("quantized kNN ranks close to the exact float ranking") {
     def top(df: org.apache.spark.sql.DataFrame) =
       df.collect()
