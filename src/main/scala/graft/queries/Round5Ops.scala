@@ -1,7 +1,9 @@
 package graft.queries
 
-import graft.Tables
+import graft.{OracleMath, Tables}
+import graft.functions.Registry
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Round-5 additions (beyond the reference's surface): the
@@ -90,11 +92,285 @@ object Round5Ops {
        |FROM n JOIN st USING (h)
        |GROUP BY n.source ORDER BY source""".stripMargin
 
+  import OracleMath._
+
+  /** #83 BM25 retrieval: the standard lexical ranking function (the
+    * workhorse of retrieval-based decontamination and hard-negative
+    * mining) for a literal term set, Lucene idf form, k1=1.2 b=0.75.
+    * Shape at 100 TB: the token pass filters to the query terms BEFORE
+    * any shuffle (tf is a (doc, term) agg over a tiny filtered slice);
+    * doc lengths are one (doc) agg; df (≤ |terms| rows) and the
+    * single-row corpus stats arrive by provably-bounded broadcast; the
+    * top-20 cut is TakeOrderedAndProject, never a global sort. Per-term
+    * scores round at 12 dp into the order-free DECIMAL sum
+    * (OracleMath rule), so the ranking is engine-portable.
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val terms = Seq("vector", "hash", "stream")
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = toks
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfr = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    tf.join(dl, Seq("doc_id"))
+      .join(broadcast(dfr), Seq("token")) // ≤ |terms| rows by construction
+      .crossJoin(broadcast(stats)) // single row
+      .withColumn("avgdl", col("tot_dl").cast("double") / col("n_docs"))
+      .withColumn("idf", log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn(
+        "tscore",
+        round(
+          col("idf") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))),
+          12).cast(OracleMath.Dec12))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), emit(sum(col("tscore")).cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val bm25SearchSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |),
+      |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM tok
+      |  WHERE token IN ('vector', 'hash', 'stream') GROUP BY 1, 2
+      |),
+      |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+      |term AS (
+      |  SELECT tf.doc_id,
+      |    CAST(round(
+      |      ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * (tf * 2.2) /
+      |        (tf + 1.2 * (0.25 + 0.75 * dl.dl / (CAST(tot_dl AS DOUBLE) / n_docs))),
+      |      12) AS DECIMAL(38,12)) AS tscore
+      |  FROM tf JOIN dl USING (doc_id) JOIN dfr USING (token) CROSS JOIN stats
+      |)
+      |SELECT doc_id, count(*) AS n_terms,
+      |  CAST(round(CAST(sum(tscore) AS DOUBLE), 4) AS DOUBLE) AS score
+      |FROM term GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** #84 cross-document novelty: the share of a doc's distinct 3-grams
+    * that appear in NO other document — the memorization/boilerplate
+    * signal (doc_repetition's WITHIN-doc mirror): near-dups and
+    * template text score ~0, fresh text ~0.4+ on this corpus. One gram
+    * pass, one gram-key df agg, join back on the SAME key
+    * (co-partitioned), one (doc) agg — the decontaminate shape, never
+    * all-pairs. Flag folds on the ROUNDED share (engine-portable cut).
+    */
+  def docNovelty(s: SparkSession, dir: String): DataFrame =
+    docNoveltyOver(docs(s, dir))
+
+  /** The core over any (doc_id, text) frame — test entry point. */
+  private[graft] def docNoveltyOver(d: DataFrame): DataFrame = {
+    val g = TextOps.gramRows(d, 3, distinct = true)
+    val dfr = g.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    g.join(dfr, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(
+        col("doc_id"),
+        col("n_grams"),
+        col("n_unique"),
+        emit(col("n_unique").cast("double") / col("n_grams"), 4).as("novelty"))
+      .withColumn("flagged", (col("novelty") <= 0.05).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docNoveltySql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]
+      |            for i in range(1, greatest(len(ws) - 1, 1))]) AS g
+      |  FROM w
+      |),
+      |dfr AS (SELECT g, count(*) AS df FROM g GROUP BY 1),
+      |nov AS (
+      |  SELECT doc_id, count(*) AS n_grams,
+      |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+      |  FROM g JOIN dfr USING (g) GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_grams, n_unique,
+      |  CAST(round(CAST(n_unique AS DOUBLE) / n_grams, 4) AS DOUBLE) AS novelty,
+      |  CAST(round(CAST(n_unique AS DOUBLE) / n_grams, 4) <= 0.05 AS INT) AS flagged
+      |FROM nov ORDER BY doc_id""".stripMargin
+
+  /** #85 mixing weights from the mix report: turn corpus_mix_report's
+    * observed per-source token shares into the sampling weights that
+    * hit a UNIFORM target mixture, with the standard max-upsampling
+    * cap (3 "epochs") real recipes apply so rare sources aren't
+    * repeated into memorization — then the renormalized effective
+    * share each source actually contributes under the cap. All inputs
+    * are the report's already-rounded shares + exact counts; the one
+    * cross-row sum (renormalization) goes through the order-free
+    * DECIMAL rule; everything is per-source rows over a bounded
+    * relation (#sources), so the whole op is broadcast-cheap at any
+    * corpus size — the expensive part (the gated scan) is the report's.
+    */
+  def corpusMixWeights(s: SparkSession, dir: String): DataFrame = {
+    // the report is #sources rows but derives from the full gated scan;
+    // cut lineage so the scan runs once, not once per downstream agg
+    val rep = graft.Lineage.cut(
+      TextOps.corpusMixReport(s, dir).select(col("source"), col("kept_tokens"), col("mix_frac")))
+    val nsrc = rep.agg(count(lit(1)).as("n_sources"))
+    val w = rep
+      .crossJoin(broadcast(nsrc)) // single row
+      .withColumn("target", lit(1.0) / col("n_sources"))
+      .withColumn("weight", emit(least(col("target") / col("mix_frac"), lit(3.0)), 6))
+      .withColumn("eff", round(col("weight") * col("mix_frac"), 12).cast(OracleMath.Dec12))
+    val tot = w.agg(sum(col("eff")).as("eff_tot"))
+    w.crossJoin(broadcast(tot)) // single row
+      .select(
+        col("source"),
+        col("kept_tokens"),
+        col("mix_frac"),
+        col("weight"),
+        emit(col("eff").cast("double") / col("eff_tot").cast("double"), 6).as("eff_share"))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixWeightsSql: String =
+    s"""WITH rep AS (${TextOps.corpusMixReportSql}),
+       |nsrc AS (SELECT count(*) AS n_sources FROM rep),
+       |w AS (
+       |  SELECT source, kept_tokens, mix_frac,
+       |    CAST(round(least((1.0 / n_sources) / mix_frac, 3.0), 6) AS DOUBLE) AS weight,
+       |    CAST(round(CAST(round(least((1.0 / n_sources) / mix_frac, 3.0), 6) AS DOUBLE) * mix_frac, 12)
+       |         AS DECIMAL(38,12)) AS eff
+       |  FROM rep CROSS JOIN nsrc
+       |),
+       |tot AS (SELECT sum(eff) AS eff_tot FROM w)
+       |SELECT source, kept_tokens, mix_frac, weight,
+       |  CAST(round(CAST(eff AS DOUBLE) / CAST(eff_tot AS DOUBLE), 6) AS DOUBLE) AS eff_share
+       |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
+
+  /** #86 event anomaly detection: per event type, z-score each hourly
+    * count against that type's own hourly mean/stddev and flag |z| ≥ 2
+    * — the ops-dashboard "is this hour weird" primitive. The stats
+    * come from exact integer sums (count, Σc, Σc²) so the double
+    * mean/σ arithmetic is bit-identical across engines; z rounds at
+    * 4 dp before the flag cut. Shape: one (type, hour) agg with
+    * map-side partials, one per-type agg over a bounded relation, one
+    * co-keyed join back — no window over a coarse key anywhere.
+    */
+  def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(
+        col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val st = hourly.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_h"),
+      sum(col("cnt")).as("s1"),
+      sum(col("cnt") * col("cnt")).as("s2"))
+    hourly.join(st, Seq("event_type"))
+      .withColumn("mean", col("s1").cast("double") / col("n_h"))
+      .withColumn(
+        "sd",
+        sqrt((col("s2") - col("s1").cast("double") * col("s1") / col("n_h")) / (col("n_h") - 1)))
+      .withColumn("z", emit((col("cnt") - col("mean")) / col("sd"), 4))
+      .withColumn("flagged", (abs(col("z")) >= 2.0).cast("int"))
+      .select(col("event_type"), col("hour"), col("cnt"), col("z"), col("flagged"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val eventAnomaliesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |st AS (
+      |  SELECT event_type, count(*) AS n_h,
+      |    CAST(sum(cnt) AS BIGINT) AS s1, CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      |  FROM hourly GROUP BY 1
+      |),
+      |z AS (
+      |  SELECT event_type, hour, cnt,
+      |    CAST(round(
+      |      (cnt - CAST(s1 AS DOUBLE) / n_h) /
+      |        sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1)),
+      |      4) AS DOUBLE) AS z
+      |  FROM hourly JOIN st USING (event_type)
+      |)
+      |SELECT event_type, hour, cnt, z, CAST(abs(z) >= 2.0 AS INT) AS flagged
+      |FROM z ORDER BY event_type, hour""".stripMargin
+
+  /** #87 k-means clustering report over the embedding column (the
+    * cluster-then-X primitive under semantic dedup, topic balancing,
+    * and stratified curation): train 8 centroids with 2 Lloyd's
+    * rounds (TextOps.ivfCentroids — the exact machinery the IVF index
+    * ships), assign every vector to its nearest centroid, and report
+    * per-cluster size, mean member→centroid cosine, and label purity
+    * (majority-label share — embeddings carry a ground-truth label).
+    * Training isn't SQL-expressible, so the entry is rows-only; the
+    * spec pins sizes-sum-to-n and trained-tightness ≥ seeded-tightness.
+    * Scale: every round is one O(n·k) broadcast compare + one (cid)
+    * agg; the report itself aggregates k rows.
+    */
+  def embedKmeansReport(s: SparkSession, dir: String): DataFrame =
+    embedKmeansReportWith(s, dir, trained = true)
+
+  private[graft] def embedKmeansReportWith(
+      s: SparkSession, dir: String, trained: Boolean): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"), col("label"))
+    val vecs = emb.select(col("vec_id"), col("e"))
+    val cents =
+      if (trained) TextOps.ivfCentroids(vecs, 8, 2) else TextOps.seedCentroids(vecs, 8)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    val assigned = emb
+      .crossJoin(broadcast(cents)) // k·dim doubles
+      .withColumn("csim", Registry.cosine(col("e"), col("ce")))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+    val purity = assigned
+      .groupBy(col("cent_id"), col("label"))
+      .agg(count(lit(1)).as("lc"))
+      .groupBy(col("cent_id"))
+      .agg(max(col("lc")).as("top_label_n"))
+    assigned
+      .groupBy(col("cent_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        emit(
+          sum(round(col("csim"), 12).cast(OracleMath.Dec12)).cast("double") / count(lit(1)),
+          4).as("mean_sim"))
+      .join(purity, Seq("cent_id"))
+      .select(
+        col("cent_id"),
+        col("n_members"),
+        col("mean_sim"),
+        emit(col("top_label_n").cast("double") / col("n_members"), 4).as("purity"))
+      .orderBy(col("cent_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_normalized" -> (dedupNormalized(_, _)),
-    "corpus_overlap_report" -> (corpusOverlapReport(_, _)))
+    "corpus_overlap_report" -> (corpusOverlapReport(_, _)),
+    "bm25_search" -> (bm25Search(_, _)),
+    "doc_novelty" -> (docNovelty(_, _)),
+    "corpus_mix_weights" -> (corpusMixWeights(_, _)),
+    "event_anomalies" -> (eventAnomalies(_, _)),
+    "embed_kmeans_report" -> (embedKmeansReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_normalized" -> dedupNormalizedSql,
-    "corpus_overlap_report" -> corpusOverlapReportSql)
+    "corpus_overlap_report" -> corpusOverlapReportSql,
+    "bm25_search" -> bm25SearchSql,
+    "doc_novelty" -> docNoveltySql,
+    "corpus_mix_weights" -> corpusMixWeightsSql,
+    "event_anomalies" -> eventAnomaliesSql)
 }

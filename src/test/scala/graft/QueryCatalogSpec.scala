@@ -19,7 +19,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
       "embed_ivf_knn_indexed", "embed_pair_sim_bucketed",
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
-      "dedup_semantic_ivf")
+      "dedup_semantic_ivf", "embed_kmeans_report")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -347,6 +347,67 @@ class QueryCatalogSpec extends AnyFunSuite {
     // on the (duplicate-free) testdata both still return full rows
     assert(SparkEntry.queries("dedup_normalized")(spark, dir).count() > 0)
     assert(SparkEntry.queries("corpus_overlap_report")(spark, dir).count() > 0)
+  }
+
+  test("bm25 ranks term-dense short docs first; novelty zeroes out planted duplicates") {
+    val hits = SparkEntry.queries("bm25_search")(spark, dir).collect()
+    assert(hits.length == 20, s"expected top-20, got ${hits.length}")
+    val scores = hits.map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores not non-increasing")
+    assert(scores.head > 0.0)
+    // every hit matched at least one of the three query terms
+    assert(hits.forall(r => r.getAs[Long]("n_terms") >= 1))
+
+    // a duplicated doc shares ALL its 3-grams with its twin → novelty
+    // exactly 0 and flagged; a doc of fresh words scores 1
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact twin of 1
+      (3L, "zeta eta theta iota kappa lambda")
+    ).toDF("doc_id", "text")
+    val nov = queries.Round5Ops.docNoveltyOver(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("novelty"), r.getAs[Int]("flagged"))).toMap
+    assert(nov(1L) == ((0.0, 1)) && nov(2L) == ((0.0, 1)), s"twins not zero-novelty: $nov")
+    assert(nov(3L) == ((1.0, 0)), s"fresh doc not fully novel: $nov")
+    assert(SparkEntry.queries("doc_novelty")(spark, dir).count() > 0)
+  }
+
+  test("mix weights cap at 3 epochs and effective shares renormalize to 1") {
+    val w = SparkEntry.queries("corpus_mix_weights")(spark, dir).collect()
+    assert(w.length > 1)
+    assert(w.forall(r => r.getAs[Double]("weight") <= 3.0 && r.getAs[Double]("weight") > 0.0))
+    val effTot = w.map(_.getAs[Double]("eff_share")).sum
+    assert(math.abs(effTot - 1.0) < 1e-4, s"eff shares sum to $effTot")
+  }
+
+  test("event anomalies flag exactly the |z| >= 2 hours") {
+    val a = SparkEntry.queries("event_anomalies")(spark, dir).collect()
+    assert(a.length > 24, "expected many (type, hour) rows")
+    assert(a.forall { r =>
+      val z = r.getAs[Double]("z")
+      (math.abs(z) >= 2.0) == (r.getAs[Int]("flagged") == 1)
+    })
+    // z-scores center near 0 within each type: their overall mean is small
+    val zs = a.map(_.getAs[Double]("z"))
+    assert(math.abs(zs.sum / zs.length) < 0.1)
+  }
+
+  test("kmeans report partitions all vectors; training tightens clusters") {
+    val nVec = graft.Tables.embeddings(spark, dir).count()
+    def weightedSim(trained: Boolean) = {
+      val rows = queries.Round5Ops.embedKmeansReportWith(spark, dir, trained).collect()
+      val n = rows.map(_.getAs[Long]("n_members")).sum
+      assert(n == nVec, s"cluster sizes sum to $n, expected $nVec")
+      assert(rows.forall { r =>
+        val p = r.getAs[Double]("purity"); p > 0.0 && p <= 1.0
+      })
+      rows.map(r => r.getAs[Long]("n_members") * r.getAs[Double]("mean_sim")).sum / n
+    }
+    val seeded = weightedSim(trained = false)
+    val trained = weightedSim(trained = true)
+    assert(trained >= seeded - 1e-9, s"training should not loosen clusters: $trained < $seeded")
   }
 
   test("quantized kNN ranks close to the exact float ranking") {
