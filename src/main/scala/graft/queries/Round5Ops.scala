@@ -265,21 +265,33 @@ object Round5Ops {
     * map-side partials, one per-type agg over a bounded relation, one
     * co-keyed join back — no window over a coarse key anywhere.
     */
-  def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
-    val hourly = Tables.events(s, dir)
+  private def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
       .groupBy(
         col("event_type"),
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"))
       .agg(count(lit(1)).as("cnt"))
-    val st = hourly.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n_h"),
-      sum(col("cnt")).as("s1"),
-      sum(col("cnt") * col("cnt")).as("s2"))
-    hourly.join(st, Seq("event_type"))
-      .withColumn("mean", col("s1").cast("double") / col("n_h"))
-      .withColumn(
-        "sd",
-        sqrt((col("s2") - col("s1").cast("double") * col("s1") / col("n_h")) / (col("n_h") - 1)))
+
+  /** Per-type hourly mean/σ — the batch-trained baseline the STREAMING
+    * anomaly detector (streaming.Streams.anomalyStream) joins against;
+    * retrained on whatever cadence ops wants. Bounded output (#types).
+    */
+  def anomalyBaseline(s: SparkSession, dir: String): DataFrame =
+    hourlyCounts(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_h"),
+        sum(col("cnt")).as("s1"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+      .select(
+        col("event_type"),
+        (col("s1").cast("double") / col("n_h")).as("mean"),
+        sqrt((col("s2") - col("s1").cast("double") * col("s1") / col("n_h")) / (col("n_h") - 1))
+          .as("sd"))
+
+  def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val hourly = hourlyCounts(s, dir)
+    hourly.join(anomalyBaseline(s, dir), Seq("event_type"))
       .withColumn("z", emit((col("cnt") - col("mean")) / col("sd"), 4))
       .withColumn("flagged", (abs(col("z")) >= 2.0).cast("int"))
       .select(col("event_type"), col("hour"), col("cnt"), col("z"), col("flagged"))

@@ -93,6 +93,29 @@ object Streams {
       }
   }
 
+  /** #44b streaming anomaly flags: the continuous twin of the batch
+    * `event_anomalies` op — hourly tumbling counts per event type,
+    * stream-static joined against a batch-trained per-type baseline
+    * (queries.Round5Ops.anomalyBaseline's (event_type, mean, sd),
+    * retrained offline on whatever cadence ops wants) and z-flagged at
+    * |z| ≥ 2 as each hour's watermark closes. The baseline is bounded
+    * (#event types) so the join broadcasts; streaming state is one
+    * tumbling hour window per type, watermark-evicted — O(types) live
+    * state no matter the firehose rate.
+    */
+  def anomalyStream(events: DataFrame, baseline: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(baseline), Seq("event_type"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"),
+        col("cnt"),
+        round((col("cnt") - col("mean")) / col("sd"), 4).as("z"))
+      .withColumn("flagged", (abs(col("z")) >= 2.0).cast("int"))
+
   /** #46 streaming dedup (the duplicates filter, main.rs:1916, applied
     * on ingest): watermark-bounded drop of re-deliveries by key.
     */

@@ -28,6 +28,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(views.map(_.getAs[Long]("n")).max == 2)
   }
 
+  test("streaming anomalies flag hours that breach the batch baseline") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val baseline = Seq(("view", 2.0, 1.0)).toDF("event_type", "mean", "sd")
+    val in = MemoryStream[Ev]
+    def at(id: Long, hm: String) =
+      Ev(id, java.sql.Timestamp.valueOf(s"2024-01-01 $hm:00"), 1L, "view", 1.0)
+    // hour 10: 2 views (z=0, calm); hour 11: 6 views (z=4, anomalous)
+    in.addData(at(1, "10:00"), at(2, "10:10"))
+    in.addData((3 to 8).map(i => at(i, f"11:0$i")): _*)
+    val q = Streams
+      .anomalyStream(in.toDF(), baseline)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("anom").start()
+    q.processAllAvailable(); q.stop()
+    val byCnt = spark.table("anom").collect()
+      .map(r => r.getAs[Long]("cnt") -> (r.getAs[Double]("z"), r.getAs[Int]("flagged"))).toMap
+    assert(byCnt(2L) == ((0.0, 0)), s"calm hour misflagged: $byCnt")
+    assert(byCnt(6L) == ((4.0, 1)), s"anomalous hour missed: $byCnt")
+  }
+
   test("incremental per-user counters accumulate across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
