@@ -369,6 +369,92 @@ object Round5Ops {
       .orderBy(col("cent_id"))
   }
 
+  /** #88 the full preprocessing recipe as ONE query — the integration
+    * proof that the pipeline a data team actually ships (quality/
+    * language gates → normalization-aware dedup → decontamination vs
+    * the held-out eval docs → deterministic split assignment) composes
+    * inside a single plan, ending in the corpus "data card": per
+    * (split, source) doc and token counts. Scale shape: the gates are
+    * per-row maps fused into the scan; dedup is one normalized-hash
+    * shuffle; decontamination is the gram-key semi join over gate+dedup
+    * SURVIVORS only (never all-pairs, and the gram pass shrinks with
+    * every upstream stage); the split is a seeded per-row hash; the
+    * card is one bounded (split, source) aggregate. Three shuffles
+    * end to end, each on a natural key.
+    */
+  def corpusRecipe(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val words = split(col("text"), " ")
+    val gated = d
+      .withColumn("n_words", size(words))
+      .filter(
+        TextOps.bestLang.getField("lang") === "en" &&
+          col("n_words") >= 30 &&
+          size(array_distinct(words)).cast("double") / col("n_words") >= 0.3)
+    val w = Window.partitionBy(col("nh")).orderBy(col("doc_id"))
+    val deduped = gated
+      .withColumn("nh", md5(normText(col("text"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"), col("text"), col("n_words"))
+    val evalGrams =
+      TextOps.gramRows(d.filter(col("doc_id") < 5), 4).select(col("g")).distinct()
+    val contaminated = TextOps.gramRows(deduped.filter(col("doc_id") >= 5), 4)
+      .join(evalGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"))
+      .distinct()
+    deduped
+      .filter(col("doc_id") >= 5)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("h", md5(concat(lit("split1:"), col("doc_id").cast("string"))))
+      .withColumn(
+        "split",
+        when(col("h") < "e", lit("train")).when(col("h") < "f", lit("val")).otherwise(lit("test")))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+      .orderBy(col("split"), col("source"))
+  }
+
+  val corpusRecipeSql: String =
+    s"""WITH gated AS (
+       |  SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_words
+       |  FROM documents
+       |  WHERE (${TextOps.bestLangSql}).lang = 'en'
+       |    AND len(string_split(text, ' ')) >= 30
+       |    AND len(list_distinct(string_split(text, ' '))) * 1.0
+       |        / len(string_split(text, ' ')) >= 0.3
+       |),
+       |dd AS (
+       |  SELECT doc_id, source, text, n_words,
+       |    row_number() OVER (PARTITION BY md5($NormSqlExpr) ORDER BY doc_id) AS rn
+       |  FROM gated
+       |),
+       |deduped AS (SELECT doc_id, source, text, n_words FROM dd WHERE rn = 1),
+       |ew AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 5),
+       |eg AS (
+       |  SELECT DISTINCT unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+       |                          for i in range(1, greatest(len(ws)-2, 1))]) AS g
+       |  FROM ew
+       |),
+       |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM deduped WHERE doc_id >= 5),
+       |cg AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+       |            for i in range(1, greatest(len(ws)-2, 1))]) AS g
+       |  FROM cw
+       |),
+       |contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)),
+       |clean AS (
+       |  SELECT doc_id, source, n_words FROM deduped
+       |  WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |)
+       |SELECT
+       |  CASE WHEN md5('split1:' || CAST(doc_id AS VARCHAR)) < 'e' THEN 'train'
+       |       WHEN md5('split1:' || CAST(doc_id AS VARCHAR)) < 'f' THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+       |FROM clean GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_normalized" -> (dedupNormalized(_, _)),
     "corpus_overlap_report" -> (corpusOverlapReport(_, _)),
@@ -376,7 +462,8 @@ object Round5Ops {
     "doc_novelty" -> (docNovelty(_, _)),
     "corpus_mix_weights" -> (corpusMixWeights(_, _)),
     "event_anomalies" -> (eventAnomalies(_, _)),
-    "embed_kmeans_report" -> (embedKmeansReport(_, _)))
+    "embed_kmeans_report" -> (embedKmeansReport(_, _)),
+    "corpus_recipe" -> (corpusRecipe(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_normalized" -> dedupNormalizedSql,
@@ -384,5 +471,6 @@ object Round5Ops {
     "bm25_search" -> bm25SearchSql,
     "doc_novelty" -> docNoveltySql,
     "corpus_mix_weights" -> corpusMixWeightsSql,
-    "event_anomalies" -> eventAnomaliesSql)
+    "event_anomalies" -> eventAnomaliesSql,
+    "corpus_recipe" -> corpusRecipeSql)
 }

@@ -1097,7 +1097,7 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   /** The bestLang expression in DuckDB terms (shared oracle fragment). */
-  private val bestLangSql: String = LangMarkers
+  private[queries] val bestLangSql: String = LangMarkers
     .map { case (lang, ms) =>
       s"{'hits': CAST(len(list_filter(string_split(text, ' '), w -> list_contains(${ms
           .mkString("['", "','", "']")}, w))) AS INT), 'lang': '$lang'}"

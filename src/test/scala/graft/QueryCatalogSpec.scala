@@ -410,6 +410,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(trained >= seeded - 1e-9, s"training should not loosen clusters: $trained < $seeded")
   }
 
+  test("corpus recipe composes gates, dedup, decontamination and split in one plan") {
+    val card = SparkEntry.queries("corpus_recipe")(spark, dir).collect()
+    val bySplit = card.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"), s"missing splits: $bySplit")
+    val total = bySplit.values.sum
+    // split1 hashing targets 14/16 train; binomial noise stays well inside
+    val trainShare = bySplit("train").toDouble / total
+    assert(trainShare > 0.75 && trainShare < 0.95, s"train share $trainShare")
+    // every surviving doc passed the >= 30-word gate
+    val tokens = card.map(_.getAs[Long]("n_tokens")).sum
+    assert(tokens >= 30L * total, s"$tokens tokens for $total docs breaks the length gate")
+  }
+
   test("quantized kNN ranks close to the exact float ranking") {
     def top(df: org.apache.spark.sql.DataFrame) =
       df.collect()
