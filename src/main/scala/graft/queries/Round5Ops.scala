@@ -166,6 +166,9 @@ object Round5Ops {
     * pass, one gram-key df agg, join back on the SAME key
     * (co-partitioned), one (doc) agg — the decontaminate shape, never
     * all-pairs. Flag folds on the ROUNDED share (engine-portable cut).
+    * Docs under 3 words have no 3-grams and therefore no row — the
+    * oracle drops them identically (they're below every length gate
+    * anyway).
     */
   def docNovelty(s: SparkSession, dir: String): DataFrame =
     docNoveltyOver(docs(s, dir))
@@ -228,7 +231,13 @@ object Round5Ops {
     val w = rep
       .crossJoin(broadcast(nsrc)) // single row
       .withColumn("target", lit(1.0) / col("n_sources"))
-      .withColumn("weight", emit(least(col("target") / col("mix_frac"), lit(3.0)), 6))
+      // a source whose every doc failed the gates has share 0: define
+      // its weight as 0 (nothing to upsample) rather than riding the
+      // engines' divergent /0 semantics (Spark NULL vs DuckDB ±Inf)
+      .withColumn(
+        "weight",
+        when(col("mix_frac") === 0, lit(0.0))
+          .otherwise(emit(least(col("target") / col("mix_frac"), lit(3.0)), 6)))
       .withColumn("eff", round(col("weight") * col("mix_frac"), 12).cast(OracleMath.Dec12))
     val tot = w.agg(sum(col("eff")).as("eff_tot"))
     w.crossJoin(broadcast(tot)) // single row
@@ -246,9 +255,13 @@ object Round5Ops {
        |nsrc AS (SELECT count(*) AS n_sources FROM rep),
        |w AS (
        |  SELECT source, kept_tokens, mix_frac,
-       |    CAST(round(least((1.0 / n_sources) / mix_frac, 3.0), 6) AS DOUBLE) AS weight,
-       |    CAST(round(CAST(round(least((1.0 / n_sources) / mix_frac, 3.0), 6) AS DOUBLE) * mix_frac, 12)
-       |         AS DECIMAL(38,12)) AS eff
+       |    CASE WHEN mix_frac = 0 THEN 0.0
+       |         ELSE CAST(round(least((1.0 / n_sources) / mix_frac, 3.0), 6) AS DOUBLE)
+       |    END AS weight,
+       |    CAST(round(
+       |      CASE WHEN mix_frac = 0 THEN 0.0
+       |           ELSE CAST(round(least((1.0 / n_sources) / mix_frac, 3.0), 6) AS DOUBLE)
+       |      END * mix_frac, 12) AS DECIMAL(38,12)) AS eff
        |  FROM rep CROSS JOIN nsrc
        |),
        |tot AS (SELECT sum(eff) AS eff_tot FROM w)
@@ -292,7 +305,11 @@ object Round5Ops {
   def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
     val hourly = hourlyCounts(s, dir)
     hourly.join(anomalyBaseline(s, dir), Seq("event_type"))
-      .withColumn("z", emit((col("cnt") - col("mean")) / col("sd"), 4))
+      // a type with constant hourly counts has σ=0: every hour is
+      // baseline-normal (z=0), not an engine-divergent /0
+      .withColumn(
+        "z",
+        when(col("sd") === 0, lit(0.0)).otherwise(emit((col("cnt") - col("mean")) / col("sd"), 4)))
       .withColumn("flagged", (abs(col("z")) >= 2.0).cast("int"))
       .select(col("event_type"), col("hour"), col("cnt"), col("z"), col("flagged"))
       .orderBy(col("event_type"), col("hour"))
@@ -311,10 +328,12 @@ object Round5Ops {
       |),
       |z AS (
       |  SELECT event_type, hour, cnt,
-      |    CAST(round(
-      |      (cnt - CAST(s1 AS DOUBLE) / n_h) /
-      |        sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1)),
-      |      4) AS DOUBLE) AS z
+      |    CASE WHEN sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1)) = 0 THEN 0.0
+      |         ELSE CAST(round(
+      |           (cnt - CAST(s1 AS DOUBLE) / n_h) /
+      |             sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1)),
+      |           4) AS DOUBLE)
+      |    END AS z
       |  FROM hourly JOIN st USING (event_type)
       |)
       |SELECT event_type, hour, cnt, z, CAST(abs(z) >= 2.0 AS INT) AS flagged

@@ -113,7 +113,9 @@ object Streams {
         col("window.start").as("hour_start"),
         col("event_type"),
         col("cnt"),
-        round((col("cnt") - col("mean")) / col("sd"), 4).as("z"))
+        // σ=0 baseline (constant counts) means "never anomalous", not /0
+        when(col("sd") === 0, lit(0.0))
+          .otherwise(round((col("cnt") - col("mean")) / col("sd"), 4)).as("z"))
       .withColumn("flagged", (abs(col("z")) >= 2.0).cast("int"))
 
   /** #46 streaming dedup (the duplicates filter, main.rs:1916, applied
