@@ -474,6 +474,75 @@ object Round5Ops {
        |  source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
        |FROM clean GROUP BY 1, 2 ORDER BY split, source""".stripMargin
 
+  /** #89 per-document filter audit — the "why was this doc dropped"
+    * view a data team reads when ablating a recipe: every quality
+    * signal the engine computes (language, length, lexical diversity,
+    * Gopher repetition, unigram perplexity, cross-doc novelty) as an
+    * ok/not column per doc plus the combined verdict. Docs too short
+    * for a signal (no 2-/3-grams) default that signal to ok — absence
+    * of evidence, and the length gate already catches them. Scale:
+    * the three aggregated signals each key on doc_id, so the audit
+    * joins are co-partitioned behind one exchange; the per-row gates
+    * fuse into the scan. Cost is the union of its parts — each
+    * already scale-shaped.
+    */
+  def docFilterAudit(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val base = docs(s, dir).select(
+      col("doc_id"),
+      (TextOps.bestLang.getField("lang") === "en").cast("int").as("lang_ok"),
+      (size(words) >= 30).cast("int").as("len_ok"),
+      (size(array_distinct(words)).cast("double") / size(words) >= 0.3)
+        .cast("int").as("diversity_ok"))
+    val rep = Round4Ops.docRepetition(s, dir)
+      .select(col("doc_id"), (lit(1) - col("flagged")).as("repetition_ok"))
+    val ppl = Round4Ops.docPerplexity(s, dir)
+      .select(col("doc_id"), (lit(1) - col("flagged")).as("perplexity_ok"))
+    val nov = docNovelty(s, dir)
+      .select(col("doc_id"), (lit(1) - col("flagged")).as("novelty_ok"))
+    base
+      .join(rep, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(nov, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("lang_ok"),
+        col("len_ok"),
+        col("diversity_ok"),
+        coalesce(col("repetition_ok"), lit(1)).as("repetition_ok"),
+        coalesce(col("perplexity_ok"), lit(1)).as("perplexity_ok"),
+        coalesce(col("novelty_ok"), lit(1)).as("novelty_ok"))
+      .withColumn(
+        "kept",
+        (col("lang_ok") === 1 && col("len_ok") === 1 && col("diversity_ok") === 1 &&
+          col("repetition_ok") === 1 && col("perplexity_ok") === 1 && col("novelty_ok") === 1)
+          .cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docFilterAuditSql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |    CAST((${TextOps.bestLangSql}).lang = 'en' AS INT) AS lang_ok,
+       |    CAST(len(string_split(text, ' ')) >= 30 AS INT) AS len_ok,
+       |    CAST(len(list_distinct(string_split(text, ' '))) * 1.0
+       |         / len(string_split(text, ' ')) >= 0.3 AS INT) AS diversity_ok
+       |  FROM documents
+       |),
+       |rep AS (SELECT doc_id, 1 - flagged AS repetition_ok FROM (${Round4Ops.docRepetitionSql})),
+       |ppl AS (SELECT doc_id, 1 - flagged AS perplexity_ok FROM (${Round4Ops.docPerplexitySql})),
+       |nov AS (SELECT doc_id, 1 - flagged AS novelty_ok FROM ($docNoveltySql))
+       |SELECT base.doc_id, lang_ok, len_ok, diversity_ok,
+       |  COALESCE(repetition_ok, 1) AS repetition_ok,
+       |  COALESCE(perplexity_ok, 1) AS perplexity_ok,
+       |  COALESCE(novelty_ok, 1) AS novelty_ok,
+       |  CAST(lang_ok = 1 AND len_ok = 1 AND diversity_ok = 1
+       |    AND COALESCE(repetition_ok, 1) = 1 AND COALESCE(perplexity_ok, 1) = 1
+       |    AND COALESCE(novelty_ok, 1) = 1 AS INT) AS kept
+       |FROM base
+       |LEFT JOIN rep USING (doc_id) LEFT JOIN ppl USING (doc_id) LEFT JOIN nov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_normalized" -> (dedupNormalized(_, _)),
     "corpus_overlap_report" -> (corpusOverlapReport(_, _)),
@@ -482,7 +551,8 @@ object Round5Ops {
     "corpus_mix_weights" -> (corpusMixWeights(_, _)),
     "event_anomalies" -> (eventAnomalies(_, _)),
     "embed_kmeans_report" -> (embedKmeansReport(_, _)),
-    "corpus_recipe" -> (corpusRecipe(_, _)))
+    "corpus_recipe" -> (corpusRecipe(_, _)),
+    "doc_filter_audit" -> (docFilterAudit(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_normalized" -> dedupNormalizedSql,
@@ -491,5 +561,6 @@ object Round5Ops {
     "doc_novelty" -> docNoveltySql,
     "corpus_mix_weights" -> corpusMixWeightsSql,
     "event_anomalies" -> eventAnomaliesSql,
-    "corpus_recipe" -> corpusRecipeSql)
+    "corpus_recipe" -> corpusRecipeSql,
+    "doc_filter_audit" -> docFilterAuditSql)
 }

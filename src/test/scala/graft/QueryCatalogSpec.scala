@@ -424,6 +424,22 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(tokens >= 30L * total, s"$tokens tokens for $total docs breaks the length gate")
   }
 
+  test("filter audit gate columns agree with the mix report's kept counts") {
+    val audit = SparkEntry.queries("doc_filter_audit")(spark, dir).collect()
+    assert(audit.length == graft.Tables.documents(spark, dir).count())
+    val gateSurvivors = audit.count(r =>
+      r.getAs[Int]("lang_ok") == 1 && r.getAs[Int]("len_ok") == 1 &&
+        r.getAs[Int]("diversity_ok") == 1)
+    // corpus_mix_report applies the identical three gates per source
+    val keptDocs = SparkEntry.queries("corpus_mix_report")(spark, dir).collect()
+      .map(_.getAs[Long]("kept_docs")).sum
+    assert(gateSurvivors.toLong == keptDocs, s"audit $gateSurvivors vs mix report $keptDocs")
+    // kept implies every single signal passed
+    assert(audit.filter(_.getAs[Int]("kept") == 1).forall(r =>
+      Seq("lang_ok", "len_ok", "diversity_ok", "repetition_ok", "perplexity_ok", "novelty_ok")
+        .forall(c => r.getAs[Int](c) == 1)))
+  }
+
   test("quantized kNN ranks close to the exact float ranking") {
     def top(df: org.apache.spark.sql.DataFrame) =
       df.collect()
