@@ -543,6 +543,50 @@ object Round5Ops {
        |LEFT JOIN rep USING (doc_id) LEFT JOIN ppl USING (doc_id) LEFT JOIN nov USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** #90 the TPC-H Q18 pattern (large-volume-customer): a HEAVY
+    * aggregation over the fact table, a HAVING cut that keeps ~1% of
+    * groups, then enrichment joins and a top-k — the canonical
+    * "aggregate first, join the survivors" shape. Scale: the
+    * (l_orderkey) agg does map-side partial combine and the HAVING
+    * filter kills ~99% of groups BEFORE any join (join input shrinks
+    * with selectivity, not data size); the join back to orders is on
+    * the agg key; the final cut plans as TakeOrderedAndProject. No
+    * join hints — the surviving-group relation scales with the data,
+    * so AQE picks broadcast vs shuffle from actual runtime size.
+    */
+  def q18TopkBigAgg(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(emit(dsum(col("l_quantity"))).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    big
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("c_name"),
+        col("c_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18TopkBigAggSql: String =
+    """WITH big AS (
+      |  SELECT l_orderkey,
+      |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_qty
+      |  FROM lineitem GROUP BY l_orderkey
+      |  HAVING CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) > 250.0
+      |)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_totalprice, sum_qty
+      |FROM big
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_normalized" -> (dedupNormalized(_, _)),
     "corpus_overlap_report" -> (corpusOverlapReport(_, _)),
@@ -552,7 +596,8 @@ object Round5Ops {
     "event_anomalies" -> (eventAnomalies(_, _)),
     "embed_kmeans_report" -> (embedKmeansReport(_, _)),
     "corpus_recipe" -> (corpusRecipe(_, _)),
-    "doc_filter_audit" -> (docFilterAudit(_, _)))
+    "doc_filter_audit" -> (docFilterAudit(_, _)),
+    "q18_topk_bigagg" -> (q18TopkBigAgg(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_normalized" -> dedupNormalizedSql,
@@ -562,5 +607,6 @@ object Round5Ops {
     "corpus_mix_weights" -> corpusMixWeightsSql,
     "event_anomalies" -> eventAnomaliesSql,
     "corpus_recipe" -> corpusRecipeSql,
-    "doc_filter_audit" -> docFilterAuditSql)
+    "doc_filter_audit" -> docFilterAuditSql,
+    "q18_topk_bigagg" -> q18TopkBigAggSql)
 }

@@ -440,6 +440,14 @@ class QueryCatalogSpec extends AnyFunSuite {
         .forall(c => r.getAs[Int](c) == 1)))
   }
 
+  test("q18 keeps only orders past the quantity cut, ranked by total price") {
+    val rows = SparkEntry.queries("q18_topk_bigagg")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getAs[Double]("sum_qty") > 250.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
   test("quantized kNN ranks close to the exact float ranking") {
     def top(df: org.apache.spark.sql.DataFrame) =
       df.collect()
