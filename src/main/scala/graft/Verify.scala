@@ -18,6 +18,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a reused outDir must not ghost-carry queries retired from the
+    // catalog (a stale dump would be graded as if still claimed)
+    if (only.isEmpty) {
+      val live = SparkEntry.queries.keySet
+      Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && !live(f.getName))
+        .foreach { f =>
+          System.err.println(s"[verify] removing stale dump ${f.getName}")
+          def rm(x: java.io.File): Unit = {
+            Option(x.listFiles()).getOrElse(Array.empty).foreach(rm); x.delete(); ()
+          }
+          rm(f)
+        }
+    }
     SparkEntry.queries.filter(kv => only.isEmpty || only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
