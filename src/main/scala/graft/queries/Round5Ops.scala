@@ -105,8 +105,14 @@ object Round5Ops {
     * scores round at 12 dp into the order-free DECIMAL sum
     * (OracleMath rule), so the ranking is engine-portable.
     */
-  def bm25Search(s: SparkSession, dir: String): DataFrame = {
-    val terms = Seq("vector", "hash", "stream")
+  def bm25Search(s: SparkSession, dir: String): DataFrame =
+    bm25SearchFor(s, dir, Seq("vector", "hash", "stream"), k = 20)
+
+  /** The reusable form: any term set, any cutoff (catalog entry above
+    * pins one instance against the oracle).
+    */
+  def bm25SearchFor(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
@@ -131,7 +137,7 @@ object Round5Ops {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), emit(sum(col("tscore")).cast("double"), 4).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
-      .limit(20)
+      .limit(k)
   }
 
   val bm25SearchSql: String =
