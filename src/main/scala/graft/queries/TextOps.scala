@@ -1456,6 +1456,116 @@ object TextOps {
       |  CAST(octet_length(payload) AS BIGINT) AS n_bytes
       |FROM hx ORDER BY doc_id""".stripMargin
 
+  /** #43c multimodal audio decode — the WAV side of the real-decode
+    * story: payloads carry a canonical 44-byte RIFF/WAVE PCM header
+    * (magic, channels, sample rate, bit depth, data size — all
+    * little-endian) ahead of the sample bytes, and the decode side
+    * reads the audio metadata back OUT OF THE BYTES alone, including
+    * the derived clip duration (data·8000 ÷ rate·ch·bits, exact
+    * integral division in both engines). Same zero-shuffle per-row
+    * column-expression shape as the image decode; a real sample
+    * decoder would slot into the test-pinned mapPartitions path.
+    */
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+    def le(v: Column, bytes: Int): Column =
+      concat((0 until bytes).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
+    val ch = lit(1L) + pmod(col("doc_id"), lit(2L))
+    val sr = when(pmod(col("doc_id"), lit(3)) === 0, lit(8000L))
+      .when(pmod(col("doc_id"), lit(3)) === 1, lit(16000L))
+      .otherwise(lit(44100L))
+    val bits = lit(16L)
+    val dataLen = length(encode(col("text"), "UTF-8")).cast("long")
+    val hdr = concat(
+      lit("52494646"), le(lit(36L) + dataLen, 4), lit("57415645"),
+      lit("666D7420"), lit("10000000"), lit("0100"), le(ch, 2),
+      le(sr, 4), le(sr * ch * lit(2L), 4), le(ch * lit(2L), 2), le(bits, 2),
+      lit("64617461"), le(dataLen, 4))
+    val withPayload = docs(s, dir)
+      .select(col("doc_id"), unhex(concat(hdr, hex(encode(col("text"), "UTF-8")))).as("payload"))
+    // ---- decode: ONLY the payload bytes from here on
+    val hx = hex(col("payload"))
+    def hexInt(c: Column): Column = conv(c, 16, 10).cast("long")
+    withPayload
+      .withColumn(
+        "format",
+        when(substring(hx, 1, 8) === "52494646" && substring(hx, 17, 8) === "57415645", lit("wav"))
+          .otherwise(lit("unknown")))
+      .withColumn(
+        "channels",
+        when(col("format") === "wav",
+          hexInt(concat(substring(hx, 47, 2), substring(hx, 45, 2)))))
+      .withColumn(
+        "sample_rate",
+        when(col("format") === "wav",
+          hexInt(concat(
+            substring(hx, 55, 2), substring(hx, 53, 2),
+            substring(hx, 51, 2), substring(hx, 49, 2)))))
+      .withColumn(
+        "bits",
+        when(col("format") === "wav",
+          hexInt(concat(substring(hx, 71, 2), substring(hx, 69, 2)))))
+      .withColumn(
+        "data_bytes",
+        when(col("format") === "wav",
+          hexInt(concat(
+            substring(hx, 87, 2), substring(hx, 85, 2),
+            substring(hx, 83, 2), substring(hx, 81, 2)))))
+      .withColumn(
+        "duration_ms",
+        expr("(data_bytes * 8000) div (sample_rate * channels * bits)"))
+      .select(
+        col("doc_id"), col("format"), col("channels"), col("sample_rate"),
+        col("bits"), col("data_bytes"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalAudioSql: String =
+    """WITH src AS (
+      |  SELECT doc_id, text,
+      |    1 + doc_id % 2 AS ch,
+      |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr,
+      |    octet_length(encode(text)) AS dlen
+      |  FROM documents
+      |), gen AS (
+      |  SELECT doc_id, text,
+      |    concat('52494646',
+      |      lpad(hex((36 + dlen) % 256), 2, '0'), lpad(hex(((36 + dlen) // 256) % 256), 2, '0'),
+      |      lpad(hex(((36 + dlen) // 65536) % 256), 2, '0'),
+      |      lpad(hex(((36 + dlen) // 16777216) % 256), 2, '0'),
+      |      '57415645', '666D7420', '10000000', '0100',
+      |      lpad(hex(ch % 256), 2, '0'), lpad(hex((ch // 256) % 256), 2, '0'),
+      |      lpad(hex(sr % 256), 2, '0'), lpad(hex((sr // 256) % 256), 2, '0'),
+      |      lpad(hex((sr // 65536) % 256), 2, '0'), lpad(hex((sr // 16777216) % 256), 2, '0'),
+      |      lpad(hex((sr * ch * 2) % 256), 2, '0'), lpad(hex(((sr * ch * 2) // 256) % 256), 2, '0'),
+      |      lpad(hex(((sr * ch * 2) // 65536) % 256), 2, '0'),
+      |      lpad(hex(((sr * ch * 2) // 16777216) % 256), 2, '0'),
+      |      lpad(hex((ch * 2) % 256), 2, '0'), lpad(hex(((ch * 2) // 256) % 256), 2, '0'),
+      |      lpad(hex(16 % 256), 2, '0'), lpad(hex((16 // 256) % 256), 2, '0'),
+      |      '64617461',
+      |      lpad(hex(dlen % 256), 2, '0'), lpad(hex((dlen // 256) % 256), 2, '0'),
+      |      lpad(hex((dlen // 65536) % 256), 2, '0'), lpad(hex((dlen // 16777216) % 256), 2, '0')
+      |    ) AS hdr
+      |  FROM src
+      |), payloads AS (
+      |  SELECT doc_id, unhex(concat(hdr, hex(encode(text)))) AS payload FROM gen
+      |), hx AS (
+      |  SELECT doc_id, hex(payload) AS hx FROM payloads
+      |), dec AS (
+      |  SELECT doc_id,
+      |    CASE WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
+      |         THEN 'wav' ELSE 'unknown' END AS format,
+      |    CAST(concat('0x', substr(hx, 47, 2), substr(hx, 45, 2)) AS BIGINT) AS channels,
+      |    CAST(concat('0x', substr(hx, 55, 2), substr(hx, 53, 2),
+      |                substr(hx, 51, 2), substr(hx, 49, 2)) AS BIGINT) AS sample_rate,
+      |    CAST(concat('0x', substr(hx, 71, 2), substr(hx, 69, 2)) AS BIGINT) AS bits,
+      |    CAST(concat('0x', substr(hx, 87, 2), substr(hx, 85, 2),
+      |                substr(hx, 83, 2), substr(hx, 81, 2)) AS BIGINT) AS data_bytes
+      |  FROM hx
+      |)
+      |SELECT doc_id, format, channels, sample_rate, bits, data_bytes,
+      |  (data_bytes * 8000) // (sample_rate * channels * bits) AS duration_ms
+      |FROM dec ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
@@ -1480,7 +1590,8 @@ object TextOps {
     "text_quality" -> (textQuality(_, _)),
     "token_count" -> (tokenCount(_, _)),
     "doc_fingerprint" -> (docFingerprint(_, _)),
-    "multimodal_decode" -> (multimodalDecode(_, _)))
+    "multimodal_decode" -> (multimodalDecode(_, _)),
+    "multimodal_audio" -> (multimodalAudio(_, _)))
 
   /** rows-only (no SQL-expressible oracle): dedup_minhash, dedup_simhash,
     * embed_lsh_knn, embed_ivf_knn, embed_pair_sim_bucketed,
@@ -1504,5 +1615,6 @@ object TextOps {
     "text_quality" -> textQualitySql,
     "token_count" -> tokenCountSql,
     "doc_fingerprint" -> docFingerprintSql,
-    "multimodal_decode" -> multimodalDecodeSql)
+    "multimodal_decode" -> multimodalDecodeSql,
+    "multimodal_audio" -> multimodalAudioSql)
 }

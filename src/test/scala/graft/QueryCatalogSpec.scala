@@ -448,6 +448,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
   }
 
+  test("wav decode reads audio metadata back out of the payload bytes") {
+    val rows = SparkEntry.queries("multimodal_audio")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[String]("format") == "wav"))
+    assert(rows.forall(r => Set(8000L, 16000L, 44100L)(r.getAs[Long]("sample_rate"))))
+    assert(rows.forall { r =>
+      val expected = r.getAs[Long]("data_bytes") * 8000 /
+        (r.getAs[Long]("sample_rate") * r.getAs[Long]("channels") * r.getAs[Long]("bits"))
+      r.getAs[Long]("duration_ms") == expected
+    })
+    // sub-ms clips floor to 0; the longer docs must decode a real duration
+    assert(rows.exists(_.getAs[Long]("duration_ms") > 0))
+  }
+
   test("quantized kNN ranks close to the exact float ranking") {
     def top(df: org.apache.spark.sql.DataFrame) =
       df.collect()
