@@ -593,6 +593,70 @@ object Round5Ops {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** #91 Count-Min-Sketch heavy hitters — the third sketch family
+    * (HLL distinct and KLL-ish percentiles already ship): a d=4 ×
+    * w=256 counter matrix built in ONE pass (explode to 4 hash rows,
+    * one (row, bucket) agg with map-side combine — the matrix is 1024
+    * rows at ANY input size, the whole point of a sketch at 100 TB),
+    * then the exact top-10 users are scored against it: the estimate
+    * is the min over the 4 row counters, joined via the
+    * provably-bounded broadcast of the matrix. The CMS guarantee
+    * (estimate ≥ exact, overestimate ≤ εN w.h.p.) is test-pinned;
+    * hashes are md5-derived so DuckDB reproduces every bucket exactly.
+    */
+  def heavyHittersSketch(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val ev = Tables.events(s, dir).select(col("user_id"))
+    def bucket(j: Column, u: Column): Column =
+      pmod(
+        conv(substring(md5(concat(lit("cms"), j.cast("string"), lit(":"), u.cast("string"))), 1, 4), 16, 10)
+          .cast("long"),
+        lit(256L))
+    val cms = ev
+      .select(col("user_id"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .select(col("j"), bucket(col("j"), col("user_id")).as("b"))
+      .groupBy(col("j"), col("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = ev
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+      .limit(10)
+    top
+      .select(col("user_id"), col("exact_n"), explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("b", bucket(col("j"), col("user_id")))
+      .join(broadcast(cms), Seq("j", "b")) // ≤ d·w = 1024 rows by construction
+      .groupBy(col("user_id"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .select(col("user_id"), col("exact_n"), col("est_n"), (col("est_n") - col("exact_n")).as("over"))
+      .orderBy(col("exact_n").desc, col("user_id"))
+  }
+
+  val heavyHittersSketchSql: String =
+    """WITH ev AS (SELECT user_id FROM events),
+      |rows_ AS (
+      |  SELECT user_id, j,
+      |    CAST(concat('0x', substr(md5('cms' || j || ':' || CAST(user_id AS VARCHAR)), 1, 4))
+      |         AS BIGINT) % 256 AS b
+      |  FROM ev CROSS JOIN (SELECT unnest(range(4)) AS j)
+      |),
+      |cms AS (SELECT j, b, count(*) AS c FROM rows_ GROUP BY 1, 2),
+      |top AS (
+      |  SELECT user_id, count(*) AS exact_n FROM ev GROUP BY 1
+      |  ORDER BY exact_n DESC, user_id LIMIT 10
+      |),
+      |probes AS (
+      |  SELECT t.user_id, t.exact_n, j,
+      |    CAST(concat('0x', substr(md5('cms' || j || ':' || CAST(t.user_id AS VARCHAR)), 1, 4))
+      |         AS BIGINT) % 256 AS b
+      |  FROM top t CROSS JOIN (SELECT unnest(range(4)) AS j)
+      |)
+      |SELECT p.user_id, p.exact_n, min(cms.c) AS est_n,
+      |  min(cms.c) - p.exact_n AS over
+      |FROM probes p JOIN cms USING (j, b)
+      |GROUP BY p.user_id, p.exact_n
+      |ORDER BY exact_n DESC, user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_normalized" -> (dedupNormalized(_, _)),
     "corpus_overlap_report" -> (corpusOverlapReport(_, _)),
@@ -603,7 +667,8 @@ object Round5Ops {
     "embed_kmeans_report" -> (embedKmeansReport(_, _)),
     "corpus_recipe" -> (corpusRecipe(_, _)),
     "doc_filter_audit" -> (docFilterAudit(_, _)),
-    "q18_topk_bigagg" -> (q18TopkBigAgg(_, _)))
+    "q18_topk_bigagg" -> (q18TopkBigAgg(_, _)),
+    "heavy_hitters_sketch" -> (heavyHittersSketch(_, _)))
 
   val oracles: Map[String, String] = Map(
     "dedup_normalized" -> dedupNormalizedSql,
@@ -614,5 +679,6 @@ object Round5Ops {
     "event_anomalies" -> eventAnomaliesSql,
     "corpus_recipe" -> corpusRecipeSql,
     "doc_filter_audit" -> docFilterAuditSql,
-    "q18_topk_bigagg" -> q18TopkBigAggSql)
+    "q18_topk_bigagg" -> q18TopkBigAggSql,
+    "heavy_hitters_sketch" -> heavyHittersSketchSql)
 }

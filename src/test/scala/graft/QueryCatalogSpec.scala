@@ -462,6 +462,19 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.exists(_.getAs[Long]("duration_ms") > 0))
   }
 
+  test("count-min sketch never underestimates and stays within the epsilon bound") {
+    val rows = SparkEntry.queries("heavy_hitters_sketch")(spark, dir).collect()
+    assert(rows.length == 10)
+    // the CMS guarantee: estimate >= exact, always
+    assert(rows.forall(r => r.getAs[Long]("est_n") >= r.getAs[Long]("exact_n")))
+    // expected overestimate per row counter is N/w; min over d=4 rows
+    // stays well under 3x that on any non-adversarial stream
+    val n = graft.Tables.events(spark, dir).count()
+    val bound = 3.0 * n / 256
+    assert(rows.forall(_.getAs[Long]("over") <= bound),
+      s"overestimates ${rows.map(_.getAs[Long]("over")).mkString(",")} vs bound $bound")
+  }
+
   test("quantized kNN ranks close to the exact float ranking") {
     def top(df: org.apache.spark.sql.DataFrame) =
       df.collect()
