@@ -1550,17 +1550,24 @@ object TextOps {
       |  SELECT doc_id, unhex(concat(hdr, hex(encode(text)))) AS payload FROM gen
       |), hx AS (
       |  SELECT doc_id, hex(payload) AS hx FROM payloads
-      |), dec AS (
-      |  SELECT doc_id,
+      |), fm AS (
+      |  SELECT doc_id, hx,
       |    CASE WHEN substr(hx, 1, 8) = '52494646' AND substr(hx, 17, 8) = '57415645'
-      |         THEN 'wav' ELSE 'unknown' END AS format,
-      |    CAST(concat('0x', substr(hx, 47, 2), substr(hx, 45, 2)) AS BIGINT) AS channels,
-      |    CAST(concat('0x', substr(hx, 55, 2), substr(hx, 53, 2),
-      |                substr(hx, 51, 2), substr(hx, 49, 2)) AS BIGINT) AS sample_rate,
-      |    CAST(concat('0x', substr(hx, 71, 2), substr(hx, 69, 2)) AS BIGINT) AS bits,
-      |    CAST(concat('0x', substr(hx, 87, 2), substr(hx, 85, 2),
-      |                substr(hx, 83, 2), substr(hx, 81, 2)) AS BIGINT) AS data_bytes
+      |         THEN 'wav' ELSE 'unknown' END AS format
       |  FROM hx
+      |), dec AS (
+      |  SELECT doc_id, format,
+      |    CASE WHEN format = 'wav'
+      |      THEN CAST(concat('0x', substr(hx, 47, 2), substr(hx, 45, 2)) AS BIGINT) END AS channels,
+      |    CASE WHEN format = 'wav'
+      |      THEN CAST(concat('0x', substr(hx, 55, 2), substr(hx, 53, 2),
+      |                substr(hx, 51, 2), substr(hx, 49, 2)) AS BIGINT) END AS sample_rate,
+      |    CASE WHEN format = 'wav'
+      |      THEN CAST(concat('0x', substr(hx, 71, 2), substr(hx, 69, 2)) AS BIGINT) END AS bits,
+      |    CASE WHEN format = 'wav'
+      |      THEN CAST(concat('0x', substr(hx, 87, 2), substr(hx, 85, 2),
+      |                substr(hx, 83, 2), substr(hx, 81, 2)) AS BIGINT) END AS data_bytes
+      |  FROM fm
       |)
       |SELECT doc_id, format, channels, sample_rate, bits, data_bytes,
       |  (data_bytes * 8000) // (sample_rate * channels * bits) AS duration_ms
