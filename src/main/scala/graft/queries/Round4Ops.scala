@@ -250,7 +250,10 @@ object Round4Ops {
     * the gram hash — md5-prefix (oracle-portable strings) or xxhash64
     * (production: numeric min-agg, no string materialization). The
     * winnowing guarantee (any ≥ gramN+winN-1 word shared span yields a
-    * common fingerprint) holds for ANY hash choice.
+    * common fingerprint) holds for ANY hash choice — modulo the
+    * hot-bucket cap below: spans shared by more than `bucketCap` docs
+    * are dropped as boilerplate (Schleimer et al.'s own rule for
+    * over-common fingerprints), which bounds pair output.
     *
     * Fingerprinting is a pure PER-DOC ARRAY pipeline: 8-grams via
     * slice(), hash per gram, then each window start takes array_min of
@@ -265,7 +268,8 @@ object Round4Ops {
   def winnowPairs(
       docsDf: DataFrame,
       hashed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-      minShared: Int = 2): DataFrame = {
+      minShared: Int = 2,
+      bucketCap: Option[Int] = None): DataFrame = {
     val ws = split(col("text"), " ")
     // docs with < 8 words yield no grams (and sequence() must not see a
     // negative upper bound) — drop them up front like the r4 form did.
@@ -276,7 +280,7 @@ object Round4Ops {
     val hs = transform(
       sequence(lit(0), size(ws) - 8),
       i => hashed(slice(ws, i + 1, lit(8))))
-    val fp = docsDf
+    val raw = docsDf
       .filter(size(ws) >= 8)
       .select(col("doc_id"), hs.as("hs"))
       .select(
@@ -284,6 +288,10 @@ object Round4Ops {
         explode(array_distinct(transform(
           sequence(lit(0), size(col("hs")) - 1),
           i => array_min(slice(col("hs"), i + 1, lit(4)))))).as("fp"))
+    // the MOSS over-common-fingerprint rule: a fingerprint shared by
+    // more than cap docs is boilerplate; pairing inside it would emit
+    // m²/2 rows under one join key (TextOps.dropHotBuckets scaladoc)
+    val fp = TextOps.dropHotBuckets(raw, Seq("fp"), "winnow_hot_buckets", bucketCap)
     val l = fp.select(col("doc_id").as("a"), col("fp"))
     val r = fp.select(col("doc_id").as("b"), col("fp"))
     l.join(r, Seq("fp"))
@@ -318,9 +326,13 @@ object Round4Ops {
        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
        |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
        |  FROM gh
+       |),
+       |guarded AS (
+       |  SELECT * FROM fp
+       |  QUALIFY count(*) OVER (PARTITION BY fp) <= ${TextOps.PairBucketCap}
        |)
        |SELECT l.doc_id AS a, r.doc_id AS b, count(DISTINCT l.fp) AS shared
-       |FROM fp l JOIN fp r ON l.fp = r.fp AND l.doc_id < r.doc_id
+       |FROM guarded l JOIN guarded r ON l.fp = r.fp AND l.doc_id < r.doc_id
        |GROUP BY 1, 2 HAVING count(DISTINCT l.fp) >= 2
        |ORDER BY a, b""".stripMargin
   }

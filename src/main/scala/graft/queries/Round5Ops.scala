@@ -99,7 +99,8 @@ object Round5Ops {
     * mining) for a literal term set, Lucene idf form, k1=1.2 b=0.75.
     * Shape at 100 TB: the token pass filters to the query terms BEFORE
     * any shuffle (tf is a (doc, term) agg over a tiny filtered slice);
-    * doc lengths are one (doc) agg; df (≤ |terms| rows) and the
+    * doc length is a per-row `size(filter(split))` computed in the
+    * scan — zero fan-out, no (doc) shuffle; df (≤ |terms| rows) and the
     * single-row corpus stats arrive by provably-bounded broadcast; the
     * top-20 cut is TakeOrderedAndProject, never a global sort. Per-term
     * scores round at 12 dp into the order-free DECIMAL sum
@@ -113,12 +114,18 @@ object Round5Ops {
     */
   def bm25SearchFor(s: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    val toks = docs(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val d = docs(s, dir)
+    // doc length is a PER-ROW map computed in the scan — no explode, no
+    // (doc) shuffle; the r5 form exploded every token (~8× the text
+    // volume) to count what size(filter(split)) reads off the row.
+    // dl > 0 keeps the old semantics exactly: a doc with no non-empty
+    // token had no rows in the exploded form either.
+    val dl = d
+      .select(col("doc_id"), size(filter(split(col("text"), " "), t => t =!= "")).as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    val tf = toks
+    val tf = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -141,14 +148,17 @@ object Round5Ops {
   }
 
   val bm25SearchSql: String =
-    """WITH t AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    """WITH dl AS (
+      |  SELECT doc_id, dl FROM (
+      |    SELECT doc_id, len(list_filter(string_split(text, ' '), t -> t <> '')) AS dl
+      |    FROM documents
+      |  ) WHERE dl > 0
       |),
-      |tok AS (SELECT doc_id, token FROM t WHERE token <> ''),
-      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
       |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
       |tf AS (
-      |  SELECT doc_id, token, count(*) AS tf FROM tok
+      |  SELECT doc_id, token, count(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |  )
       |  WHERE token IN ('vector', 'hash', 'stream') GROUP BY 1, 2
       |),
       |dfr AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
@@ -305,7 +315,15 @@ object Round5Ops {
       .select(
         col("event_type"),
         (col("s1").cast("double") / col("n_h")).as("mean"),
-        sqrt((col("s2") - col("s1").cast("double") * col("s1") / col("n_h")) / (col("n_h") - 1))
+        // sample stddev divides by n_h - 1: a type with exactly ONE
+        // hourly bucket would yield sd = NaN, which slips past the
+        // sd === 0 guard downstream (NaN compares > 2.0 in both
+        // engines) and flags z = NaN. A degenerate baseline reads as
+        // "never anomalous", exactly like the constant-count sd = 0 case.
+        when(
+          col("n_h") > 1,
+          sqrt((col("s2") - col("s1").cast("double") * col("s1") / col("n_h")) / (col("n_h") - 1)))
+          .otherwise(lit(0.0))
           .as("sd"))
 
   def eventAnomalies(s: SparkSession, dir: String): DataFrame = {
@@ -332,15 +350,19 @@ object Round5Ops {
       |    CAST(sum(cnt) AS BIGINT) AS s1, CAST(sum(cnt * cnt) AS BIGINT) AS s2
       |  FROM hourly GROUP BY 1
       |),
+      |sd AS (
+      |  SELECT event_type, n_h, s1,
+      |    CASE WHEN n_h > 1
+      |         THEN sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1))
+      |         ELSE 0.0 END AS sd
+      |  FROM st
+      |),
       |z AS (
       |  SELECT event_type, hour, cnt,
-      |    CASE WHEN sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1)) = 0 THEN 0.0
-      |         ELSE CAST(round(
-      |           (cnt - CAST(s1 AS DOUBLE) / n_h) /
-      |             sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1)),
-      |           4) AS DOUBLE)
+      |    CASE WHEN sd = 0 THEN 0.0
+      |         ELSE CAST(round((cnt - CAST(s1 AS DOUBLE) / n_h) / sd, 4) AS DOUBLE)
       |    END AS z
-      |  FROM hourly JOIN st USING (event_type)
+      |  FROM hourly JOIN sd USING (event_type)
       |)
       |SELECT event_type, hour, cnt, z, CAST(abs(z) >= 2.0 AS INT) AS flagged
       |FROM z ORDER BY event_type, hour""".stripMargin
@@ -367,12 +389,20 @@ object Round5Ops {
     val vecs = emb.select(col("vec_id"), col("e"))
     val cents =
       if (trained) TextOps.ivfCentroids(vecs, 8, 2) else TextOps.seedCentroids(vecs, 8)
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+    // nearest-centroid argmax as a max_by aggregate (same tie order as
+    // the old (csim DESC, cent_id ASC) window sort): partial combine
+    // collapses the n·k candidates map-side — see TextOps.nearestCentroids
     val assigned = emb
       .crossJoin(broadcast(cents)) // k·dim doubles
       .withColumn("csim", Registry.cosine(col("e"), col("ce")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("cent_id"), col("csim"), col("label")),
+        struct(col("csim"), negate(col("cent_id")).as("nid"))).as("_best"))
+      .select(
+        col("_best.cent_id").as("cent_id"),
+        col("_best.csim").as("csim"),
+        col("_best.label").as("label"))
     val purity = assigned
       .groupBy(col("cent_id"), col("label"))
       .agg(count(lit(1)).as("lc"))

@@ -26,6 +26,73 @@ object TextOps {
 
   // ---------------------------------------------------------------- dedup
 
+  /** Default bucket-size cap for candidate-pair self-joins. Mirrored
+    * literally into the md5 twins' DuckDB oracles (QUALIFY window
+    * count), so the guard itself is oracle-checked, not just never
+    * triggered at oracle SFs.
+    */
+  val PairBucketCap: Int = 1000
+
+  /** Hot-bucket guard shared by every candidate-pair self-join in the
+    * near-dup family (MinHash bands, SimHash segments, winnowing
+    * fingerprints). Within a bucket the pair join is deliberately
+    * all-pairs — that IS the algorithm — but bucket SIZE must be
+    * bounded: m near-identical docs (the normal condition of a
+    * boilerplate-heavy crawl at 100 TB; upstream exact dedup removes
+    * only IDENTICAL text) land in ONE bucket and the self-join emits
+    * m²/2 pairs under a single key. AQE skew split cannot rescue that
+    * — the blowup is join OUTPUT, not input partitioning. The standard
+    * fix (winnowing/MOSS drops over-common fingerprints the same way;
+    * Schleimer et al. 2003 §5): aggregate bucket sizes on the key the
+    * join is already shuffling on — one extra agg, no new exchange
+    * class — and drop every bucket above `cap` (default
+    * [[PairBucketCap]], overridable per call or via session conf
+    * `graft.pairjoin.bucketCap`).
+    *
+    * CONTRACT: pair output per bucket is bounded by cap²/2; recall is
+    * lost only on content shared by MORE than `cap` documents, which
+    * at that multiplicity is boilerplate — near-dup pairs among it are
+    * better handled by the exact/normalized dedup that precedes this
+    * pass. Drops are observable with zero extra Spark jobs
+    * (Dataset.observe on the bucket-stats branch, collected by the
+    * same action that runs the query): `n_hot_buckets`,
+    * `rows_dropped`, `max_bucket` under the `metric` name.
+    */
+  private[graft] def dropHotBuckets(
+      banded: DataFrame, keys: Seq[String], metric: String,
+      cap: Option[Int] = None): DataFrame = {
+    val c = cap.getOrElse(
+      banded.sparkSession.conf.get("graft.pairjoin.bucketCap", PairBucketCap.toString).toInt)
+    val sizes = banded
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("_bucket_n"))
+      .observe(
+        metric,
+        sum(when(col("_bucket_n") > c, lit(1L)).otherwise(lit(0L))).as("n_hot_buckets"),
+        sum(when(col("_bucket_n") > c, col("_bucket_n")).otherwise(lit(0L))).as("rows_dropped"),
+        max(col("_bucket_n")).as("max_bucket"))
+    banded.join(
+      sizes.filter(col("_bucket_n") <= c).select(keys.map(col): _*),
+      keys, "left_semi")
+  }
+
+  /** PLAN-EMBEDDED input-size guard for the O(n²) oracle twins: the
+    * early-terminating `limit(cap+1)` count probe rides INSIDE the
+    * returned plan (a broadcast single-row crossJoin checked by
+    * assert_true at execution), so constructing or explaining the
+    * plan stays side-effect-free — no eager Spark job per catalog
+    * enumeration (plan audits, bench plan building) — while any
+    * ACTION on an oversized input still fails with the role message.
+    */
+  private[graft] def requireBounded(df: DataFrame, cap: Long, msg: String): DataFrame = {
+    val probe = df.limit((cap + 1).toInt).select(count(lit(1)).as("_probe_n"))
+    df.crossJoin(broadcast(probe))
+      // assert_true returns NULL when the guard holds, so the filter
+      // keeps every row; an oversized input throws at execution time
+      .filter(assert_true(col("_probe_n") <= cap, lit(msg)).isNull)
+      .drop("_probe_n")
+  }
+
   /** #33 exact dedup by content hash: first doc_id per md5(text) wins.
     * At 100 TB this is THE dedup primitive: hash-shuffle on a 16-byte
     * key instead of the full text.
@@ -94,15 +161,22 @@ object TextOps {
     * 16 permutations, 4 bands × 4 rows: docs sharing any band hash are
     * candidates; est. Jaccard = matching signature fraction ≥ 0.5.
     * Scale path: the shuffle key is the (band, bandhash) pair — O(n)
-    * shuffle + per-bucket pairing, never O(n²).
+    * shuffle + per-bucket pairing bounded by [[dropHotBuckets]], never
+    * O(n²) and never m² inside one boilerplate bucket.
     */
-  def dedupMinhash(s: SparkSession, dir: String): DataFrame = {
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(docs(s, dir))
+
+  /** The MinHash-LSH core over any (doc_id, text) frame — test entry
+    * point for the planted hot-bucket corpus.
+    */
+  private[graft] def minhashPairs(docsDf: DataFrame, cap: Option[Int] = None): DataFrame = {
     // one pass: gram rows → 64-bit base hash → 16 cheap re-hashes under
     // codegen'd min aggregates (the O(perms × shingles) string work of a
     // naive per-permutation shingle hash collapses to one string hash).
     // No per-doc distinct needed: min() over repeated gram hashes is
     // identical, so the dedup exchange would be pure waste.
-    val sig = gramRows(docs(s, dir), 3, distinct = false)
+    val sig = gramRows(docsDf, 3, distinct = false)
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .groupBy(col("doc_id"))
       .agg(
@@ -115,10 +189,11 @@ object TextOps {
           array((0 until 4).map(b => hash(sigCols.slice(b * 4, b * 4 + 4): _*)): _*)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
-    val left = banded.select(
+    val guarded = dropHotBuckets(banded, Seq("band", "bandhash"), "minhash_hot_buckets", cap)
+    val left = guarded.select(
       col("band"), col("bandhash"), col("doc_id").as("a"),
       array(sigCols: _*).as("sig_a"))
-    val right = banded.select(
+    val right = guarded.select(
       col("band"), col("bandhash"), col("doc_id").as("b"),
       array(sigCols: _*).as("sig_b"))
     left
@@ -164,7 +239,8 @@ object TextOps {
             md5(concat_ws("|", sigCols.slice(b * 4, b * 4 + 4): _*))): _*)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
-    def side(tag: String) = banded.select(
+    val guarded = dropHotBuckets(banded, Seq("band", "bandhash"), "minhash_md5_hot_buckets")
+    def side(tag: String) = guarded.select(
       col("band") +: col("bandhash") +: col("doc_id").as(tag) +:
         (0 until 16).map(i => col(s"m$i").as(s"m${i}_$tag")): _*)
     val matches = (0 until 16).map(i => (col(s"m${i}_a") === col(s"m${i}_b")).cast("int")).reduce(_ + _)
@@ -202,10 +278,14 @@ object TextOps {
        |  SELECT s.*, b.band, CASE b.band $bandHash END AS bandhash
        |  FROM sig s, (SELECT unnest([0, 1, 2, 3]) AS band) b
        |),
+       |guarded AS (
+       |  SELECT * FROM banded
+       |  QUALIFY count(*) OVER (PARTITION BY band, bandhash) <= $PairBucketCap
+       |),
        |pairs AS (
        |  SELECT l.doc_id AS a, r.doc_id AS b, ($matchSum) / 16.0 AS est
-       |  FROM banded l
-       |  JOIN banded r ON l.band = r.band AND l.bandhash = r.bandhash AND l.doc_id < r.doc_id
+       |  FROM guarded l
+       |  JOIN guarded r ON l.band = r.band AND l.bandhash = r.bandhash AND l.doc_id < r.doc_id
        |)
        |SELECT a, b, CAST(round(MAX(est), 4) AS DOUBLE) AS est_jaccard
        |FROM pairs GROUP BY a, b HAVING MAX(est) >= 0.5
@@ -247,14 +327,21 @@ object TextOps {
         .as("simhash"))
   }
 
-  def dedupSimhash(s: SparkSession, dir: String): DataFrame = {
-    val sims = simhashFingerprints(wordHashRows(docs(s, dir)))
-    val seg = sims.select(
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(docs(s, dir))
+
+  /** The SimHash blocking core over any (doc_id, text) frame — test
+    * entry point for the planted hot-bucket corpus.
+    */
+  private[graft] def simhashPairs(docsDf: DataFrame, cap: Option[Int] = None): DataFrame = {
+    val sims = simhashFingerprints(wordHashRows(docsDf))
+    val banded = sims.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(k =>
         shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "seg")
       .withColumnRenamed("col", "seghash")
+    val seg = dropHotBuckets(banded, Seq("seg", "seghash"), "simhash_hot_buckets", cap)
     // distinct column names on the probe side: joining two projections
     // of the same frame on same-named attributes makes Spark warn about
     // trivially-true predicates while it disambiguates — renaming is
@@ -307,12 +394,13 @@ object TextOps {
     val seg = sums.select(
       col("doc_id") +: (0 until 4).map(k =>
         (0 until 16).map(j => fb(16 * k + j) * lit(1 << j)).reduce(_ + _).as(s"s$k")): _*)
-    val exploded = seg
+    val banded = seg
       .select(
         col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
         posexplode(array(col("s0"), col("s1"), col("s2"), col("s3"))))
       .withColumnRenamed("pos", "seg")
       .withColumnRenamed("col", "segval")
+    val exploded = dropHotBuckets(banded, Seq("seg", "segval"), "simhash_md5_hot_buckets")
     val l = exploded.select(
       col("seg"), col("segval"), col("doc_id").as("a"),
       col("s0").as("a0"), col("s1").as("a1"), col("s2").as("a2"), col("s3").as("a3"))
@@ -360,11 +448,19 @@ object TextOps {
        |seg AS (SELECT doc_id,
        |    $segExprs
        |  FROM sums),
+       |expl AS (
+       |  SELECT doc_id, s0, s1, s2, s3, segidx,
+       |    CASE segidx WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END AS segval
+       |  FROM seg CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS segidx)
+       |),
+       |guarded AS (
+       |  SELECT * FROM expl
+       |  QUALIFY count(*) OVER (PARTITION BY segidx, segval) <= $PairBucketCap
+       |),
        |pairs AS (
        |  SELECT l.doc_id AS a, r.doc_id AS b, CAST($ham AS INT) AS hamming
-       |  FROM seg l JOIN seg r
-       |    ON l.doc_id < r.doc_id
-       |   AND (l.s0 = r.s0 OR l.s1 = r.s1 OR l.s2 = r.s2 OR l.s3 = r.s3)
+       |  FROM guarded l JOIN guarded r
+       |    ON l.segidx = r.segidx AND l.segval = r.segval AND l.doc_id < r.doc_id
        |)
        |SELECT DISTINCT a, b, hamming FROM pairs
        |WHERE hamming <= 3
@@ -639,16 +735,16 @@ object TextOps {
     * same verification join within buckets.
     */
   def embedPairSim(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
     // MACHINE-ENFORCED role guard: this is the O(n²) oracle twin of
     // embed_pair_sim_bucketed (the production path). The half-matrix
     // is fine at oracle SFs (≤ 5k vectors) and a cluster-killer beyond;
     // refuse rather than silently run a quadratic plan at scale. The
-    // check is limit(cap+1).count() — an early-terminating probe, not
-    // a full scan inflating every construction (bench, plan tools).
+    // probe is plan-embedded (requireBounded) so building/explaining
+    // the plan runs no job; an oversized ACTION still refuses.
     val cap = 20000L
-    require(
-      emb.limit((cap + 1).toInt).count() <= cap,
+    val emb = requireBounded(
+      Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e")),
+      cap,
       s"embed_pair_sim_oracle is the brute-force O(n²) oracle twin (input exceeds $cap vectors); " +
         "use embed_pair_sim_bucketed (IVF-bucketed, O(sum list^2)) at scale")
     val withNorm = emb.withColumn("nrm", Registry.l2norm(col("e")))
@@ -765,13 +861,14 @@ object TextOps {
     * duplicated corpora.
     */
   def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
     // MACHINE-ENFORCED role guard (the embed_pair_sim_oracle pattern):
     // fixed 256 buckets make in-bucket pairing O(n²/256) — fine at
-    // oracle SFs, a cluster-killer beyond. Early-terminating probe.
+    // oracle SFs, a cluster-killer beyond. Plan-embedded probe
+    // (requireBounded): building the plan runs no job.
     val cap = 100000L
-    require(
-      emb.limit((cap + 1).toInt).count() <= cap,
+    val emb = requireBounded(
+      Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e")),
+      cap,
       s"dedup_semantic is the fixed-256-bucket oracle form (input exceeds $cap vectors); " +
         "use dedup_semantic_ivf (trained centroids, k -> sqrt(n)) at scale")
     def planeW(p: Int): Column = transform(
@@ -906,12 +1003,21 @@ object TextOps {
     val exactAvg = org.apache.spark.sql.types.DecimalType(38, 18)
     var cents = seedCentroids(emb, k)
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cent_id"))
+      // argmax as a max_by AGGREGATE, not a row_number window: the
+      // ordering struct (csim, -cent_id) encodes the same tie-break
+      // (max csim, then min cent_id — byte-identical selection), and
+      // because the broadcast crossJoin leaves all k candidates of a
+      // vector in ONE partition, the map-side partial combine reduces
+      // n·k candidate rows to n BEFORE any exchange — the window form
+      // hash-exchanged and sorted all n·k rows every Lloyd's round
       val assigned = emb
         .crossJoin(broadcast(cents))
-        .withColumn("csim", Registry.cosine(col("e"), col("ce")))
-        .withColumn("crn", row_number().over(w))
-        .filter(col("crn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(max_by(
+          struct(col("cent_id"), col("e")),
+          struct(Registry.cosine(col("e"), col("ce")).as("csim"), negate(col("cent_id")).as("nid")))
+          .as("_best"))
+        .select(col("_best.cent_id").as("cent_id"), col("_best.e").as("e"))
       cents = graft.Lineage.cut(
         assigned
           .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "v")))
@@ -924,15 +1030,45 @@ object TextOps {
     cents
   }
 
-  /** Per-row top-`keep` centroid assignment (broadcast of k·dim). */
+  /** Per-row top-`keep` centroid assignment (broadcast of k·dim).
+    * Both branches aggregate instead of windowing: the crossJoin keeps
+    * a row's k candidates in one partition, so partial aggregation
+    * collapses n·k → n rows map-side where the old row_number form
+    * exchanged+sorted all n·k (the k-factor shuffle cut that matters
+    * as k grows toward √n). Tie order is byte-identical to the old
+    * (csim DESC, cent_id ASC) sort: max_by on struct(csim, -cent_id) /
+    * reverse(array_sort) over the same struct.
+    */
   private[graft] def nearestCentroids(
       df: DataFrame, cents: DataFrame, idCol: String, vecCol: String, keep: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("csim").desc, col("cent_id"))
-    df.crossJoin(broadcast(cents))
-      .withColumn("csim", Registry.cosine(col(vecCol), col("ce")))
-      .withColumn("crn", row_number().over(w))
-      .filter(col("crn") <= keep)
-      .drop("ce", "csim", "crn")
+    val others = df.columns.filterNot(_ == idCol).toSeq
+    val scored = df.crossJoin(broadcast(cents))
+    if (keep == 1) {
+      scored
+        .groupBy(col(idCol))
+        .agg(max_by(
+          struct((others :+ "cent_id").map(col): _*),
+          struct(
+            Registry.cosine(col(vecCol), col("ce")).as("csim"),
+            negate(col("cent_id")).as("nid"))).as("_best"))
+        .select(col(idCol) +: (others :+ "cent_id").map(c => col(s"_best.$c").as(c)): _*)
+    } else {
+      // top-keep: sort the collected (csim, -cent_id) candidate structs
+      // (k small structs per group — cent_id only, never the vectors);
+      // the row's own columns are constant per group, so first() is
+      // deterministic in value
+      scored
+        .groupBy(col(idCol))
+        .agg(
+          slice(
+            reverse(array_sort(collect_list(struct(
+              Registry.cosine(col(vecCol), col("ce")).as("csim"),
+              negate(col("cent_id")).as("nid"),
+              col("cent_id"))))),
+            1, keep).as("_top"),
+          others.map(c => first(col(c)).as(c)): _*)
+        .select(col(idCol) +: others.map(col) :+ explode(col("_top.cent_id")).as("cent_id"): _*)
+    }
   }
 
   /** #38b IVF ANN, parameterized on centroid quality (`trained` = 2

@@ -74,6 +74,35 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("centroid assignment aggregates map-side — no window over vec_id") {
+    // the r5 verdict's k-factor shuffle: a row_number window
+    // partitioned on vec_id exchanges+sorts all n·k candidate rows;
+    // the max_by aggregate form combines them to n map-side. Pin that
+    // no executed plan windows on vec_id (the ANN result top-k over
+    // query_id is allowed — bounded query sets).
+    for (q <- Seq(
+        "embed_ivf_knn", "embed_kmeans_report", "dedup_semantic_ivf",
+        "embed_pair_sim_bucketed")) {
+      val plan = planOf(q)
+      assert(!plan.contains("windowspecdefinition(vec_id"),
+        s"$q still windows on vec_id for centroid assignment")
+    }
+  }
+
+  test("bm25 explodes tokens once (tf only) — doc length is a per-row map") {
+    // count LOGICAL Generate nodes (the AQE physical plan string
+    // reprints query-stage subtrees, so a textual count over-reads)
+    val df = SparkEntry.queries("bm25_search")(spark, dir)
+    val generates = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    // exactly the tf explode, which appears twice in the tree (tf join
+    // + the df agg over tf — physical exchange reuse collapses them);
+    // the r5 form's doc-length explode added two more
+    assert(generates.size == 2,
+      s"bm25 plan has ${generates.size} Generate nodes (expected 2, both the tf explode)")
+  }
+
   test("no driver-side collect hides in any catalog query plan") {
     // CollectLimit at the ROOT is fine (the final .limit the driver
     // reads); what must never appear is a LocalTableScan materialized
