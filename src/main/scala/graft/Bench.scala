@@ -71,14 +71,28 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
+    // per-pass raw samples + a harness version stamp: cross-round totals
+    // are only comparable under the SAME methodology (the r4→r5 harness
+    // change read as a phantom 1.22× regression until adjudicated), so
+    // the JSON self-describes how it was measured
+    val perPass = names.map { case (name, _) =>
+      val samples = passes.map(_.collectFirst { case (`name`, (t, ok)) => if (ok) f"$t%.3f" else "null" }
+        .getOrElse("null"))
+      "\"" + name + "\":[" + samples.mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","harness":"2-pass-min/v2","queries":$qs,"passes":$perPass,"failed":$failed,"sf":"$sfDir"}"""
     // Persist FIRST, then print: the driver's log-tail capture clipped
     // the head of the stdout line in r3 AND r4 ("parsed": null) — the
     // authoritative copy is the file; the canonical path is named in
     // PROGRESS.jsonl and SURVEY §5 so the driver/judge can pick it up.
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_LOCAL.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    // Default is RELATIVE (resolved against the launch dir — sbt runs
+    // from the repo root), so a checkout elsewhere still works;
+    // SPARK_GRAFT_BENCH_OUT pins the canonical absolute path.
+    val outFile = java.nio.file.Paths
+      .get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+      .toAbsolutePath
+    try java.nio.file.Files.writeString(outFile, line + "\n")
     catch {
       case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }

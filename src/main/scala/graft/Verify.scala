@@ -19,11 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // a reused outDir must not ghost-carry queries retired from the
-    // catalog (a stale dump would be graded as if still claimed)
+    // catalog (a stale dump would be graded as if still claimed).
+    // Only directories that LOOK like prior dumps (parquet _SUCCESS
+    // marker) are candidates — an outDir mistakenly pointed at a source
+    // tree must never see unrelated directories recursively deleted.
     if (only.isEmpty) {
       val live = SparkEntry.queries.keySet
       Option(new java.io.File(outDir).listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && !live(f.getName))
+        .filter(f =>
+          f.isDirectory && !live(f.getName) && new java.io.File(f, "_SUCCESS").exists())
         .foreach { f =>
           System.err.println(s"[verify] removing stale dump ${f.getName}")
           def rm(x: java.io.File): Unit = {
