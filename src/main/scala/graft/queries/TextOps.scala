@@ -1493,7 +1493,18 @@ object TextOps {
     * header sniffing prunes decode work to the rows a real batch
     * decoder must touch.
     */
-  def multimodalDecode(s: SparkSession, dir: String): DataFrame = {
+  def multimodalDecode(s: SparkSession, dir: String): DataFrame =
+    decodeImageMeta(synthImagePayloads(docs(s, dir)))
+      .select(col("doc_id"), col("format"), col("width"), col("height"), col("n_bytes"))
+      .orderBy(col("doc_id"))
+
+  /** Synthesized (doc_id, payload) image frames — genuine PNG / GIF89a
+    * / BMP header bytes per the format specs, dims derived from doc_id
+    * (the container ships no image fixtures). Shared by the catalog
+    * decode entry and the binaryFile round-trip test, which writes
+    * these very bytes to disk as real files.
+    */
+  private[graft] def synthImagePayloads(docsDf: DataFrame): DataFrame = {
     def le(v: Column, bytes: Int): Column =
       concat((0 until bytes).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
     def be(v: Column, bytes: Int): Column = lpad(hex(v), bytes * 2, "0")
@@ -1506,9 +1517,17 @@ object TextOps {
       .otherwise(concat(
         lit("424D" + "00000000" + "0000" + "0000" + "36000000" + "28000000"),
         le(w, 4), le(h, 4)))
-    val withPayload = docs(s, dir)
-      .select(col("doc_id"), unhex(concat(hdr, hex(encode(col("text"), "UTF-8")))).as("payload"))
-    // ---- decode: ONLY the payload bytes from here on
+    docsDf.select(col("doc_id"), unhex(concat(hdr, hex(encode(col("text"), "UTF-8")))).as("payload"))
+  }
+
+  /** Image-header metadata decode over ANY frame carrying a binary
+    * `payload` column (the catalog's synthesized payloads or
+    * sources.readBinaryDir's real file bytes): magic-number dispatch,
+    * big-endian PNG IHDR dims, little-endian GIF/BMP dims, all
+    * codegen'd column expressions over the hex transcription — no UDF,
+    * no shuffle; adds format/width/height/n_bytes.
+    */
+  def decodeImageMeta(withPayload: DataFrame): DataFrame = {
     val hx = hex(col("payload"))
     def hexInt(c: Column): Column = conv(c, 16, 10).cast("long")
     withPayload
@@ -1536,10 +1555,7 @@ object TextOps {
             hexInt(concat(
               substring(hx, 51, 2), substring(hx, 49, 2),
               substring(hx, 47, 2), substring(hx, 45, 2)))))
-      .select(
-        col("doc_id"), col("format"), col("width"), col("height"),
-        length(col("payload")).cast("long").as("n_bytes"))
-      .orderBy(col("doc_id"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
   }
 
   val multimodalDecodeSql: String =
@@ -1602,7 +1618,18 @@ object TextOps {
     * column-expression shape as the image decode; a real sample
     * decoder would slot into the test-pinned mapPartitions path.
     */
-  def multimodalAudio(s: SparkSession, dir: String): DataFrame = {
+  def multimodalAudio(s: SparkSession, dir: String): DataFrame =
+    decodeAudioMeta(synthAudioPayloads(docs(s, dir)))
+      .select(
+        col("doc_id"), col("format"), col("channels"), col("sample_rate"),
+        col("bits"), col("data_bytes"), col("duration_ms"))
+      .orderBy(col("doc_id"))
+
+  /** Synthesized (doc_id, payload) WAV frames — canonical 44-byte
+    * RIFF/WAVE PCM headers ahead of the sample bytes. Shared by the
+    * catalog decode entry and the binaryFile round-trip test.
+    */
+  private[graft] def synthAudioPayloads(docsDf: DataFrame): DataFrame = {
     def le(v: Column, bytes: Int): Column =
       concat((0 until bytes).map(i => lpad(hex(shiftright(v, 8 * i) % 256), 2, "0")): _*)
     val ch = lit(1L) + pmod(col("doc_id"), lit(2L))
@@ -1616,9 +1643,17 @@ object TextOps {
       lit("666D7420"), lit("10000000"), lit("0100"), le(ch, 2),
       le(sr, 4), le(sr * ch * lit(2L), 4), le(ch * lit(2L), 2), le(bits, 2),
       lit("64617461"), le(dataLen, 4))
-    val withPayload = docs(s, dir)
-      .select(col("doc_id"), unhex(concat(hdr, hex(encode(col("text"), "UTF-8")))).as("payload"))
-    // ---- decode: ONLY the payload bytes from here on
+    docsDf.select(col("doc_id"), unhex(concat(hdr, hex(encode(col("text"), "UTF-8")))).as("payload"))
+  }
+
+  /** WAV-header metadata decode over ANY frame carrying a binary
+    * `payload` column — the audio twin of decodeImageMeta: RIFF/WAVE
+    * magic check, little-endian channels/rate/depth/data-size reads,
+    * derived clip duration (data·8000 ÷ rate·ch·bits, exact integral
+    * division in both engines). Adds format/channels/sample_rate/
+    * bits/data_bytes/duration_ms.
+    */
+  def decodeAudioMeta(withPayload: DataFrame): DataFrame = {
     val hx = hex(col("payload"))
     def hexInt(c: Column): Column = conv(c, 16, 10).cast("long")
     withPayload
@@ -1649,10 +1684,6 @@ object TextOps {
       .withColumn(
         "duration_ms",
         expr("(data_bytes * 8000) div (sample_rate * channels * bits)"))
-      .select(
-        col("doc_id"), col("format"), col("channels"), col("sample_rate"),
-        col("bits"), col("data_bytes"), col("duration_ms"))
-      .orderBy(col("doc_id"))
   }
 
   val multimodalAudioSql: String =

@@ -182,4 +182,26 @@ object Sources {
       .option("parquet.page.size", (8 * 1024 * 1024).toString)
       .parquet(outDir)
   }
+
+  /** Binary-file ingestion — the bridge from REAL image/audio files on
+    * disk (or any Hadoop-compatible store) to the engine's binary
+    * `payload` column, which the header decoders
+    * (TextOps.decodeImageMeta / decodeAudioMeta) and the test-pinned
+    * mapPartitions library shape consume unchanged. Spark's binaryFile
+    * source reads (path, modificationTime, length, content) with one
+    * row per file, pushdown on the glob at file-listing time, and
+    * partition-parallel reads governed by files.maxPartitionBytes — at
+    * 100 TB the listing prunes before any byte moves, exactly like the
+    * daily archive's partition pruning. (The reference has no
+    * counterpart; this closes the r5 "files → payload column" gap.)
+    */
+  def readBinaryDir(s: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    s.read
+      .format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        col("path"),
+        col("modificationTime").as("mod_time"),
+        col("content").as("payload"))
 }
