@@ -274,9 +274,14 @@ object PipelineJson {
     * Serving is then a state read (Streams.readFeedState over the
     * query's checkpoint) — no recompute per request, unlike the
     * reference, which reruns the block loop over its in-RAM store on
-    * every poll. The suffix must rank by hn (the reference's own
-    * live-feed ranking); other sort types are one-shot orderings —
-    * use the batch runner for those.
+    * every poll. The suffix may rank by hn (the reference's own
+    * live-feed ranking), by the payload's accumulated `score` (the
+    * prefix's un-normalized score adds fix each event's score at
+    * arrival), or by created_at (either direction — the event time IS
+    * the static key); all three are per-event-static, which is what
+    * lets the bounded keyed top-k serve them. Sorts that read mutable
+    * per-post state (likes/reposts/replies) or one-shot orderings
+    * (random) are rejected with a pointer to the batch runner.
     */
   def runServingFeed(
       stream: DataFrame,
@@ -303,12 +308,34 @@ object PipelineJson {
     val sorts = suffix.filter(n => str(n, "type", "") == "sort")
     val limits = suffix.filter(n => str(n, "type", "") == "limit")
     require(sorts.size == 1 && limits.size <= 1, "serving suffix allows one sort and one limit")
-    val sortType = str(sorts.head, "sortType", "hn")
+    // the reference executes blocks SEQUENTIALLY (main.rs:1398): a
+    // limit before the sort truncates THEN ranks; compiling it as the
+    // top-k state would silently turn that into rank-then-truncate —
+    // refuse rather than reorder semantics
     require(
-      sortType == "hn",
-      s"continuous serving ranks by hn (the reference's live-feed score); " +
-        s"sort '$sortType' is a one-shot ordering — run it in the batch runner")
-    val gravity = sorts.head.path("gravity").asText("1.8").toDouble
+      limits.isEmpty ||
+        suffix.indexWhere(n => str(n, "type", "") == "sort") <
+        suffix.indexWhere(n => str(n, "type", "") == "limit"),
+      "serving suffix must sort BEFORE limit (the reference's sequential " +
+        "block semantics make limit-then-sort truncate-then-rank — run that " +
+        "shape in the batch runner)")
+    val sortNode = sorts.head
+    val sortType = str(sortNode, "sortType", "hn")
+    val desc = str(sortNode, "sortDirection", "desc") == "desc"
+    // every serveable ranking is per-event-static (Streams.FeedRanking);
+    // sort-by-score before any score block degrades to recency, exactly
+    // like the batch compiler's `case "score" if !scored`
+    val prefixScored = prefix.exists(n => str(n, "type", "") == "score")
+    val ranking = sortType match {
+      case "hn" => Streams.FeedRanking.Hn(anchorMs, sortNode.path("gravity").asText("1.8").toDouble)
+      case "score" if prefixScored => Streams.FeedRanking.ByValue
+      case "score" => Streams.FeedRanking.ByRecency(newestFirst = true)
+      case "created_at" => Streams.FeedRanking.ByRecency(newestFirst = desc)
+      case other =>
+        throw new IllegalArgumentException(
+          s"continuous serving ranks by a per-event-static key (hn, score, created_at); " +
+            s"sort '$other' reads mutable per-post state or is one-shot — run it in the batch runner")
+    }
     val k = limits.headOption
       .map(n => if (n.hasNonNull("count")) n.get("count").asInt() else 100)
       .getOrElse(100)
@@ -316,16 +343,20 @@ object PipelineJson {
     val arr = prefixRoot.putArray("blocks")
     prefix.foreach(arr.add)
     val filtered = runStreaming(stream, mapper.writeValueAsString(prefixRoot), b, lateness)
+    // ByValue serves the accumulated score column the prefix computed;
+    // the other rankings derive from ts/value inside the state machine
+    val valueCol =
+      if (ranking == Streams.FeedRanking.ByValue) col("score") else col(b.valueCol).cast("double")
     val s = stream.sparkSession
     import s.implicits._
-    Streams.streamingFeed(
+    Streams.streamingFeedRanked(
       filtered.select(
         col(b.idCol).cast("long").as("event_id"),
         col(b.tsCol).as("ts"),
         col(b.authorCol).cast("long").as("user_id"),
         lit("wire").as("event_type"),
-        col(b.valueCol).cast("double").as("value")).as[Ev],
-      k = k, anchorMs = anchorMs, lateness = lateness, gravity = gravity)
+        valueCol.as("value")).as[Ev],
+      k = k, ranking = ranking, lateness = lateness)
   }
 
   /** The reference's SECOND pipeline endpoint: the LIST BUILDER

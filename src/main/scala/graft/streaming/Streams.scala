@@ -283,6 +283,26 @@ object Streams {
   case class FeedState(entries: List[(Double, Long)])
   case class FeedRow(user_id: Long, rank: Int, event_id: Long, score: Double)
 
+  /** How the continuous feed ranks events into its bounded top-k
+    * state. All three are PER-EVENT-STATIC scores (fixed at arrival),
+    * which is exactly what makes them serveable from keyed state:
+    *  - [[FeedRanking.Hn]]: the reference's live-feed score against a
+    *    fixed anchor (its serving loop's own ranking, main.rs:4338);
+    *  - [[FeedRanking.ByValue]]: the payload's accumulated score
+    *    column — monotone-folded in the stateless prefix, so the
+    *    event carries its final score when it reaches the state;
+    *  - [[FeedRanking.ByRecency]]: created_at sorts (the key is the
+    *    event time itself; newestFirst=false keeps the OLDEST k).
+    * Rankings that read MUTABLE per-post state (sort by live
+    * like_count) or one-shot orderings (random) stay batch-only.
+    */
+  sealed trait FeedRanking
+  object FeedRanking {
+    final case class Hn(anchorMs: Long, gravity: Double = 1.8) extends FeedRanking
+    case object ByValue extends FeedRanking
+    final case class ByRecency(newestFirst: Boolean = true) extends FeedRanking
+  }
+
   /** #49s continuous feed maintenance: the reference serves feeds by
     * rerunning the block pipeline over its in-RAM store on every
     * request; here the per-user top-k IS the state — each micro-batch
@@ -297,14 +317,31 @@ object Streams {
       anchorMs: Long,
       lateness: String = "1 hour",
       retentionMs: Long = RetentionMs,
-      gravity: Double = 1.8): Dataset[FeedRow] = {
+      gravity: Double = 1.8): Dataset[FeedRow] =
+    streamingFeedRanked(events, k, FeedRanking.Hn(anchorMs, gravity), lateness, retentionMs)
+
+  /** The same bounded per-user top-k state under any per-event-static
+    * [[FeedRanking]] — the generalization that lets a wire payload's
+    * trailing `sort: score` / `sort: created_at` serve from state
+    * exactly like the hn path (PipelineJson.runServingFeed).
+    */
+  def streamingFeedRanked(
+      events: Dataset[Ev],
+      k: Int,
+      ranking: FeedRanking,
+      lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[FeedRow] = {
     import events.sparkSession.implicits._
-    def score(e: Ev): Double = {
-      // clamp at 0: events newer than the anchor (normal in a live
-      // stream) must not shrink the denominator below 2 — unclamped,
-      // ageH < -2 turns pow() into NaN and poisons the top-k state
-      val ageH = math.max(0.0, (anchorMs - e.ts.getTime).toDouble / 3600000.0)
-      e.value / math.pow(ageH + 2.0, gravity)
+    def score(e: Ev): Double = ranking match {
+      case FeedRanking.Hn(anchorMs, gravity) =>
+        // clamp at 0: events newer than the anchor (normal in a live
+        // stream) must not shrink the denominator below 2 — unclamped,
+        // ageH < -2 turns pow() into NaN and poisons the top-k state
+        val ageH = math.max(0.0, (anchorMs - e.ts.getTime).toDouble / 3600000.0)
+        e.value / math.pow(ageH + 2.0, gravity)
+      case FeedRanking.ByValue => e.value
+      case FeedRanking.ByRecency(newestFirst) =>
+        if (newestFirst) e.ts.getTime.toDouble else -e.ts.getTime.toDouble
     }
     // idempotent watermarking: a payload-compiled upstream
     // (PipelineJson.runServingFeed) already watermarked the firehose,

@@ -607,6 +607,78 @@ class StreamingSpec extends AnyFunSuite {
       b, anchor))
   }
 
+  test("wire serving suffix: score and created_at sorts serve from the same keyed state") {
+    // the r5 gap: the reference's serving loop serves whatever the
+    // payload's sort says (main.rs:1229) — score and created_at are
+    // per-event-static keys, so they map onto the SAME bounded top-k
+    // state as hn
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.pipeline.{Binding, PipelineJson}
+    import org.apache.spark.sql.functions.col
+    val anchor = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val b = Binding(
+      "event_id", "user_id", "ts", "value", 0L, Map.empty, Map("value" -> col("value")))
+    val data = Seq(
+      ev(1, 0, 5, "view", 10.0), ev(2, 10, 5, "view", 50.0),
+      ev(3, 20, 5, "view", 100.0), ev(4, 30, 5, "view", 20.0))
+
+    def serve(name: String, payload: String): Seq[Streams.FeedRow] = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_serve_$name").toString
+      val in = MemoryStream[Ev]
+      val q = PipelineJson.runServingFeed(in.toDF(), payload, b, anchorMs = anchor)
+        .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(name).start()
+      in.addData(data: _*)
+      q.processAllAvailable(); q.stop()
+      Streams.readFeedState(spark, ckpt).collect().filter(_.user_id == 5L).sortBy(_.rank).toSeq
+    }
+
+    // sort: score — the prefix's un-normalized score add fixes each
+    // event's score at arrival; state keeps the top-2 by it
+    val byScore = serve("serve_score",
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose"},
+        |  {"type":"score","from":"like_count","normalize":false},
+        |  {"type":"sort","sortType":"score"},
+        |  {"type":"limit","count":2}
+        |]}""".stripMargin)
+    assert(byScore.map(_.event_id) == Seq(3L, 2L), s"score serve wrong: $byScore")
+    assert(byScore.map(_.score) == Seq(100.0, 50.0))
+
+    // sort: created_at desc — newest two; the event time is the key
+    val newest = serve("serve_newest",
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose"},
+        |  {"type":"sort","sortType":"created_at","sortDirection":"desc"},
+        |  {"type":"limit","count":2}
+        |]}""".stripMargin)
+    assert(newest.map(_.event_id) == Seq(4L, 3L), s"created_at desc serve wrong: $newest")
+
+    // sort: created_at asc — the state keeps the OLDEST two
+    val oldest = serve("serve_oldest",
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose"},
+        |  {"type":"sort","sortType":"created_at","sortDirection":"asc"},
+        |  {"type":"limit","count":2}
+        |]}""".stripMargin)
+    assert(oldest.map(_.event_id) == Seq(1L, 2L), s"created_at asc serve wrong: $oldest")
+
+    // limit BEFORE sort is the reference's truncate-then-rank — the
+    // serving compiler must refuse rather than silently reorder
+    val in = MemoryStream[Ev]
+    val e = intercept[IllegalArgumentException](PipelineJson.runServingFeed(
+      in.toDF(),
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose"},
+        |  {"type":"limit","count":2},
+        |  {"type":"sort","sortType":"hn"}
+        |]}""".stripMargin,
+      b, anchor))
+    assert(e.getMessage.contains("sort BEFORE limit"), e.getMessage)
+  }
+
   test("stream-static enrichment joins the profile dimension per batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
