@@ -466,8 +466,17 @@ object FeedBlocks {
     * Per-row weight rounded then summed as DECIMAL → order-independent,
     * bit-identical to the oracle.
     */
-  def likesWeighted(s: SparkSession, dir: String): DataFrame = {
-    val likes = Tables.lineitem(s, dir).select(col("l_suppkey").as("u"), col("l_partkey").as("p"))
+  def likesWeighted(s: SparkSession, dir: String): DataFrame =
+    likesWeightedOver(
+      Tables.lineitem(s, dir).select(col("l_suppkey").as("u"), col("l_partkey").as("p")))
+
+  /** The core over any (u, p) like-edge frame — test entry point for
+    * the viral-post (100k-liker) stress. Scale shape: the hot post key
+    * only ever enters AGGREGATIONS (map-side partial combine absorbs
+    * it); the one join keys on u, where a user's degree is bounded by
+    * attention, not audience.
+    */
+  private[graft] def likesWeightedOver(likes: DataFrame): DataFrame = {
     val userCnt = likes.groupBy(col("u")).agg(count(lit(1)).as("n_likes"))
     likes
       .join(userCnt, "u")
@@ -500,8 +509,17 @@ object FeedBlocks {
   def userScoreFn(name: String, exponent: Double = 1.3): Column => Column =
     UserScore.fn(name, exponent)
 
-  def likesBylikers(s: SparkSession, dir: String): DataFrame = {
-    val likes = Tables.lineitem(s, dir).select(col("l_suppkey").as("u"), col("l_partkey").as("p"))
+  def likesBylikers(s: SparkSession, dir: String): DataFrame =
+    likesBylikersOver(
+      Tables.lineitem(s, dir).select(col("l_suppkey").as("u"), col("l_partkey").as("p")))
+
+  /** The core over any (u, p) like-edge frame — test entry point for
+    * the viral-post stress. The hot post key flows through the seed
+    * aggregate (partial combine) and the pinned-broadcast seeds join
+    * (10 rows — skew-immune by construction); the curator join keys
+    * on u.
+    */
+  private[graft] def likesBylikersOver(likes: DataFrame): DataFrame = {
     val postLikers = likes.groupBy(col("p")).agg(count(lit(1)).as("n_likers"))
     val seeds = postLikers.orderBy(col("n_likers").desc, col("p")).limit(10).select(col("p"), col("n_likers"))
     val curators = likes
