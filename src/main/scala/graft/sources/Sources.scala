@@ -165,6 +165,30 @@ object Sources {
   def readServedLinks(s: SparkSession, dir: String, feedId: String): DataFrame =
     s.read.parquet(dir).filter(col("feed_id") === feedId)
 
+  /** Feed-resolver population — the documented-but-unbuilt hook behind
+    * the `feed` input (main.rs:1704): the reference HTTP-fetches an
+    * external feed's skeleton per query; in this engine served feeds
+    * are already ARCHIVED (every run appends its page to the
+    * served-links sink), so a feed's current skeleton is simply its
+    * most recent run there. For each (feedUri → feed_id) this
+    * materializes the one-column post-id relation Binding.feeds wants:
+    * the read prunes to the feed's own partitions (feed_id is a
+    * partition column) and the latest-run cut is a single-row
+    * broadcast max — no full-sink scan, no shuffle of the links, and
+    * feeds become composable inputs (one feed's output can seed
+    * another's pipeline).
+    */
+  def resolveFeeds(
+      s: SparkSession, linksDir: String, uris: Map[String, String]): Map[String, DataFrame] =
+    uris.map { case (uri, feedId) =>
+      val links = readServedLinks(s, linksDir, feedId)
+      val latest = links.agg(max(col("served_at_ms")).as("__latest"))
+      uri -> links
+        .crossJoin(broadcast(latest)) // single row
+        .filter(col("served_at_ms") === col("__latest"))
+        .select(col("post_id"))
+    }
+
   /** Text-corpus parquet sink tuned for 100 TB document tables: zstd
     * (higher ratio than the snappy default at comparable scan speed —
     * on a 100 TB corpus the delta is tens of TB of storage AND of scan

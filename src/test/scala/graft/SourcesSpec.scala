@@ -186,6 +186,40 @@ class SourcesSpec extends AnyFunSuite {
     assert(zstdB < snappyB, s"zstd $zstdB not smaller than snappy $snappyB")
   }
 
+  test("feed resolver populates Binding.feeds from the served-links archive") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.{Binding, PipelineJson}
+    val sink = Files.createTempDirectory("graft_feed_resolver").toString
+    val store = spark.range(0, 100).select(
+      col("id").as("event_id"),
+      (col("id") % 7).as("user_id"),
+      timestamp_millis(lit(1704100000000L) + col("id") * 1000).as("ts"),
+      (col("id") * 1.0).as("value"))
+    // two serves of the "hot" feed: the resolver must hand back the
+    // LATEST page, not the union of history
+    val day1 = java.sql.Timestamp.valueOf("2024-01-05 10:00:00").getTime
+    val day2 = java.sql.Timestamp.valueOf("2024-01-06 10:00:00").getTime
+    Sources.appendServedLinks(store.filter(col("event_id") < 10), "event_id", "hot", day1, sink)
+    Sources.appendServedLinks(
+      store.filter(col("event_id") >= 40 && col("event_id") < 55), "event_id", "hot", day2, sink)
+    Sources.appendServedLinks(store.filter(col("event_id") > 90), "event_id", "other", day2, sink)
+
+    val uri = "at://did:plc:self/app.bsky.feed.generator/hot"
+    val feeds = Sources.resolveFeeds(spark, sink, Map(uri -> "hot"))
+    val skeleton = feeds(uri).collect().map(_.getLong(0)).toSet
+    assert(skeleton == (40L until 55L).toSet, s"wrong skeleton: $skeleton")
+
+    // and the resolved map drives a real feed-input payload end to end
+    val b = Binding(
+      "event_id", "user_id", "ts", "value", 1704200000000L,
+      Map.empty, Map.empty, feeds = feeds)
+    val kept = PipelineJson.run(
+      store,
+      s"""{"blocks":[{"type":"input","inputType":"feed","feedUri":"$uri"}]}""",
+      b)
+    assert(kept.collect().map(_.getAs[Long]("event_id")).toSet == skeleton)
+  }
+
   test("binaryFile source: real files on disk round-trip through the header decoders") {
     import org.apache.spark.sql.functions._
     // write REAL files from the same payload bytes the catalog decode
