@@ -439,19 +439,35 @@ object Round5Ops {
     */
   def corpusRecipe(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val words = split(col("text"), " ")
-    val gated = d
-      .withColumn("n_words", size(words))
-      .filter(
-        TextOps.bestLang.getField("lang") === "en" &&
-          col("n_words") >= 30 &&
-          size(array_distinct(words)).cast("double") / col("n_words") >= 0.3)
+    val gated = recipeGate(d)
     val w = Window.partitionBy(col("nh")).orderBy(col("doc_id"))
     val deduped = gated
       .withColumn("nh", md5(normText(col("text"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("source"), col("text"), col("n_words"))
+    recipeTail(d, deduped)
+  }
+
+  /** The recipe's shared GATE stage (language / length / lexical
+    * diversity — per-row maps fused into the scan), reused by the
+    * near-dup variant (Round6Ops.corpusRecipeNeardup), which swaps
+    * only the dedup stage between this and [[recipeTail]].
+    */
+  private[graft] def recipeGate(d: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    d.withColumn("n_words", size(words))
+      .filter(
+        TextOps.bestLang.getField("lang") === "en" &&
+          col("n_words") >= 30 &&
+          size(array_distinct(words)).cast("double") / col("n_words") >= 0.3)
+  }
+
+  /** The recipe's shared TAIL (decontaminate vs the held-out eval docs
+    * → deterministic split → data card) over any deduped
+    * (doc_id, source, text, n_words) working set.
+    */
+  private[graft] def recipeTail(d: DataFrame, deduped: DataFrame): DataFrame = {
     val evalGrams =
       TextOps.gramRows(d.filter(col("doc_id") < 5), 4).select(col("g")).distinct()
     val contaminated = TextOps.gramRows(deduped.filter(col("doc_id") >= 5), 4)

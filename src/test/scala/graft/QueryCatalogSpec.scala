@@ -19,7 +19,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
       "embed_ivf_knn_indexed", "embed_pair_sim_bucketed",
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
-      "dedup_semantic_ivf", "embed_kmeans_report")
+      "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -422,6 +422,38 @@ class QueryCatalogSpec extends AnyFunSuite {
     // every surviving doc passed the >= 30-word gate
     val tokens = card.map(_.getAs[Long]("n_tokens")).sum
     assert(tokens >= 30L * total, s"$tokens tokens for $total docs breaks the length gate")
+  }
+
+  test("near-dup recipe folds a near-duplicate that exact dedup keeps") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // an en-gated 40-word doc (stopword-heavy so lang_id votes en,
+    // diverse enough for the 0.3 gate), its near-duplicate with ONE
+    // word swapped (distinct normalized hash -> exact dedup keeps it;
+    // 3-gram jaccard ~0.92 -> the band join folds it), and a distinct doc
+    def enText(tail: String) =
+      ("the quick brown fox jumps over a lazy dog and runs to the river in " +
+        "morning light while birds sing songs of spring for everyone watching " +
+        s"with great joy $tail").trim
+    val docsDf = Seq(
+      (10L, enText("today friends gathered"), "web"),
+      (11L, enText("today friends assembled"), "web"), // near-dup of 10
+      (12L, ("a tale of winter nights and frozen lakes is told by elders " +
+        "in the old hall where fires burn bright and children listen to " +
+        "stories about distant mountains full of wonder"), "web"))
+      .toDF("doc_id", "text", "source")
+    val gated = queries.Round5Ops.recipeGate(docsDf)
+    assert(gated.count() == 3, "test premise: all three docs must pass the gates")
+    val kept = queries.Round6Ops.nearDedupDocs(gated)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(10L, 12L), s"near-dedup kept $kept")
+    // normalization-aware EXACT dedup keeps all three (different words
+    // survive normalization) — the near-dup variant is the strictly
+    // stronger fold this corpus needs
+    assert(queries.Round5Ops.dedupNormalizedOver(docsDf).count() == 3)
+    val card = queries.Round6Ops.corpusRecipeNeardupOver(
+      graft.Tables.documents(spark, dir)).collect()
+    assert(card.map(_.getAs[Long]("n_docs")).sum > 0, "recipe card must keep docs at sf0.001")
   }
 
   test("filter audit gate columns agree with the mix report's kept counts") {
