@@ -1,19 +1,20 @@
 package graft.queries
 
-import graft.Tables
+import graft.{OracleMath, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-6 additions: the PRODUCTION intake recipe. corpus_recipe (#88)
-  * proves the gates → dedup → decontaminate → split chain composes as
-  * one plan with an exact oracle, but its dedup stage is
-  * normalization-aware EXACT dedup — a real crawl intake near-dedups.
-  * That swap only became safe this round: the MinHash band join now
-  * carries the hot-bucket guard (TextOps.dropHotBuckets), so a
-  * boilerplate-heavy corpus cannot blow the recipe up from inside its
-  * dedup stage.
+/** Round-6 additions: the PRODUCTION intake recipe (corpus_recipe with
+  * the exact-dedup stage swapped for hot-bucket-guarded MinHash
+  * near-dedup — safe only now that the band join carries the guard),
+  * plus two classic decision-support shapes the catalog lacked
+  * (TPC-H Q13's outer-join histogram, Q4's correlated-exists semi
+  * join) and two more LLM/ops primitives (the first BPE merge step,
+  * inter-event gap percentiles).
   */
 object Round6Ops {
+  import OracleMath._
 
   private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
 
@@ -49,8 +50,176 @@ object Round6Ops {
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"), col("n_words"))
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)))
+  /** #93 TPC-H Q13 (customer distribution): how many customers placed
+    * 0, 1, 2, … orders — the canonical OUTER-join histogram and the
+    * one decision-support shape the catalog lacked (customers with NO
+    * orders must appear, so no inner join can express it). Plan:
+    * aggregate orders per custkey FIRST (map-side partial combine over
+    * the fact table), LEFT join the one-row-per-customer result —
+    * join input is |customers| + |custkeys with orders|, never the
+    * raw fact table — coalesce the no-order customers to 0, then the
+    * bounded second agg builds the histogram. Both aggs key naturally;
+    * no hints (the per-cust relation scales with data, AQE decides).
+    */
+  def q13Custdist(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT") // Q13's comment-filter stand-in
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    Tables.customer(s, dir)
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
 
-  val oracles: Map[String, String] = Map.empty
+  val q13CustdistSql: String =
+    """WITH oc AS (
+      |  SELECT o_custkey, count(*) AS n_orders FROM orders
+      |  WHERE o_orderpriority <> '1-URGENT' GROUP BY o_custkey
+      |)
+      |SELECT coalesce(n_orders, 0) AS c_count, count(*) AS custdist
+      |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+      |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** #94 TPC-H Q4 (order priority checking): orders in a window with
+    * at least one LATE line item (shipped > 30 days after the order
+    * date — the synthetic schema's stand-in for commit/receipt dates),
+    * counted per priority. The shape under test is the correlated
+    * EXISTS: a LEFT SEMI join with a non-equi conjunct — each order
+    * counts once no matter how many lines are late (a plain join
+    * would double-count), and the date window reaches the orders scan
+    * as a pushed filter.
+    */
+  def q4OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    val li = Tables.lineitem(s, dir)
+    ord
+      .join(
+        li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q4OrderPrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem l
+      |    WHERE l.l_orderkey = o.o_orderkey
+      |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** #95 one BPE merge step — the inner loop of tokenizer training
+    * (Sennrich et al. 2016): count adjacent symbol pairs across the
+    * corpus (pair occurrences within a word × the word's corpus
+    * frequency) and rank merge candidates. Scale shape: the word-freq
+    * agg shuffles hash keys with map-side combine (heavy hitters
+    * absorbed), the char-pair enumeration is a per-row array
+    * transform over DISTINCT words only (the corpus may hold billions
+    * of tokens but orders fewer distinct words), and the top-20 is
+    * TakeOrderedAndProject. A full training run iterates this exact
+    * plan with the learned merge applied — each round is the same
+    * two-agg shape.
+    */
+  def bpeMergeStep(s: SparkSession, dir: String): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+    val ch = regexp_extract_all(col("w"), lit("."), lit(0))
+    words
+      .filter(size(ch) >= 2)
+      .select(
+        col("wc"),
+        explode(transform(
+          sequence(lit(1), size(ch) - 1),
+          i => concat(element_at(ch, i), element_at(ch, i + 1)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("freq"))
+      .orderBy(col("freq").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpeMergeStepSql: String =
+    """WITH w AS (
+      |  SELECT token AS w, count(*) AS wc FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |  ) WHERE token <> '' GROUP BY 1
+      |),
+      |ch AS (SELECT wc, regexp_extract_all(w, '.') AS cs FROM w),
+      |p AS (
+      |  SELECT wc, unnest([cs[i] || cs[i+1] for i in range(1, len(cs))]) AS pair
+      |  FROM ch WHERE len(cs) >= 2
+      |)
+      |SELECT pair, CAST(sum(wc) AS BIGINT) AS freq
+      |FROM p GROUP BY pair ORDER BY freq DESC, pair LIMIT 20""".stripMargin
+
+  /** #96 inter-event gap stats: per event type, the distribution of
+    * time between a user's consecutive events — the ops/engagement
+    * metric behind "how often do users fire X" dashboards and the
+    * input to session-timeout tuning (sessionize's 30-min constant
+    * becomes a measured p95). One window per (user, type) — fine
+    * partition keys, skew-safe — then a bounded per-type agg; exact
+    * percentile parity via the percentile/quantile_cont device the
+    * percentiles entry proved, tie-broken on event_id so both engines
+    * diff the same neighbor.
+    */
+  def interEventGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .filter(col("prev_ms").isNotNull)
+      .withColumn("gap_s", (unix_millis(col("ts")) - col("prev_ms")).cast("double") / 1000.0)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        emit(dsum(col("gap_s")) / count(lit(1))).as("mean_s"),
+        expr("percentile(gap_s, array(0.5, 0.95))").as("ps"))
+      .select(
+        col("event_type"), col("n_gaps"), col("mean_s"),
+        emit(col("ps").getItem(0)).as("p50_s"),
+        emit(col("ps").getItem(1)).as("p95_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val interEventGapsSql: String =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_ms(ts) - lag(epoch_ms(ts), 1) OVER (
+      |       PARTITION BY user_id, event_type ORDER BY ts, event_id)) / 1000.0 AS gap_s
+      |  FROM events
+      |)
+      |SELECT event_type, count(*) AS n_gaps,
+      |  CAST(round(SUM(CAST(gap_s AS DECIMAL(38,6))) / count(*), 4) AS DOUBLE) AS mean_s,
+      |  CAST(round(quantile_cont(gap_s, 0.5), 4) AS DOUBLE) AS p50_s,
+      |  CAST(round(quantile_cont(gap_s, 0.95), 4) AS DOUBLE) AS p95_s
+      |FROM g WHERE gap_s IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
+    "q13_custdist" -> (q13Custdist(_, _)),
+    "q4_order_priority" -> (q4OrderPriority(_, _)),
+    "bpe_merge_step" -> (bpeMergeStep(_, _)),
+    "inter_event_gaps" -> (interEventGaps(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q13_custdist" -> q13CustdistSql,
+    "q4_order_priority" -> q4OrderPrioritySql,
+    "bpe_merge_step" -> bpeMergeStepSql,
+    "inter_event_gaps" -> interEventGapsSql)
 }

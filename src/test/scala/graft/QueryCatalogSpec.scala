@@ -456,6 +456,43 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(card.map(_.getAs[Long]("n_docs")).sum > 0, "recipe card must keep docs at sf0.001")
   }
 
+  test("q13 histogram partitions every customer exactly once; q4 counts orders once") {
+    import org.apache.spark.sql.functions._
+    val hist = SparkEntry.queries("q13_custdist")(spark, dir).collect()
+    val nCust = Tables.customer(spark, dir).count()
+    assert(hist.map(_.getAs[Long]("custdist")).sum == nCust,
+      "the outer-join histogram must cover every customer exactly once")
+    assert(hist.forall(_.getAs[Long]("custdist") > 0))
+
+    val q4 = SparkEntry.queries("q4_order_priority")(spark, dir).collect()
+    val windowOrders = Tables.orders(spark, dir)
+      .filter(
+        col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+    assert(q4.map(_.getAs[Long]("order_count")).sum <= windowOrders.count(),
+      "the EXISTS semi join must count each order at most once")
+    assert(q4.nonEmpty && q4.forall(_.getAs[Long]("order_count") > 0))
+  }
+
+  test("bpe merge step ranks two-char pairs by corpus-weighted frequency") {
+    val pairs = SparkEntry.queries("bpe_merge_step")(spark, dir).collect()
+    assert(pairs.length == 20)
+    assert(pairs.forall(_.getAs[String]("pair").length == 2))
+    val freqs = pairs.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, "freq must be non-increasing")
+  }
+
+  test("inter-event gap count equals events minus (user, type) series") {
+    import org.apache.spark.sql.functions._
+    val gaps = SparkEntry.queries("inter_event_gaps")(spark, dir).collect()
+    // every (user, type) series of n events contributes exactly n-1 gaps
+    val ev = Tables.events(spark, dir)
+    val expected = ev.count() - ev.select("user_id", "event_type").distinct().count()
+    assert(gaps.map(_.getAs[Long]("n_gaps")).sum == expected)
+    assert(gaps.forall(r => r.getAs[Double]("p50_s") >= 0 && r.getAs[Double]("mean_s") >= 0))
+    assert(gaps.forall(r => r.getAs[Double]("p95_s") >= r.getAs[Double]("p50_s")))
+  }
+
   test("filter audit gate columns agree with the mix report's kept counts") {
     val audit = SparkEntry.queries("doc_filter_audit")(spark, dir).collect()
     assert(audit.length == graft.Tables.documents(spark, dir).count())
