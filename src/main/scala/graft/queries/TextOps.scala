@@ -71,8 +71,12 @@ object TextOps {
         sum(when(col("_bucket_n") > c, lit(1L)).otherwise(lit(0L))).as("n_hot_buckets"),
         sum(when(col("_bucket_n") > c, col("_bucket_n")).otherwise(lit(0L))).as("rows_dropped"),
         max(col("_bucket_n")).as("max_bucket"))
+    // shuffle-hash hint on the bucket-keys side: the semi join would
+    // otherwise plan as sort-merge and SORT the full banded relation a
+    // second time (its own pair join already sorts it once); hashing
+    // the one-row-per-bucket side probes the same exchange sort-free
     banded.join(
-      sizes.filter(col("_bucket_n") <= c).select(keys.map(col): _*),
+      sizes.filter(col("_bucket_n") <= c).select(keys.map(col): _*).hint("shuffle_hash"),
       keys, "left_semi")
   }
 
