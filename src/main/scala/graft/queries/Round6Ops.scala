@@ -210,16 +210,82 @@ object Round6Ops {
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** #97 apply the mixing weights — the missing bridge between
+    * corpus_mix_weights (which COMPUTES per-source sampling weights)
+    * and a training run (which needs the resampled corpus): each gated
+    * doc is emitted floor(weight) times plus one more iff a
+    * deterministic per-doc uniform (md5-derived, engine-portable)
+    * falls under the fractional part — the standard
+    * fractional-epoch upsampling rule, reproducible run to run.
+    * Output is the per-source resample card (docs in, copies out,
+    * tokens out, realized epoch rate). Scale shape: weights arrive by
+    * provably-bounded broadcast (#sources rows), the copy decision is
+    * a per-row map, and the card is one bounded (source) agg — the
+    * actual materialization (explode by n_copies) is a writer concern
+    * this card exactly predicts.
+    */
+  def corpusApplyMix(s: SparkSession, dir: String): DataFrame = {
+    // lineage-cut like corpus_mix_weights itself: the weights derive
+    // from a full gated scan that must not re-run per downstream use
+    val w = graft.Lineage.cut(
+      Round5Ops.corpusMixWeights(s, dir).select(col("source"), col("weight")))
+    val gated = Round5Ops.recipeGate(docs(s, dir))
+      .select(col("doc_id"), col("source"), col("n_words"))
+    val u = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long").cast("double") / lit(16777216.0)
+    gated
+      .join(broadcast(w), Seq("source")) // #sources rows by construction
+      .withColumn(
+        "n_copies",
+        floor(col("weight")) +
+          when(u < col("weight") - floor(col("weight")), lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("docs_in"),
+        sum(col("n_copies")).as("copies_out"),
+        sum(col("n_copies") * col("n_words")).as("tokens_out"))
+      .select(
+        col("source"), col("docs_in"), col("copies_out"), col("tokens_out"),
+        emit(col("copies_out").cast("double") / col("docs_in"), 4).as("epoch_rate"))
+      .orderBy(col("source"))
+  }
+
+  val corpusApplyMixSql: String =
+    s"""WITH wts AS (${Round5Ops.corpusMixWeightsSql}),
+       |gated AS (
+       |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_words
+       |  FROM documents
+       |  WHERE (${TextOps.bestLangSql}).lang = 'en'
+       |    AND len(string_split(text, ' ')) >= 30
+       |    AND len(list_distinct(string_split(text, ' '))) * 1.0
+       |        / len(string_split(text, ' ')) >= 0.3
+       |),
+       |c AS (
+       |  SELECT g.source, n_words,
+       |    CAST(floor(weight) AS BIGINT) +
+       |    CASE WHEN CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 6))
+       |              AS BIGINT) / 16777216.0 < weight - floor(weight)
+       |         THEN 1 ELSE 0 END AS n_copies
+       |  FROM gated g JOIN wts USING (source)
+       |)
+       |SELECT source, count(*) AS docs_in,
+       |  CAST(sum(n_copies) AS BIGINT) AS copies_out,
+       |  CAST(sum(n_copies * n_words) AS BIGINT) AS tokens_out,
+       |  CAST(round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4) AS DOUBLE) AS epoch_rate
+       |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
     "q4_order_priority" -> (q4OrderPriority(_, _)),
     "bpe_merge_step" -> (bpeMergeStep(_, _)),
-    "inter_event_gaps" -> (interEventGaps(_, _)))
+    "inter_event_gaps" -> (interEventGaps(_, _)),
+    "corpus_apply_mix" -> (corpusApplyMix(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "bpe_merge_step" -> bpeMergeStepSql,
-    "inter_event_gaps" -> interEventGapsSql)
+    "inter_event_gaps" -> interEventGapsSql,
+    "corpus_apply_mix" -> corpusApplyMixSql)
 }

@@ -493,6 +493,23 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(gaps.forall(r => r.getAs[Double]("p95_s") >= r.getAs[Double]("p50_s")))
   }
 
+  test("applied mix copies stay within the weight's floor/ceil band per source") {
+    val weights = SparkEntry.queries("corpus_mix_weights")(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    val card = SparkEntry.queries("corpus_apply_mix")(spark, dir).collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      val (src, in, out) =
+        (r.getAs[String]("source"), r.getAs[Long]("docs_in"), r.getAs[Long]("copies_out"))
+      val w = weights(src)
+      // every doc yields floor(w) or floor(w)+1 copies — the realized
+      // epoch rate can only live inside the weight's unit band
+      assert(out >= math.floor(w).toLong * in && out <= math.ceil(w).toLong * in,
+        s"$src: $out copies for $in docs under weight $w")
+      assert(r.getAs[Long]("tokens_out") >= 30L * out, "length gate broke on a resampled doc")
+    }
+  }
+
   test("filter audit gate columns agree with the mix report's kept counts") {
     val audit = SparkEntry.queries("doc_filter_audit")(spark, dir).collect()
     assert(audit.length == graft.Tables.documents(spark, dir).count())
