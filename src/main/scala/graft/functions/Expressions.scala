@@ -103,6 +103,9 @@ object Registry {
         registry.createOrReplaceTempFunction(name, builder, "built-in")
     ensure("graft_hamming", exprs => HammingDistance(exprs(0), exprs(1)))
     ensure("graft_dot", exprs => DotProduct(exprs(0), exprs(1)))
+    // k must be a literal: the buffer bound is fixed at plan time
+    ensure("graft_top_k", exprs =>
+      TopKPairs(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]))
   }
 
   /** Dot product of two ARRAY<DOUBLE> columns — the native codegen'd
@@ -115,4 +118,11 @@ object Registry {
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Bounded per-group top-k aggregate (score DESC, id ASC) — the
+    * native TopKPairs TypedImperativeAggregate; O(k) state per group,
+    * partial merge map-side (ObjectHashAggregate), no window sort.
+    */
+  def topK(score: Column, id: Column, k: Int): Column =
+    call_function("graft_top_k", score, id, lit(k))
 }

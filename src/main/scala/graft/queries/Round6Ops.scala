@@ -274,18 +274,46 @@ object Round6Ops {
        |  CAST(round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4) AS DOUBLE) AS epoch_rate
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** #98 the posts_per_user limit as a NATIVE bounded aggregate — the
+    * scale twin of limit_per_user (#11): the window row_number form
+    * exchanges AND SORTS every group's full row set to keep 3; the
+    * TopKPairs TypedImperativeAggregate (functions/TopKPairs.scala)
+    * carries an O(k) buffer that combines map-side, so the exchange
+    * moves at most k pairs per (partition, user) — the same answer at
+    * a per-group cost of O(n·k) compares instead of O(n log n) sort,
+    * and the plan is ObjectHashAggregate with NO window (plan-pinned).
+    * Same exact oracle as limit_per_user: identical output by
+    * construction (the ordering contract is the window's sort key).
+    */
+  def limitPerUserAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(graft.functions.Registry.topK(col("value"), col("event_id"), 3).as("top"))
+      .select(col("user_id"), explode(col("top")).as("e"))
+      .select(col("user_id"), col("e.id").as("event_id"), emit(col("e.score")).as("value"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id"))
+
+  val limitPerUserAggSql: String =
+    """SELECT user_id, event_id, CAST(round(value, 4) AS DOUBLE) AS value FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |                               ORDER BY value DESC, event_id) AS rn
+      |  FROM events
+      |) WHERE rn <= 3 ORDER BY user_id, value DESC, event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
     "q4_order_priority" -> (q4OrderPriority(_, _)),
     "bpe_merge_step" -> (bpeMergeStep(_, _)),
     "inter_event_gaps" -> (interEventGaps(_, _)),
-    "corpus_apply_mix" -> (corpusApplyMix(_, _)))
+    "corpus_apply_mix" -> (corpusApplyMix(_, _)),
+    "limit_per_user_agg" -> (limitPerUserAgg(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "bpe_merge_step" -> bpeMergeStepSql,
     "inter_event_gaps" -> interEventGapsSql,
-    "corpus_apply_mix" -> corpusApplyMixSql)
+    "corpus_apply_mix" -> corpusApplyMixSql,
+    "limit_per_user_agg" -> limitPerUserAggSql)
 }

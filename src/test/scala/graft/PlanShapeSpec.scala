@@ -103,6 +103,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bm25 plan has ${generates.size} Generate nodes (expected 2, both the tf explode)")
   }
 
+  test("native top-k per key aggregates with bounded state — no window sort") {
+    val plan = planOf("limit_per_user_agg")
+    assert(plan.contains("ObjectHashAggregate"), s"TopKPairs lost its object agg:\n${plan.take(1200)}")
+    assert(!plan.contains("Window"), "the native top-k must not fall back to a window")
+    assert(plan.toLowerCase.contains("topkpairs"),
+      "expected the TopKPairs aggregate in the plan")
+  }
+
   test("no driver-side collect hides in any catalog query plan") {
     // CollectLimit at the ROOT is fine (the final .limit the driver
     // reads); what must never appear is a LocalTableScan materialized

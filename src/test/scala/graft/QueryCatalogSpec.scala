@@ -493,6 +493,34 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(gaps.forall(r => r.getAs[Double]("p95_s") >= r.getAs[Double]("p50_s")))
   }
 
+  test("native top-k aggregate equals the window form on skew, ties and short groups") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // one hot user with 50k rows (including score TIES — the id
+    // tie-break must match the window's ORDER BY value DESC, id ASC),
+    // one user with fewer rows than k, one exactly at k
+    val hot = spark.range(0, 50000).select(
+      col("id").as("event_id"), lit(1L).as("user_id"), (col("id") % 100).cast("double").as("value"))
+    val short = Seq((100000L, 2L, 5.0), (100001L, 3L, 1.0), (100002L, 3L, 1.0), (100003L, 3L, 1.0))
+      .toDF("event_id", "user_id", "value")
+    val df = hot.unionByName(short)
+    val viaAgg = df.groupBy(col("user_id"))
+      .agg(graft.functions.Registry.topK(col("value"), col("event_id"), 3).as("top"))
+      .select(col("user_id"), explode(col("top")).as("e"))
+      .select(col("user_id"), col("e.id").as("event_id"), col("e.score").as("value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select(col("user_id"), col("event_id"), col("value"))
+    assert(viaAgg.count() == 3 + 1 + 3)
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty,
+      "native top-k diverged from the window form")
+    // the hot user's winners are the smallest ids among the 500 rows
+    // tied at the max value 99
+    val hotTop = viaAgg.filter(col("user_id") === 1L).orderBy(col("event_id")).collect()
+    assert(hotTop.map(_.getAs[Long]("event_id")).toSeq == Seq(99L, 199L, 299L), hotTop.mkString(","))
+  }
+
   test("applied mix copies stay within the weight's floor/ceil band per source") {
     val weights = SparkEntry.queries("corpus_mix_weights")(spark, dir).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
