@@ -300,6 +300,52 @@ object Round6Ops {
       |  FROM events
       |) WHERE rn <= 3 ORDER BY user_id, value DESC, event_id""".stripMargin
 
+  /** #25e sessionize via Spark's NATIVE session_window — the built-in
+    * gap-session operator beside the hand-rolled lag/cumsum islands
+    * (#25): one aggregation whose physical plan merges sessions
+    * in-sort (MergingSessions), no explicit window functions, and the
+    * SAME operator drops onto a stream unchanged. Boundary semantics
+    * MATCH #25 exactly: Spark merges ADJACENT windows (a gap of
+    * precisely the 30-min timeout still merges — planted test), which
+    * is the islands form's strict `> gap` split rule, so the two
+    * sessionizers are equivalent everywhere and the oracle keeps the
+    * `>` rule. No session_seq column: native windows are identified
+    * by their start time.
+    */
+  def sessionizeNative(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), emit(dsum(col("value"))).as("session_value"))
+      .select(
+        col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        (unix_millis(col("w.end")) - lit(1800000L)).as("session_end_ms"),
+        col("n_events"),
+        col("session_value"))
+      .orderBy(col("user_id"), col("session_start_ms"))
+
+  val sessionizeNativeSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      |), sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |  MIN(epoch_ms(ts)) AS session_start_ms,
+      |  MAX(epoch_ms(ts)) AS session_end_ms,
+      |  COUNT(*) AS n_events,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS session_value
+      |FROM sessions GROUP BY user_id, seq
+      |ORDER BY user_id, session_start_ms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -307,7 +353,8 @@ object Round6Ops {
     "bpe_merge_step" -> (bpeMergeStep(_, _)),
     "inter_event_gaps" -> (interEventGaps(_, _)),
     "corpus_apply_mix" -> (corpusApplyMix(_, _)),
-    "limit_per_user_agg" -> (limitPerUserAgg(_, _)))
+    "limit_per_user_agg" -> (limitPerUserAgg(_, _)),
+    "sessionize_native" -> (sessionizeNative(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
@@ -315,5 +362,6 @@ object Round6Ops {
     "bpe_merge_step" -> bpeMergeStepSql,
     "inter_event_gaps" -> interEventGapsSql,
     "corpus_apply_mix" -> corpusApplyMixSql,
-    "limit_per_user_agg" -> limitPerUserAggSql)
+    "limit_per_user_agg" -> limitPerUserAggSql,
+    "sessionize_native" -> sessionizeNativeSql)
 }

@@ -521,6 +521,33 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(hotTop.map(_.getAs[Long]("event_id")).toSeq == Seq(99L, 199L, 299L), hotTop.mkString(","))
   }
 
+  test("native session_window matches the islands form except at the exact-gap boundary") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // on real data (no exact 30:00.000 gaps) the two sessionizers agree
+    val native = SparkEntry.queries("sessionize_native")(spark, dir).collect()
+    val islands = SparkEntry.queries("sessionize")(spark, dir).collect()
+    assert(native.length == islands.length)
+    assert(
+      native.map(r => (r.getLong(0), r.getAs[Long]("session_start_ms"))).toSet ==
+        islands.map(r => (r.getLong(0), r.getAs[Long]("session_start_ms"))).toSet)
+    // planted EXACT 30-min gap: Spark merges ADJACENT session windows,
+    // so a gap of precisely the timeout still merges — the same strict
+    // `> gap` split rule as the islands form (pinned, so an upstream
+    // semantics change in session_window breaks loudly here)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val events = Seq(
+      (1L, 7L, base, 1.0),
+      (2L, 7L, new java.sql.Timestamp(base.getTime + 30 * 60 * 1000), 1.0),
+      (3L, 7L, new java.sql.Timestamp(base.getTime + 60 * 60 * 1000 + 1), 1.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val nativeSessions = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .count().count()
+    assert(nativeSessions == 2,
+      "session_window must merge the exact-gap pair and split the >gap one")
+  }
+
   test("applied mix copies stay within the weight's floor/ceil band per source") {
     val weights = SparkEntry.queries("corpus_mix_weights")(spark, dir).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
