@@ -290,7 +290,61 @@ object GraphOps {
        |SELECT count(*) AS n_triangles FROM wedges w
        |WHERE EXISTS (SELECT 1 FROM und WHERE und.a = w.a AND und.b = w.c)""".stripMargin
 
+  /** #58b (r6) global clustering coefficient — how clique-ish the
+    * follow graph is: 3·triangles / wedges, the standard transitivity
+    * ratio (Watts–Strogatz; the network-health number beside the raw
+    * triangle count). Triangles come from the verified #58 ordered
+    * enumeration; the wedge count is CLOSED-FORM from degrees
+    * (Σ d·(d−1)/2 — one degree agg over the undirected edge set, no
+    * wedge materialization), so the whole denominator costs one
+    * bounded aggregate and the two single-row sides meet by broadcast.
+    */
+  def graphClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val und = edges(s, dir)
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    triangleCount(s, dir)
+      .crossJoin(broadcast(wedges)) // single row
+      .select(
+        col("n_triangles"),
+        col("n_wedges"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(graft.OracleMath.emit(
+            lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
+          .as("clustering_coeff"))
+  }
+
+  val graphClusteringCoeffSql: String =
+    s"""WITH edges_raw AS ($edgesSql),
+       |und AS (
+       |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM edges_raw
+       |),
+       |deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und
+       |  ) GROUP BY v
+       |),
+       |w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg),
+       |wedges AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM und e1 JOIN und e2 ON e1.b = e2.a WHERE e1.b < e2.b
+       |),
+       |t AS (
+       |  SELECT count(*) AS n_triangles FROM wedges wg
+       |  WHERE EXISTS (SELECT 1 FROM und WHERE und.a = wg.a AND und.b = wg.c)
+       |)
+       |SELECT n_triangles, n_wedges,
+       |  CASE WHEN n_wedges = 0 THEN 0.0
+       |       ELSE CAST(round(3.0 * n_triangles / n_wedges, 6) AS DOUBLE) END AS clustering_coeff
+       |FROM t CROSS JOIN w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "graph_following" -> (graphFollowing(_, _)),
     "graph_2hop" -> (graph2hop(_, _)),
     "graph_mutuals" -> (graphMutuals(_, _)),
@@ -301,6 +355,7 @@ object GraphOps {
     "admin_stats" -> (adminStats(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "graph_clustering_coeff" -> graphClusteringCoeffSql,
     "graph_following" -> graphFollowingSql,
     "graph_2hop" -> graph2hopSql,
     "graph_mutuals" -> graphMutualsSql,

@@ -548,6 +548,17 @@ class QueryCatalogSpec extends AnyFunSuite {
       "session_window must merge the exact-gap pair and split the >gap one")
   }
 
+  test("clustering coefficient is the bounded transitivity ratio") {
+    val row = SparkEntry.queries("graph_clustering_coeff")(spark, dir).collect().head
+    val (t, w, c) =
+      (row.getAs[Long]("n_triangles"), row.getAs[Long]("n_wedges"),
+        row.getAs[Double]("clustering_coeff"))
+    // every triangle closes exactly 3 wedges, so 3t <= w and c in [0, 1]
+    assert(3 * t <= w, s"3x$t triangles exceed $w wedges")
+    assert(c >= 0.0 && c <= 1.0, s"coefficient $c out of range")
+    assert(t == SparkEntry.queries("triangle_count")(spark, dir).collect().head.getLong(0))
+  }
+
   test("applied mix copies stay within the weight's floor/ceil band per source") {
     val weights = SparkEntry.queries("corpus_mix_weights")(spark, dir).collect()
       .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
