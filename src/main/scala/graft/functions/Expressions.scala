@@ -106,6 +106,19 @@ object Registry {
     // k must be a literal: the buffer bound is fixed at plan time
     ensure("graft_top_k", exprs =>
       TopKPairs(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]))
+    // Spark's own runtime-filter machinery (BloomFilterAggregate /
+    // BloomFilterMightContain), lifted into SQL-callable names: the
+    // planner only injects these via InjectRuntimeFilter under size
+    // thresholds a local test corpus never meets, so the engine exposes
+    // the same expressions for EXPLICIT semi-join pruning — build a
+    // bloom over the dim keys in a scalar subquery, probe it on the
+    // fact side before the shuffle join. Fixed-size sketch state,
+    // map-side merge, exactly like the engine's other sketches.
+    ensure("graft_bloom_agg", exprs =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        exprs(0), exprs(1)))
+    ensure("graft_might_contain", exprs =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)))
   }
 
   /** Dot product of two ARRAY<DOUBLE> columns — the native codegen'd

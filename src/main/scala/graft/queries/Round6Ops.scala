@@ -346,6 +346,103 @@ object Round6Ops {
       |FROM sessions GROUP BY user_id, seq
       |ORDER BY user_id, session_start_ms""".stripMargin
 
+  /** #99 runtime_filtered_join — EXPLICIT Bloom-filter semi-join
+    * pruning, the engine-controlled twin of Spark's InjectRuntimeFilter
+    * (which only fires under planner size thresholds — a 100 TB fact
+    * table qualifies, but the decision belongs to the engine, not the
+    * heuristic): build a Bloom sketch over the FILTERED dim keys in a
+    * scalar subquery (`graft_bloom_agg`, Spark's own
+    * BloomFilterAggregate lifted into a SQL-callable name), probe it on
+    * the fact side (`graft_might_contain`) BEFORE the shuffle, then
+    * aggregate the survivors and inner-join the dim. False positives
+    * cost only wasted agg work — the inner join removes them — so the
+    * result is EXACT and the oracle is the plain join. Scale shape:
+    * the fact table sheds ~|dim-miss| rows at the scan stage (the
+    * sketch is a fixed-size broadcast, built map-side-mergeable like
+    * the engine's other sketches), the per-supplier agg combines
+    * map-side, and only matching groups reach the join exchange.
+    */
+  def runtimeFilteredJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.Registry.registerAll(s) // idempotent; Verify/Bench sessions arrive tuned
+    Tables.lineitem(s, dir).createOrReplaceTempView("rfj_lineitem")
+    Tables.supplier(s, dir).createOrReplaceTempView("rfj_supplier")
+    val pruned = s.sql(
+      """SELECT l_suppkey, l_extendedprice, l_discount FROM rfj_lineitem
+        |WHERE graft_might_contain(
+        |  (SELECT graft_bloom_agg(xxhash64(s_suppkey), 10000L)
+        |   FROM rfj_supplier WHERE s_nationkey < 5),
+        |  xxhash64(l_suppkey))""".stripMargin)
+    pruned
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        emit(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .join(
+        Tables.supplier(s, dir).filter(col("s_nationkey") < 5),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_lines"), col("revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val runtimeFilteredJoinSql: String =
+    """SELECT s_suppkey, s_name, count(*) AS n_lines,
+      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE s_nationkey < 5
+      |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
+
+  /** #100 TPC-H Q21 (suppliers who kept orders waiting): for finished
+    * orders shipped by at least two suppliers, find the supplier who
+    * was the SOLE late shipper — the classic EXISTS / NOT-EXISTS pair.
+    * The reference-era formulation self-joins lineitem twice; here both
+    * quantifiers COLLAPSE into one per-order aggregate pass: count
+    * distinct suppliers, count distinct LATE suppliers, and remember
+    * the late supplier when there is exactly one (max over a
+    * single-element set). "Late" reuses q4's stand-in (shipped > 30
+    * days after the order date — the synthetic schema carries no
+    * commit/receipt dates). Scale shape: ONE shuffle on l_orderkey
+    * (the join to orders and the per-order agg share it), a bounded
+    * count-distinct expand (2 keys), the supplier name join is
+    * AQE-broadcast, and the final top-20 is TakeOrderedAndProject.
+    */
+  def q21WaitingSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS")
+    val perOrder = Tables.lineitem(s, dir)
+      .join(
+        Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+        max(when(late, col("l_suppkey"))).as("late_supp"))
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+    perOrder
+      .join(Tables.supplier(s, dir), col("late_supp") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  val q21WaitingSuppliersSql: String =
+    """WITH per_order AS (
+      |  SELECT l_orderkey,
+      |    count(DISTINCT l_suppkey) AS n_supp,
+      |    count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |                        THEN l_suppkey END) AS n_late,
+      |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+      |             THEN l_suppkey END) AS late_supp
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY l_orderkey
+      |)
+      |SELECT s_name, count(*) AS numwait
+      |FROM per_order JOIN supplier ON late_supp = s_suppkey
+      |WHERE n_supp >= 2 AND n_late = 1
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -354,7 +451,9 @@ object Round6Ops {
     "inter_event_gaps" -> (interEventGaps(_, _)),
     "corpus_apply_mix" -> (corpusApplyMix(_, _)),
     "limit_per_user_agg" -> (limitPerUserAgg(_, _)),
-    "sessionize_native" -> (sessionizeNative(_, _)))
+    "sessionize_native" -> (sessionizeNative(_, _)),
+    "runtime_filtered_join" -> (runtimeFilteredJoin(_, _)),
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
@@ -363,5 +462,7 @@ object Round6Ops {
     "inter_event_gaps" -> interEventGapsSql,
     "corpus_apply_mix" -> corpusApplyMixSql,
     "limit_per_user_agg" -> limitPerUserAggSql,
-    "sessionize_native" -> sessionizeNativeSql)
+    "sessionize_native" -> sessionizeNativeSql,
+    "runtime_filtered_join" -> runtimeFilteredJoinSql,
+    "q21_waiting_suppliers" -> q21WaitingSuppliersSql)
 }

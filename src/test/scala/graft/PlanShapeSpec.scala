@@ -111,6 +111,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "expected the TopKPairs aggregate in the plan")
   }
 
+  test("runtime-filtered join probes the bloom before the shuffle") {
+    val plan = planOf("runtime_filtered_join")
+    assert(plan.contains("might_contain"),
+      s"expected the explicit bloom probe in the executed plan:\n${plan.take(1200)}")
+    // the probe must sit in the fact-side filter, not after the join:
+    // the Filter node carrying might_contain appears below the join
+    val probeIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "bloom probe should be on the scan side, below the join in the plan tree")
+  }
+
   test("no driver-side collect hides in any catalog query plan") {
     // CollectLimit at the ROOT is fine (the final .limit the driver
     // reads); what must never appear is a LocalTableScan materialized

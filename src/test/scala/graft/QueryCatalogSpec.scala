@@ -1075,4 +1075,27 @@ class QueryCatalogSpec extends AnyFunSuite {
       graft.functions.Registry.hamming(lit(0xFFL), lit(0x0FL)).as("h"))
     assert(df.head().getLong(0) == 4L)
   }
+
+  test("bloom-pruned join equals the plain join exactly") {
+    import org.apache.spark.sql.functions._
+    val pruned = SparkEntry.queries("runtime_filtered_join")(spark, dir)
+    val plain = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir).filter(col("s_nationkey") < 5),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_lines"))
+      .select(col("s_suppkey"), col("s_name"), col("n_lines"))
+    val prunedKeys = pruned.select("s_suppkey", "s_name", "n_lines")
+    assert(prunedKeys.except(plain).isEmpty && plain.except(prunedKeys).isEmpty,
+      "bloom false positives must never change the joined result")
+  }
+
+  test("q21 sole-late-supplier orders are genuine multi-supplier orders") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val waits = rows.map(_.getAs[Long]("numwait")).toSeq
+    assert(waits == waits.sortBy(-_), "numwait must be sorted descending")
+    assert(rows.map(_.getAs[String]("s_name")).distinct.length == rows.length)
+  }
 }
