@@ -443,6 +443,90 @@ object Round6Ops {
       |WHERE n_supp >= 2 AND n_late = 1
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** #101 scd2_history — the warehouse slowly-changing-dimension
+    * (type 2) build: compress an update stream into attribute validity
+    * intervals. The tracked attribute is the user's k-tier (props.k
+    * div 50 — the codegen'd JSON getter #31 proved engine-portable);
+    * consecutive same-tier updates collapse, each change opens an
+    * interval [valid_from, valid_to) and closes its predecessor, the
+    * open interval is flagged current. This is the dimension-table
+    * maintenance pattern every warehouse load runs nightly — the batch
+    * twin of the streaming upsert stores (#45/#48b). Scale shape: both
+    * windows partition on user_id (fine keys, millions of users at
+    * 100 TB — skew-safe), the change filter drops ~all rows BEFORE the
+    * second window touches them, and nothing shuffles twice: lag and
+    * lead share the user_id hash partitioning (one exchange, two
+    * in-partition sorts).
+    */
+  def scd2History(s: SparkSession, dir: String): DataFrame = {
+    val wUpd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wIv = Window.partitionBy(col("user_id")).orderBy(col("valid_from_ms"))
+    Tables.events(s, dir)
+      .select(
+        col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) div 50").as("tier"))
+      .withColumn("prev_tier", lag(col("tier"), 1).over(wUpd))
+      .filter(col("prev_tier").isNull || col("prev_tier") =!= col("tier"))
+      .select(col("user_id"), col("tier"), unix_millis(col("ts")).as("valid_from_ms"))
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wIv))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .orderBy(col("user_id"), col("valid_from_ms"), col("tier"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH upd AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) // 50 AS tier
+      |  FROM events
+      |), flagged AS (
+      |  SELECT user_id, tier, epoch_ms(ts) AS valid_from_ms,
+      |    lag(tier) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_tier
+      |  FROM upd
+      |), changes AS (
+      |  SELECT user_id, tier, valid_from_ms FROM flagged
+      |  WHERE prev_tier IS NULL OR prev_tier <> tier
+      |)
+      |SELECT user_id, tier, valid_from_ms,
+      |  lead(valid_from_ms) OVER w AS valid_to_ms,
+      |  (lead(valid_from_ms) OVER w IS NULL) AS is_current
+      |FROM changes
+      |WINDOW w AS (PARTITION BY user_id ORDER BY valid_from_ms)
+      |ORDER BY user_id, valid_from_ms, tier""".stripMargin
+
+  /** #102 corpus_weighted_sample — fixed-size weighted sample WITHOUT
+    * replacement (Efraimidis–Spirakis A-Res, IPL 2006): each doc draws
+    * a deterministic md5 uniform u and is ranked by u^(1/w) with
+    * w = n_chars, so selection probability is proportional to size —
+    * the "sample by tokens, not by docs" rule a training-mix pipeline
+    * needs (uniform doc sampling over-represents short docs; #69
+    * corpus_sample is the per-source RATE sampler, this is the
+    * fixed-BUDGET weighted one). Ranked on the monotone transform
+    * ln(u)/w (scaled ×1e6, rounded 6dp — both engines round the same
+    * bits; ln proven portable like pow in score_hn), tie-broken on
+    * doc_id. Scale shape: the key is a per-row map over the scan and
+    * top-k is TakeOrderedAndProject — no shuffle at any size, and the
+    * same key makes a streaming weighted reservoir (A-Res IS the
+    * reservoir rule; keep the k largest keys as docs arrive).
+    */
+  def corpusWeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(16777216.0)
+    docs(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(
+        col("doc_id"), col("source"), col("n_chars"),
+        emit(log(u) * lit(1000000.0) / col("n_chars"), 6).as("es_key"))
+      .orderBy(col("es_key").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  val corpusWeightedSampleSql: String =
+    """SELECT doc_id, source, n_chars,
+      |  CAST(round(ln((CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+      |             / 16777216.0) * 1000000.0 / n_chars, 6) AS DOUBLE) AS es_key
+      |FROM documents WHERE n_chars > 0
+      |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -453,7 +537,9 @@ object Round6Ops {
     "limit_per_user_agg" -> (limitPerUserAgg(_, _)),
     "sessionize_native" -> (sessionizeNative(_, _)),
     "runtime_filtered_join" -> (runtimeFilteredJoin(_, _)),
-    "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)))
+    "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)),
+    "scd2_history" -> (scd2History(_, _)),
+    "corpus_weighted_sample" -> (corpusWeightedSample(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
@@ -464,5 +550,7 @@ object Round6Ops {
     "limit_per_user_agg" -> limitPerUserAggSql,
     "sessionize_native" -> sessionizeNativeSql,
     "runtime_filtered_join" -> runtimeFilteredJoinSql,
-    "q21_waiting_suppliers" -> q21WaitingSuppliersSql)
+    "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
+    "scd2_history" -> scd2HistorySql,
+    "corpus_weighted_sample" -> corpusWeightedSampleSql)
 }

@@ -1090,6 +1090,41 @@ class QueryCatalogSpec extends AnyFunSuite {
       "bloom false positives must never change the joined result")
   }
 
+  test("scd2 intervals chain per user with exactly one current row") {
+    import org.apache.spark.sql.functions._
+    val iv = SparkEntry.queries("scd2_history")(spark, dir)
+    // one open (current) interval per user, and it is the LAST one
+    val perUser = iv.groupBy("user_id").agg(
+      count(lit(1)).as("n"),
+      sum(when(col("is_current"), 1L).otherwise(0L)).as("n_open"),
+      max(col("valid_from_ms")).as("max_from"),
+      max(when(col("is_current"), col("valid_from_ms"))).as("open_from"))
+    assert(perUser.filter(col("n_open") =!= 1).count() == 0, "every user has exactly one open interval")
+    assert(perUser.filter(col("max_from") =!= col("open_from")).count() == 0,
+      "the open interval must be the latest one")
+    // closed intervals chain: valid_to equals the next interval's valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("valid_from_ms"))
+    val chained = iv.withColumn("next_from", lead(col("valid_from_ms"), 1).over(w))
+    assert(chained.filter(col("valid_to_ms") =!= col("next_from")).count() == 0,
+      "intervals must tile the timeline with no gaps or overlaps")
+    // consecutive intervals always change the tier (compression worked)
+    assert(chained.withColumn("next_tier", lead(col("tier"), 1).over(w))
+      .filter(col("next_tier").isNotNull && col("next_tier") === col("tier")).count() == 0,
+      "adjacent intervals with the same tier should have been merged")
+  }
+
+  test("weighted sample is biased toward larger docs and is deterministic") {
+    import org.apache.spark.sql.functions._
+    val sample = SparkEntry.queries("corpus_weighted_sample")(spark, dir)
+    val sampleMean = sample.agg(avg(col("n_chars"))).head().getDouble(0)
+    val corpusMean = Tables.documents(spark, dir).agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      f"size-weighted sample should skew large: sample $sampleMean%.1f vs corpus $corpusMean%.1f")
+    val again = SparkEntry.queries("corpus_weighted_sample")(spark, dir)
+    assert(sample.collect().toSeq == again.collect().toSeq, "sample must be reproducible")
+  }
+
   test("q21 sole-late-supplier orders are genuine multi-supplier orders") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, dir).collect()
