@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{OracleMath, Tables}
+import graft.functions.Registry
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -527,6 +528,121 @@ object Round6Ops {
       |FROM documents WHERE n_chars > 0
       |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
 
+  /** #103 embed_pq_knn — product-quantization ANN (Jégou et al. 2011,
+    * "Product Quantization for Nearest Neighbor Search"): split the
+    * 64-dim space into m=8 subspaces, quantize each subvector to its
+    * nearest of k=16 codebook centroids, and rank neighbors by the
+    * ASYMMETRIC score — the query stays full-precision and its
+    * per-(subspace, centroid) dot products form a lookup table, so a
+    * database vector's score is 8 table lookups summed, never a
+    * 64-dim dot. The memory story at 100 TB: 8 code bytes per vector
+    * versus 256 embedding bytes — a 32× cut in what the search tier
+    * holds hot. Codebook here is sampled (the 16 md5-ranked donor
+    * vectors' own subvectors — deterministic, engine-portable; a
+    * trained variant would swap in embed_kmeans_report's Lloyd's
+    * machinery). Every piece keeps the catalog's scale contracts:
+    * donors via TakeOrderedAndProject (top-16, no global sort), the
+    * 128-row codebook and 640-row query table move by PROVABLY-BOUNDED
+    * broadcast, code assignment is a min_by aggregate with map-side
+    * combine (never a row_number window over vec_id — the r5 rule),
+    * the score agg combines its 8 partials map-side, and the final
+    * top-10 is the native bounded TopKPairs aggregate. Exact oracle:
+    * dots are bit-identical (sequential fold both engines), the
+    * argmin compares those bits with a centroid-id tie-break, and the
+    * 8-way sum is order-independent through DECIMAL(38,12).
+    */
+  def embedPqKnn(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val subs = e
+      .select(col("vec_id"), col("emb"), explode(sequence(lit(0), lit(7))).as("s"))
+      .select(col("vec_id"), col("s"), expr("slice(emb, s*8+1, 8)").as("v"))
+    val donors = e
+      .withColumn("h", md5(concat(lit("pq:"), col("vec_id").cast("string"))))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(16)
+    // row_number on the post-limit 16-row frame only: bounded by
+    // construction, never a window over the full vector set. The
+    // codebook feeds BOTH the encode join and the query table — cut
+    // its lineage so the donor top-16 runs once, not once per use
+    // (three duplicated scans of the full table otherwise).
+    val cent = graft.Lineage.cut(donors
+      .withColumn("j", row_number().over(Window.orderBy(col("h"), col("vec_id"))))
+      .select(col("j"), explode(sequence(lit(0), lit(7))).as("s"), col("emb"))
+      .select(col("j"), col("s"), expr("slice(emb, s*8+1, 8)").as("c")))
+    val codes = subs
+      .join(broadcast(cent), Seq("s")) // 8*16 = 128 rows by construction
+      .withColumn(
+        "d2",
+        Registry.dot(col("v"), col("v")) - lit(2.0) * Registry.dot(col("v"), col("c")) +
+          Registry.dot(col("c"), col("c")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("j"), struct(col("d2"), col("j"))).as("code"))
+    val qd = subs
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("s").as("qs"), col("v"))
+      .join(broadcast(cent), col("qs") === cent("s"))
+      .select(col("query_id"), col("qs"), col("j"), Registry.dot(col("v"), col("c")).as("qdot"))
+    codes
+      .join(
+        broadcast(qd), // 5 queries * 128 = 640 rows by construction
+        col("s") === col("qs") && col("code") === col("j") &&
+          col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(emit(sum(col("qdot").cast(Dec12)), 6).as("pq_score"))
+      .groupBy(col("query_id"))
+      .agg(Registry.topK(col("pq_score"), col("vec_id"), 10).as("top"))
+      .select(col("query_id"), explode(col("top")).as("t"))
+      .select(col("query_id"), col("t.id").as("vec_id"), col("t.score").as("pq_score"))
+      .orderBy(col("query_id"), col("pq_score").desc, col("vec_id"))
+  }
+
+  val embedPqKnnSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |),
+      |donors AS (
+      |  SELECT row_number() OVER (
+      |    ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id) AS j, emb
+      |  FROM e
+      |  ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      |),
+      |cent AS (
+      |  SELECT j, s, emb[s*8+1 : s*8+8] AS c FROM donors, range(0, 8) t(s)
+      |),
+      |sub AS (
+      |  SELECT vec_id, s, emb[s*8+1 : s*8+8] AS v FROM e, range(0, 8) t(s)
+      |),
+      |codes AS (
+      |  SELECT vec_id, s, j AS code FROM (
+      |    SELECT sub.vec_id, sub.s, cent.j,
+      |      row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |        ORDER BY list_dot_product(v, v) - 2 * list_dot_product(v, c)
+      |                 + list_dot_product(c, c), cent.j) AS rn
+      |    FROM sub JOIN cent ON sub.s = cent.s
+      |  ) WHERE rn = 1
+      |),
+      |qd AS (
+      |  SELECT q.vec_id AS query_id, cent.s, cent.j,
+      |    list_dot_product(q.v, cent.c) AS qdot
+      |  FROM sub q JOIN cent ON q.s = cent.s
+      |  WHERE q.vec_id < 5
+      |),
+      |scored AS (
+      |  SELECT qd.query_id, codes.vec_id,
+      |    CAST(round(SUM(CAST(qdot AS DECIMAL(38,12))), 6) AS DOUBLE) AS pq_score
+      |  FROM codes JOIN qd ON codes.s = qd.s AND codes.code = qd.j
+      |  WHERE codes.vec_id <> qd.query_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT query_id, vec_id, pq_score FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY pq_score DESC, vec_id) AS rn
+      |  FROM scored
+      |) WHERE rn <= 10
+      |ORDER BY query_id, pq_score DESC, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -539,7 +655,8 @@ object Round6Ops {
     "runtime_filtered_join" -> (runtimeFilteredJoin(_, _)),
     "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)),
     "scd2_history" -> (scd2History(_, _)),
-    "corpus_weighted_sample" -> (corpusWeightedSample(_, _)))
+    "corpus_weighted_sample" -> (corpusWeightedSample(_, _)),
+    "embed_pq_knn" -> (embedPqKnn(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
@@ -552,5 +669,6 @@ object Round6Ops {
     "runtime_filtered_join" -> runtimeFilteredJoinSql,
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "scd2_history" -> scd2HistorySql,
-    "corpus_weighted_sample" -> corpusWeightedSampleSql)
+    "corpus_weighted_sample" -> corpusWeightedSampleSql,
+    "embed_pq_knn" -> embedPqKnnSql)
 }

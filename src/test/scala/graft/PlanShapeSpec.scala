@@ -123,6 +123,19 @@ class PlanShapeSpec extends AnyFunSuite {
       "bloom probe should be on the scan side, below the join in the plan tree")
   }
 
+  test("pq knn keeps its scale shape: one bounded window, aggregate argmin, native top-k") {
+    val plan = planOf("embed_pq_knn")
+    // the only window (the 16-row donor numbering) lives inside the
+    // one-time lineage-cut codebook build; the MAIN plan — encode,
+    // score, top-k over the full vector set — must be window-free
+    val windows = plan.split("\n").count(_.contains("Window ["))
+    assert(windows == 0, s"main plan must be window-free, found $windows")
+    assert(plan.contains("min_by"), "code assignment lost its aggregate argmin")
+    assert(plan.toLowerCase.contains("topkpairs"), "final top-10 lost the native bounded aggregate")
+    // (the donor TakeOrderedAndProject sits inside the cut codebook
+    // subplan, so it is deliberately absent from the main plan)
+  }
+
   test("no driver-side collect hides in any catalog query plan") {
     // CollectLimit at the ROOT is fine (the final .limit the driver
     // reads); what must never appear is a LocalTableScan materialized

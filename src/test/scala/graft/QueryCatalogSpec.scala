@@ -1125,6 +1125,21 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(sample.collect().toSeq == again.collect().toSeq, "sample must be reproducible")
   }
 
+  test("pq knn is complete per query, self-free, and beats random recall") {
+    val pq = SparkEntry.queries("embed_pq_knn")(spark, dir).collect()
+    assert(pq.length == 50, s"expected 5 queries x 10 neighbors, got ${pq.length}")
+    val perQuery = pq.groupBy(_.getAs[Long]("query_id")).view.mapValues(_.length).toMap
+    assert(perQuery.values.forall(_ == 10) && perQuery.size == 5)
+    assert(!pq.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")), "self match leaked")
+    // a 16-centroid sampled codebook is lossy, but must still carry
+    // signal: random top-10s overlap the exact top-10s ~1 pair in 50
+    val exact = SparkEntry.queries("embed_knn")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val overlap = pq.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      .count(exact.contains)
+    assert(overlap >= 5, s"PQ recall collapsed to chance: $overlap/50 overlap with exact kNN")
+  }
+
   test("q21 sole-late-supplier orders are genuine multi-supplier orders") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, dir).collect()
