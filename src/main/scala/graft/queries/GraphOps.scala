@@ -343,8 +343,38 @@ object GraphOps {
        |       ELSE CAST(round(3.0 * n_triangles / n_wedges, 6) AS DOUBLE) END AS clustering_coeff
        |FROM t CROSS JOIN w""".stripMargin
 
+  /** #58c (r6) degree distribution — the log2-bucketed out-degree
+    * histogram (the first diagnostic anyone runs on a social graph:
+    * is it power-law, where does the influencer tail start, what cap
+    * do per-key operators need). Bucket = floor(log2(deg))+1 computed
+    * as length(bin(deg)) — pure integer/string arithmetic, identical
+    * in both engines, no floating log at the bucket boundary. Scale
+    * shape: one degree agg on src (map-side combine), one BOUNDED
+    * bucket agg (≤ 64 buckets at any input size).
+    */
+  def graphDegreeDistribution(s: SparkSession, dir: String): DataFrame =
+    edges(s, dir)
+      .select(col("src"), col("dst"))
+      .distinct()
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("deg"))
+      .groupBy(length(bin(col("deg"))).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+      .orderBy(col("bucket"))
+
+  val graphDegreeDistributionSql: String =
+    s"""WITH edges AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)
+       |SELECT CAST(length(bin(deg)) AS INT) AS bucket, count(*) AS n_users,
+       |  min(deg) AS min_deg, max(deg) AS max_deg
+       |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
+    "graph_degree_distribution" -> (graphDegreeDistribution(_, _)),
     "graph_following" -> (graphFollowing(_, _)),
     "graph_2hop" -> (graph2hop(_, _)),
     "graph_mutuals" -> (graphMutuals(_, _)),
@@ -356,6 +386,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "graph_clustering_coeff" -> graphClusteringCoeffSql,
+    "graph_degree_distribution" -> graphDegreeDistributionSql,
     "graph_following" -> graphFollowingSql,
     "graph_2hop" -> graph2hopSql,
     "graph_mutuals" -> graphMutualsSql,

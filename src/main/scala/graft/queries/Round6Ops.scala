@@ -643,6 +643,135 @@ object Round6Ops {
       |) WHERE rn <= 10
       |ORDER BY query_id, pq_score DESC, vec_id""".stripMargin
 
+  /** #104 event_paths — behavioral path mining: the top-20 most common
+    * 3-step event-type sequences across all users (the "what do people
+    * actually do" view behind funnel design — funnel_stages (#24b)
+    * checks ONE hypothesized order; this discovers the orders worth
+    * hypothesizing). Consecutive-event trigrams via two lags per user
+    * (fine partition keys, skew-safe — the same window family as
+    * inter_event_gaps), then a count agg with map-side combine over a
+    * bounded key space (|types|³ ≤ 125 here) and top-20 as
+    * TakeOrderedAndProject.
+    */
+  def eventPaths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .withColumn("t2", lag(col("event_type"), 1).over(w))
+      .filter(col("t1").isNotNull)
+      .select(concat_ws(">", col("t1"), col("t2"), col("event_type")).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val eventPathsSql: String =
+    """WITH laggy AS (
+      |  SELECT
+      |    lag(event_type, 2) OVER w AS t1,
+      |    lag(event_type, 1) OVER w AS t2,
+      |    event_type AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |)
+      |SELECT t1 || '>' || t2 || '>' || t3 AS path, count(*) AS n
+      |FROM laggy WHERE t1 IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  /** #105 rolling_window_range — the TIME-RANGE sliding window frame
+    * (#24 window_running covers cumulative and row-count frames; this
+    * is the third frame kind, RANGE over event time): for each
+    * purchase, the user's trailing-7-day purchase value and count.
+    * RANGE frames are tie-exact — all rows sharing a timestamp join
+    * the frame together, so the result is deterministic without a
+    * tie-break column, unlike ROWS frames. Scale shape: one window per
+    * user_id (fine keys), the event-type filter is pushed to the scan,
+    * and the frame is evaluated by a sliding aggregate over the
+    * in-partition sort — no self-join materialization of the 7-day
+    * neighborhood (the range_join form (#30) would build n×window
+    * rows; the frame holds O(window) running state instead).
+    */
+  def rollingWindowRange(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_s"))
+      .rangeBetween(-7L * 86400 + 1, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"), col("event_id"),
+        expr("unix_millis(ts) div 1000").as("ts_s"), col("value"))
+      .select(
+        col("user_id"), col("event_id"), col("ts_s"),
+        emit(sum(col("value").cast(Dec)).over(w)).as("w7_value"),
+        count(lit(1)).over(w).as("w7_n"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val rollingWindowRangeSql: String =
+    """SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w7, 4) AS DOUBLE) AS w7_value,
+      |  COUNT(*) OVER w7 AS w7_n
+      |FROM events WHERE event_type = 'purchase'
+      |WINDOW w7 AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+      |              RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** #106 orders_rfm — RFM customer segmentation (the classic
+    * warehouse marketing cut): per customer recency (days since last
+    * order at the dataset horizon), frequency (order count), monetary
+    * (total spend), each split at its GLOBAL median into 8 segments
+    * (R/r × F/f × M/m). The medians are a single-row broadcast — the
+    * score_normalize pattern — so segmentation is a per-row map, never
+    * an ntile/percent_rank window over the full customer set (a global
+    * sort that breaks at 100 TB). Median parity via the proven
+    * percentile/quantile_cont device on exact-decimal-derived doubles.
+    */
+  def ordersRfm(s: SparkSession, dir: String): DataFrame = {
+    val horizon = to_timestamp(lit("1998-01-01 00:00:00"))
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(horizon, max(col("o_orderdate"))).as("recency_d"),
+        count(lit(1)).as("frequency"),
+        emit(dsum(col("o_totalprice"))).as("monetary"))
+    val meds = perCust.agg(
+      expr("percentile(recency_d, 0.5)").as("med_r"),
+      expr("percentile(frequency, 0.5)").as("med_f"),
+      expr("percentile(monetary, 0.5)").as("med_m"))
+    perCust
+      .crossJoin(broadcast(meds)) // single row by construction
+      .select(
+        col("o_custkey"), col("recency_d"), col("frequency"), col("monetary"),
+        concat(
+          // LOW recency (recent buyers) is the good half: R
+          when(col("recency_d") <= col("med_r"), lit("R")).otherwise(lit("r")),
+          when(col("frequency") >= col("med_f"), lit("F")).otherwise(lit("f")),
+          when(col("monetary") >= col("med_m"), lit("M")).otherwise(lit("m"))).as("segment"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val ordersRfmSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey,
+      |    datediff('day', max(o_orderdate), TIMESTAMP '1998-01-01 00:00:00') AS recency_d,
+      |    count(*) AS frequency,
+      |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS monetary
+      |  FROM orders GROUP BY o_custkey
+      |),
+      |meds AS (
+      |  SELECT quantile_cont(recency_d, 0.5) AS med_r,
+      |    quantile_cont(frequency, 0.5) AS med_f,
+      |    quantile_cont(monetary, 0.5) AS med_m
+      |  FROM per_cust
+      |)
+      |SELECT o_custkey, recency_d, frequency, monetary,
+      |  (CASE WHEN recency_d <= med_r THEN 'R' ELSE 'r' END) ||
+      |  (CASE WHEN frequency >= med_f THEN 'F' ELSE 'f' END) ||
+      |  (CASE WHEN monetary >= med_m THEN 'M' ELSE 'm' END) AS segment
+      |FROM per_cust CROSS JOIN meds
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -656,7 +785,10 @@ object Round6Ops {
     "q21_waiting_suppliers" -> (q21WaitingSuppliers(_, _)),
     "scd2_history" -> (scd2History(_, _)),
     "corpus_weighted_sample" -> (corpusWeightedSample(_, _)),
-    "embed_pq_knn" -> (embedPqKnn(_, _)))
+    "embed_pq_knn" -> (embedPqKnn(_, _)),
+    "event_paths" -> (eventPaths(_, _)),
+    "rolling_window_range" -> (rollingWindowRange(_, _)),
+    "orders_rfm" -> (ordersRfm(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
@@ -670,5 +802,8 @@ object Round6Ops {
     "q21_waiting_suppliers" -> q21WaitingSuppliersSql,
     "scd2_history" -> scd2HistorySql,
     "corpus_weighted_sample" -> corpusWeightedSampleSql,
-    "embed_pq_knn" -> embedPqKnnSql)
+    "embed_pq_knn" -> embedPqKnnSql,
+    "event_paths" -> eventPathsSql,
+    "rolling_window_range" -> rollingWindowRangeSql,
+    "orders_rfm" -> ordersRfmSql)
 }

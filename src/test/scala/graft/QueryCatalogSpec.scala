@@ -1140,6 +1140,63 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(overlap >= 5, s"PQ recall collapsed to chance: $overlap/50 overlap with exact kNN")
   }
 
+  test("event path trigram counts conserve the per-user event totals") {
+    import org.apache.spark.sql.functions._
+    val paths = SparkEntry.queries("event_paths")(spark, dir).collect()
+    assert(paths.nonEmpty && paths.length <= 20)
+    val ns = paths.map(_.getAs[Long]("n")).toSeq
+    assert(ns == ns.sortBy(-_), "paths must rank by count desc")
+    // every user with k events contributes exactly max(0, k-2) trigrams;
+    // the UNLIMITED path histogram must sum to that total
+    val expected = Tables.events(spark, dir).groupBy("user_id").count()
+      .agg(sum(greatest(col("count") - 2, lit(0L)))).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val total = Tables.events(spark, dir)
+      .withColumn("t1", lag(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull).count()
+    assert(total == expected, s"trigram total $total != expected $expected")
+  }
+
+  test("rolling range window accumulates within seven days only") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("rolling_window_range")(spark, dir)
+    assert(df.filter(col("w7_n") < 1).count() == 0, "current row always in its own frame")
+    assert(df.filter(col("w7_n") > 1).count() > 0, "window never accumulated — frame suspect")
+    // a frame can never hold more than the user's total purchases
+    val over = df.join(
+      df.groupBy("user_id").agg(count(lit(1)).as("tot")), Seq("user_id"))
+      .filter(col("w7_n") > col("tot")).count()
+    assert(over == 0)
+  }
+
+  test("rfm covers every customer once with a near-median split") {
+    import org.apache.spark.sql.functions._
+    val rfm = SparkEntry.queries("orders_rfm")(spark, dir)
+    val nCust = Tables.orders(spark, dir).select("o_custkey").distinct().count()
+    assert(rfm.count() == nCust, "one segment row per ordering customer")
+    val valid = for (r <- Seq("R", "r"); f <- Seq("F", "f"); m <- Seq("M", "m")) yield r + f + m
+    assert(rfm.filter(!col("segment").isin(valid: _*)).count() == 0)
+    // median splits put roughly half the customers in each half
+    val rHigh = rfm.filter(col("segment").startsWith("R")).count().toDouble / nCust
+    assert(rHigh > 0.25 && rHigh < 0.75, s"recency split badly skewed: $rHigh")
+  }
+
+  test("degree histogram buckets tile powers of two and conserve users") {
+    import org.apache.spark.sql.functions._
+    val h = SparkEntry.queries("graph_degree_distribution")(spark, dir).collect()
+    assert(h.nonEmpty)
+    for (r <- h) {
+      val b = r.getAs[Int]("bucket")
+      val lo = 1L << (b - 1)
+      val hi = (1L << b) - 1
+      assert(r.getAs[Long]("min_deg") >= lo && r.getAs[Long]("max_deg") <= hi,
+        s"bucket $b holds degrees outside [$lo, $hi]")
+    }
+    val users = h.map(_.getAs[Long]("n_users")).sum
+    assert(users > 0 && users <= 150, s"$users bucketed users exceed the 150-node graph")
+  }
+
   test("q21 sole-late-supplier orders are genuine multi-supplier orders") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, dir).collect()
