@@ -772,6 +772,134 @@ object Round6Ops {
       |FROM per_cust CROSS JOIN meds
       |ORDER BY o_custkey""".stripMargin
 
+  /** #107 q22_missed_opportunity — the TPC-H Q22 shape: well-funded
+    * customers (balance above the positive-balance average of their
+    * market slice) with no RECENT order (none since 2001 — the
+    * synthetic generator gives every customer SOME order, so the
+    * "never ordered" original would be empty; lapsed-buyer is the
+    * same plan with a pushed date filter), counted per nation. The
+    * scalar-subquery + ANTI-join pair in one plan: the average is a
+    * single-row broadcast (the engine's scalar-subquery idiom), the
+    * lapse test is a LEFT ANTI join against the distinct recent-buyer
+    * set (date filter pushed to the orders scan, aggregated to one
+    * row per custkey BEFORE the join), and the final agg is bounded
+    * by |nations|. Cross-engine cutoff: the decimal sum is cast to
+    * double BEFORE the division so both engines round the identical
+    * IEEE quotient.
+    */
+  def q22MissedOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .filter(col("c_nationkey") < 10)
+      .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+    val cutoff = cust
+      .filter(col("c_acctbal") > 0.0)
+      .agg(round(dsum(col("c_acctbal")).cast("double") / count(lit(1)), 6).as("avg_bal"))
+    val recentBuyers = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+      .distinct()
+    cust
+      .crossJoin(broadcast(cutoff)) // single row by construction
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recentBuyers, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_cust"), emit(dsum(col("c_acctbal"))).as("total_bal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q22MissedOpportunitySql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer WHERE c_nationkey < 10
+      |),
+      |cutoff AS (
+      |  SELECT round(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS avg_bal
+      |  FROM cust WHERE c_acctbal > 0.0
+      |)
+      |SELECT c_nationkey, count(*) AS n_cust,
+      |  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_bal
+      |FROM cust CROSS JOIN cutoff
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |                  AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** #108 vocab_zipf_slope — does the corpus vocabulary follow Zipf's
+    * law? Log-log regression of frequency on rank over the top-1000
+    * words: slope ≈ −1 is natural text, a flat slope says
+    * template/boilerplate, a cliff says synthetic — the one-number
+    * corpus-health check next to corpus_vocab's raw counts. The
+    * regression is computed from MOMENTS (n, Σx, Σy, Σxy, Σx²)
+    * accumulated through DECIMAL(38,12), not regr_slope: Spark's
+    * built-in regression aggregates sum doubles in partition order,
+    * so their low bits are not run-deterministic — the moment form is
+    * order-independent, engine-exact, and the closed form
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) costs one bounded pass.
+    * Scale shape: word counts agg map-side, top-1000 is
+    * TakeOrderedAndProject, the rank window runs on the post-limit
+    * 1000-row frame only, moments reduce to a single row.
+    */
+  def vocabZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val top = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(1000)
+    val xy = top
+      .withColumn("rank", row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+      .select(
+        round(log(col("rank").cast("double")), 6).as("x"),
+        round(log(col("freq").cast("double")), 6).as("y"))
+      .withColumn("xy", round(col("x") * col("y"), 6))
+      .withColumn("xx", round(col("x") * col("x"), 6))
+    // moments are EXACT through decimal; the closed form then runs in
+    // double (identical IEEE ops both engines — decimal×decimal would
+    // overflow 38 digits)
+    xy.agg(
+      count(lit(1)).as("n_words"),
+      sum(col("x").cast(Dec12)).cast("double").as("sx"),
+      sum(col("y").cast(Dec12)).cast("double").as("sy"),
+      sum(col("xy").cast(Dec12)).cast("double").as("sxy"),
+      sum(col("xx").cast(Dec12)).cast("double").as("sxx"))
+      .select(
+        col("n_words"),
+        emit(
+          (col("n_words") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_words") * col("sxx") - col("sx") * col("sx")), 4).as("zipf_slope"),
+        emit((col("sy") - ((col("n_words") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_words") * col("sxx") - col("sx") * col("sx"))) * col("sx")) /
+          col("n_words"), 4).as("zipf_intercept"))
+  }
+
+  val vocabZipfSlopeSql: String =
+    """WITH w AS (
+      |  SELECT token AS w, count(*) AS freq FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |  ) WHERE token <> '' GROUP BY 1
+      |  ORDER BY freq DESC, w LIMIT 1000
+      |),
+      |ranked AS (
+      |  SELECT row_number() OVER (ORDER BY freq DESC, w) AS rank, freq FROM w
+      |),
+      |pts AS (
+      |  SELECT round(ln(CAST(rank AS DOUBLE)), 6) AS x,
+      |         round(ln(CAST(freq AS DOUBLE)), 6) AS y
+      |  FROM ranked
+      |),
+      |m AS (
+      |  SELECT count(*) AS n_words,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(round(x * y, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(round(x * x, 6) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      |  FROM pts
+      |)
+      |SELECT n_words,
+      |  CAST(round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) AS DOUBLE) AS zipf_slope,
+      |  CAST(round((sy - ((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)) * sx) / n_words, 4) AS DOUBLE) AS zipf_intercept
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -788,7 +916,9 @@ object Round6Ops {
     "embed_pq_knn" -> (embedPqKnn(_, _)),
     "event_paths" -> (eventPaths(_, _)),
     "rolling_window_range" -> (rollingWindowRange(_, _)),
-    "orders_rfm" -> (ordersRfm(_, _)))
+    "orders_rfm" -> (ordersRfm(_, _)),
+    "q22_missed_opportunity" -> (q22MissedOpportunity(_, _)),
+    "vocab_zipf_slope" -> (vocabZipfSlope(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
@@ -805,5 +935,7 @@ object Round6Ops {
     "embed_pq_knn" -> embedPqKnnSql,
     "event_paths" -> eventPathsSql,
     "rolling_window_range" -> rollingWindowRangeSql,
-    "orders_rfm" -> ordersRfmSql)
+    "orders_rfm" -> ordersRfmSql,
+    "q22_missed_opportunity" -> q22MissedOpportunitySql,
+    "vocab_zipf_slope" -> vocabZipfSlopeSql)
 }

@@ -1197,6 +1197,27 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(users > 0 && users <= 150, s"$users bucketed users exceed the 150-node graph")
   }
 
+  test("q22 finds lapsed well-funded customers in the filtered nations only") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q22_missed_opportunity")(spark, dir).collect()
+    assert(rows.nonEmpty, "the lapse cutoff must leave some missed opportunities")
+    assert(rows.forall(_.getAs[Int]("c_nationkey") < 10))
+    assert(rows.forall(_.getAs[Long]("n_cust") >= 1))
+  }
+
+  test("zipf fit covers the whole vocabulary and slopes downward") {
+    import org.apache.spark.sql.functions._
+    val row = SparkEntry.queries("vocab_zipf_slope")(spark, dir).collect().head
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "").select("w").distinct().count()
+    assert(row.getAs[Long]("n_words") == math.min(1000L, vocab))
+    // frequency falls with rank in any real corpus; the synthetic
+    // 31-word vocab gives a shallow slope (a finding in itself: flat
+    // log-log slope = templated text), but the sign is invariant
+    assert(row.getAs[Double]("zipf_slope") < 0.0, s"non-negative slope: $row")
+  }
+
   test("q21 sole-late-supplier orders are genuine multi-supplier orders") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, dir).collect()
