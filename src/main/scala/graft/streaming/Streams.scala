@@ -13,6 +13,22 @@ case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long, event_type:
   */
 case class UserCounts(user_id: Long, n_events: Long, total_value: Double, last_event_id: Long)
 
+/** One attribute update for the streaming SCD2 build (§2 #101's
+  * continuous twin): the tracked attribute arrives already projected.
+  */
+case class TierUpdate(user_id: Long, ts: java.sql.Timestamp, event_id: Long, tier: Long)
+
+/** Open-interval state for one SCD2 key: O(1) per user. */
+case class TierState(tier: Long, since_ms: Long)
+
+/** An emitted SCD2 validity interval; valid_to_ms = None marks the
+  * open (current) interval, emitted only at retention timeout — live
+  * current rows are read from state, not the stream.
+  */
+case class TierInterval(
+    user_id: Long, tier: Long, valid_from_ms: Long,
+    valid_to_ms: Option[Long], is_current: Boolean)
+
 /** Structured Streaming counterparts of the reference's ingestion loop
   * (§2 #44-#46). The reference polls SurrealDB every 5 s and mutates
   * in-memory BTreeMaps behind an ArcSwap (main.rs:3143, 3287, 3815);
@@ -141,6 +157,66 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("n_events"),
         col("session_value"))
+
+  /** #49h streaming SCD2 — the continuous twin of the batch
+    * `scd2_history` build (§2 #101): each keyed attribute change CLOSES
+    * the previous validity interval, which is emitted append-mode the
+    * moment it closes (the dimension table stays current continuously
+    * instead of waiting for the nightly load). The OPEN interval is
+    * exactly the per-key state — readable any time through the state
+    * data source like readFeedState — and surfaces as a final
+    * `is_current` row when the key idles past retention. Per-key state
+    * is O(1) (tier + since), the within-batch fold applies the batch
+    * op's (ts, event_id) order, and cross-batch ordered-per-key
+    * delivery inside the lateness window is the same stream contract
+    * incrementalCounts documents. Input is the already-projected
+    * update stream (the JSON tier extraction is a stateless column map
+    * upstream, identical to the batch op's).
+    */
+  def scd2Stream(
+      updates: Dataset[TierUpdate],
+      lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[TierInterval] = {
+    import updates.sparkSession.implicits._
+    updates
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TierState, TierInterval](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TierUpdate], state: GroupState[TierState]) =>
+          if (state.hasTimedOut) {
+            // idle past retention: the open interval leaves state as the
+            // key's final current row (the batch op's is_current = true)
+            val out = state.getOption.map(st =>
+              TierInterval(uid, st.tier, st.since_ms, None, is_current = true))
+            state.remove(); out.iterator
+          } else {
+            // micro-batch iterators carry no order guarantee: apply the
+            // batch op's (ts, event_id) order within the batch
+            val sorted = rows.toArray.sortBy(u => (u.ts.getTime, u.event_id))
+            var st = state.getOption
+            val closed = Seq.newBuilder[TierInterval]
+            var maxTs = Long.MinValue
+            for (u <- sorted) {
+              val ms = u.ts.getTime
+              maxTs = math.max(maxTs, ms)
+              st match {
+                case Some(cur) if cur.tier == u.tier => () // same tier: interval extends
+                case Some(cur) =>
+                  closed += TierInterval(uid, cur.tier, cur.since_ms, Some(ms), is_current = false)
+                  st = Some(TierState(u.tier, ms))
+                case None =>
+                  st = Some(TierState(u.tier, ms))
+              }
+            }
+            st.foreach(state.update)
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            closed.result().iterator
+          }
+      }
+  }
 
   /** A timestamped like edge (one row of run_likes_query, main.rs:3287). */
   case class Like(ts: java.sql.Timestamp, user_id: Long, post_id: Long)

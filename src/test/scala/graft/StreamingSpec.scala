@@ -28,6 +28,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(views.map(_.getAs[Long]("n")).max == 2)
   }
 
+  test("scd2 stream closes intervals on change exactly like the batch rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.TierUpdate
+    def upd(uid: Long, minute: Int, id: Long, tier: Long) =
+      TierUpdate(uid, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), id, tier)
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00").getTime
+    val in = MemoryStream[TierUpdate]
+    val q = Streams.scd2Stream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("scd2s").start()
+    // same tier twice: the interval extends, nothing closes
+    in.addData(upd(7, 0, 1, 0), upd(7, 1, 2, 0), upd(8, 0, 3, 5))
+    q.processAllAvailable()
+    assert(spark.table("scd2s").collect().isEmpty, "no change → no closed interval")
+    // tier change closes [10:00, 10:02) for user 7; user 8 unchanged
+    in.addData(upd(7, 2, 4, 1), upd(8, 2, 5, 5))
+    q.processAllAvailable()
+    val first = spark.table("scd2s").collect()
+    assert(first.length == 1)
+    assert(first.head.getAs[Long]("user_id") == 7 && first.head.getAs[Long]("tier") == 0)
+    assert(first.head.getAs[Long]("valid_from_ms") == t(0))
+    assert(first.head.getAs[Long]("valid_to_ms") == t(2))
+    assert(!first.head.getAs[Boolean]("is_current"))
+    // a within-batch double change (out-of-order addData order) closes
+    // two chained intervals in (ts, event_id) order
+    in.addData(upd(7, 4, 7, 0), upd(7, 3, 6, 2))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("scd2s").collect().sortBy(_.getAs[Long]("valid_from_ms"))
+    assert(rows.length == 3)
+    assert(rows.map(r => (r.getAs[Long]("tier"), r.getAs[Long]("valid_from_ms"),
+      r.getAs[Long]("valid_to_ms"))).toSeq ==
+      Seq((0L, t(0), t(2)), (1L, t(2), t(3)), (2L, t(3), t(4))),
+      "intervals must chain through the sorted within-batch fold")
+  }
+
   test("streaming anomalies flag hours that breach the batch baseline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
