@@ -29,6 +29,21 @@ case class TierInterval(
     user_id: Long, tier: Long, valid_from_ms: Long,
     valid_to_ms: Option[Long], is_current: Boolean)
 
+/** One document arriving at the corpus intake, for the streaming
+  * weighted reservoir (§2 #102's continuous twin); weight is the
+  * sampling weight (the batch op uses n_chars).
+  */
+case class DocArrival(source: String, ts: java.sql.Timestamp, doc_id: Long, weight: Long)
+
+/** One reservoir slot: the A-Res key and its document. */
+case class ReservoirEntry(es_key: Double, doc_id: Long)
+
+/** Per-source reservoir state: the current top-k entries, O(k). */
+case class RsvState(entries: List[ReservoirEntry])
+
+/** Update-mode reservoir emission: the source's current sample. */
+case class ReservoirRow(source: String, doc_id: Long, es_key: Double)
+
 /** Structured Streaming counterparts of the reference's ingestion loop
   * (§2 #44-#46). The reference polls SurrealDB every 5 s and mutates
   * in-memory BTreeMaps behind an ArcSwap (main.rs:3143, 3287, 3815);
@@ -216,6 +231,73 @@ object Streams {
             closed.result().iterator
           }
       }
+  }
+
+  /** #49i streaming weighted reservoir — the A-Res rule
+    * corpus_weighted_sample (§2 #102) ranks by, run as a continuous
+    * per-source sample: A-Res IS a reservoir algorithm (Efraimidis–
+    * Spirakis 2006 §2), so "keep the k largest keys seen so far" is
+    * the entire streaming form — each source's state is its current
+    * top-k (key, doc_id) pairs, O(k) per key, merged per batch and
+    * emitted update-mode when it changes. The key is the SAME
+    * deterministic md5-derived ln(u)/w the batch op computes (pinned
+    * equal in the spec), so a reservoir drained at any moment equals
+    * the batch sample over the docs seen so far — the
+    * streaming/batch-parity contract the rest of the engine keeps.
+    * Redelivered doc_ids fold idempotently (same doc → same key →
+    * deduped on merge).
+    */
+  def weightedReservoir(
+      docs: Dataset[DocArrival],
+      k: Int = 32,
+      lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[ReservoirRow] = {
+    import docs.sparkSession.implicits._
+    docs
+      .withWatermark("ts", lateness)
+      .groupByKey(_.source)
+      .flatMapGroupsWithState[RsvState, ReservoirRow](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (src: String, rows: Iterator[DocArrival], state: GroupState[RsvState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption.map(_.entries).getOrElse(Nil)
+            var maxTs = Long.MinValue
+            val arrivals = rows.map { d =>
+              maxTs = math.max(maxTs, d.ts.getTime)
+              ReservoirEntry(aresKey(d.doc_id, d.weight), d.doc_id)
+            }.toList
+            // idempotent merge: same doc_id → same deterministic key
+            val merged = (prev ++ arrivals)
+              .groupBy(_.doc_id).map(_._2.head).toList
+              .sortBy(e => (-e.es_key, e.doc_id))
+              .take(k)
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            if (merged == prev) Iterator.empty
+            else {
+              state.update(RsvState(merged))
+              merged.iterator.map(e => ReservoirRow(src, e.doc_id, e.es_key))
+            }
+          }
+      }
+  }
+
+  /** The batch op's exact key (compare queries.Round6Ops
+    * corpusWeightedSample): u from the first 6 md5 hex digits of
+    * "ws:<doc_id>", key = ln(u)·1e6 / weight rounded to 6 dp. Pure
+    * JVM arithmetic on the same bytes the column expression hashes —
+    * spec-pinned equal to the SQL form.
+    */
+  private[graft] def aresKey(docId: Long, weight: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"ws:$docId".getBytes("UTF-8"))
+      .take(3).map(b => f"$b%02x").mkString // 6 hex digits
+    val u = (java.lang.Long.parseLong(hex, 16) + 0.5) / 16777216.0
+    // Spark's round(_, 6): BigDecimal HALF_UP — not rint (half-even)
+    java.math.BigDecimal.valueOf(math.log(u) * 1e6 / weight)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
   }
 
   /** A timestamped like edge (one row of run_likes_query, main.rs:3287). */

@@ -64,6 +64,40 @@ class StreamingSpec extends AnyFunSuite {
       "intervals must chain through the sorted within-batch fold")
   }
 
+  test("weighted reservoir keeps the A-Res top-k with the batch op's exact key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.DocArrival
+    // key parity: the JVM fold computes bit-identical keys to the
+    // batch column expression (corpus_weighted_sample's es_key)
+    val batch = SparkEntry.queries("corpus_weighted_sample")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(batch.nonEmpty)
+    for (r <- batch.take(25))
+      assert(Streams.aresKey(r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")) ==
+        r.getAs[Double]("es_key"), s"key mismatch for doc ${r.getAs[Long]("doc_id")}")
+    // reservoir behavior: k=2 keeps the two largest keys, idempotently
+    def arr(id: Long, w: Long) = DocArrival(
+      "web", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), id, w)
+    val docs = Seq(arr(1, 100), arr(2, 5000), arr(3, 700), arr(4, 1234))
+    val expected = docs.map(d => (Streams.aresKey(d.doc_id, d.weight), d.doc_id))
+      .sortBy { case (key, id) => (-key, id) }.take(2).map(_._2).toSet
+    val in = MemoryStream[DocArrival]
+    val q = Streams.weightedReservoir(in.toDS(), k = 2)
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("rsv").start()
+    in.addData(docs: _*)
+    q.processAllAvailable()
+    val sample = spark.table("rsv").collect()
+    assert(sample.length == 2, "one emission of the k-slot reservoir")
+    assert(sample.map(_.getAs[Long]("doc_id")).toSet == expected)
+    // redelivery folds idempotently: same doc -> same key -> no change,
+    // and an unchanged reservoir emits nothing
+    in.addData(arr(2, 5000))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("rsv").count() == 2, "redelivery must not re-emit or duplicate")
+  }
+
   test("streaming anomalies flag hours that breach the batch baseline") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
