@@ -900,6 +900,46 @@ object Round6Ops {
       |  CAST(round((sy - ((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)) * sx) / n_words, 4) AS DOUBLE) AS zipf_intercept
       |FROM m""".stripMargin
 
+  /** #109 q16_parts_suppliers — the TPC-H Q16 shape: how many
+    * DISTINCT suppliers can ship each (brand, type, size) part
+    * profile, excluding a blacklisted supplier set (the "customer
+    * complaints" NOT IN; acctbal < 0 is the synthetic stand-in) —
+    * supplier-diversity reporting with an exclusion subquery. Scale
+    * shape: the (partkey, suppkey) pair set is DISTINCTED first (the
+    * partsupp stand-in — shrinks the fact table to its key
+    * cardinality before any join), the blacklist is an anti join
+    * against a set that is small by business construction (AQE
+    * broadcasts it, hint-free), the part-attribute join keys on
+    * partkey, and the count-distinct groups by the bounded
+    * (brand, type, size) profile space; top-20 TakeOrderedAndProject.
+    */
+  def q16PartsSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val blacklisted = Tables.supplier(s, dir)
+      .filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .distinct()
+      .join(blacklisted, col("l_suppkey") === col("s_suppkey"), "left_anti")
+    ps
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(
+        col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      .limit(20)
+  }
+
+  val q16PartsSuppliersSql: String =
+    """WITH ps AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+      |)
+      |SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM ps JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -918,7 +958,8 @@ object Round6Ops {
     "rolling_window_range" -> (rollingWindowRange(_, _)),
     "orders_rfm" -> (ordersRfm(_, _)),
     "q22_missed_opportunity" -> (q22MissedOpportunity(_, _)),
-    "vocab_zipf_slope" -> (vocabZipfSlope(_, _)))
+    "vocab_zipf_slope" -> (vocabZipfSlope(_, _)),
+    "q16_parts_suppliers" -> (q16PartsSuppliers(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
@@ -937,5 +978,6 @@ object Round6Ops {
     "rolling_window_range" -> rollingWindowRangeSql,
     "orders_rfm" -> ordersRfmSql,
     "q22_missed_opportunity" -> q22MissedOpportunitySql,
-    "vocab_zipf_slope" -> vocabZipfSlopeSql)
+    "vocab_zipf_slope" -> vocabZipfSlopeSql,
+    "q16_parts_suppliers" -> q16PartsSuppliersSql)
 }

@@ -1218,6 +1218,15 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(row.getAs[Double]("zipf_slope") < 0.0, s"non-negative slope: $row")
   }
 
+  test("q16 never counts a blacklisted supplier") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q16_parts_suppliers")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nClean = Tables.supplier(spark, dir).filter(col("s_acctbal") >= 0.0).count()
+    assert(rows.forall(_.getAs[Long]("supplier_cnt") <= nClean),
+      "a profile counts more suppliers than exist outside the blacklist")
+  }
+
   test("q21 sole-late-supplier orders are genuine multi-supplier orders") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, dir).collect()
