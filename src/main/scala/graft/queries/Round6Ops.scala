@@ -940,6 +940,76 @@ object Round6Ops {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20""".stripMargin
 
+  /** #110 event_mix_drift — day-over-day distribution drift (the
+    * data-drift monitor a training pipeline runs on its intake: a mix
+    * shift upstream silently changes what a model learns long before
+    * row counts move). Per day, the event-type distribution with
+    * add-one smoothing (keeps KL finite when a type is absent), then
+    * KL(today ‖ yesterday) = Σ p·ln(p/q) over the FIXED five-type
+    * vocabulary — the five terms sit in one row as pivot columns, so
+    * the sum has a fixed expression order (engine-deterministic, no
+    * float aggregation) and ln is the proven-portable transcendental.
+    * Scale shape: one (day, type) count agg with map-side combine;
+    * the lag window runs over the per-day matrix — one row per
+    * calendar day, bounded by the horizon, NOT the event stream (the
+    * concurrency_peak rule: never window a bare coarse grain over raw
+    * events).
+    */
+  def eventMixDrift(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val daily = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+    val total = types.map(t => col(s"`$t`")).reduce(_ + _)
+    val withP = daily.select(
+      col("day") +: types.map(t =>
+        ((col(s"`$t`") + lit(1)).cast("double") / (total + lit(types.size)).cast("double"))
+          .as(s"p_$t")): _*)
+    val w = Window.orderBy(col("day")) // one row per day: horizon-bounded
+    val lagged = withP.select(
+      col("day") +: types.flatMap(t => Seq(
+        col(s"p_$t"), lag(col(s"p_$t"), 1).over(w).as(s"q_$t"))): _*)
+    val kl = types
+      .map(t => col(s"p_$t") * log(col(s"p_$t") / col(s"q_$t")))
+      .reduce(_ + _)
+    lagged
+      .filter(col(s"q_${types.head}").isNotNull)
+      .select(col("day"), emit(kl, 6).as("kl_prev"))
+      .orderBy(col("day"))
+  }
+
+  val eventMixDriftSql: String = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cnts = types.map(t =>
+      s"SUM(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS c_$t").mkString(",\n      |    ")
+    val tot = types.map(t => s"c_$t").mkString(" + ")
+    val ps = types.map(t =>
+      s"(c_$t + 1.0) / ($tot + ${types.size}) AS p_$t").mkString(",\n      |    ")
+    val qs = types.map(t => s"lag(p_$t) OVER (ORDER BY day) AS q_$t").mkString(",\n      |    ")
+    val kl = types.map(t => s"p_$t * ln(p_$t / q_$t)").mkString(" + ")
+    s"""WITH daily AS (
+       |  SELECT strftime(ts, '%Y-%m-%d') AS day,
+       |    $cnts
+       |  FROM events GROUP BY day
+       |),
+       |probs AS (
+       |  SELECT day,
+       |    $ps
+       |  FROM daily
+       |),
+       |lagged AS (
+       |  SELECT day, ${types.map(t => s"p_$t").mkString(", ")},
+       |    $qs
+       |  FROM probs
+       |)
+       |SELECT day, CAST(round($kl, 6) AS DOUBLE) AS kl_prev
+       |FROM lagged WHERE q_${types.head} IS NOT NULL
+       |ORDER BY day""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -959,7 +1029,8 @@ object Round6Ops {
     "orders_rfm" -> (ordersRfm(_, _)),
     "q22_missed_opportunity" -> (q22MissedOpportunity(_, _)),
     "vocab_zipf_slope" -> (vocabZipfSlope(_, _)),
-    "q16_parts_suppliers" -> (q16PartsSuppliers(_, _)))
+    "q16_parts_suppliers" -> (q16PartsSuppliers(_, _)),
+    "event_mix_drift" -> (eventMixDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q13_custdist" -> q13CustdistSql,
@@ -979,5 +1050,6 @@ object Round6Ops {
     "orders_rfm" -> ordersRfmSql,
     "q22_missed_opportunity" -> q22MissedOpportunitySql,
     "vocab_zipf_slope" -> vocabZipfSlopeSql,
-    "q16_parts_suppliers" -> q16PartsSuppliersSql)
+    "q16_parts_suppliers" -> q16PartsSuppliersSql,
+    "event_mix_drift" -> eventMixDriftSql)
 }

@@ -1227,6 +1227,16 @@ class QueryCatalogSpec extends AnyFunSuite {
       "a profile counts more suppliers than exist outside the blacklist")
   }
 
+  test("mix drift is nonnegative and covers every day after the first") {
+    import org.apache.spark.sql.functions._
+    val drift = SparkEntry.queries("event_mix_drift")(spark, dir).collect()
+    val days = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd")).distinct().count()
+    assert(drift.length == days - 1, "one KL row per consecutive-day pair")
+    // Gibbs: KL(p||q) >= 0, with equality only at p == q
+    assert(drift.forall(_.getAs[Double]("kl_prev") >= 0.0), "negative KL divergence")
+  }
+
   test("q21 sole-late-supplier orders are genuine multi-supplier orders") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("q21_waiting_suppliers")(spark, dir).collect()
