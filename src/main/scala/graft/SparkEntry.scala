@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Round3Ops.queries ++
       graft.queries.Round4Ops.queries ++
       graft.queries.Round5Ops.queries ++
-      graft.queries.Round6Ops.queries
+      graft.queries.Round6Ops.queries ++
+      graft.queries.DssOps.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Round3Ops.oracles ++
       graft.queries.Round4Ops.oracles ++
       graft.queries.Round5Ops.oracles ++
-      graft.queries.Round6Ops.oracles
+      graft.queries.Round6Ops.oracles ++
+      graft.queries.DssOps.oracles
 }

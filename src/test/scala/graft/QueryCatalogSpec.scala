@@ -1245,4 +1245,25 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(waits == waits.sortBy(-_), "numwait must be sorted descending")
     assert(rows.map(_.getAs[String]("s_name")).distinct.length == rows.length)
   }
+
+  test("dss sweep: q6 single row, q7 pair-symmetric, q10 top-20, q14 share in band") {
+    val q6 = SparkEntry.queries("q6_revenue_delta")(spark, dir).collect()
+    assert(q6.length == 1 && q6.head.getAs[Double]("revenue") > 0.0)
+
+    val q7 = SparkEntry.queries("q7_nation_volume")(spark, dir).collect()
+    val pairs = q7.map(r => (r.getAs[String]("supp_nation"), r.getAs[String]("cust_nation"))).distinct
+    assert(pairs.toSet.subsetOf(
+      Set(("NATION_3", "NATION_8"), ("NATION_8", "NATION_3"))), s"rogue pair in $pairs")
+    assert(q7.forall(_.getAs[Double]("revenue") > 0.0))
+
+    val q10 = SparkEntry.queries("q10_returned_items")(spark, dir).collect()
+    assert(q10.length <= 20 && q10.nonEmpty)
+    val revs = q10.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sortBy(-_), "q10 must rank by revenue descending")
+
+    val q14 = SparkEntry.queries("q14_promo_share")(spark, dir).collect().head
+    val share = q14.getAs[Double]("promo_share")
+    assert(share >= 0.0 && share <= 100.0, s"promo share $share outside [0,100]")
+    assert(q14.getAs[Double]("promo_rev") <= q14.getAs[Double]("total_rev"))
+  }
 }
