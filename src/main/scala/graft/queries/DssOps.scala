@@ -167,13 +167,203 @@ object DssOps {
        |  CAST(round(100.0 * promo_rev / total_rev, 6) AS DOUBLE) AS promo_share
        |FROM t""".stripMargin
 
+  /** Q2 — the minimum-cost supplier per part (no partsupp table, so
+    * supply cost is re-keyed onto observed trade: a supplier's unit
+    * cost for a part is its average unit price across that part's
+    * lineitems). The correlated MIN subquery becomes a window-min over
+    * l_partkey — a fine-grained skew-safe key, ONE exchange shared by
+    * the min and the equality filter, where the groupBy-min + join-back
+    * form would shuffle the same rows twice. Part filter pushes to the
+    * part scan and the 2k-row dim broadcasts; region restriction
+    * prunes the supplier side before the cost agg sees it. Ties on the
+    * rounded min keep ALL suppliers at the minimum (Q2 semantics), so
+    * no arbitrary tie-break hides inside the operator; the final
+    * order is total.
+    */
+  def q2MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val euSup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "EUROPE")
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+    val parts = Tables.part(s, dir)
+      .filter(col("p_type") === "LARGE" && col("p_size") >= 25)
+      .select(col("p_partkey"), col("p_brand"), col("p_type"))
+    val cost = Tables.lineitem(s, dir)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(euSup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("s_suppkey"), col("s_name"), col("n_name"))
+      .agg(emit(dsum(col("l_extendedprice") / col("l_quantity")) / count(lit(1)), 6)
+        .as("unit_cost"))
+    cost
+      .withColumn("min_cost", min(col("unit_cost")).over(Window.partitionBy(col("p_partkey"))))
+      .filter(col("unit_cost") === col("min_cost"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"), col("unit_cost"))
+      .orderBy(col("unit_cost"), col("p_partkey"), col("s_name"))
+      .limit(50)
+  }
+
+  val q2MinCostSupplierSql: String =
+    """WITH pc AS (
+      |  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+      |    CAST(round(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(38,6))) / count(*), 6) AS DOUBLE) AS unit_cost
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_type = 'LARGE' AND p_size >= 25 AND r_name = 'EUROPE'
+      |  GROUP BY 1, 2, 3, 4, 5
+      |),
+      |mc AS (SELECT p_partkey, min(unit_cost) AS min_cost FROM pc GROUP BY 1)
+      |SELECT pc.p_partkey, p_brand, s_name, n_name, unit_cost
+      |FROM pc JOIN mc ON pc.p_partkey = mc.p_partkey AND pc.unit_cost = mc.min_cost
+      |ORDER BY unit_cost, pc.p_partkey, s_name LIMIT 50""".stripMargin
+
+  /** Q11 — "important stock": per-part traded value from one region's
+    * suppliers, kept only when it exceeds a FRACTION of the global
+    * total — the scalar-subquery HAVING. The total is a single-row
+    * broadcast (sum of the per-part DECIMAL sums — associative, so it
+    * equals the oracle's flat sum bit-for-bit), never a second scan of
+    * the fact table; the threshold compare runs on ROUNDED doubles so
+    * both engines cut the identical frontier. One shuffle on
+    * l_partkey; the supplier restriction joins a 100-row dim the
+    * planner broadcasts.
+    */
+  def q11ImportantParts(s: SparkSession, dir: String): DataFrame = {
+    val asiaSup = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select(col("s_suppkey"))
+    val perPart = Tables.lineitem(s, dir)
+      .join(asiaSup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice")).as("value_dec"))
+    val total = perPart.agg(
+      emit(lit(0.0008) * sum(col("value_dec")).cast("double"), 4).as("threshold"))
+    perPart
+      .crossJoin(broadcast(total))
+      .select(col("l_partkey"), emit(col("value_dec")).as("value"), col("threshold"))
+      .filter(col("value") > col("threshold"))
+      .select(col("l_partkey"), col("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val q11ImportantPartsSql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS value_dec
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'ASIA'
+      |  GROUP BY 1
+      |),
+      |t AS (
+      |  SELECT CAST(round(0.0008 * CAST(SUM(value_dec) AS DOUBLE), 4) AS DOUBLE) AS threshold
+      |  FROM pp
+      |)
+      |SELECT l_partkey, CAST(round(value_dec, 4) AS DOUBLE) AS value
+      |FROM pp, t
+      |WHERE CAST(round(value_dec, 4) AS DOUBLE) > threshold
+      |ORDER BY value DESC, l_partkey""".stripMargin
+
+  /** Q15 — the top supplier(s) by quarterly revenue: the max-equality
+    * scalar subquery. Per-supplier revenue aggregates once (date
+    * filter pushed to the scan, map-side combine onto ~|suppliers|
+    * rows); the max is a single-row broadcast compared against the
+    * ROUNDED revenue, so the "top" frontier — including genuine ties,
+    * which Q15 must keep — is engine-deterministic. The supplier-name
+    * join happens AFTER the max cut, on the one surviving row.
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val perSup = Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(emit(dsum(rev)).as("total_rev"))
+    val maxRev = perSup.agg(max(col("total_rev")).as("max_rev"))
+    perSup
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_rev") === col("max_rev"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q15TopSupplierSql: String =
+    s"""WITH ps AS (
+       |  SELECT l_suppkey,
+       |    CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY 1
+       |)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM ps JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM ps)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q17 — small-quantity-order revenue: the correlated per-group
+    * average. Restricting to the brand FIRST (pushed filter + 2k-row
+    * part broadcast) means the per-part average aggregates only the
+    * brand's lineitems — correlation is per part, so pre-filtering
+    * changes nothing — and the avg-side relation is bounded by the
+    * brand's part count, which AQE broadcasts back onto the same
+    * filtered stream. The quantity cut compares against the ROUNDED
+    * half-average; one final single-row sum.
+    */
+  def q17SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val liBrand = Tables.lineitem(s, dir)
+      .join(
+        broadcast(Tables.part(s, dir).filter(col("p_brand") === "Brand#3")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+    val avgQty = liBrand
+      .groupBy(col("l_partkey").as("ak_partkey"))
+      .agg(emit(lit(0.5) * (dsum(col("l_quantity")) / count(lit(1))).cast("double"), 6)
+        .as("half_avg_qty"))
+    liBrand
+      .join(avgQty, col("l_partkey") === col("ak_partkey"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg(emit(dsum(col("l_extendedprice")) / lit(7.0), 4).as("avg_yearly"))
+  }
+
+  val q17SmallQuantitySql: String =
+    """WITH lb AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#3'
+      |),
+      |aq AS (
+      |  SELECT l_partkey AS ak_partkey,
+      |    CAST(round(0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) / count(*) AS DOUBLE), 6) AS DOUBLE) AS half_avg_qty
+      |  FROM lb GROUP BY 1
+      |)
+      |SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) / 7.0, 4) AS DOUBLE) AS avg_yearly
+      |FROM lb JOIN aq ON l_partkey = ak_partkey
+      |WHERE l_quantity < half_avg_qty""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier(_, _)),
+    "q11_important_parts" -> (q11ImportantParts(_, _)),
+    "q15_top_supplier" -> (q15TopSupplier(_, _)),
+    "q17_small_quantity" -> (q17SmallQuantity(_, _)),
     "q6_revenue_delta" -> (q6RevenueDelta(_, _)),
     "q7_nation_volume" -> (q7NationVolume(_, _)),
     "q10_returned_items" -> (q10ReturnedItems(_, _)),
     "q14_promo_share" -> (q14PromoShare(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2MinCostSupplierSql,
+    "q11_important_parts" -> q11ImportantPartsSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q17_small_quantity" -> q17SmallQuantitySql,
     "q6_revenue_delta" -> q6RevenueDeltaSql,
     "q7_nation_volume" -> q7NationVolumeSql,
     "q10_returned_items" -> q10ReturnedItemsSql,

@@ -1246,6 +1246,28 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("s_name")).distinct.length == rows.length)
   }
 
+  test("dss sweep 2: q2 per-part minima, q11 subset, q15 max ties, q17 single row") {
+    val q2 = SparkEntry.queries("q2_min_cost_supplier")(spark, dir).collect()
+    assert(q2.nonEmpty && q2.length <= 50)
+    // every part appears with its minimum only: no part may carry two costs
+    val byPart = q2.groupBy(_.getAs[Long]("p_partkey"))
+    assert(byPart.values.forall(_.map(_.getAs[Double]("unit_cost")).distinct.length == 1),
+      "a part surfaced more than one distinct min cost")
+
+    val q11 = SparkEntry.queries("q11_important_parts")(spark, dir)
+    val n11 = q11.count()
+    val nParts = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    assert(n11 > 0 && n11 < nParts, s"threshold must keep a strict subset ($n11 of $nParts)")
+
+    val q15 = SparkEntry.queries("q15_top_supplier")(spark, dir).collect()
+    assert(q15.nonEmpty)
+    assert(q15.map(_.getAs[Double]("total_rev")).distinct.length == 1,
+      "q15 rows must all carry the shared maximum revenue")
+
+    val q17 = SparkEntry.queries("q17_small_quantity")(spark, dir).collect()
+    assert(q17.length == 1 && q17.head.getAs[Double]("avg_yearly") > 0.0)
+  }
+
   test("dss sweep: q6 single row, q7 pair-symmetric, q10 top-20, q14 share in band") {
     val q6 = SparkEntry.queries("q6_revenue_delta")(spark, dir).collect()
     assert(q6.length == 1 && q6.head.getAs[Double]("revenue") > 0.0)
