@@ -349,7 +349,185 @@ object DssOps {
       |FROM lb JOIN aq ON l_partkey = ak_partkey
       |WHERE l_quantity < half_avg_qty""".stripMargin
 
+  /** Q8 — one nation's market share inside a region's market, per
+    * order year: conditional sum over supplier nation / total, both in
+    * ONE aggregate pass (never two scans). Customer-region and
+    * part-type predicates prune via broadcast dims before the fact
+    * joins; the share divides two already-rounded doubles (the q14
+    * device) so both engines run the identical IEEE division. Grouping
+    * key is the order year — bounded output, map-side combine.
+    */
+  def q8MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val amerCust = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .select(col("c_custkey"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val ord = Tables.orders(s, dir)
+      .filter(
+        col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "ECONOMY")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(amerCust, col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("sn_key"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        emit(dsum(when(col("supp_nation") === "NATION_1", rev).otherwise(lit(0.0))))
+          .as("nation_rev"),
+        emit(dsum(rev)).as("total_rev"))
+      .select(
+        col("o_year"), col("nation_rev"), col("total_rev"),
+        emit(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  val q8MarketShareSql: String =
+    s"""WITH t AS (
+       |  SELECT year(o_orderdate) AS o_year,
+       |    CAST(round(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1' THEN $revSql ELSE 0.0 END AS DECIMAL(38,6))), 4) AS DOUBLE) AS nation_rev,
+       |    CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_rev
+       |  FROM lineitem
+       |  JOIN part ON l_partkey = p_partkey
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN region ON n1.n_regionkey = r_regionkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+       |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  GROUP BY 1
+       |)
+       |SELECT o_year, nation_rev, total_rev,
+       |  CAST(round(nation_rev / total_rev, 6) AS DOUBLE) AS mkt_share
+       |FROM t ORDER BY o_year""".stripMargin
+
+  /** Q9 — product-line profit by supplier nation and order year, with
+    * the cost leg re-keyed onto the part's retail price (no partsupp):
+    * profit = revenue − 0.4·retailprice·quantity, a per-row double
+    * expression both engines evaluate identically before the exact
+    * DECIMAL sum. The p_name substring filter prunes the 2k-row part
+    * dim in its broadcast; output is bounded at |nations|×|years|.
+    */
+  def q9ProfitByNation(s: SparkSession, dir: String): DataFrame = {
+    val redParts = Tables.part(s, dir).filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val profit = rev - lit(0.4) * col("p_retailprice") * col("l_quantity")
+    Tables.lineitem(s, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).as("o_year"))
+      .agg(emit(dsum(profit)).as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q9ProfitByNationSql: String =
+    s"""SELECT n_name, year(o_orderdate) AS o_year,
+       |  CAST(round(SUM(CAST($revSql - 0.4 * p_retailprice * l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_profit
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |WHERE p_name LIKE '%red%'
+       |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin
+
+  /** Q19 — the disjunctive-predicate join: three (brand, size,
+    * quantity) OR-blocks over lineitem⋈part. The brand/size legs of
+    * the disjunction reference only part columns, so their OR-union
+    * prunes the broadcast dim at its scan; the mixed residual runs as
+    * a post-join filter over rows that already matched some block's
+    * dim half — the planner cannot push a cross-table OR further, and
+    * that's the shape under test. Single-row revenue out.
+    */
+  def q19DisjunctiveJoin(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir)
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 20)) ||
+          (col("p_brand") === "Brand#24" && col("p_size").between(1, 25)))
+      .select(col("p_partkey"), col("p_brand"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1.0, 20.0)) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity").between(10.0, 30.0)) ||
+          (col("p_brand") === "Brand#24" && col("l_quantity").between(20.0, 40.0)))
+      .agg(emit(dsum(rev)).as("revenue"))
+  }
+
+  val q19DisjunctiveJoinSql: String =
+    s"""SELECT CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 20.0)
+       |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10.0 AND 30.0)
+       |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20.0 AND 40.0)""".stripMargin
+
+  /** Q20 — dominant suppliers: suppliers shipping MORE THAN HALF of a
+    * part's total 1997 volume, counted per supplier (no partsupp
+    * availqty, so the half-of-total correlation runs supplier-share vs
+    * part total). Per-(part, supplier) sums aggregate first; the part
+    * total is a window-sum over the SAME fine-grained partkey exchange
+    * (no join-back); the dominance test compares 2·pair > total in
+    * exact DECIMAL — no rounding, no float frontier at all. The
+    * supplier-name join happens after the per-supplier count, on at
+    * most |suppliers| rows.
+    */
+  def q20DominantSuppliers(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(dsum(col("l_quantity")).as("pair_qty"))
+    pairs
+      .withColumn("part_qty", sum(col("pair_qty")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("pair_qty") * lit(2) > col("part_qty"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_parts"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"), col("n_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  val q20DominantSuppliersSql: String =
+    """WITH pairs AS (
+      |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(38,6))) AS pair_qty
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  GROUP BY 1, 2
+      |),
+      |shares AS (
+      |  SELECT l_suppkey,
+      |    SUM(pair_qty) OVER (PARTITION BY l_partkey) AS part_qty, pair_qty
+      |  FROM pairs
+      |),
+      |dom AS (
+      |  SELECT l_suppkey, count(*) AS n_parts FROM shares
+      |  WHERE pair_qty * 2 > part_qty GROUP BY 1
+      |)
+      |SELECT s_suppkey, s_name, n_name, n_parts
+      |FROM dom JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q8_market_share" -> (q8MarketShare(_, _)),
+    "q9_profit_by_nation" -> (q9ProfitByNation(_, _)),
+    "q19_disjunctive_join" -> (q19DisjunctiveJoin(_, _)),
+    "q20_dominant_suppliers" -> (q20DominantSuppliers(_, _)),
     "q2_min_cost_supplier" -> (q2MinCostSupplier(_, _)),
     "q11_important_parts" -> (q11ImportantParts(_, _)),
     "q15_top_supplier" -> (q15TopSupplier(_, _)),
@@ -360,6 +538,10 @@ object DssOps {
     "q14_promo_share" -> (q14PromoShare(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" -> q8MarketShareSql,
+    "q9_profit_by_nation" -> q9ProfitByNationSql,
+    "q19_disjunctive_join" -> q19DisjunctiveJoinSql,
+    "q20_dominant_suppliers" -> q20DominantSuppliersSql,
     "q2_min_cost_supplier" -> q2MinCostSupplierSql,
     "q11_important_parts" -> q11ImportantPartsSql,
     "q15_top_supplier" -> q15TopSupplierSql,

@@ -1246,6 +1246,30 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("s_name")).distinct.length == rows.length)
   }
 
+  test("dss sweep 3: q8 share bounds, q9 profit matrix, q19 scalar, q20 dominance") {
+    val q8 = SparkEntry.queries("q8_market_share")(spark, dir).collect()
+    assert(q8.nonEmpty)
+    assert(q8.forall { r =>
+      val s = r.getAs[Double]("mkt_share"); s >= 0.0 && s <= 1.0
+    }, "market share outside [0,1]")
+    assert(q8.forall(r => r.getAs[Double]("nation_rev") <= r.getAs[Double]("total_rev")))
+
+    val q9 = SparkEntry.queries("q9_profit_by_nation")(spark, dir)
+    val nNations = Tables.nation(spark, dir).count()
+    assert(q9.select("n_name").distinct().count() <= nNations)
+
+    val q19 = SparkEntry.queries("q19_disjunctive_join")(spark, dir).collect()
+    assert(q19.length == 1 && !q19.head.isNullAt(0), "disjunction matched no rows")
+
+    // dominance is exclusive: at most one supplier can own >1/2 of a part,
+    // so the dominated-part count can never exceed the part universe
+    val q20 = SparkEntry.queries("q20_dominant_suppliers")(spark, dir).collect()
+    val totalDominated = q20.map(_.getAs[Long]("n_parts")).sum
+    val nParts = Tables.lineitem(spark, dir).select("l_partkey").distinct().count()
+    assert(q20.nonEmpty && totalDominated <= nParts,
+      s"$totalDominated dominated parts exceed the $nParts-part universe")
+  }
+
   test("dss sweep 2: q2 per-part minima, q11 subset, q15 max ties, q17 single row") {
     val q2 = SparkEntry.queries("q2_min_cost_supplier")(spark, dir).collect()
     assert(q2.nonEmpty && q2.length <= 50)
