@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.Round4Ops.queries ++
       graft.queries.Round5Ops.queries ++
       graft.queries.Round6Ops.queries ++
-      graft.queries.DssOps.queries
+      graft.queries.DssOps.queries ++
+      graft.queries.BehaviorOps.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -41,5 +42,6 @@ object SparkEntry {
       graft.queries.Round4Ops.oracles ++
       graft.queries.Round5Ops.oracles ++
       graft.queries.Round6Ops.oracles ++
-      graft.queries.DssOps.oracles
+      graft.queries.DssOps.oracles ++
+      graft.queries.BehaviorOps.oracles
 }

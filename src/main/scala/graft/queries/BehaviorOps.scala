@@ -1,0 +1,123 @@
+package graft.queries
+
+import graft.{OracleMath, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-behavior mining over the event stream: the first-order
+  * transition matrix (the model behind next-action prediction and the
+  * generalization of event_paths' fixed trigrams) and first/last-touch
+  * attribution (which entry action leads to conversion — the question
+  * every funnel report approximates).
+  */
+object BehaviorOps {
+  import OracleMath._
+
+  /** #123 markov_transitions — the first-order event-type transition
+    * matrix P(next | cur). The lead window runs per user — a
+    * fine-grained skew-safe key, one exchange — and collapses
+    * immediately to the bounded |types|² count matrix with map-side
+    * combine. Row-normalization joins the 5-row per-cur totals back
+    * hint-free (AQE broadcasts a 5-row relation; no window over the
+    * coarse cur_type key, per the house rule). The probability divides
+    * two exact longs — true division in both engines, no float
+    * accumulation anywhere.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("cur_type").as("t_cur"))
+      .agg(sum(col("n")).as("total"))
+    counts
+      .join(totals, col("cur_type") === col("t_cur"))
+      .select(
+        col("cur_type"), col("next_type"), col("n"),
+        emit(col("n") / col("total"), 6).as("p"))
+      .orderBy(col("cur_type"), col("next_type"))
+  }
+
+  val markovTransitionsSql: String =
+    """WITH t AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events
+      |),
+      |c AS (
+      |  SELECT event_type AS cur_type, next_type, count(*) AS n
+      |  FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2
+      |),
+      |tot AS (SELECT cur_type, SUM(n) AS total FROM c GROUP BY 1)
+      |SELECT c.cur_type, next_type, n,
+      |  CAST(round(n / total, 6) AS DOUBLE) AS p
+      |FROM c JOIN tot ON c.cur_type = tot.cur_type
+      |ORDER BY c.cur_type, next_type""".stripMargin
+
+  /** #124 purchase_attribution — for every converting user, the FIRST
+    * event and the LAST event strictly before their first purchase,
+    * rolled up into a (first_touch, last_touch) conversion matrix.
+    * First-purchase time is a plain min per user; the pre-purchase
+    * join re-keys on the SAME user_id the touch aggregation groups on
+    * (co-partitioned, one logical exchange); both touch picks are
+    * min_by/max_by aggregates on struct(ts, event_id) — the house
+    * argmax rule: map-side combinable, never a row_number window over
+    * the raw stream. Output is bounded at |types|².
+    */
+  def purchaseAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val firstPurchase = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("fp_user"))
+      .agg(min(col("ts")).as("fp_ts"))
+    ev
+      .join(firstPurchase, col("user_id") === col("fp_user") && col("ts") < col("fp_ts"))
+      .groupBy(col("user_id"))
+      .agg(
+        min_by(col("event_type"), struct(col("ts"), col("event_id"))).as("first_touch"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("last_touch"))
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
+  val purchaseAttributionSql: String =
+    """WITH fp AS (
+      |  SELECT user_id, min(ts) AS fp_ts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1
+      |),
+      |pre AS (
+      |  SELECT e.user_id, e.ts, e.event_id, e.event_type
+      |  FROM events e JOIN fp ON e.user_id = fp.user_id AND e.ts < fp.fp_ts
+      |),
+      |firsts AS (
+      |  SELECT user_id, event_type AS first_touch FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |    FROM pre
+      |  ) WHERE rn = 1
+      |),
+      |lasts AS (
+      |  SELECT user_id, event_type AS last_touch FROM (
+      |    SELECT user_id, event_type,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM pre
+      |  ) WHERE rn = 1
+      |)
+      |SELECT first_touch, last_touch, count(*) AS n_users
+      |FROM firsts JOIN lasts USING (user_id)
+      |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "markov_transitions" -> (markovTransitions(_, _)),
+    "purchase_attribution" -> (purchaseAttribution(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "markov_transitions" -> markovTransitionsSql,
+    "purchase_attribution" -> purchaseAttributionSql)
+}

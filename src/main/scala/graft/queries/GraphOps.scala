@@ -372,7 +372,54 @@ object GraphOps {
        |  min(deg) AS min_deg, max(deg) AS max_deg
        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** #125 graph_neighbor_jaccard — structural similarity of users by
+    * their follow sets: Jaccard |N(a)∩N(b)| / |N(a)∪N(b)| for pairs
+    * sharing at least one out-neighbor. The intersection comes from
+    * the co-follow self-join on dst — the candidate-pair core, so it
+    * runs through [[TextOps.dropHotBuckets]] like every pair join in
+    * the repo: a celebrity dst with m followers would emit m²/2 pairs
+    * under one key at 100 TB; over the cap the bucket drops with an
+    * observe()d count (degrees stay exact — only candidate generation
+    * is capped, the documented recall trade). Union sizes come from
+    * the per-user degree aggregate joined back on fine keys; the
+    * top-50 ranks the ROUNDED jaccard under a total (a, b) tie-break
+    * as a TakeOrderedAndProject. The test-SF max in-degree (147) sits
+    * far under the default 1000 cap, so the DuckDB oracle is exact.
+    */
+  def graphNeighborJaccard(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).distinct()
+    val guarded = TextOps.dropHotBuckets(e, Seq("dst"), "jaccard_hot_buckets")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    guarded.select(col("src").as("a"), col("dst"))
+      .join(guarded.select(col("src").as("b"), col("dst")), Seq("dst"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(deg.select(col("src").as("a"), col("deg").as("deg_a")), Seq("a"))
+      .join(deg.select(col("src").as("b"), col("deg").as("deg_b")), Seq("b"))
+      .select(
+        col("a"), col("b"), col("n_common"),
+        emit(col("n_common") / (col("deg_a") + col("deg_b") - col("n_common")), 6)
+          .as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(50)
+  }
+
+  val graphNeighborJaccardSql: String =
+    s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |p AS (
+       |  SELECT e1.src AS a, e2.src AS b, count(*) AS n_common
+       |  FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, n_common,
+       |  CAST(round(n_common / (da.deg + db.deg - n_common), 6) AS DOUBLE) AS jaccard
+       |FROM p JOIN deg da ON a = da.src JOIN deg db ON b = db.src
+       |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_neighbor_jaccard" -> (graphNeighborJaccard(_, _)),
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "graph_degree_distribution" -> (graphDegreeDistribution(_, _)),
     "graph_following" -> (graphFollowing(_, _)),
@@ -385,6 +432,7 @@ object GraphOps {
     "admin_stats" -> (adminStats(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "graph_neighbor_jaccard" -> graphNeighborJaccardSql,
     "graph_clustering_coeff" -> graphClusteringCoeffSql,
     "graph_degree_distribution" -> graphDegreeDistributionSql,
     "graph_following" -> graphFollowingSql,

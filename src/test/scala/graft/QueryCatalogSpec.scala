@@ -1246,6 +1246,37 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[String]("s_name")).distinct.length == rows.length)
   }
 
+  test("markov rows sum to 1 per cur_type and attribution users conserve") {
+    val m = SparkEntry.queries("markov_transitions")(spark, dir).collect()
+    assert(m.nonEmpty)
+    val byCur = m.groupBy(_.getAs[String]("cur_type"))
+    byCur.foreach { case (cur, rows) =>
+      val psum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"P(·|$cur) sums to $psum, not 1")
+    }
+
+    val att = SparkEntry.queries("purchase_attribution")(spark, dir).collect()
+    val attributed = att.map(_.getAs[Long]("n_users")).sum
+    import org.apache.spark.sql.functions.col
+    val converters = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").select("user_id").distinct().count()
+    // every attributed user converted; users whose first event IS the
+    // purchase have no pre-purchase touch and drop out
+    assert(attributed > 0 && attributed <= converters,
+      s"$attributed attributed vs $converters converters")
+  }
+
+  test("neighbor jaccard stays in (0,1] and pairs are canonical") {
+    val j = SparkEntry.queries("graph_neighbor_jaccard")(spark, dir).collect()
+    assert(j.nonEmpty && j.length <= 50)
+    assert(j.forall(r => r.getAs[Long]("a") < r.getAs[Long]("b")), "pair not canonical a<b")
+    assert(j.forall { r =>
+      val v = r.getAs[Double]("jaccard"); v > 0.0 && v <= 1.0
+    }, "jaccard outside (0,1]")
+    val js = j.map(_.getAs[Double]("jaccard")).toSeq
+    assert(js == js.sortBy(-_), "top-50 must be jaccard-descending")
+  }
+
   test("dss sweep 3: q8 share bounds, q9 profit matrix, q19 scalar, q20 dominance") {
     val q8 = SparkEntry.queries("q8_market_share")(spark, dir).collect()
     assert(q8.nonEmpty)
