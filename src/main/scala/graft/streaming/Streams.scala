@@ -29,6 +29,18 @@ case class TierInterval(
     user_id: Long, tier: Long, valid_from_ms: Long,
     valid_to_ms: Option[Long], is_current: Boolean)
 
+/** One emitted user step for the streaming transition matrix (§2
+  * #123's continuous twin): the user moved cur_type → next_type at
+  * ts_ms. Downstream a `groupBy(cur_type, next_type).count()` in
+  * update mode IS the live Markov matrix; emitting the raw step keeps
+  * the operator composable (path mining, anomaly joins) the same way
+  * scd2Stream emits intervals rather than a materialized dimension.
+  */
+case class UserStep(user_id: Long, cur_type: String, next_type: String, ts_ms: Long)
+
+/** Last-seen event per user for the transition stream: O(1) state. */
+case class LastEvent(ts_ms: Long, event_id: Long, event_type: String)
+
 /** One document arriving at the corpus intake, for the streaming
   * weighted reservoir (§2 #102's continuous twin); weight is the
   * sampling weight (the batch op uses n_chars).
@@ -229,6 +241,48 @@ object Streams {
               state.setTimeoutTimestamp(
                 math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
             closed.result().iterator
+          }
+      }
+  }
+
+  /** #49j streaming Markov transitions — the continuous twin of
+    * markov_transitions (§2 #123): each user's state is only the LAST
+    * event seen (O(1) per key), and every arrival emits the
+    * (cur → next) step append-mode. Within a micro-batch arrivals
+    * fold in the batch op's (ts, event_id) order; across batches steps
+    * chain in arrival order — the same contract scd2Stream keeps (a
+    * cross-batch late event appends as if sequential, bounded by the
+    * watermark lateness). State evicts on event-time retention
+    * timeout, so cardinality tracks the ACTIVE user set.
+    */
+  def markovStream(
+      events: Dataset[Ev],
+      lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[UserStep] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, UserStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[LastEvent]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption
+            val out = Seq.newBuilder[UserStep]
+            var maxTs = Long.MinValue
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              maxTs = math.max(maxTs, ms)
+              st.foreach(prev => out += UserStep(uid, prev.event_type, e.event_type, ms))
+              st = Some(LastEvent(ms, e.event_id, e.event_type))
+            }
+            st.foreach(state.update)
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
           }
       }
   }

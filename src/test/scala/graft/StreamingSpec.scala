@@ -64,6 +64,34 @@ class StreamingSpec extends AnyFunSuite {
       "intervals must chain through the sorted within-batch fold")
   }
 
+  test("markov stream chains steps exactly like the batch lead rule") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val t = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00").getTime
+    val in = MemoryStream[Ev]
+    val q = Streams.markovStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("mkv").start()
+    // out-of-order addData within the batch: the fold must apply the
+    // batch op's (ts, event_id) order, yielding view→click not click→view
+    in.addData(ev(2, 1, 1, "click", 0.0), ev(1, 0, 1, "view", 0.0), ev(3, 0, 2, "view", 0.0))
+    q.processAllAvailable()
+    val first = spark.table("mkv").collect()
+    assert(first.length == 1, "two events → one step; user 2's single event emits none")
+    assert(first.head.getAs[Long]("user_id") == 1L &&
+      first.head.getAs[String]("cur_type") == "view" &&
+      first.head.getAs[String]("next_type") == "click" &&
+      first.head.getAs[Long]("ts_ms") == t(1))
+    // next batch chains from state: user 1 click→purchase, user 2 view→view
+    in.addData(ev(4, 2, 1, "purchase", 0.0), ev(5, 5, 2, "view", 0.0))
+    q.processAllAvailable(); q.stop()
+    val steps = spark.table("mkv").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("cur_type"),
+        r.getAs[String]("next_type"))).toSet
+    assert(steps == Set((1L, "view", "click"), (1L, "click", "purchase"),
+      (2L, "view", "view")), s"unexpected step set $steps")
+  }
+
   test("weighted reservoir keeps the A-Res top-k with the batch op's exact key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
