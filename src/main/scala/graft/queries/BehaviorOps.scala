@@ -113,11 +113,70 @@ object BehaviorOps {
       |FROM firsts JOIN lasts USING (user_id)
       |GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin
 
+  /** #126 mad_anomalies — the ROBUST twin of event_anomalies (#86):
+    * median/MAD instead of mean/σ, the Iglewicz–Hoaglin modified
+    * z-score 0.6745·(c−med)/MAD with the 3.5 cut. A real traffic
+    * spike INFLATES the mean and σ enough to mask itself in the plain
+    * z-score; the median ignores it, which is why ops dashboards run
+    * both. Medians use the proven percentile/quantile_cont parity
+    * device, ROUNDED to 6 dp before entering the score so both
+    * engines divide identical inputs; MAD = 0 (a constant-count type)
+    * reads as never-anomalous like the σ = 0 case. Shape: the same
+    * bounded (type, hour) matrix as #86, two 5-row baseline aggs
+    * joined back co-keyed — no window over a coarse key.
+    */
+  def madAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Round5Ops.hourlyCounts(s, dir)
+    val med = hourly.groupBy(col("event_type"))
+      .agg(emit(expr("percentile(cnt, 0.5)"), 6).as("med"))
+    val withMed = hourly.join(med, Seq("event_type"))
+    val mad = withMed.groupBy(col("event_type"))
+      .agg(emit(expr("percentile(abs(cnt - med), 0.5)"), 6).as("mad"))
+    withMed.join(mad, Seq("event_type"))
+      .withColumn(
+        "robust_z",
+        when(col("mad") === 0, lit(0.0))
+          .otherwise(emit(lit(0.6745) * (col("cnt") - col("med")) / col("mad"), 4)))
+      .withColumn("flagged", (abs(col("robust_z")) >= 3.5).cast("int"))
+      .select(col("event_type"), col("hour"), col("cnt"), col("robust_z"), col("flagged"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val madAnomaliesSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |med AS (
+      |  SELECT event_type, CAST(round(quantile_cont(cnt, 0.5), 6) AS DOUBLE) AS med
+      |  FROM hourly GROUP BY 1
+      |),
+      |wm AS (
+      |  SELECT hourly.event_type, hour, cnt, med
+      |  FROM hourly JOIN med ON hourly.event_type = med.event_type
+      |),
+      |mad AS (
+      |  SELECT event_type, CAST(round(quantile_cont(abs(cnt - med), 0.5), 6) AS DOUBLE) AS mad
+      |  FROM wm GROUP BY 1
+      |),
+      |rz AS (
+      |  SELECT wm.event_type, hour, cnt,
+      |    CASE WHEN mad = 0 THEN 0.0
+      |         ELSE CAST(round(0.6745 * (cnt - med) / mad, 4) AS DOUBLE) END AS robust_z
+      |  FROM wm JOIN mad ON wm.event_type = mad.event_type
+      |)
+      |SELECT event_type, hour, cnt, robust_z,
+      |  CAST(abs(robust_z) >= 3.5 AS INT) AS flagged
+      |FROM rz ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "markov_transitions" -> (markovTransitions(_, _)),
-    "purchase_attribution" -> (purchaseAttribution(_, _)))
+    "purchase_attribution" -> (purchaseAttribution(_, _)),
+    "mad_anomalies" -> (madAnomalies(_, _)))
 
   val oracles: Map[String, String] = Map(
     "markov_transitions" -> markovTransitionsSql,
-    "purchase_attribution" -> purchaseAttributionSql)
+    "purchase_attribution" -> purchaseAttributionSql,
+    "mad_anomalies" -> madAnomaliesSql)
 }

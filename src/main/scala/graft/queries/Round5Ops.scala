@@ -294,7 +294,7 @@ object Round5Ops {
     * map-side partials, one per-type agg over a bounded relation, one
     * co-keyed join back — no window over a coarse key anywhere.
     */
-  private def hourlyCounts(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hourlyCounts(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(
         col("event_type"),

@@ -1010,7 +1010,76 @@ object Round6Ops {
        |ORDER BY day""".stripMargin
   }
 
+  /** #127 label_centroid_sim — embedding-space health per label: how
+    * far each label's centroid sits from the global centroid (cosine).
+    * Labels whose centroid hugs the global mean carry little signal
+    * (or the embedder collapsed); an outlier label is a candidate
+    * mis-embedding batch — the per-slice check an embedding intake
+    * runs next to kmeans. All arithmetic is order-independent:
+    * per-position means via posexplode + DECIMAL sums (n×64 rows,
+    * one fine-keyed shuffle), the cosine's three inner products as
+    * 12-dp DECIMAL sums over the 64-row joined frame (the
+    * likes-weighted device) — never a float fold in partition order.
+    * The 64-row global-centroid relation broadcasts; output is
+    * bounded at |labels|.
+    */
+  def labelCentroidSim(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .select(col("label"), col("pos"), col("col").cast("double").as("v"))
+    val lm = e.groupBy(col("label"), col("pos"))
+      .agg(emit(dsum(col("v")) / count(lit(1)), 6).as("m"))
+    val gm = e.groupBy(col("pos"))
+      .agg(emit(dsum(col("v")) / count(lit(1)), 6).as("g"))
+    val n = Tables.embeddings(s, dir)
+      .groupBy(col("label").as("n_label")).agg(count(lit(1)).as("n_vecs"))
+    lm.join(broadcast(gm), Seq("pos")) // 64 rows by construction
+      .groupBy(col("label"))
+      .agg(
+        sum(round(col("m") * col("g"), 12).cast(Dec12)).as("dot"),
+        sum(round(col("m") * col("m"), 12).cast(Dec12)).as("nl"),
+        sum(round(col("g") * col("g"), 12).cast(Dec12)).as("ng"))
+      .join(n, col("label") === col("n_label"))
+      .select(
+        col("label"), col("n_vecs"),
+        emit(
+          col("dot").cast("double") /
+            (sqrt(col("nl").cast("double")) * sqrt(col("ng").cast("double"))), 6)
+          .as("cos_global"))
+      .orderBy(col("label"))
+  }
+
+  val labelCentroidSimSql: String =
+    """WITH e AS (
+      |  SELECT label, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
+      |  FROM embeddings, range(0, 64) t(pos)
+      |),
+      |lm AS (
+      |  SELECT label, pos,
+      |    CAST(round(SUM(CAST(v AS DECIMAL(38,6))) / count(*), 6) AS DOUBLE) AS m
+      |  FROM e GROUP BY 1, 2
+      |),
+      |gm AS (
+      |  SELECT pos,
+      |    CAST(round(SUM(CAST(v AS DECIMAL(38,6))) / count(*), 6) AS DOUBLE) AS g
+      |  FROM e GROUP BY 1
+      |),
+      |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),
+      |sums AS (
+      |  SELECT label,
+      |    SUM(CAST(round(m * g, 12) AS DECIMAL(38,12))) AS dot,
+      |    SUM(CAST(round(m * m, 12) AS DECIMAL(38,12))) AS nl,
+      |    SUM(CAST(round(g * g, 12) AS DECIMAL(38,12))) AS ng
+      |  FROM lm JOIN gm USING (pos) GROUP BY 1
+      |)
+      |SELECT sums.label, n_vecs,
+      |  CAST(round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(nl AS DOUBLE)) * sqrt(CAST(ng AS DOUBLE))), 6) AS DOUBLE) AS cos_global
+      |FROM sums JOIN n ON sums.label = n.label
+      |ORDER BY sums.label""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "label_centroid_sim" -> (labelCentroidSim(_, _)),
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
     "q4_order_priority" -> (q4OrderPriority(_, _)),
@@ -1033,6 +1102,7 @@ object Round6Ops {
     "event_mix_drift" -> (eventMixDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "label_centroid_sim" -> labelCentroidSimSql,
     "q13_custdist" -> q13CustdistSql,
     "q4_order_priority" -> q4OrderPrioritySql,
     "bpe_merge_step" -> bpeMergeStepSql,

@@ -1266,6 +1266,23 @@ class QueryCatalogSpec extends AnyFunSuite {
       s"$attributed attributed vs $converters converters")
   }
 
+  test("mad anomalies cover the hourly matrix and centroid sims are sane") {
+    val mad = SparkEntry.queries("mad_anomalies")(spark, dir).collect()
+    val plain = SparkEntry.queries("event_anomalies")(spark, dir).count()
+    assert(mad.length.toLong == plain, "robust and plain detectors must score the same matrix")
+    assert(mad.forall { r =>
+      val f = r.getAs[Int]("flagged")
+      (f == 1) == (math.abs(r.getAs[Double]("robust_z")) >= 3.5)
+    }, "flag must equal the 3.5 modified-z cut")
+
+    val sims = SparkEntry.queries("label_centroid_sim")(spark, dir).collect()
+    val nLabels = Tables.embeddings(spark, dir).select("label").distinct().count()
+    assert(sims.length.toLong == nLabels, "one row per label")
+    assert(sims.forall { r =>
+      val c = r.getAs[Double]("cos_global"); c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9
+    }, "cosine outside [-1,1]")
+  }
+
   test("neighbor jaccard stays in (0,1] and pairs are canonical") {
     val j = SparkEntry.queries("graph_neighbor_jaccard")(spark, dir).collect()
     assert(j.nonEmpty && j.length <= 50)
