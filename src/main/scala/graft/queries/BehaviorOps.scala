@@ -170,13 +170,94 @@ object BehaviorOps {
       |  CAST(abs(robust_z) >= 3.5 AS INT) AS flagged
       |FROM rz ORDER BY event_type, hour""".stripMargin
 
+  /** The windowed-EWMA decay weights, α=0.3 over a 24-hour lookback:
+    * w_d = α(1−α)^d rounded to 12 dp — computed ONCE here in exact
+    * BigDecimal arithmetic and embedded as literal constants into BOTH
+    * engines' plans (the Spark array literal and the oracle's VALUES
+    * list are generated from this same sequence), so no runtime
+    * pow()/float call can diverge between engines. The tail below
+    * w_23 ≈ 8.3e-6 is truncated: that makes this the standard WINDOWED
+    * EWMA (identical truncation on both sides), not the infinite
+    * recurrence — which is also what makes it expressible as a pure
+    * bounded fan-out instead of an order-dependent fold.
+    */
+  private val ewmaWeights: Seq[(Int, java.math.BigDecimal)] = {
+    val alpha = BigDecimal("0.3")
+    val decay = BigDecimal("0.7")
+    (0 until 24).map(d =>
+      d -> (alpha * decay.pow(d)).setScale(12, BigDecimal.RoundingMode.HALF_UP).bigDecimal)
+  }
+
+  /** #130 ewma_hourly — exponentially-smoothed hourly event rate per
+    * type, the monitoring smoother dashboards draw next to the raw
+    * counts (and the baseline the anomaly family's z-scores are often
+    * taken against in production). Instead of the recursive
+    * s_h = αx_h + (1−α)s_{h−1} — an order-dependent fold no engine
+    * parallelizes — the bounded window makes it a CLOSED FORM:
+    * s_H = Σ_{d<24} w_d·x_{H−d}. Shape: one hourly aggregate (map-side
+    * combine collapses the fact stream to the tiny |types|×|hours|
+    * matrix), a ×24 codegen'd explode of the weight literals (no join,
+    * no window, no per-type sort), one bounded re-aggregate on the
+    * target hour, and an equi-join back to observed hours. Every
+    * product and the sum run in exact DECIMAL; hours with no events
+    * contribute exactly their true zero. At 100 TB only the first
+    * aggregate ever sees the data volume.
+    */
+  def ewmaHourly(s: SparkSession, dir: String): DataFrame =
+    ewmaHourlyOver(Tables.events(s, dir))
+
+  /** The smoother over any (event_type, ts) frame — test entry. */
+  private[graft] def ewmaHourlyOver(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(
+        col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).as("hb"))
+      .agg(count(lit(1)).as("x"))
+    val wArr = array(ewmaWeights.map { case (d, w) =>
+      struct(lit(d).as("d"), lit(w).cast("decimal(14,12)").as("w"))
+    }: _*)
+    val contrib = hourly
+      .select(col("event_type"), col("hb"), col("x"), explode(wArr).as("dw"))
+      .select(
+        col("event_type"),
+        (col("hb") + col("dw.d")).as("hb_t"),
+        (col("dw.w") * col("x")).as("c"))
+      .groupBy(col("event_type"), col("hb_t"))
+      .agg(sum(col("c")).as("sm"))
+      .withColumnRenamed("hb_t", "hb")
+    hourly
+      .join(contrib, Seq("event_type", "hb"))
+      .select(col("event_type"), col("hb"), col("x"), emit(col("sm"), 4).as("ewma"))
+      .orderBy(col("event_type"), col("hb"))
+  }
+
+  val ewmaHourlySql: String = {
+    val values = ewmaWeights
+      .map { case (d, w) => s"($d, CAST('${w.toPlainString}' AS DECIMAL(14,12)))" }
+      .mkString(", ")
+    s"""WITH hourly AS (
+       |  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb, count(*) AS x
+       |  FROM events GROUP BY 1, 2
+       |),
+       |wt(d, w) AS (VALUES $values),
+       |contrib AS (
+       |  SELECT event_type, hb + d AS hb_t, SUM(w * x) AS sm
+       |  FROM hourly CROSS JOIN wt GROUP BY 1, 2
+       |)
+       |SELECT h.event_type, h.hb, h.x, CAST(round(c.sm, 4) AS DOUBLE) AS ewma
+       |FROM hourly h JOIN contrib c ON h.event_type = c.event_type AND h.hb = c.hb_t
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "markov_transitions" -> (markovTransitions(_, _)),
     "purchase_attribution" -> (purchaseAttribution(_, _)),
+    "ewma_hourly" -> (ewmaHourly(_, _)),
     "mad_anomalies" -> (madAnomalies(_, _)))
 
   val oracles: Map[String, String] = Map(
     "markov_transitions" -> markovTransitionsSql,
     "purchase_attribution" -> purchaseAttributionSql,
+    "ewma_hourly" -> ewmaHourlySql,
     "mad_anomalies" -> madAnomaliesSql)
 }

@@ -418,7 +418,90 @@ object GraphOps {
        |FROM p JOIN deg da ON a = da.src JOIN deg db ON b = db.src
        |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin
 
+  /** #128 graph_kcore — the k-core of the interaction graph: the
+    * maximal subgraph where every member keeps ≥ k neighbors INSIDE
+    * the subgraph (the standard engagement-tier / spam-ring cut,
+    * stronger than a raw degree threshold because peripheral
+    * followers don't prop each other up). Computed by the textbook
+    * peel: drop nodes under degree k, recompute induced degrees,
+    * repeat. The %150 projection the other graph queries share is
+    * near-complete (every node would survive any small k), so this
+    * one projects the SAME order→supplier interactions into a 4000-id
+    * space where degrees spread 1..90 — the 20-core peels away a
+    * third of the graph over 7 rounds at sf0.01.
+    *
+    * Both engines run a FIXED 8 peel rounds — one past convergence on
+    * the oracle data, so the output is the true fixpoint there, and
+    * byte-equal across engines at any SF by construction (peeling is
+    * idempotent at the fixpoint; extra rounds are no-ops). Scale per
+    * round: two semi-joins on the edge keys + one count aggregate —
+    * O(E) shuffle, no all-pairs anywhere; [[graft.Lineage.cut]] stops
+    * the 2^rounds plan blow-up exactly as in [[pageRank]]. On a real
+    * cluster the driver loops until `alive.count()` stabilizes
+    * instead of a fixed bound; the fixed bound here is what makes the
+    * result a pure deterministic function of the input for the
+    * cross-engine hash gate.
+    */
+  def graphKcore(s: SparkSession, dir: String): DataFrame = {
+    val und = Tables
+      .orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        ((col("o_custkey") * 31 + col("l_linenumber")) % 4000).as("src"),
+        ((col("l_suppkey") * 17 + col("l_partkey")) % 4000).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    kcoreOver(und, k = 20, rounds = 8)
+  }
+
+  /** The peel over any undirected (a, b) edge frame — test entry. */
+  private[graft] def kcoreOver(und: DataFrame, k: Int, rounds: Int): DataFrame = {
+    def induced(alive: DataFrame): DataFrame = und
+      .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
+      .join(alive.select(col("id").as("b")), Seq("b"), "left_semi")
+    def degrees(live: DataFrame): DataFrame = live
+      .select(col("a").as("id"))
+      .unionAll(live.select(col("b").as("id")))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("core_deg"))
+    var alive = und.select(col("a").as("id")).union(und.select(col("b").as("id"))).distinct()
+    for (_ <- 1 to rounds)
+      alive = graft.Lineage.cut(degrees(induced(alive)).filter(col("core_deg") >= k).select(col("id")))
+    degrees(induced(alive)).orderBy(col("id"))
+  }
+
+  // MATERIALIZED matters: DuckDB inlines plain CTEs once per
+  // reference, so the 8 rounds' 2×-per-round references would re-scan
+  // the parquet ~19 times (and run out of file handles before that).
+  val graphKcoreSql: String = {
+    def round(prev: String, cur: String): String =
+      s"""$cur AS MATERIALIZED (
+         |  SELECT id FROM (
+         |    SELECT u.a AS id FROM und u JOIN $prev x ON u.a = x.id JOIN $prev y ON u.b = y.id
+         |    UNION ALL
+         |    SELECT u.b AS id FROM und u JOIN $prev x ON u.a = x.id JOIN $prev y ON u.b = y.id
+         |  ) GROUP BY id HAVING count(*) >= 20
+         |)""".stripMargin
+    val rounds = (1 to 8).map(i => round(s"a${i - 1}", s"a$i")).mkString(",\n")
+    """WITH e0 AS (
+      |  SELECT (o_custkey*31 + l_linenumber) % 4000 AS src,
+      |         (l_suppkey*17 + l_partkey) % 4000 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE (o_custkey*31 + l_linenumber) % 4000 <> (l_suppkey*17 + l_partkey) % 4000
+      |),
+      |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+      |a0 AS (SELECT DISTINCT id FROM (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)),
+      |""".stripMargin + rounds +
+      """,
+        |live AS (SELECT u.a, u.b FROM und u JOIN a8 x ON u.a = x.id JOIN a8 y ON u.b = y.id)
+        |SELECT id, count(*) AS core_deg
+        |FROM (SELECT a AS id FROM live UNION ALL SELECT b AS id FROM live)
+        |GROUP BY id ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_kcore" -> (graphKcore(_, _)),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard(_, _)),
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
     "graph_degree_distribution" -> (graphDegreeDistribution(_, _)),
@@ -432,6 +515,7 @@ object GraphOps {
     "admin_stats" -> (adminStats(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "graph_kcore" -> graphKcoreSql,
     "graph_neighbor_jaccard" -> graphNeighborJaccardSql,
     "graph_clustering_coeff" -> graphClusteringCoeffSql,
     "graph_degree_distribution" -> graphDegreeDistributionSql,

@@ -1078,7 +1078,55 @@ object Round6Ops {
       |FROM sums JOIN n ON sums.label = n.label
       |ORDER BY sums.label""".stripMargin
 
+  /** #129 boilerplate_ngrams — the corpus-common 5-gram table: which
+    * exact phrases appear in ≥3 distinct documents, ranked by document
+    * frequency. This is the gram-level TRANSPOSE of doc_novelty's
+    * per-doc uniqueness share, and the report face of the hot-bucket
+    * guard: the grams listed here are precisely the over-common
+    * content that winnowing/MOSS drops from fingerprint indexes and
+    * that floods MinHash band buckets (headers, licenses, navigation
+    * chrome in a crawl). Pipeline operators consume it as a strip
+    * list; operators consume the doc-share column as the "is this
+    * template text" prior. Shape at 100 TB: the shared gram pass, one
+    * gram-key aggregate (map-side combined — a doc contributes each
+    * gram once), the df≥3 cut BEFORE the single-row total broadcasts
+    * in, and a top-50 TakeOrderedAndProject under a total (df desc, g)
+    * order. Never all-pairs, never a global window.
+    */
+  def boilerplateNgrams(s: SparkSession, dir: String): DataFrame =
+    boilerplateNgramsOver(docs(s, dir), minDf = 3, topK = 50)
+
+  /** The report over any (doc_id, text) frame — test entry. */
+  private[graft] def boilerplateNgramsOver(d: DataFrame, minDf: Int, topK: Int): DataFrame = {
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    TextOps.gramRows(d, 5)
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("g"), col("df"),
+        emit(col("df").cast("double") / col("n_docs"), 6).as("doc_share"))
+      .orderBy(col("df").desc, col("g"))
+      .limit(topK)
+  }
+
+  val boilerplateNgramsSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]
+      |            for i in range(1, greatest(len(ws) - 3, 1))]) AS g
+      |  FROM w
+      |),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |dfr AS (SELECT g, count(*) AS df FROM g GROUP BY 1 HAVING count(*) >= 3)
+      |SELECT g, df, CAST(round(CAST(df AS DOUBLE) / n_docs, 6) AS DOUBLE) AS doc_share
+      |FROM dfr CROSS JOIN nd
+      |ORDER BY df DESC, g LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "boilerplate_ngrams" -> (boilerplateNgrams(_, _)),
     "label_centroid_sim" -> (labelCentroidSim(_, _)),
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
     "q13_custdist" -> (q13Custdist(_, _)),
@@ -1102,6 +1150,7 @@ object Round6Ops {
     "event_mix_drift" -> (eventMixDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "boilerplate_ngrams" -> boilerplateNgramsSql,
     "label_centroid_sim" -> labelCentroidSimSql,
     "q13_custdist" -> q13CustdistSql,
     "q4_order_priority" -> q4OrderPrioritySql,

@@ -24,9 +24,14 @@ class QueryCatalogSpec extends AnyFunSuite {
   }
 
   test("every query returns rows at sf0.001") {
+    // graph_kcore is exempt BY DESIGN: at sf0.001 the projected graph
+    // has mean degree ~3, so the empty 20-core is the true answer —
+    // the driver's sf0.01 oracle gate sees the nonempty core (and the
+    // planted-graph test below pins the peel itself).
+    val emptyOk = Set("graph_kcore")
     val empties = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val n = fn(spark, dir).count()
-      if (n == 0) Some(name) else None
+      if (n == 0 && !emptyOk(name)) Some(name) else None
     }
     assert(empties.isEmpty, s"empty results: $empties")
   }
@@ -1359,5 +1364,57 @@ class QueryCatalogSpec extends AnyFunSuite {
     val share = q14.getAs[Double]("promo_share")
     assert(share >= 0.0 && share <= 100.0, s"promo share $share outside [0,100]")
     assert(q14.getAs[Double]("promo_rev") <= q14.getAs[Double]("total_rev"))
+  }
+
+  test("kcore peel keeps exactly the planted clique and reaches the fixpoint invariant") {
+    import spark.implicits._
+    // K6 clique (every member has 5 in-clique neighbors) + a pendant
+    // path 100-101-102 hanging off node 0: the 3-core is the clique
+    // alone, and the path must peel away across rounds (101 starts at
+    // degree 2, gains nothing from 100's removal).
+    val clique = for { a <- 0 to 5; b <- 0 to 5 if a < b } yield (a.toLong, b.toLong)
+    val path = Seq((0L, 100L), (100L, 101L), (101L, 102L))
+    val und = (clique ++ path).toDF("a", "b")
+    val core = graft.queries.GraphOps.kcoreOver(und, k = 3, rounds = 8).collect()
+    assert(core.map(_.getAs[Long]("id")).toSeq == (0L to 5L), s"core was ${core.toSeq}")
+    assert(core.forall(_.getAs[Long]("core_deg") == 5L), "clique members keep all 5 edges")
+  }
+
+  test("graph_kcore at sf0.01 is a nonempty strict subset with induced degrees >= k") {
+    val core = SparkEntry.queries("graph_kcore")(spark, "/root/testdata/sf0.01").collect()
+    assert(core.nonEmpty, "20-core must be nonempty at sf0.01")
+    assert(core.length < 3810, "20-core must be a strict subset of the 3810 nodes")
+    assert(core.forall(_.getAs[Long]("core_deg") >= 20L), "fixpoint: every member keeps >= k")
+  }
+
+  test("ewma matches the closed form on a planted two-hour series") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4 events at hour H, 2 at H+1 → s(H) = w0*4, s(H+1) = w0*2 + w1*4
+    // with w0 = 0.3, w1 = 0.21.
+    val h = 1700000L * 3600L
+    val rows = (Seq.fill(4)(h * 1000L) ++ Seq.fill(2)((h + 3600L) * 1000L))
+      .map(ms => ("click", new java.sql.Timestamp(ms)))
+    val ev = rows.toDF("event_type", "ts")
+    val out = graft.queries.BehaviorOps.ewmaHourlyOver(ev)
+      .orderBy(col("hb")).collect()
+    assert(out.length == 2)
+    assert(math.abs(out(0).getAs[Double]("ewma") - 1.2) < 1e-9, s"s(H) was ${out(0)}")
+    assert(math.abs(out(1).getAs[Double]("ewma") - (0.3 * 2 + 0.21 * 4)) < 1e-9,
+      s"s(H+1) was ${out(1)}")
+  }
+
+  test("boilerplate ngrams surfaces a phrase planted across three docs and not a unique one") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("boilerplate_ngrams")(spark, dir)
+    assert(df.filter(col("df") < 3).count() == 0, "df floor must hold")
+    val docs = Tables.documents(spark, dir)
+    val planted = docs.limit(3)
+      .select(col("doc_id"), concat(lit("shared header phrase five words "), col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") > 10).select(col("doc_id"), col("text")))
+    val report = graft.queries.Round6Ops.boilerplateNgramsOver(planted, minDf = 3, topK = 100000)
+    val hit = report.filter(col("g") === "shared header phrase five words").collect()
+    assert(hit.length == 1 && hit.head.getAs[Long]("df") == 3L,
+      "planted cross-doc 5-gram must surface with df = 3")
   }
 }
