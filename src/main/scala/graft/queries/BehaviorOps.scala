@@ -181,7 +181,7 @@ object BehaviorOps {
     * recurrence — which is also what makes it expressible as a pure
     * bounded fan-out instead of an order-dependent fold.
     */
-  private val ewmaWeights: Seq[(Int, java.math.BigDecimal)] = {
+  private[graft] val ewmaWeights: Seq[(Int, java.math.BigDecimal)] = {
     val alpha = BigDecimal("0.3")
     val decay = BigDecimal("0.7")
     (0 until 24).map(d =>

@@ -45,6 +45,14 @@ case class LastEvent(ts_ms: Long, event_id: Long, event_type: String)
   * weighted reservoir (§2 #102's continuous twin); weight is the
   * sampling weight (the batch op uses n_chars).
   */
+/** A closed hour's smoothed rate — bit-identical to an ewma_hourly row. */
+case class EwmaRow(event_type: String, hb: Long, x: Long, ewma: Double)
+
+/** Per-type smoother state: recent hourly counts (≤25 entries — the
+  * 24h lookback plus the open frontier) and the last emitted hour.
+  */
+case class EwmaState(buckets: Map[Long, Long], last_emitted: Long)
+
 case class DocArrival(source: String, ts: java.sql.Timestamp, doc_id: Long, weight: Long)
 
 /** One reservoir slot: the A-Res key and its document. */
@@ -336,6 +344,86 @@ object Streams {
             }
           }
       }
+  }
+
+  /** #49k ewmaStream — continuous twin of #130 ewma_hourly, under the
+    * engine's streaming/batch PARITY contract: a drained stream equals
+    * the batch smoother run over the events seen so far, for every
+    * hour the watermark has closed. That parity is what makes the
+    * closed-form (windowed) EWMA the right streaming semantics — the
+    * recursive fold's infinite tail would depend on how far back the
+    * stream happened to start.
+    *
+    * Per event-type state is the last ≤24+1 hourly counts plus the
+    * emitted frontier — O(1) bytes per key regardless of volume (the
+    * per-hour fold happens inside the group iterator; no windowed
+    * pre-agg stage, so the query stays a SINGLE stateful operator).
+    * An hour emits exactly once, when the watermark proves it can no
+    * longer change ((hb+1)h ≤ watermark); the smoothed value is the
+    * same exact-BigDecimal dot product with [[graft.queries.BehaviorOps.ewmaWeights]]
+    * the batch plan embeds as literals, so emitted rows are
+    * bit-identical to the batch op's (spec-pinned). An event-time
+    * timeout at the oldest pending hour's close flushes types that go
+    * quiet; state is removed once no bucket can feed a future
+    * emission.
+    */
+  def ewmaStream(events: Dataset[Ev], lateness: String = "1 hour"): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (typ: String, rows: Iterator[Ev], state: GroupState[EwmaState]) =>
+          // -1 = "nothing emitted yet" (epoch hours are positive; a
+          // Long.MinValue sentinel would overflow the `frontier - 24`
+          // pruning arithmetic below)
+          val st0 = state.getOption.getOrElse(EwmaState(Map.empty, -1L))
+          val buckets = rows.foldLeft(st0.buckets) { (m, e) =>
+            val hb = e.ts.getTime / 3600000L
+            m.updated(hb, m.getOrElse(hb, 0L) + 1L)
+          }
+          val wmMs = state.getCurrentWatermarkMs()
+          val closed = buckets.keys
+            .filter(hb => hb > st0.last_emitted && (hb + 1) * 3600000L <= wmMs)
+            .toSeq.sorted
+          val out = closed.map(hb => EwmaRow(typ, hb, buckets(hb), ewmaAt(buckets, hb)))
+          val frontier = if (closed.nonEmpty) closed.max else st0.last_emitted
+          // a bucket only matters while some unemitted hour's 24h
+          // lookback can still reach it: unemitted hours are > frontier
+          // AND ≥ the watermark hour (anything earlier is closed), so
+          // buckets behind BOTH horizons are dead — including for a
+          // type that goes quiet, whose state must fully age out.
+          val wmHour = wmMs / 3600000L
+          val pruned = buckets.filter { case (hb, _) =>
+            hb > frontier - 24 && hb > wmHour - 24
+          }
+          if (pruned.isEmpty) state.remove()
+          else {
+            state.update(EwmaState(pruned, frontier))
+            val nextClose = pruned.keys.filter(_ > frontier)
+              .minOption.map(hb => (hb + 1) * 3600000L)
+            state.setTimeoutTimestamp(
+              math.max(nextClose.getOrElse(wmMs + 3600000L), wmMs + 1))
+          }
+          out.iterator
+      }
+  }
+
+  /** The batch op's exact smoothed value: Σ w_d·x(hb−d) in exact
+    * BigDecimal over the SAME weight constants the batch plan embeds,
+    * rounded HALF_UP to 4 dp — the JVM mirror of decimal(14,12)
+    * products summed and emit()ed.
+    */
+  private[graft] def ewmaAt(buckets: Map[Long, Long], hb: Long): Double = {
+    val s = graft.queries.BehaviorOps.ewmaWeights.foldLeft(java.math.BigDecimal.ZERO) {
+      case (acc, (d, w)) =>
+        buckets.get(hb - d) match {
+          case Some(x) => acc.add(w.multiply(java.math.BigDecimal.valueOf(x)))
+          case None => acc
+        }
+    }
+    s.setScale(4, java.math.RoundingMode.HALF_UP).doubleValue
   }
 
   /** The batch op's exact key (compare queries.Round6Ops

@@ -807,4 +807,64 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("sd").select("event_id").distinct().count() ==
       spark.table("sd").count())
   }
+
+  test("ewma stream emits closed hours bit-identical to the batch smoother") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(hour: Int, minute: Int, id: Long, t: String) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00"), 1L, t, 0.0)
+    val in = MemoryStream[Ev]
+    val q = Streams.ewmaStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("ewm").start()
+    // 4 clicks in hour 10, 2 in hour 11 — nothing closed yet (wm unset)
+    val clicks = Seq(at(10, 1, 1, "click"), at(10, 2, 2, "click"), at(10, 3, 3, "click"),
+      at(10, 4, 4, "click"), at(11, 1, 5, "click"), at(11, 2, 6, "click"))
+    in.addData(clicks: _*)
+    q.processAllAvailable()
+    assert(spark.table("ewm").collect().isEmpty, "no hour can close before the watermark moves")
+    // probes at 13:00/13:10 advance the watermark to 12:00 then 12:10
+    // (1h lateness); a timeout due at T fires in the first batch whose
+    // START watermark has passed T — watermarks advance between
+    // batches, so the SECOND probe's batch flushes hours 10 and 11
+    in.addData(at(13, 0, 99, "probe"))
+    q.processAllAvailable()
+    in.addData(at(13, 10, 98, "probe"))
+    q.processAllAvailable()
+    val wave1 = spark.table("ewm").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hb"),
+        r.getAs[Long]("x"), r.getAs[Double]("ewma"))).toSet
+    val h10 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime / 3600000L
+    assert(wave1 == Set(("click", h10, 4L, 1.2), ("click", h10 + 1, 2L, 1.44)),
+      s"wave 1 must flush exactly hours 10 and 11: $wave1")
+    // hour-12 click arrives AFTER hours 10/11 were emitted (but is not
+    // late: 12:30 >= wm 12:10); its smoothing must still see hours
+    // 10/11 through the retained bucket state
+    in.addData(at(12, 30, 7, "click"))
+    q.processAllAvailable()
+    in.addData(at(16, 0, 100, "probe"))
+    q.processAllAvailable()
+    in.addData(at(16, 30, 101, "probe"))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ewm").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hb"),
+        r.getAs[Long]("x"), r.getAs[Double]("ewma"))).toSet
+    // w0*1 + w1*2 + w2*4 = 0.3 + 0.42 + 0.588 over the carried state
+    assert(streamed.contains(("click", h10 + 2, 1L, 1.308)),
+      s"hour-12 smoothing must see hours 10/11 through state: $streamed")
+    // whole-run parity: every emitted row equals the batch smoother
+    // over all events, restricted to hours the final emission watermark
+    // (15:00, from the 16:00 probe) had closed
+    val allEvents = clicks ++ Seq(at(13, 0, 99, "probe"), at(13, 10, 98, "probe"),
+      at(12, 30, 7, "click"), at(16, 0, 100, "probe"), at(16, 30, 101, "probe"))
+    val emissionWm = at(16, 0, 100, "probe").ts.getTime - 3600000L
+    val batch = graft.queries.BehaviorOps
+      .ewmaHourlyOver(allEvents.toDF())
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hb"),
+        r.getAs[Long]("x"), r.getAs[Double]("ewma")))
+      .filter { case (_, hb, _, _) => (hb + 1) * 3600L * 1000L <= emissionWm }
+      .toSet
+    assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+  }
 }
