@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{OracleMath, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -249,15 +249,75 @@ object BehaviorOps {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  /** #131 quantile_drift — day-over-day shift of the per-type VALUE
+    * distribution (p50/p90), the drift monitor beside event_mix_drift:
+    * mix drift catches "the traffic composition changed", this catches
+    * "the same events started carrying different values" (a payments
+    * outage halves p90 without moving a single count). Exact
+    * percentiles run per (type, day) — the shared-buffer percentile
+    * device — collapsing the fact stream to the bounded daily matrix
+    * in ONE shuffle; the lag window then runs over that tiny matrix
+    * (partitioned by type, days are horizon-bounded — the
+    * event_mix_drift precedent), never over raw data. Shifts divide
+    * already-rounded doubles (identical IEEE division both engines,
+    * the q14 device) with a greatest(|prev|, 1e-9) floor so a zero
+    * baseline reads as a large-but-finite shift, not ±inf; the flag
+    * folds on the ROUNDED shift.
+    */
+  def quantileDrift(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(expr("percentile(value, array(0.5, 0.9))").as("ps"))
+      .select(
+        col("event_type"), col("day"),
+        emit(col("ps").getItem(0)).as("p50"),
+        emit(col("ps").getItem(1)).as("p90"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    def shift(cur: Column, prev: Column): Column =
+      emit(abs(cur - prev) / greatest(abs(prev), lit(1e-9)), 6)
+    daily
+      .withColumn("p50_prev", lag(col("p50"), 1).over(w))
+      .withColumn("p90_prev", lag(col("p90"), 1).over(w))
+      .filter(col("p50_prev").isNotNull)
+      .select(
+        col("event_type"), col("day"), col("p50"), col("p90"),
+        shift(col("p50"), col("p50_prev")).as("p50_shift"),
+        shift(col("p90"), col("p90_prev")).as("p90_shift"))
+      .withColumn("flagged", (col("p50_shift") > 0.25).cast("int"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val quantileDriftSql: String =
+    """WITH d AS (
+      |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+      |    CAST(round(quantile_cont(value, 0.5), 4) AS DOUBLE) AS p50,
+      |    CAST(round(quantile_cont(value, 0.9), 4) AS DOUBLE) AS p90
+      |  FROM events GROUP BY 1, 2
+      |),
+      |l AS (
+      |  SELECT event_type, day, p50, p90,
+      |    lag(p50) OVER (PARTITION BY event_type ORDER BY day) AS p50_prev,
+      |    lag(p90) OVER (PARTITION BY event_type ORDER BY day) AS p90_prev
+      |  FROM d
+      |)
+      |SELECT event_type, day, p50, p90,
+      |  CAST(round(abs(p50 - p50_prev) / greatest(abs(p50_prev), 1e-9), 6) AS DOUBLE) AS p50_shift,
+      |  CAST(round(abs(p90 - p90_prev) / greatest(abs(p90_prev), 1e-9), 6) AS DOUBLE) AS p90_shift,
+      |  CAST(CAST(round(abs(p50 - p50_prev) / greatest(abs(p50_prev), 1e-9), 6) AS DOUBLE) > 0.25 AS INT) AS flagged
+      |FROM l WHERE p50_prev IS NOT NULL
+      |ORDER BY event_type, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "markov_transitions" -> (markovTransitions(_, _)),
     "purchase_attribution" -> (purchaseAttribution(_, _)),
     "ewma_hourly" -> (ewmaHourly(_, _)),
+    "quantile_drift" -> (quantileDrift(_, _)),
     "mad_anomalies" -> (madAnomalies(_, _)))
 
   val oracles: Map[String, String] = Map(
     "markov_transitions" -> markovTransitionsSql,
     "purchase_attribution" -> purchaseAttributionSql,
     "ewma_hourly" -> ewmaHourlySql,
+    "quantile_drift" -> quantileDriftSql,
     "mad_anomalies" -> madAnomaliesSql)
 }

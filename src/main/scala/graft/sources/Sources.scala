@@ -228,4 +228,45 @@ object Sources {
         col("path"),
         col("modificationTime").as("mod_time"),
         col("content").as("payload"))
+
+  /** Morton (Z-order) key over two non-negative int columns, 16 bits
+    * each: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
+    * Pure codegen'd bit arithmetic (32 shift/mask terms) — no UDF.
+    */
+  private[graft] def zValue(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    (0 until 16)
+      .map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }
+      .reduce(_.bitwiseOR(_))
+
+  /** Z-ordered parquet layout — the multi-dimensional clustering step
+    * a 100 TB lake runs before handing data to min/max-pruning scans.
+    * A single-column sort clusters one predicate dimension and leaves
+    * the other scattered across every file; interleaving the bits of
+    * both keys (Morton order) keeps rows close in BOTH dimensions, so
+    * parquet row-group min/max stats prune selective 2-D predicates
+    * (user × time, tenant × entity) instead of only 1-D ones.
+    *
+    * Shape: derive z = interleave(a₁₆, b₁₆), `repartitionByRange` on z
+    * (one skew-resistant range shuffle — the same sampling-based
+    * partitioner the sort operator uses), sort WITHIN partitions (no
+    * second exchange), drop the scratch column at the writer. Files
+    * come out tiling the z-curve; the clustering-quality test pins
+    * that per-file bounding boxes cover a small fraction of the key
+    * space on both dimensions, which is exactly the property min/max
+    * pruning consumes.
+    */
+  def writeZordered(
+      df: DataFrame, colA: String, colB: String, outDir: String, partitions: Int = 8): Unit = {
+    df.withColumn("_z", zValue(col(colA).cast("long"), col(colB).cast("long")))
+      .repartitionByRange(partitions, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write
+      .mode(SaveMode.Overwrite)
+      .parquet(outDir)
+  }
 }

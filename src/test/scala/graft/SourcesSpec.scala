@@ -270,4 +270,64 @@ class SourcesSpec extends AnyFunSuite {
       Sources.readBinaryDir(spark, wavDir.toString, glob = "*.txt"))
     assert(stray.select("format").collect().map(_.getString(0)).toSeq == Seq("unknown"))
   }
+
+  test("z-value interleaves bits and z-ordered files stay bounded in BOTH dimensions") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // bit-exact Morton check: a=3 (bits 11), b=1 (bit 1) →
+    // positions a0→0, b0→1, a1→2, b1→3 ⇒ z = 0b0111 = 7
+    val z = Seq((3L, 1L)).toDF("a", "b")
+      .select(Sources.zValue(col("a"), col("b")).as("z"))
+      .collect().head.getLong(0)
+    assert(z == 7L, s"interleave(3,1) must be 7, was $z")
+    // JVM mirror over a sample of pairs
+    def jvmZ(a: Long, b: Long): Long =
+      (0 until 16).map(i => (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val pairs = Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (12345L, 54321L), (40000L, 1L))
+    val got = pairs.toDF("a", "b")
+      .select(Sources.zValue(col("a"), col("b")).as("z")).collect().map(_.getLong(0)).toSeq
+    assert(got == pairs.map { case (a, b) => jvmZ(a, b) }, "column z must equal the JVM fold")
+
+    // layout quality: a 64×64 grid written across 8 range partitions —
+    // every FILE's extent must stay well under the full range in BOTH
+    // dimensions (a 1-D sort would span the entire other dimension,
+    // defeating min/max pruning for predicates on it)
+    val out = Files.createTempDirectory("graft_zorder").toString
+    val grid = spark.range(64 * 64)
+      .select((col("id") % 64 * 1000).as("a"), (col("id") / 64 * 1000).cast("long").as("b"))
+    Sources.writeZordered(grid.toDF(), "a", "b", out, partitions = 8)
+    val range = 63000.0
+    def extents(path: String): Seq[(Double, Double)] = spark.read.parquet(path)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(min("a").as("minA"), max("a").as("maxA"), min("b").as("minB"), max("b").as("maxB"))
+      .collect()
+      .toSeq
+      .map(r => (
+        (r.getAs[Long]("maxA") - r.getAs[Long]("minA")) / range,
+        (r.getAs[Long]("maxB") - r.getAs[Long]("minB")) / range))
+    val zExt = extents(out)
+    assert(zExt.length >= 8, s"expected >=8 files, got ${zExt.length}")
+    // what an ideal 8-way z-split of this grid actually guarantees
+    // (simulated offline): a seam segment can span one dimension fully,
+    // but every segment stays tight in at least one dimension, bounded
+    // in AREA, and all but the seams are tight in EACH dimension
+    for ((ea, eb) <- zExt) {
+      assert(math.min(ea, eb) <= 0.6, s"file loose in BOTH dims (a: $ea, b: $eb)")
+      assert(ea * eb <= 0.5, s"bounding-box area too large (a: $ea, b: $eb)")
+    }
+    val zMean = zExt.map { case (ea, eb) => math.max(ea, eb) }.sum / zExt.length
+    assert(zMean <= 0.75, s"mean worst-dimension extent $zMean — clustering too loose")
+    assert(zExt.count { case (_, eb) => eb <= 0.6 } >= 6,
+      s"most files must be prunable by a b-predicate: $zExt")
+    // the comparison that justifies the operator: the same data range-
+    // sorted on `a` alone leaves EVERY file spanning all of `b`, so a
+    // selective predicate on b prunes nothing
+    val out1d = Files.createTempDirectory("graft_asorted").toString
+    grid.repartitionByRange(8, col("a")).sortWithinPartitions(col("a"))
+      .write.mode("overwrite").parquet(out1d)
+    val aExt = extents(out1d)
+    assert(aExt.forall { case (_, eb) => eb >= 0.95 },
+      "premise: a 1-D sort must leave the other dimension unclustered")
+  }
 }
