@@ -23,10 +23,10 @@ object Round5Ops {
     * composes with scan pushdown, shuffles nothing by itself. Mirrored
     * literally in the DuckDB oracles (regexp_replace global flag).
     */
-  private def normText(c: Column): Column =
+  private[graft] def normText(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", ""), " +", " "))
 
-  private val NormSqlExpr =
+  private[graft] val NormSqlExpr =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))"
 
   /** #81 normalization-aware exact dedup: hash the NORMALIZED text,

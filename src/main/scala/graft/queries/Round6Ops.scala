@@ -1125,7 +1125,48 @@ object Round6Ops {
       |FROM dfr CROSS JOIN nd
       |ORDER BY df DESC, g LIMIT 50""".stripMargin
 
+  /** #132 dedup_incremental — exact dedup as an INCREMENTAL intake
+    * step: "yesterday's corpus" (doc_id < 100) lives only as a
+    * persisted normalized-hash index
+    * ([[graft.sources.Sources.buildHashIndex]]); "today's crawl"
+    * (doc_id ≥ 100) dedups itself (min-doc_id survivor per hash) and
+    * anti-joins that index — history is never re-read. This is how the
+    * dedup family actually runs day over day at 100 TB: the full-corpus
+    * re-dedup (dedup_exact_docs / dedup_normalized) is the bootstrap,
+    * this is the steady state. The index build is guarded by _SUCCESS
+    * (the embed_ivf_knn_indexed precedent: torn-write guard, testdata
+    * immutable); index-path ≡ direct-anti-join equivalence plus
+    * planted cross-batch folds and idempotent re-ingest are
+    * spec-pinned in SourcesSpec. The oracle states the same contract
+    * SQL-wise: survivors = self-deduped new batch minus history
+    * hashes. On this corpus all 500 texts are unique, so the verified
+    * real-data result is the full pass-through (the planted tests
+    * carry the fold behavior) — same situation as dedup_exact_docs.
+    */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val indexDir = s"/tmp/graft-hash-index/${new java.io.File(dir).getName}"
+    if (!new java.io.File(s"$indexDir/_SUCCESS").exists())
+      graft.sources.Sources.buildHashIndex(d.filter(col("doc_id") < 100), indexDir)
+    graft.sources.Sources
+      .dedupAgainstIndex(d.filter(col("doc_id") >= 100), graft.sources.Sources.readHashIndex(s, indexDir))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupIncrementalSql: String = {
+    val norm = Round5Ops.NormSqlExpr
+    s"""WITH idx AS (SELECT DISTINCT md5($norm) AS h FROM documents WHERE doc_id < 100),
+       |new AS (SELECT doc_id, source, md5($norm) AS h FROM documents WHERE doc_id >= 100),
+       |keep AS (SELECT h, min(doc_id) AS doc_id FROM new GROUP BY h)
+       |SELECT n.doc_id, n.source FROM new n
+       |JOIN keep k ON n.h = k.h AND n.doc_id = k.doc_id
+       |WHERE n.h NOT IN (SELECT h FROM idx)
+       |ORDER BY n.doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_incremental" -> (dedupIncremental(_, _)),
     "boilerplate_ngrams" -> (boilerplateNgrams(_, _)),
     "label_centroid_sim" -> (labelCentroidSim(_, _)),
     "corpus_recipe_neardup" -> (corpusRecipeNeardup(_, _)),
@@ -1150,6 +1191,7 @@ object Round6Ops {
     "event_mix_drift" -> (eventMixDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "dedup_incremental" -> dedupIncrementalSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "label_centroid_sim" -> labelCentroidSimSql,
     "q13_custdist" -> q13CustdistSql,

@@ -229,6 +229,50 @@ object Sources {
         col("modificationTime").as("mod_time"),
         col("content").as("payload"))
 
+  /** Persisted content-hash index — the artifact that makes exact
+    * dedup INCREMENTAL: yesterday's corpus is represented by its
+    * normalized-content hashes (md5 of the CCNet-style normalization,
+    * the dedup_normalized device), so today's crawl dedups against all
+    * history by ONE anti join instead of re-reading the corpus. At
+    * 100 TB the index is ~1/1000th the corpus (32 hex chars + a
+    * provenance id per unique doc) and the join shuffles on the hash —
+    * the same balanced key every dedup op in the repo shuffles on.
+    */
+  def buildHashIndex(docs: DataFrame, outDir: String): Unit =
+    docs
+      .select(md5(graft.queries.Round5Ops.normText(col("text"))).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("first_doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(outDir)
+
+  def readHashIndex(s: SparkSession, indexDir: String): DataFrame =
+    s.read.parquet(indexDir)
+
+  /** Intake-dedup a new batch against the persisted index: the batch
+    * first dedups ITSELF (min-doc_id survivor per hash — the family's
+    * order-free keep rule), then anti-joins history. Emits the
+    * surviving rows with all their columns.
+    */
+  def dedupAgainstIndex(docs: DataFrame, index: DataFrame): DataFrame = {
+    val hashed = docs.withColumn("h", md5(graft.queries.Round5Ops.normText(col("text"))))
+    val keep = hashed
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .join(index.select(col("h")), Seq("h"), "left_anti")
+    hashed.join(keep, Seq("h", "doc_id"), "left_semi").drop("h")
+  }
+
+  /** Fold a batch's surviving hashes into the index (append-only; the
+    * survivors are by construction absent from it). Re-delivering the
+    * same batch afterwards dedups to zero — idempotent re-ingest,
+    * test-pinned.
+    */
+  def appendToHashIndex(survivors: DataFrame, indexDir: String): Unit =
+    survivors
+      .select(md5(graft.queries.Round5Ops.normText(col("text"))).as("h"),
+        col("doc_id").as("first_doc_id"))
+      .write.mode(SaveMode.Append).parquet(indexDir)
+
   /** Morton (Z-order) key over two non-negative int columns, 16 bits
     * each: bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
     * Pure codegen'd bit arithmetic (32 shift/mask terms) — no UDF.

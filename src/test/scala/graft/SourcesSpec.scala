@@ -330,4 +330,49 @@ class SourcesSpec extends AnyFunSuite {
     assert(aExt.forall { case (_, eb) => eb >= 0.95 },
       "premise: a 1-D sort must leave the other dimension unclustered")
   }
+
+  test("hash index dedups new batches incrementally and re-ingest is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val idx = Files.createTempDirectory("graft_hidx").toString
+    // day 0: two unique docs (one of them with punctuation the
+    // normalization strips)
+    val day0 = Seq(
+      (1L, "Hello, World!", "web"),
+      (2L, "fresh content here", "web")).toDF("doc_id", "text", "source")
+    Sources.buildHashIndex(day0, idx)
+    // day 1: a normalized dup of doc 1, an in-batch dup pair, a new doc
+    val day1 = Seq(
+      (10L, "hello world", "mirror"), // dup of history via normalization
+      (11L, "brand new text", "web"),
+      (12L, "brand NEW text?!", "mirror"), // in-batch dup of 11 — loses on id
+      (13L, "another new doc", "web")).toDF("doc_id", "text", "source")
+    val survivors = Sources.dedupAgainstIndex(day1, Sources.readHashIndex(spark, idx))
+    assert(survivors.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(11L, 13L),
+      "history dup and in-batch loser must fold; min-id survivor kept")
+    assert(survivors.columns.toSeq == day1.columns.toSeq, "survivors keep the batch schema")
+    // fold day 1's survivors in; re-delivering day 1 then dedups to zero
+    Sources.appendToHashIndex(survivors, idx)
+    val redelivered = Sources.dedupAgainstIndex(day1, Sources.readHashIndex(spark, idx))
+    assert(redelivered.count() == 0, "re-ingest after append must be a no-op")
+    // and a day-2 batch still dedups against BOTH days' history
+    val day2 = Seq(
+      (20L, "Another new doc.", "web"), // dup of day-1 survivor 13
+      (21L, "genuinely day two", "web")).toDF("doc_id", "text", "source")
+    val s2 = Sources.dedupAgainstIndex(day2, Sources.readHashIndex(spark, idx))
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(21L))
+  }
+
+  test("dedup_incremental catalog query equals the direct anti-join form") {
+    import org.apache.spark.sql.functions.{col, md5}
+    val d = Tables.documents(spark, dir)
+    val got = SparkEntry.queries("dedup_incremental")(spark, dir)
+      .collect().map(_.getLong(0)).toSeq
+    val direct = Sources.dedupAgainstIndex(
+        d.filter(col("doc_id") >= 100),
+        d.filter(col("doc_id") < 100)
+          .select(md5(queries.Round5Ops.normText(col("text"))).as("h")))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == direct, "persisted-index path must equal the direct form")
+  }
 }
