@@ -307,11 +307,94 @@ object BehaviorOps {
       |FROM l WHERE p50_prev IS NOT NULL
       |ORDER BY event_type, day""".stripMargin
 
+  /** #133 anomaly_attribution — the incident-response step AFTER
+    * event_anomalies fires: for every flagged (type, hour) cell, WHO
+    * drove the spike — top-5 users by event count in that cell, with
+    * their share of it (bot rings and runaway clients concentrate;
+    * organic surges don't). Composition story: the flagged set is the
+    * already-verified #86 chain; the per-user matrix is semi-join
+    * PRUNED to flagged cells BEFORE any ranking, so the expensive side
+    * only ever materializes for anomalous hours; the top-5 runs as the
+    * native bounded TopKPairs aggregate (O(k) state, map-side merge —
+    * the house argmax rule, no row_number window over the raw
+    * per-user rows). Share divides two exact longs (true division,
+    * both engines).
+    */
+  def anomalyAttribution(s: SparkSession, dir: String): DataFrame = {
+    val flagged = Round5Ops.eventAnomalies(s, dir)
+      .filter(col("flagged") === 1)
+      .select(col("event_type"), col("hour"), col("cnt"), col("z"))
+    val perUser = Tables.events(s, dir)
+      .groupBy(
+        col("event_type"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:00").as("hour"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_user"))
+    perUser
+      .join(flagged, Seq("event_type", "hour"), "left_semi")
+      .groupBy(col("event_type"), col("hour"))
+      .agg(graft.functions.Registry
+        .topK(col("n_user").cast("double"), col("user_id"), 5).as("top"))
+      .select(col("event_type"), col("hour"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(
+        col("event_type"), col("hour"), (col("i") + 1).cast("long").as("rk"),
+        col("e.id").as("user_id"), col("e.score").cast("long").as("n_user"))
+      .join(flagged, Seq("event_type", "hour"))
+      .select(
+        col("event_type"), col("hour"), col("rk"), col("user_id"), col("n_user"),
+        emit(col("n_user") / col("cnt"), 6).as("share"), col("z"))
+      .orderBy(col("event_type"), col("hour"), col("rk"))
+  }
+
+  val anomalyAttributionSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2
+      |),
+      |st AS (
+      |  SELECT event_type, count(*) AS n_h,
+      |    CAST(sum(cnt) AS BIGINT) AS s1, CAST(sum(cnt * cnt) AS BIGINT) AS s2
+      |  FROM hourly GROUP BY 1
+      |),
+      |sd AS (
+      |  SELECT event_type, n_h, s1,
+      |    CASE WHEN n_h > 1
+      |         THEN sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n_h) / (n_h - 1))
+      |         ELSE 0.0 END AS sd
+      |  FROM st
+      |),
+      |flagged AS (
+      |  SELECT * FROM (
+      |    SELECT h.event_type, hour, cnt,
+      |      CASE WHEN sd = 0 THEN 0.0
+      |           ELSE CAST(round((cnt - CAST(s1 AS DOUBLE) / n_h) / sd, 4) AS DOUBLE) END AS z
+      |    FROM hourly h JOIN sd ON h.event_type = sd.event_type
+      |  ) WHERE abs(z) >= 2.0
+      |),
+      |pu AS (
+      |  SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+      |    user_id, count(*) AS n_user
+      |  FROM events GROUP BY 1, 2, 3
+      |),
+      |ranked AS (
+      |  SELECT pu.event_type, pu.hour, pu.user_id, pu.n_user,
+      |    row_number() OVER (PARTITION BY pu.event_type, pu.hour
+      |                       ORDER BY pu.n_user DESC, pu.user_id) AS rk
+      |  FROM pu JOIN flagged f ON pu.event_type = f.event_type AND pu.hour = f.hour
+      |)
+      |SELECT r.event_type, r.hour, CAST(r.rk AS BIGINT) AS rk, r.user_id, r.n_user,
+      |  CAST(round(r.n_user / f.cnt, 6) AS DOUBLE) AS share, f.z
+      |FROM ranked r JOIN flagged f ON r.event_type = f.event_type AND r.hour = f.hour
+      |WHERE r.rk <= 5
+      |ORDER BY r.event_type, r.hour, r.rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "markov_transitions" -> (markovTransitions(_, _)),
     "purchase_attribution" -> (purchaseAttribution(_, _)),
     "ewma_hourly" -> (ewmaHourly(_, _)),
     "quantile_drift" -> (quantileDrift(_, _)),
+    "anomaly_attribution" -> (anomalyAttribution(_, _)),
     "mad_anomalies" -> (madAnomalies(_, _)))
 
   val oracles: Map[String, String] = Map(
@@ -319,5 +402,6 @@ object BehaviorOps {
     "purchase_attribution" -> purchaseAttributionSql,
     "ewma_hourly" -> ewmaHourlySql,
     "quantile_drift" -> quantileDriftSql,
+    "anomaly_attribution" -> anomalyAttributionSql,
     "mad_anomalies" -> madAnomaliesSql)
 }
