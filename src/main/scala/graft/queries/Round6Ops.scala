@@ -1165,7 +1165,132 @@ object Round6Ops {
        |ORDER BY n.doc_id""".stripMargin
   }
 
+  /** #134 part_affinity — market-basket lift over co-ordered parts
+    * (the recommendation/assortment seed every retail stack computes):
+    * for part pairs sharing ≥3 orders, lift = P(a,b)/(P(a)·P(b)) =
+    * n_ab·N / (n_a·n_b). The pair core is a self-join on l_orderkey —
+    * bounded fan-out BY CONSTRUCTION (a basket has ~7 lines, so ≤ ~21
+    * pairs per order; no hot-bucket guard needed because the join key
+    * is the basket id, not content), then one pair-key aggregate. Part
+    * totals join back on fine part keys; N is a single-row broadcast.
+    * All counts exact longs; lift divides two exact long PRODUCTS
+    * (≤9e8 and ≤3.6e9 — no overflow) in one IEEE division, ranked
+    * ROUNDED under a total (lift desc, a, b) order as
+    * TakeOrderedAndProject.
+    */
+  def partAffinity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val nOrders = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+    val partN = li.groupBy(col("pk")).agg(count(lit(1)).as("n_part"))
+    val pairs = li.select(col("ok"), col("pk").as("a"))
+      .join(li.select(col("ok"), col("pk").as("b")), Seq("ok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 3)
+    pairs
+      .join(partN.select(col("pk").as("a"), col("n_part").as("n_a")), Seq("a"))
+      .join(partN.select(col("pk").as("b"), col("n_part").as("n_b")), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("a"), col("b"), col("n_ab"),
+        emit((col("n_ab") * col("n_orders")).cast("double") / (col("n_a") * col("n_b")), 6)
+          .as("lift"),
+        emit(col("n_ab") / col("n_orders"), 6).as("support"))
+      .orderBy(col("lift").desc, col("a"), col("b"))
+      .limit(40)
+  }
+
+  val partAffinitySql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+      |pn AS (SELECT pk, count(*) AS n_part FROM li GROUP BY 1),
+      |p AS (
+      |  SELECT la.pk AS a, lb.pk AS b, count(*) AS n_ab
+      |  FROM li la JOIN li lb ON la.ok = lb.ok AND la.pk < lb.pk
+      |  GROUP BY 1, 2 HAVING count(*) >= 3
+      |)
+      |SELECT a, b, n_ab,
+      |  CAST(round(CAST(n_ab * n_orders AS DOUBLE) / (pa.n_part * pb.n_part), 6) AS DOUBLE) AS lift,
+      |  CAST(round(n_ab / n_orders, 6) AS DOUBLE) AS support
+      |FROM p JOIN pn pa ON p.a = pa.pk JOIN pn pb ON p.b = pb.pk CROSS JOIN n
+      |ORDER BY lift DESC, a, b LIMIT 40""".stripMargin
+
+  /** #135 lang_confusion — the audit face of #39 lang_id: the labeled ×
+    * predicted confusion matrix with per-label rates (which languages
+    * the n-gram heuristic mistakes for which — the number you check
+    * before trusting a language gate at intake). One bounded matrix
+    * agg over the shared bestLang scan; per-label totals join back
+    * hint-free (|langs| rows); rate = true division of exact longs.
+    */
+  def langConfusion(s: SparkSession, dir: String): DataFrame = {
+    val p = docs(s, dir)
+      .select(col("lang").as("labeled"), TextOps.bestLang.getField("lang").as("predicted"))
+    val counts = p.groupBy(col("labeled"), col("predicted")).agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("labeled").as("t_lab")).agg(sum(col("n")).as("total"))
+    counts
+      .join(totals, col("labeled") === col("t_lab"))
+      .select(
+        col("labeled"), col("predicted"), col("n"),
+        emit(col("n") / col("total"), 6).as("rate"),
+        (col("labeled") === col("predicted")).cast("int").as("correct"))
+      .orderBy(col("labeled"), col("predicted"))
+  }
+
+  val langConfusionSql: String =
+    s"""WITH pr AS (
+       |  SELECT lang AS labeled, ${TextOps.bestLangSql} AS best FROM documents
+       |),
+       |c AS (
+       |  SELECT labeled, best.lang AS predicted, count(*) AS n FROM pr GROUP BY 1, 2
+       |),
+       |t AS (SELECT labeled, sum(n) AS total FROM c GROUP BY 1)
+       |SELECT c.labeled, predicted, n,
+       |  CAST(round(n / total, 6) AS DOUBLE) AS rate,
+       |  CAST(c.labeled = predicted AS INT) AS correct
+       |FROM c JOIN t ON c.labeled = t.labeled
+       |ORDER BY c.labeled, predicted""".stripMargin
+
+  /** #136 corpus_length_report — the data-card length histogram:
+    * per (source, log2-size bucket) doc counts with min/max chars and
+    * the share of the source (the graph_degree_distribution bucket
+    * device on n_chars). One bounded matrix agg + a |sources|-row
+    * totals join — the report that catches truncated mirrors and
+    * boilerplate floods before they skew a mixture.
+    */
+  def corpusLengthReport(s: SparkSession, dir: String): DataFrame = {
+    val b = docs(s, dir)
+      .groupBy(col("source"), length(bin(col("n_chars"))).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+    val totals = b.groupBy(col("source").as("t_src")).agg(sum(col("n_docs")).as("total"))
+    b.join(totals, col("source") === col("t_src"))
+      .select(
+        col("source"), col("bucket"), col("n_docs"), col("min_chars"), col("max_chars"),
+        emit(col("n_docs") / col("total"), 6).as("share"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  val corpusLengthReportSql: String =
+    """WITH b AS (
+      |  SELECT source, CAST(length(bin(n_chars)) AS INT) AS bucket, count(*) AS n_docs,
+      |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |t AS (SELECT source, sum(n_docs) AS total FROM b GROUP BY 1)
+      |SELECT b.source, bucket, n_docs, min_chars, max_chars,
+      |  CAST(round(n_docs / total, 6) AS DOUBLE) AS share
+      |FROM b JOIN t ON b.source = t.source
+      |ORDER BY b.source, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "part_affinity" -> (partAffinity(_, _)),
+    "lang_confusion" -> (langConfusion(_, _)),
+    "corpus_length_report" -> (corpusLengthReport(_, _)),
     "dedup_incremental" -> (dedupIncremental(_, _)),
     "boilerplate_ngrams" -> (boilerplateNgrams(_, _)),
     "label_centroid_sim" -> (labelCentroidSim(_, _)),
@@ -1191,6 +1316,9 @@ object Round6Ops {
     "event_mix_drift" -> (eventMixDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "part_affinity" -> partAffinitySql,
+    "lang_confusion" -> langConfusionSql,
+    "corpus_length_report" -> corpusLengthReportSql,
     "dedup_incremental" -> dedupIncrementalSql,
     "boilerplate_ngrams" -> boilerplateNgramsSql,
     "label_centroid_sim" -> labelCentroidSimSql,
