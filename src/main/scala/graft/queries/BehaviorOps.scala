@@ -263,6 +263,13 @@ object BehaviorOps {
     * the q14 device) with a greatest(|prev|, 1e-9) floor so a zero
     * baseline reads as a large-but-finite shift, not ±inf; the flag
     * folds on the ROUNDED shift.
+    *
+    * SCALE NOTE: exact `percentile` buffers each (type, day) group's
+    * values — the oracle-parity form, same trade as #27. At 100 TB a
+    * day's group is billions of rows, so production swaps in
+    * `approx_percentile` (O(sketch) state, map-side merge); the
+    * #27/#27c pair pins that substitution's error bound, which is why
+    * this op doesn't carry its own approx twin.
     */
   def quantileDrift(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)

@@ -1287,7 +1287,78 @@ object Round6Ops {
       |FROM b JOIN t ON b.source = t.source
       |ORDER BY b.source, bucket""".stripMargin
 
+  /** #137 corpus_recipe_incremental — the STEADY-STATE intake recipe:
+    * #88 corpus_recipe is the bootstrap (whole corpus, self-dedup),
+    * #92 the near-dup variant; this is what actually runs every day —
+    * gate today's batch, dedup it against ALL history via the
+    * persisted hash index (#132's machinery — history is never
+    * re-read), then the shared tail (decontaminate vs the held-out
+    * eval docs → deterministic split → data card) over the survivors.
+    * The three recipe entries differ in EXACTLY the dedup stage
+    * (shared gate/tail code), so a recipe ablation is a one-stage
+    * diff. Index build is _SUCCESS-guarded over the GATED history
+    * (the index always represents what intake would have admitted).
+    * Scale: gate fuses into the scan, one hash-key shuffle for the
+    * self-dedup + anti join, tail keeps #88's audited plans.
+    */
+  def corpusRecipeIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val indexDir = s"/tmp/graft-recipe-hidx/${new java.io.File(dir).getName}"
+    if (!new java.io.File(s"$indexDir/_SUCCESS").exists())
+      graft.sources.Sources
+        .buildHashIndex(Round5Ops.recipeGate(d.filter(col("doc_id") < 100)), indexDir)
+    val deduped = graft.sources.Sources.dedupAgainstIndex(
+      Round5Ops.recipeGate(d.filter(col("doc_id") >= 100)),
+      graft.sources.Sources.readHashIndex(s, indexDir))
+    Round5Ops.recipeTail(d, deduped)
+  }
+
+  val corpusRecipeIncrementalSql: String = {
+    val norm = Round5Ops.NormSqlExpr
+    s"""WITH gate AS (
+       |  SELECT doc_id, source, text, len(string_split(text, ' ')) AS n_words
+       |  FROM documents
+       |  WHERE (${TextOps.bestLangSql}).lang = 'en'
+       |    AND len(string_split(text, ' ')) >= 30
+       |    AND len(list_distinct(string_split(text, ' '))) * 1.0
+       |        / len(string_split(text, ' ')) >= 0.3
+       |),
+       |hist AS (SELECT DISTINCT md5($norm) AS h FROM gate WHERE doc_id < 100),
+       |nw AS (SELECT doc_id, source, text, n_words, md5($norm) AS h FROM gate WHERE doc_id >= 100),
+       |sd AS (SELECT h, min(doc_id) AS doc_id FROM nw GROUP BY h),
+       |deduped AS (
+       |  SELECT n.doc_id, n.source, n.text, n.n_words
+       |  FROM nw n JOIN sd ON n.h = sd.h AND n.doc_id = sd.doc_id
+       |  WHERE n.h NOT IN (SELECT h FROM hist)
+       |),
+       |ew AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 5),
+       |eg AS (
+       |  SELECT DISTINCT unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+       |                          for i in range(1, greatest(len(ws)-2, 1))]) AS g
+       |  FROM ew
+       |),
+       |cw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM deduped WHERE doc_id >= 5),
+       |cg AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+       |            for i in range(1, greatest(len(ws)-2, 1))]) AS g
+       |  FROM cw
+       |),
+       |contaminated AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg USING (g)),
+       |clean AS (
+       |  SELECT doc_id, source, n_words FROM deduped
+       |  WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+       |)
+       |SELECT
+       |  CASE WHEN md5('split1:' || CAST(doc_id AS VARCHAR)) < 'e' THEN 'train'
+       |       WHEN md5('split1:' || CAST(doc_id AS VARCHAR)) < 'f' THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  source, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+       |FROM clean GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_recipe_incremental" -> (corpusRecipeIncremental(_, _)),
     "part_affinity" -> (partAffinity(_, _)),
     "lang_confusion" -> (langConfusion(_, _)),
     "corpus_length_report" -> (corpusLengthReport(_, _)),
@@ -1316,6 +1387,7 @@ object Round6Ops {
     "event_mix_drift" -> (eventMixDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "corpus_recipe_incremental" -> corpusRecipeIncrementalSql,
     "part_affinity" -> partAffinitySql,
     "lang_confusion" -> langConfusionSql,
     "corpus_length_report" -> corpusLengthReportSql,
