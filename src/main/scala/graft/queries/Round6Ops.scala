@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{OracleMath, Tables}
 import graft.functions.Registry
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1023,14 +1023,40 @@ object Round6Ops {
     * The 64-row global-centroid relation broadcasts; output is
     * bounded at |labels|.
     */
+  /** Exact 6-dp mean of a DECIMAL(38,6) sum: scale the sum to an exact
+    * integer, divide half-away-from-zero in INTEGER arithmetic, and
+    * come back to double. The naive emit(sum/count, 6) hides an
+    * engine-divergence trap: when count is a power of ten (the global
+    * embedding mean divides by exactly N=1000 at sf0.001), the true
+    * quotient has 9 decimal digits and its 6-dp rounding hits EXACT
+    * half cases, where Spark's decimal HALF_UP and DuckDB's
+    * binary-double rounding disagree (caught by the sf0.001 oracle
+    * run; sf0.01 happened not to trip it). Integer (2|t|+n)/(2n) is
+    * exact in both engines: the scaled sum ≤ ~4e10 fits a long, the
+    * double division of exact ints is correctly rounded, and true
+    * quotients are ≥ 1/(2n) away from integers except at exact halves,
+    * where they are exactly representable — so floor never flips.
+    */
+  private def mean6(sumDec: Column, n: Column): Column = {
+    val t = (sumDec * lit(1000000L)).cast("long")
+    val q = floor((abs(t) * 2 + n).cast("double") / (n * 2).cast("double"))
+    signum(t.cast("double")) * q / lit(1e6)
+  }
+
+  private def mean6Sql(sumExpr: String, nExpr: String): String =
+    s"CASE WHEN CAST(($sumExpr) * 1000000 AS BIGINT) = 0 THEN 0.0 ELSE " +
+      s"sign(CAST(($sumExpr) * 1000000 AS BIGINT)) * " +
+      s"floor((abs(CAST(($sumExpr) * 1000000 AS BIGINT)) * 2 + ($nExpr)) / (($nExpr) * 2)) " +
+      s"/ 1000000.0 END"
+
   def labelCentroidSim(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")))
       .select(col("label"), col("pos"), col("col").cast("double").as("v"))
     val lm = e.groupBy(col("label"), col("pos"))
-      .agg(emit(dsum(col("v")) / count(lit(1)), 6).as("m"))
+      .agg(mean6(dsum(col("v")), count(lit(1))).as("m"))
     val gm = e.groupBy(col("pos"))
-      .agg(emit(dsum(col("v")) / count(lit(1)), 6).as("g"))
+      .agg(mean6(dsum(col("v")), count(lit(1))).as("g"))
     val n = Tables.embeddings(s, dir)
       .groupBy(col("label").as("n_label")).agg(count(lit(1)).as("n_vecs"))
     lm.join(broadcast(gm), Seq("pos")) // 64 rows by construction
@@ -1050,18 +1076,18 @@ object Round6Ops {
   }
 
   val labelCentroidSimSql: String =
-    """WITH e AS (
+    s"""WITH e AS (
       |  SELECT label, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
       |  FROM embeddings, range(0, 64) t(pos)
       |),
       |lm AS (
       |  SELECT label, pos,
-      |    CAST(round(SUM(CAST(v AS DECIMAL(38,6))) / count(*), 6) AS DOUBLE) AS m
+      |    ${mean6Sql("SUM(CAST(v AS DECIMAL(38,6)))", "count(*)")} AS m
       |  FROM e GROUP BY 1, 2
       |),
       |gm AS (
       |  SELECT pos,
-      |    CAST(round(SUM(CAST(v AS DECIMAL(38,6))) / count(*), 6) AS DOUBLE) AS g
+      |    ${mean6Sql("SUM(CAST(v AS DECIMAL(38,6)))", "count(*)")} AS g
       |  FROM e GROUP BY 1
       |),
       |n AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY 1),

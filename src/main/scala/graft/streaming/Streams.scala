@@ -346,6 +346,52 @@ object Streams {
       }
   }
 
+  /** #49l distinctUsersStream — the HLL sketch family on a stream:
+    * approx distinct users per (window, type) via approx_count_distinct
+    * — O(sketch) state per window key where exact distinct would
+    * buffer every user id seen (unbounded on a 100 TB firehose).
+    * Append mode + watermark: a window emits once, when it can no
+    * longer change, and its state is dropped — the same close-once
+    * contract as ewmaStream. The spec pins the estimate against the
+    * exact batch count under the HLL error bound (same 5% default rsd
+    * as the batch twin #28b).
+    */
+  def distinctUsersStream(
+      events: DataFrame, windowLen: String = "1 hour", lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        col("approx_users"))
+
+  /** #49m topEventsStream — the native bounded TopKPairs aggregate
+    * (#11b's graft_top_k) running under STREAMING state: top-k events
+    * by value per (window, type), O(k) state per window key, partial
+    * merges through the state store exactly like any built-in
+    * aggregate (TypedImperativeAggregate serializes its buffer). This
+    * is the integration proof that the engine's custom Catalyst
+    * aggregates compose with Structured Streaming unchanged — the
+    * serving loop's keyed top-k (streamingFeed) holds richer per-key
+    * state, this is the declarative windowed form.
+    */
+  def topEventsStream(
+      events: DataFrame, k: Int = 3, windowLen: String = "1 hour",
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(graft.functions.Registry.topK(col("value"), col("event_id"), k).as("top"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"),
+        explode(col("top")).as("e"))
+      .select(
+        col("window_start"), col("event_type"),
+        col("e.id").as("event_id"), col("e.score").as("value"))
+
   /** #49k ewmaStream — continuous twin of #130 ewma_hourly, under the
     * engine's streaming/batch PARITY contract: a drained stream equals
     * the batch smoother run over the events seen so far, for every

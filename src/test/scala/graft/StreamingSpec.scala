@@ -808,6 +808,58 @@ class StreamingSpec extends AnyFunSuite {
       spark.table("sd").count())
   }
 
+  test("streaming HLL distinct-user counts stay within the sketch error of exact") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(hour: Int, minute: Int, id: Long, uid: Long, t: String) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00"), uid, t, 0.0)
+    val in = MemoryStream[Ev]
+    val q = Streams.distinctUsersStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("hlls").start()
+    // 40 distinct users in hour 10, each seen twice (distinct ≠ count)
+    val evs = (0 until 80).map(i => at(10, i % 60, 1000 + i, 1 + (i % 40), "click"))
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    in.addData(at(13, 0, 1, 999, "probe"))
+    q.processAllAvailable()
+    in.addData(at(13, 30, 2, 999, "probe"))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("hlls").collect()
+      .filter(_.getAs[String]("event_type") == "click")
+    assert(rows.length == 1, s"hour-10 click window must close exactly once: ${rows.toSeq}")
+    val approx = rows.head.getAs[Long]("approx_users").toDouble
+    assert(math.abs(approx - 40.0) / 40.0 <= 0.15,
+      s"HLL estimate $approx too far from exact 40")
+  }
+
+  test("native top-k aggregate merges through streaming state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(minute: Int, id: Long, v: Double) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, "click", v)
+    val in = MemoryStream[Ev]
+    val q = Streams.topEventsStream(in.toDS().toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("tops").start()
+    // the top-3 must merge across TWO batches through the state store:
+    // batch 1 holds the current best (7.0) and a decoy; batch 2 brings
+    // a new best and a mid value
+    in.addData(at(1, 1, 7.0), at(2, 2, 1.0))
+    q.processAllAvailable()
+    in.addData(at(3, 3, 9.0), at(4, 4, 5.0))
+    q.processAllAvailable()
+    in.addData(Ev(99, java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "probe", 0.0))
+    q.processAllAvailable()
+    in.addData(Ev(98, java.sql.Timestamp.valueOf("2024-01-01 13:30:00"), 9L, "probe", 0.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("tops").collect()
+      .filter(_.getAs[String]("event_type") == "click")
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toSeq
+    assert(rows == Seq((3L, 9.0), (1L, 7.0), (4L, 5.0)),
+      s"cross-batch merged top-3 must rank 9 > 7 > 5: $rows")
+  }
+
   test("ewma stream emits closed hours bit-identical to the batch smoother") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
