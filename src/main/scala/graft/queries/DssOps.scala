@@ -523,7 +523,79 @@ object DssOps {
       |JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY s_suppkey""".stripMargin
 
+  /** #138 supplier_scorecard — the WIDE operational report: every
+    * supplier KPI in ONE aggregate pass over the fact stream
+    * (return rate, slow-ship rate, revenue, avg discount), plus each
+    * supplier's share of total revenue. The shape under test is
+    * many-conditional-measures-one-scan: each KPI is a conditional
+    * sum inside the same groupBy, so adding a metric costs zero extra
+    * scans or shuffles — the difference between a scorecard that runs
+    * nightly and five queries that each re-read 100 TB. Slow-ship
+    * joins orders only for o_orderdate (fact-fact on the natural
+    * orderkey, hint-free); the 25-row nation dim broadcasts; the
+    * revenue total is a single-row broadcast derived FROM the
+    * per-supplier aggregate (no second fact scan — the q11 device);
+    * share divides already-rounded doubles (the q14 device); top-25
+    * is a TakeOrderedAndProject on rounded revenue with suppkey
+    * tie-break.
+    */
+  def supplierScorecard(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+    val per = li
+      .groupBy(col("l_suppkey"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
+        sum(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("n_slow"),
+        dsum(rev).as("rev_d"),
+        dsum(col("l_discount")).as("disc_d"))
+    val total = per.agg(emit(sum(col("rev_d"))).as("total_rev"))
+    per
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("s_suppkey"), col("s_name"), col("n_name").as("nation"),
+        col("n_lines"),
+        emit(col("n_returned") / col("n_lines"), 6).as("return_rate"),
+        emit(col("n_slow") / col("n_lines"), 6).as("slow_rate"),
+        round(col("disc_d").cast("double") / col("n_lines"), 6).as("avg_discount"),
+        emit(col("rev_d")).as("revenue"),
+        col("total_rev"))
+      .withColumn("rev_share", emit(col("revenue") / col("total_rev"), 6))
+      .drop("total_rev")
+      .orderBy(col("revenue").desc, col("s_suppkey"))
+      .limit(25)
+  }
+
+  val supplierScorecardSql: String =
+    s"""WITH per AS (
+       |  SELECT l_suppkey, count(*) AS n_lines,
+       |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+       |    CAST(sum(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS BIGINT) AS n_slow,
+       |    SUM(CAST($revSql AS DECIMAL(38,6))) AS rev_d,
+       |    SUM(CAST(l_discount AS DECIMAL(38,6))) AS disc_d
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1
+       |),
+       |t AS (SELECT CAST(round(SUM(rev_d), 4) AS DOUBLE) AS total_rev FROM per)
+       |SELECT s_suppkey, s_name, n_name AS nation, n_lines,
+       |  CAST(round(n_returned / n_lines, 6) AS DOUBLE) AS return_rate,
+       |  CAST(round(n_slow / n_lines, 6) AS DOUBLE) AS slow_rate,
+       |  round(CAST(disc_d AS DOUBLE) / n_lines, 6) AS avg_discount,
+       |  CAST(round(rev_d, 4) AS DOUBLE) AS revenue,
+       |  CAST(round(CAST(round(rev_d, 4) AS DOUBLE) / total_rev, 6) AS DOUBLE) AS rev_share
+       |FROM per
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |CROSS JOIN t
+       |ORDER BY revenue DESC, s_suppkey LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "supplier_scorecard" -> (supplierScorecard(_, _)),
     "q8_market_share" -> (q8MarketShare(_, _)),
     "q9_profit_by_nation" -> (q9ProfitByNation(_, _)),
     "q19_disjunctive_join" -> (q19DisjunctiveJoin(_, _)),
@@ -538,6 +610,7 @@ object DssOps {
     "q14_promo_share" -> (q14PromoShare(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "supplier_scorecard" -> supplierScorecardSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_profit_by_nation" -> q9ProfitByNationSql,
     "q19_disjunctive_join" -> q19DisjunctiveJoinSql,

@@ -346,6 +346,32 @@ object Streams {
       }
   }
 
+  /** #49n sessionizeNativeStream — the #25e batch operator dropped
+    * onto a stream UNCHANGED: same groupBy(user, session_window(ts)),
+    * same aggregates; only the trigger differs (append emits a session
+    * once the watermark proves its gap can no longer be bridged, and
+    * its state is dropped). The spec pins closed streaming sessions
+    * row-identical to the batch operator over the same events — the
+    * strongest form of the "one operator, both modes" claim.
+    */
+  def sessionizeNativeStream(
+      events: DataFrame, gapMs: Long = 1800000L, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(
+        col("user_id"),
+        session_window(col("ts"), s"$gapMs milliseconds").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        graft.OracleMath.emit(graft.OracleMath.dsum(col("value"))).as("session_value"))
+      .select(
+        col("user_id"),
+        unix_millis(col("w.start")).as("session_start_ms"),
+        // session_window.end = last event + gap; report the last event
+        (unix_millis(col("w.end")) - lit(gapMs)).as("session_end_ms"),
+        col("n_events"),
+        col("session_value"))
+
   /** #49l distinctUsersStream — the HLL sketch family on a stream:
     * approx distinct users per (window, type) via approx_count_distinct
     * — O(sketch) state per window key where exact distinct would

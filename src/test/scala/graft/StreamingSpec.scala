@@ -808,6 +808,40 @@ class StreamingSpec extends AnyFunSuite {
       spark.table("sd").count())
   }
 
+  test("native session_window runs unchanged in batch and stream with identical sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    // the SAME function on a static frame must equal the catalog op
+    // (withWatermark is a no-op in batch): one operator, both modes
+    val sfDir = "/root/testdata/sf0.001"
+    val static = Streams.sessionizeNativeStream(Tables.events(spark, sfDir))
+      .orderBy(col("user_id"), col("session_start_ms")).collect().toSeq
+    val catalog = SparkEntry.queries("sessionize_native")(spark, sfDir).collect().toSeq
+    assert(static == catalog, "static execution must match the catalog operator row-for-row")
+    // and on a real stream, closed sessions come out row-identical
+    def at(hour: Int, minute: Int, id: Long, uid: Long) =
+      Ev(id, java.sql.Timestamp.valueOf(f"2024-01-01 $hour%02d:$minute%02d:00"), uid, "click", 2.5)
+    val evs = Seq(at(10, 0, 1, 1), at(10, 10, 2, 1), at(11, 30, 3, 1), at(10, 5, 4, 2))
+    val in = MemoryStream[Ev]
+    val q = Streams.sessionizeNativeStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("sns").start()
+    in.addData(evs: _*)
+    q.processAllAvailable()
+    in.addData(at(15, 0, 98, 9))
+    q.processAllAvailable()
+    in.addData(at(15, 30, 99, 9))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sns").collect()
+      .filter(_.getAs[Long]("user_id") <= 2).map(_.toSeq).toSet
+    val expected = Streams.sessionizeNativeStream(evs.toDF())
+      .filter(col("user_id") <= 2).collect().map(_.toSeq).toSet
+    assert(streamed == expected,
+      s"closed streaming sessions must equal the batch run: $streamed vs $expected")
+    assert(streamed.size == 3, "user 1 splits into two sessions; user 2 has one")
+  }
+
   test("streaming HLL distinct-user counts stay within the sketch error of exact") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
