@@ -136,6 +136,27 @@ class PlanShapeSpec extends AnyFunSuite {
     // subplan, so it is deliberately absent from the main plan)
   }
 
+  test("round-6 additions keep their scale shapes") {
+    // boilerplate/part_affinity rank with a bounded top-k, never a
+    // global sort
+    for (q <- Seq("boilerplate_ngrams", "part_affinity"))
+      assert(planOf(q).contains("TakeOrderedAndProject"), s"$q lost its top-k")
+    // the anomaly attribution top-5 is the native bounded aggregate —
+    // a window over the raw (type, hour, user) rows would sort the
+    // whole per-user matrix inside each cell
+    val attr = planOf("anomaly_attribution")
+    assert(attr.toLowerCase.contains("topkpairs"), "attribution lost the native top-k aggregate")
+    assert(!attr.contains("Window ["), "attribution must not window over per-user rows")
+    // ewma is explode + re-aggregate: no window, no join for the decay
+    val ewma = planOf("ewma_hourly")
+    assert(!ewma.contains("Window ["), "ewma must not use a window for the decay sum")
+    assert(ewma.contains("Generate explode"), "ewma lost its codegen'd weight explode")
+    // the incremental dedup must anti-join the index, not re-read and
+    // re-dedup history (one LeftAnti in the executed plan)
+    val inc = planOf("dedup_incremental")
+    assert(inc.contains("LeftAnti"), "dedup_incremental lost its anti join against the index")
+  }
+
   test("no driver-side collect hides in any catalog query plan") {
     // CollectLimit at the ROOT is fine (the final .limit the driver
     // reads); what must never appear is a LocalTableScan materialized
