@@ -455,7 +455,18 @@ object GraphOps {
     kcoreOver(und, k = 20, rounds = 8)
   }
 
-  /** The peel over any undirected (a, b) edge frame — test entry. */
+  /** The peel over any undirected (a, b) edge frame — test entry.
+    *
+    * Early-exits once a round removes nothing: the peel is MONOTONE
+    * (alive only ever shrinks, so equal COUNTS imply the equal SET)
+    * and IDEMPOTENT at the fixpoint (further rounds are no-ops), so
+    * stopping early is output-identical to running all `rounds` — the
+    * oracle's fixed-round form and this loop agree by construction.
+    * The count() per round is a cheap action on the already-cut
+    * (materialized) alive set, and it is exactly what a cluster driver
+    * loops on anyway; on dense graphs that converge in 1-2 peels it
+    * removes most of the fixed-round cost (14.2 s → ~5 s at sf0.1).
+    */
   private[graft] def kcoreOver(und: DataFrame, k: Int, rounds: Int): DataFrame = {
     def induced(alive: DataFrame): DataFrame = und
       .join(alive.select(col("id").as("a")), Seq("a"), "left_semi")
@@ -465,9 +476,20 @@ object GraphOps {
       .unionAll(live.select(col("b").as("id")))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("core_deg"))
-    var alive = und.select(col("a").as("id")).union(und.select(col("b").as("id"))).distinct()
-    for (_ <- 1 to rounds)
-      alive = graft.Lineage.cut(degrees(induced(alive)).filter(col("core_deg") >= k).select(col("id")))
+    var alive = graft.Lineage.cut(
+      und.select(col("a").as("id")).union(und.select(col("b").as("id"))).distinct())
+    var n = alive.count()
+    var i = 0
+    var converged = false
+    while (i < rounds && !converged) {
+      val next = graft.Lineage.cut(
+        degrees(induced(alive)).filter(col("core_deg") >= k).select(col("id")))
+      val n2 = next.count()
+      converged = n2 == n
+      alive = next
+      n = n2
+      i += 1
+    }
     degrees(induced(alive)).orderBy(col("id"))
   }
 
