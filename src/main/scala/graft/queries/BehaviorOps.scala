@@ -396,7 +396,112 @@ object BehaviorOps {
       |WHERE r.rk <= 5
       |ORDER BY r.event_type, r.hour, r.rk""".stripMargin
 
+  /** #139 user_cohort_ltv — the LTV triangle: cohort month × months
+    * since first activity → active users and revenue (the
+    * value-accumulation view of #28d's retention counts; finance reads
+    * this, growth reads retention — same machinery, different
+    * measure). Periods are epoch WEEKS as exact ints (floor of epoch
+    * seconds / 604800 — the testdata spans ~5 weeks, so weekly grain
+    * yields a real triangle where calendar months would collapse to
+    * one cell; at production horizons swap the constant for months),
+    * so cohort and age are pure integer arithmetic in both engines;
+    * per-user cohort is one fine-keyed min agg joined back on user_id
+    * (co-partitioned with the event agg); revenue sums exact DECIMAL.
+    * Bounded |weeks|² output.
+    */
+  def userCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val um = Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800).as("w"),
+        col("value"))
+    val cohort = um.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    um.join(cohort, Seq("user_id"))
+      .groupBy(col("cw").as("cohort_w"), (col("w") - col("cw")).as("age"))
+      .agg(
+        count_distinct(col("user_id")).as("n_users"),
+        emit(dsum(col("value"))).as("revenue"))
+      .orderBy(col("cohort_w"), col("age"))
+  }
+
+  val userCohortLtvSql: String =
+    """WITH um AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w, value FROM events
+      |),
+      |c AS (SELECT user_id, min(w) AS cw FROM um GROUP BY 1)
+      |SELECT cw AS cohort_w, w - cw AS age,
+      |  count(DISTINCT um.user_id) AS n_users,
+      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      |FROM um JOIN c USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** #140 events_autocorr — daily-seasonality detector: per type, the
+    * Pearson correlation of hourly counts with themselves 24 hours
+    * later. High r = strong daily rhythm (normal product traffic);
+    * a rhythm-less type is machine traffic — the complement of the
+    * anomaly family's "is this hour weird" (this asks "does this type
+    * even have a weekday shape"). The hourly matrix is bounded, the
+    * lag join is an equi-join on (type, hb+24) against the same
+    * matrix, and every moment (Σx, Σy, Σxy, Σx², Σy², n) is an exact
+    * integer sum — the final r is one double expression over exact
+    * ints, identical IEEE in both engines (the zipf-slope device).
+    * σ=0 on either side → r reads 0, not a divide-by-zero.
+    */
+  def eventsAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(
+        col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600).as("hb"))
+      .agg(count(lit(1)).as("c"))
+    val lagged = hourly.select(
+      col("event_type"), (col("hb") - 24).as("hb"), col("c").as("y"))
+    val m = hourly
+      .join(lagged, Seq("event_type", "hb"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("c")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("c") * col("y")).as("sxy"),
+        sum(col("c") * col("c")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    m.select(
+        col("event_type"), col("n"),
+        when(den === 0.0, lit(0.0)).otherwise(emit(num.cast("double") / den, 6)).as("r24"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsAutocorrSql: String =
+    """WITH hourly AS (
+      |  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |),
+      |p AS (
+      |  SELECT h.event_type, h.c AS x, l.c AS y
+      |  FROM hourly h JOIN hourly l
+      |    ON h.event_type = l.event_type AND l.hb = h.hb + 24
+      |),
+      |m AS (
+      |  SELECT event_type, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM p GROUP BY 1
+      |)
+      |SELECT event_type, n,
+      |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |            sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0 THEN 0.0
+      |       ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS DOUBLE) END AS r24
+      |FROM m ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_cohort_ltv" -> (userCohortLtv(_, _)),
+    "events_autocorr" -> (eventsAutocorr(_, _)),
     "markov_transitions" -> (markovTransitions(_, _)),
     "purchase_attribution" -> (purchaseAttribution(_, _)),
     "ewma_hourly" -> (ewmaHourly(_, _)),
@@ -405,6 +510,8 @@ object BehaviorOps {
     "mad_anomalies" -> (madAnomalies(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "user_cohort_ltv" -> userCohortLtvSql,
+    "events_autocorr" -> eventsAutocorrSql,
     "markov_transitions" -> markovTransitionsSql,
     "purchase_attribution" -> purchaseAttributionSql,
     "ewma_hourly" -> ewmaHourlySql,

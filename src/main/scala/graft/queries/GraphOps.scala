@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{OracleMath, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -522,7 +522,86 @@ object GraphOps {
         |GROUP BY id ORDER BY id""".stripMargin
   }
 
+  /** #141 graph_assortativity — the degree-correlation coefficient:
+    * Pearson r of endpoint degrees over every directed orientation of
+    * the undirected edge set (Newman's assortativity; social graphs
+    * run positive — hubs befriend hubs — bot farms and star spam run
+    * strongly negative, which is why it's an integrity dashboard
+    * number). Uses the SAME 4000-id projection as graph_kcore (the
+    * %150 graph is near-complete, where r is pinned near a constant
+    * by density). Shape: one degree agg, two fine-keyed joins to tag
+    * both endpoints, then a single-row moment aggregate — every
+    * moment (n, Σx, Σy, Σxy, Σx², Σy²) is an exact integer sum, and r
+    * is ONE double expression over exact ints (identical IEEE both
+    * engines, the zipf-slope device). By edge symmetry Σx=Σy, which
+    * the oracle preserves naturally by unioning both orientations.
+    */
+  def graphAssortativity(s: SparkSession, dir: String): DataFrame = {
+    val und = Tables
+      .orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        ((col("o_custkey") * 31 + col("l_linenumber")) % 4000).as("src"),
+        ((col("l_suppkey") * 17 + col("l_partkey")) % 4000).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val dirEdges = und.unionAll(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = dirEdges.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+    val pairs = dirEdges
+      .join(deg.select(col("id").as("a"), col("d").as("x")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("y")), Seq("b"))
+    // moments and their cross-products run in DECIMAL: with hub
+    // degrees at larger SFs, n·Σxy and Σx·Σy overflow a long (ANSI
+    // mode would throw mid-bench); 38-digit decimals hold them exactly
+    def dsum0(c: Column): Column = sum(c.cast("decimal(38,0)"))
+    val m = pairs.agg(
+      count(lit(1)).cast("decimal(38,0)").as("n"),
+      dsum0(col("x")).as("sx"),
+      dsum0(col("y")).as("sy"),
+      dsum0(col("x") * col("y")).as("sxy"),
+      dsum0(col("x") * col("x")).as("sxx"),
+      dsum0(col("y") * col("y")).as("syy"))
+    val num = col("n") * col("sxy") - col("sx") * col("sy")
+    val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+      sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
+    m.select(
+      col("n").as("n_directed_edges"),
+      when(den === 0.0, lit(0.0)).otherwise(emit(num.cast("double") / den, 6))
+        .as("assortativity"))
+  }
+
+  val graphAssortativitySql: String =
+    """WITH e0 AS (
+      |  SELECT (o_custkey*31 + l_linenumber) % 4000 AS src,
+      |         (l_suppkey*17 + l_partkey) % 4000 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE (o_custkey*31 + l_linenumber) % 4000 <> (l_suppkey*17 + l_partkey) % 4000
+      |),
+      |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM e0),
+      |de AS (SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und),
+      |deg AS (SELECT a AS id, count(*) AS d FROM de GROUP BY 1),
+      |pairs AS (
+      |  SELECT da.d AS x, db.d AS y
+      |  FROM de JOIN deg da ON de.a = da.id JOIN deg db ON de.b = db.id
+      |),
+      |m AS (
+      |  SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(x * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(x * x) AS HUGEINT) AS sxx, CAST(sum(y * y) AS HUGEINT) AS syy
+      |  FROM pairs
+      |)
+      |SELECT CAST(n AS BIGINT) AS n_directed_edges,
+      |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |            sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0 THEN 0.0
+      |       ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS DOUBLE) END AS assortativity
+      |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_assortativity" -> (graphAssortativity(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard(_, _)),
     "graph_clustering_coeff" -> (graphClusteringCoeff(_, _)),
@@ -537,6 +616,7 @@ object GraphOps {
     "admin_stats" -> (adminStats(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "graph_assortativity" -> graphAssortativitySql,
     "graph_kcore" -> graphKcoreSql,
     "graph_neighbor_jaccard" -> graphNeighborJaccardSql,
     "graph_clustering_coeff" -> graphClusteringCoeffSql,
