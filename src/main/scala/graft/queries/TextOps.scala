@@ -259,7 +259,11 @@ object TextOps {
       .orderBy(col("a"), col("b"))
   }
 
-  val dedupMinhashMd5Sql: String = {
+  /** The md5-twin candidate-pair CTE chain (through `cp`: the emitted
+    * (a, b, est_jaccard) pairs) — shared by the dedup oracle and the
+    * calibration report's oracle.
+    */
+  private val minhashMd5PairsCte: String = {
     val sigExprs = (0 until 16)
       .map(i => s"min(substr(md5('${i / 4}:' || g), ${1 + 8 * (i % 4)}, 8)) AS m$i")
       .mkString(",\n      |    ")
@@ -290,11 +294,17 @@ object TextOps {
        |  SELECT l.doc_id AS a, r.doc_id AS b, ($matchSum) / 16.0 AS est
        |  FROM guarded l
        |  JOIN guarded r ON l.band = r.band AND l.bandhash = r.bandhash AND l.doc_id < r.doc_id
-       |)
-       |SELECT a, b, CAST(round(MAX(est), 4) AS DOUBLE) AS est_jaccard
-       |FROM pairs GROUP BY a, b HAVING MAX(est) >= 0.5
-       |ORDER BY a, b""".stripMargin
+       |),
+       |cp AS (
+       |  SELECT a, b, CAST(round(MAX(est), 4) AS DOUBLE) AS est_jaccard
+       |  FROM pairs GROUP BY a, b HAVING MAX(est) >= 0.5
+       |)""".stripMargin
   }
+
+  val dedupMinhashMd5Sql: String =
+    s"""$minhashMd5PairsCte
+       |SELECT a, b, est_jaccard FROM cp
+       |ORDER BY a, b""".stripMargin
 
   /** #35 SimHash near-dup (rows-only oracle): 64-bit fingerprint from
     * word hashes; near-dup pairs at hamming ≤ 3 via 4-segment blocking —
@@ -1744,7 +1754,76 @@ object TextOps {
       |  (data_bytes * 8000) // (sample_rate * channels * bits) AS duration_ms
       |FROM dec ORDER BY doc_id""".stripMargin
 
+  /** #142 minhash_calibration — the LSH quality audit: for every
+    * candidate pair the md5 twin emits (est ≥ 0.5), the EXACT 3-gram
+    * Jaccard, binned by estimate — the "can I trust 0.7 to mean 0.7"
+    * table read before picking a dedup threshold, and the quantified
+    * face of the est-vs-true trade the whole MinHash family rides on.
+    * Exact intersections are computed ONLY for emitted candidate
+    * pairs (gram join restricted by the pair list — bounded by the
+    * hot-bucket guard, never all-pairs); sizes come from the per-doc
+    * distinct-gram counts on the same gram pass shape. Mean-of-exact
+    * per bin uses the avg_bal device (DECIMAL sum, one double
+    * division, round 6); bins are floor(est·10) on k/16-exact doubles
+    * (no boundary ambiguity).
+    */
+  def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
+    val cp = dedupMinhashMd5(s, dir).select(col("a"), col("b"), col("est_jaccard"))
+    val gd = gramRows(docs(s, dir), 3, distinct = true)
+    val sizes = gd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = gd.select(col("doc_id").as("a"), col("g"))
+      .join(cp.select(col("a"), col("b")), Seq("a"))
+      .join(gd.select(col("doc_id").as("b"), col("g")), Seq("b", "g"), "left_semi")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+    val scored = cp
+      .join(common, Seq("a", "b"), "left")
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .select(
+        col("est_jaccard"),
+        round(
+          coalesce(col("n_common"), lit(0L)).cast("double") /
+            (col("na") + col("nb") - coalesce(col("n_common"), lit(0L))),
+          6).as("exact_j"))
+    scored
+      .groupBy(floor(col("est_jaccard") * 10).cast("int").as("est_bin"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("exact_j").cast("decimal(38,6)")).cast("double") / count(lit(1)), 6)
+          .as("mean_exact"),
+        min(col("exact_j")).as("min_exact"),
+        max(col("exact_j")).as("max_exact"))
+      .orderBy(col("est_bin"))
+  }
+
+  val minhashCalibrationSql: String =
+    s"""$minhashMd5PairsCte,
+       |gd AS (SELECT DISTINCT doc_id, g FROM g),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY 1),
+       |common AS (
+       |  SELECT cp.a, cp.b, count(*) AS n_common
+       |  FROM cp
+       |  JOIN gd ga ON ga.doc_id = cp.a
+       |  JOIN gd gb ON gb.doc_id = cp.b AND gb.g = ga.g
+       |  GROUP BY 1, 2
+       |),
+       |scored AS (
+       |  SELECT cp.est_jaccard,
+       |    round(CAST(coalesce(n_common, 0) AS DOUBLE) /
+       |      (sa.n + sb.n - coalesce(n_common, 0)), 6) AS exact_j
+       |  FROM cp
+       |  LEFT JOIN common USING (a, b)
+       |  JOIN sizes sa ON cp.a = sa.doc_id
+       |  JOIN sizes sb ON cp.b = sb.doc_id
+       |)
+       |SELECT CAST(floor(est_jaccard * 10) AS INT) AS est_bin, count(*) AS n_pairs,
+       |  round(CAST(SUM(CAST(exact_j AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6) AS mean_exact,
+       |  min(exact_j) AS min_exact, max(exact_j) AS max_exact
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "minhash_calibration" -> (minhashCalibration(_, _)),
     "dedup_exact_docs" -> (dedupExactDocs(_, _)),
     "dedup_minhash" -> (dedupMinhash(_, _)),
     "dedup_minhash_md5" -> (dedupMinhashMd5(_, _)),
@@ -1777,6 +1856,7 @@ object TextOps {
     * QueryCatalogSpec "catalog and oracle keys line up").
     */
   val oracles: Map[String, String] = Map(
+    "minhash_calibration" -> minhashCalibrationSql,
     "dedup_exact_docs" -> dedupExactDocsSql,
     "lang_id" -> langIdSql,
     "corpus_pipeline" -> corpusPipelineSql,

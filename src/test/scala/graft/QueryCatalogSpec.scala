@@ -1366,6 +1366,22 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(q14.getAs[Double]("promo_rev") <= q14.getAs[Double]("total_rev"))
   }
 
+  test("correlation-family outputs stay in [-1,1] and the LTV curve respects cohort bounds") {
+    val r24 = SparkEntry.queries("events_autocorr")(spark, dir).collect()
+    assert(r24.nonEmpty && r24.forall(r => math.abs(r.getAs[Double]("r24")) <= 1.0))
+    val asrt = SparkEntry.queries("graph_assortativity")(spark, dir).collect()
+    assert(asrt.length == 1 && math.abs(asrt.head.getAs[Double]("assortativity")) <= 1.0)
+    val ltv = SparkEntry.queries("user_cohort_ltv")(spark, dir).collect()
+    val byCohort = ltv.groupBy(_.getAs[Long]("cohort_w"))
+    for ((_, rows) <- byCohort) {
+      val sorted = rows.sortBy(_.getAs[Long]("age"))
+      val size0 = sorted.head.getAs[Long]("n_users")
+      assert(sorted.head.getAs[Long]("age") == 0L, "every cohort starts at age 0")
+      assert(sorted.forall(_.getAs[Long]("n_users") <= size0),
+        "no age can have more active users than the cohort's own size")
+    }
+  }
+
   test("kcore peel keeps exactly the planted clique and reaches the fixpoint invariant") {
     import spark.implicits._
     // K6 clique (every member has 5 in-clique neighbors) + a pendant
