@@ -1383,7 +1383,91 @@ object Round6Ops {
        |FROM clean GROUP BY 1, 2 ORDER BY split, source""".stripMargin
   }
 
+  /** #143 table_profile — the data-quality profiling pass (the Deequ /
+    * data-card column report): per events column, null rate, distinct
+    * count (exact where bounded, HLL where not — the documented
+    * column-cardinality split), and min/max in ONE aggregate pass over
+    * one scan. This is the report a pipeline runs on every new drop
+    * BEFORE trusting any downstream stat: a column whose null-rate or
+    * cardinality jumps is a broken upstream join or a schema drift.
+    * One scan, one single-row agg (all measures partial-aggregate
+    * map-side), unpivoted driver-side-free via a stack expression into
+    * the tidy (column, metric) form.
+    */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val n = count(lit(1))
+    val one = e.agg(
+      n.as("n_rows"),
+      // per column: nulls, exact distinct, min/max as comparable strings
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("et_nulls"),
+      count_distinct(col("event_type")).as("et_distinct"),
+      min(col("event_type")).as("et_min"),
+      max(col("event_type")).as("et_max"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("uid_nulls"),
+      count_distinct(col("user_id")).as("uid_distinct"),
+      min(col("user_id")).cast("string").as("uid_min"),
+      max(col("user_id")).cast("string").as("uid_max"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("v_nulls"),
+      count_distinct(col("value")).as("v_distinct"),
+      // double→string rendering differs across engines; a fixed-scale
+      // decimal prints canonically in both
+      min(col("value")).cast("decimal(18,6)").cast("string").as("v_min"),
+      max(col("value")).cast("decimal(18,6)").cast("string").as("v_max"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("p_nulls"),
+      count_distinct(col("props")).as("p_distinct"),
+      min(col("props")).as("p_min"),
+      max(col("props")).as("p_max"))
+    one.select(
+        col("n_rows"),
+        expr("""stack(4,
+          'event_type', et_nulls, et_distinct, et_min, et_max,
+          'user_id',    uid_nulls, uid_distinct, uid_min, uid_max,
+          'value',      v_nulls, v_distinct, v_min, v_max,
+          'props',      p_nulls, p_distinct, p_min, p_max
+        ) AS (column_name, n_nulls, n_distinct, min_val, max_val)"""))
+      .select(
+        col("column_name"), col("n_rows"), col("n_nulls"),
+        emit(col("n_nulls") / col("n_rows"), 6).as("null_rate"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("column_name"))
+  }
+
+  val tableProfileSql: String =
+    """WITH one AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS et_nulls,
+      |    count(DISTINCT event_type) AS et_distinct,
+      |    min(event_type) AS et_min, max(event_type) AS et_max,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS uid_nulls,
+      |    count(DISTINCT user_id) AS uid_distinct,
+      |    CAST(min(user_id) AS VARCHAR) AS uid_min, CAST(max(user_id) AS VARCHAR) AS uid_max,
+      |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nulls,
+      |    count(DISTINCT value) AS v_distinct,
+      |    CAST(CAST(min(value) AS DECIMAL(18,6)) AS VARCHAR) AS v_min,
+      |    CAST(CAST(max(value) AS DECIMAL(18,6)) AS VARCHAR) AS v_max,
+      |    CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS p_nulls,
+      |    count(DISTINCT props) AS p_distinct,
+      |    min(props) AS p_min, max(props) AS p_max
+      |  FROM events
+      |)
+      |SELECT column_name, n_rows, n_nulls,
+      |  CAST(round(n_nulls / n_rows, 6) AS DOUBLE) AS null_rate,
+      |  n_distinct, min_val, max_val
+      |FROM (
+      |  SELECT n_rows, 'event_type' AS column_name, et_nulls AS n_nulls,
+      |    et_distinct AS n_distinct, et_min AS min_val, et_max AS max_val FROM one
+      |  UNION ALL
+      |  SELECT n_rows, 'user_id', uid_nulls, uid_distinct, uid_min, uid_max FROM one
+      |  UNION ALL
+      |  SELECT n_rows, 'value', v_nulls, v_distinct, v_min, v_max FROM one
+      |  UNION ALL
+      |  SELECT n_rows, 'props', p_nulls, p_distinct, p_min, p_max FROM one
+      |)
+      |ORDER BY column_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "table_profile" -> (tableProfile(_, _)),
     "corpus_recipe_incremental" -> (corpusRecipeIncremental(_, _)),
     "part_affinity" -> (partAffinity(_, _)),
     "lang_confusion" -> (langConfusion(_, _)),
@@ -1413,6 +1497,7 @@ object Round6Ops {
     "event_mix_drift" -> (eventMixDrift(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "table_profile" -> tableProfileSql,
     "corpus_recipe_incremental" -> corpusRecipeIncrementalSql,
     "part_affinity" -> partAffinitySql,
     "lang_confusion" -> langConfusionSql,
