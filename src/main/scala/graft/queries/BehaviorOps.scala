@@ -499,7 +499,97 @@ object BehaviorOps {
       |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS DOUBLE) END AS r24
       |FROM m ORDER BY event_type""".stripMargin
 
+  /** #144 rising_users — week-over-week activity risers: users whose
+    * event rate grew most from the penultimate to the final week of
+    * the data (the growth dashboard's winners list, and — inverted —
+    * the abuse desk's "who just woke up" list). The window anchors on
+    * the DATA's last epoch week (single-row broadcast — deterministic,
+    * no wall clock in the plan); both week counts come from ONE
+    * (user, week) aggregate over a two-week pushed-down slice of the
+    * fact stream; the smoothed ratio (c₂+1)/(c₁+1) divides exact longs
+    * (additive smoothing keeps new users finite and comparable);
+    * top-25 ranks the ROUNDED ratio under a user_id tie-break as
+    * TakeOrderedAndProject.
+    */
+  def risingUsers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 604800).as("w"))
+    val wmax = ev.agg(max(col("w")).as("wm"))
+    val counts = ev
+      .crossJoin(broadcast(wmax))
+      .filter(col("w") >= col("wm") - 1)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("w") === col("wm") - 1, 1L).otherwise(0L)).as("c_prev"),
+        sum(when(col("w") === col("wm"), 1L).otherwise(0L)).as("c_last"))
+    counts
+      .select(
+        col("user_id"), col("c_prev"), col("c_last"),
+        emit((col("c_last") + 1) / (col("c_prev") + 1), 6).as("rise"))
+      .orderBy(col("rise").desc, col("user_id"))
+      .limit(25)
+  }
+
+  val risingUsersSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w FROM events
+      |),
+      |wm AS (SELECT max(w) AS wm FROM ev),
+      |c AS (
+      |  SELECT user_id,
+      |    CAST(sum(CASE WHEN w = wm - 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_prev,
+      |    CAST(sum(CASE WHEN w = wm THEN 1 ELSE 0 END) AS BIGINT) AS c_last
+      |  FROM ev CROSS JOIN wm
+      |  WHERE w >= wm - 1
+      |  GROUP BY 1
+      |)
+      |SELECT user_id, c_prev, c_last,
+      |  CAST(round((c_last + 1) / (c_prev + 1), 6) AS DOUBLE) AS rise
+      |FROM c ORDER BY rise DESC, user_id LIMIT 25""".stripMargin
+
+  /** #145 user_overlap_matrix — audience overlap between event types:
+    * for every type pair, the shared-user count and Jaccard (how much
+    * of the click audience also purchases — the cross-sell /
+    * cannibalization read, and for content surfaces the "same people
+    * or different people" question behind every launch). Shape: one
+    * distinct (user, type) projection, a self-join on the FINE user
+    * key (fan-out bounded by types-per-user ≤ |types|), then the
+    * bounded |types|² pair aggregate; audience sizes join back on the
+    * tiny type key. Jaccard divides exact longs.
+    */
+  def userOverlapMatrix(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(s, dir).select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")), Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("event_type").as("type_a"), col("n").as("n_a")), Seq("type_a"))
+      .join(sizes.select(col("event_type").as("type_b"), col("n").as("n_b")), Seq("type_b"))
+      .select(
+        col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_shared"),
+        emit(col("n_shared") / (col("n_a") + col("n_b") - col("n_shared")), 6).as("jaccard"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  val userOverlapMatrixSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      |p AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_shared
+      |  FROM ut a JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2
+      |)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_shared,
+      |  CAST(round(n_shared / (sa.n + sb.n - n_shared), 6) AS DOUBLE) AS jaccard
+      |FROM p JOIN sizes sa ON p.type_a = sa.event_type
+      |JOIN sizes sb ON p.type_b = sb.event_type
+      |ORDER BY type_a, type_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rising_users" -> (risingUsers(_, _)),
+    "user_overlap_matrix" -> (userOverlapMatrix(_, _)),
     "user_cohort_ltv" -> (userCohortLtv(_, _)),
     "events_autocorr" -> (eventsAutocorr(_, _)),
     "markov_transitions" -> (markovTransitions(_, _)),
@@ -510,6 +600,8 @@ object BehaviorOps {
     "mad_anomalies" -> (madAnomalies(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "rising_users" -> risingUsersSql,
+    "user_overlap_matrix" -> userOverlapMatrixSql,
     "user_cohort_ltv" -> userCohortLtvSql,
     "events_autocorr" -> eventsAutocorrSql,
     "markov_transitions" -> markovTransitionsSql,

@@ -1037,7 +1037,7 @@ object Round6Ops {
     * quotients are ≥ 1/(2n) away from integers except at exact halves,
     * where they are exactly representable — so floor never flips.
     */
-  private def mean6(sumDec: Column, n: Column): Column = {
+  private[graft] def mean6(sumDec: Column, n: Column): Column = {
     val t = (sumDec * lit(1000000L)).cast("long")
     val q = floor((abs(t) * 2 + n).cast("double") / (n * 2).cast("double"))
     signum(t.cast("double")) * q / lit(1e6)

@@ -1366,6 +1366,33 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(q14.getAs[Double]("promo_rev") <= q14.getAs[Double]("total_rev"))
   }
 
+  test("mean6 integer division matches BigDecimal HALF_UP on random and half-case inputs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    // random 6-dp sums (positive and negative) over awkward counts,
+    // plus adversarial EXACT half cases (s/n ending in ...5 at 7 dp —
+    // the class that made label_centroid_sim diverge at sf0.001)
+    val random = (1 to 300).map { _ =>
+      (BigDecimal(rnd.nextLong() % 40000000L, 6), 1L + rnd.nextInt(5000))
+    }
+    val halves = Seq(
+      (BigDecimal("0.000005"), 10L), (BigDecimal("-0.000005"), 10L),
+      (BigDecimal("1.234565"), 10L), (BigDecimal("12.345005"), 1000L),
+      (BigDecimal("-12.345005"), 1000L), (BigDecimal("0.500000"), 1000000L))
+    val cases = random.map { case (s, n) => (s, n.toLong) } ++ halves
+    val df = cases.map { case (s, n) => (s.bigDecimal, n) }.toDF("s", "n")
+      .select(col("s").cast("decimal(38,6)").as("s"), col("n"))
+    val got = df
+      .select(graft.queries.Round6Ops.mean6(col("s"), col("n")).as("m"))
+      .collect().map(_.getDouble(0))
+    val want = cases.map { case (s, n) =>
+      (s / BigDecimal(n)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    for (((g, w), i) <- got.zip(want).zipWithIndex)
+      assert(g == w, s"case $i ${cases(i)}: device $g vs reference $w")
+  }
+
   test("correlation-family outputs stay in [-1,1] and the LTV curve respects cohort bounds") {
     val r24 = SparkEntry.queries("events_autocorr")(spark, dir).collect()
     assert(r24.nonEmpty && r24.forall(r => math.abs(r.getAs[Double]("r24")) <= 1.0))
