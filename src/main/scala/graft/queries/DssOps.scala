@@ -594,7 +594,69 @@ object DssOps {
        |CROSS JOIN t
        |ORDER BY revenue DESC, s_suppkey LIMIT 25""".stripMargin
 
+  /** #146 discount_uplift — does discounting move volume, per brand:
+    * Pearson correlation of (l_discount, l_quantity) across a brand's
+    * order lines, beside the mean discount and mean quantity (the
+    * pricing team's first elasticity read; a brand with deep discounts
+    * and r≈0 is burning margin). Discounts and quantities are
+    * fixed-point decimals, so every moment (Σx, Σy, Σxy, Σx², Σy²)
+    * sums EXACT decimals with map-side combine — one brand-key
+    * aggregate over one scan (2k-row part dim broadcast), |brands|
+    * bounded out; r is one double expression over exact values (the
+    * zipf-slope device), σ=0 → r=0. Means use the avg_bal device.
+    */
+  def discountUplift(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val m = li
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("l_discount")).as("sx"),
+        dsum(col("l_quantity")).as("sy"),
+        dsum(col("l_discount") * col("l_quantity")).as("sxy"),
+        dsum(col("l_discount") * col("l_discount")).as("sxx"),
+        dsum(col("l_quantity") * col("l_quantity")).as("syy"))
+    // cross-products run in DOUBLE over the exact decimal sums: the
+    // two engines clip decimal×decimal precision differently (Spark
+    // rounds the scale, DuckDB widens or errors), while double
+    // products of identical inputs are bit-identical IEEE
+    def d(c: Column): Column = c.cast("double")
+    val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val den = sqrt(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+      sqrt(d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))
+    m.select(
+        col("p_brand"), col("n"),
+        round(col("sx").cast("double") / col("n"), 6).as("avg_discount"),
+        round(col("sy").cast("double") / col("n"), 6).as("avg_quantity"),
+        when(den === 0.0, lit(0.0)).otherwise(emit(num / den, 6)).as("r_disc_qty"))
+      .orderBy(col("p_brand"))
+  }
+
+  val discountUpliftSql: String =
+    """WITH m AS (
+      |  SELECT p_brand, count(*) AS n,
+      |    SUM(CAST(l_discount AS DECIMAL(38,6))) AS sx,
+      |    SUM(CAST(l_quantity AS DECIMAL(38,6))) AS sy,
+      |    SUM(CAST(l_discount * l_quantity AS DECIMAL(38,6))) AS sxy,
+      |    SUM(CAST(l_discount * l_discount AS DECIMAL(38,6))) AS sxx,
+      |    SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS syy
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1
+      |)
+      |SELECT p_brand, n,
+      |  round(CAST(sx AS DOUBLE) / n, 6) AS avg_discount,
+      |  round(CAST(sy AS DOUBLE) / n, 6) AS avg_quantity,
+      |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |            sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0 THEN 0.0
+      |       ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |         (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+      |          sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE) END AS r_disc_qty
+      |FROM m ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "discount_uplift" -> (discountUplift(_, _)),
     "supplier_scorecard" -> (supplierScorecard(_, _)),
     "q8_market_share" -> (q8MarketShare(_, _)),
     "q9_profit_by_nation" -> (q9ProfitByNation(_, _)),
@@ -610,6 +672,7 @@ object DssOps {
     "q14_promo_share" -> (q14PromoShare(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "discount_uplift" -> discountUpliftSql,
     "supplier_scorecard" -> supplierScorecardSql,
     "q8_market_share" -> q8MarketShareSql,
     "q9_profit_by_nation" -> q9ProfitByNationSql,
