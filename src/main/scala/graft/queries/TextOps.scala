@@ -1768,7 +1768,11 @@ object TextOps {
     * (no boundary ambiguity).
     */
   def minhashCalibration(s: SparkSession, dir: String): DataFrame = {
-    val cp = dedupMinhashMd5(s, dir).select(col("a"), col("b"), col("est_jaccard"))
+    // the pair list feeds BOTH the intersection join and the final
+    // scoring join — without a cut the whole md5 signature pipeline
+    // (the expensive subtree) executes twice, one per reference
+    val cp = graft.Lineage.cut(
+      dedupMinhashMd5(s, dir).select(col("a"), col("b"), col("est_jaccard")))
     val gd = gramRows(docs(s, dir), 3, distinct = true)
     val sizes = gd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = gd.select(col("doc_id").as("a"), col("g"))
