@@ -587,7 +587,99 @@ object BehaviorOps {
       |JOIN sizes sb ON p.type_b = sb.event_type
       |ORDER BY type_a, type_b""".stripMargin
 
+  /** #147 events_punchcard — the hour-of-day × day-of-week activity
+    * matrix (the classic punch card behind every "when is our traffic"
+    * dashboard, and the shape capacity planning reads): one bounded
+    * 24×7 aggregate with map-side combine — the whole fact stream
+    * collapses to ≤168 rows in a single shuffle — plus each cell's
+    * share of total from a single-row broadcast. Day-of-week comes
+    * from epoch-day arithmetic ((epoch_day + 4) mod 7 — 1970-01-01
+    * was a Thursday), NOT from locale-dependent date functions, so
+    * both engines compute the identical integer.
+    */
+  def eventsPunchcard(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(
+        ((floor(unix_timestamp(col("ts")) / 86400) + 4) % 7).as("dow"),
+        floor((unix_timestamp(col("ts")) % 86400) / 3600).as("hod"))
+    val cells = e.groupBy(col("dow"), col("hod")).agg(count(lit(1)).as("n"))
+    val total = cells.agg(sum(col("n")).as("total"))
+    cells
+      .crossJoin(broadcast(total))
+      .select(
+        col("dow"), col("hod"), col("n"),
+        emit(col("n") / col("total"), 6).as("share"))
+      .orderBy(col("dow"), col("hod"))
+  }
+
+  val eventsPunchcardSql: String =
+    """WITH e AS (
+      |  SELECT (CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS dow,
+      |    CAST(floor((CAST(floor(epoch(ts)) AS BIGINT) % 86400) / 3600) AS BIGINT) AS hod
+      |  FROM events
+      |),
+      |c AS (SELECT dow, hod, count(*) AS n FROM e GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
+      |SELECT dow, hod, n, CAST(round(n / total, 6) AS DOUBLE) AS share
+      |FROM c CROSS JOIN t
+      |ORDER BY dow, hod""".stripMargin
+
+  /** #148 user_stickiness — DAU/WAU per week, the growth-team
+    * engagement ratio (how many of a week's users show up on an
+    * average day; 1/7 = everyone once, 1.0 = everyone daily): daily
+    * and weekly DISTINCT user counts from two aggregates over the
+    * same scan shape, stitched on the week key (both relations are
+    * horizon-bounded); stickiness = (Σ dau / n_days) / wau with every
+    * input an exact long and ONE rounded double division at the end
+    * (mean daily actives stays exact-rational until that division).
+    */
+  def userStickiness(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).as("d"),
+        floor(unix_timestamp(col("ts")) / 604800).as("w"))
+    val dau = base.select(col("user_id"), col("d"), col("w")).distinct()
+      .groupBy(col("w"), col("d")).agg(count(lit(1)).as("dau"))
+    val wau = base.select(col("user_id"), col("w")).distinct()
+      .groupBy(col("w")).agg(count(lit(1)).as("wau"))
+    dau
+      .groupBy(col("w"))
+      .agg(sum(col("dau")).as("dau_sum"), count(lit(1)).as("n_days"))
+      .join(wau, Seq("w"))
+      .select(
+        col("w").as("week"), col("n_days"), col("wau"),
+        emit(col("dau_sum") / (col("n_days") * col("wau")), 6).as("stickiness"))
+      .orderBy(col("week"))
+  }
+
+  val userStickinessSql: String =
+    """WITH base AS (
+      |  SELECT user_id,
+      |    CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+      |    CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w
+      |  FROM events
+      |),
+      |dau AS (
+      |  SELECT w, d, count(*) AS dau
+      |  FROM (SELECT DISTINCT user_id, d, w FROM base) GROUP BY 1, 2
+      |),
+      |wau AS (
+      |  SELECT w, count(*) AS wau
+      |  FROM (SELECT DISTINCT user_id, w FROM base) GROUP BY 1
+      |),
+      |ds AS (
+      |  SELECT w, CAST(sum(dau) AS BIGINT) AS dau_sum, count(*) AS n_days
+      |  FROM dau GROUP BY 1
+      |)
+      |SELECT ds.w AS week, n_days, wau,
+      |  CAST(round(dau_sum / (n_days * wau), 6) AS DOUBLE) AS stickiness
+      |FROM ds JOIN wau ON ds.w = wau.w
+      |ORDER BY week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_punchcard" -> (eventsPunchcard(_, _)),
+    "user_stickiness" -> (userStickiness(_, _)),
     "rising_users" -> (risingUsers(_, _)),
     "user_overlap_matrix" -> (userOverlapMatrix(_, _)),
     "user_cohort_ltv" -> (userCohortLtv(_, _)),
@@ -600,6 +692,8 @@ object BehaviorOps {
     "mad_anomalies" -> (madAnomalies(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "events_punchcard" -> eventsPunchcardSql,
+    "user_stickiness" -> userStickinessSql,
     "rising_users" -> risingUsersSql,
     "user_overlap_matrix" -> userOverlapMatrixSql,
     "user_cohort_ltv" -> userCohortLtvSql,
