@@ -30,6 +30,12 @@ object GraftSession {
     // convert in Tables.events (integral ns→µs division: no precision
     // loss, same floor semantics as the DuckDB oracle's read path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // tz-naive parquet TIMESTAMP(MICROS) (isAdjustedToUTC=false) must
+    // read as session-local TIMESTAMP, not TIMESTAMP_NTZ: the session
+    // is pinned UTC, so wall-clock values are identical, and the whole
+    // epoch-math layer (unix_millis/epochMs) stays type-correct — the
+    // same instant the DuckDB oracle reads from the same file
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // custom operators (SURVEY §2: native as-of join) — injected through
     // the public experimental-strategies hook so externally created
     // sessions (the driver's Verify/Bench) get them too

@@ -62,6 +62,53 @@ object AtProto {
           regexp_replace(regexp_replace(substring(did, 9, 2048), "\\.", "_"), "-", "__")))
       .otherwise(lit(null).cast("string"))
 
+  /** didkey → did body (unsafe_key_to_did, main.rs:4172): every '_'
+    * becomes ':' — "plc_x" → "plc:x". Faithfully UNSAFE, exactly like
+    * the reference: a web key's '_' (from '.') and '__' (from '-')
+    * are mangled too, which is why the reference names it unsafe and
+    * only calls it on plc keys. [[postIdToUri]] is the safe inverse
+    * for full post ids.
+    */
+  def keyToDid(key: Column): Column = regexp_replace(key, "_", ":")
+
+  /** rkey validated against the reference's RKEY_REGEX
+    * `^[a-z0-9-]+$` (ensure_valid_rkey, main.rs:4181): passes through
+    * valid rkeys, yields null for invalid ones — the family's
+    * null-not-throw form of the reference's Err, filterable mid-scan.
+    */
+  def ensureValidRkey(rkey: Column): Column =
+    when(rkey.rlike("^[a-z0-9\\-]+$"), rkey)
+
+  /** "<coll>:<rkey>_<method>_<body>" → at:// URI
+    * (convert_post_id_to_uri, main.rs:4105): the inverse of
+    * [[atUriToPostId]] including the web-DID unescape ORDER — '__'
+    * back to '-' FIRST, then '_' back to '.' (the reverse of
+    * did_to_key's '.'-then-'-' escape, same order as the reference's
+    * replace chain). Two DELIBERATE divergences: (1) the reference's
+    * plain split('_') takes parts[2] only, truncating every
+    * multi-segment web body ("web_example_com" loses "_com") — here
+    * split(limit=3) keeps the whole body so did→key→uri round-trips;
+    * (2) the reference indexes blindly (parts[1]/parts[2] panic on
+    * malformed ids), here malformed ids yield null. Round-trip with
+    * [[atUriToPostId]] is pinned in AtProtoSpec.
+    */
+  def postIdToUri(id: Column): Column = {
+    val last = element_at(split(id, ":"), -1)
+    val parts = split(last, "_", 3)
+    val rkey = get(parts, lit(0))
+    val method = get(parts, lit(1))
+    val body = get(parts, lit(2))
+    val host = when(
+      method === "web",
+      // split with limit=3 keeps web bodies with '_' intact; unescape
+      // '__'→'-' before '_'→'.' (inverse application order)
+      regexp_replace(regexp_replace(body, "__", "-"), "_", "\\."))
+      .otherwise(body)
+    when(
+      method.isNotNull && body.isNotNull && ensureValidRkey(rkey).isNotNull,
+      concat(lit("at://did:"), method, lit(":"), host, lit("/app.bsky.feed.post/"), rkey))
+  }
+
   /** at://<did>/<collection>/<rkey> → "<post|list>:<rkey>_<didkey>"
     * (at_uri_to_post_id, main.rs:4127). Unsupported collections and
     * invalid DIDs/rkeys yield null (the relational form of the

@@ -270,6 +270,17 @@ object BehaviorOps {
     * `approx_percentile` (O(sketch) state, map-side merge); the
     * #27/#27c pair pins that substitution's error bound, which is why
     * this op doesn't carry its own approx twin.
+    *
+    * ENGINE-BOUNDARY NOTE (acknowledged trade, gate-verified at two
+    * SFs): Spark's `percentile` and DuckDB's `quantile_cont` both use
+    * the continuous p·(n−1) definition but evaluate the interpolation
+    * in different floating-point orders, so a value landing EXACTLY on
+    * a 4-dp rounding boundary could diverge between engines — the
+    * divergence class mean6 closes for means. No integer-arithmetic
+    * rewrite exists for interpolated order statistics over doubles, so
+    * this op carries the risk explicitly rather than hiding it; the
+    * two-SF correctness sweep is the detector (it caught the
+    * label_centroid_sim half-case in r6).
     */
   def quantileDrift(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
@@ -443,9 +454,12 @@ object BehaviorOps {
     * even have a weekday shape"). The hourly matrix is bounded, the
     * lag join is an equi-join on (type, hb+24) against the same
     * matrix, and every moment (Σx, Σy, Σxy, Σx², Σy², n) is an exact
-    * integer sum — the final r is one double expression over exact
-    * ints, identical IEEE in both engines (the zipf-slope device).
-    * σ=0 on either side → r reads 0, not a divide-by-zero.
+    * DECIMAL(38,0) sum (HUGEINT oracle-side) — at ~1e9 events/hour a
+    * single c·c approaches Long.MAX, so long moments would overflow
+    * silently (the graph_assortativity hazard). The final r is one
+    * double expression over exact decimals, identical IEEE in both
+    * engines (the zipf-slope device). σ=0 on either side → r reads 0,
+    * not a divide-by-zero.
     */
   def eventsAutocorr(s: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(s, dir)
@@ -455,16 +469,21 @@ object BehaviorOps {
       .agg(count(lit(1)).as("c"))
     val lagged = hourly.select(
       col("event_type"), (col("hb") - 24).as("hb"), col("c").as("y"))
+    // Moments in DECIMAL(38,0), not long: at production volumes
+    // (~1e9 events/hour) a single c*c approaches Long.MAX and a long
+    // sum overflows silently — the graph_assortativity hazard, same
+    // fix (the final r is one double expression over exact decimals).
+    def dec(v: Column): Column = v.cast("decimal(38,0)")
     val m = hourly
       .join(lagged, Seq("event_type", "hb"))
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("c")).as("sx"),
-        sum(col("y")).as("sy"),
-        sum(col("c") * col("y")).as("sxy"),
-        sum(col("c") * col("c")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+        sum(dec(col("c"))).as("sx"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("c")) * col("y")).as("sxy"),
+        sum(dec(col("c")) * col("c")).as("sxx"),
+        sum(dec(col("y")) * col("y")).as("syy"))
     val num = col("n") * col("sxy") - col("sx") * col("sy")
     val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
       sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
@@ -486,9 +505,11 @@ object BehaviorOps {
       |),
       |m AS (
       |  SELECT event_type, count(*) AS n,
-      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-      |    CAST(sum(x * y) AS BIGINT) AS sxy,
-      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy
+      |    CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+      |    CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
       |  FROM p GROUP BY 1
       |)
       |SELECT event_type, n,

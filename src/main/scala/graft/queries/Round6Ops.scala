@@ -1038,7 +1038,20 @@ object Round6Ops {
     * where they are exactly representable — so floor never flips.
     */
   private[graft] def mean6(sumDec: Column, n: Column): Column = {
-    val t = (sumDec * lit(1000000L)).cast("long")
+    // Exactness precondition, ENFORCED: the integer-division argument
+    // needs 2·|scaled| + n ≤ 2^53 (double-exact) and |scaled| within
+    // long range. Nothing upstream guarantees it at arbitrary SFs, and
+    // in non-ANSI mode an out-of-range decimal→long cast yields
+    // null/wrapped values SILENTLY — so out-of-range fails loudly via
+    // raise_error instead of corrupting means (ADVICE r6).
+    val scaled = sumDec * lit(1000000L)
+    val t = when(
+      abs(scaled) > lit(2.0e15),
+      raise_error(concat(
+        lit("graft.mean6: scaled sum exceeds exact-integer range: "),
+        scaled.cast("string"))))
+      .otherwise(scaled)
+      .cast("long")
     val q = floor((abs(t) * 2 + n).cast("double") / (n * 2).cast("double"))
     signum(t.cast("double")) * q / lit(1e6)
   }
@@ -1159,9 +1172,11 @@ object Round6Ops {
     * anti-joins that index — history is never re-read. This is how the
     * dedup family actually runs day over day at 100 TB: the full-corpus
     * re-dedup (dedup_exact_docs / dedup_normalized) is the bootstrap,
-    * this is the steady state. The index build is guarded by _SUCCESS
-    * (the embed_ivf_knn_indexed precedent: torn-write guard, testdata
-    * immutable); index-path ≡ direct-anti-join equivalence plus
+    * this is the steady state. The index lives in a
+    * content-fingerprinted cache dir (Sources.cachedIndexDir — a
+    * regenerated or foreign dataset resolves to a different path, and
+    * the post-build marker guards torn writes; ADVICE r6);
+    * index-path ≡ direct-anti-join equivalence plus
     * planted cross-batch folds and idempotent re-ingest are
     * spec-pinned in SourcesSpec. The oracle states the same contract
     * SQL-wise: survivors = self-deduped new batch minus history
@@ -1171,9 +1186,8 @@ object Round6Ops {
     */
   def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val indexDir = s"/tmp/graft-hash-index/${new java.io.File(dir).getName}"
-    if (!new java.io.File(s"$indexDir/_SUCCESS").exists())
-      graft.sources.Sources.buildHashIndex(d.filter(col("doc_id") < 100), indexDir)
+    val indexDir = graft.sources.Sources.cachedIndexDir(dir, "documents", "hash-index-v1")(
+      p => graft.sources.Sources.buildHashIndex(d.filter(col("doc_id") < 100), p))
     graft.sources.Sources
       .dedupAgainstIndex(d.filter(col("doc_id") >= 100), graft.sources.Sources.readHashIndex(s, indexDir))
       .select(col("doc_id"), col("source"))
@@ -1322,17 +1336,18 @@ object Round6Ops {
     * eval docs → deterministic split → data card) over the survivors.
     * The three recipe entries differ in EXACTLY the dedup stage
     * (shared gate/tail code), so a recipe ablation is a one-stage
-    * diff. Index build is _SUCCESS-guarded over the GATED history
-    * (the index always represents what intake would have admitted).
+    * diff. Index build runs over the GATED history (the index always
+    * represents what intake would have admitted) into a
+    * content-fingerprinted cache dir (Sources.cachedIndexDir).
     * Scale: gate fuses into the scan, one hash-key shuffle for the
     * self-dedup + anti join, tail keeps #88's audited plans.
     */
   def corpusRecipeIncremental(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val indexDir = s"/tmp/graft-recipe-hidx/${new java.io.File(dir).getName}"
-    if (!new java.io.File(s"$indexDir/_SUCCESS").exists())
-      graft.sources.Sources
-        .buildHashIndex(Round5Ops.recipeGate(d.filter(col("doc_id") < 100)), indexDir)
+    val indexDir = graft.sources.Sources.cachedIndexDir(dir, "documents", "recipe-hidx-v1")(
+      p =>
+        graft.sources.Sources
+          .buildHashIndex(Round5Ops.recipeGate(d.filter(col("doc_id") < 100)), p))
     val deduped = graft.sources.Sources.dedupAgainstIndex(
       Round5Ops.recipeGate(d.filter(col("doc_id") >= 100)),
       graft.sources.Sources.readHashIndex(s, indexDir))

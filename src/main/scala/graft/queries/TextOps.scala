@@ -1126,11 +1126,11 @@ object TextOps {
     */
   def embedIvfKnnIndexed(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), toDouble(col("embedding")).as("e"))
-    val indexDir = s"/tmp/graft-ivf-index/${new java.io.File(dir).getName}"
-    // _SUCCESS guards against a torn half-written index, not staleness
-    // (testdata is immutable; production would version the index dir)
-    if (!new java.io.File(s"$indexDir/lists/_SUCCESS").exists())
-      graft.sources.IvfIndex.build(emb, indexDir)
+    // content-fingerprinted cache dir (ADVICE r6): a regenerated or
+    // foreign dataset resolves to a different path, and the post-build
+    // _FINGERPRINT marker guards torn/pre-seeded dirs
+    val indexDir = graft.sources.Sources.cachedIndexDir(dir, "embeddings", "ivf-index-v1")(
+      p => graft.sources.IvfIndex.build(emb, p))
     graft.sources.IvfIndex.search(
       s, indexDir,
       emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e").as("qe")))

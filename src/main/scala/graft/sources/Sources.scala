@@ -238,6 +238,67 @@ object Sources {
     * provenance id per unique doc) and the join shuffles on the hash —
     * the same balanced key every dedup op in the repo shuffles on.
     */
+  /** Content-keyed cache directory for a persisted index (ADVICE r6):
+    * the old fixed `/tmp/<basename>` scheme keyed the cache by
+    * directory NAME only, so regenerating the dataset in place, or two
+    * datasets sharing a basename, silently served a stale/foreign
+    * index. Here the path embeds an md5 FINGERPRINT of the input's
+    * identity — canonical path, builder config tag, and each input
+    * parquet part's (name, length, mtime) — so changed data resolves
+    * to a different directory, never a stale hit. On top of the
+    * _SUCCESS torn-write guard, a `_FINGERPRINT` marker written AFTER
+    * the build is re-validated against the recomputed fingerprint on
+    * every hit, so a pre-seeded or half-built directory (the
+    * world-writable-/tmp and concurrent-session hazards) fails
+    * validation and is rebuilt rather than trusted. The marker doubles
+    * as the torn-write guard (it only exists if `build` returned), so
+    * it works for flat parquet dirs and multi-part index layouts
+    * alike. Concurrent rebuilds of the SAME fingerprint race benignly:
+    * both write identical content and the marker lands last.
+    */
+  def cachedIndexDir(dataDir: String, table: String, configTag: String)(
+      build: String => Unit): String = {
+    val fp = inputFingerprint(dataDir, table, configTag)
+    val root =
+      new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-index-cache")
+    val dir = new java.io.File(root, fp)
+    val marker = new java.io.File(dir, "_FINGERPRINT")
+    val valid = marker.exists() && {
+      val src = scala.io.Source.fromFile(marker)
+      try src.mkString.trim == fp
+      finally src.close()
+    }
+    if (!valid) {
+      build(dir.getAbsolutePath)
+      val w = new java.io.PrintWriter(marker)
+      try w.print(fp)
+      finally w.close()
+    }
+    dir.getAbsolutePath
+  }
+
+  /** md5 over (canonical path, config tag, per-part name:length:mtime)
+    * of `<dataDir>/<table>.parquet` — the cache key for
+    * [[cachedIndexDir]]. Cheap (driver-side metadata only), yet
+    * changes whenever the input files are regenerated, moved, or the
+    * builder config changes.
+    */
+  private[graft] def inputFingerprint(
+      dataDir: String,
+      table: String,
+      configTag: String): String = {
+    val f = new java.io.File(dataDir, s"$table.parquet")
+    val parts =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq else Seq(f)
+    val desc = (Seq(f.getCanonicalPath, configTag) ++
+      parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}")).mkString("|")
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(desc.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+  }
+
   def buildHashIndex(docs: DataFrame, outDir: String): Unit =
     docs
       .select(md5(graft.queries.Round5Ops.normText(col("text"))).as("h"), col("doc_id"))

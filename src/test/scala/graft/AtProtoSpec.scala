@@ -59,6 +59,41 @@ class AtProtoSpec extends AnyFunSuite {
     assert(one(AtProto.atUriToPostId(lit("at://did:key:abc/app.bsky.feed.post/3kabc"))) == null)
   }
 
+  test("unsafe_key_to_did inverts plc keys and stays faithfully unsafe on web keys") {
+    // plc round-trip: did → key → did body (main.rs:4172 returns the
+    // body without the "did:" prefix — replace only, no prepend)
+    assert(one(AtProto.keyToDid(lit("plc_abc123"))) == "plc:abc123")
+    assert(one(AtProto.keyToDid(AtProto.didToKey(lit("did:plc:wgaezxqi2spqm3mhrb5xvkzi"))))
+      == "plc:wgaezxqi2spqm3mhrb5xvkzi")
+    // web keys mangle — the reference's documented unsafety, preserved
+    assert(one(AtProto.keyToDid(lit("web_feeds_example"))) == "web:feeds:example")
+  }
+
+  test("ensure_valid_rkey passes the reference regex and nulls the rest") {
+    assert(one(AtProto.ensureValidRkey(lit("3kizgrgwug222"))) == "3kizgrgwug222")
+    assert(one(AtProto.ensureValidRkey(lit("abc-123"))) == "abc-123")
+    assert(one(AtProto.ensureValidRkey(lit("3kABC"))) == null) // uppercase
+    assert(one(AtProto.ensureValidRkey(lit("a_b"))) == null) // underscore
+    assert(one(AtProto.ensureValidRkey(lit(""))) == null) // empty ≠ +
+  }
+
+  test("post_id_to_uri inverts at_uri_to_post_id including web unescape order") {
+    val uris = Seq(
+      "at://did:plc:abc/app.bsky.feed.post/3kizgrgwug222",
+      // multi-segment web host with a '-' — exercises BOTH unescapes
+      // and the limit=3 split (the reference's parts[2] would truncate)
+      "at://did:web:feeds.bsky-app.example/app.bsky.feed.post/3kabc")
+    uris.foreach { u =>
+      assert(one(AtProto.postIdToUri(AtProto.atUriToPostId(lit(u)))) == u,
+        s"uri→id→uri broke for $u")
+    }
+    // '__'→'-' must run BEFORE '_'→'.' (inverse of did_to_key's order)
+    assert(one(AtProto.postIdToUri(lit("post:3kabc_web_a__b_c")))
+      == "at://did:web:a-b.c/app.bsky.feed.post/3kabc")
+    assert(one(AtProto.postIdToUri(lit("post:3kABC_plc_abc"))) == null) // invalid rkey
+    assert(one(AtProto.postIdToUri(lit("post:3kabc"))) == null) // no did part
+  }
+
   test("malformed input degrades to null under ANSI mode, never a thrown scan error") {
     // Spark 4 defaults spark.sql.ansi.enabled=true: element_at on a
     // missing array index / map key would kill the whole job — these

@@ -689,7 +689,9 @@ class QueryCatalogSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // byte-identical results: parquet round-trips doubles exactly, so
     // the index search must reproduce the retrain-every-time form
-    val fresh = new java.io.File("/tmp/graft-ivf-index/sf0.001")
+    val fresh = new java.io.File(
+      new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-index-cache"),
+      graft.sources.Sources.inputFingerprint(dir, "embeddings", "ivf-index-v1"))
     if (fresh.exists()) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(fresh.toPath).iterator.asScala.toSeq.reverse

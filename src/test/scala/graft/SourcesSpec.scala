@@ -363,6 +363,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(s2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(21L))
   }
 
+  test("cachedIndexDir keys the cache by input identity and config, and rejects bad markers") {
+    val dataDir = Files.createTempDirectory("graft_cachekey").toString
+    val f = new java.io.File(dataDir, "documents.parquet")
+    java.nio.file.Files.write(f.toPath, "v1".getBytes)
+    var builds = 0
+    def dirFor(tag: String) = Sources.cachedIndexDir(dataDir, "documents", tag) { p =>
+      new java.io.File(p).mkdirs(); builds += 1
+    }
+    val d1 = dirFor("t1")
+    assert(builds == 1)
+    assert(dirFor("t1") == d1 && builds == 1, "valid marker must be a cache hit")
+    // a different builder config is a different cache entry
+    val d2 = dirFor("t2")
+    assert(d2 != d1 && builds == 2, "config tag must participate in the key")
+    // regenerating the dataset IN PLACE must invalidate the old entry —
+    // the exact staleness the old basename-keyed path served silently
+    java.nio.file.Files.write(f.toPath, "v2-regenerated".getBytes)
+    val d3 = dirFor("t1")
+    assert(d3 != d1 && builds == 3, "changed input files must yield a fresh cache dir")
+    // a pre-seeded dir whose marker doesn't match the fingerprint is
+    // rebuilt, not trusted (world-writable-/tmp hazard)
+    java.nio.file.Files.write(new java.io.File(d3, "_FINGERPRINT").toPath, "forged".getBytes)
+    dirFor("t1")
+    assert(builds == 4, "mismatched marker must force a rebuild")
+  }
+
   test("dedup_incremental catalog query equals the direct anti-join form") {
     import org.apache.spark.sql.functions.{col, md5}
     val d = Tables.documents(spark, dir)
