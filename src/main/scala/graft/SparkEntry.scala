@@ -22,6 +22,7 @@ object SparkEntry {
       graft.queries.Round4Ops.queries ++
       graft.queries.Round5Ops.queries ++
       graft.queries.Round6Ops.queries ++
+      graft.queries.Round8Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.queries.Round4Ops.oracles ++
       graft.queries.Round5Ops.oracles ++
       graft.queries.Round6Ops.oracles ++
+      graft.queries.Round8Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

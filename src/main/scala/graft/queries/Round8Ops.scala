@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.sources.Firehose
+
+/** Round-8 operators.
+  *
+  * #222 firehose post-record normalization (process_post,
+  * main.rs:3447-3683) and #223 profile-record normalization
+  * (process_profile, main.rs:3684-3723): the last reference components
+  * with no graft re-expression (r6 verdict "What's missing" #1). The
+  * parse itself lives in [[graft.sources.Firehose]]; the catalog
+  * entries run it over deterministic raw-JSON fixtures synthesized
+  * from events/customer with the same concat logic the oracle uses,
+  * so the gate compares the PARSE output byte-for-byte. Array-typed
+  * PostV1 fields (langs/tags/mentions/labels/links) serialize to
+  * comma-joined strings for the oracle hash; the typed form is pinned
+  * in FirehoseSpec.
+  */
+object Round8Ops {
+
+  /** #222 parse_post_records: raw firehose post JSON → PostV1 columns. */
+  def parsePostRecords(s: SparkSession, dir: String): DataFrame = {
+    val parsed = Firehose.parsePostRecords(Firehose.synthPostRecords(Tables.events(s, dir)))
+    parsed
+      .select(
+        col("id"), col("author"), col("text"),
+        concat_ws(",", col("langs")).as("langs"),
+        concat_ws(",", col("tags")).as("tags"),
+        concat_ws(",", col("mentions")).as("mentions"),
+        concat_ws(",", col("labels")).as("labels"),
+        concat_ws(",", col("links")).as("links"),
+        col("image_count"), col("alt_text"), col("record"), col("root"), col("parent"),
+        col("via"), col("bridgy_original_url"),
+        col("video_height"), col("video_width"), col("video_media_type"),
+        col("video_size"), col("video_alt"), col("video_captions_text"),
+        col("reply_count"), col("repost_count"), col("like_count"), col("quote_count"),
+        col("created_at"))
+      .orderBy(col("id"))
+  }
+
+  private val rawPostsSql: String = """
+    |WITH r AS (
+    |  SELECT event_id AS e, user_id AS u, event_type AS t, epoch_us(ts) AS ca FROM events
+    |), raw AS (
+    |  SELECT e,
+    |  '{"author":"did:plc:u' || u || '","text":"post about ' || t || ' number ' || e ||
+    |  '","createdAt":"t' || ca || '","likeCount":' || (e*7)%100 ||
+    |  CASE WHEN e%17=0 THEN '' ELSE ',"id":"post:rk' || e || '_plc_u' || u || '"' END ||
+    |  CASE e%5 WHEN 0 THEN '' WHEN 1 THEN ',"langs":["en"]' WHEN 2 THEN ',"langs":["en","es"]' WHEN 3 THEN ',"langs":["es","en","en"]' ELSE ',"langs":[]' END ||
+    |  CASE e%4 WHEN 0 THEN '' WHEN 1 THEN ',"tags":["tag' || e%7 || '","common"]' WHEN 2 THEN ',"tags":["common","common"]' ELSE ',"tags":["tag' || e%7 || '"]' END ||
+    |  CASE WHEN e%6=0 THEN ',"mentions":["did:plc:u' || (u+1) || '"]' ELSE '' END ||
+    |  CASE e%8 WHEN 0 THEN ',"labels":["porn"]' WHEN 4 THEN ',"labels":["nudity","porn","nudity"]' ELSE '' END ||
+    |  CASE e%3 WHEN 0 THEN ',"links":["https://example.com/a","https://example.com/b"]' WHEN 1 THEN ',"links":[]' ELSE '' END ||
+    |  CASE e%9 WHEN 1 THEN ',"images":[{"alt":"alt 0 for ' || e || '"}]'
+    |           WHEN 2 THEN ',"images":[{"alt":"alt 0 for ' || e || '"},{"alt":"alt 1 for ' || e || '"}]'
+    |           WHEN 3 THEN ',"images":[{"alt":"alt 0 for ' || e || '"},{"alt":"alt 1 for ' || e || '"},{"alt":"alt 2 for ' || e || '"}]'
+    |           ELSE '' END ||
+    |  CASE WHEN e%10=0 THEN ',"record":"post:rk' || (e+1000000) || '_plc_u' || u || '"' ELSE '' END ||
+    |  CASE WHEN e%2=1 THEN ',"root":"post:rt' || e || '_plc_u' || u || '","parent":"post:pr' || e || '_plc_u' || u || '"' ELSE '' END ||
+    |  CASE WHEN e%12=0 THEN ',"via":"deck.blue"' ELSE '' END ||
+    |  CASE WHEN e%15=0 THEN ',"bridgyOriginalUrl":"https://mastodon.example/u' || u || '/' || e || '"' ELSE '' END ||
+    |  CASE WHEN e%11=0 THEN ',"video":{"aspectRatio":{"height":1080,"width":1920},"blob":{"mediaType":"video/mp4","size":' || e*1000 || '},"alt":"vid ' || e || '","captions":[{"text":"cap a ' || e || '"},{"text":"cap b"}]}'
+    |       WHEN e%11=5 THEN ',"video":{"blob":{"mediaType":"video/mp4","size":' || e || '}}'
+    |       ELSE '' END ||
+    |  CASE WHEN e%13=0 THEN '' ELSE ',"replyCount":' || e%50 END ||
+    |  CASE WHEN e%2=0 THEN ',"repostCount":' || u%20 ELSE '' END ||
+    |  '}' AS raw FROM r
+    |)""".stripMargin
+
+  val parsePostRecordsSql: String = rawPostsSql + """
+    |, parsed AS (
+    |  SELECT
+    |    substr(json_extract_string(raw,'$.id'), 6) AS id,
+    |    substr(json_extract_string(raw,'$.author'), 5) AS author,
+    |    json_extract_string(raw,'$.text') AS text,
+    |    coalesce(array_to_string(list_sort(list_distinct(coalesce(json_transform(json_extract(raw,'$.langs'),'["VARCHAR"]'), []))), ','), '') AS langs,
+    |    coalesce(array_to_string(list_sort(list_distinct(coalesce(json_transform(json_extract(raw,'$.tags'),'["VARCHAR"]'), []))), ','), '') AS tags,
+    |    coalesce(array_to_string(list_sort(list_distinct(coalesce(json_transform(json_extract(raw,'$.mentions'),'["VARCHAR"]'), []))), ','), '') AS mentions,
+    |    coalesce(array_to_string(list_sort(list_distinct(coalesce(json_transform(json_extract(raw,'$.labels'),'["VARCHAR"]'), []))), ','), '') AS labels,
+    |    coalesce(array_to_string(coalesce(json_transform(json_extract(raw,'$.links'),'["VARCHAR"]'), []), ','), '') AS links,
+    |    CAST(coalesce(len(json_transform(json_extract(raw,'$.images'),'[{"alt":"VARCHAR"}]')), 0) AS BIGINT) AS image_count,
+    |    CASE WHEN json_extract(raw,'$.images') IS NULL THEN ''
+    |         ELSE coalesce(array_to_string(list_transform(json_transform(json_extract(raw,'$.images'),'[{"alt":"VARCHAR"}]'), i -> coalesce(i.alt,'')), e'\n\n<[{next-image}]>\n\n'), '') END AS alt_text,
+    |    coalesce(json_extract_string(raw,'$.record'),'') AS record,
+    |    coalesce(substr(json_extract_string(raw,'$.root'),6),'') AS root,
+    |    coalesce(substr(json_extract_string(raw,'$.parent'),6),'') AS parent,
+    |    json_extract_string(raw,'$.via') AS via,
+    |    json_extract_string(raw,'$.bridgyOriginalUrl') AS bridgy_original_url,
+    |    CASE WHEN json_extract(raw,'$.video') IS NULL THEN NULL ELSE coalesce(CAST(json_extract(raw,'$.video.aspectRatio.height') AS BIGINT),0) END AS video_height,
+    |    CASE WHEN json_extract(raw,'$.video') IS NULL THEN NULL ELSE coalesce(CAST(json_extract(raw,'$.video.aspectRatio.width') AS BIGINT),0) END AS video_width,
+    |    CASE WHEN json_extract(raw,'$.video') IS NULL THEN NULL ELSE coalesce(json_extract_string(raw,'$.video.blob.mediaType'),'') END AS video_media_type,
+    |    CASE WHEN json_extract(raw,'$.video') IS NULL THEN NULL ELSE coalesce(CAST(json_extract(raw,'$.video.blob.size') AS BIGINT),0) END AS video_size,
+    |    CASE WHEN json_extract(raw,'$.video') IS NULL THEN NULL ELSE coalesce(json_extract_string(raw,'$.video.alt'),'') END AS video_alt,
+    |    CASE WHEN json_extract(raw,'$.video') IS NULL THEN NULL
+    |         ELSE coalesce(array_to_string(list_transform(json_transform(json_extract(raw,'$.video.captions'),'[{"text":"VARCHAR"}]'), c -> 'CAPTION_FILE_TEXT_CONTENT_SKYFEED_QUERY_ENGINE' || chr(10) || coalesce(c."text",'') || chr(10)), ''), '') END AS video_captions_text,
+    |    coalesce(CAST(json_extract(raw,'$.replyCount') AS BIGINT),0) AS reply_count,
+    |    coalesce(CAST(json_extract(raw,'$.repostCount') AS BIGINT),0) AS repost_count,
+    |    coalesce(CAST(json_extract(raw,'$.likeCount') AS BIGINT),0) AS like_count,
+    |    CAST(0 AS BIGINT) AS quote_count,
+    |    json_extract_string(raw,'$.createdAt') AS created_at
+    |  FROM raw
+    |)
+    |SELECT * FROM parsed WHERE id IS NOT NULL ORDER BY id""".stripMargin
+
+  /** #223 parse_profile_records: raw profile JSON → Profile columns. */
+  def parseProfileRecords(s: SparkSession, dir: String): DataFrame =
+    Firehose.parseProfileRecords(Firehose.synthProfileRecords(Tables.customer(s, dir)))
+      .orderBy(col("id"))
+
+  val parseProfileRecordsSql: String = """
+    |WITH raw AS (
+    |  SELECT
+    |  '{"seq":' || c_custkey ||
+    |  CASE WHEN c_custkey%13=0 THEN '' ELSE ',"id":"did:plc:c' || c_custkey || '"' END ||
+    |  CASE WHEN c_custkey%4=0 THEN '' ELSE ',"displayName":"' || c_name || '"' END ||
+    |  CASE WHEN c_custkey%5=0 THEN '' ELSE ',"handle":"u' || c_custkey || '.bsky.social"' END ||
+    |  CASE WHEN c_custkey%3=0 THEN '' ELSE ',"description":"segment ' || c_mktsegment || '"' END ||
+    |  CASE WHEN c_custkey%2=0 THEN ',"avatar":"av' || c_custkey || '"' ELSE '' END ||
+    |  CASE WHEN c_custkey%7=0 THEN ',"banner":"bn' || c_custkey || '"' ELSE '' END ||
+    |  '}' AS raw FROM customer
+    |)
+    |SELECT json_extract_string(raw,'$.id') AS id,
+    |  coalesce(json_extract_string(raw,'$.displayName'),'') AS name,
+    |  coalesce(json_extract_string(raw,'$.handle'),'') AS handle,
+    |  coalesce(json_extract_string(raw,'$.description'),'') AS description,
+    |  json_extract(raw,'$.avatar') IS NOT NULL AS has_avatar,
+    |  json_extract(raw,'$.banner') IS NOT NULL AS has_banner,
+    |  CAST(0 AS BIGINT) AS follower_count,
+    |  CAST(0 AS BIGINT) AS following_count
+    |FROM raw WHERE json_extract_string(raw,'$.id') IS NOT NULL ORDER BY id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "parse_post_records" -> (parsePostRecords(_, _)),
+    "parse_profile_records" -> (parseProfileRecords(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "parse_post_records" -> parsePostRecordsSql,
+    "parse_profile_records" -> parseProfileRecordsSql)
+}

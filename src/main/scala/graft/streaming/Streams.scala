@@ -806,6 +806,18 @@ object Streams {
       .select(col("doc_id"), col("ts"), col("n_words"), col("h"))
   }
 
+  /** #39f firehose intake over RAW records (the reference's actual
+    * front door: process_post on every firehose JSON line before any
+    * block runs, main.rs:3447). The normalization is ONE stateless
+    * codegen'd projection ([[graft.sources.Firehose.parsePostRecords]])
+    * so it runs unchanged under `readStream` — no state, no watermark,
+    * no shuffle; malformed records (no id) drop mid-batch exactly like
+    * the batch form. Compose with [[corpusIntakeStream]]-style gates or
+    * [[streamingDedup]] downstream for the full intake pipeline.
+    */
+  def firehoseIntakeStream(raw: DataFrame): DataFrame =
+    graft.sources.Firehose.parsePostRecords(raw)
+
   /** One poll result of the reference's profile refresh loop
     * (run_profiles_query, main.rs:3369): a profile snapshot stamped
     * with the time it was fetched.
