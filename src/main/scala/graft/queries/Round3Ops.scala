@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{OracleMath, Tables}
+import graft.{Lineage, OracleMath, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,23 +27,34 @@ object Round3Ops {
       .withColumn("bkt", floor(col("v") / W))
     val cnts = rows.groupBy(col("grp"), col("bkt")).agg(count(lit(1)).as("cnt"))
     val wb = Window.partitionBy(col("grp")).orderBy(col("bkt"))
-    val cum = cnts
-      .withColumn("hi", sum(col("cnt")).over(wb))
-      .withColumn("lo", col("hi") - col("cnt"))
-    val totals = cnts.groupBy(col("grp")).agg(sum(col("cnt")).as("n"))
+    // materialize the tiny cumulative histogram ONCE (groups × buckets
+    // rows, bounded by value-range/W — NOT by n): totals, targets,
+    // needs, the bucket locations, and the second pass's lo offsets all
+    // derive from it, and without the cut every reuse re-derived the
+    // full lineitem scan + aggregation subtree (the r6 plan audit's
+    // xchg=81/bcast=30 — 81 exchanges of scheduler surface for one
+    // catalog query)
+    val cum = Lineage.cut(
+      cnts
+        .withColumn("hi", sum(col("cnt")).over(wb))
+        .withColumn("lo", col("hi") - col("cnt")))
+    val totals = cum.groupBy(col("grp")).agg(max(col("hi")).as("n"))
     val ps = Seq(0.25, 0.5, 0.75, 0.95).map(lit)
-    val targets = totals
-      .select(col("grp").as("tgrp"), col("n"))
-      .crossJoin(broadcast(s.range(1).select(explode(array(ps: _*)).as("p"))))
-      .withColumn("t", (col("n") - 1).cast("double") * col("p"))
-      .withColumn("kf", floor(col("t")))
-      .withColumn("kc", ceil(col("t")))
-    // the ranks we must materialize, and the buckets holding them (both
-    // relations are ≤ groups × percentiles rows — broadcast freely)
-    val needs = targets
-      .select(col("tgrp").as("ngrp"), col("kf").as("k"))
-      .unionByName(targets.select(col("tgrp").as("ngrp"), col("kc").as("k")))
-      .distinct()
+    // targets and needs are ≤ groups × percentiles rows and reused 2-3
+    // times each — cut them so each reuse is a memory read, not a
+    // re-derivation through totals' aggregation
+    val targets = Lineage.cut(
+      totals
+        .select(col("grp").as("tgrp"), col("n"))
+        .crossJoin(broadcast(s.range(1).select(explode(array(ps: _*)).as("p"))))
+        .withColumn("t", (col("n") - 1).cast("double") * col("p"))
+        .withColumn("kf", floor(col("t")))
+        .withColumn("kc", ceil(col("t"))))
+    val needs = Lineage.cut(
+      targets
+        .select(col("tgrp").as("ngrp"), col("kf").as("k"))
+        .unionByName(targets.select(col("tgrp").as("ngrp"), col("kc").as("k")))
+        .distinct())
     val located = needs.join(
       cum.select(col("grp").as("cgrp"), col("bkt"), col("lo"), col("hi")),
       col("ngrp") === col("cgrp") && col("lo") <= col("k") && col("k") < col("hi"))
@@ -55,14 +66,18 @@ object Round3Ops {
       .withColumn("rn", row_number().over(wr))
       .join(broadcast(cum.select(col("grp"), col("bkt"), col("lo"))), Seq("grp", "bkt"))
       .withColumn("grank", col("lo") + col("rn") - 1)
-    val kv = ranked
-      .join(broadcast(needs), col("grp") === col("ngrp") && col("grank") === col("k"))
-      .select(col("grp").as("kgrp"), col("k"), col("v"))
+    // kv is ≤ groups × 2·percentiles rows but sits on top of the whole
+    // second pass — without the cut the vf/vc joins below would run the
+    // bucket sort twice
+    val kv = Lineage.cut(
+      ranked
+        .join(broadcast(needs), col("grp") === col("ngrp") && col("grank") === col("k"))
+        .select(col("grp").as("kgrp"), col("k"), col("v")))
     targets
-      .join(kv.select(col("kgrp"), col("k"), col("v").as("vf")),
+      .join(broadcast(kv.select(col("kgrp"), col("k"), col("v").as("vf"))),
         col("tgrp") === col("kgrp") && col("kf") === col("k"))
       .drop("kgrp", "k")
-      .join(kv.select(col("kgrp"), col("k"), col("v").as("vc")),
+      .join(broadcast(kv.select(col("kgrp"), col("k"), col("v").as("vc"))),
         col("tgrp") === col("kgrp") && col("kc") === col("k"))
       .select(
         col("tgrp").as("grp"),

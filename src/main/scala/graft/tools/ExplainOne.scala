@@ -7,7 +7,11 @@ object ExplainOne {
     val df = SparkEntry.queries(args(0))(spark, dir)
     df.write.format("noop").mode("overwrite").save()
     println("===== toString =====")
-    println(df.queryExecution.executedPlan.toString.take(3000))
+    val plan = df.queryExecution.executedPlan.toString
+    println(plan.take(3000))
+    def n(sub: String) = plan.sliding(sub.length).count(_ == sub)
+    println(s"[audit-one] bcast=${n("BroadcastHashJoin") + n("BroadcastNestedLoop")} " +
+      s"smj=${n("SortMergeJoin")} xchg=${n("Exchange")} wscg=${n("*(")}")
     spark.stop()
   }
 }
