@@ -1147,6 +1147,38 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(overlap >= 5, s"PQ recall collapsed to chance: $overlap/50 overlap with exact kNN")
   }
 
+  test("trained PQ codebook: complete, self-free, recall >= sampled PQ") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("embed_knn")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    def recall(key: String): Int = SparkEntry.queries(key)(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id")))
+      .count(exact.contains)
+    val trained = SparkEntry.queries("embed_pq_knn_trained")(spark, dir).collect()
+    assert(trained.length == 50, s"expected 5 queries x 10 neighbors, got ${trained.length}")
+    assert(!trained.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("vec_id")))
+    // Lloyd's minimizes exactly the quantization error the asymmetric
+    // score pays; three rounds over the sampled seed must not lose recall
+    val (rt, rs) = (recall("embed_pq_knn_trained"), recall("embed_pq_knn"))
+    assert(rt >= rs, s"trained PQ recall $rt/50 below sampled $rs/50")
+    // the guarantee Lloyd's actually makes: mean quantization error
+    // strictly below the sampled codebook's
+    import graft.queries.Round6Ops
+    val e = Round6Ops.pqEmb(spark, dir)
+    val subs = Round6Ops.pqSubs(e)
+    def mse(cb: org.apache.spark.sql.DataFrame): Double = subs
+      .join(broadcast(cb), Seq("s"))
+      .withColumn("d2",
+        graft.functions.Registry.dot(col("v"), col("v"))
+          - lit(2.0) * graft.functions.Registry.dot(col("v"), col("c"))
+          + graft.functions.Registry.dot(col("c"), col("c")))
+      .groupBy(col("vec_id"), col("s")).agg(min(col("d2")).as("d2"))
+      .agg(avg(col("d2"))).head.getDouble(0)
+    val seed = Round6Ops.pqSampledCodebook(e)
+    val (mt, ms) = (mse(Round6Ops.pqTrainCodebook(subs, seed, 3)), mse(seed))
+    assert(mt < ms, f"trained codebook MSE $mt%.6f not below sampled $ms%.6f")
+  }
+
   test("event path trigram counts conserve the per-user event totals") {
     import org.apache.spark.sql.functions._
     val paths = SparkEntry.queries("event_paths")(spark, dir).collect()
