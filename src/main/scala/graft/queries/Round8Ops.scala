@@ -133,11 +133,55 @@ object Round8Ops {
     |  CAST(0 AS BIGINT) AS following_count
     |FROM raw WHERE json_extract_string(raw,'$.id') IS NOT NULL ORDER BY id""".stripMargin
 
+  /** The z-ordered events layout (user_id × epoch-day), built once per
+    * input fingerprint: the clustering a 100 TB lake maintains so that
+    * 2-D selective scans (user × time is THE feed-engine access
+    * pattern — point_lookup/input_window over author+time,
+    * main.rs:1221-1418 WHERE clauses) prune files by min/max stats
+    * instead of reading the whole table.
+    */
+  private[graft] def zorderedEventsDir(s: SparkSession, dir: String): String =
+    graft.sources.Sources.cachedIndexDir(dir, "events", "zorder-user-day-v1") { p =>
+      graft.sources.Sources.writeZordered(
+        Tables.events(s, dir).select(
+          col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"), col("event_type")),
+        "user_id", "day", p, partitions = 16)
+    }
+
+  /** #224 zorder_pruned_scan — the read-side payoff of writeZordered:
+    * a 2-D range predicate (user box × day window) over the z-ordered
+    * layout. Both predicates reach the parquet scan (PushedFilters →
+    * row-group min/max skipping inside the reader), and because the
+    * layout tiles the z-curve, whole FILES fall outside the query box:
+    * SourcesSpec pins that the box intersects a strict subset of the
+    * per-file bounding boxes and that reading ONLY those files returns
+    * byte-identical rows — the decision procedure a file-skipping
+    * scheduler (or a format with footer-stats planning) applies, made
+    * observable without one. Exact oracle over the base table: the
+    * layout is a REWRITE, so the filtered read must equal the filtered
+    * original row-for-row.
+    */
+  def zorderPrunedScan(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(zorderedEventsDir(s, dir))
+      .filter(col("user_id").between(8, 23) && col("day").between(19728L, 19735L))
+      .select(col("event_id"), col("user_id"), col("day"), col("event_type"))
+      .orderBy(col("event_id"))
+
+  val zorderPrunedScanSql: String = """
+    |SELECT event_id, user_id, epoch_us(ts)//86400000000 AS day, event_type
+    |FROM events
+    |WHERE user_id BETWEEN 8 AND 23
+    |  AND epoch_us(ts)//86400000000 BETWEEN 19728 AND 19735
+    |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parse_post_records" -> (parsePostRecords(_, _)),
-    "parse_profile_records" -> (parseProfileRecords(_, _)))
+    "parse_profile_records" -> (parseProfileRecords(_, _)),
+    "zorder_pruned_scan" -> (zorderPrunedScan(_, _)))
 
   val oracles: Map[String, String] = Map(
     "parse_post_records" -> parsePostRecordsSql,
-    "parse_profile_records" -> parseProfileRecordsSql)
+    "parse_profile_records" -> parseProfileRecordsSql,
+    "zorder_pruned_scan" -> zorderPrunedScanSql)
 }

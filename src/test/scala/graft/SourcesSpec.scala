@@ -401,4 +401,40 @@ class SourcesSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == direct, "persisted-index path must equal the direct form")
   }
+
+  test("z-ordered scan: file-level min/max pruning is effective and exact") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Round8Ops
+    val zdir = Round8Ops.zorderedEventsDir(spark, dir)
+    // per-file bounding boxes on both clustered dimensions — exactly
+    // the footer stats a min/max file pruner consumes
+    val boxes = spark.read.parquet(zdir)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f"))
+      .agg(
+        min("user_id").as("u0"), max("user_id").as("u1"),
+        min("day").as("d0"), max("day").as("d1"))
+      .collect()
+    assert(boxes.length >= 12, s"expected ~16 z-files, got ${boxes.length}")
+    // the catalog query's box: user 8..23 × day 19728..19735
+    val surviving = boxes.filter(r =>
+      r.getAs[Long]("u1") >= 8 && r.getAs[Long]("u0") <= 23 &&
+        r.getAs[Long]("d1") >= 19728L && r.getAs[Long]("d0") <= 19735L)
+    assert(surviving.length < boxes.length,
+      s"z-layout must let the 2-D box skip files: ${surviving.length}/${boxes.length} survive")
+    // the pruning decision is CORRECT: reading only the surviving
+    // files reproduces the full filtered result row-for-row
+    val prunedRead = spark.read
+      .parquet(surviving.map(_.getAs[String]("f")).toIndexedSeq: _*)
+      .filter(col("user_id").between(8, 23) && col("day").between(19728L, 19735L))
+      .select(col("event_id"), col("user_id"), col("day"), col("event_type"))
+      .orderBy(col("event_id"))
+    val full = SparkEntry.queries("zorder_pruned_scan")(spark, dir)
+    assert(full.count() > 0)
+    assert(prunedRead.exceptAll(full).isEmpty && full.exceptAll(prunedRead).isEmpty)
+    // and both range predicates are pushed to the scan
+    val plan = full.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(user_id,8)"),
+      "range predicates must reach the parquet scan")
+  }
 }
