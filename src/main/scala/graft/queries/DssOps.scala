@@ -539,12 +539,22 @@ object DssOps {
     * is a TakeOrderedAndProject on rounded revenue with suppkey
     * tie-break.
     */
-  def supplierScorecard(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+  def supplierScorecard(s: SparkSession, dir: String): DataFrame =
+    scorecardTail(s, dir, scorecardPartials(scorecardLi(s, dir)))
+
+  /** The scorecard's fact input: lineitem with its order date. */
+  private[queries] def scorecardLi(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
-    val per = li
-      .groupBy(col("l_suppkey"))
+
+  /** Per-supplier ALGEBRAIC partials (counts + exact decimal sums):
+    * every scorecard measure derives from these, so
+    * merge(history, delta) ≡ recompute — the property
+    * scorecard_incremental (Round8Ops) is built on.
+    */
+  private[queries] def scorecardPartials(li: DataFrame): DataFrame =
+    li.groupBy(col("l_suppkey"))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"),
@@ -552,6 +562,9 @@ object DssOps {
           .otherwise(0L)).as("n_slow"),
         dsum(rev).as("rev_d"),
         dsum(col("l_discount")).as("disc_d"))
+
+  /** Rates + revenue share + top-25 over any per-supplier partials. */
+  private[queries] def scorecardTail(s: SparkSession, dir: String, per: DataFrame): DataFrame = {
     val total = per.agg(emit(sum(col("rev_d"))).as("total_rev"))
     per
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))

@@ -1179,6 +1179,16 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(mt < ms, f"trained codebook MSE $mt%.6f not below sampled $ms%.6f")
   }
 
+  test("incremental scorecard: delta merge equals the full recompute") {
+    val inc = SparkEntry.queries("scorecard_incremental")(spark, dir)
+    val full = SparkEntry.queries("supplier_scorecard")(spark, dir)
+    assert(inc.collect().toSeq == full.collect().toSeq,
+      "merge(history, delta) must reproduce the recomputed report exactly")
+    // second run folds the same delta over the CACHED history partials
+    val again = SparkEntry.queries("scorecard_incremental")(spark, dir)
+    assert(again.collect().toSeq == full.collect().toSeq, "refresh must be idempotent")
+  }
+
   test("event path trigram counts conserve the per-user event totals") {
     import org.apache.spark.sql.functions._
     val paths = SparkEntry.queries("event_paths")(spark, dir).collect()
