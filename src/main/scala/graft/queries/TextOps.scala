@@ -1067,21 +1067,20 @@ object TextOps {
             negate(col("cent_id")).as("nid"))).as("_best"))
         .select(col(idCol) +: (others :+ "cent_id").map(c => col(s"_best.$c").as(c)): _*)
     } else {
-      // top-keep: sort the collected (csim, -cent_id) candidate structs
-      // (k small structs per group — cent_id only, never the vectors);
-      // the row's own columns are constant per group, so first() is
-      // deterministic in value
+      // top-keep: the native bounded TopKPairs aggregate — O(keep)
+      // state per group with the same (csim DESC, cent_id ASC) order
+      // the old collect_list+sort form encoded, but without buffering
+      // and sorting all k candidate structs per group (the r6→r7 A/B
+      // localized embed_pair_sim_bucketed's ~1.2× drift to this
+      // branch; the row's own columns are constant per group, so
+      // first() is deterministic in value)
       scored
         .groupBy(col(idCol))
         .agg(
-          slice(
-            reverse(array_sort(collect_list(struct(
-              Registry.cosine(col(vecCol), col("ce")).as("csim"),
-              negate(col("cent_id")).as("nid"),
-              col("cent_id"))))),
-            1, keep).as("_top"),
+          Registry.topK(Registry.cosine(col(vecCol), col("ce")), col("cent_id"), keep)
+            .as("_top"),
           others.map(c => first(col(c)).as(c)): _*)
-        .select(col(idCol) +: others.map(col) :+ explode(col("_top.cent_id")).as("cent_id"): _*)
+        .select(col(idCol) +: others.map(col) :+ explode(col("_top.id")).as("cent_id"): _*)
     }
   }
 

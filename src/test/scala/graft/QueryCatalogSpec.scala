@@ -19,7 +19,8 @@ class QueryCatalogSpec extends AnyFunSuite {
       "dedup_minhash", "dedup_simhash", "embed_lsh_knn", "embed_ivf_knn",
       "embed_ivf_knn_indexed", "embed_pair_sim_bucketed",
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
-      "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup")
+      "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
+      "embed_pq_knn_trained")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
