@@ -219,15 +219,86 @@ object Round8Ops {
     DssOps.scorecardTail(s, dir, merged)
   }
 
+  /** #226 feed_from_firehose — the reference's ACTUAL end-to-end loop
+    * in one plan: raw firehose record JSON in (process_post,
+    * main.rs:3447) → typed PostV1 frame → a JSON wire payload
+    * (parse_feed_query, main.rs:1944) compiled over it — time-window
+    * input, regex keep on post text, reply-count where-script, HN
+    * score (main.rs:4338) normalized, per-author limit
+    * (main.rs:2342), score sort, feed cap. Everything between the raw
+    * bytes and the served rows is the engine's own machinery — the
+    * integration proof that the r8 ingestion front door feeds the
+    * r1-r5 pipeline compiler unmodified. Exact oracle: the same parse
+    * + window + regex + script + score algebra in DuckDB SQL.
+    */
+  def feedFromFirehose(s: SparkSession, dir: String): DataFrame = {
+    import graft.pipeline.{Binding, PipelineJson}
+    val posts = Firehose
+      .parsePostRecords(Firehose.synthPostRecords(Tables.events(s, dir)))
+      .withColumn("ts", timestamp_micros(expr("CAST(substring(created_at, 2) AS LONG)")))
+    val payload =
+      """{"blocks":[
+        |  {"type":"input","inputType":"firehose","firehoseSeconds":1209600},
+        |  {"type":"regex","target":"text","value":"(view|purchase)"},
+        |  {"type":"where","value":"replyCount < 40"},
+        |  {"type":"score","scoreType":"add","from":"hn","gravity":"1.8","normalize":true},
+        |  {"type":"limit","limitType":"posts_per_user","count":3},
+        |  {"type":"sort","sortType":"score","sortDirection":"desc"},
+        |  {"type":"limit","count":100}
+        |]}""".stripMargin
+    val binding = Binding(
+      idCol = "id",
+      authorCol = "author",
+      tsCol = "ts",
+      valueCol = "like_count",
+      nowEpochMs = FeedBlocks.NowMs,
+      regexTargets = Map("text" -> Seq("text")),
+      whereFields = Map("replyCount" -> col("reply_count")))
+    PipelineJson
+      .run(posts, payload, binding)
+      .select(col("id"), col("author"), col("score").cast("double").as("score"))
+  }
+
+  val feedFromFirehoseSql: String = rawPostsSql + s"""
+    |, posts AS (
+    |  SELECT
+    |    substr(json_extract_string(raw,'$$.id'), 6) AS id,
+    |    substr(json_extract_string(raw,'$$.author'), 5) AS author,
+    |    json_extract_string(raw,'$$.text') AS text,
+    |    coalesce(CAST(json_extract(raw,'$$.replyCount') AS BIGINT),0) AS reply_count,
+    |    coalesce(CAST(json_extract(raw,'$$.likeCount') AS BIGINT),0) AS like_count,
+    |    CAST(substr(json_extract_string(raw,'$$.createdAt'), 2) AS BIGINT)//1000 AS ts_ms
+    |  FROM raw WHERE json_extract_string(raw,'$$.id') IS NOT NULL
+    |), windowed AS (
+    |  SELECT * FROM posts
+    |  WHERE ts_ms > ${FeedBlocks.NowMs} - 1209600000 AND ts_ms <= ${FeedBlocks.NowMs}
+    |    AND regexp_matches(text, '(?i)(view|purchase)')
+    |    AND reply_count < 40
+    |), scored AS (
+    |  SELECT id, author,
+    |    like_count / power((${FeedBlocks.NowMs} - ts_ms) / 3600000.0 + 2.0, 1.8) AS raw_s
+    |  FROM windowed
+    |), normed AS (
+    |  SELECT id, author, CAST(round(raw_s / MAX(raw_s) OVER (), 6) AS DOUBLE) AS score
+    |  FROM scored
+    |), limited AS (
+    |  SELECT *, row_number() OVER (PARTITION BY author ORDER BY score DESC, id) AS rn
+    |  FROM normed
+    |)
+    |SELECT id, author, score FROM limited WHERE rn <= 3
+    |ORDER BY score DESC, id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parse_post_records" -> (parsePostRecords(_, _)),
     "parse_profile_records" -> (parseProfileRecords(_, _)),
     "zorder_pruned_scan" -> (zorderPrunedScan(_, _)),
-    "scorecard_incremental" -> (scorecardIncremental(_, _)))
+    "scorecard_incremental" -> (scorecardIncremental(_, _)),
+    "feed_from_firehose" -> (feedFromFirehose(_, _)))
 
   val oracles: Map[String, String] = Map(
     "parse_post_records" -> parsePostRecordsSql,
     "parse_profile_records" -> parseProfileRecordsSql,
     "zorder_pruned_scan" -> zorderPrunedScanSql,
-    "scorecard_incremental" -> DssOps.supplierScorecardSql)
+    "scorecard_incremental" -> DssOps.supplierScorecardSql,
+    "feed_from_firehose" -> feedFromFirehoseSql)
 }
