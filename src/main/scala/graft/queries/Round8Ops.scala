@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
+import graft.{OracleMath, Tables}
 import graft.sources.Firehose
 
 /** Round-8 operators.
@@ -21,6 +21,7 @@ import graft.sources.Firehose
   * in FirehoseSpec.
   */
 object Round8Ops {
+  import OracleMath._
 
   /** #222 parse_post_records: raw firehose post JSON → PostV1 columns. */
   def parsePostRecords(s: SparkSession, dir: String): DataFrame = {
@@ -288,17 +289,64 @@ object Round8Ops {
     |SELECT id, author, score FROM limited WHERE rn <= 3
     |ORDER BY score DESC, id LIMIT 100""".stripMargin
 
+  /** #227 decontam_report — the observability face of #68
+    * decontaminate: decontaminate silently DROPS train docs sharing a
+    * 4-gram with the held-out eval set; before anyone deletes data at
+    * 100 TB they want the audit — per contaminated train doc, how MUCH
+    * of it overlaps (distinct-gram coverage fraction), worst first.
+    * Same gram machinery (one exploded window pass per side), eval
+    * grams move by broadcast (eval sets are small by construction),
+    * the shared-gram count is a semi-join + doc-key agg, and the
+    * report is |contaminated| rows. Exact oracle extending
+    * decontaminate's CTEs with the two counts.
+    */
+  def decontamReport(s: SparkSession, dir: String): DataFrame = {
+    val grams = TextOps.gramRows(Tables.documents(s, dir), 4)
+    val bench = grams.filter(col("doc_id") < 5).select(col("g")).distinct()
+    val tr = grams.filter(col("doc_id") >= 5)
+    val tot = tr.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val sh = tr
+      .join(broadcast(bench), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    sh.join(tot, Seq("doc_id"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(
+        col("doc_id"), col("source"), col("n_grams"), col("n_shared"),
+        emit(col("n_shared") / col("n_grams"), 6).as("coverage"))
+      .orderBy(col("coverage").desc, col("doc_id"))
+  }
+
+  val decontamReportSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT doc_id,
+      |    unnest([ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]
+      |            for i in range(1, greatest(len(ws)-2, 1))]) AS g
+      |  FROM w
+      |),
+      |bg AS (SELECT DISTINCT g FROM g WHERE doc_id < 5),
+      |tr AS (SELECT doc_id, g FROM g WHERE doc_id >= 5),
+      |tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
+      |sh AS (SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN bg USING (g) GROUP BY 1)
+      |SELECT d.doc_id, d.source, tot.n_grams, sh.n_shared,
+      |  CAST(round(sh.n_shared / tot.n_grams, 6) AS DOUBLE) AS coverage
+      |FROM sh JOIN tot USING (doc_id) JOIN documents d USING (doc_id)
+      |ORDER BY coverage DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parse_post_records" -> (parsePostRecords(_, _)),
     "parse_profile_records" -> (parseProfileRecords(_, _)),
     "zorder_pruned_scan" -> (zorderPrunedScan(_, _)),
     "scorecard_incremental" -> (scorecardIncremental(_, _)),
-    "feed_from_firehose" -> (feedFromFirehose(_, _)))
+    "feed_from_firehose" -> (feedFromFirehose(_, _)),
+    "decontam_report" -> (decontamReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "parse_post_records" -> parsePostRecordsSql,
     "parse_profile_records" -> parseProfileRecordsSql,
     "zorder_pruned_scan" -> zorderPrunedScanSql,
     "scorecard_incremental" -> DssOps.supplierScorecardSql,
-    "feed_from_firehose" -> feedFromFirehoseSql)
+    "feed_from_firehose" -> feedFromFirehoseSql,
+    "decontam_report" -> decontamReportSql)
 }
