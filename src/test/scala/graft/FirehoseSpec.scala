@@ -86,6 +86,29 @@ class FirehoseSpec extends AnyFunSuite {
     assert(rows.filter(col("follower_count") =!= 0 || col("following_count") =!= 0).count() == 0)
   }
 
+  test("raw stream → parse → watermark dedup: redelivered records fold away") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val raws = Firehose.synthPostRecords(Tables.events(spark, dir))
+      .filter(col("event_id") < 40).select(col("raw")).as[String].collect().toSeq
+    val in = MemoryStream[String]
+    in.addData(raws ++ raws.take(15)) // firehose redelivery
+    val q = graft.streaming.Streams
+      .firehoseIntakeStream(in.toDF().withColumnRenamed("value", "raw"))
+      .withColumn("ts", timestamp_micros(expr("CAST(substring(created_at, 2) AS LONG)")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("fhdedup").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fhdedup").select(col("id"))
+    val expected = Firehose.parsePostRecords(
+      Firehose.synthPostRecords(Tables.events(spark, dir)).filter(col("event_id") < 40))
+      .select(col("id"))
+    assert(got.count() == expected.count(), "each redelivered record must fold into its original")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("streaming intake ≡ batch parse on the same raw records") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
