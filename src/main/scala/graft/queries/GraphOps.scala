@@ -600,7 +600,43 @@ object GraphOps {
       |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS DOUBLE) END AS assortativity
       |FROM m""".stripMargin
 
+  /** #58r graph_reciprocity — the directed-graph health metric beside
+    * assortativity (Garlaschelli & Loffredo 2004, "Patterns of Link
+    * Reciprocity in Directed Networks"): the fraction of directed
+    * edges whose reverse also exists. On a social graph this is the
+    * mutual-follow rate — the first number a growth or
+    * recommendation team asks for, and graph_mutuals' (#52) global
+    * summary form. One distinct edge shuffle + a self semi-join on
+    * the reversed key + two single-row aggregates meeting by
+    * broadcast; the division rounds through the emit device so both
+    * engines emit the identical double.
+    */
+  def graphReciprocity(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).distinct()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"),
+      "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(recip.agg(count(lit(1)).as("n_recip"))))
+      .select(
+        col("n_edges"), col("n_recip"),
+        emit(col("n_recip") / col("n_edges"), 6).as("reciprocity"))
+  }
+
+  val graphReciprocitySql: String =
+    s"""WITH edges AS (SELECT DISTINCT * FROM ($edgesSql)),
+       |r AS (
+       |  SELECT count(*) AS n_recip FROM edges e
+       |  WHERE EXISTS (SELECT 1 FROM edges x WHERE x.src = e.dst AND x.dst = e.src)
+       |),
+       |t AS (SELECT count(*) AS n_edges FROM edges)
+       |SELECT n_edges, n_recip,
+       |  CAST(round(n_recip / n_edges, 6) AS DOUBLE) AS reciprocity
+       |FROM t, r""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_reciprocity" -> (graphReciprocity(_, _)),
     "graph_assortativity" -> (graphAssortativity(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
     "graph_neighbor_jaccard" -> (graphNeighborJaccard(_, _)),
@@ -616,6 +652,7 @@ object GraphOps {
     "admin_stats" -> (adminStats(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "graph_reciprocity" -> graphReciprocitySql,
     "graph_assortativity" -> graphAssortativitySql,
     "graph_kcore" -> graphKcoreSql,
     "graph_neighbor_jaccard" -> graphNeighborJaccardSql,

@@ -86,6 +86,19 @@ class FirehoseSpec extends AnyFunSuite {
     assert(rows.filter(col("follower_count") =!= 0 || col("following_count") =!= 0).count() == 0)
   }
 
+  test("file-based ingestion: raw lines on disk parse identically to the in-plan fixtures") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_rawposts").toString
+    val synth = Firehose.synthPostRecords(Tables.events(spark, dir))
+    synth.select(col("raw")).write.mode("overwrite").text(out)
+    val fromFiles = Firehose.parsePostRecords(
+      spark.read.text(out).withColumnRenamed("value", "raw"))
+    val direct = Firehose.parsePostRecords(synth)
+    assert(fromFiles.count() == direct.count())
+    assert(fromFiles.exceptAll(direct).isEmpty && direct.exceptAll(fromFiles).isEmpty,
+      "the disk round trip must not change a single parsed row")
+  }
+
   test("raw stream → parse → watermark dedup: redelivered records fold away") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
