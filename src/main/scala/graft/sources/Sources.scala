@@ -374,4 +374,32 @@ object Sources {
       .mode(SaveMode.Overwrite)
       .parquet(outDir)
   }
+
+  /** Bucketed table writer — the CO-LOCATED JOIN layout: both sides of
+    * a recurring big-×-big equi-join written with `bucketBy(n, key)` +
+    * `sortBy(key)` hash-place every key into the same bucket file on
+    * both tables, so the join consumes the ON-DISK partitioning —
+    * no Exchange on either side, and with sortBy no Sort either (the
+    * SortMergeJoin zips pre-sorted bucket files). At 100 TB this is
+    * THE recurring-join amortization: one shuffle's cost paid once at
+    * write, repaid on every subsequent join/aggregation keyed the same
+    * way. Registered as an external table (explicit `path`) so the
+    * files outlive the session while the in-memory catalog carries
+    * the bucket spec; the exchange-free plan and result-equality vs
+    * the unbucketed join are spec-pinned.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, keyCol: String, path: String, buckets: Int = 8): Unit =
+    df
+      // pre-hash into one partition per bucket (same Murmur3 the bucket
+      // spec uses): each task then writes exactly ONE file per bucket,
+      // which is the condition under which the scan reports its sort
+      // order and the join elides the per-side Sort too
+      .repartition(buckets, col(keyCol))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("path", path)
+      .bucketBy(buckets, keyCol)
+      .sortBy(keyCol)
+      .saveAsTable(table)
 }

