@@ -98,10 +98,14 @@ object Firehose {
     // evaluates the parse exactly once, drops skip-on-error rows in
     // the same breath, and nothing rewrites through a Generate.
     val j = from_json(col(rawCol), postRecordSchema)
+    // prefix-room checks: the reference's id[5..] / author[4..] PANIC
+    // on shorter strings (a wrong-typed "id":123 coerces to "123" in
+    // PERMISSIVE mode and would blind-strip to "") — here too-short
+    // ids take the same skip path as missing ones
     val valid = filter(
       array(j),
       x =>
-        x.getField("id").isNotNull && x.getField("author").isNotNull &&
+        length(x.getField("id")) >= 6 && length(x.getField("author")) >= 5 &&
           x.getField("text").isNotNull && x.getField("createdAt").isNotNull)
     val withJ = raw.select(explode(valid).as("j"))
     val video = col("j.video")

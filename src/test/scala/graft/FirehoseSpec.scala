@@ -86,6 +86,32 @@ class FirehoseSpec extends AnyFunSuite {
     assert(rows.filter(col("follower_count") =!= 0 || col("following_count") =!= 0).count() == 0)
   }
 
+  test("adversarial raw input: garbage drops, valid rows survive, nothing throws") {
+    import spark.implicits._
+    val garbage = Seq(
+      "{not json at all",
+      "",
+      "null",
+      "[]",
+      "42",
+      """{"id":123,"author":"did:plc:x","text":"t","createdAt":"c"}""", // id wrong type
+      """{"author":"did:plc:x","text":"orphan"}""", // no id (reference Err path)
+      """{"id":"post:ok1_plc_x","author":"did:plc:x","createdAt":"c"}""", // no text (reference panic path)
+      """{"id":"post:ok2_plc_x","author":"did:plc:x","text":"good","createdAt":"c","langs":"notanarray"}""",
+      """{"id":"post:ok3_plc_x","author":"did:plc:x","text":"good","createdAt":"c","video":"notanobject"}""")
+    val parsed = graft.sources.Firehose.parsePostRecords(garbage.toDF("raw")).collect()
+    // rows with id+author+text+createdAt survive even when OTHER fields
+    // are malformed (PERMISSIVE nulls them to the reference defaults);
+    // everything else drops silently — no exception reaches the caller
+    val ids = parsed.map(_.getAs[String]("id")).toSet
+    assert(ids == Set("ok2_plc_x", "ok3_plc_x"), s"got $ids")
+    val ok2 = parsed.find(_.getAs[String]("id") == "ok2_plc_x").get
+    assert(ok2.getAs[scala.collection.Seq[String]]("langs").isEmpty,
+      "malformed langs must read as absent")
+    val ok3 = parsed.find(_.getAs[String]("id") == "ok3_plc_x").get
+    assert(ok3.isNullAt(ok3.fieldIndex("video_height")), "malformed video must read as absent")
+  }
+
   test("file-based ingestion: raw lines on disk parse identically to the in-plan fixtures") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_rawposts").toString
