@@ -55,7 +55,7 @@ object Round8Ops {
     |  CASE e%4 WHEN 0 THEN '' WHEN 1 THEN ',"tags":["tag' || e%7 || '","common"]' WHEN 2 THEN ',"tags":["common","common"]' ELSE ',"tags":["tag' || e%7 || '"]' END ||
     |  CASE WHEN e%6=0 THEN ',"mentions":["did:plc:u' || (u+1) || '"]' ELSE '' END ||
     |  CASE e%8 WHEN 0 THEN ',"labels":["porn"]' WHEN 4 THEN ',"labels":["nudity","porn","nudity"]' ELSE '' END ||
-    |  CASE e%3 WHEN 0 THEN ',"links":["https://example.com/a","https://example.com/b"]' WHEN 1 THEN ',"links":[]' ELSE '' END ||
+    |  CASE e%3 WHEN 0 THEN ',"links":["https://example.com/a","https://news.example.org/x' || e%5 || '"]' WHEN 1 THEN ',"links":[]' ELSE '' END ||
     |  CASE e%9 WHEN 1 THEN ',"images":[{"alt":"alt 0 for ' || e || '"}]'
     |           WHEN 2 THEN ',"images":[{"alt":"alt 0 for ' || e || '"},{"alt":"alt 1 for ' || e || '"}]'
     |           WHEN 3 THEN ',"images":[{"alt":"alt 0 for ' || e || '"},{"alt":"alt 1 for ' || e || '"},{"alt":"alt 2 for ' || e || '"}]'
@@ -334,13 +334,43 @@ object Round8Ops {
       |FROM sh JOIN tot USING (doc_id) JOIN documents d USING (doc_id)
       |ORDER BY coverage DESC, doc_id""".stripMargin
 
+  /** #228 post_link_domains — the links-facet sibling of
+    * trending_tags (#13): process_post extracts each post's outbound
+    * links (facets → links, main.rs:3530); the first thing a feed/
+    * trust-and-safety team does with them is the domain histogram
+    * (what's being linked, at what volume — spam domains surface
+    * here). Explode over the parsed frame, host via one regexp
+    * capture, count agg with map-side combine over a bounded domain
+    * key space. Exact oracle over the same raw fixtures.
+    */
+  def postLinkDomains(s: SparkSession, dir: String): DataFrame =
+    Firehose
+      .parsePostRecords(Firehose.synthPostRecords(Tables.events(s, dir)))
+      .select(explode(col("links")).as("url"))
+      .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("domain"))
+      .filter(col("domain") =!= "")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("domain"))
+
+  val postLinkDomainsSql: String = rawPostsSql + """
+    |, links AS (
+    |  SELECT unnest(json_transform(json_extract(raw,'$.links'), '["VARCHAR"]')) AS url
+    |  FROM raw WHERE json_extract_string(raw,'$.id') IS NOT NULL
+    |)
+    |SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS domain, count(*) AS n
+    |FROM links
+    |WHERE regexp_extract(url, '^https?://([^/]+)', 1) <> ''
+    |GROUP BY 1 ORDER BY n DESC, domain""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "parse_post_records" -> (parsePostRecords(_, _)),
     "parse_profile_records" -> (parseProfileRecords(_, _)),
     "zorder_pruned_scan" -> (zorderPrunedScan(_, _)),
     "scorecard_incremental" -> (scorecardIncremental(_, _)),
     "feed_from_firehose" -> (feedFromFirehose(_, _)),
-    "decontam_report" -> (decontamReport(_, _)))
+    "decontam_report" -> (decontamReport(_, _)),
+    "post_link_domains" -> (postLinkDomains(_, _)))
 
   val oracles: Map[String, String] = Map(
     "parse_post_records" -> parsePostRecordsSql,
@@ -348,5 +378,6 @@ object Round8Ops {
     "zorder_pruned_scan" -> zorderPrunedScanSql,
     "scorecard_incremental" -> DssOps.supplierScorecardSql,
     "feed_from_firehose" -> feedFromFirehoseSql,
-    "decontam_report" -> decontamReportSql)
+    "decontam_report" -> decontamReportSql,
+    "post_link_domains" -> postLinkDomainsSql)
 }

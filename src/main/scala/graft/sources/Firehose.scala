@@ -208,7 +208,8 @@ object Firehose {
       when(m(8) === 0, lit(",\"labels\":[\"porn\"]"))
         .when(m(8) === 4, lit(",\"labels\":[\"nudity\",\"porn\",\"nudity\"]"))
         .otherwise(lit("")),
-      when(m(3) === 0, lit(",\"links\":[\"https://example.com/a\",\"https://example.com/b\"]"))
+      when(m(3) === 0, concat(
+        lit(",\"links\":[\"https://example.com/a\",\"https://news.example.org/x"), s(m(5)), lit("\"]")))
         .when(m(3) === 1, lit(",\"links\":[]"))
         .otherwise(lit("")),
       when(m(9) === 1, concat(lit(",\"images\":[{\"alt\":\"alt 0 for "), s(e), lit("\"}]")))

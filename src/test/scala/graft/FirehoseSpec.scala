@@ -41,7 +41,8 @@ class FirehoseSpec extends AnyFunSuite {
     val links = parsed
       .filter(pmod(expr("CAST(substring(split(id, '_')[0], 3) AS LONG)"), lit(3)) === 0)
       .select(col("links")).as[Seq[String]].head
-    assert(links == Seq("https://example.com/a", "https://example.com/b"))
+    assert(links.head == "https://example.com/a" &&
+      links(1).startsWith("https://news.example.org/x"), s"wire order lost: $links")
   }
 
   test("video flattening: absent→null struct, partial→reference defaults") {
