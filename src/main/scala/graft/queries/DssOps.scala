@@ -543,7 +543,7 @@ object DssOps {
     scorecardTail(s, dir, scorecardPartials(scorecardLi(s, dir)))
 
   /** The scorecard's fact input: lineitem with its order date. */
-  private[queries] def scorecardLi(s: SparkSession, dir: String): DataFrame =
+  private[graft] def scorecardLi(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
@@ -553,7 +553,7 @@ object DssOps {
     * merge(history, delta) ≡ recompute — the property
     * scorecard_incremental (Round8Ops) is built on.
     */
-  private[queries] def scorecardPartials(li: DataFrame): DataFrame =
+  private[graft] def scorecardPartials(li: DataFrame): DataFrame =
     li.groupBy(col("l_suppkey"))
       .agg(
         count(lit(1)).as("n_lines"),
@@ -564,7 +564,7 @@ object DssOps {
         dsum(col("l_discount")).as("disc_d"))
 
   /** Rates + revenue share + top-25 over any per-supplier partials. */
-  private[queries] def scorecardTail(s: SparkSession, dir: String, per: DataFrame): DataFrame = {
+  private[graft] def scorecardTail(s: SparkSession, dir: String, per: DataFrame): DataFrame = {
     val total = per.agg(emit(sum(col("rev_d"))).as("total_rev"))
     per
       .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))

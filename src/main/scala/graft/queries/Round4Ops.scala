@@ -152,9 +152,24 @@ object Round4Ops {
       .events(s, dir)
       .select(
         col("event_id"),
+        col("user_id"),
         unix_micros(col("ts")).as("ts_us"),
         graft.functions.AtProto.microsToTid(unix_micros(col("ts"))).as("tid"))
       .withColumn("decoded_us", graft.functions.AtProto.tidToMicros(col("tid")))
+      // (r7/r8) the id-codec family's OTHER directions, oracle-covered:
+      // did→key (did_to_key), key→did-body (unsafe_key_to_did — the
+      // faithful '_'→':' inverse), and the post-id→at:// URI rebuild
+      // (convert_post_id_to_uri) through the real split/unescape/rkey
+      // validation machinery — the oracle constructs each expectation
+      // independently by string algebra
+      .withColumn(
+        "did_key",
+        graft.functions.AtProto.didToKey(concat(lit("did:plc:u"), col("user_id"))))
+      .withColumn("did_rt", graft.functions.AtProto.keyToDid(col("did_key")))
+      .withColumn(
+        "uri",
+        graft.functions.AtProto.postIdToUri(
+          concat(lit("post:"), col("tid"), lit("_"), col("did_key"))))
       .orderBy(col("event_id"))
 
   val tidCodecSql: String = {
@@ -168,10 +183,13 @@ object Round4Ops {
       .mkString(" + ")
     val decode = s"(($decodeHead + ((strpos('$alphabet', substr(tid, 13, 1)) - 1) >> 1)) >> 9)"
     s"""WITH v AS (
-       |  SELECT event_id, epoch_us(ts) AS ts_us, epoch_us(ts) * 512 AS v FROM events
+       |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, epoch_us(ts) * 512 AS v FROM events
        |),
-       |enc AS (SELECT event_id, ts_us, $tidExpr AS tid FROM v)
-       |SELECT event_id, ts_us, tid, $decode AS decoded_us
+       |enc AS (SELECT event_id, user_id, ts_us, $tidExpr AS tid FROM v)
+       |SELECT event_id, user_id, ts_us, tid, $decode AS decoded_us,
+       |  'plc_u' || user_id AS did_key,
+       |  'plc:u' || user_id AS did_rt,
+       |  'at://did:plc:u' || user_id || '/app.bsky.feed.post/' || tid AS uri
        |FROM enc ORDER BY event_id""".stripMargin
   }
 

@@ -199,17 +199,26 @@ object Round8Ops {
         DssOps.scorecardPartials(DssOps.scorecardLi(s, dir).filter(col("o_orderdate") < cutover))
           .write.mode("overwrite").parquet(p)
     }
-    val hist = s.read.parquet(idx).select(
-      col("l_suppkey"), col("n_lines").as("p_nl"), col("n_returned").as("p_nr"),
-      col("n_slow").as("p_ns"), col("rev_d").as("p_rev"), col("disc_d").as("p_disc"))
+    val hist = s.read.parquet(idx)
     val delta = DssOps
       .scorecardPartials(DssOps.scorecardLi(s, dir).filter(col("o_orderdate") >= cutover))
-      .select(
-        col("l_suppkey"), col("n_lines").as("d_nl"), col("n_returned").as("d_nr"),
-        col("n_slow").as("d_ns"), col("rev_d").as("d_rev"), col("disc_d").as("d_disc"))
+    DssOps.scorecardTail(s, dir, mergeScorecardPartials(hist, delta))
+  }
+
+  /** Supplier-keyed full-outer fold of two partial states — ASSOCIATIVE
+    * (counts and exact decimal sums), so any day-by-day fold order
+    * reproduces the single-shot aggregate; chained-fold ≡ recompute is
+    * spec-pinned beside the catalog entry's shared-oracle pin.
+    */
+  private[graft] def mergeScorecardPartials(p0: DataFrame, d0: DataFrame): DataFrame = {
+    val p = p0.select(
+      col("l_suppkey"), col("n_lines").as("p_nl"), col("n_returned").as("p_nr"),
+      col("n_slow").as("p_ns"), col("rev_d").as("p_rev"), col("disc_d").as("p_disc"))
+    val d = d0.select(
+      col("l_suppkey"), col("n_lines").as("d_nl"), col("n_returned").as("d_nr"),
+      col("n_slow").as("d_ns"), col("rev_d").as("d_rev"), col("disc_d").as("d_disc"))
     val zeroDec = lit(0).cast(org.apache.spark.sql.types.DecimalType(38, 6))
-    val merged = hist
-      .join(delta, Seq("l_suppkey"), "full_outer")
+    p.join(d, Seq("l_suppkey"), "full_outer")
       .select(
         col("l_suppkey"),
         (coalesce(col("p_nl"), lit(0L)) + coalesce(col("d_nl"), lit(0L))).as("n_lines"),
@@ -217,7 +226,6 @@ object Round8Ops {
         (coalesce(col("p_ns"), lit(0L)) + coalesce(col("d_ns"), lit(0L))).as("n_slow"),
         (coalesce(col("p_rev"), zeroDec) + coalesce(col("d_rev"), zeroDec)).as("rev_d"),
         (coalesce(col("p_disc"), zeroDec) + coalesce(col("d_disc"), zeroDec)).as("disc_d"))
-    DssOps.scorecardTail(s, dir, merged)
   }
 
   /** #226 feed_from_firehose — the reference's ACTUAL end-to-end loop

@@ -1188,6 +1188,21 @@ class QueryCatalogSpec extends AnyFunSuite {
     // second run folds the same delta over the CACHED history partials
     val again = SparkEntry.queries("scorecard_incremental")(spark, dir)
     assert(again.collect().toSeq == full.collect().toSeq, "refresh must be idempotent")
+    // chained day-by-day folds == the single-shot aggregate (the
+    // associativity that lets a nightly job fold one day at a time)
+    import graft.queries.{DssOps, Round8Ops}
+    import org.apache.spark.sql.functions.col
+    val li = DssOps.scorecardLi(spark, dir)
+    def part(pred: org.apache.spark.sql.Column) = DssOps.scorecardPartials(li.filter(pred))
+    val a = org.apache.spark.sql.functions.lit("2000-01-01").cast("timestamp")
+    val b = org.apache.spark.sql.functions.lit("2001-01-01").cast("timestamp")
+    val chained = Round8Ops.mergeScorecardPartials(
+      Round8Ops.mergeScorecardPartials(part(col("o_orderdate") < a),
+        part(col("o_orderdate") >= a && col("o_orderdate") < b)),
+      part(col("o_orderdate") >= b))
+    val oneShot = DssOps.scorecardPartials(li)
+    assert(chained.exceptAll(oneShot).isEmpty && oneShot.exceptAll(chained).isEmpty,
+      "chained folds must equal the single-shot partials exactly")
   }
 
   test("event path trigram counts conserve the per-user event totals") {
