@@ -23,6 +23,7 @@ object SparkEntry {
       graft.queries.Round5Ops.queries ++
       graft.queries.Round6Ops.queries ++
       graft.queries.Round8Ops.queries ++
+      graft.queries.Round9Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -44,6 +45,7 @@ object SparkEntry {
       graft.queries.Round5Ops.oracles ++
       graft.queries.Round6Ops.oracles ++
       graft.queries.Round8Ops.oracles ++
+      graft.queries.Round9Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

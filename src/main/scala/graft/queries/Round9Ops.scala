@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{OracleMath, Tables}
+
+/** Round-9 operators — the catalog past the r8 close: the one classic
+  * decision-support shape still absent (Q12), and the corpus-pipeline
+  * maintenance ops a 100 TB training-data lake runs between full
+  * rebuilds (snapshot diff, passage-level dedup, sequence packing,
+  * indexed BM25 retrieval, bounded-hop graph distances).
+  */
+object Round9Ops {
+  import OracleMath._
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
+  /** #229 q12_shipmode — TPC-H Q12 (late-shipment counts by ship mode;
+    * the only classic 1-22 shape the catalog lacked). The testdata has
+    * no l_shipmode/l_commitdate, so — like q4's 30-day lateness rule —
+    * mode is derived deterministically from the line key and lateness
+    * is l_shipdate > o_orderdate + 60 days; the oracle applies the
+    * identical derivation. One fact-scan + orders join shuffled on the
+    * order key, then a 2-row aggregate with map-side combine; the
+    * priority split is a conditional count, not a second pass.
+    */
+  def q12Shipmode(s: SparkSession, dir: String): DataFrame = {
+    val mode = expr("CASE (l_partkey * 7 + l_linenumber) % 5 " +
+      "WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR' " +
+      "WHEN 3 THEN 'RAIL' ELSE 'TRUCK' END")
+    Tables.lineitem(s, dir)
+      .withColumn("shipmode", mode)
+      .filter(col("shipmode").isin("MAIL", "SHIP"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("shipmode"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .as("low_line_count"))
+      .orderBy(col("shipmode"))
+  }
+
+  val q12ShipmodeSql: String =
+    """SELECT
+      |  CASE (l_partkey * 7 + l_linenumber) % 5
+      |    WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+      |    WHEN 3 THEN 'RAIL' ELSE 'TRUCK' END AS shipmode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE CASE (l_partkey * 7 + l_linenumber) % 5
+      |    WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR'
+      |    WHEN 3 THEN 'RAIL' ELSE 'TRUCK' END IN ('MAIL','SHIP')
+      |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #230 corpus_diff — snapshot diff between two corpus versions (the
+    * release audit before a retrain: what was added, removed, changed
+    * per source). Versions are derived deterministically from the one
+    * documents table (v1 drops doc_id%11==3, v2 drops doc_id%13==5 and
+    * revises text where doc_id%7==2) so both engines diff the same
+    * pair. ONE full-outer join on the doc key — content equality is an
+    * md5 compare, so at 100 TB each side ships (id, hash, source), not
+    * text — then a tiny status×source aggregate.
+    */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val base = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+    val v1 = base.filter(col("doc_id") % 11 =!= 3)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h1"))
+    val v2 = base.filter(col("doc_id") % 13 =!= 5)
+      .select(
+        col("doc_id"), col("source").as("source2"),
+        md5(when(col("doc_id") % 7 === 2, concat(col("text"), lit(" (rev2)")))
+          .otherwise(col("text"))).as("h2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("source"), col("source2")).as("source"),
+        when(col("h1").isNull, "added")
+          .when(col("h2").isNull, "removed")
+          .when(col("h1") =!= col("h2"), "changed")
+          .otherwise("same").as("status"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  val corpusDiffSql: String =
+    """WITH v1 AS (
+      |  SELECT doc_id, source, md5(text) AS h1 FROM documents WHERE doc_id % 11 <> 3
+      |), v2 AS (
+      |  SELECT doc_id, source AS source2,
+      |    md5(CASE WHEN doc_id % 7 = 2 THEN text || ' (rev2)' ELSE text END) AS h2
+      |  FROM documents WHERE doc_id % 13 <> 5
+      |)
+      |SELECT coalesce(v1.source, v2.source2) AS source,
+      |  CASE WHEN h1 IS NULL THEN 'added'
+      |       WHEN h2 IS NULL THEN 'removed'
+      |       WHEN h1 <> h2 THEN 'changed' ELSE 'same' END AS status,
+      |  count(*) AS n_docs
+      |FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** #231 passage_dedup — passage-level corpus dedup (the CCNet /
+    * RefinedWeb "line dedup" step at the granularity the testdata
+    * supports): the corpus is cut into non-overlapping 16-word
+    * passages, each passage survives only at its FIRST occurrence
+    * (lexicographic min (doc_id, pid) — deterministic, order-free),
+    * and every doc reports how much of it survived plus the md5 of its
+    * deduped text. Two shuffles total: a passage-HASH key aggregate
+    * (map-side combinable min; the join back moves (hash, winner) not
+    * passage text) and the doc-key reassembly; a boilerplate passage
+    * repeated a million times costs one combine tree, never a hot
+    * window partition.
+    */
+  def passageDedup(s: SparkSession, dir: String): DataFrame = {
+    val pw = 16
+    val pas = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          transform(
+            sequence(lit(0), greatest(ceil(size(col("ws")) / lit(pw.toDouble)).cast("int") - 1, lit(0))),
+            i => concat_ws(" ", slice(col("ws"), i * pw + 1, lit(pw)))))
+          .as(Seq("pid", "p")))
+      .filter(col("p") =!= "")
+      .withColumn("h", md5(col("p")))
+    val win = pas
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("pid"))).as("w"))
+      .select(col("h"), col("w.doc_id").as("w_doc"), col("w.pid").as("w_pid"))
+    val tot = pas.groupBy(col("doc_id")).agg(count(lit(1)).as("n_passages"))
+    val kept = pas
+      .join(win, Seq("h"))
+      .filter(col("doc_id") === col("w_doc") && col("pid") === col("w_pid"))
+    kept
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ", transform(array_sort(collect_list(struct(col("pid"), col("p")))), x => x("p"))))
+          .as("dedup_md5"))
+      .join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_passages"), col("n_kept"), col("dedup_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val passageDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p0 AS (
+      |  SELECT doc_id,
+      |    unnest([{'pid': i, 'p': array_to_string(ws[i*16+1 : i*16+16], ' ')}
+      |            for i in range(0, greatest(CAST(ceil(len(ws)/16.0) AS INT), 1))]) AS s
+      |  FROM w
+      |), pas AS (
+      |  SELECT doc_id, s.pid AS pid, s.p AS p FROM p0 WHERE s.p <> ''
+      |), win AS (
+      |  SELECT p, min(struct_pack(doc_id := doc_id, pid := pid)) AS w FROM pas GROUP BY p
+      |), kept AS (
+      |  SELECT pas.* FROM pas JOIN win ON pas.p = win.p
+      |  WHERE pas.doc_id = w.doc_id AND pas.pid = w.pid
+      |), tot AS (
+      |  SELECT doc_id, count(*) AS n_passages FROM pas GROUP BY 1
+      |)
+      |SELECT doc_id, n_passages,
+      |  (SELECT count(*) FROM kept k WHERE k.doc_id = tot.doc_id) AS n_kept,
+      |  (SELECT md5(string_agg(k.p, ' ' ORDER BY k.pid)) FROM kept k WHERE k.doc_id = tot.doc_id) AS dedup_md5
+      |FROM tot
+      |WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = tot.doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_shipmode" -> (q12Shipmode(_, _)),
+    "corpus_diff" -> (corpusDiff(_, _)),
+    "passage_dedup" -> (passageDedup(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "q12_shipmode" -> q12ShipmodeSql,
+    "corpus_diff" -> corpusDiffSql,
+    "passage_dedup" -> passageDedupSql)
+}

@@ -1520,4 +1520,44 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit.head.getAs[Long]("df") == 3L,
       "planted cross-doc 5-gram must surface with df = 3")
   }
+
+  test("q12_shipmode returns exactly the two filtered modes") {
+    val rows = SparkEntry.queries("q12_shipmode")(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("shipmode")).toSeq == Seq("MAIL", "SHIP"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("high_line_count") > 0 && r.getAs[Long]("low_line_count") > 0)
+    }
+  }
+
+  test("corpus_diff statuses partition the union of both versions") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("corpus_diff")(spark, dir)
+    val statuses = df.select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses.subsetOf(Set("added", "removed", "changed", "same")))
+    assert(statuses.contains("changed") && statuses.contains("same"))
+    val total = df.agg(sum("n_docs")).head.getLong(0)
+    val docs = Tables.documents(spark, dir)
+    val union = docs
+      .filter(col("doc_id") % 11 =!= 3 || col("doc_id") % 13 =!= 5)
+      .count()
+    assert(total == union, s"diff rows $total must cover the version union $union")
+  }
+
+  test("passage_dedup keeps each passage exactly once corpus-wide") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("passage_dedup")(spark, dir)
+    assert(df.filter(col("n_kept") > col("n_passages")).count() == 0)
+    // global invariant: total kept passages == distinct passages in
+    // the corpus (first-occurrence-wins keeps each exactly once)
+    val kept = df.agg(sum("n_kept")).head.getLong(0)
+    val distinctPassages = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        "transform(sequence(0, greatest(cast(ceil(size(ws)/16.0) as int)-1, 0))," +
+          " i -> concat_ws(' ', slice(ws, i*16+1, 16)))")).as("p"))
+      .filter(col("p") =!= "")
+      .select("p").distinct().count()
+    assert(kept == distinctPassages,
+      s"kept $kept must equal distinct corpus passages $distinctPassages")
+  }
 }
