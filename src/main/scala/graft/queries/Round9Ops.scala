@@ -171,13 +171,95 @@ object Round9Ops {
       |WHERE EXISTS (SELECT 1 FROM kept k WHERE k.doc_id = tot.doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** #232 seq_pack — training-sequence packing (the GPT-style
+    * concatenate-and-chunk step between a curated corpus and a
+    * trainer): docs are laid end-to-end in deterministic (doc_id)
+    * order within a (source, shard) stream and cut into fixed
+    * 512-token sequences; a doc whose span crosses a cut is SPLIT
+    * across the adjacent sequences (n_carried counts the docs arriving
+    * mid-sequence — the attention-mask bookkeeping a trainer needs).
+    * The running offset is a window sum over (source, shard): shards
+    * exist precisely so the packing parallelism is a knob independent
+    * of source cardinality — at 100 TB the same plan packs per
+    * (source, shard=hash%K) with K sized to executors, no global
+    * order, no single-partition window. Interval→sequence fan-out is a
+    * per-row `sequence()` explode (a doc touches ceil(n/512)+1 seqs at
+    * most), then one aggregate on the (source, shard, seq) key.
+    */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val L = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+    val spans = docs(s, dir)
+      .select(
+        col("doc_id"), col("source"), (col("doc_id") % 4).as("shard"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("e", sum(col("n")).over(w))
+      .withColumn("st", col("e") - col("n"))
+    spans
+      .select(
+        col("source"), col("shard"), col("st"), col("e"),
+        explode(sequence((col("st") / L).cast("long"), ((col("e") - 1) / L).cast("long")))
+          .as("seq_id"))
+      .groupBy(col("source"), col("shard"), col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(
+          least(col("e"), (col("seq_id") + 1) * L) - greatest(col("st"), col("seq_id") * L))
+          .as("n_tokens"),
+        sum(when(col("st") < col("seq_id") * L, 1L).otherwise(0L)).as("n_carried"))
+      .orderBy(col("source"), col("shard"), col("seq_id"))
+  }
+
+  val seqPackSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, doc_id % 4 AS shard,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents
+      |), nz AS (SELECT * FROM toks WHERE n > 0),
+      |spans AS (
+      |  SELECT source, shard, n,
+      |    CAST(sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id) AS BIGINT) AS e
+      |  FROM nz
+      |), t AS (
+      |  SELECT source, shard, e - n AS st, e,
+      |    unnest(range((e-n)//512, (e-1)//512 + 1)) AS seq_id
+      |  FROM spans
+      |)
+      |SELECT source, shard, seq_id, count(*) AS n_docs,
+      |  CAST(sum(least(e, (seq_id+1)*512) - greatest(st, seq_id*512)) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN st < seq_id*512 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried
+      |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** #233 bm25_indexed — bm25_search served from the persisted
+    * inverted index ([[graft.sources.InvertedIndex]]): postings
+    * partitioned by token-hash bucket, so the query reads the buckets
+    * its terms hash into (dynamic partition pruning, spec-pinned) plus
+    * a one-row stats table — never the corpus. Identical scoring
+    * algebra ⇒ byte-identical output, so this entry shares
+    * bm25_search's oracle verbatim (the same pin scorecard_incremental
+    * uses: the index path must equal the scan path exactly). Index dir
+    * is content-fingerprinted (Sources.cachedIndexDir).
+    */
+  def bm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = graft.sources.Sources.cachedIndexDir(dir, "documents", "bm25-inverted-v1") { p =>
+      graft.sources.InvertedIndex.build(docs(s, dir), p)
+    }
+    graft.sources.InvertedIndex.search(s, idx, Seq("vector", "hash", "stream"), k = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
-    "passage_dedup" -> (passageDedup(_, _)))
+    "passage_dedup" -> (passageDedup(_, _)),
+    "seq_pack" -> (seqPack(_, _)),
+    "bm25_indexed" -> (bm25Indexed(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
     "corpus_diff" -> corpusDiffSql,
-    "passage_dedup" -> passageDedupSql)
+    "passage_dedup" -> passageDedupSql,
+    "seq_pack" -> seqPackSql,
+    "bm25_indexed" -> Round5Ops.bm25SearchSql)
 }

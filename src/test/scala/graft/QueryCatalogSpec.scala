@@ -1560,4 +1560,57 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(kept == distinctPassages,
       s"kept $kept must equal distinct corpus passages $distinctPassages")
   }
+
+  test("seq_pack fills every non-final sequence to exactly 512 tokens") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("seq_pack")(spark, dir).cache()
+    try {
+      // at most one doc can span a sequence's left boundary
+      assert(df.filter(col("n_carried") > 1).count() == 0)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source", "shard")
+      val nonFinal = df
+        .withColumn("last_seq", max("seq_id").over(w))
+        .filter(col("seq_id") < col("last_seq"))
+      assert(nonFinal.filter(col("n_tokens") =!= 512).count() == 0,
+        "every non-final sequence must be exactly full")
+      // packing conserves tokens: sum over sequences == corpus token count
+      val packed = df.agg(sum("n_tokens")).head.getLong(0)
+      val corpus = Tables.documents(spark, dir)
+        .select(size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
+        .agg(sum("n")).head.getLong(0)
+      assert(packed == corpus, s"packed $packed tokens vs corpus $corpus")
+    } finally { df.unpersist(); () }
+  }
+
+  test("indexed BM25 equals the corpus-scan form and prunes unqueried buckets") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val fresh = new java.io.File(
+      new java.io.File(sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-index-cache"),
+      graft.sources.Sources.inputFingerprint(dir, "documents", "bm25-inverted-v1"))
+    if (fresh.exists()) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(fresh.toPath).iterator.asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val indexed = SparkEntry.queries("bm25_indexed")(spark, dir)
+    val scan = SparkEntry.queries("bm25_search")(spark, dir).collect().toSeq
+    assert(indexed.collect().toSeq == scan,
+      "index path must reproduce the corpus-scan BM25 byte-for-byte")
+    // the postings scan must carry a STATIC partition filter on the
+    // probed buckets — storage-level skip of every unqueried bucket
+    val planStr = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(planStr).isDefined,
+      s"postings scan must be partition-pruned on bucket:\n$planStr")
+    val probed = graft.sources.InvertedIndex.bucketOf(col("token"))
+    val nProbed = Seq("vector", "hash", "stream").toDF("token")
+      .select(probed).distinct().count().toInt
+    val scanned = indexed.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings")) =>
+        f.relation.location.listFiles(f.partitionFilters, f.dataFilters).length
+    }
+    assert(scanned.exists(n => n <= nProbed && n < graft.sources.InvertedIndex.Buckets),
+      s"scan must touch only probed buckets ($nProbed), saw $scanned")
+  }
 }
