@@ -249,17 +249,74 @@ object Round9Ops {
     graft.sources.InvertedIndex.search(s, idx, Seq("vector", "hash", "stream"), k = 20)
   }
 
+  /** #234 graph_distances — bounded-hop BFS shortest distances from a
+    * seed set (the "how far is this account from known-bad seeds"
+    * trust query; the reference's graph surface stops at 2 hops,
+    * main.rs:3040 — this generalizes to min-distance ≤ 4). Frontier
+    * iteration: each round joins the frontier to the edge list
+    * (shuffle on the hop key), anti-joins already-settled nodes, and
+    * lineage-cuts both relations so round N's plan never re-derives
+    * round N-1; early-exits when the frontier drains. State is
+    * O(nodes), per-round work O(frontier-adjacent edges) — the BSP
+    * shape Pregel runs at 100 TB. Exact oracle: DuckDB recursive CTE
+    * (UNION-dedup walk ≤ 4 hops, then min(d) per node).
+    */
+  def graphDistances(s: SparkSession, dir: String): DataFrame = {
+    val maxHops = 4
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(
+        (col("o_custkey") % 150).as("src"),
+        ((col("l_suppkey") * 17 + col("l_partkey")) % 150).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val seeds = e.filter(col("src") < 3).select(col("src").as("id")).distinct()
+    var dist = graft.Lineage.cut(seeds.withColumn("dist", lit(0L)))
+    var frontier = graft.Lineage.cut(seeds)
+    var hop = 1
+    var drained = false
+    while (hop <= maxHops && !drained) {
+      val next = graft.Lineage.cut(
+        frontier
+          .join(e, col("id") === col("src"))
+          .select(col("dst").as("id"))
+          .distinct()
+          .join(dist, Seq("id"), "left_anti"))
+      drained = next.isEmpty
+      if (!drained) {
+        dist = graft.Lineage.cut(dist.unionByName(next.withColumn("dist", lit(hop.toLong))))
+        frontier = next
+      }
+      hop += 1
+    }
+    dist.orderBy(col("id"))
+  }
+
+  val graphDistancesSql: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT DISTINCT o_custkey % 150 AS src, (l_suppkey * 17 + l_partkey) % 150 AS dst
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_custkey % 150 <> (l_suppkey * 17 + l_partkey) % 150
+      |), walk(id, d) AS (
+      |  SELECT DISTINCT src AS id, 0 AS d FROM e WHERE src < 3
+      |  UNION
+      |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.id WHERE w.d < 4
+      |)
+      |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
     "passage_dedup" -> (passageDedup(_, _)),
     "seq_pack" -> (seqPack(_, _)),
-    "bm25_indexed" -> (bm25Indexed(_, _)))
+    "bm25_indexed" -> (bm25Indexed(_, _)),
+    "graph_distances" -> (graphDistances(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
     "corpus_diff" -> corpusDiffSql,
     "passage_dedup" -> passageDedupSql,
     "seq_pack" -> seqPackSql,
-    "bm25_indexed" -> Round5Ops.bm25SearchSql)
+    "bm25_indexed" -> Round5Ops.bm25SearchSql,
+    "graph_distances" -> graphDistancesSql)
 }

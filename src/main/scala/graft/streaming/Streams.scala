@@ -897,4 +897,22 @@ object Streams {
       .groupBy(window(col("ts"), "6 hours", "1 hour"), col("tag"))
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("tag"), col("n"))
+
+  /** #39g continuous twin of post_link_domains: raw firehose records →
+    * parse ([[firehoseIntakeStream]]'s stateless projection) → explode
+    * outbound links → running per-domain counts in update mode. State
+    * is one counter per domain (the key space a trust-and-safety team
+    * watches is bounded in practice — a long-running deployment windows
+    * it like [[trendingTagsStream]]); every micro-batch folds its
+    * map-side partial counts into the keyed state, so the live table
+    * IS the batch histogram at any point where the stream has drained —
+    * equality with the batch op over the same records is spec-pinned.
+    */
+  def linkDomainsStream(raw: DataFrame): DataFrame =
+    graft.sources.Firehose.parsePostRecords(raw)
+      .select(explode(col("links")).as("url"))
+      .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("domain"))
+      .filter(col("domain") =!= "")
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"))
 }

@@ -1613,4 +1613,28 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(scanned.exists(n => n <= nProbed && n < graft.sources.InvertedIndex.Buckets),
       s"scan must touch only probed buckets ($nProbed), saw $scanned")
   }
+
+  test("graph_distances: seeds at zero, hops bounded, neighbors of seeds at one") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("graph_distances")(spark, dir).cache()
+    try {
+      assert(df.filter(col("dist") > 4).count() == 0)
+      val seedDists = df.filter(col("id") < 3).select("dist").collect().map(_.getLong(0))
+      assert(seedDists.nonEmpty && seedDists.forall(_ == 0L), "seed nodes must sit at distance 0")
+      // triangle inequality across one edge: no neighbor of a settled
+      // node may be more than settled+1 away
+      val e = Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(
+          (col("o_custkey") % 150).as("src"),
+          ((col("l_suppkey") * 17 + col("l_partkey")) % 150).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val viol = df.select(col("id").as("src"), col("dist").as("ds"))
+        .join(e, Seq("src"))
+        .join(df.select(col("id").as("dst"), col("dist").as("dd")), Seq("dst"))
+        .filter(col("dd") > col("ds") + 1)
+        .count()
+      assert(viol == 0, s"$viol edges violate the BFS triangle inequality")
+    } finally { df.unpersist(); () }
+  }
 }

@@ -953,4 +953,27 @@ class StreamingSpec extends AnyFunSuite {
       .toSet
     assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
   }
+
+  test("link-domain counts stream equals the batch histogram once drained") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val raws = graft.sources.Firehose
+      .synthPostRecords(Tables.events(spark, dir))
+      .select(col("raw")).as[String].collect().toSeq
+    val in = MemoryStream[String]
+    val q = Streams
+      .linkDomainsStream(in.toDF().select(col("value").as("raw")))
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("ldom").start()
+    // two micro-batches: the counts must fold across batches
+    val (a, b) = raws.splitAt(raws.length / 2)
+    in.addData(a); q.processAllAvailable()
+    in.addData(b); q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ldom").collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n"))).toSet
+    val batch = graft.queries.Round8Ops.postLinkDomains(spark, dir).collect()
+      .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n"))).toSet
+    assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+  }
 }
