@@ -304,13 +304,101 @@ object Round9Ops {
       |)
       |SELECT id, CAST(min(d) AS BIGINT) AS dist FROM walk GROUP BY id ORDER BY id""".stripMargin
 
+  /** #235 corpus_sample_stratified — per-source weighted sampling:
+    * corpus_weighted_sample's Efraimidis-Spirakis key (deterministic
+    * md5-uniform, weight = doc length) taken top-20 WITHIN each source
+    * instead of globally — the stratified draw a mixture builder uses
+    * so no source is crowded out. The per-source top-k is the native
+    * bounded TopKPairs aggregate: O(k) state per source with map-side
+    * partial merge — no window sort over a source partition, so one
+    * source owning 90% of a 100 TB corpus costs a combine tree, not a
+    * hot partition. Exact oracle: the same key QUALIFY'd per source.
+    */
+  def corpusSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("ws:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(16777216.0)
+    docs(s, dir)
+      .filter(col("n_chars") > 0)
+      .select(
+        col("doc_id"), col("source"),
+        emit(log(u) * lit(1000000.0) / col("n_chars"), 6).as("es_key"))
+      .groupBy(col("source"))
+      .agg(graft.functions.Registry.topK(col("es_key"), col("doc_id"), 20).as("top"))
+      .select(col("source"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(
+        col("source"), (col("pos") + 1).cast("long").as("rk"),
+        col("t.id").as("doc_id"), col("t.score").as("es_key"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val corpusSampleStratifiedSql: String =
+    """SELECT source,
+      |  CAST(row_number() OVER (PARTITION BY source ORDER BY es_key DESC, doc_id) AS BIGINT) AS rk,
+      |  doc_id, es_key
+      |FROM (
+      |  SELECT doc_id, source,
+      |    CAST(round(ln((CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+      |               / 16777216.0) * 1000000.0 / n_chars, 6) AS DOUBLE) AS es_key
+      |  FROM documents WHERE n_chars > 0)
+      |QUALIFY rk <= 20
+      |ORDER BY source, rk""".stripMargin
+
+  /** #236 doc_quality_classifier — a fasttext-shaped linear quality
+    * scorer over hashed token features (the learned-filter slot in a
+    * curation pipeline, with a deterministic stand-in weight table so
+    * both engines score identically): token → md5 feature bucket
+    * (64), bucket → integer milli-weight ((j·2654435761) mod 1001 −
+    * 500), doc score = Σ mw / (1000·n_tokens) rounded exactly at 6 dp
+    * via the mean6 integer scheme (sum stays a LONG — no float
+    * accumulation, no half-case divergence), verdict = sign of the
+    * integer sum. One explode + one doc-key aggregate, all codegen'd;
+    * swapping the stand-in weights for trained ones changes one
+    * column. Exact oracle.
+    */
+  def docQualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val bucket = pmod(
+      conv(substring(md5(col("token")), 1, 6), 16, 10).cast("long"), lit(64L))
+    val mw = (bucket * lit(2654435761L)) % lit(1001L) - lit(500L)
+    toks
+      .select(col("doc_id"), mw.as("mw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("mw")).as("sum_mw"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        Round6Ops.mean6(col("sum_mw").cast(Dec) / lit(1000), col("n_tokens")).as("score"),
+        when(col("sum_mw") >= 0, "keep").otherwise("drop").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docQualityClassifierSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), f AS (
+      |  SELECT doc_id,
+      |    (CAST(concat('0x', substr(md5(token), 1, 6)) AS BIGINT) % 64) * 2654435761 % 1001 - 500 AS mw
+      |  FROM toks WHERE token <> ''
+      |), agg AS (
+      |  SELECT doc_id, count(*) AS n_tokens, CAST(sum(mw) AS BIGINT) AS sum_mw FROM f GROUP BY 1
+      |)
+      |SELECT doc_id, n_tokens,
+      |  CASE WHEN sum_mw = 0 THEN 0.0 ELSE
+      |    sign(sum_mw * 1000) * floor((abs(sum_mw * 1000) * 2 + n_tokens) / (n_tokens * 2)) / 1000000.0
+      |  END AS score,
+      |  CASE WHEN sum_mw >= 0 THEN 'keep' ELSE 'drop' END AS verdict
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
     "passage_dedup" -> (passageDedup(_, _)),
     "seq_pack" -> (seqPack(_, _)),
     "bm25_indexed" -> (bm25Indexed(_, _)),
-    "graph_distances" -> (graphDistances(_, _)))
+    "graph_distances" -> (graphDistances(_, _)),
+    "corpus_sample_stratified" -> (corpusSampleStratified(_, _)),
+    "doc_quality_classifier" -> (docQualityClassifier(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
@@ -318,5 +406,7 @@ object Round9Ops {
     "passage_dedup" -> passageDedupSql,
     "seq_pack" -> seqPackSql,
     "bm25_indexed" -> Round5Ops.bm25SearchSql,
-    "graph_distances" -> graphDistancesSql)
+    "graph_distances" -> graphDistancesSql,
+    "corpus_sample_stratified" -> corpusSampleStratifiedSql,
+    "doc_quality_classifier" -> docQualityClassifierSql)
 }

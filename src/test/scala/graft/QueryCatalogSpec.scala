@@ -1637,4 +1637,32 @@ class QueryCatalogSpec extends AnyFunSuite {
       assert(viol == 0, s"$viol edges violate the BFS triangle inequality")
     } finally { df.unpersist(); () }
   }
+
+  test("stratified sample draws at most 20 distinct docs per source") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("corpus_sample_stratified")(spark, dir).cache()
+    try {
+      assert(df.groupBy("source").count().filter(col("count") > 20).count() == 0)
+      assert(df.select("doc_id").distinct().count() == df.count(), "a doc may be drawn once")
+      // es_key must be non-increasing down each source's ranks
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("rk")
+      val inversions = df
+        .withColumn("prev", lag("es_key", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") < col("es_key"))
+        .count()
+      assert(inversions == 0, "ranks must follow the sampling key")
+    } finally { df.unpersist(); () }
+  }
+
+  test("quality classifier verdict is the sign of its own score") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("doc_quality_classifier")(spark, dir)
+    // strict contradictions only: a tiny negative sum legitimately
+    // rounds to a 0.0 score while still reading 'drop'
+    val bad = df.filter(
+      (col("verdict") === "keep" && col("score") < 0) ||
+        (col("verdict") === "drop" && col("score") > 0)).count()
+    assert(bad == 0, "verdict must agree with the score's sign")
+  }
 }
