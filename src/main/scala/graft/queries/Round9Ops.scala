@@ -390,6 +390,28 @@ object Round9Ops {
       |  CASE WHEN sum_mw >= 0 THEN 'keep' ELSE 'drop' END AS verdict
       |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** #237 neardup_incremental — incremental NEAR-dedup against the
+    * persisted MinHash band index ([[graft.sources.NeardupIndex]]):
+    * the steady-state sibling of dedup_incremental (exact hashes) and
+    * the missing production form of dedup_minhash (which re-shingles
+    * the whole corpus per run). History = docs < 100 signed into the
+    * index once (content-fingerprint cached); the intake batch (docs ≥
+    * 100) self-dedups in-batch and anti-matches the index, both
+    * through hot-bucket-capped (band, bandhash) joins. Rows-only by
+    * declared design (xxhash64 signatures; dedup_minhash_md5
+    * oracle-pins the identical pipeline shape) — the spec pins planted
+    * near-dup rejection, novel admission, and re-ingest idempotence.
+    */
+  def neardupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val indexDir = graft.sources.Sources.cachedIndexDir(dir, "documents", "neardup-bands-v1")(
+      p => graft.sources.NeardupIndex.build(d.filter(col("doc_id") < 100), p))
+    graft.sources.NeardupIndex
+      .intake(d.filter(col("doc_id") >= 100), graft.sources.NeardupIndex.read(s, indexDir))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
@@ -398,7 +420,8 @@ object Round9Ops {
     "bm25_indexed" -> (bm25Indexed(_, _)),
     "graph_distances" -> (graphDistances(_, _)),
     "corpus_sample_stratified" -> (corpusSampleStratified(_, _)),
-    "doc_quality_classifier" -> (docQualityClassifier(_, _)))
+    "doc_quality_classifier" -> (docQualityClassifier(_, _)),
+    "neardup_incremental" -> (neardupIncremental(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,

@@ -174,12 +174,16 @@ object TextOps {
   /** The MinHash-LSH core over any (doc_id, text) frame — test entry
     * point for the planted hot-bucket corpus.
     */
-  private[graft] def minhashPairs(docsDf: DataFrame, cap: Option[Int] = None): DataFrame = {
-    // one pass: gram rows → 64-bit base hash → 16 cheap re-hashes under
-    // codegen'd min aggregates (the O(perms × shingles) string work of a
-    // naive per-permutation shingle hash collapses to one string hash).
-    // No per-doc distinct needed: min() over repeated gram hashes is
-    // identical, so the dedup exchange would be pure waste.
+  /** The banded MinHash signature rows — (doc_id, m0..m15, band,
+    * bandhash) — shared by [[minhashPairs]] and the persisted
+    * near-dup index ([[graft.sources.NeardupIndex]]): one pass, gram
+    * rows → 64-bit base hash → 16 cheap re-hashes under codegen'd min
+    * aggregates (the O(perms × shingles) string work of a naive
+    * per-permutation shingle hash collapses to one string hash). No
+    * per-doc distinct needed: min() over repeated gram hashes is
+    * identical, so the dedup exchange would be pure waste.
+    */
+  private[graft] def minhashBandedRows(docsDf: DataFrame): DataFrame = {
     val sig = gramRows(docsDf, 3, distinct = false)
       .select(col("doc_id"), xxhash64(col("g")).as("h"))
       .groupBy(col("doc_id"))
@@ -187,12 +191,17 @@ object TextOps {
         min(xxhash64(lit(0), col("h"))).as("m0"),
         (1 until 16).map(i => min(xxhash64(lit(i), col("h"))).as(s"m$i")): _*)
     val sigCols = (0 until 16).map(i => col(s"m$i"))
-    val banded = sig.select(
+    sig.select(
       col("doc_id") +: sigCols :+
         posexplode(
           array((0 until 4).map(b => hash(sigCols.slice(b * 4, b * 4 + 4): _*)): _*)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
+  }
+
+  private[graft] def minhashPairs(docsDf: DataFrame, cap: Option[Int] = None): DataFrame = {
+    val sigCols = (0 until 16).map(i => col(s"m$i"))
+    val banded = minhashBandedRows(docsDf)
     val guarded = dropHotBuckets(banded, Seq("band", "bandhash"), "minhash_hot_buckets", cap)
     val left = guarded.select(
       col("band"), col("bandhash"), col("doc_id").as("a"),

@@ -363,6 +363,39 @@ class SourcesSpec extends AnyFunSuite {
     assert(s2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(21L))
   }
 
+  test("near-dup band index rejects planted near-copies, admits novel docs, re-ingests to zero") {
+    import spark.implicits._
+    import graft.sources.NeardupIndex
+    val idx = Files.createTempDirectory("graft_ndidx").toString
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val other = (100 until 130).map(i => s"x$i").mkString(" ")
+    NeardupIndex.build(
+      Seq((1L, base, "web"), (2L, other, "web")).toDF("doc_id", "text", "source"), idx)
+    // day 1: a one-word-changed near-copy of history doc 1, a novel
+    // doc, and an in-batch near-copy of the novel doc (loses on id)
+    val nearCopy = ((0 until 15).map(i => s"w$i") ++ Seq("CHANGED") ++
+      (16 until 30).map(i => s"w$i")).mkString(" ")
+    val novel = (200 until 230).map(i => s"z$i").mkString(" ")
+    val day1 = Seq(
+      (10L, nearCopy, "mirror"),
+      (11L, novel, "web"),
+      (12L, novel + " tail", "web")).toDF("doc_id", "text", "source")
+    val admitted = NeardupIndex.intake(day1, NeardupIndex.read(spark, idx))
+    assert(admitted.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(11L),
+      "near-copy of history and in-batch younger near-dup must drop; novel doc admitted")
+    assert(admitted.columns.toSeq == day1.columns.toSeq, "admitted rows keep the batch schema")
+    // fold the survivor in; re-delivering day 1 then admits nothing
+    NeardupIndex.append(admitted, idx)
+    assert(NeardupIndex.intake(day1, NeardupIndex.read(spark, idx)).count() == 0,
+      "re-ingest after append must be a no-op")
+    // a later batch still near-dedups against BOTH generations
+    val day2 = Seq(
+      (20L, novel + " appended coda", "web"), // near-copy of the day-1 survivor
+      (21L, (300 until 330).map(i => s"y$i").mkString(" "), "web")).toDF("doc_id", "text", "source")
+    val s2 = NeardupIndex.intake(day2, NeardupIndex.read(spark, idx))
+    assert(s2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(21L))
+  }
+
   test("cachedIndexDir keys the cache by input identity and config, and rejects bad markers") {
     val dataDir = Files.createTempDirectory("graft_cachekey").toString
     val f = new java.io.File(dataDir, "documents.parquet")
