@@ -412,6 +412,65 @@ object Round9Ops {
       .orderBy(col("doc_id"))
   }
 
+  /** #238 interval_join — general interval-OVERLAP self-join with
+    * variable-length intervals (concurrent-open-orders per customer;
+    * range_join's band trick only covers fixed-width windows): each
+    * order owns [orderdate, orderdate + 1..14 days). A naive overlap
+    * join is a nested loop; the scalable form EXPLODES each interval
+    * into the 30-day coarse buckets it covers (≤ 2 here — interval
+    * length bounds the fan-out) and equi-joins on (customer, bucket).
+    * A pair sharing two buckets must count ONCE: the count-once rule
+    * keeps a pair only in the bucket containing its overlap start
+    * (bucket == ⌊max(startₐ, start_b)/W⌋) — the standard dedup-free
+    * spatial-join identity, spec-pinned equal to the direct non-equi
+    * join. All-integer day arithmetic, exact oracle via DuckDB's
+    * native inequality join.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val W = 30L
+    val iv = Tables.orders(s, dir)
+      .select(
+        col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+        expr("unix_micros(o_orderdate) div 86400000000").as("st"),
+        (expr("unix_micros(o_orderdate) div 86400000000") + col("o_orderkey") % 14 + 1)
+          .as("en"))
+    val bucketed = iv.withColumn(
+      "bucket", explode(sequence((col("st") / W).cast("long"), ((col("en") - 1) / W).cast("long"))))
+    val l = bucketed.select(
+      col("cust"), col("bucket"), col("k").as("ka"), col("st").as("sa"), col("en").as("ea"))
+    val r = bucketed.select(
+      col("cust"), col("bucket"), col("k").as("kb"), col("st").as("sb"), col("en").as("eb"))
+    l.join(
+      r,
+      Seq("cust", "bucket"))
+      .filter(
+        col("ka") < col("kb") && col("sa") < col("eb") && col("sb") < col("ea") &&
+          col("bucket") === (greatest(col("sa"), col("sb")) / W).cast("long"))
+      .select(
+        col("cust"),
+        (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("ov"))
+      .groupBy(col("cust"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("ov")).as("overlap_days"),
+        max(col("ov")).as("max_overlap"))
+      .orderBy(col("cust"))
+  }
+
+  val intervalJoinSql: String =
+    """WITH iv AS (
+      |  SELECT o_orderkey AS k, o_custkey AS cust,
+      |    epoch_us(o_orderdate)//86400000000 AS st,
+      |    epoch_us(o_orderdate)//86400000000 + o_orderkey % 14 + 1 AS en
+      |  FROM orders
+      |)
+      |SELECT a.cust, count(*) AS n_pairs,
+      |  CAST(sum(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT) AS overlap_days,
+      |  CAST(max(least(a.en, b.en) - greatest(a.st, b.st)) AS BIGINT) AS max_overlap
+      |FROM iv a JOIN iv b
+      |  ON a.cust = b.cust AND a.k < b.k AND a.st < b.en AND b.st < a.en
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
@@ -421,7 +480,8 @@ object Round9Ops {
     "graph_distances" -> (graphDistances(_, _)),
     "corpus_sample_stratified" -> (corpusSampleStratified(_, _)),
     "doc_quality_classifier" -> (docQualityClassifier(_, _)),
-    "neardup_incremental" -> (neardupIncremental(_, _)))
+    "neardup_incremental" -> (neardupIncremental(_, _)),
+    "interval_join" -> (intervalJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
@@ -431,5 +491,6 @@ object Round9Ops {
     "bm25_indexed" -> Round5Ops.bm25SearchSql,
     "graph_distances" -> graphDistancesSql,
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,
-    "doc_quality_classifier" -> docQualityClassifierSql)
+    "doc_quality_classifier" -> docQualityClassifierSql,
+    "interval_join" -> intervalJoinSql)
 }

@@ -1655,6 +1655,30 @@ class QueryCatalogSpec extends AnyFunSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("interval_join counts each overlapping pair once and keeps an equi join") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("interval_join")(spark, dir)
+    // the bucket-exploded form must equal the direct non-equi join
+    val iv = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("k"), col("o_custkey").as("cust"),
+      expr("unix_micros(o_orderdate) div 86400000000").as("st"),
+      (expr("unix_micros(o_orderdate) div 86400000000") + col("o_orderkey") % 14 + 1).as("en"))
+    val a = iv.select(col("cust"), col("k").as("ka"), col("st").as("sa"), col("en").as("ea"))
+    val b = iv.select(col("cust"), col("k").as("kb"), col("st").as("sb"), col("en").as("eb"))
+    val direct = a.join(b, Seq("cust"))
+      .filter(col("ka") < col("kb") && col("sa") < col("eb") && col("sb") < col("ea"))
+      .select(col("cust"), (least(col("ea"), col("eb")) - greatest(col("sa"), col("sb"))).as("ov"))
+      .groupBy(col("cust"))
+      .agg(count(lit(1)).as("n_pairs"), sum("ov").as("overlap_days"), max("ov").as("max_overlap"))
+      .orderBy(col("cust"))
+    assert(df.collect().toSeq == direct.collect().toSeq,
+      "bucketed count-once join must equal the direct overlap join")
+    // and it must PLAN as an equi join — no nested loop, no cartesian
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(!planStr.contains("NestedLoop") && !planStr.contains("Cartesian"),
+      s"interval join must keep an equi component:\n$planStr")
+  }
+
   test("quality classifier verdict is the sign of its own score") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("doc_quality_classifier")(spark, dir)
