@@ -471,6 +471,47 @@ object Round9Ops {
       |  ON a.cust = b.cust AND a.k < b.k AND a.st < b.en AND b.st < a.en
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #239 embed_dim_stats — per-dimension embedding QA (the health
+    * table checked before any ANN index or training run: dead dims,
+    * clipped ranges, drifted scales): one posexplode pass, one
+    * 64-group aggregate. Means go through the mean6 integer scheme,
+    * second moments through the round-12 decimal sums
+    * label_centroid_sim pinned cross-engine, min/max are the raw
+    * stored floats (bit-identical in both engines), zero counts are
+    * exact integers. Exact oracle.
+    */
+  def embedDimStats(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("pos").cast("long").as("pos"), col("vf").cast("double").as("v"))
+    e.groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        Round6Ops.mean6(dsum(col("v")), count(lit(1))).as("mean"),
+        emit(
+          sum(round(col("v") * col("v"), 12).cast(Dec12)).cast("double") / count(lit(1)), 6)
+          .as("mean_sq"),
+        min(col("v")).as("vmin"),
+        max(col("v")).as("vmax"),
+        sum(when(col("v") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .orderBy(col("pos"))
+  }
+
+  val embedDimStatsSql: String =
+    """WITH e AS (
+      |  SELECT pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
+      |  FROM embeddings, range(0, 64) t(pos)
+      |)
+      |SELECT pos, count(*) AS n_vecs,
+      |  CASE WHEN CAST((SUM(CAST(v AS DECIMAL(38,6)))) * 1000000 AS BIGINT) = 0 THEN 0.0 ELSE
+      |    sign(CAST((SUM(CAST(v AS DECIMAL(38,6)))) * 1000000 AS BIGINT)) *
+      |    floor((abs(CAST((SUM(CAST(v AS DECIMAL(38,6)))) * 1000000 AS BIGINT)) * 2 + (count(*))) / ((count(*)) * 2))
+      |    / 1000000.0 END AS mean,
+      |  CAST(round(CAST(SUM(CAST(round(v * v, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_sq,
+      |  min(v) AS vmin, max(v) AS vmax,
+      |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
@@ -481,7 +522,8 @@ object Round9Ops {
     "corpus_sample_stratified" -> (corpusSampleStratified(_, _)),
     "doc_quality_classifier" -> (docQualityClassifier(_, _)),
     "neardup_incremental" -> (neardupIncremental(_, _)),
-    "interval_join" -> (intervalJoin(_, _)))
+    "interval_join" -> (intervalJoin(_, _)),
+    "embed_dim_stats" -> (embedDimStats(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
@@ -492,5 +534,6 @@ object Round9Ops {
     "graph_distances" -> graphDistancesSql,
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,
     "doc_quality_classifier" -> docQualityClassifierSql,
-    "interval_join" -> intervalJoinSql)
+    "interval_join" -> intervalJoinSql,
+    "embed_dim_stats" -> embedDimStatsSql)
 }
