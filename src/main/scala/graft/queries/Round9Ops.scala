@@ -512,6 +512,139 @@ object Round9Ops {
       |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** #240 multimodal_video — video-container metadata decode, the
+    * third modality beside the PNG/GIF/BMP image headers (#43) and
+    * RIFF/WAVE audio (#43c): synthesized ISO-BMFF bytes (a genuine
+    * ftyp box + moov/mvhd per the spec layout) parsed back OUT OF THE
+    * BYTES alone — box-size walk to moov (no fixed offsets assumed
+    * beyond the spec), big-endian timescale/duration from mvhd,
+    * duration in seconds via exact integral division, and the
+    * frame-sampling plumbing (how many 2-second sample points a frame
+    * extractor would pull). Zero-shuffle codegen'd projection; the
+    * mapPartitions batch shape for a real demuxer library stays the
+    * test-pinned multimodalStub. Exact oracle.
+    */
+  def multimodalVideo(s: SparkSession, dir: String): DataFrame =
+    decodeVideoMeta(synthVideoPayloads(docs(s, dir)))
+      .orderBy(col("doc_id"))
+
+  /** ftyp(isom) + moov(mvhd v0) with timescale/duration derived from
+    * doc_id; mvhd body padded to its spec 100 bytes.
+    */
+  private[graft] def synthVideoPayloads(docsDf: DataFrame): DataFrame = {
+    def be(v: org.apache.spark.sql.Column, bytes: Int) = lpad(hex(v), bytes * 2, "0")
+    val ts = lit(600L) + pmod(col("doc_id"), lit(3L)) * 400L
+    val dur = (pmod(col("doc_id"), lit(120L)) + 1L) * ts + pmod(col("doc_id") * 13L, lit(97L))
+    val ftyp = concat(lit("00000014"), lit("66747970"), lit("69736F6D"), lit("00000200"), lit("6D703431"))
+    val mvhd = concat(
+      lit("0000006C"), lit("6D766864"), lit("00000000"), // size 108, 'mvhd', v0+flags
+      lit("00000000"), lit("00000000"), // creation, modification
+      be(ts, 4), be(dur, 4),
+      lit("00010000"), lit("0100"), // rate 1.0, volume 1.0
+      lit("0" * 20), // reserved (10 bytes)
+      lit("0" * 72), // matrix (36 bytes)
+      lit("0" * 48), // pre_defined (24 bytes)
+      lit("00000002")) // next_track_id
+    val moov = concat(lit("00000074"), lit("6D6F6F76"), mvhd) // 8 + 108
+    docsDf.select(col("doc_id"), unhex(concat(ftyp, moov)).as("payload"))
+  }
+
+  /** Parse by walking the box structure: first box size → moov offset,
+    * type tags verified, mvhd fields at their spec positions relative
+    * to the WALKED offset (a payload with a different ftyp size still
+    * decodes).
+    */
+  private[graft] def decodeVideoMeta(payloads: DataFrame): DataFrame = {
+    val h = hex(col("payload"))
+    def at(off: org.apache.spark.sql.Column, bytes: Int) =
+      substring(h, (off * 2 + 1).cast("int"), lit(bytes * 2))
+    def be(c: org.apache.spark.sql.Column) = conv(c, 16, 10).cast("long")
+    val ftypSize = be(at(lit(0L), 4))
+    val brand = decode(unhex(at(lit(8L), 4)), "UTF-8")
+    val moovOff = ftypSize
+    val moovType = at(moovOff + 4, 4)
+    val mvhdOff = moovOff + 8
+    val mvhdType = at(mvhdOff + 4, 4)
+    val timescale = be(at(mvhdOff + 20, 4))
+    val duration = be(at(mvhdOff + 24, 4))
+    payloads
+      .filter(at(lit(4L), 4) === "66747970" && moovType === "6D6F6F76" && mvhdType === "6D766864")
+      .select(
+        col("doc_id"), brand.as("brand"), timescale.as("timescale"), duration.as("duration"),
+        (duration / timescale).cast("long").as("duration_s"),
+        ((duration / timescale).cast("long") / lit(2L)).cast("long").as("n_samples"),
+        length(col("payload")).cast("long").as("n_bytes"))
+  }
+
+  val multimodalVideoSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    600 + (doc_id % 3) * 400 AS ts,
+      |    (doc_id % 120 + 1) * (600 + (doc_id % 3) * 400) + (doc_id * 13) % 97 AS dur
+      |  FROM documents
+      |)
+      |SELECT doc_id, 'isom' AS brand,
+      |  CAST(ts AS BIGINT) AS timescale, CAST(dur AS BIGINT) AS duration,
+      |  CAST(dur // ts AS BIGINT) AS duration_s,
+      |  CAST((dur // ts) // 2 AS BIGINT) AS n_samples,
+      |  CAST(136 AS BIGINT) AS n_bytes
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  /** #241 gap_fill_locf — last-observation-carried-forward
+    * densification (the metrics idiom #28c's zero-fill can't express:
+    * a gauge holds its last value through silent days): sparse per-day
+    * observations (latest purchase value per user-day via the house
+    * max_by argmax — no window over raw events), a day×user grid from
+    * single-row span broadcasts, and ONE forward-fill window per user
+    * ordered by day — fine keys, horizon-bounded partitions. Days
+    * before a user's first observation stay null (LOCF has nothing to
+    * carry — the honest gap). Exact oracle via DuckDB's IGNORE NULLS
+    * frame.
+    */
+  def gapFillLocf(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).filter(col("user_id") < 40)
+    val obs = ev
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).getField("value")
+        .as("obs_value"))
+    val days = ev
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val users = ev.select(col("user_id")).distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    days.crossJoin(users)
+      .join(obs, Seq("user_id", "day"), "left")
+      .withColumn("value", last(col("obs_value"), ignoreNulls = true).over(w))
+      .select(
+        col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        emit(col("value"), 4).as("value"),
+        col("obs_value").isNotNull.as("observed"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
+  val gapFillLocfSql: String =
+    """WITH ev AS (SELECT * FROM events WHERE user_id < 40),
+      |obs AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    max(struct_pack(ts := ts, eid := event_id, v := value)).v AS obs_value
+      |  FROM ev WHERE event_type = 'purchase' GROUP BY 1, 2
+      |),
+      |days AS (
+      |  SELECT unnest(generate_series(min(CAST(ts AS DATE)), max(CAST(ts AS DATE)), INTERVAL 1 DAY)) AS day
+      |  FROM ev
+      |),
+      |grid AS (SELECT user_id, CAST(day AS DATE) AS day FROM days, (SELECT DISTINCT user_id FROM ev))
+      |SELECT user_id, strftime(grid.day, '%Y-%m-%d') AS day,
+      |  CAST(round(last_value(obs_value IGNORE NULLS) OVER (
+      |    PARTITION BY user_id ORDER BY grid.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS value,
+      |  obs_value IS NOT NULL AS observed
+      |FROM grid LEFT JOIN obs USING (user_id, day)
+      |ORDER BY user_id, day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
@@ -523,7 +656,9 @@ object Round9Ops {
     "doc_quality_classifier" -> (docQualityClassifier(_, _)),
     "neardup_incremental" -> (neardupIncremental(_, _)),
     "interval_join" -> (intervalJoin(_, _)),
-    "embed_dim_stats" -> (embedDimStats(_, _)))
+    "embed_dim_stats" -> (embedDimStats(_, _)),
+    "multimodal_video" -> (multimodalVideo(_, _)),
+    "gap_fill_locf" -> (gapFillLocf(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
@@ -535,5 +670,7 @@ object Round9Ops {
     "corpus_sample_stratified" -> corpusSampleStratifiedSql,
     "doc_quality_classifier" -> docQualityClassifierSql,
     "interval_join" -> intervalJoinSql,
-    "embed_dim_stats" -> embedDimStatsSql)
+    "embed_dim_stats" -> embedDimStatsSql,
+    "multimodal_video" -> multimodalVideoSql,
+    "gap_fill_locf" -> gapFillLocfSql)
 }

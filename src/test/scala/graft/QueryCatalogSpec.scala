@@ -1679,6 +1679,45 @@ class QueryCatalogSpec extends AnyFunSuite {
       s"interval join must keep an equi component:\n$planStr")
   }
 
+  test("video decode walks the box structure and rejects corrupt magics") {
+    import org.apache.spark.sql.functions._
+    val ok = SparkEntry.queries("multimodal_video")(spark, dir)
+    assert(ok.filter(col("brand") =!= "isom").count() == 0)
+    assert(ok.filter(col("duration_s") =!= (col("duration") / col("timescale")).cast("long"))
+      .count() == 0)
+    // corrupt the ftyp magic: the decoder must DROP the row, not
+    // misparse it (skip-on-error, the firehose rule)
+    val corrupt = graft.queries.Round9Ops
+      .synthVideoPayloads(Tables.documents(spark, dir).limit(5))
+      .select(col("doc_id"),
+        concat(lit(Array[Byte](0, 0, 0, 20, 0x58, 0x58, 0x58, 0x58)),
+          expr("substring(payload, 9)")).as("payload"))
+    assert(graft.queries.Round9Ops.decodeVideoMeta(corrupt).count() == 0)
+  }
+
+  test("LOCF fill carries the last observed value and leaves leading days null") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("gap_fill_locf")(spark, dir).cache()
+    try {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("day")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val annotated = df.withColumn("seen_before", max(col("observed").cast("int")).over(w))
+      // null value ⟺ no observation on or before that day
+      assert(annotated.filter(
+        col("value").isNull && (col("observed") || col("seen_before") === 1)).count() == 0)
+      assert(annotated.filter(
+        col("value").isNotNull && !col("observed") && coalesce(col("seen_before"), lit(0)) === 0)
+        .count() == 0)
+      // carried rows repeat the previous row's value
+      val carried = df.withColumn("prev", lag("value", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id").orderBy("day")))
+        .filter(!col("observed") && col("value").isNotNull)
+      assert(carried.filter(col("value") =!= col("prev")).count() == 0,
+        "an unobserved day must hold the prior day's value")
+    } finally { df.unpersist(); () }
+  }
+
   test("quality classifier verdict is the sign of its own score") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("doc_quality_classifier")(spark, dir)
