@@ -645,6 +645,30 @@ object Round9Ops {
       |FROM grid LEFT JOIN obs USING (user_id, day)
       |ORDER BY user_id, day""".stripMargin
 
+  /** #242 dedup_semantic_incremental — incremental SEMANTIC dedup
+    * against the persisted IVF index ([[graft.sources.SemanticIndex]]),
+    * completing the intake trilogy (#132 exact hashes, #237 MinHash
+    * bands, this — embeddings): history = vectors < 200 trained into
+    * the IVF layout once (content-fingerprint cached); the intake
+    * batch probes its 2 nearest centroids, anti-matches ONLY the
+    * probed history list partitions at cosine ≥ 0.4, and in-batch
+    * drops the younger of any probed-cent pair ≥ τ. Rows-only by
+    * declared design (trained centroids aren't SQL-expressible —
+    * dedup_semantic's md5-bucket oracle pins the keep rule); spec pins
+    * planted copy rejection, orthogonal admission, and re-ingest
+    * idempotence after append.
+    */
+  def dedupSemanticIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val indexDir = graft.sources.Sources.cachedIndexDir(dir, "embeddings", "semantic-ivf-v1")(
+      p => graft.sources.SemanticIndex.build(emb.filter(col("vec_id") < 200), p))
+    graft.sources.SemanticIndex
+      .intake(s, indexDir, emb.filter(col("vec_id") >= 200))
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
@@ -658,7 +682,8 @@ object Round9Ops {
     "interval_join" -> (intervalJoin(_, _)),
     "embed_dim_stats" -> (embedDimStats(_, _)),
     "multimodal_video" -> (multimodalVideo(_, _)),
-    "gap_fill_locf" -> (gapFillLocf(_, _)))
+    "gap_fill_locf" -> (gapFillLocf(_, _)),
+    "dedup_semantic_incremental" -> (dedupSemanticIncremental(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,

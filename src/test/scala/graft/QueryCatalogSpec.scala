@@ -20,7 +20,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       "embed_ivf_knn_indexed", "embed_pair_sim_bucketed",
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
       "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
-      "embed_pq_knn_trained", "neardup_incremental")
+      "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 

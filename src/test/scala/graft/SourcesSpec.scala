@@ -396,6 +396,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(s2.select("doc_id").collect().map(_.getLong(0)).toSeq == Seq(21L))
   }
 
+  test("semantic index drops planted embedding copies, admits orthogonal vectors, idempotent") {
+    import spark.implicits._
+    import graft.sources.SemanticIndex
+    val idx = Files.createTempDirectory("graft_semidx").toString
+    def oneHot(d: Int): Seq[Double] = Seq.tabulate(8)(i => if (i == d) 1.0 else 0.0)
+    val hist = (0 until 16).map(i => (i.toLong, oneHot(i % 8))).toDF("vec_id", "e")
+    SemanticIndex.build(hist, idx, k = 4, iters = 1)
+    // intake: an exact copy of a history vector, and an all-ones
+    // vector (cosine 1/√8 ≈ 0.35 < τ=0.4 to every one-hot)
+    val flat = Seq.fill(8)(1.0 / math.sqrt(8))
+    val day1 = Seq((100L, oneHot(3)), (101L, flat)).toDF("vec_id", "e")
+    val admitted = SemanticIndex.intake(spark, idx, day1)
+    assert(admitted.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(101L),
+      "history copy must drop; sub-threshold vector must be admitted")
+    SemanticIndex.append(spark, admitted, idx)
+    assert(SemanticIndex.intake(spark, idx, day1).count() == 0,
+      "re-ingest after append must be a no-op")
+    // a later copy of the APPENDED vector is caught by generation 2
+    val day2 = Seq((200L, flat), (201L, Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0, 1.0, -1.0)
+      .map(_ / math.sqrt(8)))).toDF("vec_id", "e")
+    val s2 = SemanticIndex.intake(spark, idx, day2)
+    assert(s2.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(201L))
+  }
+
   test("cachedIndexDir keys the cache by input identity and config, and rejects bad markers") {
     val dataDir = Files.createTempDirectory("graft_cachekey").toString
     val f = new java.io.File(dataDir, "documents.parquet")
