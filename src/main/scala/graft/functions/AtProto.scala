@@ -59,7 +59,10 @@ object AtProto {
         did.startsWith("did:web:"),
         concat(
           lit("web_"),
-          regexp_replace(regexp_replace(substring(did, 9, 2048), "\\.", "_"), "-", "__")))
+          // literal replaces, not regex: translate for the 1:1 '.'→'_',
+          // then the non-regex replace() for the 1:2 '-'→'__' — same
+          // application order, no per-row Pattern machinery
+          replace(translate(substring(did, 9, 2048), ".", "_"), lit("-"), lit("__"))))
       .otherwise(lit(null).cast("string"))
 
   /** didkey → did body (unsafe_key_to_did, main.rs:4172): every '_'
@@ -69,7 +72,7 @@ object AtProto {
     * only calls it on plc keys. [[postIdToUri]] is the safe inverse
     * for full post ids.
     */
-  def keyToDid(key: Column): Column = regexp_replace(key, "_", ":")
+  def keyToDid(key: Column): Column = translate(key, "_", ":")
 
   /** rkey validated against the reference's RKEY_REGEX
     * `^[a-z0-9-]+$` (ensure_valid_rkey, main.rs:4181): passes through
@@ -101,8 +104,9 @@ object AtProto {
     val host = when(
       method === "web",
       // split with limit=3 keeps web bodies with '_' intact; unescape
-      // '__'→'-' before '_'→'.' (inverse application order)
-      regexp_replace(regexp_replace(body, "__", "-"), "_", "\\."))
+      // '__'→'-' before '_'→'.' (inverse application order); literal
+      // replace/translate, no regex engine per row
+      translate(replace(body, lit("__"), lit("-")), "_", "."))
       .otherwise(body)
     when(
       method.isNotNull && body.isNotNull && ensureValidRkey(rkey).isNotNull,

@@ -150,11 +150,13 @@ object Round4Ops {
   def tidCodec(s: SparkSession, dir: String): DataFrame =
     Tables
       .events(s, dir)
-      .select(
-        col("event_id"),
-        col("user_id"),
-        unix_micros(col("ts")).as("ts_us"),
-        graft.functions.AtProto.microsToTid(unix_micros(col("ts"))).as("tid"))
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      // sort the NARROW rows first — the range exchange + sort then
+      // moves 3 primitive columns, and the per-row codec projection
+      // (order-preserving) runs after: measured 5.6 → 3.6 s at sf0.1
+      // vs sorting the derived 8-column wide rows
+      .orderBy(col("event_id"))
+      .withColumn("tid", graft.functions.AtProto.microsToTid(col("ts_us")))
       .withColumn("decoded_us", graft.functions.AtProto.tidToMicros(col("tid")))
       // (r7/r8) the id-codec family's OTHER directions, oracle-covered:
       // did→key (did_to_key), key→did-body (unsafe_key_to_did — the
@@ -170,7 +172,6 @@ object Round4Ops {
         "uri",
         graft.functions.AtProto.postIdToUri(
           concat(lit("post:"), col("tid"), lit("_"), col("did_key"))))
-      .orderBy(col("event_id"))
 
   val tidCodecSql: String = {
     val alphabet = "234567abcdefghijklmnopqrstuvwxyz"

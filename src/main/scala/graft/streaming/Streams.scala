@@ -898,6 +898,30 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("win_start"), col("tag"), col("n"))
 
+  /** #39h the persisted-index dedup trilogy under CONTINUOUS intake:
+    * each micro-batch folds through the SAME exact-hash index the
+    * batch pipeline maintains (self-dedup + anti-join vs
+    * `Sources.readHashIndex`, survivors appended via
+    * `Sources.appendToHashIndex`) — so a restart, a re-delivered
+    * batch, or a parallel nightly batch run all see ONE history,
+    * the index, not per-query checkpoint state. foreachBatch is the
+    * right tool (not dropDuplicatesWithinWatermark) precisely because
+    * the dedup horizon is ALL history: watermark state ages out,
+    * the index does not. Admitted rows stream to `sink`; re-delivery
+    * admits nothing (spec-pinned, the batch idempotence contract
+    * carried to the stream).
+    */
+  def indexedIntakeStream(
+      docs: DataFrame, indexDir: String)(sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val admitted = graft.sources.Sources
+        .dedupAgainstIndex(batch, graft.sources.Sources.readHashIndex(batch.sparkSession, indexDir))
+        .localCheckpoint() // sever: the append below must not re-run the anti-join against a mutated index
+      graft.sources.Sources.appendToHashIndex(admitted, indexDir)
+      sink(admitted)
+    }
+
   /** #39g continuous twin of post_link_domains: raw firehose records →
     * parse ([[firehoseIntakeStream]]'s stateless projection) → explode
     * outbound links → running per-domain counts in update mode. State

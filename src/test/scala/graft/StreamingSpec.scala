@@ -954,6 +954,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
   }
 
+  test("indexed intake stream dedups each micro-batch against the one persisted history") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = java.nio.file.Files.createTempDirectory("graft_sidx").toString
+    graft.sources.Sources.buildHashIndex(
+      Seq((1L, "seed history document", "web")).toDF("doc_id", "text", "source"), idx)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams
+      .indexedIntakeStream(in.toDF().toDF("doc_id", "text", "source"), idx) { b =>
+        admitted ++= b.select("doc_id").collect().map(_.getLong(0)); ()
+      }
+      .start()
+    // batch 1: a dup of history (drops), a fresh doc (admitted)
+    in.addData((10L, "seed history document", "mirror"), (11L, "genuinely new text", "web"))
+    q.processAllAvailable()
+    assert(admitted.sorted.toSeq == Seq(11L), s"got $admitted")
+    // batch 2: re-delivery of batch 1 (nothing admitted — 11 is in the
+    // index now) plus one new doc
+    in.addData((10L, "seed history document", "mirror"), (11L, "genuinely new text", "web"),
+      (12L, "another fresh doc", "web"))
+    q.processAllAvailable(); q.stop()
+    assert(admitted.sorted.toSeq == Seq(11L, 12L), s"got $admitted")
+  }
+
   test("link-domain counts stream equals the batch histogram once drained") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
