@@ -669,6 +669,73 @@ object Round9Ops {
       .orderBy(col("vec_id"))
   }
 
+  /** #243 set_similarity_join — EXACT token-set similarity join by
+    * prefix filtering (AllPairs/PPJoin, Bayardo et al. WWW'07): the
+    * deterministic sibling of the MinHash family — same "find all
+    * pairs ≥ τ" question, but with a completeness GUARANTEE instead of
+    * a probability. Each doc's distinct tokens sort rarest-first by
+    * (global df, token); two sets with Jaccard ≥ τ=0.8 MUST share a
+    * token among their n−⌈τn⌉+1 rarest (the prefix-filter theorem),
+    * so candidates come from exploding only prefixes — the common-token
+    * fan-out never enters the join. Verification is exact: the ≥ τ cut
+    * is the INTEGER compare 5·|A∩B| ≥ 4·|A∪B| (no float frontier), the
+    * emitted jaccard rounds an exact rational. Shapes: one token-key
+    * df agg joined back co-keyed, one doc-key sort-collect, one
+    * prefix-token-key candidate join (hot-bucket capped; prefix tokens
+    * are rare by construction — the cap never fires at test SF, so the
+    * all-pairs oracle is exact, the graph_neighbor_jaccard precedent).
+    */
+  def setSimilarityJoin(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val dfr = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val perDoc = toks
+      .join(dfr, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("sorted"))
+      .select(col("doc_id"), transform(col("sorted"), x => x.getField("token")).as("ts"))
+    // τ = 0.8 ⇒ prefix length p = n − ⌈0.8n⌉ + 1 (positions 0..p−1)
+    val prefixRows = perDoc
+      .select(
+        col("doc_id"), col("ts"),
+        posexplode(col("ts")).as(Seq("pos", "token")))
+      .filter(col("pos") < size(col("ts")) - ((size(col("ts")) * 4 + 4) / 5).cast("int") + 1)
+      .select(col("token"), col("doc_id"), col("ts"))
+    val guarded = TextOps.dropHotBuckets(prefixRows, Seq("token"), "ppjoin_hot_buckets")
+    val cand = guarded
+      .select(col("token"), col("doc_id").as("a"), col("ts").as("ts_a"))
+      .join(
+        guarded.select(col("token"), col("doc_id").as("b"), col("ts").as("ts_b")),
+        Seq("token"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("ts_a"), col("ts_b"))
+      .dropDuplicates("a", "b")
+    cand
+      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
+      .withColumn("uni", size(col("ts_a")) + size(col("ts_b")) - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 4)
+      .select(
+        col("a"), col("b"),
+        emit(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val setSimilarityJoinSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ts
+      |  FROM documents
+      |  WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) > 0
+      |), pairs AS (
+      |  SELECT a.doc_id AS a, b.doc_id AS b,
+      |    len(list_intersect(a.ts, b.ts)) AS inter,
+      |    len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |)
+      |SELECT a, b, CAST(round(CAST(inter AS DOUBLE) / uni, 4) AS DOUBLE) AS jaccard
+      |FROM pairs WHERE inter * 5 >= uni * 4
+      |ORDER BY a, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
@@ -683,7 +750,8 @@ object Round9Ops {
     "embed_dim_stats" -> (embedDimStats(_, _)),
     "multimodal_video" -> (multimodalVideo(_, _)),
     "gap_fill_locf" -> (gapFillLocf(_, _)),
-    "dedup_semantic_incremental" -> (dedupSemanticIncremental(_, _)))
+    "dedup_semantic_incremental" -> (dedupSemanticIncremental(_, _)),
+    "set_similarity_join" -> (setSimilarityJoin(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
@@ -697,5 +765,6 @@ object Round9Ops {
     "interval_join" -> intervalJoinSql,
     "embed_dim_stats" -> embedDimStatsSql,
     "multimodal_video" -> multimodalVideoSql,
-    "gap_fill_locf" -> gapFillLocfSql)
+    "gap_fill_locf" -> gapFillLocfSql,
+    "set_similarity_join" -> setSimilarityJoinSql)
 }

@@ -1718,6 +1718,16 @@ class QueryCatalogSpec extends AnyFunSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("set similarity join emits each qualifying pair once, above threshold") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("set_similarity_join")(spark, dir).cache()
+    try {
+      assert(df.filter(col("a") >= col("b")).count() == 0, "pairs are ordered a < b")
+      assert(df.groupBy("a", "b").count().filter(col("count") > 1).count() == 0)
+      assert(df.filter(col("jaccard") < 0.7999).count() == 0, "τ = 0.8 cut must hold")
+    } finally { df.unpersist(); () }
+  }
+
   test("quality classifier verdict is the sign of its own score") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("doc_quality_classifier")(spark, dir)
