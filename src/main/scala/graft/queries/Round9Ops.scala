@@ -186,18 +186,25 @@ object Round9Ops {
     * per-row `sequence()` explode (a doc touches ceil(n/512)+1 seqs at
     * most), then one aggregate on the (source, shard, seq) key.
     */
-  def seqPack(s: SparkSession, dir: String): DataFrame = {
-    val L = 512L
+  /** The packing span table shared by seq_pack and its manifest:
+    * per doc, its [st, e) token interval in the (source, shard)
+    * concatenation stream.
+    */
+  private def packSpans(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-    val spans = docs(s, dir)
+    docs(s, dir)
       .select(
         col("doc_id"), col("source"), (col("doc_id") % 4).as("shard"),
         size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
       .filter(col("n") > 0)
       .withColumn("e", sum(col("n")).over(w))
       .withColumn("st", col("e") - col("n"))
-    spans
+  }
+
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    val L = 512L
+    packSpans(s, dir)
       .select(
         col("source"), col("shard"), col("st"), col("e"),
         explode(sequence((col("st") / L).cast("long"), ((col("e") - 1) / L).cast("long")))
@@ -231,6 +238,52 @@ object Round9Ops {
       |  CAST(sum(least(e, (seq_id+1)*512) - greatest(st, seq_id*512)) AS BIGINT) AS n_tokens,
       |  CAST(sum(CASE WHEN st < seq_id*512 THEN 1 ELSE 0 END) AS BIGINT) AS n_carried
       |FROM t GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** #244 seq_pack_manifest — the detail table under #232's summary:
+    * one row per (sequence, contributing doc) with the sequence-local
+    * offset, the token count contributed, and the doc-local offset —
+    * exactly the manifest a training data-loader consumes to
+    * reconstruct sequences (and attention-mask boundaries) from the
+    * packed corpus without re-tokenizing. Same spans stage, same
+    * bounded sequence() explode; no aggregate at all — the manifest IS
+    * the exploded interval algebra (exact oracle).
+    */
+  def seqPackManifest(s: SparkSession, dir: String): DataFrame = {
+    val L = 512L
+    packSpans(s, dir)
+      .select(
+        col("source"), col("shard"), col("doc_id"), col("st"), col("e"),
+        explode(sequence((col("st") / L).cast("long"), ((col("e") - 1) / L).cast("long")))
+          .as("seq_id"))
+      .select(
+        col("source"), col("shard"), col("seq_id"), col("doc_id"),
+        (greatest(col("st"), col("seq_id") * L) - col("seq_id") * L).as("seq_off"),
+        (least(col("e"), (col("seq_id") + 1) * L) - greatest(col("st"), col("seq_id") * L))
+          .as("n_tok"),
+        (greatest(col("st"), col("seq_id") * L) - col("st")).as("doc_off"))
+      .orderBy(col("source"), col("shard"), col("seq_id"), col("seq_off"))
+  }
+
+  val seqPackManifestSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, doc_id % 4 AS shard,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents
+      |), nz AS (SELECT * FROM toks WHERE n > 0),
+      |spans AS (
+      |  SELECT doc_id, source, shard, n,
+      |    CAST(sum(n) OVER (PARTITION BY source, shard ORDER BY doc_id) AS BIGINT) AS e
+      |  FROM nz
+      |), t AS (
+      |  SELECT source, shard, doc_id, e - n AS st, e,
+      |    unnest(range((e-n)//512, (e-1)//512 + 1)) AS seq_id
+      |  FROM spans
+      |)
+      |SELECT source, shard, seq_id, doc_id,
+      |  CAST(greatest(st, seq_id*512) - seq_id*512 AS BIGINT) AS seq_off,
+      |  CAST(least(e, (seq_id+1)*512) - greatest(st, seq_id*512) AS BIGINT) AS n_tok,
+      |  CAST(greatest(st, seq_id*512) - st AS BIGINT) AS doc_off
+      |FROM t ORDER BY source, shard, seq_id, seq_off""".stripMargin
 
   /** #233 bm25_indexed — bm25_search served from the persisted
     * inverted index ([[graft.sources.InvertedIndex]]): postings
@@ -751,7 +804,8 @@ object Round9Ops {
     "multimodal_video" -> (multimodalVideo(_, _)),
     "gap_fill_locf" -> (gapFillLocf(_, _)),
     "dedup_semantic_incremental" -> (dedupSemanticIncremental(_, _)),
-    "set_similarity_join" -> (setSimilarityJoin(_, _)))
+    "set_similarity_join" -> (setSimilarityJoin(_, _)),
+    "seq_pack_manifest" -> (seqPackManifest(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
@@ -766,5 +820,6 @@ object Round9Ops {
     "embed_dim_stats" -> embedDimStatsSql,
     "multimodal_video" -> multimodalVideoSql,
     "gap_fill_locf" -> gapFillLocfSql,
-    "set_similarity_join" -> setSimilarityJoinSql)
+    "set_similarity_join" -> setSimilarityJoinSql,
+    "seq_pack_manifest" -> seqPackManifestSql)
 }

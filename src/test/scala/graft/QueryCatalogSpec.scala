@@ -1728,6 +1728,27 @@ class QueryCatalogSpec extends AnyFunSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("pack manifest tiles every sequence exactly and agrees with the summary") {
+    import org.apache.spark.sql.functions._
+    val man = SparkEntry.queries("seq_pack_manifest")(spark, dir)
+    // contributions within a sequence tile it: offsets are contiguous
+    // from 0 and sum to the summary's n_tokens
+    val rebuilt = man.groupBy("source", "shard", "seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        min("seq_off").as("first_off"),
+        max(col("seq_off") + col("n_tok")).as("end_off"))
+    assert(rebuilt.filter(col("first_off") =!= 0).count() == 0, "every sequence starts at 0")
+    assert(rebuilt.filter(col("end_off") =!= col("n_tokens")).count() == 0,
+      "contributions tile with no holes")
+    val summary = SparkEntry.queries("seq_pack")(spark, dir)
+    val joined = summary.join(rebuilt, Seq("source", "shard", "seq_id"))
+    assert(joined.count() == summary.count())
+    assert(joined.filter(
+      summary("n_docs") =!= rebuilt("n_docs") || summary("n_tokens") =!= rebuilt("n_tokens"))
+      .count() == 0, "manifest must agree with the summary aggregate")
+  }
+
   test("quality classifier verdict is the sign of its own score") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("doc_quality_classifier")(spark, dir)
