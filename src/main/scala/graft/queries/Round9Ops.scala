@@ -789,6 +789,210 @@ object Round9Ops {
       |FROM pairs WHERE inter * 5 >= uni * 4
       |ORDER BY a, b""".stripMargin
 
+  /** #245 funnel_sessions — the ordered funnel INSIDE session
+    * boundaries (#24b asks "did the user ever convert within 24 h";
+    * this asks "did a single sitting convert" — the UX question): the
+    * sessionize labeling (gap > 30 min, lag+cumsum over fine
+    * (user) keys) keys three dependent conditional mins on
+    * (user, session) — first view, first click after it, first
+    * purchase after that — all joins co-partitioned on the session
+    * key; per-session max-stage histogram out. Exact oracle reusing
+    * the sessionize CTE chain.
+    */
+  def funnelSessions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val labeled = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn(
+        "is_new",
+        when(
+          col("prev_ts").isNull ||
+            (epochMs(col("ts")) - epochMs(col("prev_ts"))) > lit(30L * 60 * 1000),
+          lit(1)).otherwise(lit(0)))
+      .withColumn("session_seq", sum(col("is_new")).over(w))
+      .select(col("user_id"), col("session_seq"), col("ts"), col("event_type"))
+    val key = Seq("user_id", "session_seq")
+    val v = labeled.filter(col("event_type") === "view")
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("v_ts"))
+    val c = labeled.join(v, key)
+      .filter(col("event_type") === "click" && col("ts") > col("v_ts"))
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("c_ts"))
+    val p = labeled.join(c, key)
+      .filter(col("event_type") === "purchase" && col("ts") > col("c_ts"))
+      .groupBy(key.map(col): _*).agg(min(col("ts")).as("p_ts"))
+    labeled.select(key.map(col): _*).distinct()
+      .join(v.select(col("user_id"), col("session_seq"), lit(1).as("s1")), key, "left")
+      .join(c.select(col("user_id"), col("session_seq"), lit(1).as("s2")), key, "left")
+      .join(p.select(col("user_id"), col("session_seq"), lit(1).as("s3")), key, "left")
+      .select(
+        (coalesce(col("s1"), lit(0)) + coalesce(col("s2"), lit(0)) +
+          coalesce(col("s3"), lit(0))).as("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("stage"))
+  }
+
+  val funnelSessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), lab AS (
+      |  SELECT user_id, event_type, ts,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+      |  FROM flagged
+      |), v AS (
+      |  SELECT user_id, session_seq, min(ts) AS v_ts FROM lab
+      |  WHERE event_type = 'view' GROUP BY 1, 2
+      |), c AS (
+      |  SELECT lab.user_id, lab.session_seq, min(lab.ts) AS c_ts
+      |  FROM lab JOIN v USING (user_id, session_seq)
+      |  WHERE event_type = 'click' AND lab.ts > v_ts GROUP BY 1, 2
+      |), p AS (
+      |  SELECT lab.user_id, lab.session_seq, min(lab.ts) AS p_ts
+      |  FROM lab JOIN c USING (user_id, session_seq)
+      |  WHERE event_type = 'purchase' AND lab.ts > c_ts GROUP BY 1, 2
+      |), sess AS (SELECT DISTINCT user_id, session_seq FROM lab)
+      |SELECT
+      |  (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END +
+      |   CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END +
+      |   CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS stage,
+      |  count(*) AS n_sessions
+      |FROM sess
+      |LEFT JOIN v USING (user_id, session_seq)
+      |LEFT JOIN c USING (user_id, session_seq)
+      |LEFT JOIN p USING (user_id, session_seq)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** #246 vocab_coverage — the vocabulary-size design curve: the
+    * minimal top-k (by corpus frequency) covering 25/50/75/90% of all
+    * token occurrences (what a tokenizer team reads before fixing a
+    * vocab budget). Token counts by one map-side-combined agg, top-1000
+    * head as TakeOrderedAndProject, the cumulative share as a window
+    * over the post-limit 1000-row frame only (the zipf-slope device —
+    * never a global-order window over raw vocab); threshold crossings
+    * by the exact INTEGER compare cum·100 ≥ pct·total (no float
+    * frontier), covered share emitted from exact longs. Exact oracle.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val counts = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val head = counts.orderBy(col("c").desc, col("token")).limit(1000)
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("c").desc, col("token"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ranked = head
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("token"))))
+      .withColumn("cum", sum(col("c")).over(wr))
+      .crossJoin(broadcast(total))
+    val thresholds = {
+      import s.implicits._
+      Seq(25, 50, 75, 90).toDF("pct")
+    }
+    ranked
+      .crossJoin(broadcast(thresholds))
+      .filter(col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy(col("pct"))
+      .agg(
+        min(col("rank")).as("vocab_size"),
+        emit(
+          min(struct(col("rank"), col("cum"))).getField("cum").cast("double") / max(col("total")),
+          6).as("covered"))
+      .orderBy(col("pct"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH counts AS (
+      |  SELECT token, count(*) AS c FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      |  ) WHERE token <> '' GROUP BY 1
+      |), total AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+      |head AS (
+      |  SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rank
+      |  FROM counts QUALIFY rank <= 1000
+      |), ranked AS (
+      |  SELECT rank, CAST(sum(c) OVER (ORDER BY rank
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |  FROM head
+      |)
+      |SELECT pct, CAST(min(rank) AS INT) AS vocab_size,
+      |  CAST(round(CAST(min_by(cum, rank) AS DOUBLE) / max(total), 6) AS DOUBLE) AS covered
+      |FROM ranked, total, (VALUES (25), (50), (75), (90)) t(pct)
+      |WHERE cum * 100 >= pct * total
+      |GROUP BY pct ORDER BY pct""".stripMargin
+
+  /** #247 growth_accounting — the weekly new/retained/resurrected/
+    * churned decomposition (the growth-team ledger beside #144's
+    * risers and #148's stickiness ratio): distinct (user, epoch-week)
+    * actives, first week per user by one fine-keyed min agg, previous-
+    * week presence by a co-keyed self-join on (user, week−1), churn
+    * counted INTO the week the user went missing. Every join keys on
+    * the fine (user, week) pair — no coarse-key window anywhere; the
+    * identity new+retained+resurrected = WAU is spec-pinned. Exact
+    * oracle; epoch-week integer arithmetic on both engines.
+    */
+  def growthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val actives = Tables.events(s, dir)
+      .select(col("user_id"), (expr("unix_micros(ts) div 86400000000") / 7L).cast("long").as("wk"))
+      .distinct()
+    val first = actives.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
+    val prev = actives.select(col("user_id"), (col("wk") + 1).as("wk"), lit(1).as("was_prev"))
+    val span = actives.agg(max(col("wk")).as("max_wk"))
+    val states = actives
+      .join(first, Seq("user_id"))
+      .join(prev, Seq("user_id", "wk"), "left")
+      .select(
+        col("wk"),
+        when(col("wk") === col("first_wk"), "new")
+          .when(col("was_prev").isNotNull, "retained")
+          .otherwise("resurrected").as("state"))
+    val churned = actives
+      .join(
+        actives.select(col("user_id"), (col("wk") - 1).as("wk"), lit(1).as("still")),
+        Seq("user_id", "wk"), "left")
+      .filter(col("still").isNull)
+      .crossJoin(broadcast(span))
+      .filter(col("wk") < col("max_wk")) // the last observed week cannot churn yet
+      .select((col("wk") + 1).as("wk"), lit("churned").as("state"))
+    states.unionByName(churned)
+      .groupBy(col("wk"), col("state"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("wk"), col("state"))
+  }
+
+  val growthAccountingSql: String =
+    """WITH actives AS (
+      |  SELECT DISTINCT user_id, (epoch_us(ts)//86400000000)//7 AS wk FROM events
+      |), first AS (SELECT user_id, min(wk) AS first_wk FROM actives GROUP BY 1),
+      |span AS (SELECT max(wk) AS max_wk FROM actives),
+      |states AS (
+      |  SELECT a.wk,
+      |    CASE WHEN a.wk = f.first_wk THEN 'new'
+      |         WHEN p.user_id IS NOT NULL THEN 'retained'
+      |         ELSE 'resurrected' END AS state
+      |  FROM actives a
+      |  JOIN first f USING (user_id)
+      |  LEFT JOIN actives p ON p.user_id = a.user_id AND p.wk = a.wk - 1
+      |), churned AS (
+      |  SELECT a.wk + 1 AS wk, 'churned' AS state
+      |  FROM actives a
+      |  LEFT JOIN actives n ON n.user_id = a.user_id AND n.wk = a.wk + 1, span
+      |  WHERE n.user_id IS NULL AND a.wk < span.max_wk
+      |)
+      |SELECT wk, state, count(*) AS n_users
+      |FROM (SELECT * FROM states UNION ALL SELECT * FROM churned)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
@@ -805,7 +1009,10 @@ object Round9Ops {
     "gap_fill_locf" -> (gapFillLocf(_, _)),
     "dedup_semantic_incremental" -> (dedupSemanticIncremental(_, _)),
     "set_similarity_join" -> (setSimilarityJoin(_, _)),
-    "seq_pack_manifest" -> (seqPackManifest(_, _)))
+    "seq_pack_manifest" -> (seqPackManifest(_, _)),
+    "funnel_sessions" -> (funnelSessions(_, _)),
+    "vocab_coverage" -> (vocabCoverage(_, _)),
+    "growth_accounting" -> (growthAccounting(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
@@ -821,5 +1028,8 @@ object Round9Ops {
     "multimodal_video" -> multimodalVideoSql,
     "gap_fill_locf" -> gapFillLocfSql,
     "set_similarity_join" -> setSimilarityJoinSql,
-    "seq_pack_manifest" -> seqPackManifestSql)
+    "seq_pack_manifest" -> seqPackManifestSql,
+    "funnel_sessions" -> funnelSessionsSql,
+    "vocab_coverage" -> vocabCoverageSql,
+    "growth_accounting" -> growthAccountingSql)
 }

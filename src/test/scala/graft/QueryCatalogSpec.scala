@@ -1749,6 +1749,30 @@ class QueryCatalogSpec extends AnyFunSuite {
       .count() == 0, "manifest must agree with the summary aggregate")
   }
 
+  test("growth accounting states sum to the weekly active count") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("growth_accounting")(spark, dir)
+    val active = df.filter(col("state").isin("new", "retained", "resurrected"))
+      .groupBy("wk").agg(sum("n_users").as("acc"))
+    val wau = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (expr("unix_micros(ts) div 86400000000") / 7L).cast("long").as("wk"))
+      .distinct().groupBy("wk").agg(count(lit(1)).as("wau"))
+    val bad = active.join(wau, Seq("wk")).filter(col("acc") =!= col("wau")).count()
+    assert(bad == 0, "new+retained+resurrected must equal WAU per week")
+  }
+
+  test("vocab coverage ranks are monotone in the threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("vocab_coverage")(spark, dir)
+      .orderBy("pct").collect()
+    assert(rows.length == 4)
+    val sizes = rows.map(_.getAs[Int]("vocab_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b },
+      "a higher coverage target cannot need a smaller vocabulary")
+    rows.foreach(r => assert(r.getAs[Double]("covered") * 100 >= r.getAs[Int]("pct") - 1e-9))
+  }
+
   test("quality classifier verdict is the sign of its own score") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("doc_quality_classifier")(spark, dir)
