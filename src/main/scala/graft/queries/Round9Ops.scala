@@ -993,6 +993,26 @@ object Round9Ops {
       |FROM (SELECT * FROM states UNION ALL SELECT * FROM churned)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** #248 bm25_incremental — #233's index MAINTAINED instead of
+    * rebuilt: history (docs < 250) builds the inverted index once,
+    * today's batch (docs ≥ 250) APPENDS postings into their bucket
+    * partitions and a stats partial row (reads sum the partials).
+    * tf/dl rows are per-doc and stats associative, so build+append ≡
+    * full rebuild EXACTLY — this entry therefore shares bm25_search's
+    * oracle verbatim (the search over the incrementally-built index
+    * must equal the corpus-scan BM25 byte-for-byte), the strongest pin
+    * an incremental structure can carry. At 100 TB a daily refresh
+    * writes the day's postings, never touching history.
+    */
+  def bm25Incremental(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val idx = graft.sources.Sources.cachedIndexDir(dir, "documents", "bm25-incr-v1") { p =>
+      graft.sources.InvertedIndex.build(d.filter(col("doc_id") < 250), p)
+      graft.sources.InvertedIndex.append(d.filter(col("doc_id") >= 250), p)
+    }
+    graft.sources.InvertedIndex.search(s, idx, Seq("vector", "hash", "stream"), k = 20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q12_shipmode" -> (q12Shipmode(_, _)),
     "corpus_diff" -> (corpusDiff(_, _)),
@@ -1012,7 +1032,8 @@ object Round9Ops {
     "seq_pack_manifest" -> (seqPackManifest(_, _)),
     "funnel_sessions" -> (funnelSessions(_, _)),
     "vocab_coverage" -> (vocabCoverage(_, _)),
-    "growth_accounting" -> (growthAccounting(_, _)))
+    "growth_accounting" -> (growthAccounting(_, _)),
+    "bm25_incremental" -> (bm25Incremental(_, _)))
 
   val oracles: Map[String, String] = Map(
     "q12_shipmode" -> q12ShipmodeSql,
@@ -1031,5 +1052,6 @@ object Round9Ops {
     "seq_pack_manifest" -> seqPackManifestSql,
     "funnel_sessions" -> funnelSessionsSql,
     "vocab_coverage" -> vocabCoverageSql,
-    "growth_accounting" -> growthAccountingSql)
+    "growth_accounting" -> growthAccountingSql,
+    "bm25_incremental" -> Round5Ops.bm25SearchSql)
 }

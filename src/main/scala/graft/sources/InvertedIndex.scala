@@ -29,31 +29,53 @@ object InvertedIndex {
 
   def bucketOf(tok: Column): Column = pmod(xxhash64(tok), lit(Buckets.toLong)).cast("int")
 
+  private def docLengths(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), size(filter(split(col("text"), " "), t => t =!= "")).as("dl"))
+    .filter(col("dl") > 0)
+
+  private def postingRows(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    .filter(col("token") =!= "")
+    .groupBy(col("doc_id"), col("token"))
+    .agg(count(lit(1)).as("tf"))
+    .join(docLengths(docs), Seq("doc_id"))
+    .withColumn("bucket", bucketOf(col("token")))
+
+  private def statsRow(docs: DataFrame): DataFrame =
+    docLengths(docs).agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+
   /** One pass over (doc_id, text): per-doc token counts joined with
     * the per-row doc length, hashed into bucket partitions.
     */
   def build(docs: DataFrame, outDir: String): Unit = {
-    val dl = docs
-      .select(col("doc_id"), size(filter(split(col("text"), " "), t => t =!= "")).as("dl"))
-      .filter(col("dl") > 0)
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .filter(col("token") =!= "")
-      .groupBy(col("doc_id"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    tf.join(dl, Seq("doc_id"))
-      .withColumn("bucket", bucketOf(col("token")))
-      .repartition(col("bucket"))
+    postingRows(docs).repartition(col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$outDir/postings")
-    dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-      .write.mode("overwrite").parquet(s"$outDir/stats")
+    statsRow(docs).write.mode("overwrite").parquet(s"$outDir/stats")
+  }
+
+  /** Fold a NEW batch of docs into an existing index: postings rows
+    * append into their bucket partitions, corpus stats append as a
+    * partial row (reads SUM the partials). Because tf/dl rows are
+    * per-doc and stats are associative sums, build(A) then append(B)
+    * ≡ build(A ∪ B) EXACTLY — so a search over the incrementally-built
+    * index equals the full-rebuild search byte-for-byte (spec-pinned,
+    * and `bm25_incremental` shares bm25_search's oracle on that
+    * guarantee). Caller contract: a batch is appended once (pair with
+    * the hash-index intake for exactly-once ingestion).
+    */
+  def append(docs: DataFrame, indexDir: String): Unit = {
+    postingRows(docs).repartition(col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$indexDir/postings")
+    statsRow(docs).write.mode("append").parquet(s"$indexDir/stats")
   }
 
   def postings(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/postings")
 
+  /** Corpus stats — the SUM of the build + append partial rows. */
   def stats(s: SparkSession, indexDir: String): DataFrame =
     s.read.parquet(s"$indexDir/stats")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("tot_dl")).as("tot_dl"))
 
   /** BM25 top-k over the index: identical scoring algebra to
     * `Round5Ops.bm25SearchFor` (k1=1.2, b=0.75, the +1-smoothed idf),

@@ -420,6 +420,25 @@ class SourcesSpec extends AnyFunSuite {
     assert(s2.select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(201L))
   }
 
+  test("inverted-index append equals a full rebuild, search-for-search") {
+    import org.apache.spark.sql.functions.col
+    import graft.sources.InvertedIndex
+    val d = Tables.documents(spark, dir)
+    val incr = Files.createTempDirectory("graft_bmincr").toString
+    val full = Files.createTempDirectory("graft_bmfull").toString
+    InvertedIndex.build(d.filter(col("doc_id") < 250), incr)
+    InvertedIndex.append(d.filter(col("doc_id") >= 250), incr)
+    InvertedIndex.build(d, full)
+    val terms = Seq("vector", "hash", "stream")
+    val a = InvertedIndex.search(spark, incr, terms, 20).collect().toSeq
+    val b = InvertedIndex.search(spark, full, terms, 20).collect().toSeq
+    assert(a == b, "incrementally-built index must search identically to a rebuild")
+    // stats partials sum to the rebuild's single row
+    val si = InvertedIndex.stats(spark, incr).collect().head
+    val sf = InvertedIndex.stats(spark, full).collect().head
+    assert(si == sf, s"summed stats $si must equal rebuild stats $sf")
+  }
+
   test("cachedIndexDir keys the cache by input identity and config, and rejects bad markers") {
     val dataDir = Files.createTempDirectory("graft_cachekey").toString
     val f = new java.io.File(dataDir, "documents.parquet")
