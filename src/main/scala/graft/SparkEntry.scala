@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Round6Ops.queries ++
       graft.queries.Round8Ops.queries ++
       graft.queries.Round9Ops.queries ++
+      graft.queries.Round10Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -46,6 +47,7 @@ object SparkEntry {
       graft.queries.Round6Ops.oracles ++
       graft.queries.Round8Ops.oracles ++
       graft.queries.Round9Ops.oracles ++
+      graft.queries.Round10Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

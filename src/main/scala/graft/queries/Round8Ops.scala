@@ -43,7 +43,7 @@ object Round8Ops {
       .orderBy(col("id"))
   }
 
-  private val rawPostsSql: String = """
+  private[queries] val rawPostsSql: String = """
     |WITH r AS (
     |  SELECT event_id AS e, user_id AS u, event_type AS t, epoch_us(ts) AS ca FROM events
     |), raw AS (

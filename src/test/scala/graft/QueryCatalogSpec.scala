@@ -20,7 +20,8 @@ class QueryCatalogSpec extends AnyFunSuite {
       "embed_ivf_knn_indexed", "embed_pair_sim_bucketed",
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
       "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
-      "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental")
+      "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental",
+      "mau_hll_sliding")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -1782,5 +1783,47 @@ class QueryCatalogSpec extends AnyFunSuite {
       (col("verdict") === "keep" && col("score") < 0) ||
         (col("verdict") === "drop" && col("score") > 0)).count()
     assert(bad == 0, "verdict must agree with the score's sign")
+  }
+
+  test("sliding MAU dominates daily DAU and the HLL twin tracks it within 2%") {
+    import org.apache.spark.sql.functions._
+    val exact = SparkEntry.queries("sliding_mau")(spark, dir)
+    val dau = Tables.events(spark, dir)
+      .select(date_format(to_date(col("ts")), "yyyy-MM-dd").as("day"), col("user_id"))
+      .distinct().groupBy("day").agg(count(lit(1)).as("dau"))
+    // a trailing-7-day distinct count can never undercut that day's DAU
+    assert(exact.join(dau, Seq("day")).filter(col("mau_7d") < col("dau")).count() == 0)
+    val approx = SparkEntry.queries("mau_hll_sliding")(spark, dir)
+    val j = exact.join(approx, Seq("day"))
+    assert(j.count() == exact.count(), "twin must cover the same days")
+    val off = j.filter(
+      abs(col("mau_approx") - col("mau_7d")) / col("mau_7d") > lit(0.02)).count()
+    assert(off == 0, "HLL estimate must stay within 2% of exact on every day")
+  }
+
+  test("link dedup keeps the earliest post per canonical URL") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("dedup_by_link")(spark, dir)
+    val links = graft.sources.Firehose
+      .parsePostRecords(graft.sources.Firehose.synthPostRecords(Tables.events(spark, dir)))
+      .select(col("id"), explode(col("links")).as("url"))
+      .select(col("id"), lower(regexp_replace(col("url"), "/+$", "")).as("url_canon"))
+    // keeper must be a real post carrying that URL, and none earlier exists
+    val bad = df.join(links, Seq("url_canon"))
+      .groupBy("url_canon", "keeper_id")
+      .agg(min(col("id")).as("true_min"))
+      .filter(col("keeper_id") =!= col("true_min")).count()
+    assert(bad == 0, "keeper must be the minimum (earliest) post id")
+  }
+
+  test("source language entropy is bounded by ln of the language count") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("source_lang_entropy")(spark, dir)
+    val nl = Tables.documents(spark, dir)
+      .groupBy("source").agg(countDistinct(col("lang")).as("n_langs"))
+    val bad = df.join(nl, Seq("source"))
+      .filter(col("entropy") < -1e-9 || col("entropy") > log(col("n_langs").cast("double")) + 1e-6)
+      .count()
+    assert(bad == 0, "0 <= H <= ln(|langs|) per source")
   }
 }
