@@ -149,14 +149,234 @@ object Round10Ops {
       |FROM m JOIN tot ON m.source = tot.source
       |GROUP BY m.source ORDER BY m.source""".stripMargin
 
+  /** #253 cdc_apply — changelog → current-state snapshot (the MERGE
+    * INTO semantics of a lakehouse sink; the batch twin of the
+    * streaming upsert stores and the compaction sibling of scd2_history,
+    * which keeps ALL intervals where this keeps the LAST state): a
+    * keyed upsert/delete stream (derived deterministically from events:
+    * every 10th event is a tombstone) collapses to one row per key via
+    * max_by over the (ts, event_id) version struct — the house argmax
+    * rule, map-side combinable, NEVER a row_number window over the raw
+    * stream — and keys whose final op is a delete drop AFTER the
+    * aggregate (a tombstone must beat earlier upserts, not vanish
+    * before the argmax). ONE shuffle at 100 TB, and the same plan
+    * folds a day's changelog into yesterday's snapshot unchanged.
+    */
+  def cdcApply(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("user_id"),
+        when(col("event_id") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("value"), col("ts"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(
+        max_by(struct(col("op"), col("value"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("last"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("last.op") =!= "D")
+      .select(
+        col("user_id"),
+        emit(col("last.value")).as("last_value"),
+        epochMs(col("last.ts")).as("last_ts_ms"),
+        col("n_ops"))
+      .orderBy(col("user_id"))
+
+  val cdcApplySql: String =
+    """WITH log AS (
+      |  SELECT user_id, CASE WHEN event_id % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+      |    value, ts, event_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM events
+      |)
+      |SELECT user_id, CAST(round(value, 4) AS DOUBLE) AS last_value,
+      |  epoch_ms(ts) AS last_ts_ms, n_ops
+      |FROM log WHERE rn = 1 AND op <> 'D'
+      |ORDER BY user_id""".stripMargin
+
+  /** #254 k_anonymity — the governance pass before sharing a table:
+    * group sizes over the quasi-identifier tuple (nation, market
+    * segment, coarse balance band) tell you how many customers are
+    * re-identifiable (a QI group of size 1 IS an identity). Output is
+    * the group-size histogram with each size's share of all rows —
+    * the "x% of rows live in groups below k=5" number a privacy
+    * review reads. One QI-key shuffle with map-side combine, then a
+    * tiny size-key agg; shares divide exact longs once, rounded
+    * (the q14 device).
+    */
+  def kAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.customer(s, dir)
+      .select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_band"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_band"))
+      .agg(count(lit(1)).as("sz"))
+    val total = groups.agg(sum(col("sz")).as("n_total"))
+    groups.groupBy(col("sz"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("sz")).as("n_rows"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("sz").as("group_size"), col("n_groups"), col("n_rows"),
+        emit(col("n_rows").cast("double") / col("n_total").cast("double"), 6).as("row_share"),
+        (col("sz") < 5).as("below_k5"))
+      .orderBy(col("group_size"))
+  }
+
+  val kAnonymitySql: String =
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, floor(c_acctbal / 1000) AS bal_band,
+      |    count(*) AS sz
+      |  FROM customer GROUP BY 1, 2, 3
+      |), tot AS (SELECT sum(sz) AS n_total FROM g)
+      |SELECT sz AS group_size, count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows,
+      |  CAST(round(CAST(sum(sz) AS DOUBLE) / CAST(any_value(n_total) AS DOUBLE), 6) AS DOUBLE) AS row_share,
+      |  sz < 5 AS below_k5
+      |FROM g, tot GROUP BY sz ORDER BY group_size""".stripMargin
+
+  /** #255 column_histograms — equi-width 10-bin histograms for every
+    * numeric lineitem measure in ONE pass (the distribution view
+    * table_profile's min/max can't give: a null-rate-stable column
+    * whose mass silently shifts bands shows up here): global bounds
+    * come from a single-row min/max broadcast (one scan, all columns
+    * at once), each row then maps to its (column, bin) pair — ≤30
+    * grouping keys total, map-side combinable, so the histogram
+    * shuffle moves kilobytes at any SF. Bin edges are the identical
+    * IEEE double expression in both engines (bounds → width → floor),
+    * so bin assignment is bit-deterministic; the top edge closes
+    * (least(bin, 9)) exactly like width_bucket's overflow bin.
+    */
+  def columnHistograms(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val bounds = li.agg(
+      min(col(cols(0))).as("lo0"), max(col(cols(0))).as("hi0"),
+      min(col(cols(1))).as("lo1"), max(col(cols(1))).as("hi1"),
+      min(col(cols(2))).as("lo2"), max(col(cols(2))).as("hi2"))
+    val binned = li.crossJoin(broadcast(bounds))
+    val stacked = cols.zipWithIndex.map { case (c, i) =>
+      binned.select(
+        lit(c).as("column"),
+        least(floor((col(c) - col(s"lo$i")) / ((col(s"hi$i") - col(s"lo$i")) / 10)), lit(9))
+          .cast("long").as("bin"),
+        col(s"lo$i").as("lo"), col(s"hi$i").as("hi"))
+    }.reduce(_.unionByName(_))
+    stacked
+      .groupBy(col("column"), col("bin"))
+      .agg(count(lit(1)).as("n"), first(col("lo")).as("lo"), first(col("hi")).as("hi"))
+      .select(
+        col("column"), col("bin"),
+        emit(col("lo") + col("bin") * (col("hi") - col("lo")) / 10, 6).as("bin_lo"),
+        emit(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / 10, 6).as("bin_hi"),
+        col("n"))
+      .orderBy(col("column"), col("bin"))
+  }
+
+  val columnHistogramsSql: String =
+    """WITH b AS (
+      |  SELECT min(l_quantity) AS lo0, max(l_quantity) AS hi0,
+      |         min(l_extendedprice) AS lo1, max(l_extendedprice) AS hi1,
+      |         min(l_discount) AS lo2, max(l_discount) AS hi2
+      |  FROM lineitem
+      |), stacked AS (
+      |  SELECT 'l_quantity' AS col, least(floor((l_quantity - lo0) / ((hi0 - lo0) / 10)), 9)::BIGINT AS bin, lo0 AS lo, hi0 AS hi FROM lineitem, b
+      |  UNION ALL
+      |  SELECT 'l_extendedprice', least(floor((l_extendedprice - lo1) / ((hi1 - lo1) / 10)), 9)::BIGINT, lo1, hi1 FROM lineitem, b
+      |  UNION ALL
+      |  SELECT 'l_discount', least(floor((l_discount - lo2) / ((hi2 - lo2) / 10)), 9)::BIGINT, lo2, hi2 FROM lineitem, b
+      |)
+      |SELECT col AS "column", bin,
+      |  CAST(round(any_value(lo) + bin * (any_value(hi) - any_value(lo)) / 10, 6) AS DOUBLE) AS bin_lo,
+      |  CAST(round(any_value(lo) + (bin + 1) * (any_value(hi) - any_value(lo)) / 10, 6) AS DOUBLE) AS bin_hi,
+      |  count(*) AS n
+      |FROM stacked GROUP BY col, bin ORDER BY "column", bin""".stripMargin
+
+  /** #256 ab_lift_report — experiment readout: users hash into A/B by
+    * the seeded-md5 device (deterministic, coordination-free — the
+    * corpus_split rule on the user axis), conversion = any purchase
+    * event; the report is per-variant exposure/conversion counts, the
+    * rate lift, and the two-proportion z statistic. Per-user
+    * exposure/conversion collapses in ONE fine-keyed aggregate; the
+    * variant rollup is a 2-row agg; every derived stat is a single
+    * double expression over exact longs (the assortativity device) so
+    * both engines evaluate the identical IEEE formula, rounded once
+    * at emit. The z-score's null-pool denominator guards zero with a
+    * 1e-12 floor (one-variant edge).
+    */
+  def abLiftReport(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .select(
+        when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", "A")
+          .otherwise("B").as("variant"),
+        col("conv"))
+    val m = perUser.groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val wide = m.agg(
+      sum(when(col("variant") === "A", col("n_users"))).as("na"),
+      sum(when(col("variant") === "A", col("n_conv"))).as("ca"),
+      sum(when(col("variant") === "B", col("n_users"))).as("nb"),
+      sum(when(col("variant") === "B", col("n_conv"))).as("cb"))
+    val pa = col("ca").cast("double") / col("na").cast("double")
+    val pb = col("cb").cast("double") / col("nb").cast("double")
+    val pool = (col("ca") + col("cb")).cast("double") / (col("na") + col("nb")).cast("double")
+    val se = sqrt(greatest(
+      pool * (lit(1.0) - pool) *
+        (lit(1.0) / col("na").cast("double") + lit(1.0) / col("nb").cast("double")),
+      lit(1e-12)))
+    wide.select(
+      col("na").as("n_a"), col("ca").as("conv_a"), emit(pa, 6).as("rate_a"),
+      col("nb").as("n_b"), col("cb").as("conv_b"), emit(pb, 6).as("rate_b"),
+      emit(pb - pa, 6).as("abs_lift"),
+      emit((pb - pa) / se, 4).as("z_score"))
+  }
+
+  val abLiftReportSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id
+      |), v AS (
+      |  SELECT CASE WHEN md5('exp1:' || CAST(user_id AS VARCHAR)) < '8' THEN 'A' ELSE 'B' END AS variant, conv
+      |  FROM pu
+      |), m AS (
+      |  SELECT variant, count(*) AS n_users, sum(conv) AS n_conv FROM v GROUP BY variant
+      |), w AS (
+      |  SELECT
+      |    sum(CASE WHEN variant='A' THEN n_users END) AS na,
+      |    sum(CASE WHEN variant='A' THEN n_conv END) AS ca,
+      |    sum(CASE WHEN variant='B' THEN n_users END) AS nb,
+      |    sum(CASE WHEN variant='B' THEN n_conv END) AS cb
+      |  FROM m
+      |)
+      |SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
+      |  CAST(round(CAST(ca AS DOUBLE)/CAST(na AS DOUBLE), 6) AS DOUBLE) AS rate_a,
+      |  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
+      |  CAST(round(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE), 6) AS DOUBLE) AS rate_b,
+      |  CAST(round(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(ca AS DOUBLE)/CAST(na AS DOUBLE), 6) AS DOUBLE) AS abs_lift,
+      |  CAST(round((CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+      |    / sqrt(greatest(
+      |        (CAST(ca+cb AS DOUBLE)/CAST(na+nb AS DOUBLE)) * (1 - CAST(ca+cb AS DOUBLE)/CAST(na+nb AS DOUBLE))
+      |          * (1.0/CAST(na AS DOUBLE) + 1.0/CAST(nb AS DOUBLE)),
+      |        1e-12)), 4) AS DOUBLE) AS z_score
+      |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sliding_mau" -> (slidingMau(_, _)),
     "mau_hll_sliding" -> (mauHllSliding(_, _)),
     "dedup_by_link" -> (dedupByLink(_, _)),
-    "source_lang_entropy" -> (sourceLangEntropy(_, _)))
+    "source_lang_entropy" -> (sourceLangEntropy(_, _)),
+    "cdc_apply" -> (cdcApply(_, _)),
+    "k_anonymity" -> (kAnonymity(_, _)),
+    "column_histograms" -> (columnHistograms(_, _)),
+    "ab_lift_report" -> (abLiftReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
     "dedup_by_link" -> dedupByLinkSql,
-    "source_lang_entropy" -> sourceLangEntropySql)
+    "source_lang_entropy" -> sourceLangEntropySql,
+    "cdc_apply" -> cdcApplySql,
+    "k_anonymity" -> kAnonymitySql,
+    "column_histograms" -> columnHistogramsSql,
+    "ab_lift_report" -> abLiftReportSql)
 }

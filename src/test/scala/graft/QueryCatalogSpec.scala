@@ -1826,4 +1826,46 @@ class QueryCatalogSpec extends AnyFunSuite {
       .count()
     assert(bad == 0, "0 <= H <= ln(|langs|) per source")
   }
+
+  test("cdc_apply drops exactly the tombstone-final keys and keeps the last upsert") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cdc_apply")(spark, dir)
+    val lastOp = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_eid"),
+        count(lit(1)).as("n"))
+    val joined = lastOp.join(df, Seq("user_id"), "left")
+    // delete-final keys absent, upsert-final keys present with the full op count
+    assert(joined.filter(col("last_eid") % 10 === 0 && col("n_ops").isNotNull).count() == 0)
+    val bad = joined.filter(col("last_eid") % 10 =!= 0 &&
+      (col("n_ops").isNull || col("n_ops") =!= col("n"))).count()
+    assert(bad == 0, "every upsert-final key keeps its full changelog count")
+  }
+
+  test("k_anonymity histogram conserves the customer table") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("k_anonymity")(spark, dir)
+    val total = df.agg(sum("n_rows")).head.getLong(0)
+    assert(total == Tables.customer(spark, dir).count())
+    assert(df.filter(col("n_rows") =!= col("group_size") * col("n_groups")).count() == 0)
+  }
+
+  test("column histograms tile each column and conserve row counts") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("column_histograms")(spark, dir)
+    val n = Tables.lineitem(spark, dir).count()
+    val perCol = df.groupBy("column").agg(sum("n").as("tot"))
+    assert(perCol.filter(col("tot") =!= n).count() == 0, "every histogram sums to |lineitem|")
+    assert(df.filter(col("bin") < 0 || col("bin") > 9).count() == 0)
+    assert(df.filter(col("bin_hi") <= col("bin_lo")).count() == 0)
+  }
+
+  test("ab_lift_report covers every user exactly once") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("ab_lift_report")(spark, dir).head
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
+    assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+  }
 }
