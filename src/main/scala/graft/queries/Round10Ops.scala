@@ -361,6 +361,149 @@ object Round10Ops {
       |        1e-12)), 4) AS DOUBLE) AS z_score
       |FROM w""".stripMargin
 
+  /** #257 shard_skew_report — the pre-write layout audit: docs hash
+    * into 64 shards by the portable seeded-md5 device and the report
+    * reads each shard's doc count, byte load, and its load factor vs
+    * the perfectly balanced share. This is the check run BEFORE a
+    * 100 TB write job picks writer parallelism — a skewed content key
+    * (or a broken hash) shows up here as a factor ≫ 1, when finding it
+    * at write time costs a straggler executor instead of a report row.
+    * One map-side-combined 64-key aggregate + a single-row total
+    * broadcast; load factors divide exact longs once (q14 device).
+    */
+  def shardSkewReport(s: SparkSession, dir: String): DataFrame = {
+    val shard = pmod(
+      conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long"), lit(64L))
+    val per = Tables.documents(s, dir)
+      .select(shard.as("shard"), col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
+    val tot = per.agg(sum(col("n_docs")).as("td"), sum(col("n_bytes")).as("tb"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("shard"), col("n_docs"), col("n_bytes"),
+        emit(col("n_docs").cast("double") * 64 / col("td").cast("double"), 6)
+          .as("doc_load_factor"),
+        emit(col("n_bytes").cast("double") * 64 / col("tb").cast("double"), 6)
+          .as("byte_load_factor"))
+      .orderBy(col("shard"))
+  }
+
+  val shardSkewReportSql: String =
+    """WITH per AS (
+      |  SELECT CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64 AS shard,
+      |    count(*) AS n_docs, sum(n_chars) AS n_bytes
+      |  FROM documents GROUP BY 1
+      |), tot AS (SELECT sum(n_docs) AS td, sum(n_bytes) AS tb FROM per)
+      |SELECT shard, n_docs, CAST(n_bytes AS BIGINT) AS n_bytes,
+      |  CAST(round(CAST(n_docs AS DOUBLE) * 64 / CAST(td AS DOUBLE), 6) AS DOUBLE) AS doc_load_factor,
+      |  CAST(round(CAST(n_bytes AS DOUBLE) * 64 / CAST(tb AS DOUBLE), 6) AS DOUBLE) AS byte_load_factor
+      |FROM per, tot ORDER BY shard""".stripMargin
+
+  /** #258 orders_backlog — the daily open-order curve (placed but not
+    * yet fully shipped; operations' WIP number): each order's open
+    * interval is [orderdate, max lineitem shipdate], intervals become
+    * ±1 boundary deltas, and the curve is the running sum over the
+    * CALENDAR — so the only full-data work is one orderkey-co-keyed
+    * agg+join (ship-completion per order) and one day-key delta agg;
+    * the cumulative window runs over the bounded day matrix (≤ horizon
+    * rows), never over raw orders — the concurrency_peak discipline at
+    * day grain, where the per-day output needs the level, not the
+    * in-day peak. Days between boundary events densify via the
+    * gap_fill span-broadcast device so the curve has no holes.
+    */
+  def ordersBacklog(s: SparkSession, dir: String): DataFrame = {
+    val shipped = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("done"))
+    val iv = Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start"))
+      .join(shipped, col("o_orderkey") === col("l_orderkey"))
+    val deltas = iv.select(col("start").as("d"), lit(1L).as("delta"))
+      .unionByName(iv.select(date_add(col("done"), 1).as("d"), lit(-1L).as("delta")))
+      .groupBy(col("d")).agg(sum(col("delta")).as("net"))
+    val span = deltas.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val days = span.select(explode(expr("sequence(lo, hi)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("day")).rowsBetween(Long.MinValue, 0)
+    days.join(deltas, col("day") === col("d"), "left")
+      .select(col("day"), coalesce(col("net"), lit(0L)).as("net"))
+      .withColumn("open_orders", sum(col("net")).over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("open_orders"))
+      .orderBy(col("day"))
+  }
+
+  val ordersBacklogSql: String =
+    """WITH shipped AS (
+      |  SELECT l_orderkey, max(CAST(l_shipdate AS DATE)) AS done FROM lineitem GROUP BY 1
+      |), iv AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS s, done
+      |  FROM orders JOIN shipped ON o_orderkey = l_orderkey
+      |), deltas AS (
+      |  SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM (
+      |    SELECT s AS d, 1 AS delta FROM iv
+      |    UNION ALL SELECT done + INTERVAL 1 DAY, -1 FROM iv
+      |  ) GROUP BY d
+      |), span AS (SELECT min(d) AS lo, max(d) AS hi FROM deltas),
+      |days AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM span)
+      |SELECT strftime(day, '%Y-%m-%d') AS day,
+      |  CAST(sum(coalesce(net, 0)) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS open_orders
+      |FROM days LEFT JOIN deltas ON day = d
+      |ORDER BY day""".stripMargin
+
+  /** #259 repeat_purchase — time-to-second-order bands (the retention
+    * economics number beside #28d's activity cohorts: repeat WITHIN 30
+    * days funds acquisition, "never" defines churn cost): two chained
+    * aggregates on the SAME customer key — first-order min, then the
+    * conditional min over strictly-later dates (a plain second-rank
+    * min_by cannot skip same-day duplicate orders) — so the join
+    * between them is co-partitioned and nothing re-shuffles;
+    * single-order customers band as 'never'. Bands count in a ≤4-row
+    * agg; shares divide exact longs (q14 device).
+    */
+  def repeatPurchase(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"))
+    val first = o.groupBy(col("o_custkey")).agg(min(col("d")).as("d1"))
+    val second = o.join(first, Seq("o_custkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        min(col("d1")).as("d1"),
+        min(when(col("d") > col("d1"), col("d"))).as("d2"))
+    val gap = datediff(col("d2"), col("d1"))
+    val banded = second.select(
+      when(col("d2").isNull, "never")
+        .when(gap <= 30, "within_30d")
+        .when(gap <= 90, "within_90d")
+        .otherwise("later").as("band"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_customers"))
+    val tot = banded.agg(sum(col("n_customers")).as("t"))
+    banded.crossJoin(broadcast(tot))
+      .select(col("band"), col("n_customers"),
+        emit(col("n_customers").cast("double") / col("t").cast("double"), 6).as("share"))
+      .orderBy(col("band"))
+  }
+
+  val repeatPurchaseSql: String =
+    """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+      |f AS (SELECT o_custkey, min(d) AS d1 FROM o GROUP BY 1),
+      |s AS (
+      |  SELECT o.o_custkey, any_value(d1) AS d1,
+      |    min(CASE WHEN d > d1 THEN d END) AS d2
+      |  FROM o JOIN f ON o.o_custkey = f.o_custkey GROUP BY o.o_custkey
+      |), banded AS (
+      |  SELECT CASE WHEN d2 IS NULL THEN 'never'
+      |    WHEN date_diff('day', d1, d2) <= 30 THEN 'within_30d'
+      |    WHEN date_diff('day', d1, d2) <= 90 THEN 'within_90d'
+      |    ELSE 'later' END AS band
+      |  FROM s
+      |), m AS (SELECT band, count(*) AS n_customers FROM banded GROUP BY 1),
+      |tot AS (SELECT sum(n_customers) AS t FROM m)
+      |SELECT band, n_customers,
+      |  CAST(round(CAST(n_customers AS DOUBLE) / CAST(t AS DOUBLE), 6) AS DOUBLE) AS share
+      |FROM m, tot ORDER BY band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sliding_mau" -> (slidingMau(_, _)),
     "mau_hll_sliding" -> (mauHllSliding(_, _)),
@@ -369,7 +512,10 @@ object Round10Ops {
     "cdc_apply" -> (cdcApply(_, _)),
     "k_anonymity" -> (kAnonymity(_, _)),
     "column_histograms" -> (columnHistograms(_, _)),
-    "ab_lift_report" -> (abLiftReport(_, _)))
+    "ab_lift_report" -> (abLiftReport(_, _)),
+    "shard_skew_report" -> (shardSkewReport(_, _)),
+    "orders_backlog" -> (ordersBacklog(_, _)),
+    "repeat_purchase" -> (repeatPurchase(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -378,5 +524,8 @@ object Round10Ops {
     "cdc_apply" -> cdcApplySql,
     "k_anonymity" -> kAnonymitySql,
     "column_histograms" -> columnHistogramsSql,
-    "ab_lift_report" -> abLiftReportSql)
+    "ab_lift_report" -> abLiftReportSql,
+    "shard_skew_report" -> shardSkewReportSql,
+    "orders_backlog" -> ordersBacklogSql,
+    "repeat_purchase" -> repeatPurchaseSql)
 }

@@ -1868,4 +1868,30 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
     assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
   }
+
+  test("shard skew report conserves docs and stays near balance") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("shard_skew_report")(spark, dir)
+    assert(df.count() == 64, "all 64 shards occupied under a uniform hash")
+    assert(df.agg(sum("n_docs")).head.getLong(0) == Tables.documents(spark, dir).count())
+    assert(df.filter(col("doc_load_factor") > 2.0).count() == 0,
+      "a uniform hash must not produce a 2x-overloaded shard")
+  }
+
+  test("orders backlog curve is non-negative and drains to zero") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("orders_backlog")(spark, dir)
+    assert(df.filter(col("open_orders") < 0).count() == 0)
+    val last = df.orderBy(col("day").desc).head
+    assert(last.getAs[Long]("open_orders") == 0L,
+      "after the last ship date every order has closed")
+  }
+
+  test("repeat purchase bands partition the customer base") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("repeat_purchase")(spark, dir)
+    val total = df.agg(sum("n_customers")).head.getLong(0)
+    val buyers = Tables.orders(spark, dir).select("o_custkey").distinct().count()
+    assert(total == buyers, "every ordering customer lands in exactly one band")
+  }
 }
