@@ -65,10 +65,20 @@ object Round10Ops {
     * SQL-reproducible); QueryCatalogSpec pins |approx − exact|/exact
     * ≤ 2% against #260 on every day.
     */
-  def mauHllSliding(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
-      .groupBy(to_date(col("ts")).as("d"))
-      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+  def mauHllSliding(s: SparkSession, dir: String): DataFrame =
+    slidingMauFromSketches(
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk")))
+
+  /** The serving half of #251/#49r: any (d, sk) relation of per-day HLL
+    * sketch partials → the trailing-7-day estimate curve. Reads |days|
+    * rows, never events; register-max union is associative and
+    * order-free, so batch one-shot sketches and a streamed snapshot of
+    * incrementally merged state produce IDENTICAL estimates
+    * (StreamingSpec pins the equality).
+    */
+  def slidingMauFromSketches(daily: DataFrame): DataFrame = {
     val span = daily.agg(max(col("d")).as("hi"))
     daily.crossJoin(broadcast(span))
       .select(col("sk"), explode(expr("sequence(d, least(date_add(d, 6), hi))")).as("wd"))

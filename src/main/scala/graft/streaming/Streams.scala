@@ -939,4 +939,23 @@ object Streams {
       .filter(col("domain") =!= "")
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n"))
+
+  /** #49r mauSketchStream — continuous twin of mau_hll_sliding (#251):
+    * per-day DataSketches HLL sketches maintained as streaming state.
+    * hll_sketch_agg is a TypedImperativeAggregate, so the state store
+    * holds ONE fixed-KB sketch buffer per day key and every
+    * micro-batch's map-side partial unions into it — the same merge
+    * path batch uses across partitions, now across TIME. The live
+    * (d, sk) table feeds [[graft.queries.Round10Ops.slidingMauFromSketches]]
+    * for the trailing-window curve, so the serving read touches |days|
+    * sketch rows, never events, and — because HLL register-max union
+    * is associative and order-free — a drained stream's estimates are
+    * IDENTICAL to the batch twin's (spec-pinned, mid-day batch split).
+    */
+  def mauSketchStream(events: DataFrame, lateness: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .select(to_date(col("window.start")).as("d"), col("sk"))
 }

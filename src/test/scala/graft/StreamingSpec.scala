@@ -1001,4 +1001,29 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("domain"), r.getAs[Long]("n"))).toSet
     assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
   }
+
+  test("streamed daily HLL sketches serve the identical sliding MAU curve") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(_.ts.getTime)
+    val in = MemoryStream[Ev]
+    val q = Streams.mauSketchStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("mausk").start()
+    // split MID-DAY so at least one day's sketch must merge partials
+    // across micro-batches through the state store
+    val (a, b) = evs.splitAt(evs.length / 2)
+    in.addData(a: _*); q.processAllAvailable()
+    in.addData(b: _*); q.processAllAvailable(); q.stop()
+    val served = graft.queries.Round10Ops
+      .slidingMauFromSketches(spark.table("mausk"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = SparkEntry.queries("mau_hll_sliding")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(served == batch,
+      "register-max union is order-free: streamed state must serve the batch curve exactly")
+  }
 }
