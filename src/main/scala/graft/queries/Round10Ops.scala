@@ -514,6 +514,39 @@ object Round10Ops {
       |  CAST(round(CAST(n_customers AS DOUBLE) / CAST(t AS DOUBLE), 6) AS DOUBLE) AS share
       |FROM m, tot ORDER BY band""".stripMargin
 
+  /** #264 audience_overlap_sketch — the 100 TB twin of #145
+    * user_overlap_matrix: per-type DataSketches THETA sketches support
+    * set INTERSECTION (HLL cannot — union-only), so pairwise audience
+    * overlap becomes theta_intersection over |types| fixed-KB sketch
+    * rows. The exact form's user-key self-join fans every user out
+    * |their types| ways and re-shuffles the pair stream; here the raw
+    * stream collapses ONCE into one sketch per type (map-side merged
+    * TypedImperativeAggregate, the hll_sketch_agg machinery), and the
+    * |types|² pair algebra runs on a broadcast-sized relation — the
+    * same sketches also answer union/difference audience questions
+    * without another scan. Rows-only by declared design;
+    * QueryCatalogSpec pins every estimate within 2% of #145's exact
+    * matrix (at test SF the sketches run in exact mode — below the
+    * 4096-hash retention threshold theta keeps every hash).
+    */
+  def audienceOverlapSketch(s: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("theta_sketch_agg(user_id)").as("sk"))
+    val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+    val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .select(
+        col("type_a"), col("type_b"),
+        expr("theta_sketch_estimate(ska)").as("users_a_est"),
+        expr("theta_sketch_estimate(skb)").as("users_b_est"),
+        expr("theta_sketch_estimate(theta_intersection(ska, skb))").as("overlap_est"))
+      .withColumn("jaccard_est",
+        emit(col("overlap_est").cast("double") /
+          (col("users_a_est") + col("users_b_est") - col("overlap_est")).cast("double"), 6))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sliding_mau" -> (slidingMau(_, _)),
     "mau_hll_sliding" -> (mauHllSliding(_, _)),
@@ -525,7 +558,8 @@ object Round10Ops {
     "ab_lift_report" -> (abLiftReport(_, _)),
     "shard_skew_report" -> (shardSkewReport(_, _)),
     "orders_backlog" -> (ordersBacklog(_, _)),
-    "repeat_purchase" -> (repeatPurchase(_, _)))
+    "repeat_purchase" -> (repeatPurchase(_, _)),
+    "audience_overlap_sketch" -> (audienceOverlapSketch(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,

@@ -21,7 +21,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
       "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
       "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental",
-      "mau_hll_sliding")
+      "mau_hll_sliding", "audience_overlap_sketch")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -1867,6 +1867,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users)
     assert(r.getAs[Long]("conv_a") <= r.getAs[Long]("n_a"))
     assert(r.getAs[Long]("conv_b") <= r.getAs[Long]("n_b"))
+  }
+
+  test("theta-sketch audience overlap tracks the exact matrix within 2%") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("audience_overlap_sketch")(spark, dir)
+    val exact = SparkEntry.queries("user_overlap_matrix")(spark, dir)
+    val j = approx.join(exact, Seq("type_a", "type_b"))
+    assert(j.count() == exact.count(), "sketch matrix must cover every exact pair")
+    val off = j.filter(
+      abs(col("users_a_est") - col("n_a")) / col("n_a") > 0.02 ||
+        abs(col("users_b_est") - col("n_b")) / col("n_b") > 0.02 ||
+        abs(col("overlap_est") - col("n_shared")) / greatest(col("n_shared"), lit(1L)) > 0.02)
+      .count()
+    assert(off == 0, "every theta estimate within 2% of exact")
   }
 
   test("shard skew report conserves docs and stays near balance") {
