@@ -15,6 +15,8 @@ import graft.sources.Firehose
 object Round10Ops {
   import OracleMath._
 
+  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
+
   /** #260 sliding_mau — trailing-7-day distinct active users per day
     * (the growth team's MAU curve at daily grain; #148 user_stickiness
     * reads one week, this reads every day's trailing window). The ONLY
@@ -547,6 +549,109 @@ object Round10Ops {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** #265 word_bigrams — the bigram language model table (top-5
+    * continuations per head word with conditional probability):
+    * doc_perplexity scores docs against a unigram LM, this TRAINS the
+    * next order up — the model behind "boilerplate completion" checks
+    * and the classic smoke test of any corpus change (a mirror
+    * truncation visibly reshapes the continuation table before
+    * aggregate stats move). Bigrams come from ONE per-doc array pass
+    * (zip words with their tail — no self-join, no window over an
+    * exploded gram table), count in a map-side-combined gram-key agg,
+    * head totals join back co-keyed on the head word, probability is
+    * one exact-long division, and the top-5 per head ranks through a
+    * row_number window over the already-aggregated |vocab|²-bounded
+    * count table — never over raw grams; df≥3 head filter keeps the
+    * table reportable.
+    */
+  def wordBigrams(s: SparkSession, dir: String): DataFrame = {
+    val grams = docs(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "filter(zip_with(w, slice(w, 2, size(w)), (a, b) -> struct(a AS w1, b AS w2)), p -> p.w2 IS NOT NULL)"))
+        .as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val counts = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val heads = counts.groupBy(col("w1")).agg(sum(col("c")).as("head_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("c").desc, col("w2"))
+    counts.join(heads, Seq("w1"))
+      .filter(col("head_n") >= 3)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(
+        col("w1"), col("w2"), col("c"), col("head_n"),
+        emit(col("c").cast("double") / col("head_n").cast("double"), 6).as("p"),
+        col("rn"))
+      .orderBy(col("w1"), col("rn"))
+  }
+
+  val wordBigramsSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |  WHERE w[i] <> '' AND w[i+1] <> ''
+      |), counts AS (
+      |  SELECT w1, w2, count(*) AS c FROM grams GROUP BY 1, 2
+      |), heads AS (
+      |  SELECT w1, sum(c) AS head_n FROM counts GROUP BY 1
+      |), ranked AS (
+      |  SELECT counts.w1, w2, c, head_n,
+      |    row_number() OVER (PARTITION BY counts.w1 ORDER BY c DESC, w2) AS rn
+      |  FROM counts JOIN heads ON counts.w1 = heads.w1
+      |  WHERE head_n >= 3
+      |)
+      |SELECT w1, w2, c, CAST(head_n AS BIGINT) AS head_n,
+      |  CAST(round(CAST(c AS DOUBLE) / CAST(head_n AS DOUBLE), 6) AS DOUBLE) AS p, rn
+      |FROM ranked WHERE rn <= 5 ORDER BY w1, rn""".stripMargin
+
+  /** #266 tokenizer_fertility — tokens-per-word and chars-per-token by
+    * language (the tokenizer-equity report: a BPE trained on English
+    * fragments other scripts into 2-3× the tokens, which silently
+    * triples those languages' training cost and context usage — THE
+    * number multilingual data teams read before fixing a vocab). Words
+    * by whitespace, tokens by the BPE-ish regex device shared with
+    * token_count; both counts are per-row expressions folded in one
+    * |langs|-bounded aggregate — one scan, one tiny shuffle; ratios
+    * divide exact longs once (q14 device).
+    */
+  def tokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(
+        col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{1,4}|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"))
+      .select(
+        col("lang"), col("n_docs"), col("words"), col("tokens"),
+        emit(col("tokens").cast("double") / col("words").cast("double"), 6).as("fertility"),
+        emit(col("chars").cast("double") / col("tokens").cast("double"), 6).as("chars_per_token"))
+      .orderBy(col("lang"))
+
+  val tokenizerFertilitySql: String =
+    """WITH per AS (
+      |  SELECT lang,
+      |    len(string_split(text, ' ')) AS n_words,
+      |    len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9 ]')) AS n_tokens,
+      |    length(text) AS n_chars
+      |  FROM documents
+      |)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(n_words) AS BIGINT) AS words, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+      |  CAST(round(CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6) AS DOUBLE) AS fertility,
+      |  CAST(round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) AS DOUBLE) AS chars_per_token
+      |FROM per GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sliding_mau" -> (slidingMau(_, _)),
     "mau_hll_sliding" -> (mauHllSliding(_, _)),
@@ -559,7 +664,9 @@ object Round10Ops {
     "shard_skew_report" -> (shardSkewReport(_, _)),
     "orders_backlog" -> (ordersBacklog(_, _)),
     "repeat_purchase" -> (repeatPurchase(_, _)),
-    "audience_overlap_sketch" -> (audienceOverlapSketch(_, _)))
+    "audience_overlap_sketch" -> (audienceOverlapSketch(_, _)),
+    "word_bigrams" -> (wordBigrams(_, _)),
+    "tokenizer_fertility" -> (tokenizerFertility(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -571,5 +678,7 @@ object Round10Ops {
     "ab_lift_report" -> abLiftReportSql,
     "shard_skew_report" -> shardSkewReportSql,
     "orders_backlog" -> ordersBacklogSql,
-    "repeat_purchase" -> repeatPurchaseSql)
+    "repeat_purchase" -> repeatPurchaseSql,
+    "word_bigrams" -> wordBigramsSql,
+    "tokenizer_fertility" -> tokenizerFertilitySql)
 }

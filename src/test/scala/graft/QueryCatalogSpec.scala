@@ -1883,6 +1883,29 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(off == 0, "every theta estimate within 2% of exact")
   }
 
+  test("bigram table probabilities are ranked and head-bounded") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("word_bigrams")(spark, dir)
+    assert(df.groupBy("w1").count().filter(col("count") > 5).count() == 0, "top-5 per head")
+    // within a head, rank order must follow count order
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("rn"))
+    val bad = df.withColumn("prev_c", lag(col("c"), 1).over(w))
+      .filter(col("prev_c").isNotNull && col("c") > col("prev_c")).count()
+    assert(bad == 0, "rank 2 can never outcount rank 1")
+    assert(df.filter(col("p") <= 0 || col("p") > 1).count() == 0)
+  }
+
+  test("tokenizer fertility stays consistent with token_count totals") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("tokenizer_fertility")(spark, dir)
+    val tokTotal = df.agg(sum("tokens")).head.getLong(0)
+    val tc = SparkEntry.queries("token_count")(spark, dir)
+      .agg(sum("total_bpe_tokens")).head.getLong(0)
+    assert(tokTotal == tc, "the lang rollup and the source rollup count the same tokens")
+    assert(df.filter(col("fertility") <= 0).count() == 0)
+  }
+
   test("shard skew report conserves docs and stays near balance") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("shard_skew_report")(spark, dir)
