@@ -652,6 +652,93 @@ object Round10Ops {
       |  CAST(round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) AS DOUBLE) AS chars_per_token
       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** #267 conversion_survival — the Kaplan–Meier curve for
+    * view→purchase latency WITH right-censoring (the question
+    * funnel_stages' fixed 24 h window cannot answer: "how long does
+    * conversion actually take", where users who haven't converted YET
+    * must not count as failures — dropping them biases the curve, the
+    * KM estimator is the standard fix). Per-user first-view and
+    * first-later-purchase fall out of chained aggregates on the SAME
+    * user key (the repeat_purchase device); exits (conversion or
+    * censoring at the data horizon — a single-row broadcast, no wall
+    * clock) group into the ≤|horizon-days| offset matrix, so at-risk
+    * counts and the KM product run over bounded rows, never raw
+    * events. The product Π(1−d/n) is order-sensitive in float, so each
+    * ln(1−d/n) term — an exact-long division, identical IEEE in both
+    * engines — rounds to 12 dp and cumulates as DECIMAL over the day
+    * matrix (the source_lang_entropy device), exp'd once at emit.
+    */
+  def conversionSurvival(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
+    val horizon = ev.agg(max(col("d")).as("hz"))
+    val firstView = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    val exits = ev.filter(col("event_type") === "purchase")
+      .join(firstView, Seq("user_id"))
+      .groupBy(col("user_id"))
+      .agg(min(col("d0")).as("d0"), min(when(col("d") >= col("d0"), col("d"))).as("d1"))
+      .unionByName( // viewers with no purchase row at all still censor
+        firstView.join(
+          ev.filter(col("event_type") === "purchase").select(col("user_id")).distinct(),
+          Seq("user_id"), "left_anti")
+          .select(col("user_id"), col("d0"), lit(null).cast("date").as("d1")))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("d1").isNotNull, datediff(col("d1"), col("d0")))
+          .otherwise(datediff(col("hz"), col("d0"))).as("off"),
+        col("d1").isNotNull.as("converted"))
+    val matrix = exits.groupBy(col("off"))
+      .agg(
+        sum(when(col("converted"), 1L).otherwise(0L)).as("n_events"),
+        count(lit(1)).as("n_exits"))
+    val total = exits.agg(count(lit(1)).as("n_total"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("off")).rowsBetween(Long.MinValue, -1)
+    val wIncl = org.apache.spark.sql.expressions.Window
+      .orderBy(col("off")).rowsBetween(Long.MinValue, 0)
+    matrix.crossJoin(broadcast(total))
+      .withColumn("n_at_risk", col("n_total") - coalesce(sum(col("n_exits")).over(w), lit(0L)))
+      .withColumn("lnterm",
+        round(log(greatest(
+          lit(1.0) - col("n_events").cast("double") / col("n_at_risk").cast("double"),
+          lit(1e-12))), 12).cast(Dec12))
+      .withColumn("km_survival", emit(exp(sum(col("lnterm")).over(wIncl).cast("double")), 6))
+      .select(col("off").as("day_off"), col("n_at_risk"), col("n_events"), col("km_survival"))
+      .orderBy(col("day_off"))
+  }
+
+  val conversionSurvivalSql: String =
+    """WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS d FROM events),
+      |hz AS (SELECT max(d) AS hz FROM ev),
+      |fv AS (SELECT user_id, min(d) AS d0 FROM ev WHERE event_type = 'view' GROUP BY 1),
+      |conv AS (
+      |  SELECT ev.user_id, min(d0) AS d0, min(CASE WHEN d >= d0 THEN d END) AS d1
+      |  FROM ev JOIN fv ON ev.user_id = fv.user_id
+      |  WHERE event_type = 'purchase' GROUP BY ev.user_id
+      |), exits AS (
+      |  SELECT CASE WHEN d1 IS NOT NULL THEN date_diff('day', d0, d1)
+      |              ELSE date_diff('day', d0, hz) END AS off,
+      |    d1 IS NOT NULL AS converted
+      |  FROM conv, hz
+      |  UNION ALL
+      |  SELECT date_diff('day', fv.d0, hz), false
+      |  FROM fv, hz
+      |  WHERE fv.user_id NOT IN (SELECT user_id FROM ev WHERE event_type = 'purchase')
+      |), matrix AS (
+      |  SELECT off, sum(CASE WHEN converted THEN 1 ELSE 0 END) AS n_events,
+      |    count(*) AS n_exits
+      |  FROM exits GROUP BY off
+      |), tot AS (SELECT count(*) AS n_total FROM exits),
+      |risk AS (
+      |  SELECT off, n_events, n_exits,
+      |    n_total - coalesce(sum(n_exits) OVER (ORDER BY off ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_at_risk
+      |  FROM matrix, tot
+      |)
+      |SELECT off AS day_off, CAST(n_at_risk AS BIGINT) AS n_at_risk,
+      |  CAST(n_events AS BIGINT) AS n_events,
+      |  CAST(round(exp(CAST(sum(CAST(round(ln(greatest(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 1e-12)), 12) AS DECIMAL(38,12))) OVER (ORDER BY off ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS DOUBLE) AS km_survival
+      |FROM risk ORDER BY day_off""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sliding_mau" -> (slidingMau(_, _)),
     "mau_hll_sliding" -> (mauHllSliding(_, _)),
@@ -666,7 +753,8 @@ object Round10Ops {
     "repeat_purchase" -> (repeatPurchase(_, _)),
     "audience_overlap_sketch" -> (audienceOverlapSketch(_, _)),
     "word_bigrams" -> (wordBigrams(_, _)),
-    "tokenizer_fertility" -> (tokenizerFertility(_, _)))
+    "tokenizer_fertility" -> (tokenizerFertility(_, _)),
+    "conversion_survival" -> (conversionSurvival(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -680,5 +768,6 @@ object Round10Ops {
     "orders_backlog" -> ordersBacklogSql,
     "repeat_purchase" -> repeatPurchaseSql,
     "word_bigrams" -> wordBigramsSql,
-    "tokenizer_fertility" -> tokenizerFertilitySql)
+    "tokenizer_fertility" -> tokenizerFertilitySql,
+    "conversion_survival" -> conversionSurvivalSql)
 }

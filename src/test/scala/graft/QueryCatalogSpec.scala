@@ -1906,6 +1906,21 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.filter(col("fertility") <= 0).count() == 0)
   }
 
+  test("KM survival curve is monotone and anchored on the viewer base") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("conversion_survival")(spark, dir)
+      .orderBy("day_off").collect()
+    val viewers = Tables.events(spark, dir)
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(rows.head.getAs[Long]("n_at_risk") == viewers,
+      "day 0 must put every viewer at risk")
+    val surv = rows.map(_.getAs[Double]("km_survival"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "survival can never increase")
+    val risk = rows.map(_.getAs[Long]("n_at_risk"))
+    assert(risk.zip(risk.tail).forall { case (a, b) => b <= a }, "at-risk only shrinks")
+  }
+
   test("shard skew report conserves docs and stays near balance") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("shard_skew_report")(spark, dir)
