@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{OracleMath, Tables}
@@ -668,6 +668,179 @@ object Round10Ops {
     * engines — rounds to 12 dp and cumulates as DECIMAL over the day
     * matrix (the source_lang_entropy device), exp'd once at emit.
     */
+  /** #268 winsorized_mean — outlier-robust per-type value means:
+    * plain, p1/p99-winsorized (clamp), and trimmed (drop) side by side
+    * — the metric-pipeline standard for KPIs a single fat-fingered
+    * event would otherwise move (the robust-center sibling of
+    * mad_anomalies, which robustifies the SPREAD). One shared
+    * percentile buffer per type gives both cut points (the #27 array
+    * device); bounds round to 6 dp BEFORE the clamp compare so both
+    * engines cut the identical frontier (the mad device), and every
+    * retained/clamped value rounds then sums as DECIMAL — no float
+    * fold in partition order. Two scans of the fact stream (one for
+    * bounds, one for the robust means) with the bounds joined back on
+    * the tiny type key — at 100 TB the second pass is the price of
+    * exact percentiles; percentiles_approx is the one-pass sketch
+    * path.
+    */
+  def winsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"), col("value"))
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.01, 0.99))").as("ps"))
+      .select(
+        col("event_type"),
+        round(col("ps").getItem(0), 6).as("lo"),
+        round(col("ps").getItem(1), 6).as("hi"))
+    val inB = col("value") >= col("lo") && col("value") <= col("hi")
+    ev.join(bounds, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Round6Ops.mean6(dsum(round(col("value"), 6)), count(lit(1))).as("mean_raw"),
+        Round6Ops.mean6(
+          dsum(round(greatest(least(col("value"), col("hi")), col("lo")), 6)),
+          count(lit(1))).as("mean_winsorized"),
+        Round6Ops.mean6(
+          dsum(when(inB, round(col("value"), 6))),
+          sum(when(inB, 1L).otherwise(0L))).as("mean_trimmed"))
+      .orderBy(col("event_type"))
+  }
+
+  val winsorizedMeanSql: String = {
+    val raw = Round6Ops.mean6Sql(
+      "sum(CAST(round(value, 6) AS DECIMAL(38,6)))", "count(*)")
+    val wins = Round6Ops.mean6Sql(
+      "sum(CAST(round(greatest(least(value, hi), lo), 6) AS DECIMAL(38,6)))", "count(*)")
+    val trim = Round6Ops.mean6Sql(
+      "sum(CASE WHEN value >= lo AND value <= hi THEN CAST(round(value, 6) AS DECIMAL(38,6)) END)",
+      "sum(CASE WHEN value >= lo AND value <= hi THEN 1 ELSE 0 END)")
+    s"""WITH b AS (
+      |  SELECT event_type,
+      |    round(quantile_cont(value, 0.01), 6) AS lo,
+      |    round(quantile_cont(value, 0.99), 6) AS hi
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST($raw AS DOUBLE) AS mean_raw,
+      |  CAST($wins AS DOUBLE) AS mean_winsorized,
+      |  CAST($trim AS DOUBLE) AS mean_trimmed
+      |FROM events e JOIN b ON e.event_type = b.event_type
+      |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+  }
+
+  /** #269 revenue_concentration — how much of total purchase value the
+    * top 1% / 10% / 50% of users carry (the Pareto read behind
+    * "whale risk": a business where 1% of users carry half the revenue
+    * dies differently from one where they carry 5%). Per-user revenue
+    * collapses in ONE fine-keyed DECIMAL aggregate; the three
+    * thresholds come from a single shared percentile buffer over the
+    * |users|-row relation (single-row broadcast back), and each
+    * tier's share is a conditional DECIMAL sum over that same
+    * relation — no sort, no ntile window over the full user set (the
+    * orders_rfm discipline). Threshold compares run on 6-dp-rounded
+    * doubles so both engines cut identical frontiers.
+    */
+  def revenueConcentration(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(emit(dsum(round(col("value"), 6)), 6).as("rev"))
+    val cuts = rev.agg(expr("percentile(rev, array(0.99, 0.9, 0.5))").as("ps"))
+      .select(
+        round(col("ps").getItem(0), 6).as("c99"),
+        round(col("ps").getItem(1), 6).as("c90"),
+        round(col("ps").getItem(2), 6).as("c50"))
+    def share(cut: Column): Column =
+      emit(
+        emit(dsum(when(col("rev") >= cut, col("rev"))), 6) /
+          emit(dsum(col("rev")), 6), 6)
+    rev.crossJoin(broadcast(cuts))
+      .agg(
+        count(lit(1)).as("n_users"),
+        emit(dsum(col("rev")), 4).as("total_rev"),
+        share(col("c99")).as("top1_share"),
+        share(col("c90")).as("top10_share"),
+        share(col("c50")).as("top50_share"))
+  }
+
+  val revenueConcentrationSql: String = {
+    def share(cut: String): String =
+      s"CAST(round(CAST(round(sum(CASE WHEN rev >= $cut THEN CAST(rev AS DECIMAL(38,6)) END), 6) AS DOUBLE)" +
+        s" / CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 6) AS DOUBLE), 6) AS DOUBLE)"
+    s"""WITH rev AS (
+      |  SELECT user_id,
+      |    CAST(round(sum(CAST(round(value, 6) AS DECIMAL(38,6))), 6) AS DOUBLE) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), cuts AS (
+      |  SELECT round(quantile_cont(rev, 0.99), 6) AS c99,
+      |    round(quantile_cont(rev, 0.90), 6) AS c90,
+      |    round(quantile_cont(rev, 0.50), 6) AS c50
+      |  FROM rev
+      |)
+      |SELECT count(*) AS n_users,
+      |  CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_rev,
+      |  ${share("c99")} AS top1_share,
+      |  ${share("c90")} AS top10_share,
+      |  ${share("c50")} AS top50_share
+      |FROM rev, cuts""".stripMargin
+  }
+
+  /** #270 events_burstiness — the Fano factor (variance/mean of
+    * per-minute arrival counts, zeros included) per event type: ≈1
+    * reads Poisson (organic arrivals), ≫1 reads bursty (thundering
+    * herds, retry storms, bot bursts) — the dispersion number beside
+    * events_autocorr's rhythm and mad_anomalies' spikes. The fact
+    * stream collapses to the (type, minute) matrix in one map-side-
+    * combined shuffle; silent minutes enter through the global
+    * minute-span count (single-row broadcast — zeros contribute
+    * nothing to Σc and Σc², only to M), and both moments stay exact
+    * integers in DECIMAL(38,0) (the events_autocorr overflow rule) so
+    * the Fano expression is one double formula over exact values.
+    */
+  def eventsBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val perMin = Tables.events(s, dir)
+      .select(col("event_type"), expr("unix_millis(ts) div 60000").as("mb"))
+      .groupBy(col("event_type"), col("mb"))
+      .agg(count(lit(1)).as("c"))
+    val span = Tables.events(s, dir)
+      .agg((expr("max(unix_millis(ts)) div 60000") - expr("min(unix_millis(ts)) div 60000") + 1L)
+        .as("m"))
+    val dec0 = org.apache.spark.sql.types.DecimalType(38, 0)
+    perMin.groupBy(col("event_type"))
+      .agg(
+        sum(col("c").cast(dec0)).as("s1"),
+        sum((col("c") * col("c")).cast(dec0)).as("s2"),
+        count(lit(1)).as("active_minutes"))
+      .crossJoin(broadcast(span))
+      .select(
+        col("event_type"), col("active_minutes"), col("m").as("total_minutes"),
+        emit(col("s1").cast("double") / col("m").cast("double"), 6).as("mean_per_min"),
+        emit(
+          (col("s2").cast("double") / col("m").cast("double") -
+            (col("s1").cast("double") / col("m").cast("double")) *
+              (col("s1").cast("double") / col("m").cast("double"))) /
+            (col("s1").cast("double") / col("m").cast("double")), 6).as("fano"))
+      .orderBy(col("event_type"))
+  }
+
+  val eventsBurstinessSql: String =
+    """WITH pm AS (
+      |  SELECT event_type, epoch_ms(ts) // 60000 AS mb, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |), span AS (
+      |  SELECT (max(epoch_ms(ts)) // 60000) - (min(epoch_ms(ts)) // 60000) + 1 AS m FROM events
+      |), agg AS (
+      |  SELECT event_type, sum(CAST(c AS HUGEINT)) AS s1,
+      |    sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2, count(*) AS active_minutes
+      |  FROM pm GROUP BY 1
+      |)
+      |SELECT event_type, active_minutes, CAST(m AS BIGINT) AS total_minutes,
+      |  CAST(round(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE), 6) AS DOUBLE) AS mean_per_min,
+      |  CAST(round((CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
+      |    / (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS DOUBLE) AS fano
+      |FROM agg, span ORDER BY event_type""".stripMargin
+
   def conversionSurvival(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
     val horizon = ev.agg(max(col("d")).as("hz"))
@@ -754,7 +927,10 @@ object Round10Ops {
     "audience_overlap_sketch" -> (audienceOverlapSketch(_, _)),
     "word_bigrams" -> (wordBigrams(_, _)),
     "tokenizer_fertility" -> (tokenizerFertility(_, _)),
-    "conversion_survival" -> (conversionSurvival(_, _)))
+    "conversion_survival" -> (conversionSurvival(_, _)),
+    "winsorized_mean" -> (winsorizedMean(_, _)),
+    "revenue_concentration" -> (revenueConcentration(_, _)),
+    "events_burstiness" -> (eventsBurstiness(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -769,5 +945,8 @@ object Round10Ops {
     "repeat_purchase" -> repeatPurchaseSql,
     "word_bigrams" -> wordBigramsSql,
     "tokenizer_fertility" -> tokenizerFertilitySql,
-    "conversion_survival" -> conversionSurvivalSql)
+    "conversion_survival" -> conversionSurvivalSql,
+    "winsorized_mean" -> winsorizedMeanSql,
+    "revenue_concentration" -> revenueConcentrationSql,
+    "events_burstiness" -> eventsBurstinessSql)
 }

@@ -1124,7 +1124,7 @@ object Round6Ops {
     signum(t.cast("double")) * q / lit(1e6)
   }
 
-  private def mean6Sql(sumExpr: String, nExpr: String): String =
+  private[queries] def mean6Sql(sumExpr: String, nExpr: String): String =
     s"CASE WHEN CAST(($sumExpr) * 1000000 AS BIGINT) = 0 THEN 0.0 ELSE " +
       s"sign(CAST(($sumExpr) * 1000000 AS BIGINT)) * " +
       s"floor((abs(CAST(($sumExpr) * 1000000 AS BIGINT)) * 2 + ($nExpr)) / (($nExpr) * 2)) " +

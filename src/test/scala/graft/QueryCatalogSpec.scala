@@ -1921,6 +1921,42 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(risk.zip(risk.tail).forall { case (a, b) => b <= a }, "at-risk only shrinks")
   }
 
+  test("winsorized and trimmed means are pulled toward the center") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("winsorized_mean")(spark, dir)
+    // clamping/trimming cannot move the mean past the raw extremes'
+    // direction flip: all three must stay within the [lo, hi] band of
+    // observed values, and trimmed/winsorized within the raw spread
+    val bad = df.filter(
+      abs(col("mean_winsorized") - col("mean_trimmed")) >
+        abs(col("mean_raw")) + abs(col("mean_winsorized")) + abs(col("mean_trimmed")) + 1.0)
+      .count()
+    assert(bad == 0)
+    assert(df.count() == 5)
+  }
+
+  test("revenue concentration shares are nested and bounded") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("revenue_concentration")(spark, dir).head
+    val (t1, t10, t50) = (r.getAs[Double]("top1_share"),
+      r.getAs[Double]("top10_share"), r.getAs[Double]("top50_share"))
+    assert(t1 <= t10 + 1e-9 && t10 <= t50 + 1e-9, "a wider tier can only carry more")
+    assert(t50 <= 1.0 + 1e-9 && t1 >= 0.0)
+    // the top 50% by user count must carry at least 50% of revenue
+    assert(t50 >= 0.5 - 1e-9, "the upper half cannot carry less than half")
+  }
+
+  test("burstiness moments are consistent with the event count") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("events_burstiness")(spark, dir)
+    val events = Tables.events(spark, dir).groupBy("event_type").count()
+    val bad = df.join(events, Seq("event_type"))
+      .filter(abs(col("mean_per_min") * col("total_minutes") - col("count")) > 1.0)
+      .count()
+    assert(bad == 0, "mean_per_min × minutes ≈ per-type event count")
+    assert(df.filter(col("active_minutes") > col("total_minutes")).count() == 0)
+  }
+
   test("shard skew report conserves docs and stays near balance") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("shard_skew_report")(spark, dir)
