@@ -841,6 +841,122 @@ object Round10Ops {
       |    / (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS DOUBLE) AS fano
       |FROM agg, span ORDER BY event_type""".stripMargin
 
+  /** #271 rfm_migration — quarter-over-quarter customer segment
+    * transition matrix (orders_rfm labels customers ONCE; this tracks
+    * how they MOVE — the "are my best customers decaying" question a
+    * static segmentation cannot answer, the markov_transitions device
+    * on the segment axis). Per (customer, quarter) frequency/monetary
+    * collapse in one fine-keyed DECIMAL agg; the 2×2 segment cut uses
+    * GLOBAL medians over customer-quarters (single-row broadcast —
+    * never an ntile window, the orders_rfm discipline); consecutive
+    * quarters pair by a co-keyed self-join on (customer, quarter+1)
+    * with absent next quarters reading 'gone'; the |segments|²-bounded
+    * matrix counts with map-side combine, row-shares divide exact
+    * longs (markov device).
+    */
+  def rfmMigration(s: SparkSession, dir: String): DataFrame = {
+    val cq = Tables.orders(s, dir)
+      .select(
+        col("o_custkey"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1).as("q"),
+        col("o_totalprice"))
+      .groupBy(col("o_custkey"), col("q"))
+      .agg(count(lit(1)).as("f"), emit(dsum(col("o_totalprice"))).as("m"))
+    val meds = cq.agg(
+      round(expr("percentile(f, 0.5)"), 6).as("med_f"),
+      round(expr("percentile(m, 0.5)"), 6).as("med_m"))
+    val seg = cq.crossJoin(broadcast(meds))
+      .select(
+        col("o_custkey"), col("q"),
+        concat(
+          when(col("f") >= col("med_f"), lit("F")).otherwise(lit("f")),
+          when(col("m") >= col("med_m"), lit("M")).otherwise(lit("m"))).as("seg"))
+    val next = seg.select(
+      col("o_custkey"), (col("q") - 1).as("q"), col("seg").as("seg_to"))
+    val pairs = seg.join(next, Seq("o_custkey", "q"), "left")
+      .select(col("seg").as("seg_from"), coalesce(col("seg_to"), lit("gone")).as("seg_to"))
+    val m = pairs.groupBy(col("seg_from"), col("seg_to")).agg(count(lit(1)).as("n"))
+    val tot = m.groupBy(col("seg_from")).agg(sum(col("n")).as("row_n"))
+    m.join(tot, Seq("seg_from"))
+      .select(
+        col("seg_from"), col("seg_to"), col("n"),
+        emit(col("n").cast("double") / col("row_n").cast("double"), 6).as("p"))
+      .orderBy(col("seg_from"), col("seg_to"))
+  }
+
+  val rfmMigrationSql: String =
+    """WITH cq AS (
+      |  SELECT o_custkey, year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS q,
+      |    count(*) AS f,
+      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS m
+      |  FROM orders GROUP BY 1, 2
+      |), meds AS (
+      |  SELECT round(quantile_cont(f, 0.5), 6) AS med_f,
+      |    round(quantile_cont(m, 0.5), 6) AS med_m
+      |  FROM cq
+      |), seg AS (
+      |  SELECT o_custkey, q,
+      |    (CASE WHEN f >= med_f THEN 'F' ELSE 'f' END) ||
+      |    (CASE WHEN m >= med_m THEN 'M' ELSE 'm' END) AS seg
+      |  FROM cq, meds
+      |), pairs AS (
+      |  SELECT a.seg AS seg_from, coalesce(b.seg, 'gone') AS seg_to
+      |  FROM seg a LEFT JOIN seg b
+      |    ON a.o_custkey = b.o_custkey AND b.q = a.q + 1
+      |), m2 AS (
+      |  SELECT seg_from, seg_to, count(*) AS n FROM pairs GROUP BY 1, 2
+      |), tot AS (SELECT seg_from, sum(n) AS row_n FROM m2 GROUP BY 1)
+      |SELECT m2.seg_from, seg_to, n,
+      |  CAST(round(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 6) AS DOUBLE) AS p
+      |FROM m2 JOIN tot ON m2.seg_from = tot.seg_from
+      |ORDER BY m2.seg_from, seg_to""".stripMargin
+
+  /** #272 truncation_coverage — the max-seq-len design table: for each
+    * candidate cap (64…8192 tokens) the share of docs fitting entirely
+    * and the share of TOKEN MASS retained after truncation
+    * (Σ min(tok, L) / Σ tok) — corpus_length_report histograms chars
+    * by source, this answers the decision the histogram feeds: "which
+    * cap loses how much data". Per-doc token counts in one scan (the
+    * token_count whitespace rule), then a bounded ×|caps| explode and
+    * one 8-row aggregate with map-side combine; shares divide exact
+    * longs once (q14 device); coverage is monotone in the cap
+    * (spec-pinned).
+    */
+  def truncationCoverage(s: SparkSession, dir: String): DataFrame = {
+    val caps = Seq(64, 128, 256, 512, 1024, 2048, 4096, 8192)
+    val per = docs(s, dir)
+      .select(size(split(col("text"), " +")).cast("long").as("tok"))
+    per
+      .select(col("tok"), explode(lit(caps.toArray)).as("cap"))
+      .groupBy(col("cap"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("tok") <= col("cap"), 1L).otherwise(0L)).as("docs_within"),
+        sum(col("tok")).as("total_tokens"),
+        sum(least(col("tok"), col("cap").cast("long"))).as("tokens_retained"))
+      .select(
+        col("cap"),
+        emit(col("docs_within").cast("double") / col("n_docs").cast("double"), 6)
+          .as("doc_coverage"),
+        col("total_tokens"), col("tokens_retained"),
+        emit(col("tokens_retained").cast("double") / col("total_tokens").cast("double"), 6)
+          .as("token_coverage"))
+      .orderBy(col("cap"))
+  }
+
+  val truncationCoverageSql: String =
+    """WITH per AS (
+      |  SELECT len(regexp_split_to_array(text, ' +')) AS tok FROM documents
+      |), ex AS (
+      |  SELECT tok, unnest([64, 128, 256, 512, 1024, 2048, 4096, 8192]) AS cap FROM per
+      |)
+      |SELECT cap,
+      |  CAST(round(CAST(sum(CASE WHEN tok <= cap THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS doc_coverage,
+      |  CAST(sum(tok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(least(tok, cap)) AS BIGINT) AS tokens_retained,
+      |  CAST(round(CAST(sum(least(tok, cap)) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 6) AS DOUBLE) AS token_coverage
+      |FROM ex GROUP BY cap ORDER BY cap""".stripMargin
+
   def conversionSurvival(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
     val horizon = ev.agg(max(col("d")).as("hz"))
@@ -930,7 +1046,9 @@ object Round10Ops {
     "conversion_survival" -> (conversionSurvival(_, _)),
     "winsorized_mean" -> (winsorizedMean(_, _)),
     "revenue_concentration" -> (revenueConcentration(_, _)),
-    "events_burstiness" -> (eventsBurstiness(_, _)))
+    "events_burstiness" -> (eventsBurstiness(_, _)),
+    "rfm_migration" -> (rfmMigration(_, _)),
+    "truncation_coverage" -> (truncationCoverage(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -948,5 +1066,7 @@ object Round10Ops {
     "conversion_survival" -> conversionSurvivalSql,
     "winsorized_mean" -> winsorizedMeanSql,
     "revenue_concentration" -> revenueConcentrationSql,
-    "events_burstiness" -> eventsBurstinessSql)
+    "events_burstiness" -> eventsBurstinessSql,
+    "rfm_migration" -> rfmMigrationSql,
+    "truncation_coverage" -> truncationCoverageSql)
 }

@@ -1957,6 +1957,31 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.filter(col("active_minutes") > col("total_minutes")).count() == 0)
   }
 
+  test("rfm migration rows are proper distributions over destinations") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("rfm_migration")(spark, dir)
+    val sums = df.groupBy("seg_from").agg(sum("p").as("ps"), sum("n").as("ns"))
+    assert(sums.filter(abs(col("ps") - 1.0) > 1e-4).count() == 0,
+      "per-source transition probabilities sum to 1")
+    val cqs = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 4 + quarter(col("o_orderdate")) - 1).as("q"))
+      .distinct().count()
+    assert(df.agg(sum("n")).head.getLong(0) == cqs,
+      "every customer-quarter transitions exactly once")
+  }
+
+  test("truncation coverage is monotone in the cap") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("truncation_coverage")(spark, dir)
+      .orderBy("cap").collect()
+    val dc = rows.map(_.getAs[Double]("doc_coverage"))
+    val tc = rows.map(_.getAs[Double]("token_coverage"))
+    assert(dc.zip(dc.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(tc.zip(tc.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(tc.last <= 1.0 + 1e-9 && rows.forall(_.getAs[Long]("tokens_retained") <= rows.head.getAs[Long]("total_tokens")))
+  }
+
   test("shard skew report conserves docs and stays near balance") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("shard_skew_report")(spark, dir)
