@@ -957,6 +957,108 @@ object Round10Ops {
       |  CAST(round(CAST(sum(least(tok, cap)) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 6) AS DOUBLE) AS token_coverage
       |FROM ex GROUP BY cap ORDER BY cap""".stripMargin
 
+  /** #273 fk_integrity_report — referential-integrity audit across
+    * every join edge of the star schema (the nightly check a warehouse
+    * runs before trusting joins: an orphaned foreign key silently
+    * drops rows from every inner join downstream — the failure mode
+    * that shows up as "revenue moved" three dashboards later). Each
+    * relation contributes one row: row count, distinct FK values,
+    * orphan rows (LEFT ANTI against the parent's key set — dim parents
+    * broadcast; the fact-fact edge runs hint-free and AQE/bloom prunes
+    * it), orphan rate from exact longs (q14 device). The five audits
+    * union into one report; each is aggregate-only so the whole report
+    * is one job with map-side-combined partials.
+    */
+  def fkIntegrityReport(s: SparkSession, dir: String): DataFrame = {
+    def audit(name: String, child: DataFrame, fk: String, parent: DataFrame, pk: String) = {
+      val orphans = child.select(col(fk)).filter(col(fk).isNotNull)
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+      val base = child.agg(
+        count(lit(1)).as("n_rows"),
+        count_distinct(col(fk)).as("n_keys"),
+        sum(when(col(fk).isNull, 1L).otherwise(0L)).as("n_null_fk"))
+      base.crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(
+          lit(name).as("relation"), col("n_rows"), col("n_keys"),
+          col("n_null_fk"), col("n_orphans"),
+          emit(col("n_orphans").cast("double") / col("n_rows").cast("double"), 6)
+            .as("orphan_rate"))
+    }
+    audit("lineitem.l_orderkey->orders", Tables.lineitem(s, dir), "l_orderkey",
+      Tables.orders(s, dir), "o_orderkey")
+      .unionByName(audit("lineitem.l_partkey->part", Tables.lineitem(s, dir), "l_partkey",
+        Tables.part(s, dir), "p_partkey"))
+      .unionByName(audit("lineitem.l_suppkey->supplier", Tables.lineitem(s, dir), "l_suppkey",
+        Tables.supplier(s, dir), "s_suppkey"))
+      .unionByName(audit("orders.o_custkey->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .unionByName(audit("customer.c_nationkey->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"))
+      .orderBy(col("relation"))
+  }
+
+  val fkIntegrityReportSql: String = {
+    def audit(name: String, child: String, fk: String, parent: String, pk: String) =
+      s"""SELECT '$name' AS relation, count(*) AS n_rows,
+         |  count(DISTINCT $fk) AS n_keys,
+         |  CAST(sum(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+         |  CAST((SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
+         |        AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS BIGINT) AS n_orphans,
+         |  CAST(round(CAST((SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
+         |        AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate
+         |FROM $child""".stripMargin
+    Seq(
+      audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      audit("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      audit("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      audit("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      audit("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
+  /** #274 table_profile_sketch — the 100 TB twin of table_profile
+    * (#143): the exact per-column distinct counts there cost one
+    * count-distinct EXPAND per column over the full stream; here every
+    * distinct is a fixed-KB HLL sketch (lgK=14, <0.5% typical error)
+    * so the whole profile stays ONE map-side-combined pass whose
+    * shuffle moves kilobytes — the profile a pipeline can afford on
+    * every arriving partition, not just nightly. Null counts and
+    * min/max are exact (same expressions as #143); only the distinct
+    * column is estimated. Rows-only by declared design;
+    * QueryCatalogSpec pins every estimate within 2% of #143's exact
+    * profile.
+    */
+  def tableProfileSketch(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val one = e.agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("event_type").isNull, 1L).otherwise(0L)).as("et_nulls"),
+      hll_sketch_estimate(hll_sketch_agg(col("event_type"), lit(14))).as("et_distinct"),
+      min(col("event_type")).as("et_min"),
+      max(col("event_type")).as("et_max"),
+      sum(when(col("user_id").isNull, 1L).otherwise(0L)).as("uid_nulls"),
+      hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14))).as("uid_distinct"),
+      min(col("user_id")).cast("string").as("uid_min"),
+      max(col("user_id")).cast("string").as("uid_max"),
+      sum(when(col("props").isNull, 1L).otherwise(0L)).as("p_nulls"),
+      hll_sketch_estimate(hll_sketch_agg(col("props"), lit(14))).as("p_distinct"),
+      min(col("props")).as("p_min"),
+      max(col("props")).as("p_max"))
+    one.select(
+        col("n_rows"),
+        expr("""stack(3,
+          'event_type', et_nulls, et_distinct, et_min, et_max,
+          'user_id',    uid_nulls, uid_distinct, uid_min, uid_max,
+          'props',      p_nulls, p_distinct, p_min, p_max
+        ) AS (column_name, n_nulls, n_distinct_est, min_val, max_val)"""))
+      .select(
+        col("column_name"), col("n_rows"), col("n_nulls"),
+        emit(col("n_nulls") / col("n_rows"), 6).as("null_rate"),
+        col("n_distinct_est"), col("min_val"), col("max_val"))
+      .orderBy(col("column_name"))
+  }
+
   def conversionSurvival(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
     val horizon = ev.agg(max(col("d")).as("hz"))
@@ -1048,7 +1150,9 @@ object Round10Ops {
     "revenue_concentration" -> (revenueConcentration(_, _)),
     "events_burstiness" -> (eventsBurstiness(_, _)),
     "rfm_migration" -> (rfmMigration(_, _)),
-    "truncation_coverage" -> (truncationCoverage(_, _)))
+    "truncation_coverage" -> (truncationCoverage(_, _)),
+    "fk_integrity_report" -> (fkIntegrityReport(_, _)),
+    "table_profile_sketch" -> (tableProfileSketch(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -1068,5 +1172,6 @@ object Round10Ops {
     "revenue_concentration" -> revenueConcentrationSql,
     "events_burstiness" -> eventsBurstinessSql,
     "rfm_migration" -> rfmMigrationSql,
-    "truncation_coverage" -> truncationCoverageSql)
+    "truncation_coverage" -> truncationCoverageSql,
+    "fk_integrity_report" -> fkIntegrityReportSql)
 }

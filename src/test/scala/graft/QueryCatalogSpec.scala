@@ -21,7 +21,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
       "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
       "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental",
-      "mau_hll_sliding", "audience_overlap_sketch")
+      "mau_hll_sliding", "audience_overlap_sketch", "table_profile_sketch")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -1980,6 +1980,34 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(dc.zip(dc.tail).forall { case (a, b) => b >= a - 1e-9 })
     assert(tc.zip(tc.tail).forall { case (a, b) => b >= a - 1e-9 })
     assert(tc.last <= 1.0 + 1e-9 && rows.forall(_.getAs[Long]("tokens_retained") <= rows.head.getAs[Long]("total_tokens")))
+  }
+
+  test("fk integrity report finds the synthetic star schema intact") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("fk_integrity_report")(spark, dir)
+    assert(df.count() == 5, "five audited relations")
+    assert(df.filter(col("n_orphans") =!= 0 || col("n_null_fk") =!= 0).count() == 0,
+      "the generated star schema must be referentially closed")
+    val li = Tables.lineitem(spark, dir).count()
+    assert(df.filter(col("relation").startsWith("lineitem"))
+      .filter(col("n_rows") =!= li).count() == 0)
+  }
+
+  test("sketch profile tracks the exact profile within 2%") {
+    import org.apache.spark.sql.functions._
+    val sk = SparkEntry.queries("table_profile_sketch")(spark, dir)
+      .select(col("column_name"), col("n_distinct_est"), col("n_nulls"), col("null_rate"))
+    val exact = SparkEntry.queries("table_profile")(spark, dir)
+      .select(col("column_name"), col("n_distinct"),
+        col("n_nulls").as("n_nulls_e"), col("null_rate").as("null_rate_e"))
+    val j = sk.join(exact, Seq("column_name"))
+    assert(j.count() == 3, "shared columns covered")
+    assert(j.filter(col("n_nulls") =!= col("n_nulls_e") || col("null_rate") =!= col("null_rate_e"))
+      .count() == 0, "null accounting is exact in both")
+    val off = j.filter(
+      abs(col("n_distinct_est") - col("n_distinct")) /
+        greatest(col("n_distinct"), lit(1L)) > 0.02).count()
+    assert(off == 0, "HLL distinct within 2% per column")
   }
 
   test("shard skew report conserves docs and stays near balance") {
