@@ -1059,6 +1059,99 @@ object Round10Ops {
       .orderBy(col("column_name"))
   }
 
+  /** #275 dedup_survivorship — cross-source survivor bias after
+    * near-dup clustering: when copies of a document live in several
+    * sources, the min-id survivor rule systematically favors
+    * earlier-ingested sources — a MIXTURE bias (the surviving corpus
+    * over-represents whoever was crawled first) that corpus_mix_report
+    * cannot see because it counts docs, not who beat whom. Reuses
+    * dedup_clusters' bounded min-label components verbatim; the
+    * survivor of a cluster IS its label (min doc id), so the report is
+    * one co-keyed join from dropped docs to their survivor's source
+    * and a bounded |sources|² matrix agg — the cluster machinery's
+    * cost, plus kilobytes.
+    */
+  def dedupSurvivorship(s: SparkSession, dir: String): DataFrame = {
+    val clusters = TextOps.queries("dedup_clusters")(s, dir)
+    val src = docs(s, dir).select(col("doc_id"), col("source"))
+    val dropped = clusters.filter(col("doc_id") =!= col("cluster"))
+      .join(src, Seq("doc_id"))
+      .select(col("cluster"), col("source").as("dropped_source"))
+    dropped
+      .join(src.select(col("doc_id").as("cluster"), col("source").as("survivor_source")),
+        Seq("cluster"))
+      .groupBy(col("survivor_source"), col("dropped_source"))
+      .agg(count(lit(1)).as("n_dropped"))
+      .orderBy(col("survivor_source"), col("dropped_source"))
+  }
+
+  val dedupSurvivorshipSql: String = {
+    val clusters = TextOps.dedupClustersSql.stripSuffix(" ORDER BY doc_id")
+    s"""SELECT sv.source AS survivor_source, dr.source AS dropped_source,
+       |  count(*) AS n_dropped
+       |FROM ($clusters) c
+       |JOIN documents dr ON dr.doc_id = c.doc_id
+       |JOIN documents sv ON sv.doc_id = c.cluster
+       |WHERE c.doc_id <> c.cluster
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** #276 user_feature_table — the feature-store materialization pass:
+    * every behavioral feature a churn/LTV model consumes (activity
+    * span, recency vs the data horizon, purchase value, type
+    * diversity, weekend/night shares) computed in ONE fine-keyed
+    * aggregate over one scan — the difference between a nightly
+    * feature build and ten re-reads of the event store; adding a
+    * feature is one more aggregate expression, zero extra shuffles.
+    * Horizon anchors on the DATA's max day (single-row broadcast — the
+    * rising_users rule, no wall clock); value sums go through DECIMAL
+    * (dsum), shares divide exact longs (q14 device); day-of-week via
+    * epoch-day arithmetic, never locale-dependent date functions (the
+    * punchcard rule).
+    */
+  def userFeatureTable(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(
+        col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(ts) div 86400000000").as("ed"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hh"))
+    val horizon = ev.agg(max(col("ed")).as("hz"))
+    ev.crossJoin(broadcast(horizon))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count_distinct(col("ed")).as("active_days"),
+        (min(col("hz")) - max(col("ed"))).as("recency_d"),
+        (max(col("ed")) - min(col("ed")) + 1L).as("span_d"),
+        count_distinct(col("event_type")).as("n_types"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"),
+        emit(dsum(when(col("event_type") === "purchase", round(col("value"), 6))
+          .otherwise(lit(0)))).as("purchase_value"),
+        emit(sum(when(pmod(col("ed") + 4, lit(7)) >= 5, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("weekend_share"),
+        emit(sum(when(col("hh") < 6, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)).cast("double"), 6).as("night_share"))
+      .orderBy(col("user_id"))
+  }
+
+  val userFeatureTableSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, value,
+      |    epoch_us(ts) // 86400000000 AS ed,
+      |    (epoch_us(ts) // 3600000000) % 24 AS hh
+      |  FROM events
+      |), hz AS (SELECT max(ed) AS hz FROM ev)
+      |SELECT user_id, count(*) AS n_events,
+      |  count(DISTINCT ed) AS active_days,
+      |  CAST(any_value(hz) - max(ed) AS BIGINT) AS recency_d,
+      |  CAST(max(ed) - min(ed) + 1 AS BIGINT) AS span_d,
+      |  count(DISTINCT event_type) AS n_types,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+      |  CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value, 6) AS DECIMAL(38,6)) ELSE 0 END), 4) AS DOUBLE) AS purchase_value,
+      |  CAST(round(CAST(sum(CASE WHEN (ed + 4) % 7 >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS weekend_share,
+      |  CAST(round(CAST(sum(CASE WHEN hh < 6 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS night_share
+      |FROM ev, hz GROUP BY user_id ORDER BY user_id""".stripMargin
+
   def conversionSurvival(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
     val horizon = ev.agg(max(col("d")).as("hz"))
@@ -1152,7 +1245,9 @@ object Round10Ops {
     "rfm_migration" -> (rfmMigration(_, _)),
     "truncation_coverage" -> (truncationCoverage(_, _)),
     "fk_integrity_report" -> (fkIntegrityReport(_, _)),
-    "table_profile_sketch" -> (tableProfileSketch(_, _)))
+    "table_profile_sketch" -> (tableProfileSketch(_, _)),
+    "dedup_survivorship" -> (dedupSurvivorship(_, _)),
+    "user_feature_table" -> (userFeatureTable(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -1173,5 +1268,7 @@ object Round10Ops {
     "events_burstiness" -> eventsBurstinessSql,
     "rfm_migration" -> rfmMigrationSql,
     "truncation_coverage" -> truncationCoverageSql,
-    "fk_integrity_report" -> fkIntegrityReportSql)
+    "fk_integrity_report" -> fkIntegrityReportSql,
+    "dedup_survivorship" -> dedupSurvivorshipSql,
+    "user_feature_table" -> userFeatureTableSql)
 }

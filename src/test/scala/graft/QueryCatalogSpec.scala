@@ -2010,6 +2010,27 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(off == 0, "HLL distinct within 2% per column")
   }
 
+  test("dedup survivorship drops match the cluster structure") {
+    import org.apache.spark.sql.functions._
+    val rep = SparkEntry.queries("dedup_survivorship")(spark, dir)
+    val clusters = SparkEntry.queries("dedup_clusters")(spark, dir)
+    val droppedTotal = clusters.filter(col("doc_id") =!= col("cluster")).count()
+    assert(rep.agg(sum("n_dropped")).head.getLong(0) == droppedTotal,
+      "every dropped doc lands in exactly one matrix cell")
+    assert(rep.filter(col("n_dropped") <= 0).count() == 0)
+  }
+
+  test("user feature table covers every user with sane shares") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("user_feature_table")(spark, dir)
+    assert(df.count() == Tables.events(spark, dir).select("user_id").distinct().count())
+    val bad = df.filter(
+      col("weekend_share") < 0 || col("weekend_share") > 1 ||
+        col("night_share") < 0 || col("night_share") > 1 ||
+        col("active_days") > col("span_d") || col("recency_d") < 0).count()
+    assert(bad == 0)
+  }
+
   test("shard skew report conserves docs and stays near balance") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("shard_skew_report")(spark, dir)
