@@ -1152,6 +1152,43 @@ object Round10Ops {
       |  CAST(round(CAST(sum(CASE WHEN hh < 6 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS night_share
       |FROM ev, hz GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** #277 ann_recall_report — the ANN evaluation harness as a catalog
+    * query: measured hit-rate and recall@10 of every approximate
+    * index family (LSH buckets, trained IVF, product quantization,
+    * int8 quantization) against the exact float top-10, per the shared
+    * 5-query probe set. Each family's spec pins its own floor; this op
+    * is the REPORT a team reruns after retraining an index or bumping
+    * a quantizer — retrieval QA as data, not as a test log. All four
+    * candidate relations are k·|queries|-bounded, so the joins and the
+    * 4-row rollup are broadcast-sized; rates divide exact longs (q14
+    * device). Rows-only by declared design (three inputs are
+    * themselves rows-only).
+    */
+  def annRecallReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = TextOps.queries("embed_knn")(s, dir)
+      .select(col("query_id"), col("vec_id"))
+    def tagged(name: String, df: DataFrame) =
+      df.select(lit(name).as("method"), col("query_id"), col("vec_id"))
+    val approx = tagged("lsh_bucketed", TextOps.queries("embed_lsh_knn")(s, dir))
+      .unionByName(tagged("ivf_trained", TextOps.queries("embed_ivf_knn")(s, dir)))
+      .unionByName(tagged("pq_sampled", Round6Ops.queries("embed_pq_knn")(s, dir)))
+      .unionByName(tagged("int8_quantized", TextOps.queries("embed_quantized_knn")(s, dir)))
+    val nq = exact.agg(countDistinct(col("query_id")).as("nq"))
+    val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    approx.groupBy(col("method")).agg(count(lit(1)).as("n_retrieved"))
+      .join(hits, Seq("method"), "left")
+      .crossJoin(broadcast(nq)) // single row — the scalar stays in-plan
+      .select(
+        col("method"), col("n_retrieved"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        emit(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_retrieved").cast("double"), 6).as("hit_rate"),
+        emit(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          (col("nq") * 10).cast("double"), 6).as("recall_at_10"))
+      .orderBy(col("method"))
+  }
+
   def conversionSurvival(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
     val horizon = ev.agg(max(col("d")).as("hz"))
@@ -1247,7 +1284,8 @@ object Round10Ops {
     "fk_integrity_report" -> (fkIntegrityReport(_, _)),
     "table_profile_sketch" -> (tableProfileSketch(_, _)),
     "dedup_survivorship" -> (dedupSurvivorship(_, _)),
-    "user_feature_table" -> (userFeatureTable(_, _)))
+    "user_feature_table" -> (userFeatureTable(_, _)),
+    "ann_recall_report" -> (annRecallReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,

@@ -21,7 +21,8 @@ class QueryCatalogSpec extends AnyFunSuite {
       "percentiles_approx", "dedup_winnow_fast", "distinct_approx",
       "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
       "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental",
-      "mau_hll_sliding", "audience_overlap_sketch", "table_profile_sketch")
+      "mau_hll_sliding", "audience_overlap_sketch", "table_profile_sketch",
+      "ann_recall_report")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -2029,6 +2030,20 @@ class QueryCatalogSpec extends AnyFunSuite {
         col("night_share") < 0 || col("night_share") > 1 ||
         col("active_days") > col("span_d") || col("recency_d") < 0).count()
     assert(bad == 0)
+  }
+
+  test("ann recall report covers all four families with sane floors") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ann_recall_report")(spark, dir)
+    assert(df.count() == 4, "four index families reported")
+    assert(df.filter(col("hit_rate") < 0 || col("hit_rate") > 1).count() == 0)
+    def rate(m: String) =
+      df.filter(col("method") === m).head.getAs[Double]("hit_rate")
+    // int8 is a near-lossless rescore; IVF probes the true cell half the
+    // time at this SF; PQ's sampled codebook is coarse but non-random
+    assert(rate("int8_quantized") >= 0.9, "int8 rescoring is near-exact")
+    assert(rate("ivf_trained") >= 0.2)
+    assert(rate("pq_sampled") >= 0.05)
   }
 
   test("shard skew report conserves docs and stays near balance") {
