@@ -429,9 +429,11 @@ object Round10Ops {
     val shipped = Tables.lineitem(s, dir)
       .groupBy(col("l_orderkey"))
       .agg(max(to_date(col("l_shipdate"))).as("done"))
-    val iv = Tables.orders(s, dir)
+    // iv feeds both boundary branches of the delta union: one cut, one
+    // orderkey join, instead of re-deriving the fact join per branch
+    val iv = graft.Lineage.cut(Tables.orders(s, dir)
       .select(col("o_orderkey"), to_date(col("o_orderdate")).as("start"))
-      .join(shipped, col("o_orderkey") === col("l_orderkey"))
+      .join(shipped, col("o_orderkey") === col("l_orderkey")))
     val deltas = iv.select(col("start").as("d"), lit(1L).as("delta"))
       .unionByName(iv.select(date_add(col("done"), 1).as("d"), lit(-1L).as("delta")))
       .groupBy(col("d")).agg(sum(col("delta")).as("net"))
@@ -865,12 +867,14 @@ object Round10Ops {
     val meds = cq.agg(
       round(expr("percentile(f, 0.5)"), 6).as("med_f"),
       round(expr("percentile(m, 0.5)"), 6).as("med_m"))
-    val seg = cq.crossJoin(broadcast(meds))
+    // seg feeds BOTH sides of the consecutive-quarter self-join: cut
+    // the lineage so the cq+medians chain computes once, not twice
+    val seg = graft.Lineage.cut(cq.crossJoin(broadcast(meds))
       .select(
         col("o_custkey"), col("q"),
         concat(
           when(col("f") >= col("med_f"), lit("F")).otherwise(lit("f")),
-          when(col("m") >= col("med_m"), lit("M")).otherwise(lit("m"))).as("seg"))
+          when(col("m") >= col("med_m"), lit("M")).otherwise(lit("m"))).as("seg")))
     val next = seg.select(
       col("o_custkey"), (col("q") - 1).as("q"), col("seg").as("seg_to"))
     val pairs = seg.join(next, Seq("o_custkey", "q"), "left")
@@ -1192,8 +1196,10 @@ object Round10Ops {
   def conversionSurvival(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"))
     val horizon = ev.agg(max(col("d")).as("hz"))
-    val firstView = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    // firstView feeds the converter join, the censored anti-join and
+    // the censored projection: cut it so the view-min computes once
+    val firstView = graft.Lineage.cut(ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("d")).as("d0")))
     val exits = ev.filter(col("event_type") === "purchase")
       .join(firstView, Seq("user_id"))
       .groupBy(col("user_id"))
