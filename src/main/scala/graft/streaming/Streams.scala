@@ -48,6 +48,14 @@ case class LastEvent(ts_ms: Long, event_id: Long, event_type: String)
 /** A closed hour's smoothed rate — bit-identical to an ewma_hourly row. */
 case class EwmaRow(event_type: String, hb: Long, x: Long, ewma: Double)
 
+/** cdcStateStream state: the current version winner per key. A winning
+  * tombstone STAYS in state as a marker (deleted=true) so out-of-order
+  * earlier upserts cannot resurrect the key.
+  */
+case class CdcState(ts_ms: Long, event_id: Long, value: Double, deleted: Boolean, n_ops: Long)
+case class CdcRow(
+  user_id: Long, last_value: Double, last_ts_ms: Long, n_ops: Long, visible: Boolean)
+
 /** Per-type smoother state: recent hourly counts (≤25 entries — the
   * 24h lookback plus the open frontier) and the last emitted hour.
   */
@@ -952,6 +960,60 @@ object Streams {
     * is associative and order-free — a drained stream's estimates are
     * IDENTICAL to the batch twin's (spec-pinned, mid-day batch split).
     */
+  /** #49s cdcStateStream — continuous twin of cdc_apply (#253): the
+    * changelog (every 10th event a tombstone, the batch op's rule)
+    * folds into keyed state where the (ts, event_id) max decides the
+    * current version and a WINNING tombstone keeps the key in state as
+    * a deletion marker (dropping state on a delete would let an
+    * out-of-order earlier upsert resurrect the key — the classic CDC
+    * bug; the marker ages out via the event-time timeout instead).
+    * Update mode emits every state CHANGE — tombstones emit with
+    * visible=false, the delete marker a real sink applies; taking each
+    * key's latest emission and filtering visible yields EXACTLY batch
+    * cdc_apply's snapshot once drained (spec-pinned, mid-stream split).
+    */
+  def cdcStateStream(
+      events: Dataset[Ev], lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[CdcRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcRow](
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[CdcState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val prev = state.getOption
+            val last = rows.foldLeft(prev) { (acc, e) =>
+              val cand = CdcState(
+                e.ts.getTime, e.event_id, e.value, e.event_id % 10 == 0,
+                acc.map(_.n_ops).getOrElse(0L) + 1)
+              acc match {
+                case Some(a)
+                    if a.ts_ms > cand.ts_ms ||
+                      (a.ts_ms == cand.ts_ms && a.event_id > cand.event_id) =>
+                  Some(a.copy(n_ops = cand.n_ops))
+                case _ => Some(cand)
+              }
+            }
+            last.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(
+                math.max(st.ts_ms + retentionMs, state.getCurrentWatermarkMs() + 1))
+            }
+            // emit EVERY state change, tombstones included (visible=false
+            // is the delete marker a real sink applies) — hiding deletes
+            // would leave stale rows live downstream
+            last match {
+              case Some(st) if prev != last =>
+                Iterator.single(CdcRow(uid, st.value, st.ts_ms, st.n_ops, !st.deleted))
+              case _ => Iterator.empty
+            }
+          }
+      }
+  }
+
   def mauSketchStream(events: DataFrame, lateness: String = "1 day"): DataFrame =
     events
       .withWatermark("ts", lateness)

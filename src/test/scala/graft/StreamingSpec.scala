@@ -1026,4 +1026,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(served == batch,
       "register-max union is order-free: streamed state must serve the batch curve exactly")
   }
+
+  test("CDC state stream drains to the batch merge snapshot, tombstones included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Ev]
+    val q = Streams.cdcStateStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Update)
+      .format("memory").queryName("cdcst").start()
+    // mid-stream split: version resolution must survive the state store
+    val (a, b) = evs.splitAt(evs.length / 2)
+    in.addData(a: _*); q.processAllAvailable()
+    in.addData(b: _*); q.processAllAvailable(); q.stop()
+    // live table = latest emission per key (n_ops is per-key monotone),
+    // visible rows only — exactly how a sink applies update+delete marks
+    val live = spark.table("cdcst").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (uid, rows) => rows.maxBy(_.getAs[Long]("n_ops")) }
+      .filter(_.getAs[Boolean]("visible"))
+      .map(r => (r.getAs[Long]("user_id"),
+        math.round(r.getAs[Double]("last_value") * 1e4) / 1e4.toDouble,
+        r.getAs[Long]("last_ts_ms"), r.getAs[Long]("n_ops")))
+      .toSet
+    val batch = SparkEntry.queries("cdc_apply")(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("last_value"),
+        r.getAs[Long]("last_ts_ms"), r.getAs[Long]("n_ops"))).toSet
+    assert(live == batch, s"drained CDC state must equal the batch snapshot")
+  }
 }
