@@ -1266,6 +1266,94 @@ object Round10Ops {
       |  CAST(round(exp(CAST(sum(CAST(round(ln(greatest(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 1e-12)), 12) AS DECIMAL(38,12))) OVER (ORDER BY off ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS DOUBLE) AS km_survival
       |FROM risk ORDER BY day_off""".stripMargin
 
+  /** #278 bpe_train — the full BPE training LOOP (Sennrich et al.,
+    * ACL'16), 8 merge rounds: bpe_merge_step ranks ONE round's pair
+    * table, this runs the actual iteration — count pairs, take the
+    * argmax, apply the merge, repeat — and emits the learned merge
+    * list, the artifact a tokenizer ships. The scale property that
+    * makes BPE trainable on 100 TB is structural here: the corpus
+    * collapses to the word HISTOGRAM in one shuffle, and every round
+    * after that runs over vocab-sized data (pair agg + a single-row
+    * argmax broadcast + a per-row merge rewrite), never re-reading
+    * text. The greedy left-to-right non-overlap merge is expressed as
+    * plain string replace() over a self-wrapped symbol encoding
+    * (every symbol carries its own ' x ' frame, so ' a  b ' matches
+    * cannot overlap) — replace() is non-overlapping left-to-right in
+    * BOTH engines, which IS greedy BPE merge order; Lineage.cut per
+    * round stops the 2^rounds plan blow-up (the kcore rule), and the
+    * oracle is 8 generated MATERIALIZED CTE rounds of the identical
+    * algebra. Ties argmax on (freq desc, s1, s2) — total order.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame = {
+    val rounds = 8
+    val w0 = docs(s, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .select(col("wc"), regexp_replace(col("w"), "(.)", " $1 ").as("seq"))
+    var words = graft.Lineage.cut(w0)
+    val merges = Seq.newBuilder[DataFrame]
+    for (r <- 1 to rounds) {
+      val syms = split(trim(col("seq")), "  ")
+      val pairs = words
+        .filter(size(syms) >= 2)
+        .select(
+          col("wc"),
+          explode(transform(
+            sequence(lit(1), size(syms) - 1),
+            i => struct(
+              element_at(syms, i).as("s1"),
+              element_at(syms, i + 1).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("wc")).as("freq"))
+      val best = graft.Lineage.cut( // feeds the report AND the rewrite
+        pairs.orderBy(col("freq").desc, col("s1"), col("s2")).limit(1)
+          .withColumn("round", lit(r)))
+      merges += best
+      words = graft.Lineage.cut(
+        words.crossJoin(broadcast(best.drop("round")))
+          .select(
+            col("wc"),
+            expr("replace(seq, ' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ')")
+              .as("seq")))
+    }
+    merges.result().reduce(_.unionByName(_))
+      .select(
+        col("round"), col("s1"), col("s2"),
+        concat(col("s1"), col("s2")).as("merged"), col("freq"))
+      .orderBy(col("round"))
+  }
+
+  val bpeTrainSql: String = {
+    val rounds = 8
+    val head =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT count(*) AS wc, regexp_replace(token, '(.)', ' \1 ', 'g') AS seq
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY token
+        |)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""pr$r AS MATERIALIZED (
+         |  SELECT s[i] AS s1, s[i+1] AS s2, sum(wc) AS freq
+         |  FROM (SELECT wc, string_split(trim(seq), '  ') AS s FROM w${r - 1}),
+         |       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+         |  WHERE len(s) >= 2
+         |  GROUP BY 1, 2
+         |), b$r AS MATERIALIZED (
+         |  SELECT s1, s2, freq FROM pr$r ORDER BY freq DESC, s1, s2 LIMIT 1
+         |), w$r AS MATERIALIZED (
+         |  SELECT wc, replace(seq, ' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ') AS seq
+         |  FROM w${r - 1}, b$r
+         |)""".stripMargin
+    }
+    val finals = (1 to rounds)
+      .map(r => s"SELECT $r AS round, s1, s2, s1 || s2 AS merged, CAST(freq AS BIGINT) AS freq FROM b$r")
+      .mkString("\nUNION ALL\n")
+    (head +: stages).mkString(",\n") +
+      s",\nfin AS ($finals)\nSELECT * FROM fin ORDER BY round"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sliding_mau" -> (slidingMau(_, _)),
     "mau_hll_sliding" -> (mauHllSliding(_, _)),
@@ -1291,7 +1379,8 @@ object Round10Ops {
     "table_profile_sketch" -> (tableProfileSketch(_, _)),
     "dedup_survivorship" -> (dedupSurvivorship(_, _)),
     "user_feature_table" -> (userFeatureTable(_, _)),
-    "ann_recall_report" -> (annRecallReport(_, _)))
+    "ann_recall_report" -> (annRecallReport(_, _)),
+    "bpe_train" -> (bpeTrain(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -1314,5 +1403,6 @@ object Round10Ops {
     "truncation_coverage" -> truncationCoverageSql,
     "fk_integrity_report" -> fkIntegrityReportSql,
     "dedup_survivorship" -> dedupSurvivorshipSql,
-    "user_feature_table" -> userFeatureTableSql)
+    "user_feature_table" -> userFeatureTableSql,
+    "bpe_train" -> bpeTrainSql)
 }

@@ -2046,6 +2046,19 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rate("pq_sampled") >= 0.05)
   }
 
+  test("BPE training merges are complete and frequency-monotone") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("bpe_train")(spark, dir).orderBy("round").collect()
+    assert(rows.map(_.getAs[Int]("round")).toSeq == (1 to 8), "all 8 rounds learned a merge")
+    // classic BPE property: the best pair's frequency never increases —
+    // a pair CREATED by a merge occurs at most as often as that merge did
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => b <= a },
+      "argmax frequency is non-increasing across rounds")
+    assert(rows.forall(r => r.getAs[String]("merged") ==
+      r.getAs[String]("s1") + r.getAs[String]("s2")))
+  }
+
   test("shard skew report conserves docs and stays near balance") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("shard_skew_report")(spark, dir)
