@@ -1354,6 +1354,101 @@ object Round10Ops {
       s",\nfin AS ($finals)\nSELECT * FROM fin ORDER BY round"
   }
 
+  /** #279 bpe_apply_report — the learned tokenizer APPLIED: run the
+    * same 8 global merges over the per-(source, word) histogram and
+    * report each source's chars-per-token compression — the number
+    * that tells a data team which sources the tokenizer serves badly
+    * (tokenizer_fertility reads a REGEX proxy; this reads the actual
+    * trained BPE, closing the train→apply→audit loop). Merges come
+    * from GLOBAL pair counts (re-aggregated across sources each
+    * round, identical argmax to bpe_train — spec-pinned), the rewrite
+    * is the same self-wrapped replace() device, and the final report
+    * is one |sources|-bounded aggregate over the vocab-sized
+    * histogram; token counts weight by word frequency in exact longs.
+    */
+  def bpeApplyReport(s: SparkSession, dir: String): DataFrame = {
+    val rounds = 8
+    val w0 = docs(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .select(
+        col("source"), col("wc"),
+        length(col("w")).cast("long").as("chars"),
+        regexp_replace(col("w"), "(.)", " $1 ").as("seq"))
+    var words = graft.Lineage.cut(w0)
+    for (r <- 1 to rounds) {
+      val syms = split(trim(col("seq")), "  ")
+      val pairs = words
+        .filter(size(syms) >= 2)
+        .select(
+          col("wc"),
+          explode(transform(
+            sequence(lit(1), size(syms) - 1),
+            i => struct(
+              element_at(syms, i).as("s1"),
+              element_at(syms, i + 1).as("s2")))).as("p"))
+        .groupBy(col("p.s1").as("s1"), col("p.s2").as("s2"))
+        .agg(sum(col("wc")).as("freq"))
+      val best = graft.Lineage.cut(
+        pairs.orderBy(col("freq").desc, col("s1"), col("s2")).limit(1).drop("freq"))
+      words = graft.Lineage.cut(
+        words.crossJoin(broadcast(best))
+          .select(
+            col("source"), col("wc"), col("chars"),
+            expr("replace(seq, ' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ')")
+              .as("seq")))
+    }
+    words
+      .select(
+        col("source"), col("wc"), col("chars"),
+        size(split(trim(col("seq")), "  ")).cast("long").as("toks"))
+      .groupBy(col("source"))
+      .agg(
+        sum(col("wc")).as("n_words"),
+        sum(col("wc") * col("chars")).as("n_chars"),
+        sum(col("wc") * col("toks")).as("n_tokens"))
+      .select(
+        col("source"), col("n_words"), col("n_chars"), col("n_tokens"),
+        emit(col("n_chars").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  val bpeApplyReportSql: String = {
+    val rounds = 8
+    val head =
+      """WITH w0 AS MATERIALIZED (
+        |  SELECT source, count(*) AS wc, length(token) AS chars,
+        |    regexp_replace(token, '(.)', ' \1 ', 'g') AS seq
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE token <> '' GROUP BY source, token
+        |)""".stripMargin
+    val stages = (1 to rounds).map { r =>
+      s"""pr$r AS MATERIALIZED (
+         |  SELECT s[i] AS s1, s[i+1] AS s2, sum(wc) AS freq
+         |  FROM (SELECT wc, string_split(trim(seq), '  ') AS s FROM w${r - 1}),
+         |       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+         |  WHERE len(s) >= 2
+         |  GROUP BY 1, 2
+         |), b$r AS MATERIALIZED (
+         |  SELECT s1, s2 FROM pr$r ORDER BY freq DESC, s1, s2 LIMIT 1
+         |), w$r AS MATERIALIZED (
+         |  SELECT source, wc, chars,
+         |    replace(seq, ' ' || s1 || '  ' || s2 || ' ', ' ' || s1 || s2 || ' ') AS seq
+         |  FROM w${r - 1}, b$r
+         |)""".stripMargin
+    }
+    val tail =
+      s"""SELECT source, CAST(sum(wc) AS BIGINT) AS n_words,
+         |  CAST(sum(wc * chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(wc * len(string_split(trim(seq), '  '))) AS BIGINT) AS n_tokens,
+         |  CAST(round(CAST(sum(wc * chars) AS DOUBLE) / CAST(sum(wc * len(string_split(trim(seq), '  '))) AS DOUBLE), 6) AS DOUBLE) AS chars_per_token
+         |FROM w$rounds GROUP BY source ORDER BY source""".stripMargin
+    (head +: stages).mkString(",\n") + "\n" + tail
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sliding_mau" -> (slidingMau(_, _)),
     "mau_hll_sliding" -> (mauHllSliding(_, _)),
@@ -1380,7 +1475,8 @@ object Round10Ops {
     "dedup_survivorship" -> (dedupSurvivorship(_, _)),
     "user_feature_table" -> (userFeatureTable(_, _)),
     "ann_recall_report" -> (annRecallReport(_, _)),
-    "bpe_train" -> (bpeTrain(_, _)))
+    "bpe_train" -> (bpeTrain(_, _)),
+    "bpe_apply_report" -> (bpeApplyReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "sliding_mau" -> slidingMauSql,
@@ -1404,5 +1500,6 @@ object Round10Ops {
     "fk_integrity_report" -> fkIntegrityReportSql,
     "dedup_survivorship" -> dedupSurvivorshipSql,
     "user_feature_table" -> userFeatureTableSql,
-    "bpe_train" -> bpeTrainSql)
+    "bpe_train" -> bpeTrainSql,
+    "bpe_apply_report" -> bpeApplyReportSql)
 }

@@ -2059,6 +2059,20 @@ class QueryCatalogSpec extends AnyFunSuite {
       r.getAs[String]("s1") + r.getAs[String]("s2")))
   }
 
+  test("BPE apply compresses every source and conserves counts") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("bpe_apply_report")(spark, dir)
+    // merging can only shorten: tokens <= chars, and 8 real merges must
+    // beat the char baseline somewhere
+    assert(df.filter(col("n_tokens") > col("n_chars")).count() == 0)
+    assert(df.filter(col("chars_per_token") > 1.0).count() > 0,
+      "eight merges must compress at least one source")
+    val words = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w")).filter(col("w") =!= "").count()
+    assert(df.agg(sum("n_words")).head.getLong(0) == words,
+      "the per-source histogram conserves the corpus word count")
+  }
+
   test("shard skew report conserves docs and stays near balance") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("shard_skew_report")(spark, dir)
