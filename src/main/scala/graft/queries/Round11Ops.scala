@@ -581,6 +581,142 @@ object Round11Ops {
       |  CAST(round(sum(CASE WHEN majority <> la THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE) AS noise_rate
       |FROM verdicts GROUP BY 1 ORDER BY label""".stripMargin
 
+  /** #289 doc_perplexity_bigram — the bigram upgrade of #79's unigram
+    * perplexity filter (CCNet-style quality scoring, one order up):
+    * p(w2|w1) = (c+1)/(head_n+V) with add-one smoothing over the
+    * corpus-trained bigram table (word_bigrams' model, unpruned), doc
+    * score = exp(−mean ln p) over its adjacent pairs. Repetitive docs
+    * ride high-probability transitions and score LOW; incoherent ones
+    * HIGH — a sharper screen than unigram because word ORDER now
+    * matters. Per-pair log-probs round to 12 dp before the order-free
+    * DECIMAL mean (docPerplexity's exact rule). Scale: model is
+    * |bigram vocab| rows on the same g key the doc pass already
+    * carries — one gram pass, two fine-keyed joins, one doc agg.
+    */
+  def docPerplexityBigram(s: SparkSession, dir: String): DataFrame = {
+    val grams = TextOps.gramRows(Tables.documents(s, dir), 2, distinct = false)
+    val model = grams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("w1", element_at(split(col("g"), " "), 1))
+    val heads = model.groupBy(col("w1")).agg(sum(col("c")).as("head_n"))
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .agg(countDistinct(col("tok")).as("v"))
+    val lp = grams
+      .join(model.select(col("g"), col("c"), col("w1")), Seq("g"))
+      .join(heads, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(
+        col("doc_id"),
+        round(
+          log((col("c") + lit(1.0)) / (col("head_n") + col("v"))), 12)
+          .cast(OracleMath.Dec12).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(emit(exp(-(sum(col("lp")).cast("double") / count(lit(1)))), 4).as("perplexity"))
+    lp.withColumn("flagged", (col("perplexity") >= 31.0).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  val docPerplexityBigramSql: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (
+      |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g, w[i] AS w1
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |),
+      |model AS (SELECT g, count(*) AS c FROM g GROUP BY 1),
+      |heads AS (SELECT w1, sum(c) AS head_n
+      |          FROM (SELECT string_split(g, ' ')[1] AS w1, c FROM model) GROUP BY 1),
+      |vocab AS (
+      |  SELECT count(DISTINCT tok) AS v
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  WHERE tok <> ''
+      |),
+      |lp AS (
+      |  SELECT doc_id,
+      |    CAST(round(ln((c + 1.0) / (head_n + v)), 12) AS DECIMAL(38,12)) AS lp
+      |  FROM g JOIN model USING (g) JOIN heads USING (w1) CROSS JOIN vocab
+      |),
+      |ppl AS (
+      |  SELECT doc_id,
+      |    CAST(round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS DOUBLE) AS perplexity
+      |  FROM lp GROUP BY doc_id
+      |)
+      |SELECT doc_id, perplexity, CAST(perplexity >= 31.0 AS INT) AS flagged
+      |FROM ppl ORDER BY doc_id""".stripMargin
+
+  /** #290 dedup_containment_fast — the production twin of #287: MinHash
+    * Jaccard estimate from the banded-LSH machinery (#34's signatures,
+    * REUSED — one gram pass, xxhash64 min-aggregates, hot-bucket-capped
+    * band join) converted to a CONTAINMENT estimate via the exact
+    * inclusion-exclusion identity |A∩B| = J·(|A|+|B|)/(1+J) with the
+    * exact per-doc gram counts (one cheap extra join): Ĉ = min(1,
+    * Ĵ(na+nb)/((1+Ĵ)·min(na,nb))). Rows-only by declared design (the
+    * xxhash64 signature is not SQL-reproducible); the spec pins planted
+    * identical docs at Ĉ = 1 and calibration against #287's exact
+    * containment on the shared pair set.
+    */
+  def dedupContainmentFast(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val pairs = TextOps.minhashPairs(d)
+    val sizes = TextOps.gramRows(d, 3, distinct = true)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("n").as("nb")), Seq("b"))
+      .withColumn(
+        "est_containment",
+        least(
+          lit(1.0),
+          col("est_jaccard") * (col("na") + col("nb"))
+            / ((lit(1.0) + col("est_jaccard")) * least(col("na"), col("nb")))))
+      .filter(col("est_containment") >= 0.6)
+      .select(
+        col("a"), col("b"), col("na"), col("nb"),
+        emit(col("est_jaccard"), 4).as("est_jaccard"),
+        emit(col("est_containment"), 4).as("est_containment"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** #291 blocking_report — entity-resolution blocking QA: for the
+    * (lang, 256-char length band) blocking scheme over documents, the
+    * per-block candidate-pair volume and its share of the full O(n²)
+    * comparison space — the reduction-ratio audit a record-linkage
+    * pipeline reads before committing to a blocking key (a block
+    * whose pair share approaches 1 means the key doesn't block; a
+    * scheme whose total share is tiny with no giant block is GOOD).
+    * One fine-keyed count over the scan; pure integer pair counts and
+    * one exact double division against the single-row total.
+    */
+  def blockingReport(s: SparkSession, dir: String): DataFrame = {
+    val blocks = Tables.documents(s, dir)
+      .select(col("lang"), (col("n_chars") / 256).cast("long").as("len_band"))
+      .groupBy(col("lang"), col("len_band"))
+      .agg(count(lit(1)).as("n_docs"))
+      // integer `div`, not `/`: Spark's Column./ is double division and
+      // would both retype the column and lose exactness at 1e9-doc blocks
+      .withColumn("n_pairs", expr("n_docs * (n_docs - 1) div 2"))
+    val tot = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("nn"))
+      .select(expr("nn * (nn - 1) div 2").as("full_pairs"))
+    blocks.crossJoin(broadcast(tot))
+      .select(
+        col("lang"), col("len_band"), col("n_docs"), col("n_pairs"),
+        emit(col("n_pairs").cast("double") / col("full_pairs").cast("double"), 6)
+          .as("pair_share"))
+      .orderBy(col("lang"), col("len_band"))
+  }
+
+  val blockingReportSql: String =
+    """WITH blocks AS (
+      |  SELECT lang, CAST(n_chars // 256 AS BIGINT) AS len_band, count(*) AS n_docs
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |tot AS (SELECT count(*) * (count(*) - 1) // 2 AS full_pairs FROM documents)
+      |SELECT lang, len_band, n_docs,
+      |  CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_pairs,
+      |  CAST(round(CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) / CAST(full_pairs AS DOUBLE), 6) AS DOUBLE) AS pair_share
+      |FROM blocks, tot ORDER BY lang, len_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "psi_drift" -> (psiDrift(_, _)),
     "cusum_changepoint" -> (cusumChangepoint(_, _)),
@@ -590,7 +726,10 @@ object Round11Ops {
     "compaction_plan" -> (compactionPlan(_, _)),
     "corpus_mix_temperature" -> (corpusMixTemperature(_, _)),
     "dedup_containment" -> (dedupContainment(_, _)),
-    "label_noise_report" -> (labelNoiseReport(_, _)))
+    "label_noise_report" -> (labelNoiseReport(_, _)),
+    "doc_perplexity_bigram" -> (docPerplexityBigram(_, _)),
+    "dedup_containment_fast" -> (dedupContainmentFast(_, _)),
+    "blocking_report" -> (blockingReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "psi_drift" -> psiDriftSql,
@@ -601,5 +740,7 @@ object Round11Ops {
     "compaction_plan" -> compactionPlanSql,
     "corpus_mix_temperature" -> corpusMixTemperatureSql,
     "dedup_containment" -> dedupContainmentSql,
-    "label_noise_report" -> labelNoiseReportSql)
+    "label_noise_report" -> labelNoiseReportSql,
+    "doc_perplexity_bigram" -> docPerplexityBigramSql,
+    "blocking_report" -> blockingReportSql)
 }

