@@ -63,6 +63,20 @@ case class EwmaState(buckets: Map[Long, Long], last_emitted: Long)
 
 case class DocArrival(source: String, ts: java.sql.Timestamp, doc_id: Long, weight: Long)
 
+/** One open funnel window: a view at vts_ms, optionally chained to
+  * its earliest qualifying click (the greedy witness the batch op
+  * proves sufficient).
+  */
+case class FunnelWindow(vts_ms: Long, c1_ms: Option[Long])
+
+/** Per-user funnel state: open windows + deepest level reached. */
+case class FunnelState(windows: List[FunnelWindow], level: Int)
+
+/** An emitted funnel-level transition (append mode, level increases
+  * only — a user's max level is their funnel position).
+  */
+case class FunnelLevel(user_id: Long, level: Int, ts_ms: Long)
+
 /** One reservoir slot: the A-Res key and its document. */
 case class ReservoirEntry(es_key: Double, doc_id: Long)
 
@@ -1020,4 +1034,82 @@ object Streams {
       .groupBy(window(col("ts"), "1 day"))
       .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
       .select(to_date(col("window.start")).as("d"), col("sk"))
+
+  /** #49s streaming windowed funnel — §2 #282 window_funnel as a
+    * continuous per-user state machine: each user's state is their
+    * OPEN funnel windows (a view not yet chained to a purchase) plus
+    * the deepest level reached; a level INCREASE emits append-mode.
+    * The greedy collapse the batch op proves (earliest qualifying
+    * click per view suffices) is exactly what the state tracks, so a
+    * drained stream's per-user max level equals the batch histogram
+    * (spec-pinned at sf0.001). State is O(open views) per user,
+    * bounded by [[FunnelMaxOpenWindows]] (the bot-flood cap — the
+    * dropHotBuckets discipline applied to keyed state: a user
+    * spraying views beyond the cap keeps the OLDEST open windows,
+    * which are the ones a chain could still complete first) and by
+    * window expiry — a view past its 72 h horizon is pruned on the
+    * next event, and the whole key times out at the retention
+    * horizon like every keyed state here. In-order delivery per key
+    * (the markovStream contract): a cross-batch late step is dropped
+    * by the watermark, not resurrected.
+    */
+  val FunnelMaxOpenWindows = 64
+
+  def funnelStream(
+      events: Dataset[Ev], lateness: String = "1 hour",
+      retentionMs: Long = RetentionMs): Dataset[FunnelLevel] = {
+    import events.sparkSession.implicits._
+    val windowMs = graft.queries.Round11Ops.FunnelWindowHours * 3600L * 1000L
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelLevel](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toArray.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(FunnelState(Nil, 0))
+            val out = Seq.newBuilder[FunnelLevel]
+            var maxTs = Long.MinValue
+            def raise(level: Int, ms: Long): Unit =
+              if (level > st.level) {
+                st = st.copy(level = level)
+                out += FunnelLevel(uid, level, ms)
+              }
+            for (e <- sorted) {
+              val ms = e.ts.getTime
+              maxTs = math.max(maxTs, ms)
+              // expired windows can never chain further: prune first
+              val live = st.windows.filter(w => w.vts_ms + windowMs >= ms)
+              st = st.copy(windows = live)
+              e.event_type match {
+                case "view" if st.level < 3 =>
+                  raise(1, ms)
+                  if (st.windows.size < FunnelMaxOpenWindows)
+                    st = st.copy(windows = st.windows :+ FunnelWindow(ms, None))
+                case "click" if st.level < 3 =>
+                  val (hit, updated) = st.windows.foldLeft((false, List.empty[FunnelWindow])) {
+                    case ((h, acc), w) =>
+                      if (w.c1_ms.isEmpty && ms > w.vts_ms && ms <= w.vts_ms + windowMs)
+                        (true, acc :+ w.copy(c1_ms = Some(ms)))
+                      else (h, acc :+ w)
+                  }
+                  st = st.copy(windows = updated)
+                  if (hit) raise(2, ms)
+                case "purchase" if st.level < 3 =>
+                  val done = st.windows.exists(w =>
+                    w.c1_ms.exists(c1 => ms > c1 && ms <= w.vts_ms + windowMs))
+                  if (done) { raise(3, ms); st = st.copy(windows = Nil) }
+                case _ => ()
+              }
+            }
+            state.update(st)
+            if (maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(
+                math.max(maxTs + retentionMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

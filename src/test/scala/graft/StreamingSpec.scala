@@ -1057,4 +1057,78 @@ class StreamingSpec extends AnyFunSuite {
         r.getAs[Long]("last_ts_ms"), r.getAs[Long]("n_ops"))).toSet
     assert(live == batch, s"drained CDC state must equal the batch snapshot")
   }
+
+  test("funnel stream emits ordered level transitions and honors the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(h: Int, u: Long, id: Long, t: String) = Ev(
+      id, java.sql.Timestamp.valueOf(f"2024-01-01 ${h}%02d:00:00"), u, t, 0.0)
+    val in = MemoryStream[Ev]
+    val q = Streams.funnelStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("fnl").start()
+    in.addData(
+      // user 1 completes in order: levels 1, 2, 3
+      at(0, 1, 1, "view"), at(1, 1, 2, "click"), at(2, 1, 3, "purchase"),
+      // user 2: purchase BEFORE any click never reaches 3
+      at(0, 2, 4, "view"), at(1, 2, 5, "purchase"), at(2, 2, 6, "click"),
+      // user 3: click alone opens nothing
+      at(0, 3, 7, "click"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fnl").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("level"))).toSet
+    assert(got == Set((1L, 1), (1L, 2), (1L, 3), (2L, 1), (2L, 2)),
+      s"unexpected transitions $got")
+  }
+
+  test("funnel stream window expiry blocks chains past the horizon") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def at(hOff: Long, u: Long, id: Long, t: String) =
+      Ev(id, new java.sql.Timestamp(base + hOff * 3600L * 1000L), u, t, 0.0)
+    val in = MemoryStream[Ev]
+    val q = Streams.funnelStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("fnlw").start()
+    val W = graft.queries.Round11Ops.FunnelWindowHours
+    in.addData(
+      // click lands AFTER the view's window closed: level stays 1
+      at(0, 1, 1, "view"), at(W + 8, 1, 2, "click"),
+      // purchase inside the SECOND view's window chains through
+      at(W + 6, 2, 3, "view"), at(W + 7, 2, 4, "click"), at(W + 9, 2, 5, "purchase"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("fnlw").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("level"))).toSet
+    assert(got == Set((1L, 1), (2L, 1), (2L, 2), (2L, 3)),
+      s"unexpected transitions $got")
+  }
+
+  test("funnel stream drains to the batch window_funnel histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Ev]
+    val q = Streams.funnelStream(in.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("fnlp").start()
+    // mid-stream split: open windows must survive the state store
+    val (a, b) = evs.splitAt(evs.length / 2)
+    in.addData(a: _*); q.processAllAvailable()
+    in.addData(b: _*); q.processAllAvailable(); q.stop()
+    val perUser = spark.table("fnlp").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) => u -> rows.map(_.getAs[Int]("level")).max }
+    val allUsers = evs.map(_.user_id).distinct
+    val streamedHist = allUsers
+      .map(u => perUser.getOrElse(u, 0))
+      .groupBy(identity).map { case (l, us) => (l, us.size.toLong) }
+    val batchHist = SparkEntry.queries("window_funnel")(spark, dir).collect()
+      .map(r => (r.getAs[Int]("funnel_level"), r.getAs[Long]("n_users"))).toMap
+    assert(streamedHist == batchHist,
+      s"stream/batch divergence: $streamedHist vs $batchHist")
+  }
 }
