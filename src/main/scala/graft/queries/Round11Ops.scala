@@ -717,6 +717,250 @@ object Round11Ops {
       |  CAST(round(CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) / CAST(full_pairs AS DOUBLE), 6) AS DOUBLE) AS pair_share
       |FROM blocks, tot ORDER BY lang, len_band""".stripMargin
 
+  /** #292 negative_sampling — deterministic contrastive negatives for
+    * recommender/embedding training: per purchasing customer, 4 parts
+    * they did NOT buy, drawn popularity-first (the word2vec/recsys
+    * rule — negatives come from the head of the item distribution,
+    * TopNegativeCandidates = 256 most-sold parts) and ordered by a
+    * seeded md5 rank so the draw is reproducible across runs AND
+    * engines (the corpus_split device, per (user, part)). The
+    * candidate list is a bounded BROADCAST relation, so the "all
+    * non-purchased items" cross space never materializes: one
+    * positives agg (user, part distinct), one 256-row candidate
+    * broadcast join, one anti-join on positives, one per-user top-4
+    * window over ≤256 rows.
+    */
+  val TopNegativeCandidates = 256
+  val NegativesPerUser = 4
+
+  def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val positives = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
+      .distinct()
+    val candidates = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey").as("part_id"))
+      .agg(count(lit(1)).as("sold"))
+      .orderBy(col("sold").desc, col("part_id"))
+      .limit(TopNegativeCandidates)
+      .select(col("part_id"))
+    val users = positives.select(col("user_id")).distinct()
+    val wPick = Window.partitionBy(col("user_id")).orderBy(col("draw"), col("part_id"))
+    users.crossJoin(broadcast(candidates))
+      .join(positives, Seq("user_id", "part_id"), "left_anti")
+      .withColumn(
+        "draw",
+        md5(concat(lit("neg:"), col("user_id").cast("string"),
+          lit(":"), col("part_id").cast("string"))))
+      .withColumn("rank", row_number().over(wPick))
+      .filter(col("rank") <= NegativesPerUser)
+      .select(col("user_id"), col("part_id"), col("rank"))
+      .orderBy(col("user_id"), col("rank"))
+  }
+
+  val negativeSamplingSql: String =
+    s"""WITH positives AS (
+       |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS part_id
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |),
+       |candidates AS (
+       |  SELECT l_partkey AS part_id FROM lineitem
+       |  GROUP BY 1 ORDER BY count(*) DESC, part_id LIMIT $TopNegativeCandidates
+       |),
+       |users AS (SELECT DISTINCT user_id FROM positives),
+       |pool AS (
+       |  SELECT u.user_id, c.part_id,
+       |    md5('neg:' || CAST(u.user_id AS VARCHAR) || ':' || CAST(c.part_id AS VARCHAR)) AS draw
+       |  FROM users u CROSS JOIN candidates c
+       |  WHERE NOT EXISTS (SELECT 1 FROM positives p
+       |                    WHERE p.user_id = u.user_id AND p.part_id = c.part_id)
+       |),
+       |ranked AS (
+       |  SELECT user_id, part_id,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY draw, part_id) AS rank
+       |  FROM pool
+       |)
+       |SELECT user_id, part_id, CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $NegativesPerUser
+       |ORDER BY user_id, rank""".stripMargin
+
+  /** #293 source_vocab_overlap — pairwise Jaccard of each source's
+    * top-200 vocabulary (the redundancy screen before adding a new
+    * source to a mix: a crawl whose head vocabulary is ≍ an existing
+    * source's adds volume, not diversity). One token agg, per-source
+    * top-k via a window over the ALREADY-aggregated (source, token)
+    * relation, then the pair join runs over ≤ |sources|·200 rows —
+    * bounded regardless of corpus size. Integer intersections, exact
+    * division.
+    */
+  val VocabOverlapTopK = 200
+
+  def sourceVocabOverlap(s: SparkSession, dir: String): DataFrame = {
+    val wTop = Window.partitionBy(col("source")).orderBy(col("c").desc, col("tok"))
+    val top = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= VocabOverlapTopK)
+      .select(col("source"), col("tok"))
+    val sizes = top.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = top.select(col("source").as("a"), col("tok"))
+      .join(top.select(col("source").as("b"), col("tok")), Seq("tok"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("source").as("a"), col("n").as("na")), Seq("a"))
+      .join(sizes.select(col("source").as("b"), col("n").as("nb")), Seq("b"))
+      .select(
+        col("a"), col("b"), col("inter"),
+        emit(
+          col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val sourceVocabOverlapSql: String =
+    s"""WITH toks AS (
+       |  SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+       |),
+       |counts AS (
+       |  SELECT source, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2
+       |),
+       |top AS (
+       |  SELECT source, tok FROM (
+       |    SELECT source, tok,
+       |      row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rn
+       |    FROM counts
+       |  ) WHERE rn <= $VocabOverlapTopK
+       |),
+       |sizes AS (SELECT source, count(*) AS n FROM top GROUP BY 1),
+       |inter AS (
+       |  SELECT t1.source AS a, t2.source AS b, count(*) AS inter
+       |  FROM top t1 JOIN top t2 ON t1.tok = t2.tok AND t1.source < t2.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT a, b, CAST(inter AS BIGINT) AS inter,
+       |  CAST(round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS DOUBLE) AS jaccard
+       |FROM inter JOIN sizes sa ON sa.source = a JOIN sizes sb ON sb.source = b
+       |ORDER BY a, b""".stripMargin
+
+  /** #294 join_cardinality_report — the cost-based-optimizer stat the
+    * engine's own planning relies on, surfaced as an operator: exact
+    * equi-join output cardinality WITHOUT running the join, from the
+    * per-key count histograms — |A ⋈_k B| = Σ_k cA(k)·cB(k), plus the
+    * worst single-key fan-out (the skew the AQE skew-join guard
+    * watches for). Per join, two fine-keyed count aggs and a
+    * distinct-key-sized merge join — the fact-to-fact row explosion
+    * never happens, which is the entire point of estimating before
+    * executing. Products in DECIMAL(38,0): two 1e9-row keys alone
+    * would overflow a BIGINT product sum.
+    */
+  def joinCardinalityReport(s: SparkSession, dir: String): DataFrame = {
+    def profile(name: String, left: DataFrame, lk: String,
+        right: DataFrame, rk: String): DataFrame = {
+      val ca = left.groupBy(col(lk).as("k")).agg(count(lit(1)).as("ca"))
+      val cb = right.groupBy(col(rk).as("k")).agg(count(lit(1)).as("cb"))
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      ca.join(cb, Seq("k"))
+        .select((dec(col("ca")) * dec(col("cb"))).as("prod"))
+        .agg(
+          sum(col("prod")).cast("decimal(38,0)").as("est_rows"),
+          max(col("prod")).cast("decimal(38,0)").as("max_key_fanout"),
+          count(lit(1)).as("matching_keys"))
+        .select(
+          lit(name).as("join_name"), col("est_rows").cast("long").as("est_rows"),
+          col("max_key_fanout").cast("long").as("max_key_fanout"),
+          col("matching_keys"))
+    }
+    val o = Tables.orders(s, dir); val l = Tables.lineitem(s, dir)
+    val c = Tables.customer(s, dir); val p = Tables.part(s, dir)
+    profile("orders_lineitem", o, "o_orderkey", l, "l_orderkey")
+      .unionByName(profile("customer_orders", c, "c_custkey", o, "o_custkey"))
+      .unionByName(profile("part_lineitem", p, "p_partkey", l, "l_partkey"))
+      .orderBy(col("join_name"))
+  }
+
+  val joinCardinalityReportSql: String = {
+    def one(name: String, lt: String, lk: String, rt: String, rk: String) =
+      s"""SELECT '$name' AS join_name,
+         |  CAST(CAST(sum(prod) AS DECIMAL(38,0)) AS BIGINT) AS est_rows,
+         |  CAST(CAST(max(prod) AS DECIMAL(38,0)) AS BIGINT) AS max_key_fanout,
+         |  count(*) AS matching_keys
+         |FROM (
+         |  SELECT CAST(ca.n AS DECIMAL(38,0)) * CAST(cb.n AS DECIMAL(38,0)) AS prod
+         |  FROM (SELECT $lk AS k, count(*) AS n FROM $lt GROUP BY 1) ca
+         |  JOIN (SELECT $rk AS k, count(*) AS n FROM $rt GROUP BY 1) cb USING (k)
+         |)""".stripMargin
+    Seq(
+      one("customer_orders", "customer", "c_custkey", "orders", "o_custkey"),
+      one("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+      one("part_lineitem", "part", "p_partkey", "lineitem", "l_partkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY join_name")
+  }
+
+  /** #295 embed_covariance — the upper-triangle covariance matrix of
+    * the embedding table (the input to whitening/PCA drift checks):
+    * cov(i,j) = Sxy/n − (Sx/n)(Sy/n) with every cross-row sum (Sx,
+    * Sxy) going through round-12 DECIMAL (order-free, the #127/#239
+    * second-moment rule) and the final combination in exact double
+    * arithmetic. Shape: one posexplode to (vec, dim, x), one vec-key
+    * self-join producing the d²/2 products per vector — but the
+    * (i,j)-keyed aggregate MAP-SIDE COMBINES, so the shuffle carries
+    * O(partitions · d²) partial sums, independent of row count; the
+    * per-dim means reuse #239 embed_dim_stats' single-pass shape.
+    */
+  def embedCovariance(s: SparkSession, dir: String): DataFrame = {
+    val xs = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
+    val moments = xs.groupBy(col("i"))
+      .agg(sum(round(col("x"), 12).cast(OracleMath.Dec12)).as("sx"))
+    val cross = xs.select(col("vec_id"), col("i"), col("x"))
+      .join(
+        xs.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
+        Seq("vec_id"))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(round(col("x") * col("y"), 12).cast(OracleMath.Dec12)).as("sxy"))
+    cross
+      .join(moments.select(col("i"), col("sx")), Seq("i"))
+      .join(moments.select(col("i").as("j"), col("sx").as("sy")), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(
+        col("i"), col("j"),
+        emit(
+          col("sxy").cast("double") / col("n")
+            - (col("sx").cast("double") / col("n"))
+            * (col("sy").cast("double") / col("n")), 6).as("cov"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val embedCovarianceSql: String =
+    """WITH xs AS (
+      |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+      |),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |moments AS (
+      |  SELECT i, sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx FROM xs GROUP BY 1
+      |),
+      |cross_m AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    sum(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))) AS sxy
+      |  FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2
+      |)
+      |SELECT i, j,
+      |  CAST(round(CAST(sxy AS DOUBLE) / n
+      |    - (CAST(ma.sx AS DOUBLE) / n) * (CAST(mb.sx AS DOUBLE) / n), 6) AS DOUBLE) AS cov
+      |FROM cross_m JOIN moments ma USING (i) JOIN moments mb ON mb.i = cross_m.j
+      |CROSS JOIN n ORDER BY i, j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "psi_drift" -> (psiDrift(_, _)),
     "cusum_changepoint" -> (cusumChangepoint(_, _)),
@@ -729,7 +973,11 @@ object Round11Ops {
     "label_noise_report" -> (labelNoiseReport(_, _)),
     "doc_perplexity_bigram" -> (docPerplexityBigram(_, _)),
     "dedup_containment_fast" -> (dedupContainmentFast(_, _)),
-    "blocking_report" -> (blockingReport(_, _)))
+    "blocking_report" -> (blockingReport(_, _)),
+    "negative_sampling" -> (negativeSampling(_, _)),
+    "source_vocab_overlap" -> (sourceVocabOverlap(_, _)),
+    "join_cardinality_report" -> (joinCardinalityReport(_, _)),
+    "embed_covariance" -> (embedCovariance(_, _)))
 
   val oracles: Map[String, String] = Map(
     "psi_drift" -> psiDriftSql,
@@ -742,5 +990,9 @@ object Round11Ops {
     "dedup_containment" -> dedupContainmentSql,
     "label_noise_report" -> labelNoiseReportSql,
     "doc_perplexity_bigram" -> docPerplexityBigramSql,
-    "blocking_report" -> blockingReportSql)
+    "blocking_report" -> blockingReportSql,
+    "negative_sampling" -> negativeSamplingSql,
+    "source_vocab_overlap" -> sourceVocabOverlapSql,
+    "join_cardinality_report" -> joinCardinalityReportSql,
+    "embed_covariance" -> embedCovarianceSql)
 }

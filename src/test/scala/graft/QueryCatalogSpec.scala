@@ -2233,6 +2233,62 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(share < 0.5, s"a working blocking key must cut the pair space, got $share")
   }
 
+  test("negative samples never collide with positives and are per-user ranked") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("negative_sampling")(spark, dir).cache()
+    val positives = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))
+      .distinct()
+    assert(df.join(positives, Seq("user_id", "part_id")).count() == 0,
+      "a negative sample must never be a purchased part")
+    val badRank = df.groupBy("user_id")
+      .agg(count(lit(1)).as("k"), max("rank").as("mx"))
+      .filter(col("k") =!= col("mx") || col("k") > graft.queries.Round11Ops.NegativesPerUser)
+    assert(badRank.count() == 0, "ranks are 1..k per user with k <= 4")
+  }
+
+  test("vocab overlap covers every source pair exactly once") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("source_vocab_overlap")(spark, dir).cache()
+    val s = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(df.count() == s * (s - 1) / 2, "one row per unordered source pair")
+    assert(df.filter(col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+  }
+
+  test("join cardinality estimates equal the actual equi-join counts") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("join_cardinality_report")(spark, dir).cache()
+    // the histogram identity is EXACT for equi-joins: check all three
+    val actual = Map(
+      "orders_lineitem" -> Tables.orders(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey")).count(),
+      "customer_orders" -> Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey")).count(),
+      "part_lineitem" -> Tables.part(spark, dir)
+        .join(Tables.lineitem(spark, dir), col("p_partkey") === col("l_partkey")).count())
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("est_rows") == actual(r.getAs[String]("join_name")),
+        s"estimate must be exact for ${r.getAs[String]("join_name")}")
+    }
+  }
+
+  test("embedding covariance diagonal is non-negative and bounds the off-diagonal") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("embed_covariance")(spark, dir).cache()
+    assert(df.count() == 64L * 65 / 2, "full upper triangle of a 64-dim matrix")
+    val diag = df.filter(col("i") === col("j"))
+    assert(diag.filter(col("cov") < -1e-9).count() == 0, "variances are non-negative")
+    // Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i * var_j)
+    val d = diag.select(col("i").as("di"), col("cov").as("v")).cache()
+    val viol = df.join(d, col("i") === col("di")).drop("di")
+      .withColumnRenamed("v", "vi")
+      .join(d, col("j") === col("di")).drop("di")
+      .withColumnRenamed("v", "vj")
+      .filter(abs(col("cov")) > sqrt(col("vi") * col("vj")) + 1e-6)
+    assert(viol.count() == 0, "Cauchy-Schwarz must hold pairwise")
+  }
+
   test("label noise report partitions the vector set") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("label_noise_report")(spark, dir).cache()
