@@ -44,6 +44,15 @@ object Round11Ops {
       .agg(
         sum(when(col("half") === 1, col("n")).otherwise(lit(0L))).as("n_first"),
         sum(when(col("half") === 2, col("n")).otherwise(lit(0L))).as("n_second"))
+    psiFinish(wide)
+  }
+
+  /** The PSI arithmetic over any (event_type, n_first, n_second) count
+    * frame — shared by the batch op and the streaming drift monitor
+    * (streaming.psiStream serves THIS over its live state, so drained
+    * stream ≡ batch is an identity, not a coincidence).
+    */
+  private[graft] def psiFinish(wide: DataFrame): DataFrame = {
     val tot = wide.agg(sum(col("n_first")).as("t1"), sum(col("n_second")).as("t2"))
     wide.crossJoin(broadcast(tot))
       .withColumn("s1", col("n_first").cast("double") / col("t1").cast("double"))
@@ -86,6 +95,19 @@ object Round11Ops {
       |  CASE WHEN n_first = 0 OR n_second = 0 THEN NULL
       |       ELSE CAST(round((s2 - s1) * ln(s2 / s1), 6) AS DOUBLE) END AS psi_term
       |FROM sh ORDER BY event_type""".stripMargin
+
+  /** The batch first-half baseline for the streaming drift monitor:
+    * (event_type, n_first) counts under the same data-derived split
+    * rule psi_drift uses.
+    */
+  def psiBaseline(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(to_date(col("ts")).as("d"), col("event_type"))
+    val span = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    ev.crossJoin(broadcast(span))
+      .filter(datediff(col("d"), col("lo")) * 2 <= datediff(col("hi"), col("lo")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_first"))
+  }
 
   /** #281 cusum_changepoint — CUSUM change-point location per event
     * type over the dense daily-count series. The statistic stays in
@@ -961,6 +983,111 @@ object Round11Ops {
       |FROM cross_m JOIN moments ma USING (i) JOIN moments mb ON mb.i = cross_m.j
       |CROSS JOIN n ORDER BY i, j""".stripMargin
 
+  /** #296 grouping_sets_report — the third member of the multi-level
+    * aggregation family (#22 cube, #24 rollup): EXPLICIT grouping sets
+    * ((nation), (region), ()) over the revenue fact join — the form a
+    * reporting layer uses when it wants named levels, not every
+    * combination; one expand-node pass over the joined fact (dims
+    * broadcast), grouping() flags disambiguate the levels portably
+    * (grouping_id bit order is engine-specific, the per-column flag is
+    * not).
+    */
+  def groupingSetsReport(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(
+        col("n_name"), col("r_name"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    fact
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("r_name")), Seq.empty[Column]),
+        col("n_name"), col("r_name"))
+      .agg(
+        grouping(col("n_name")).as("g_n"),
+        grouping(col("r_name")).as("g_r"),
+        emit(dsum(col("rev"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(
+        col("g_n"), col("g_r"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        col("revenue"), col("n_lines"))
+      .orderBy(col("g_n"), col("g_r"), col("n_name"), col("r_name"))
+  }
+
+  val groupingSetsReportSql: String =
+    """WITH fact AS (
+      |  SELECT n_name, r_name, l_extendedprice * (1.0 - l_discount) AS rev
+      |  FROM customer
+      |  JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |  JOIN nation ON c_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |)
+      |SELECT CAST(GROUPING(n_name) AS TINYINT) AS g_n, CAST(GROUPING(r_name) AS TINYINT) AS g_r,
+      |  coalesce(n_name, 'ALL') AS n_name, coalesce(r_name, 'ALL') AS r_name,
+      |  CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM fact
+      |GROUP BY GROUPING SETS ((n_name), (r_name), ())
+      |ORDER BY g_n, g_r, n_name, r_name""".stripMargin
+
+  /** #297 asof_join_nearest — the NEAREST-direction as-of join (pandas
+    * merge_asof direction='nearest'): each purchase matches the signup
+    * anchor minimizing |Δt| in either direction, ties to the EARLIER
+    * anchor then smaller id — the sensor-alignment mode where the
+    * closest calibration reading wins regardless of side (#25's
+    * backward rule is the causal mode). Same shape as #25: user-keyed
+    * equi-join with per-event rank over that user's bounded anchor
+    * set; |Δt| is exact integer microsecond arithmetic.
+    */
+  def asofJoinNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val anchors = ev.filter(col("event_type") === "signup")
+      .select(
+        col("user_id").as("a_user_id"),
+        col("event_id").as("anchor_id"),
+        col("ts").as("anchor_ts"))
+    val gap = abs(unix_micros(col("ts")) - unix_micros(col("anchor_ts")))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("gap_us"), col("anchor_ts"), col("anchor_id"))
+    purchases
+      .join(anchors, col("user_id") === col("a_user_id"), "left")
+      .withColumn("gap_us", gap)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        col("event_id"), col("user_id"),
+        epochMs(col("ts")).as("ts_ms"),
+        col("anchor_id"), epochMs(col("anchor_ts")).as("anchor_ts_ms"),
+        col("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinNearestSql: String =
+    """WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      |),
+      |anchors AS (
+      |  SELECT user_id AS a_user_id, event_id AS anchor_id, ts AS anchor_ts
+      |  FROM events WHERE event_type = 'signup'
+      |),
+      |ranked AS (
+      |  SELECT p.event_id, p.user_id, p.ts, a.anchor_id, a.anchor_ts,
+      |    abs(epoch_us(p.ts) - epoch_us(a.anchor_ts)) AS gap_us,
+      |    row_number() OVER (PARTITION BY p.event_id
+      |      ORDER BY abs(epoch_us(p.ts) - epoch_us(a.anchor_ts)), a.anchor_ts, a.anchor_id) AS rn
+      |  FROM purchases p LEFT JOIN anchors a ON p.user_id = a.a_user_id
+      |)
+      |SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+      |  anchor_id, epoch_ms(anchor_ts) AS anchor_ts_ms, gap_us
+      |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "psi_drift" -> (psiDrift(_, _)),
     "cusum_changepoint" -> (cusumChangepoint(_, _)),
@@ -977,7 +1104,9 @@ object Round11Ops {
     "negative_sampling" -> (negativeSampling(_, _)),
     "source_vocab_overlap" -> (sourceVocabOverlap(_, _)),
     "join_cardinality_report" -> (joinCardinalityReport(_, _)),
-    "embed_covariance" -> (embedCovariance(_, _)))
+    "embed_covariance" -> (embedCovariance(_, _)),
+    "grouping_sets_report" -> (groupingSetsReport(_, _)),
+    "asof_join_nearest" -> (asofJoinNearest(_, _)))
 
   val oracles: Map[String, String] = Map(
     "psi_drift" -> psiDriftSql,
@@ -994,5 +1123,7 @@ object Round11Ops {
     "negative_sampling" -> negativeSamplingSql,
     "source_vocab_overlap" -> sourceVocabOverlapSql,
     "join_cardinality_report" -> joinCardinalityReportSql,
-    "embed_covariance" -> embedCovarianceSql)
+    "embed_covariance" -> embedCovarianceSql,
+    "grouping_sets_report" -> groupingSetsReportSql,
+    "asof_join_nearest" -> asofJoinNearestSql)
 }

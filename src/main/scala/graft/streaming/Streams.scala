@@ -1035,6 +1035,28 @@ object Streams {
       .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
       .select(to_date(col("window.start")).as("d"), col("sk"))
 
+  /** #49u streaming drift monitor — §2 #280 psi_drift as a continuous
+    * query: the live side is ONE update-mode count per event type
+    * (map-side-combined, |types| state rows total); PSI against the
+    * static baseline is SERVED from the drained counts through the
+    * batch op's own arithmetic ([[graft.queries.Round11Ops.psiFinish]]
+    * — the mauSketchStream serve-from-state pattern), so stream ≡
+    * batch is an identity, spec-pinned. At scale the baseline is a
+    * bounded broadcast (|types| rows) and the stream state never
+    * grows with volume.
+    */
+  def psiCountsStream(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n_second"))
+
+  /** Serve the PSI table from a drained live-counts state + baseline. */
+  def psiFromCounts(baseline: DataFrame, live: DataFrame): DataFrame =
+    graft.queries.Round11Ops.psiFinish(
+      baseline.join(live, Seq("event_type"), "full_outer")
+        .select(
+          col("event_type"),
+          coalesce(col("n_first"), lit(0L)).as("n_first"),
+          coalesce(col("n_second"), lit(0L)).as("n_second")))
+
   /** #49s streaming windowed funnel — §2 #282 window_funnel as a
     * continuous per-user state machine: each user's state is their
     * OPEN funnel windows (a view not yet chained to a purchase) plus

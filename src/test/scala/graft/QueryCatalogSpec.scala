@@ -2289,6 +2289,35 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(viol.count() == 0, "Cauchy-Schwarz must hold pairwise")
   }
 
+  test("grouping sets levels reconcile: nations roll up to the grand total") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("grouping_sets_report")(spark, dir).cache()
+    val grand = df.filter(col("g_n") === 1 && col("g_r") === 1)
+    assert(grand.count() == 1, "exactly one grand-total row")
+    val total = grand.head.getAs[Long]("n_lines")
+    val byNation = df.filter(col("g_n") === 0).agg(sum("n_lines")).head.getLong(0)
+    val byRegion = df.filter(col("g_r") === 0 && col("g_n") === 1)
+      .agg(sum("n_lines")).head.getLong(0)
+    assert(byNation == total && byRegion == total,
+      "each grouping-set level partitions the fact rows")
+  }
+
+  test("nearest as-of never matches farther than the backward as-of") {
+    import org.apache.spark.sql.functions._
+    val near = SparkEntry.queries("asof_join_nearest")(spark, dir)
+      .select(col("event_id"), col("gap_us"))
+    val back = SparkEntry.queries("asof_join")(spark, dir)
+      .filter(col("anchor_ts_ms").isNotNull)
+      .select(col("event_id"),
+        (col("ts_ms") - col("anchor_ts_ms")).as("back_gap_ms"))
+    // the backward op reports epoch MILLIS (each side truncates <=999us),
+    // so compare with the 2ms truncation slack
+    val viol = near.join(back, Seq("event_id"))
+      .filter(col("gap_us") > col("back_gap_ms") * 1000 + 2000)
+    assert(viol.count() == 0,
+      "nearest-direction gap is bounded by the backward-direction gap")
+  }
+
   test("label noise report partitions the vector set") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("label_noise_report")(spark, dir).cache()

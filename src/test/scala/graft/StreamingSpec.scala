@@ -1104,6 +1104,38 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected transitions $got")
   }
 
+  test("psi stream served over drained counts equals the batch psi_drift table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    // the SAME data-derived split rule the batch op applies
+    val evDf = Tables.events(spark, dir)
+    val span = evDf.agg(
+      org.apache.spark.sql.functions.min(to_date(col("ts"))).as("lo"),
+      org.apache.spark.sql.functions.max(to_date(col("ts"))).as("hi")).head
+    val (lo, hi) = (span.getDate(0), span.getDate(1))
+    val half = evDf
+      .withColumn("dd", datediff(to_date(col("ts")), lit(lo)))
+      .withColumn("secondHalf", col("dd") * 2 > lit(hi.toLocalDate.toEpochDay - lo.toLocalDate.toEpochDay))
+    val secondHalf = half.filter(col("secondHalf"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Ev]
+    val q = Streams.psiCountsStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("psict").start()
+    val (a, b) = secondHalf.splitAt(secondHalf.length / 2)
+    in.addData(a: _*); q.processAllAvailable()
+    in.addData(b: _*); q.processAllAvailable(); q.stop()
+    val served = Streams.psiFromCounts(
+      graft.queries.Round11Ops.psiBaseline(spark, dir), spark.table("psict"))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("psi_drift")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch,
+      s"served drift table must equal batch psi_drift: $served vs $batch")
+  }
+
   test("funnel stream drains to the batch window_funnel histogram") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
