@@ -935,31 +935,78 @@ object Round11Ops {
     * O(partitions · d²) partial sums, independent of row count; the
     * per-dim means reuse #239 embed_dim_stats' single-pass shape.
     */
-  def embedCovariance(s: SparkSession, dir: String): DataFrame = {
-    val xs = Tables.embeddings(s, dir)
+  def embedCovariance(s: SparkSession, dir: String): DataFrame =
+    covTail(covMoments(Tables.embeddings(s, dir)))
+
+  /** The ALGEBRAIC moment state under #295: one (i, j, v) frame holding
+    * cross sums (i ≤ j, Σ round12(x·y)), per-dim sums (j = −1, Σ
+    * round12(x)) and the row count (i = j = −1) — every entry an exact
+    * DECIMAL, so the state is MERGEABLE by plain keyed addition (the
+    * scorecard_incremental property, for second moments).
+    */
+  private[graft] def covMoments(emb: DataFrame): DataFrame = {
+    val xs = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
       .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n"))
-    val moments = xs.groupBy(col("i"))
-      .agg(sum(round(col("x"), 12).cast(OracleMath.Dec12)).as("sx"))
     val cross = xs.select(col("vec_id"), col("i"), col("x"))
       .join(
         xs.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
         Seq("vec_id"))
       .filter(col("i") <= col("j"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(round(col("x") * col("y"), 12).cast(OracleMath.Dec12)).as("sxy"))
+      .agg(sum(round(col("x") * col("y"), 12).cast(OracleMath.Dec12)).as("v"))
+    val dims = xs.groupBy(col("i"))
+      .agg(sum(round(col("x"), 12).cast(OracleMath.Dec12)).as("v"))
+      .select(col("i"), lit(-1).as("j"), col("v"))
+    val n = emb.agg(count(lit(1)).cast(OracleMath.Dec12).as("v"))
+      .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
+    cross.unionByName(dims).unionByName(n)
+  }
+
+  /** Keyed fold of two moment states — associative exact addition. */
+  private[graft] def mergeCovMoments(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("i"), col("j")).agg(sum(col("v")).as("v"))
+
+  /** Covariance from a moment state (shared by #295 and #298). */
+  private[graft] def covTail(m: DataFrame): DataFrame = {
+    val cross = m.filter(col("j") >= 0)
+    val dims = m.filter(col("j") === -1 && col("i") >= 0)
+      .select(col("i"), col("v").as("sx"))
+    val n = m.filter(col("i") === -1 && col("j") === -1)
+      .select(col("v").cast("long").as("n"))
     cross
-      .join(moments.select(col("i"), col("sx")), Seq("i"))
-      .join(moments.select(col("i").as("j"), col("sx").as("sy")), Seq("j"))
+      .join(dims.select(col("i"), col("sx")), Seq("i"))
+      .join(dims.select(col("i").as("j"), col("sx").as("sy")), Seq("j"))
       .crossJoin(broadcast(n))
       .select(
         col("i"), col("j"),
         emit(
-          col("sxy").cast("double") / col("n")
+          col("v").cast("double") / col("n")
             - (col("sx").cast("double") / col("n"))
             * (col("sy").cast("double") / col("n")), 6).as("cov"))
       .orderBy(col("i"), col("j"))
+  }
+
+  /** #298 embed_covariance_incremental — #295 maintained as a DELTA
+    * MERGE: the historical moment state (an (i,j)-keyed frame of exact
+    * decimal sums, d²/2 + d + 1 rows REGARDLESS of corpus size)
+    * persists once (content-fingerprinted cache); a refresh computes
+    * moments over only the NEW vectors and folds them in by keyed
+    * addition — associative, so merge ≡ recompute EXACTLY and the
+    * entry shares #295's oracle VERBATIM (the scorecard_incremental
+    * pin). At 100 TB a daily refresh touches the day's vectors plus a
+    * ~2k-row state table, never the full history.
+    */
+  def embedCovarianceIncremental(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val idx = graft.sources.Sources.cachedIndexDir(dir, "embeddings", "cov-moments-v1") {
+      p =>
+        covMoments(emb.filter(pmod(col("vec_id"), lit(5)) =!= 4))
+          .write.mode("overwrite").parquet(p)
+    }
+    val hist = s.read.parquet(idx)
+    val delta = covMoments(emb.filter(pmod(col("vec_id"), lit(5)) === 4))
+    covTail(mergeCovMoments(hist, delta))
   }
 
   val embedCovarianceSql: String =
@@ -982,6 +1029,128 @@ object Round11Ops {
       |    - (CAST(ma.sx AS DOUBLE) / n) * (CAST(mb.sx AS DOUBLE) / n), 6) AS DOUBLE) AS cov
       |FROM cross_m JOIN moments ma USING (i) JOIN moments mb ON mb.i = cross_m.j
       |CROSS JOIN n ORDER BY i, j""".stripMargin
+
+  /** #299 label_propagation_eval — transductive kNN label-spreading QA
+    * (the semi-supervised screen: "if we only labeled 80% of this set,
+    * would the neighbors recover the rest?"): vectors with vec_id ≡ 4
+    * (mod 5) are MASKED; each masked vector takes the majority label
+    * of its 10 nearest LABELED cosine neighbors (ties: smaller label);
+    * per true label, the recovery accuracy. Same exact-oracle device
+    * as #288 (native DotProduct ≡ list_dot_product, vec_id rank ties),
+    * same machine-enforced cap with the IVF candidate path at scale.
+    */
+  def labelPropagationEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Registry
+    val cap = 20000L
+    val emb = TextOps.requireBounded(
+      Tables.embeddings(s, dir)
+        .select(
+          col("vec_id"), col("label"),
+          transform(col("embedding"), x => x.cast("double")).as("e")),
+      cap,
+      s"label_propagation_eval is the brute-force O(n·m) oracle form (input exceeds $cap vectors); " +
+        "route the candidate lists through embed_ivf_knn at scale")
+      .withColumn("nrm", Registry.l2norm(col("e")))
+    val masked = emb.filter(pmod(col("vec_id"), lit(5)) === 4)
+      .select(col("vec_id").as("a"), col("label").as("true_label"),
+        col("e").as("ea"), col("nrm").as("na"))
+    val labeled = emb.filter(pmod(col("vec_id"), lit(5)) =!= 4)
+      .select(col("vec_id").as("b"), col("label").as("lb"),
+        col("e").as("eb"), col("nrm").as("nb"))
+    val wRank = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
+    val wVote = Window.partitionBy(col("a")).orderBy(col("v").desc, col("lb"))
+    val verdicts = masked.crossJoin(broadcast(labeled))
+      .withColumn("cosine", Registry.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .select(col("a"), col("true_label"), col("b"), col("lb"), col("cosine"))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 10)
+      .groupBy(col("a"), col("true_label"), col("lb"))
+      .agg(count(lit(1)).as("v"))
+      .withColumn("vr", row_number().over(wVote))
+      .filter(col("vr") === 1)
+    verdicts
+      .groupBy(col("true_label").as("label"))
+      .agg(
+        count(lit(1)).as("n_masked"),
+        sum(when(col("lb") === col("true_label"), lit(1L)).otherwise(lit(0L)))
+          .as("n_recovered"))
+      .select(
+        col("label"), col("n_masked"), col("n_recovered"),
+        emit(col("n_recovered").cast("double") / col("n_masked").cast("double"), 6)
+          .as("recovery_rate"))
+      .orderBy(col("label"))
+  }
+
+  val labelPropagationEvalSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      |  FROM embeddings
+      |),
+      |n AS (SELECT vec_id, label, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e),
+      |masked AS (SELECT * FROM n WHERE vec_id % 5 = 4),
+      |labeled AS (SELECT * FROM n WHERE vec_id % 5 <> 4),
+      |ranked AS (
+      |  SELECT a.vec_id AS a, a.label AS true_label, b.label AS lb,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) DESC, b.vec_id) AS rn
+      |  FROM masked a CROSS JOIN labeled b
+      |),
+      |votes AS (
+      |  SELECT a, true_label, lb, count(*) AS v FROM ranked WHERE rn <= 10 GROUP BY 1, 2, 3
+      |),
+      |verdicts AS (
+      |  SELECT a, true_label, lb FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY a ORDER BY v DESC, lb) AS vr FROM votes
+      |  ) WHERE vr = 1
+      |)
+      |SELECT true_label AS label, count(*) AS n_masked,
+      |  sum(CASE WHEN lb = true_label THEN 1 ELSE 0 END) AS n_recovered,
+      |  CAST(round(sum(CASE WHEN lb = true_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE) AS recovery_rate
+      |FROM verdicts GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** #300 theil_sen_trend — the robust daily-volume trend per event
+    * type: the Theil–Sen estimator (median of all pairwise slopes) is
+    * the monitor-grade alternative to OLS (#161's zipf fit) because a
+    * single anomalous day cannot move it. The pair space is the
+    * CALENDAR², not the data² — after the one (day, type) count the
+    * O(days²/2) slope pairs are a few hundred rows per type at any
+    * volume. Slopes are exact integer-over-integer double divisions;
+    * the median is the standard p·(n−1) interpolation both engines
+    * evaluate identically on exact inputs (the quantile_drift
+    * precedent, gate-verified at two SFs).
+    */
+  def theilSenTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), datediff(col("d"), lit("2024-01-01").cast("date")).as("x"), col("c"))
+    val slopes = daily.as("l")
+      .join(daily.as("r"),
+        col("l.event_type") === col("r.event_type") && col("l.x") < col("r.x"))
+      .select(
+        col("l.event_type").as("event_type"),
+        ((col("r.c") - col("l.c")).cast("double")
+          / (col("r.x") - col("l.x")).cast("double")).as("slope"))
+    slopes.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        emit(expr("percentile(slope, 0.5)"), 6).as("trend_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val theilSenTrendSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x, count(*) AS c
+      |  FROM events GROUP BY 1, 2
+      |),
+      |slopes AS (
+      |  SELECT l.event_type,
+      |    CAST(r.c - l.c AS DOUBLE) / CAST(r.x - l.x AS DOUBLE) AS slope
+      |  FROM daily l JOIN daily r ON l.event_type = r.event_type AND l.x < r.x
+      |)
+      |SELECT event_type, count(*) AS n_pairs,
+      |  CAST(round(quantile_cont(slope, 0.5), 6) AS DOUBLE) AS trend_per_day
+      |FROM slopes GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** #296 grouping_sets_report — the third member of the multi-level
     * aggregation family (#22 cube, #24 rollup): EXPLICIT grouping sets
@@ -1106,7 +1275,10 @@ object Round11Ops {
     "join_cardinality_report" -> (joinCardinalityReport(_, _)),
     "embed_covariance" -> (embedCovariance(_, _)),
     "grouping_sets_report" -> (groupingSetsReport(_, _)),
-    "asof_join_nearest" -> (asofJoinNearest(_, _)))
+    "asof_join_nearest" -> (asofJoinNearest(_, _)),
+    "embed_covariance_incremental" -> (embedCovarianceIncremental(_, _)),
+    "label_propagation_eval" -> (labelPropagationEval(_, _)),
+    "theil_sen_trend" -> (theilSenTrend(_, _)))
 
   val oracles: Map[String, String] = Map(
     "psi_drift" -> psiDriftSql,
@@ -1125,5 +1297,8 @@ object Round11Ops {
     "join_cardinality_report" -> joinCardinalityReportSql,
     "embed_covariance" -> embedCovarianceSql,
     "grouping_sets_report" -> groupingSetsReportSql,
-    "asof_join_nearest" -> asofJoinNearestSql)
+    "asof_join_nearest" -> asofJoinNearestSql,
+    "embed_covariance_incremental" -> embedCovarianceSql,
+    "label_propagation_eval" -> labelPropagationEvalSql,
+    "theil_sen_trend" -> theilSenTrendSql)
 }

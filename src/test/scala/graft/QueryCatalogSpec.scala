@@ -2318,6 +2318,34 @@ class QueryCatalogSpec extends AnyFunSuite {
       "nearest-direction gap is bounded by the backward-direction gap")
   }
 
+  test("incremental covariance merge equals the one-shot recompute engine-side") {
+    val inc = SparkEntry.queries("embed_covariance_incremental")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val full = SparkEntry.queries("embed_covariance")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(inc == full, "delta-merged moments must reproduce the full covariance exactly")
+  }
+
+  test("label propagation masks exactly the vec_id mod-5 slice") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("label_propagation_eval")(spark, dir).cache()
+    val masked = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(5)) === 4).count()
+    assert(df.agg(sum("n_masked")).head.getLong(0) == masked)
+    assert(df.filter(col("recovery_rate") < 0 || col("recovery_rate") > 1).count() == 0)
+  }
+
+  test("theil-sen pair counts match the dense calendar") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("theil_sen_trend")(spark, dir).cache()
+    // per type, n_pairs = k(k-1)/2 over that type's observed days
+    val days = Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(countDistinct(to_date(col("ts"))).as("k"))
+    val viol = df.join(days, Seq("event_type"))
+      .filter(col("n_pairs") =!= col("k") * (col("k") - 1) / 2)
+    assert(viol.count() == 0, "slope pair space is the per-type day-pair triangle")
+  }
+
   test("label noise report partitions the vector set") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("label_noise_report")(spark, dir).cache()
