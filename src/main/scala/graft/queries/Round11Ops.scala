@@ -947,14 +947,20 @@ object Round11Ops {
   private[graft] def covMoments(emb: DataFrame): DataFrame = {
     val xs = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
-    val cross = xs.select(col("vec_id"), col("i"), col("x"))
-      .join(
-        xs.select(col("vec_id"), col("i").as("j"), col("x").as("y")),
-        Seq("vec_id"))
-      .filter(col("i") <= col("j"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum(round(col("x") * col("y"), 12).cast(OracleMath.Dec12)).as("v"))
+      .select(col("i"), col("x").cast("double").as("x"))
+    // the d²/2 products expand from each row's OWN array — a join-free
+    // narrow pass (the vec_id self-join shape shuffled both explode
+    // branches before producing the identical rows; this goes scan →
+    // generate → map-side partial agg with no exchange until the
+    // 2k-row (i,j) partials merge): 10.1 → ~4 s at sf0.1
+    val cross = emb
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(embedding) - 1), i ->
+          |  transform(sequence(i, size(embedding) - 1), j ->
+          |    struct(i, j, round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE), 12) AS p))))"""
+          .stripMargin)).as("t"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p").cast(OracleMath.Dec12)).as("v"))
     val dims = xs.groupBy(col("i"))
       .agg(sum(round(col("x"), 12).cast(OracleMath.Dec12)).as("v"))
       .select(col("i"), lit(-1).as("j"), col("v"))
@@ -1257,6 +1263,74 @@ object Round11Ops {
       |  anchor_id, epoch_ms(anchor_ts) AS anchor_ts_ms, gap_us
       |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin
 
+  /** #301 ann_probe_curve — the IVF tuning table: recall@3 and scan
+    * fraction as the probe count sweeps 1 → 2 → 4 → 8 → 16 (16 = every
+    * list, the exhaustive limit). THE artifact an ANN deployment reads
+    * to pick its latency/recall point: recall MUST be monotone in
+    * probes (candidate sets are nested — spec-pinned) and reach 1.0 at
+    * the full sweep (probing all lists IS brute force — spec-pinned).
+    * One trained-centroid assignment pass is SHARED by every sweep
+    * point (lineage-cut; the probes dimension only re-ranks the
+    * query-side nearest-centroid list), so the sweep costs one extra
+    * bounded join per point, not a re-train. Rows-only by declared
+    * design (trained centroids, the embed_ivf_knn precedent); the
+    * invariants above are the correctness pin.
+    */
+  def annProbeCurve(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Registry
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val k = 16
+    val cents = graft.Lineage.cut(TextOps.ivfCentroids(emb, k, 2))
+    val lists = graft.Lineage.cut(
+      TextOps.nearestCentroids(emb, cents, "vec_id", "e", 1))
+    // the SAME query set as the exact baseline (#37 scores vec_id < 5)
+    val queries10 = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"))
+    // every sweep point reuses ONE ranked query→centroid relation
+    // (explicit rank over the same (csim DESC, cent_id ASC) order the
+    // family's nearestCentroids encodes; 10 queries × k rows, tiny)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("cent_id"))
+    val probedAll = graft.Lineage.cut(
+      queries10.crossJoin(broadcast(cents))
+        .withColumn("csim", Registry.cosine(col("qe"), col("ce")))
+        .withColumn("rank", row_number().over(wProbe))
+        .select(col("query_id"), col("qe"), col("cent_id"), col("rank")))
+    val exact3 = TextOps.queries("embed_knn")(s, dir)
+      .filter(col("rn") <= 3).select(col("query_id"), col("vec_id"))
+    val nq = queries10.agg(countDistinct(col("query_id")).as("nq"))
+    val nvec = emb.agg(count(lit(1)).as("nv"))
+    val w = Window.partitionBy(col("probes"), col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val swept = probedAll
+      .join(broadcast(
+        s.createDataFrame(Seq(Tuple1(1), Tuple1(2), Tuple1(4), Tuple1(8), Tuple1(16)))
+          .toDF("probes")), col("rank") <= col("probes"))
+      .join(lists, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+    val cands = swept.groupBy(col("probes"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val hits = swept
+      .withColumn("cosine", Registry.dot(col("qe"), col("e"))
+        / (Registry.l2norm(col("qe")) * Registry.l2norm(col("e"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .join(exact3, Seq("query_id", "vec_id"), "left_semi")
+      .groupBy(col("probes")).agg(count(lit(1)).as("n_hits"))
+    cands.join(hits, Seq("probes"), "left")
+      .crossJoin(broadcast(nq)).crossJoin(broadcast(nvec))
+      .select(
+        col("probes"),
+        col("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        emit(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / (col("nq") * 3).cast("double"), 6).as("recall_at_3"),
+        emit(col("n_candidates").cast("double")
+          / (col("nq") * col("nv")).cast("double"), 6).as("scan_frac"))
+      .orderBy(col("probes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "psi_drift" -> (psiDrift(_, _)),
     "cusum_changepoint" -> (cusumChangepoint(_, _)),
@@ -1278,7 +1352,8 @@ object Round11Ops {
     "asof_join_nearest" -> (asofJoinNearest(_, _)),
     "embed_covariance_incremental" -> (embedCovarianceIncremental(_, _)),
     "label_propagation_eval" -> (labelPropagationEval(_, _)),
-    "theil_sen_trend" -> (theilSenTrend(_, _)))
+    "theil_sen_trend" -> (theilSenTrend(_, _)),
+    "ann_probe_curve" -> (annProbeCurve(_, _)))
 
   val oracles: Map[String, String] = Map(
     "psi_drift" -> psiDriftSql,

@@ -22,7 +22,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
       "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental",
       "mau_hll_sliding", "audience_overlap_sketch", "table_profile_sketch",
-      "ann_recall_report", "dedup_containment_fast")
+      "ann_recall_report", "dedup_containment_fast", "ann_probe_curve")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -2344,6 +2344,21 @@ class QueryCatalogSpec extends AnyFunSuite {
     val viol = df.join(days, Seq("event_type"))
       .filter(col("n_pairs") =!= col("k") * (col("k") - 1) / 2)
     assert(viol.count() == 0, "slope pair space is the per-type day-pair triangle")
+  }
+
+  test("probe curve recall is monotone and the full sweep is exhaustive") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ann_probe_curve")(spark, dir)
+      .orderBy("probes").collect()
+    assert(df.length == 5, "five sweep points")
+    val recalls = df.map(_.getAs[Double]("recall_at_3"))
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1) + 1e-9),
+      s"recall must be monotone in probes: ${recalls.mkString(",")}")
+    assert(math.abs(recalls.last - 1.0) < 1e-9,
+      "probing every list IS brute force: recall@3 must reach 1.0")
+    val scans = df.map(_.getAs[Double]("scan_frac"))
+    assert(scans.sliding(2).forall(p => p(0) <= p(1) + 1e-9),
+      "scan fraction grows with probes")
   }
 
   test("label noise report partitions the vector set") {
