@@ -635,7 +635,97 @@ object GraphOps {
        |  CAST(round(n_recip / n_edges, 6) AS DOUBLE) AS reciprocity
        |FROM t, r""".stripMargin
 
+  /** #302 graph_hits — Kleinberg's HITS (hubs & authorities, 3
+    * synchronous iterations, L1-normalized each half-step so the
+    * normalizer is an exact DECIMAL sum rather than an L2 sqrt — the
+    * documented variant that keeps every cross-row total order-free):
+    * a ← Σ_in h, h ← Σ_out a, each divided by its L1 total (exact
+    * long→double-free: decimal/decimal via double division of exact
+    * sums, round-12 between rounds — the page_rank discipline). Per
+    * round: two edge-keyed joins + two fine aggs, O(E) shuffle, a
+    * lineage cut per round; the oracle replays the identical rounds
+    * as generated CTEs.
+    */
+  def graphHits(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val nRow = nodes.agg(count(lit(1)).as("n"))
+    var h = nodes.crossJoin(broadcast(nRow))
+      .select(col("id"), (lit(1.0) / col("n")).as("score"))
+    var a: DataFrame = null
+    for (_ <- 1 to 3) {
+      val aRaw = e.join(h.select(col("id").as("src"), col("score")), Seq("src"))
+        .select(col("dst").as("id"), round(col("score"), 12).cast(Dec12).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("raw"))
+      val aTot = aRaw.agg(sum(col("raw")).as("tot"))
+      a = graft.Lineage.cut(aRaw.crossJoin(broadcast(aTot))
+        .select(col("id"),
+          round(col("raw").cast("double") / col("tot").cast("double"), 12).as("score")))
+      val hRaw = e.join(a.select(col("id").as("dst"), col("score")), Seq("dst"))
+        .select(col("src").as("id"), round(col("score"), 12).cast(Dec12).as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("raw"))
+      val hTot = hRaw.agg(sum(col("raw")).as("tot"))
+      h = graft.Lineage.cut(hRaw.crossJoin(broadcast(hTot))
+        .select(col("id"),
+          round(col("raw").cast("double") / col("tot").cast("double"), 12).as("score")))
+    }
+    nodes
+      .join(a.select(col("id"), col("score").as("authority")), Seq("id"), "left")
+      .join(h.select(col("id"), col("score").as("hub")), Seq("id"), "left")
+      .select(
+        col("id"),
+        emit(coalesce(col("authority"), lit(0.0)), 6).as("authority"),
+        emit(coalesce(col("hub"), lit(0.0)), 6).as("hub"))
+      .orderBy(col("authority").desc, col("id"))
+  }
+
+  val graphHitsSql: String = {
+    def round12(x: String) = s"round($x, 12)"
+    def iter(k: Int, hPrev: String): (String, String) = {
+      val stages =
+        s"""araw$k AS (
+           |  SELECT e.dst AS id, sum(CAST(${round12(s"$hPrev.score")} AS DECIMAL(38,12))) AS raw
+           |  FROM e JOIN $hPrev ON e.src = $hPrev.id GROUP BY 1
+           |),
+           |a$k AS (
+           |  SELECT id, round(CAST(raw AS DOUBLE) / (SELECT CAST(sum(raw) AS DOUBLE) FROM araw$k), 12) AS score
+           |  FROM araw$k
+           |),
+           |hraw$k AS (
+           |  SELECT e.src AS id, sum(CAST(${round12(s"a$k.score")} AS DECIMAL(38,12))) AS raw
+           |  FROM e JOIN a$k ON e.dst = a$k.id GROUP BY 1
+           |),
+           |h$k AS (
+           |  SELECT id, round(CAST(raw AS DOUBLE) / (SELECT CAST(sum(raw) AS DOUBLE) FROM hraw$k), 12) AS score
+           |  FROM hraw$k
+           |)""".stripMargin
+      (stages, s"h$k")
+    }
+    val (s1, h1) = iter(1, "h0")
+    val (s2, h2) = iter(2, h1)
+    val (s3, _) = iter(3, h2)
+    s"""WITH edges_raw AS ($edgesSql),
+       |e AS (SELECT DISTINCT src, dst FROM edges_raw),
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+       |),
+       |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |h0 AS (SELECT id, 1.0 / n.n AS score FROM nodes CROSS JOIN n),
+       |$s1,
+       |$s2,
+       |$s3
+       |SELECT nodes.id AS id,
+       |  CAST(round(coalesce(a3.score, 0), 6) AS DOUBLE) AS authority,
+       |  CAST(round(coalesce(h3.score, 0), 6) AS DOUBLE) AS hub
+       |FROM nodes
+       |LEFT JOIN a3 ON nodes.id = a3.id
+       |LEFT JOIN h3 ON nodes.id = h3.id
+       |ORDER BY authority DESC, nodes.id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_hits" -> (graphHits(_, _)),
     "graph_reciprocity" -> (graphReciprocity(_, _)),
     "graph_assortativity" -> (graphAssortativity(_, _)),
     "graph_kcore" -> (graphKcore(_, _)),
@@ -663,6 +753,7 @@ object GraphOps {
     "graph_mutuals" -> graphMutualsSql,
     "graph_top_moots" -> graphTopMootsSql,
     "community_input" -> communityInputSql,
+    "graph_hits" -> graphHitsSql,
     "page_rank" -> pageRankSql,
     "triangle_count" -> triangleCountSql,
     "admin_stats" -> adminStatsSql)

@@ -1331,6 +1331,50 @@ object Round11Ops {
       .orderBy(col("probes"))
   }
 
+  /** #303 skyline_parts — the classic 2-D skyline (Pareto frontier)
+    * operator: parts not dominated on (cheaper price, larger size) —
+    * q dominates p iff q.price ≤ p.price ∧ q.size ≥ p.size with one
+    * strict. NOT the O(n²) dominance join: collapse to per-distinct-
+    * price maxima (one fine-keyed agg), then one lag-of-running-max
+    * window over the |distinct prices| relation gives M_lt (the best
+    * size strictly cheaper), and p survives iff p.size > M_lt AND
+    * p.size is its own price group's max — the textbook sort-scan
+    * skyline, re-expressed as agg + bounded window so the full fact
+    * table never total-sorts.
+    */
+  def skylineParts(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+    val perPrice = parts.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("grp_max"))
+    val wCum = Window.orderBy(col("p_retailprice"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perPrice
+      .withColumn("m_lt", max(col("grp_max")).over(wCum))
+    parts.join(frontier, Seq("p_retailprice"))
+      .filter(
+        col("p_size") === col("grp_max")
+          && (col("m_lt").isNull || col("p_size") > col("m_lt")))
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
+  val skylinePartsSql: String =
+    """WITH per_price AS (
+      |  SELECT p_retailprice, max(p_size) AS grp_max
+      |  FROM part GROUP BY 1
+      |),
+      |frontier AS (
+      |  SELECT p_retailprice, grp_max,
+      |    max(grp_max) OVER (ORDER BY p_retailprice
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt
+      |  FROM per_price
+      |)
+      |SELECT p_partkey, p_name, p_retailprice, p_size
+      |FROM part JOIN frontier USING (p_retailprice)
+      |WHERE p_size = grp_max AND (m_lt IS NULL OR p_size > m_lt)
+      |ORDER BY p_retailprice, p_partkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "psi_drift" -> (psiDrift(_, _)),
     "cusum_changepoint" -> (cusumChangepoint(_, _)),
@@ -1353,7 +1397,8 @@ object Round11Ops {
     "embed_covariance_incremental" -> (embedCovarianceIncremental(_, _)),
     "label_propagation_eval" -> (labelPropagationEval(_, _)),
     "theil_sen_trend" -> (theilSenTrend(_, _)),
-    "ann_probe_curve" -> (annProbeCurve(_, _)))
+    "ann_probe_curve" -> (annProbeCurve(_, _)),
+    "skyline_parts" -> (skylineParts(_, _)))
 
   val oracles: Map[String, String] = Map(
     "psi_drift" -> psiDriftSql,
@@ -1375,5 +1420,6 @@ object Round11Ops {
     "asof_join_nearest" -> asofJoinNearestSql,
     "embed_covariance_incremental" -> embedCovarianceSql,
     "label_propagation_eval" -> labelPropagationEvalSql,
-    "theil_sen_trend" -> theilSenTrendSql)
+    "theil_sen_trend" -> theilSenTrendSql,
+    "skyline_parts" -> skylinePartsSql)
 }

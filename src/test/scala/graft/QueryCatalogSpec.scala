@@ -2361,6 +2361,37 @@ class QueryCatalogSpec extends AnyFunSuite {
       "scan fraction grows with probes")
   }
 
+  test("hits scores are L1-normalized distributions over the node set") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("graph_hits")(spark, dir).cache()
+    val sums = df.agg(sum("authority"), sum("hub")).head
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-3, s"authority mass ~1: $sums")
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-3, s"hub mass ~1: $sums")
+    assert(df.filter(col("authority") < 0 || col("hub") < 0).count() == 0)
+  }
+
+  test("skyline members are mutually non-dominating and dominate everything else") {
+    import org.apache.spark.sql.functions._
+    val sky = SparkEntry.queries("skyline_parts")(spark, dir).cache()
+    // no skyline member dominates another (frontier property)
+    val internal = sky.alias("a").join(sky.alias("b"),
+      col("a.p_retailprice") <= col("b.p_retailprice")
+        && col("a.p_size") >= col("b.p_size")
+        && (col("a.p_retailprice") < col("b.p_retailprice")
+          || col("a.p_size") > col("b.p_size")))
+    assert(internal.count() == 0, "frontier members must not dominate each other")
+    // every non-member is dominated by some skyline member
+    val parts = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+    val nonMembers = parts.join(sky.select("p_partkey"), Seq("p_partkey"), "left_anti")
+    val undominated = nonMembers.alias("p").join(sky.alias("s"),
+      col("s.p_retailprice") <= col("p.p_retailprice")
+        && col("s.p_size") >= col("p.p_size")
+        && (col("s.p_retailprice") < col("p.p_retailprice")
+          || col("s.p_size") > col("p.p_size")), "left_anti")
+    assert(undominated.count() == 0, "every excluded part must be dominated")
+  }
+
   test("label noise report partitions the vector set") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("label_noise_report")(spark, dir).cache()
