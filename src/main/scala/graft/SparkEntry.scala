@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Round9Ops.queries ++
       graft.queries.Round10Ops.queries ++
       graft.queries.Round11Ops.queries ++
+      graft.queries.Round12Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -50,6 +51,7 @@ object SparkEntry {
       graft.queries.Round9Ops.oracles ++
       graft.queries.Round10Ops.oracles ++
       graft.queries.Round11Ops.oracles ++
+      graft.queries.Round12Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -2400,4 +2400,55 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.filter(col("noise_rate") < 0 || col("noise_rate") > 1).count() == 0)
     assert(df.filter(col("n_disagree") > col("n_vecs")).count() == 0)
   }
+
+  test("erasure audit conserves every table and cascades lineitem through orders") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("user_erasure_audit")(spark, dir).cache()
+    val totals = Map(
+      "customer" -> Tables.customer(spark, dir).count(),
+      "orders" -> Tables.orders(spark, dir).count(),
+      "lineitem" -> Tables.lineitem(spark, dir).count(),
+      "events" -> Tables.events(spark, dir).count())
+    df.collect().foreach { r =>
+      val entity = r.getString(0)
+      assert(r.getLong(1) + r.getLong(2) == totals(entity), s"$entity must be conserved")
+    }
+    // the lineitem delete set must be EXACTLY the deleted orders' lines
+    val delOrders = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 13 === 0).select(col("o_orderkey"))
+    val cascade = Tables.lineitem(spark, dir)
+      .join(delOrders, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val reported = df.filter(col("entity") === "lineitem").head.getLong(1)
+    assert(reported == cascade, "lineitem cascade must match the FK walk")
+  }
+
+  test("dp noisy counts perturb every type within the mechanism's hard bound") {
+    import org.apache.spark.sql.functions._
+    val noisy = SparkEntry.queries("dp_noisy_counts")(spark, dir)
+    val exact = Tables.events(spark, dir).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val joined = noisy.join(exact, Seq("event_type")).cache()
+    assert(joined.count() == exact.count(), "every type must be released")
+    // |Lap sample| ≤ b·ln(16^6/0.5): the md5-uniform device can't reach
+    // the CDF tails past its 24-bit grid, so the noise is hard-bounded
+    val outOfBound = joined
+      .filter(abs(col("noisy_count") - col("n").cast("double")) > 17.5).count()
+    assert(outOfBound == 0, "noise must respect the 24-bit grid bound")
+    // the release must actually perturb (noise is never exactly zero)
+    val unperturbed = joined
+      .filter(col("noisy_count") === col("n").cast("double")).count()
+    assert(unperturbed == 0, "every count must be perturbed")
+  }
+
+  test("wilson intervals bracket the rate and stay inside [0,1]") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("wilson_ci_report")(spark, dir).cache()
+    assert(df.filter(col("ci_lo") < 0 || col("ci_hi") > 1).count() == 0)
+    assert(df.filter(col("ci_lo") > col("rate") || col("rate") > col("ci_hi")).count() == 0)
+    // Wilson never collapses: a rate strictly inside (0,1) gets a
+    // strictly positive margin on both sides
+    val collapsed = df.filter(
+      col("rate") > 0 && col("rate") < 1 &&
+        (col("ci_lo") === col("rate") || col("ci_hi") === col("rate"))).count()
+    assert(collapsed == 0)
+  }
 }
