@@ -22,7 +22,7 @@ object GraphOps {
   /** Deterministic follows-graph: src buys-from dst, both mapped into
     * the 0..149 user space. ~one edge per order line, deduped.
     */
-  private def edges(s: SparkSession, dir: String): DataFrame =
+  private[queries] def edges(s: SparkSession, dir: String): DataFrame =
     Tables
       .orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
@@ -31,7 +31,7 @@ object GraphOps {
         ((col("l_suppkey") * 17 + col("l_partkey")) % 150).as("dst"))
       .filter(col("src") =!= col("dst"))
 
-  private val edgesSql: String =
+  private[queries] val edgesSql: String =
     """SELECT o_custkey % 150 AS src, (l_suppkey * 17 + l_partkey) % 150 AS dst
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_custkey % 150 <> (l_suppkey * 17 + l_partkey) % 150""".stripMargin

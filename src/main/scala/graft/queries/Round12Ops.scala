@@ -199,13 +199,279 @@ object Round12Ops {
       |      / (1.0 + z2 / nd), 6) AS DOUBLE) AS ci_hi
       |FROM f ORDER BY event_type""".stripMargin
 
+  /** #307 holt_forecast — Holt's linear-trend exponential smoothing
+    * (Holt 1957) over each type's dense daily count series, emitting
+    * the 1..7-day-ahead forecast l_n + h·t_n — the capacity-planning
+    * readout beside the diagnostic monitors (ewma_hourly smooths,
+    * seasonal_decompose explains, THIS extrapolates). α=0.5 and β=0.25
+    * are exactly-representable doubles; init l₀=x₀, t₀=x₁−x₀
+    * (textbook), then l_k = α·x_k + (1−α)(l+t),
+    * t_k = β(l_k−l) + (1−β)t. Scale shape: the only full-data work is
+    * ONE (type, day) count with map-side combine; the recurrence is
+    * inherently sequential, so it folds over a CALENDAR-bounded sorted
+    * array per type (30 entries here; a year is 365) via the aggregate
+    * higher-order function — never a driver loop, never a window over
+    * raw events. Exact oracle: DuckDB replays the identical recurrence
+    * as a recursive CTE — same IEEE ops in the same sequential order
+    * produce the same bits (the deterministic-chain rule), 6-dp emit.
+    */
+  def holtForecast(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(to_date(col("ts")).as("d"), col("event_type"))
+    val span = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val types = ev.select(col("event_type")).distinct()
+    // dense calendar per type (missing days are true zeros)
+    val dense = types.crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(0, datediff(hi, lo))")).as("k"),
+        col("lo"))
+      .join(
+        ev.crossJoin(broadcast(span))
+          .groupBy(col("event_type"), datediff(col("d"), col("lo")).as("k"))
+          .agg(count(lit(1)).as("x")),
+        Seq("event_type", "k"), "left")
+      .select(col("event_type"), col("k"), coalesce(col("x"), lit(0L)).cast("double").as("x"))
+    val folded = dense
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("k"), col("x")))).as("arr"))
+      .select(
+        col("event_type"),
+        aggregate(
+          expr("slice(arr, 2, size(arr) - 1)"),
+          struct(
+            expr("element_at(arr, 1).x").as("l"),
+            (expr("element_at(arr, 2).x") - expr("element_at(arr, 1).x")).as("t")),
+          (acc, e) => {
+            val lNew = lit(0.5) * e.getField("x") + lit(0.5) * (acc.getField("l") + acc.getField("t"))
+            struct(
+              lNew.as("l"),
+              (lit(0.25) * (lNew - acc.getField("l")) + lit(0.75) * acc.getField("t")).as("t"))
+          }).as("st"))
+    folded
+      .select(col("event_type"), col("st.l").as("l"), col("st.t").as("t"),
+        explode(expr("sequence(1, 7)")).as("h"))
+      .select(
+        col("event_type"), col("h"),
+        emit(col("l"), 6).as("level"),
+        emit(col("t"), 6).as("trend"),
+        emit(col("l") + col("h").cast("double") * col("t"), 6).as("forecast"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val holtForecastSql: String =
+    """WITH RECURSIVE ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |cal AS (
+      |  SELECT event_type, unnest(generate_series(0, datediff('day', lo, hi))) AS k
+      |  FROM types, span
+      |),
+      |cnt AS (
+      |  SELECT event_type, datediff('day', lo, d) AS k, count(*) AS x
+      |  FROM ev, span GROUP BY 1, 2
+      |),
+      |dense AS (
+      |  SELECT cal.event_type, cal.k,
+      |    CAST(coalesce(cnt.x, 0) AS DOUBLE) AS x
+      |  FROM cal LEFT JOIN cnt ON cal.event_type = cnt.event_type AND cal.k = cnt.k
+      |),
+      |init AS (
+      |  SELECT a.event_type, a.x AS l, b.x - a.x AS t
+      |  FROM dense a JOIN dense b ON a.event_type = b.event_type AND a.k = 0 AND b.k = 1
+      |),
+      |rec AS (
+      |  SELECT event_type, 0 AS k, l, t FROM init
+      |  UNION ALL
+      |  SELECT r.event_type, r.k + 1,
+      |    0.5 * d.x + 0.5 * (r.l + r.t) AS l,
+      |    0.25 * ((0.5 * d.x + 0.5 * (r.l + r.t)) - r.l) + 0.75 * r.t AS t
+      |  FROM rec r JOIN dense d ON d.event_type = r.event_type AND d.k = r.k + 1
+      |),
+      |last AS (SELECT max(k) AS kmax FROM rec),
+      |fin AS (SELECT event_type, l, t FROM rec, last WHERE k = kmax)
+      |SELECT event_type, h,
+      |  CAST(round(l, 6) AS DOUBLE) AS level,
+      |  CAST(round(t, 6) AS DOUBLE) AS trend,
+      |  CAST(round(l + CAST(h AS DOUBLE) * t, 6) AS DOUBLE) AS forecast
+      |FROM fin, (SELECT unnest(generate_series(1, 7)) AS h)
+      |ORDER BY event_type, h""".stripMargin
+
+  /** #308 personalized_pagerank — PageRank with teleport restricted to
+    * a SEED set (Haveliwala 2002): the "how relevant is every node to
+    * THESE accounts" primitive behind recommendation and
+    * trust-propagation reads of the follow graph (graph_distances
+    * answers hop-distance from seeds; this answers stationary
+    * visit probability). Same engine discipline as #57 page_rank —
+    * 3 synchronous rounds, d=0.85, per-edge contributions rounded
+    * 12 dp and summed through DECIMAL (order-free), rank re-rounded
+    * 12 dp per round, Lineage.cut between rounds, dangling mass not
+    * redistributed — with the teleport term 0.15·[id ∈ S]/|S| replacing
+    * 0.15/n. Seeds here: node id < 5 (the graphFollowing seed rule).
+    * Scale: O(E) edge-keyed join + fine agg per round; the seed
+    * indicator is a broadcast-joined tiny relation. Exact oracle:
+    * the same three rounds unrolled as CTEs.
+    */
+  def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.edges(s, dir).distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+    val seedN = nodes.filter(col("id") < 5).agg(count(lit(1)).as("ns"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    var r = nodes
+      .crossJoin(broadcast(seedN))
+      .select(
+        col("id"),
+        when(col("id") < 5, lit(1.0) / col("ns").cast("double")).otherwise(lit(0.0)).as("rank"),
+        col("ns"))
+    for (_ <- 1 to 3) {
+      val inflow = e
+        .join(r.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), round(col("rank") / col("deg"), 12).cast(Dec12).as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("inflow"))
+      r = graft.Lineage.cut(
+        nodes
+          .crossJoin(broadcast(seedN))
+          .join(inflow, Seq("id"), "left")
+          .select(
+            col("id"),
+            round(
+              when(col("id") < 5, lit(0.15) / col("ns").cast("double")).otherwise(lit(0.0)) +
+                lit(0.85) * coalesce(col("inflow").cast("double"), lit(0.0)),
+              12).as("rank"),
+            col("ns")))
+    }
+    r.select(col("id"), emit(col("rank"), 6).as("ppr"))
+      .filter(col("ppr") > 0.0)
+      .orderBy(col("ppr").desc, col("id"))
+  }
+
+  val personalizedPagerankSql: String = {
+    def iter(prev: String, k: Int): String =
+      s"""c$k AS (
+         |  SELECT e.dst AS id, CAST(round($prev.rank / deg.deg, 12) AS DECIMAL(38,12)) AS c
+         |  FROM e JOIN $prev ON e.src = $prev.id JOIN deg ON e.src = deg.src
+         |),
+         |i$k AS (
+         |  SELECT nodes.id,
+         |    round(CASE WHEN nodes.id < 5 THEN 0.15 / ns.ns ELSE 0.0 END
+         |      + 0.85 * coalesce(CAST(t.s AS DOUBLE), 0), 12) AS rank
+         |  FROM nodes CROSS JOIN ns
+         |  LEFT JOIN (SELECT id, sum(c) AS s FROM c$k GROUP BY id) t ON nodes.id = t.id
+         |)""".stripMargin
+    s"""WITH edges_raw AS (${GraphOps.edgesSql}),
+       |e AS (SELECT DISTINCT src, dst FROM edges_raw),
+       |nodes AS (
+       |  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst AS id FROM e)
+       |),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM nodes WHERE id < 5),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+       |i0 AS (
+       |  SELECT id, CASE WHEN id < 5 THEN 1.0 / ns.ns ELSE 0.0 END AS rank
+       |  FROM nodes CROSS JOIN ns
+       |),
+       |${iter("i0", 1)},
+       |${iter("i1", 2)},
+       |${iter("i2", 3)}
+       |SELECT id, CAST(round(rank, 6) AS DOUBLE) AS ppr
+       |FROM i3 WHERE round(rank, 6) > 0.0 ORDER BY ppr DESC, id""".stripMargin
+  }
+
+  /** #309 kneser_ney_bigram — the interpolated Kneser–Ney smoothed
+    * bigram table (Kneser & Ney 1995; Chen & Goodman 1999's
+    * interpolated form, single discount d=0.75): word_bigrams ships
+    * raw MLE probabilities, THIS is the estimator a real LM pipeline
+    * ships, where the backoff weight of "san" concentrates on
+    * continuations and "francisco" (frequent but only ever after
+    * "san") is correctly down-weighted as a novel continuation.
+    * P(w2|w1) = max(c−d,0)/c(w1) + [d·N₁₊(w1·)/c(w1)]·N₁₊(·w2)/N₁₊(··)
+    * — all four statistics are exact longs off ONE bigram-key count
+    * (map-side combined): the head marginals and distinct-successor
+    * counts co-key on w1, the continuation counts on w2, the bigram
+    * type total is a single-row broadcast. Top-5 per head ranks
+    * ROUNDED probabilities (the engine-portable rank rule) through a
+    * window over the |vocab|²-bounded count table, never raw grams;
+    * d=0.75 is an exactly-representable double and the float chain is
+    * division/multiplication of exact longs in mirrored order (exact
+    * oracle).
+    */
+  def kneserNeyBigram(s: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        "filter(zip_with(w, slice(w, 2, size(w)), (a, b) -> struct(a AS w1, b AS w2)), p -> p.w2 IS NOT NULL)"))
+        .as("g"))
+      .select(col("g.w1").as("w1"), col("g.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+    val counts = grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+    val heads = counts.groupBy(col("w1"))
+      .agg(sum(col("c")).as("head_n"), count(lit(1)).as("n1_fwd"))
+    val cont = counts.groupBy(col("w2")).agg(count(lit(1)).as("n1_bwd"))
+    val totalTypes = counts.agg(count(lit(1)).as("n_types"))
+    val p =
+      greatest(col("c").cast("double") - lit(0.75), lit(0.0)) / col("head_n").cast("double") +
+        (lit(0.75) * col("n1_fwd").cast("double") / col("head_n").cast("double")) *
+        (col("n1_bwd").cast("double") / col("n_types").cast("double"))
+    val scored = counts
+      .join(heads, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(totalTypes))
+      .filter(col("head_n") >= 3)
+      .select(col("w1"), col("w2"), col("c"), col("head_n"), emit(p, 6).as("p_kn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("p_kn").desc, col("w2"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("w1"), col("rn"))
+  }
+
+  val kneserNeyBigramSql: String =
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS w FROM documents
+      |), grams AS (
+      |  SELECT w[i] AS w1, w[i+1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+      |  WHERE w[i] <> '' AND w[i+1] <> ''
+      |), counts AS (
+      |  SELECT w1, w2, count(*) AS c FROM grams GROUP BY 1, 2
+      |), heads AS (
+      |  SELECT w1, CAST(sum(c) AS BIGINT) AS head_n, count(*) AS n1_fwd FROM counts GROUP BY 1
+      |), cont AS (
+      |  SELECT w2, count(*) AS n1_bwd FROM counts GROUP BY 1
+      |), tot AS (
+      |  SELECT count(*) AS n_types FROM counts
+      |), scored AS (
+      |  SELECT counts.w1, counts.w2, c, head_n,
+      |    CAST(round(
+      |      greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(head_n AS DOUBLE)
+      |      + (0.75 * CAST(n1_fwd AS DOUBLE) / CAST(head_n AS DOUBLE))
+      |        * (CAST(n1_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)), 6) AS DOUBLE) AS p_kn
+      |  FROM counts
+      |  JOIN heads ON counts.w1 = heads.w1
+      |  JOIN cont ON counts.w2 = cont.w2
+      |  CROSS JOIN tot
+      |  WHERE head_n >= 3
+      |), ranked AS (
+      |  SELECT w1, w2, c, head_n, p_kn,
+      |    row_number() OVER (PARTITION BY w1 ORDER BY p_kn DESC, w2) AS rn
+      |  FROM scored
+      |)
+      |SELECT w1, w2, c, head_n, p_kn, rn
+      |FROM ranked WHERE rn <= 5 ORDER BY w1, rn""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
-    "wilson_ci_report" -> (wilsonCiReport(_, _)))
+    "wilson_ci_report" -> (wilsonCiReport(_, _)),
+    "holt_forecast" -> (holtForecast(_, _)),
+    "personalized_pagerank" -> (personalizedPagerank(_, _)),
+    "kneser_ney_bigram" -> (kneserNeyBigram(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
     "dp_noisy_counts" -> dpNoisyCountsSql,
-    "wilson_ci_report" -> wilsonCiReportSql)
+    "wilson_ci_report" -> wilsonCiReportSql,
+    "holt_forecast" -> holtForecastSql,
+    "personalized_pagerank" -> personalizedPagerankSql,
+    "kneser_ney_bigram" -> kneserNeyBigramSql)
 }

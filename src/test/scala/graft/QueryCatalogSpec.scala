@@ -2451,4 +2451,53 @@ class QueryCatalogSpec extends AnyFunSuite {
         (col("ci_lo") === col("rate") || col("ci_hi") === col("rate"))).count()
     assert(collapsed == 0)
   }
+
+  test("holt forecast is linear in the horizon at the fitted trend") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("holt_forecast")(spark, dir).cache()
+    val types = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(df.count() == types * 7, "7 horizons per type")
+    // forecast(h+1) - forecast(h) = trend (up to the two 6-dp emits)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("h"))
+    val nonLinear = df
+      .withColumn("step", col("forecast") - lag(col("forecast"), 1).over(w))
+      .filter(col("step").isNotNull && abs(col("step") - col("trend")) > 2.1e-6)
+      .count()
+    assert(nonLinear == 0, "forecast steps must equal the trend")
+  }
+
+  test("personalized pagerank mass stays within the teleport budget") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("personalized_pagerank")(spark, dir).cache()
+    assert(df.filter(col("ppr") < 0).count() == 0)
+    // dangling mass leaks, never appears: total ≤ 1 (+ rounding slack)
+    val mass = df.agg(sum(col("ppr"))).head.getDouble(0)
+    assert(mass <= 1.0 + 1e-4, s"mass $mass must not exceed 1")
+    // every seed keeps at least its own teleport share
+    val seeds = df.filter(col("id") < 5).count()
+    assert(seeds == 5, "all five seeds must hold positive rank")
+  }
+
+  test("kneser-ney rows are proper sub-distributions ranked densely") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("kneser_ney_bigram")(spark, dir).cache()
+    assert(df.filter(col("p_kn") <= 0 || col("p_kn") > 1).count() == 0)
+    // rn is dense 1..k per head and ordered by p desc
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w1")).orderBy(col("rn"))
+    val broken = df
+      .withColumn("prev_rn", lag(col("rn"), 1).over(w))
+      .withColumn("prev_p", lag(col("p_kn"), 1).over(w))
+      .filter(
+        (col("prev_rn").isNull && col("rn") =!= 1) ||
+          (col("prev_rn").isNotNull && col("rn") =!= col("prev_rn") + 1) ||
+          (col("prev_p").isNotNull && col("p_kn") > col("prev_p")))
+      .count()
+    assert(broken == 0, "ranks must be dense and probability-ordered")
+    // the discount moves mass: smoothed top-1 probability never
+    // exceeds the raw MLE estimate c/head_n ... plus the backoff term,
+    // so it stays strictly below 1 even for deterministic heads
+    assert(df.filter(col("c") === col("head_n") && col("p_kn") >= 1.0).count() == 0)
+  }
 }
