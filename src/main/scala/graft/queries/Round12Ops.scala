@@ -459,13 +459,287 @@ object Round12Ops {
       |SELECT w1, w2, c, head_n, p_kn, rn
       |FROM ranked WHERE rn <= 5 ORDER BY w1, rn""".stripMargin
 
+  /** #310 classifier_calibration — the reliability table for the
+    * learned-filter slot (Guo et al. 2017's calibration readout,
+    * deterministic form): doc_quality_classifier's score mapped to a
+    * confidence c = score + 0.5 ∈ [0,1], bucketed into 10 reliability
+    * bins, vs the weak reference label lang='en' — per bin the doc
+    * count, mean confidence, observed positive rate and the
+    * calibration gap. ECE is the n-weighted mean |gap| (the spec
+    * re-derives it). Scale: the classifier is one explode + one
+    * doc-key agg (its own entry's shape); this adds a broadcast-sized
+    * doc_id join to the label column and a 10-row bucket aggregate —
+    * nothing after the classifier scales with data. c comes off the
+    * mean6 exact-integer division, so bucket edges are identical
+    * doubles both engines (exact oracle).
+    */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = Round9Ops.docQualityClassifier(s, dir)
+      .select(col("doc_id"), (col("score") + lit(0.5)).as("c"))
+    val labeled = Tables.documents(s, dir)
+      .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    scored.join(labeled, Seq("doc_id"))
+      .select(least(floor(col("c") * 10).cast("long"), lit(9L)).as("bin"), col("c"), col("y"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("c")).as("sum_c"),
+        sum(col("y")).as("k"))
+      .select(
+        col("bin"), col("n"), col("k"),
+        emit(col("sum_c").cast("double") / col("n").cast("double"), 6).as("mean_conf"),
+        emit(col("k").cast("double") / col("n").cast("double"), 6).as("frac_pos"),
+        emit(
+          abs(round(col("sum_c").cast("double") / col("n").cast("double"), 6).cast("double")
+            - round(col("k").cast("double") / col("n").cast("double"), 6).cast("double")), 6)
+          .as("gap"))
+      .orderBy(col("bin"))
+  }
+
+  val classifierCalibrationSql: String =
+    s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
+       |lab AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents
+       |),
+       |b AS (
+       |  SELECT least(CAST(floor((clf.score + 0.5) * 10) AS BIGINT), 9) AS bin,
+       |    CAST(clf.score + 0.5 AS DECIMAL(38,6)) AS c, lab.y
+       |  FROM clf JOIN lab ON clf.doc_id = lab.doc_id
+       |),
+       |agg AS (
+       |  SELECT bin, count(*) AS n, sum(c) AS sum_c, CAST(sum(y) AS BIGINT) AS k
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT bin, n, k,
+       |  CAST(round(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS mean_conf,
+       |  CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS frac_pos,
+       |  CAST(round(abs(CAST(round(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+       |    - CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)), 6) AS DOUBLE) AS gap
+       |FROM agg ORDER BY bin""".stripMargin
+
+  /** #311 record_linkage — Fellegi–Sunter probabilistic record linkage
+    * (Fellegi & Sunter 1969) between the customer file and a
+    * deterministically-corrupted re-registration of it (segment code
+    * garbled for key%5=0, balance off by a dollar for key%3=0 — the
+    * classic dirty-copy benchmark construction): candidate pairs are
+    * generated ONLY within (nation, $1000-balance-band) blocks, each
+    * field contributes the classic log2(m/u) agreement /
+    * log2((1−m)/(1−u)) disagreement weight, and pairs above the
+    * review threshold come out with their decision. u-probabilities
+    * are ESTIMATED FROM DATA as the random-agreement mass Σ(f_v/N)²
+    * of each field's value distribution (the textbook estimator);
+    * m-probabilities are the known corruption rates (EM would fit
+    * them in the wild). This is a different family from text dedup:
+    * typed-field entity resolution with explicit error modeling.
+    * Scale: blocking bounds the quadratic — pairs exist only inside
+    * (nation, band) buckets (the LSH-bucket discipline on structured
+    * keys); the u estimates are two fine-key aggs collapsing to
+    * single-row broadcasts; everything downstream of the block join
+    * is filtered by the score threshold. Exact oracle: u ratios are
+    * exact longs, the weight chain is mirrored log2/add order, and
+    * the threshold compares the ROUNDED score (the rank rule).
+    */
+  def recordLinkage(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.customer(s, dir).select(
+      col("c_custkey").as("a_key"), col("c_nationkey").as("a_nat"),
+      col("c_mktsegment").as("a_seg"), floor(col("c_acctbal")).as("a_bal"))
+    val b = Tables.customer(s, dir).select(
+      col("c_custkey").as("b_key"), col("c_nationkey").as("b_nat"),
+      when(col("c_custkey") % 5 === 0, reverse(col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("b_seg"),
+      when(col("c_custkey") % 3 === 0, floor(col("c_acctbal")) - 1)
+        .otherwise(floor(col("c_acctbal"))).as("b_bal"))
+    val bN = b.agg(count(lit(1)).as("nb"))
+    // u = Σ (f_v/N)²: the chance two random records agree on the field
+    def uOf(field: Column): DataFrame => DataFrame = df =>
+      df.groupBy(field.as("v")).agg(count(lit(1)).as("f"))
+        .crossJoin(broadcast(bN))
+        .agg(sum(round(
+          (col("f").cast("double") / col("nb").cast("double"))
+            * (col("f").cast("double") / col("nb").cast("double")), 12).cast(Dec12)).as("u"))
+    val uSeg = uOf(col("b_seg"))(b).select(col("u").as("u_seg"))
+    val uBal = uOf(col("b_bal"))(b).select(col("u").as("u_bal"))
+    val mSeg = 0.8 // 4/5 of twins keep the segment code
+    val mBal = 2.0 / 3.0 // 2/3 keep the exact dollar balance
+    val pairs = a
+      .join(b,
+        col("a_nat") === col("b_nat") &&
+          floor(col("a_bal") / 1000) === floor(col("b_bal") / 1000))
+      .crossJoin(broadcast(uSeg))
+      .crossJoin(broadcast(uBal))
+    val wSeg = when(col("a_seg") === col("b_seg"),
+      log2(lit(mSeg) / col("u_seg").cast("double")))
+      .otherwise(log2(lit(1.0 - mSeg) / (lit(1.0) - col("u_seg").cast("double"))))
+    // 1−m evaluated as a double SUBTRACTION in both engines (a decimal
+    // literal for 1−2/3 would round differently than the IEEE result)
+    val wBal = when(col("a_bal") === col("b_bal"),
+      log2(lit(mBal) / col("u_bal").cast("double")))
+      .otherwise(log2((lit(1.0) - lit(mBal)) / (lit(1.0) - col("u_bal").cast("double"))))
+    pairs
+      .select(
+        col("a_key"), col("b_key"),
+        (col("a_key") === col("b_key")).cast("int").as("same_entity"),
+        (col("a_seg") === col("b_seg")).cast("int").as("agree_seg"),
+        (col("a_bal") === col("b_bal")).cast("int").as("agree_bal"),
+        emit(wSeg + wBal, 6).as("score"))
+      .filter(col("score") > 0.0)
+      .withColumn("decision", when(col("score") >= 8.0, "link").otherwise("review"))
+      .orderBy(col("a_key"), col("b_key"))
+  }
+
+  val recordLinkageSql: String =
+    """WITH a AS (
+      |  SELECT c_custkey AS a_key, c_nationkey AS a_nat, c_mktsegment AS a_seg,
+      |    floor(c_acctbal) AS a_bal
+      |  FROM customer
+      |),
+      |b AS (
+      |  SELECT c_custkey AS b_key, c_nationkey AS b_nat,
+      |    CASE WHEN c_custkey % 5 = 0 THEN reverse(c_mktsegment) ELSE c_mktsegment END AS b_seg,
+      |    CASE WHEN c_custkey % 3 = 0 THEN floor(c_acctbal) - 1 ELSE floor(c_acctbal) END AS b_bal
+      |  FROM customer
+      |),
+      |nb AS (SELECT count(*) AS nb FROM b),
+      |useg AS (
+      |  SELECT sum(CAST(round((CAST(f AS DOUBLE) / CAST(nb AS DOUBLE))
+      |    * (CAST(f AS DOUBLE) / CAST(nb AS DOUBLE)), 12) AS DECIMAL(38,12))) AS u_seg
+      |  FROM (SELECT b_seg, count(*) AS f FROM b GROUP BY 1), nb
+      |),
+      |ubal AS (
+      |  SELECT sum(CAST(round((CAST(f AS DOUBLE) / CAST(nb AS DOUBLE))
+      |    * (CAST(f AS DOUBLE) / CAST(nb AS DOUBLE)), 12) AS DECIMAL(38,12))) AS u_bal
+      |  FROM (SELECT b_bal, count(*) AS f FROM b GROUP BY 1), nb
+      |),
+      |pairs AS (
+      |  SELECT a.*, b.*, u_seg, u_bal
+      |  FROM a JOIN b ON a_nat = b_nat AND floor(a_bal / 1000) = floor(b_bal / 1000)
+      |  CROSS JOIN useg CROSS JOIN ubal
+      |),
+      |scored AS (
+      |  SELECT a_key, b_key,
+      |    CAST(a_key = b_key AS INT) AS same_entity,
+      |    CAST(a_seg = b_seg AS INT) AS agree_seg,
+      |    CAST(a_bal = b_bal AS INT) AS agree_bal,
+      |    CAST(round(
+      |      CASE WHEN a_seg = b_seg THEN log2(CAST(0.8 AS DOUBLE) / CAST(u_seg AS DOUBLE))
+      |           ELSE log2((CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE))
+      |                     / (CAST(1.0 AS DOUBLE) - CAST(u_seg AS DOUBLE))) END
+      |      + CASE WHEN a_bal = b_bal THEN log2((CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) / CAST(u_bal AS DOUBLE))
+      |             ELSE log2((CAST(1.0 AS DOUBLE) - (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)))
+      |                       / (CAST(1.0 AS DOUBLE) - CAST(u_bal AS DOUBLE))) END,
+      |      6) AS DOUBLE) AS score
+      |  FROM pairs
+      |)
+      |SELECT a_key, b_key, same_entity, agree_seg, agree_bal, score,
+      |  CASE WHEN score >= 8.0 THEN 'link' ELSE 'review' END AS decision
+      |FROM scored WHERE score > 0.0
+      |ORDER BY a_key, b_key""".stripMargin
+
+  /** #312 burrows_delta — Burrows' Delta (Burrows 2002), the standard
+    * stylometric distance between text collections: z-score each
+    * source's relative frequency of the corpus's top-20 tokens
+    * against the across-source mean/stddev, Delta = mean |z_a − z_b|
+    * per source pair — the "same author/register?" screen a
+    * provenance audit runs beside source_vocab_overlap (which reads
+    * WHAT words; this reads HOW MUCH, style not content). Scale: one
+    * map-side-combined (source, token) count; everything after lives
+    * on the (20 sources × 20 tokens) matrix — broadcast-sized at any
+    * corpus volume. Cross-row float totals (the frequency mean,
+    * variance moments, the |Δz| sum) all pass through ROUNDED
+    * DECIMAL (order-free); per-row ratios are exact-long divisions
+    * (exact oracle).
+    */
+  def burrowsDelta(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val srcTotals = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
+    val top = counts.groupBy(col("token")).agg(sum(col("c")).as("g"))
+      .orderBy(col("g").desc, col("token")).limit(20).select(col("token"))
+    // dense (source × top-token) frequency matrix: absent counts are 0
+    val f = srcTotals.crossJoin(broadcast(top))
+      .join(counts, Seq("source", "token"), "left")
+      .select(
+        col("source"), col("token"),
+        (coalesce(col("c"), lit(0L)).cast("double") / col("tot").cast("double")).as("f"))
+    val stats = f.groupBy(col("token"))
+      .agg(
+        sum(round(col("f"), 12).cast(Dec12)).as("sum_f"),
+        sum(round(col("f") * col("f"), 12).cast(Dec12)).as("sum_f2"),
+        count(lit(1)).as("k"))
+      .select(
+        col("token"),
+        (col("sum_f").cast("double") / col("k").cast("double")).as("mu"),
+        sqrt(greatest(
+          col("sum_f2").cast("double") / col("k").cast("double")
+            - (col("sum_f").cast("double") / col("k").cast("double"))
+            * (col("sum_f").cast("double") / col("k").cast("double")),
+          lit(0.0))).as("sigma"))
+    val z = f.join(broadcast(stats), Seq("token"))
+      .filter(col("sigma") > 0.0)
+      .select(col("source"), col("token"),
+        round((col("f") - col("mu")) / col("sigma"), 12).cast(Dec12).as("z"))
+    val za = z.select(col("source").as("src_a"), col("token"), col("z").as("za"))
+    val zb = z.select(col("source").as("src_b"), col("token"), col("z").as("zb"))
+    za.join(zb, Seq("token"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(abs(col("za") - col("zb"))).as("sum_dz"), count(lit(1)).as("k"))
+      .select(col("src_a"), col("src_b"),
+        emit(col("sum_dz").cast("double") / col("k").cast("double"), 6).as("delta"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val burrowsDeltaSql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+      |),
+      |counts AS (
+      |  SELECT source, token, count(*) AS c FROM toks WHERE token <> '' GROUP BY 1, 2
+      |),
+      |src_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+      |top AS (
+      |  SELECT token FROM (SELECT token, sum(c) AS g FROM counts GROUP BY 1)
+      |  ORDER BY g DESC, token LIMIT 20
+      |),
+      |f AS (
+      |  SELECT st.source, top.token,
+      |    CAST(coalesce(c.c, 0) AS DOUBLE) / CAST(st.tot AS DOUBLE) AS f
+      |  FROM src_tot st CROSS JOIN top
+      |  LEFT JOIN counts c ON c.source = st.source AND c.token = top.token
+      |),
+      |stats AS (
+      |  SELECT token,
+      |    CAST(sum(CAST(round(f, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+      |    sqrt(greatest(
+      |      CAST(sum(CAST(round(f * f, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      - (CAST(sum(CAST(round(f, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |        * (CAST(sum(CAST(round(f, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)),
+      |      0.0)) AS sigma
+      |  FROM f GROUP BY token
+      |),
+      |z AS (
+      |  SELECT f.source, f.token,
+      |    CAST(round((f.f - s.mu) / s.sigma, 12) AS DECIMAL(38,12)) AS z
+      |  FROM f JOIN stats s ON f.token = s.token
+      |  WHERE s.sigma > 0.0
+      |)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(round(CAST(sum(abs(a.z - b.z)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS delta
+      |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
     "wilson_ci_report" -> (wilsonCiReport(_, _)),
     "holt_forecast" -> (holtForecast(_, _)),
     "personalized_pagerank" -> (personalizedPagerank(_, _)),
-    "kneser_ney_bigram" -> (kneserNeyBigram(_, _)))
+    "kneser_ney_bigram" -> (kneserNeyBigram(_, _)),
+    "classifier_calibration" -> (classifierCalibration(_, _)),
+    "record_linkage" -> (recordLinkage(_, _)),
+    "burrows_delta" -> (burrowsDelta(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -473,5 +747,8 @@ object Round12Ops {
     "wilson_ci_report" -> wilsonCiReportSql,
     "holt_forecast" -> holtForecastSql,
     "personalized_pagerank" -> personalizedPagerankSql,
-    "kneser_ney_bigram" -> kneserNeyBigramSql)
+    "kneser_ney_bigram" -> kneserNeyBigramSql,
+    "classifier_calibration" -> classifierCalibrationSql,
+    "record_linkage" -> recordLinkageSql,
+    "burrows_delta" -> burrowsDeltaSql)
 }

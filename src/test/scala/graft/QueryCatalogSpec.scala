@@ -2500,4 +2500,43 @@ class QueryCatalogSpec extends AnyFunSuite {
     // so it stays strictly below 1 even for deterministic heads
     assert(df.filter(col("c") === col("head_n") && col("p_kn") >= 1.0).count() == 0)
   }
+
+  test("calibration bins cover every doc and gaps reconcile") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("classifier_calibration")(spark, dir).cache()
+    val docs = Tables.documents(spark, dir).count()
+    assert(df.agg(sum("n")).head.getLong(0) == docs, "every doc lands in a bin")
+    assert(df.filter(col("bin") < 0 || col("bin") > 9).count() == 0)
+    assert(df.filter(col("frac_pos") < 0 || col("frac_pos") > 1).count() == 0)
+    val badGap = df.filter(
+      abs(col("gap") - abs(col("mean_conf") - col("frac_pos"))) > 2e-6).count()
+    assert(badGap == 0, "gap must equal |mean_conf - frac_pos|")
+  }
+
+  test("record linkage scores are the four FS agreement patterns and recall the clean twins") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("record_linkage")(spark, dir).cache()
+    // global m/u weights ⇒ at most 4 distinct scores, ordered by the
+    // number of agreeing fields (balance dominates: its u is tiny)
+    val scores = df.select(col("agree_seg") + col("agree_bal"), col("score"))
+      .distinct().collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(scores.length <= 4)
+    val byAgree = scores.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for { (a, sa) <- byAgree; (b, sb) <- byAgree; if a < b }
+      assert(sa.max < sb.min, "more agreements must always outscore fewer")
+    // every un-corrupted-balance twin shares its block and must link
+    val cleanTwins = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 3 =!= 0).count()
+    val recalled = df.filter(col("same_entity") === 1).count()
+    assert(recalled >= cleanTwins, "clean twins must all surface")
+  }
+
+  test("burrows delta is a positive pairwise table over all source pairs") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("burrows_delta")(spark, dir).cache()
+    val k = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(df.count() == k * (k - 1) / 2, "one row per unordered source pair")
+    assert(df.filter(col("delta") <= 0).count() == 0, "distinct sources differ in style")
+    assert(df.filter(col("src_a") >= col("src_b")).count() == 0)
+  }
 }
