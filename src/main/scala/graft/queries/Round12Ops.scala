@@ -730,6 +730,242 @@ object Round12Ops {
       |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
+  /** #313 mmr_rerank — Maximal Marginal Relevance diversified top-k
+    * (Carbonell & Goldstein 1998): re-rank each query's top-20 cosine
+    * candidates by greedily picking 5 that maximize
+    * λ·rel − (1−λ)·max-sim-to-already-picked (λ=0.7) — the
+    * de-duplicating re-rank layer every retrieval stack runs between
+    * ANN and the consumer (embed_knn returns 10 near-identical
+    * neighbors; this returns 5 RELEVANT AND MUTUALLY DISTINCT ones).
+    * The greedy recurrence unrolls as 4 DataFrame steps over
+    * PROVABLY-BOUNDED relations (|queries|·20 candidate rows, ≤k
+    * selected rows — all broadcast-sized at any corpus volume; the
+    * only data-scaled work is the candidate generation, which reuses
+    * the kNN shape); argmax per query is max_by with a rounded-score +
+    * vec_id tie-break (the rank rule), Lineage.cut per step. Rows-only
+    * by declared design (the greedy recurrence has no reasonable SQL
+    * form); the spec pins rank-1 = top relevance, selection ⊆
+    * candidates, and measured diversity ≥ the plain top-5's.
+    */
+  def mmrRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Registry
+    val lambda = 0.7
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nrm", Registry.l2norm(col("e")))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id"))
+    val cand = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel",
+        round(Registry.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")), 12))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 20)
+      .select(col("query_id"), col("vec_id"), col("rel"), col("e"), col("nrm"))
+    val first = cand
+      .groupBy(col("query_id"))
+      .agg(max_by(
+        struct(col("vec_id"), col("rel"), col("e"), col("nrm")),
+        struct(col("rel"), (-col("vec_id")).as("tb"))).as("p"))
+      .select(col("query_id"), col("p.vec_id").as("vec_id"), col("p.rel").as("rel"),
+        col("p.e").as("e"), col("p.nrm").as("nrm"),
+        lit(1).as("rank"), (lit(lambda) * col("p.rel")).as("mmr_score"))
+    var selected = graft.Lineage.cut(first)
+    var remaining = graft.Lineage.cut(
+      cand.join(selected.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti"))
+    for (k <- 2 to 5) {
+      val maxSim = remaining.alias("r")
+        .join(broadcast(selected.select(col("query_id"),
+          col("e").as("se"), col("nrm").as("snrm")).alias("s")), Seq("query_id"))
+        .groupBy(col("query_id"), col("vec_id"))
+        .agg(max(round(Registry.dot(col("e"), col("se")) / (col("nrm") * col("snrm")), 12))
+          .as("max_sim"))
+      val scored = remaining.join(maxSim, Seq("query_id", "vec_id"))
+        .withColumn("mmr",
+          round(lit(lambda) * col("rel") - lit(1.0 - lambda) * col("max_sim"), 12))
+      val pick = scored
+        .groupBy(col("query_id"))
+        .agg(max_by(
+          struct(col("vec_id"), col("rel"), col("e"), col("nrm"), col("mmr")),
+          struct(col("mmr"), (-col("vec_id")).as("tb"))).as("p"))
+        .select(col("query_id"), col("p.vec_id").as("vec_id"), col("p.rel").as("rel"),
+          col("p.e").as("e"), col("p.nrm").as("nrm"),
+          lit(k).as("rank"), col("p.mmr").as("mmr_score"))
+      selected = graft.Lineage.cut(selected.unionByName(pick))
+      remaining = graft.Lineage.cut(
+        remaining.join(pick.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti"))
+    }
+    selected
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        emit(col("rel"), 6).as("rel"), emit(col("mmr_score"), 6).as("mmr_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** #314 watermark_advisor — the event-lateness profile that SIZES
+    * streaming watermarks from batch history: per type, how late does
+    * an event arrive relative to the max event-time already seen at
+    * its arrival (arrival order = event_id, the ingest sequence), as
+    * p50/p95/p99/max lateness plus the recommended withWatermark
+    * delay (= p99). This closes the batch→streaming loop: every
+    * watermark in graft.streaming is currently a hand-picked constant;
+    * THIS is where a deployment reads the right one (too small drops
+    * the tail as late data, too large bloats every windowed state).
+    * Scale: one window pass partitioned by type ordered by the ingest
+    * sequence (the sessionize shape — skew-safe per-key sort), then a
+    * per-type exact-percentile aggregate over the lateness longs.
+    * Exact oracle: lateness is exact integer micros, percentile
+    * interpolation at fixed p over exact ints is the
+    * percentiles-op-proven cross-engine chain, 4-dp emit in seconds.
+    */
+  def watermarkAdvisor(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    events(s, dir)
+      .select(col("event_type"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .filter(col("hwm").isNotNull)
+      .select(col("event_type"),
+        greatest(col("hwm") - col("ts_us"), lit(0L)).as("late_us"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(late_us, array(0.5, 0.95, 0.99))").as("ps"),
+        max(col("late_us")).as("max_us"))
+      .select(
+        col("event_type"), col("n"),
+        emit(col("ps").getItem(0) / lit(1000000.0)).as("p50_s"),
+        emit(col("ps").getItem(1) / lit(1000000.0)).as("p95_s"),
+        emit(col("ps").getItem(2) / lit(1000000.0)).as("p99_s"),
+        emit(col("max_us").cast("double") / lit(1000000.0)).as("max_s"),
+        emit(col("ps").getItem(2) / lit(1000000.0)).as("recommended_delay_s"))
+      .orderBy(col("event_type"))
+  }
+
+  val watermarkAdvisorSql: String =
+    """WITH seq AS (
+      |  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+      |    max(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+      |  FROM events
+      |),
+      |late AS (
+      |  SELECT event_type, greatest(hwm - ts_us, 0) AS late_us
+      |  FROM seq WHERE hwm IS NOT NULL
+      |)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(round(quantile_cont(late_us, 0.5) / 1000000.0, 4) AS DOUBLE) AS p50_s,
+      |  CAST(round(quantile_cont(late_us, 0.95) / 1000000.0, 4) AS DOUBLE) AS p95_s,
+      |  CAST(round(quantile_cont(late_us, 0.99) / 1000000.0, 4) AS DOUBLE) AS p99_s,
+      |  CAST(round(CAST(max(late_us) AS DOUBLE) / 1000000.0, 4) AS DOUBLE) AS max_s,
+      |  CAST(round(quantile_cont(late_us, 0.99) / 1000000.0, 4) AS DOUBLE) AS recommended_delay_s
+      |FROM late GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** #315 bot_detection_report — the behavioral bot screen a feed
+    * platform runs over its event log (the reference serves feeds to
+    * exactly this traffic): per user, volume (events/active-hour),
+    * TIMING REGULARITY (the coefficient of variation of inter-event
+    * gaps — automation fires on schedule, humans are bursty: low CV is
+    * the classic signal), and event-type entropy (scripted accounts do
+    * one thing); flag = regular-and-active or single-minded-and-active.
+    * Scale: one per-user window pass for gaps (sessionize shape), then
+    * one user-key aggregate — moments in exact integers/DECIMAL (the
+    * events_autocorr discipline: gap sums and squares stay integral;
+    * entropy terms round 12 dp into an order-free DECIMAL sum).
+    * Exact oracle.
+    */
+  def botDetectionReport(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_s", ((col("ts_us") - lag(col("ts_us"), 1).over(w)) / lit(1000000L)).cast("long"))
+    val gapStats = gaps.filter(col("gap_s").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("sum_g"),
+        sum(col("gap_s") * col("gap_s")).as("sum_g2"))
+    val hours = events(s, dir)
+      .select(col("user_id"), (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("h"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("h")).as("active_hours"), count(lit(1)).as("n_events"))
+    val entropy = events(s, dir)
+      .groupBy(col("user_id"), col("event_type")).agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum(col("c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))))
+      .select(col("user_id"),
+        round(-(col("c").cast("double") / col("tot").cast("double"))
+          * log(col("c").cast("double") / col("tot").cast("double")), 12)
+          .cast(Dec12).as("term"))
+      .groupBy(col("user_id")).agg(sum(col("term")).as("h_sum"))
+    val mean = col("sum_g").cast("double") / col("n_gaps").cast("double")
+    val varG = greatest(
+      col("sum_g2").cast("double") / col("n_gaps").cast("double") - mean * mean, lit(0.0))
+    val cv = when(mean > 0.0, sqrt(varG) / mean).otherwise(lit(0.0))
+    gapStats.join(hours, Seq("user_id")).join(entropy, Seq("user_id"))
+      .select(
+        col("user_id"), col("n_events"), col("active_hours"),
+        emit(col("n_events").cast("double") / col("active_hours").cast("double"), 4)
+          .as("events_per_hour"),
+        emit(cv, 4).as("gap_cv"),
+        emit(col("h_sum").cast("double"), 4).as("type_entropy"))
+      .withColumn("flagged",
+        ((col("gap_cv") < 0.5) || (col("type_entropy") < 0.7)) && (col("n_events") >= 20))
+      .orderBy(col("user_id"))
+  }
+
+  val botDetectionReportSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |),
+      |gapstats AS (
+      |  SELECT user_id, count(*) AS n_gaps,
+      |    CAST(sum((ts_us - prev_us) // 1000000) AS BIGINT) AS sum_g,
+      |    CAST(sum(((ts_us - prev_us) // 1000000) * ((ts_us - prev_us) // 1000000)) AS BIGINT) AS sum_g2
+      |  FROM seq WHERE prev_us IS NOT NULL GROUP BY 1
+      |),
+      |hours AS (
+      |  SELECT user_id, count(DISTINCT epoch_us(ts) // 3600000000) AS active_hours,
+      |    count(*) AS n_events
+      |  FROM events GROUP BY 1
+      |),
+      |ent AS (
+      |  SELECT user_id, sum(term) AS h_sum FROM (
+      |    SELECT user_id,
+      |      CAST(round(-(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))
+      |        * ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 12) AS DECIMAL(38,12)) AS term
+      |    FROM (
+      |      SELECT user_id, event_type, count(*) AS c,
+      |        sum(count(*)) OVER (PARTITION BY user_id) AS tot
+      |      FROM events GROUP BY 1, 2
+      |    )
+      |  ) GROUP BY 1
+      |),
+      |j AS (
+      |  SELECT g.user_id, h.n_events, h.active_hours,
+      |    CAST(g.sum_g AS DOUBLE) / CAST(g.n_gaps AS DOUBLE) AS mean_g,
+      |    greatest(CAST(g.sum_g2 AS DOUBLE) / CAST(g.n_gaps AS DOUBLE)
+      |      - (CAST(g.sum_g AS DOUBLE) / CAST(g.n_gaps AS DOUBLE))
+      |        * (CAST(g.sum_g AS DOUBLE) / CAST(g.n_gaps AS DOUBLE)), 0.0) AS var_g,
+      |    CAST(e.h_sum AS DOUBLE) AS h_sum
+      |  FROM gapstats g JOIN hours h ON g.user_id = h.user_id
+      |  JOIN ent e ON g.user_id = e.user_id
+      |),
+      |r AS (
+      |  SELECT user_id, n_events, active_hours,
+      |    CAST(round(CAST(n_events AS DOUBLE) / CAST(active_hours AS DOUBLE), 4) AS DOUBLE) AS events_per_hour,
+      |    CAST(round(CASE WHEN mean_g > 0.0 THEN sqrt(var_g) / mean_g ELSE 0.0 END, 4) AS DOUBLE) AS gap_cv,
+      |    CAST(round(h_sum, 4) AS DOUBLE) AS type_entropy
+      |  FROM j
+      |)
+      |SELECT user_id, n_events, active_hours, events_per_hour, gap_cv, type_entropy,
+      |  ((gap_cv < 0.5) OR (type_entropy < 0.7)) AND (n_events >= 20) AS flagged
+      |FROM r ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -739,7 +975,10 @@ object Round12Ops {
     "kneser_ney_bigram" -> (kneserNeyBigram(_, _)),
     "classifier_calibration" -> (classifierCalibration(_, _)),
     "record_linkage" -> (recordLinkage(_, _)),
-    "burrows_delta" -> (burrowsDelta(_, _)))
+    "burrows_delta" -> (burrowsDelta(_, _)),
+    "mmr_rerank" -> (mmrRerank(_, _)),
+    "watermark_advisor" -> (watermarkAdvisor(_, _)),
+    "bot_detection_report" -> (botDetectionReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -750,5 +989,7 @@ object Round12Ops {
     "kneser_ney_bigram" -> kneserNeyBigramSql,
     "classifier_calibration" -> classifierCalibrationSql,
     "record_linkage" -> recordLinkageSql,
-    "burrows_delta" -> burrowsDeltaSql)
+    "burrows_delta" -> burrowsDeltaSql,
+    "watermark_advisor" -> watermarkAdvisorSql,
+    "bot_detection_report" -> botDetectionReportSql)
 }

@@ -22,7 +22,8 @@ class QueryCatalogSpec extends AnyFunSuite {
       "dedup_semantic_ivf", "embed_kmeans_report", "corpus_recipe_neardup",
       "embed_pq_knn_trained", "neardup_incremental", "dedup_semantic_incremental",
       "mau_hll_sliding", "audience_overlap_sketch", "table_profile_sketch",
-      "ann_recall_report", "dedup_containment_fast", "ann_probe_curve")
+      "ann_recall_report", "dedup_containment_fast", "ann_probe_curve",
+      "mmr_rerank")
     assert(q.diff(o) == rowsOnly, s"unexpected rows-only set: ${q.diff(o)}")
   }
 
@@ -2538,5 +2539,73 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.count() == k * (k - 1) / 2, "one row per unordered source pair")
     assert(df.filter(col("delta") <= 0).count() == 0, "distinct sources differ in style")
     assert(df.filter(col("src_a") >= col("src_b")).count() == 0)
+  }
+
+  test("mmr rerank picks the top-relevance first and is more diverse than plain top-5") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.Registry
+    val mmr = SparkEntry.queries("mmr_rerank")(spark, dir).cache()
+    assert(mmr.groupBy("query_id").count().filter(col("count") =!= 5).count() == 0)
+    assert(mmr.select("query_id", "vec_id").distinct().count() == mmr.count())
+    // rank 1 is the plain relevance argmax
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("e"))
+      .withColumn("nrm", Registry.l2norm(col("e")))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("nrm").as("qnrm"))
+    val rel = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel", Registry.dot(col("qe"), col("e")) / (col("qnrm") * col("nrm")))
+    val top1 = rel.groupBy(col("query_id"))
+      .agg(max_by(col("vec_id"), struct(col("rel"), (-col("vec_id")).as("tb"))).as("vec_id"))
+    val wrongFirst = mmr.filter(col("rank") === 1)
+      .join(top1, Seq("query_id", "vec_id"), "left_anti").count()
+    assert(wrongFirst == 0, "rank 1 must be the relevance argmax")
+    // diversity: mean pairwise cosine within the MMR picks must not
+    // exceed the plain top-5-by-relevance set's
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rel").desc, col("vec_id"))
+    def meanPairSim(sel: org.apache.spark.sql.DataFrame): Double = {
+      val withE = sel.join(emb, Seq("vec_id"))
+      val a = withE.select(col("query_id"), col("vec_id").as("va"),
+        col("e").as("ea"), col("nrm").as("na"))
+      val b = withE.select(col("query_id"), col("vec_id").as("vb"),
+        col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, Seq("query_id")).filter(col("va") < col("vb"))
+        .select((Registry.dot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
+        .agg(avg("sim")).head.getDouble(0)
+    }
+    val plain5 = rel.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select("query_id", "vec_id")
+    val simMmr = meanPairSim(mmr.select("query_id", "vec_id"))
+    val simPlain = meanPairSim(plain5)
+    assert(simMmr <= simPlain + 1e-9,
+      s"MMR set must be at least as diverse: $simMmr vs $simPlain")
+  }
+
+  test("watermark advisor quantiles are ordered and recommend the p99") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("watermark_advisor")(spark, dir).cache()
+    assert(df.filter(col("p50_s") > col("p95_s") || col("p95_s") > col("p99_s")
+      || col("p99_s") > col("max_s")).count() == 0)
+    assert(df.filter(col("recommended_delay_s") =!= col("p99_s")).count() == 0)
+    // every arrival after the first contributes one lateness sample
+    val expected = Tables.events(spark, dir)
+      .groupBy("event_type").agg((count(lit(1)) - 1).as("exp_n"))
+    assert(df.join(expected, Seq("event_type"))
+      .filter(col("n") =!= col("exp_n")).count() == 0)
+  }
+
+  test("bot detection moments are sane and the flag matches its rule") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("bot_detection_report")(spark, dir).cache()
+    assert(df.filter(col("gap_cv") < 0).count() == 0)
+    assert(df.filter(col("type_entropy") < 0 ||
+      col("type_entropy") > math.log(5.0) + 1e-6).count() == 0)
+    assert(df.filter(col("n_events") < col("active_hours")).count() == 0)
+    val misflagged = df.filter(
+      col("flagged") =!=
+        (((col("gap_cv") < 0.5) || (col("type_entropy") < 0.7)) && (col("n_events") >= 20)))
+      .count()
+    assert(misflagged == 0)
   }
 }
