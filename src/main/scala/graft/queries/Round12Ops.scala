@@ -215,18 +215,27 @@ object Round12Ops {
     * as a recursive CTE — same IEEE ops in the same sequential order
     * produce the same bits (the deterministic-chain rule), 6-dp emit.
     */
-  def holtForecast(s: SparkSession, dir: String): DataFrame = {
-    val ev = events(s, dir).select(to_date(col("ts")).as("d"), col("event_type"))
-    val span = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
-    val types = ev.select(col("event_type")).distinct()
+  def holtForecast(s: SparkSession, dir: String): DataFrame =
+    holtFromDaily(
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("x")))
+
+  /** The Holt fold over any (event_type, d, x) daily-count frame —
+    * shared by the batch op and the streaming twin
+    * (streaming.holtFromCounts serves THIS over drained live counts,
+    * so stream ≡ batch is an identity, the psiFinish pattern).
+    */
+  private[graft] def holtFromDaily(daily: DataFrame): DataFrame = {
+    val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val types = daily.select(col("event_type")).distinct()
     // dense calendar per type (missing days are true zeros)
     val dense = types.crossJoin(broadcast(span))
-      .select(col("event_type"), explode(expr("sequence(0, datediff(hi, lo))")).as("k"),
-        col("lo"))
+      .select(col("event_type"), explode(expr("sequence(0, datediff(hi, lo))")).as("k"))
       .join(
-        ev.crossJoin(broadcast(span))
+        daily.crossJoin(broadcast(span))
           .groupBy(col("event_type"), datediff(col("d"), col("lo")).as("k"))
-          .agg(count(lit(1)).as("x")),
+          .agg(sum(col("x")).as("x")),
         Seq("event_type", "k"), "left")
       .select(col("event_type"), col("k"), coalesce(col("x"), lit(0L)).cast("double").as("x"))
     val folded = dense
@@ -966,6 +975,108 @@ object Round12Ops {
       |  ((gap_cv < 0.5) OR (type_entropy < 0.7)) AND (n_events >= 20) AS flagged
       |FROM r ORDER BY user_id""".stripMargin
 
+  /** #316 embed_drift_report — per-dimension embedding drift between
+    * the first and second half of the vector ids (the ingestion-order
+    * proxy, the psi_drift split rule applied to the embedding space):
+    * mean shift per dimension with its Welch standard error —
+    * embed_dim_stats reads ONE snapshot's health, THIS reads whether
+    * the embedding distribution MOVED, the monitor that catches a
+    * silent encoder version bump or a corpus-mix shift upstream of
+    * every ANN index. Scale: one posexplode pass → a (half, dim)-keyed
+    * aggregate (128 groups, map-side combine); all moments are 12-dp
+    * rounded DECIMAL sums (order-free), the Welch arithmetic runs on
+    * the bounded 64-row matrix. Exact oracle.
+    */
+  def embedDriftReport(s: SparkSession, dir: String): DataFrame = {
+    val maxId = Tables.embeddings(s, dir).agg(max(col("vec_id")).as("mx"))
+    val vals = Tables.embeddings(s, dir)
+      .crossJoin(broadcast(maxId))
+      .select(
+        when(col("vec_id") * 2 <= col("mx"), lit(1)).otherwise(lit(2)).as("half"),
+        posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("half"), col("dim"), col("v").cast("double").as("v"))
+    val moments = vals.groupBy(col("half"), col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("v"), 12).cast(Dec12)).as("s"),
+        sum(round(col("v") * col("v"), 12).cast(Dec12)).as("s2"))
+    def mu(s: Column, n: Column) = s.cast("double") / n.cast("double")
+    def va(s: Column, s2: Column, n: Column) =
+      greatest(s2.cast("double") / n.cast("double") - mu(s, n) * mu(s, n), lit(0.0))
+    val one = moments.filter(col("half") === 1)
+      .select(col("dim"), col("n").as("n1"), col("s").as("s1"), col("s2").as("q1"))
+    val two = moments.filter(col("half") === 2)
+      .select(col("dim"), col("n").as("n2"), col("s").as("s2x"), col("s2").as("q2"))
+    one.join(two, Seq("dim"))
+      .select(
+        col("dim"), col("n1"), col("n2"),
+        emit(mu(col("s1"), col("n1")), 6).as("mean_first"),
+        emit(mu(col("s2x"), col("n2")), 6).as("mean_second"),
+        emit(
+          (mu(col("s2x"), col("n2")) - mu(col("s1"), col("n1"))) /
+            sqrt(va(col("s1"), col("q1"), col("n1")) / col("n1").cast("double")
+              + va(col("s2x"), col("q2"), col("n2")) / col("n2").cast("double")), 4)
+          .as("shift_z"))
+      .orderBy(col("dim"))
+  }
+
+  val embedDriftReportSql: String =
+    """WITH mx AS (SELECT max(vec_id) AS mx FROM embeddings),
+      |vals AS (
+      |  SELECT CASE WHEN vec_id * 2 <= mx THEN 1 ELSE 2 END AS half,
+      |    i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+      |  FROM embeddings, mx, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+      |),
+      |m AS (
+      |  SELECT half, dim, count(*) AS n,
+      |    sum(CAST(round(v, 12) AS DECIMAL(38,12))) AS s,
+      |    sum(CAST(round(v * v, 12) AS DECIMAL(38,12))) AS s2
+      |  FROM vals GROUP BY 1, 2
+      |),
+      |j AS (
+      |  SELECT a.dim, a.n AS n1, b.n AS n2,
+      |    CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS mu1,
+      |    CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mu2,
+      |    greatest(CAST(a.s2 AS DOUBLE) / CAST(a.n AS DOUBLE)
+      |      - (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)) * (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)), 0.0) AS v1,
+      |    greatest(CAST(b.s2 AS DOUBLE) / CAST(b.n AS DOUBLE)
+      |      - (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)) * (CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE)), 0.0) AS v2
+      |  FROM m a JOIN m b ON a.dim = b.dim AND a.half = 1 AND b.half = 2
+      |)
+      |SELECT dim, n1, n2,
+      |  CAST(round(mu1, 6) AS DOUBLE) AS mean_first,
+      |  CAST(round(mu2, 6) AS DOUBLE) AS mean_second,
+      |  CAST(round((mu2 - mu1) / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 4) AS DOUBLE) AS shift_z
+      |FROM j ORDER BY dim""".stripMargin
+
+  /** #317 l_diversity_report — the l-diversity audit (Machanavajjhala
+    * et al. 2007) that k_anonymity cannot express: a group can be
+    * k-anonymous yet leak its sensitive attribute if every member
+    * SHARES it. Per (nation, $1k-balance-band) quasi-identifier class:
+    * size, number of DISTINCT market segments l, and the l<3
+    * violation flag — the release gate a privacy office reads next to
+    * the k-anonymity histogram. Scale: one fine-key aggregate with a
+    * distinct count (25×|bands| classes — bounded output at any
+    * volume). Exact oracle.
+    */
+  def lDiversityReport(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000).as("bal_band"), col("c_mktsegment"))
+      .groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(count(lit(1)).as("class_size"),
+        countDistinct(col("c_mktsegment")).as("l_distinct"))
+      .withColumn("below_l3", col("l_distinct") < 3)
+      .orderBy(col("c_nationkey"), col("bal_band"))
+
+  val lDiversityReportSql: String =
+    """SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_band,
+      |  count(*) AS class_size,
+      |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
+      |  count(DISTINCT c_mktsegment) < 3 AS below_l3
+      |FROM customer GROUP BY 1, 2
+      |ORDER BY c_nationkey, bal_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -978,7 +1089,9 @@ object Round12Ops {
     "burrows_delta" -> (burrowsDelta(_, _)),
     "mmr_rerank" -> (mmrRerank(_, _)),
     "watermark_advisor" -> (watermarkAdvisor(_, _)),
-    "bot_detection_report" -> (botDetectionReport(_, _)))
+    "bot_detection_report" -> (botDetectionReport(_, _)),
+    "embed_drift_report" -> (embedDriftReport(_, _)),
+    "l_diversity_report" -> (lDiversityReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -991,5 +1104,7 @@ object Round12Ops {
     "record_linkage" -> recordLinkageSql,
     "burrows_delta" -> burrowsDeltaSql,
     "watermark_advisor" -> watermarkAdvisorSql,
-    "bot_detection_report" -> botDetectionReportSql)
+    "bot_detection_report" -> botDetectionReportSql,
+    "embed_drift_report" -> embedDriftReportSql,
+    "l_diversity_report" -> lDiversityReportSql)
 }

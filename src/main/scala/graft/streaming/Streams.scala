@@ -1048,6 +1048,31 @@ object Streams {
   def psiCountsStream(events: DataFrame): DataFrame =
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n_second"))
 
+  /** #49w streaming Holt forecast feed — continuous twin of §2 #307
+    * holt_forecast under the serve-from-state pattern: the live side
+    * is ONE update-mode count per (day, type) key (|days|·|types|
+    * state rows, map-side combined — a long-running deployment
+    * windows the day key like #47); the forecast table is SERVED from
+    * drained counts through the batch op's own calendar-densify +
+    * sequential fold ([[graft.queries.Round12Ops.holtFromDaily]]), so
+    * stream ≡ batch is an identity, spec-pinned with a mid-stream
+    * split. The recurrence itself never runs inside streaming state —
+    * it is a bounded post-read fold, which is exactly how a serving
+    * tier would materialize the forecast each morning.
+    */
+  def holtCountsStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+
+  /** Serve the Holt forecast table from drained live daily counts.
+    * The fold references the counts relation on both sides of its
+    * densify join; a sink-backed View breaks reference dedup there,
+    * so snapshot the (bounded, |days|·|types|-row) state first.
+    */
+  def holtFromCounts(live: DataFrame): DataFrame =
+    graft.queries.Round12Ops.holtFromDaily(graft.Lineage.cut(live))
+
   /** Serve the PSI table from a drained live-counts state + baseline. */
   def psiFromCounts(baseline: DataFrame, live: DataFrame): DataFrame =
     graft.queries.Round11Ops.psiFinish(

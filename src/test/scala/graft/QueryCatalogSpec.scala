@@ -2608,4 +2608,26 @@ class QueryCatalogSpec extends AnyFunSuite {
       .count()
     assert(misflagged == 0)
   }
+
+  test("embed drift report covers every dimension and splits the vector set in two") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
+    assert(df.count() == 64, "one row per embedding dimension")
+    val vecs = Tables.embeddings(spark, dir).count()
+    assert(df.filter(col("n1") + col("n2") =!= vecs).count() == 0,
+      "halves must partition the vector set")
+    // synthetic vectors are id-stationary: no dimension should show a
+    // absurd shift (|z| < 10 is a loose sanity bound, not a tuning)
+    assert(df.filter(abs(col("shift_z")) > 10).count() == 0)
+  }
+
+  test("l-diversity classes partition the customers and l is bounded by size") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("l_diversity_report")(spark, dir).cache()
+    val total = Tables.customer(spark, dir).count()
+    assert(df.agg(sum("class_size")).head.getLong(0) == total)
+    assert(df.filter(col("l_distinct") > col("class_size") || col("l_distinct") < 1).count() == 0)
+    assert(df.filter(col("l_distinct") > 5).count() == 0, "only five segments exist")
+    assert(df.filter(col("below_l3") =!= (col("l_distinct") < 3)).count() == 0)
+  }
 }

@@ -1136,6 +1136,28 @@ class StreamingSpec extends AnyFunSuite {
       s"served drift table must equal batch psi_drift: $served vs $batch")
   }
 
+  test("holt forecast served over drained counts equals the batch table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Ev]
+    val q = Streams.holtCountsStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("holtct").start()
+    val (a, b) = evs.splitAt(evs.length / 2)
+    in.addData(a: _*); q.processAllAvailable()
+    in.addData(b: _*); q.processAllAvailable(); q.stop()
+    val served = Streams.holtFromCounts(spark.table("holtct"))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("holt_forecast")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch,
+      s"served forecast must equal batch holt_forecast")
+  }
+
   test("funnel stream drains to the batch window_funnel histogram") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
