@@ -772,7 +772,10 @@ object Round12Ops {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 20)
       .select(col("query_id"), col("vec_id"), col("rel"), col("e"), col("nrm"))
-    val first = cand
+    // ONE cut materializes the data-scaled candidate generation; the
+    // per-step frames are ≤ |queries|·20 rows and re-derive from it
+    val candC = graft.Lineage.cut(cand)
+    val first = candC
       .groupBy(col("query_id"))
       .agg(max_by(
         struct(col("vec_id"), col("rel"), col("e"), col("nrm")),
@@ -781,9 +784,9 @@ object Round12Ops {
         col("p.e").as("e"), col("p.nrm").as("nrm"),
         lit(1).as("rank"), (lit(lambda) * col("p.rel")).as("mmr_score"))
     var selected = graft.Lineage.cut(first)
-    var remaining = graft.Lineage.cut(
-      cand.join(selected.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti"))
     for (k <- 2 to 5) {
+      val remaining = candC.join(
+        selected.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti")
       val maxSim = remaining.alias("r")
         .join(broadcast(selected.select(col("query_id"),
           col("e").as("se"), col("nrm").as("snrm")).alias("s")), Seq("query_id"))
@@ -802,8 +805,6 @@ object Round12Ops {
           col("p.e").as("e"), col("p.nrm").as("nrm"),
           lit(k).as("rank"), col("p.mmr").as("mmr_score"))
       selected = graft.Lineage.cut(selected.unionByName(pick))
-      remaining = graft.Lineage.cut(
-        remaining.join(pick.select(col("query_id"), col("vec_id")), Seq("query_id", "vec_id"), "left_anti"))
     }
     selected
       .select(col("query_id"), col("rank"), col("vec_id"),
