@@ -221,16 +221,13 @@ object Round12Ops {
         .groupBy(to_date(col("ts")).as("d"), col("event_type"))
         .agg(count(lit(1)).as("x")))
 
-  /** The Holt fold over any (event_type, d, x) daily-count frame —
-    * shared by the batch op and the streaming twin
-    * (streaming.holtFromCounts serves THIS over drained live counts,
-    * so stream ≡ batch is an identity, the psiFinish pattern).
+  /** Dense calendar per type (missing days are true zeros) over any
+    * (event_type, d, x) daily-count frame — shared by the Holt family.
     */
-  private[graft] def holtFromDaily(daily: DataFrame): DataFrame = {
+  private[graft] def denseDaily(daily: DataFrame): DataFrame = {
     val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
     val types = daily.select(col("event_type")).distinct()
-    // dense calendar per type (missing days are true zeros)
-    val dense = types.crossJoin(broadcast(span))
+    types.crossJoin(broadcast(span))
       .select(col("event_type"), explode(expr("sequence(0, datediff(hi, lo))")).as("k"))
       .join(
         daily.crossJoin(broadcast(span))
@@ -238,7 +235,15 @@ object Round12Ops {
           .agg(sum(col("x")).as("x")),
         Seq("event_type", "k"), "left")
       .select(col("event_type"), col("k"), coalesce(col("x"), lit(0L)).cast("double").as("x"))
-    val folded = dense
+  }
+
+  /** The Holt fold over any (event_type, d, x) daily-count frame —
+    * shared by the batch op and the streaming twin
+    * (streaming.holtFromCounts serves THIS over drained live counts,
+    * so stream ≡ batch is an identity, the psiFinish pattern).
+    */
+  private[graft] def holtFromDaily(daily: DataFrame): DataFrame = {
+    val folded = denseDaily(daily)
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("k"), col("x")))).as("arr"))
       .select(
@@ -976,6 +981,117 @@ object Round12Ops {
       |  ((gap_cv < 0.5) OR (type_entropy < 0.7)) AND (n_events >= 20) AS flagged
       |FROM r ORDER BY user_id""".stripMargin
 
+  /** #318 holt_winters_forecast — additive Holt–Winters triple
+    * exponential smoothing (Winters 1960) with weekly seasonality
+    * (m=7) per event type: #307 holt_forecast extrapolates the trend,
+    * THIS also carries the day-of-week shape — the forecast a
+    * capacity planner actually wants for traffic with a weekend dip.
+    * α=0.5, β=0.25, γ=0.5 (all exactly-representable doubles);
+    * textbook init (l₀ = first-week mean, t₀ = week-over-week mean
+    * slope / 7, s_i = x_i − l₀); recurrence l' = α(x−s₋₇)+(1−α)(l+t),
+    * t' = β(l'−l)+(1−β)t, s' = γ(x−l')+(1−γ)s₋₇, carried as a
+    * ROTATING 7-element seasonal list in the fold state (head = the
+    * season about to recur), so the inherently-sequential pass stays
+    * one aggregate-HOF fold over the calendar-bounded array — the
+    * #307 scale shape with richer state, never a driver loop.
+    * Forecast_h = l + h·t + s[h]. Init sums are integral doubles
+    * (exact in any order); the recurrence is the identical IEEE chain
+    * in the oracle's recursive CTE, which carries the seasonal list
+    * as a rotating LIST column (exact oracle, 6-dp emit).
+    */
+  def holtWintersForecast(s: SparkSession, dir: String): DataFrame = {
+    val m = 7
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val folded = denseDaily(daily)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("k"), col("x")))).as("arr"))
+      // init over the first two weeks: exact integral-double sums
+      .withColumn("sum1", expr("aggregate(slice(arr, 1, 7), cast(0.0 as double), (a, e) -> a + e.x)"))
+      .withColumn("sum2", expr("aggregate(slice(arr, 8, 7), cast(0.0 as double), (a, e) -> a + e.x)"))
+      .withColumn("l0", col("sum1") / lit(7.0))
+      .withColumn("t0", (col("sum2") / lit(7.0) - col("sum1") / lit(7.0)) / lit(7.0))
+      .withColumn("s0", expr("transform(slice(arr, 1, 7), e -> e.x - l0)"))
+      .withColumn("st",
+        aggregate(
+          expr("slice(arr, 8, size(arr) - 7)"),
+          struct(col("l0").as("l"), col("t0").as("t"), col("s0").as("s")),
+          (acc, e) => {
+            val sOld = element_at(acc.getField("s"), 1)
+            val lNew = lit(0.5) * (e.getField("x") - sOld) +
+              lit(0.5) * (acc.getField("l") + acc.getField("t"))
+            val tNew = lit(0.25) * (lNew - acc.getField("l")) + lit(0.75) * acc.getField("t")
+            val sNew = lit(0.5) * (e.getField("x") - lNew) + lit(0.5) * sOld
+            struct(
+              lNew.as("l"), tNew.as("t"),
+              concat(slice(acc.getField("s"), 2, m - 1), array(sNew)).as("s"))
+          }))
+    folded
+      .select(col("event_type"), col("st.l").as("l"), col("st.t").as("t"), col("st.s").as("s"),
+        explode(expr("sequence(1, 7)")).as("h"))
+      .select(
+        col("event_type"), col("h"),
+        emit(col("l"), 6).as("level"),
+        emit(col("t"), 6).as("trend"),
+        emit(element_at(col("s"), col("h")), 6).as("seasonal"),
+        emit(col("l") + col("h").cast("double") * col("t")
+          + element_at(col("s"), col("h")), 6).as("forecast"))
+      .orderBy(col("event_type"), col("h"))
+  }
+
+  val holtWintersForecastSql: String =
+    """WITH RECURSIVE ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |cal AS (
+      |  SELECT event_type, unnest(generate_series(0, datediff('day', lo, hi))) AS k
+      |  FROM types, span
+      |),
+      |cnt AS (
+      |  SELECT event_type, datediff('day', lo, d) AS k, count(*) AS x
+      |  FROM ev, span GROUP BY 1, 2
+      |),
+      |dense AS (
+      |  SELECT cal.event_type, cal.k, CAST(coalesce(cnt.x, 0) AS DOUBLE) AS x
+      |  FROM cal LEFT JOIN cnt ON cal.event_type = cnt.event_type AND cal.k = cnt.k
+      |),
+      |sums AS (
+      |  SELECT event_type,
+      |    sum(x) FILTER (WHERE k < 7) AS sum1,
+      |    sum(x) FILTER (WHERE k >= 7 AND k < 14) AS sum2
+      |  FROM dense GROUP BY 1
+      |),
+      |wk1 AS (
+      |  SELECT event_type, list(x ORDER BY k) AS xs FROM dense WHERE k < 7 GROUP BY 1
+      |),
+      |init AS (
+      |  SELECT s.event_type, 6 AS k,
+      |    s.sum1 / 7.0 AS l,
+      |    (s.sum2 / 7.0 - s.sum1 / 7.0) / 7.0 AS t,
+      |    list_transform(w.xs, v -> v - s.sum1 / 7.0) AS sl
+      |  FROM sums s JOIN wk1 w ON s.event_type = w.event_type
+      |),
+      |rec AS (
+      |  SELECT event_type, k, l, t, sl FROM init
+      |  UNION ALL
+      |  SELECT r.event_type, r.k + 1,
+      |    0.5 * (d.x - r.sl[1]) + 0.5 * (r.l + r.t) AS l,
+      |    0.25 * ((0.5 * (d.x - r.sl[1]) + 0.5 * (r.l + r.t)) - r.l) + 0.75 * r.t AS t,
+      |    r.sl[2:7] ||
+      |      [0.5 * (d.x - (0.5 * (d.x - r.sl[1]) + 0.5 * (r.l + r.t))) + 0.5 * r.sl[1]] AS sl
+      |  FROM rec r JOIN dense d ON d.event_type = r.event_type AND d.k = r.k + 1
+      |),
+      |last AS (SELECT max(k) AS kmax FROM rec),
+      |fin AS (SELECT event_type, l, t, sl FROM rec, last WHERE k = kmax)
+      |SELECT event_type, h,
+      |  CAST(round(l, 6) AS DOUBLE) AS level,
+      |  CAST(round(t, 6) AS DOUBLE) AS trend,
+      |  CAST(round(sl[h], 6) AS DOUBLE) AS seasonal,
+      |  CAST(round(l + CAST(h AS DOUBLE) * t + sl[h], 6) AS DOUBLE) AS forecast
+      |FROM fin, (SELECT unnest(generate_series(1, 7)) AS h)
+      |ORDER BY event_type, h""".stripMargin
+
   /** #316 embed_drift_report — per-dimension embedding drift between
     * the first and second half of the vector ids (the ingestion-order
     * proxy, the psi_drift split rule applied to the embedding space):
@@ -1078,6 +1194,92 @@ object Round12Ops {
       |FROM customer GROUP BY 1, 2
       |ORDER BY c_nationkey, bal_band""".stripMargin
 
+  /** #319 embed_jl_projection — Johnson–Lindenstrauss random
+    * projection 64 → 16 dims with a measured distortion audit
+    * (Achlioptas 2003's database-friendly ±1 projection): y_j =
+    * Σ_i x_i·sign(md5(i,j)) / √16, signs drawn from the house
+    * md5-uniform device so the matrix is deterministic and
+    * engine-portable — the cheap dimensionality cut upstream of an
+    * ANN tier (4× fewer bytes per vector, distances preserved within
+    * (1±ε)), audited HERE on a bounded probe set: per probe pair the
+    * original and projected squared distances and their ratio (the
+    * spec pins the JL distortion band). Scale: projection is one
+    * explode over (dim × target-dim) per vector — a LINEAR pass that
+    * fuses into the scan, terms 12-dp-rounded into order-free DECIMAL
+    * sums; the audit joins only the 30-probe half-matrix (435
+    * broadcast-sized pairs). Exact oracle.
+    */
+  def embedJlProjection(s: SparkSession, dir: String): DataFrame = {
+    val probes = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 30)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    // deterministic ±1 matrix entry for (source dim i, target dim j)
+    val sgn = when(
+      conv(substring(md5(concat(col("i").cast("string"), lit(":"), col("j").cast("string"))),
+        1, 1), 16, 10).cast("long") % 2 === 0, lit(1.0)).otherwise(lit(-1.0))
+    val proj = probes
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("i", "v")))
+      .crossJoin(broadcast(s.range(16).select(col("id").cast("int").as("j"))))
+      .select(col("vec_id"), col("j"),
+        round(col("v") * sgn / lit(4.0), 12).cast(Dec12).as("term"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("term")).as("yj"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("j"), col("yj").cast("double").as("y")))).as("ys"))
+      .select(col("vec_id"), expr("transform(ys, p -> p.y)").as("y"))
+    val withBoth = probes.join(proj, Seq("vec_id"))
+    val a = withBoth.select(col("vec_id").as("va"), col("e").as("ea"), col("y").as("ya"))
+    val bb = withBoth.select(col("vec_id").as("vb"), col("e").as("eb"), col("y").as("yb"))
+    def d2(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => {
+        val dd = p - q
+        round(dd * dd, 12).cast(Dec12)
+      }), lit(BigDecimal(0)).cast(Dec12), (acc, t) => (acc + t).cast(Dec12)).cast("double")
+    a.join(bb, col("va") < col("vb"))
+      .select(
+        col("va"), col("vb"),
+        emit(d2(col("ea"), col("eb")), 6).as("d2_orig"),
+        emit(d2(col("ya"), col("yb")), 6).as("d2_proj"),
+        emit(d2(col("ya"), col("yb")) / d2(col("ea"), col("eb")), 6).as("ratio"))
+      .orderBy(col("va"), col("vb"))
+  }
+
+  val embedJlProjectionSql: String =
+    """WITH probes AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings WHERE vec_id < 30
+      |),
+      |terms AS (
+      |  SELECT vec_id, j.j,
+      |    CAST(round(e[i] * (CASE WHEN CAST(concat('0x',
+      |        substr(md5(CAST(i - 1 AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)), 1, 1)) AS BIGINT)
+      |        % 2 = 0 THEN 1.0 ELSE -1.0 END) / 4.0, 12) AS DECIMAL(38,12)) AS term
+      |  FROM probes,
+      |    LATERAL (SELECT unnest(generate_series(1, len(e))) AS i),
+      |    LATERAL (SELECT unnest(generate_series(0, 15)) AS j) j
+      |),
+      |proj AS (
+      |  SELECT vec_id, list(CAST(yj AS DOUBLE) ORDER BY j) AS y
+      |  FROM (SELECT vec_id, j, sum(term) AS yj FROM terms GROUP BY 1, 2)
+      |  GROUP BY 1
+      |),
+      |pb AS (
+      |  SELECT p.vec_id, p.e, proj.y FROM probes p JOIN proj ON p.vec_id = proj.vec_id
+      |),
+      |pairs AS (
+      |  SELECT a.vec_id AS va, b.vec_id AS vb,
+      |    CAST(list_sum(list_transform(range(1, len(a.e) + 1),
+      |      i -> CAST(round((a.e[i] - b.e[i]) * (a.e[i] - b.e[i]), 12) AS DECIMAL(38,12)))) AS DOUBLE) AS d2o,
+      |    CAST(list_sum(list_transform(range(1, len(a.y) + 1),
+      |      i -> CAST(round((a.y[i] - b.y[i]) * (a.y[i] - b.y[i]), 12) AS DECIMAL(38,12)))) AS DOUBLE) AS d2p
+      |  FROM pb a JOIN pb b ON a.vec_id < b.vec_id
+      |)
+      |SELECT va, vb,
+      |  CAST(round(d2o, 6) AS DOUBLE) AS d2_orig,
+      |  CAST(round(d2p, 6) AS DOUBLE) AS d2_proj,
+      |  CAST(round(d2p / d2o, 6) AS DOUBLE) AS ratio
+      |FROM pairs ORDER BY va, vb""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -1092,7 +1294,9 @@ object Round12Ops {
     "watermark_advisor" -> (watermarkAdvisor(_, _)),
     "bot_detection_report" -> (botDetectionReport(_, _)),
     "embed_drift_report" -> (embedDriftReport(_, _)),
-    "l_diversity_report" -> (lDiversityReport(_, _)))
+    "l_diversity_report" -> (lDiversityReport(_, _)),
+    "holt_winters_forecast" -> (holtWintersForecast(_, _)),
+    "embed_jl_projection" -> (embedJlProjection(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -1107,5 +1311,7 @@ object Round12Ops {
     "watermark_advisor" -> watermarkAdvisorSql,
     "bot_detection_report" -> botDetectionReportSql,
     "embed_drift_report" -> embedDriftReportSql,
-    "l_diversity_report" -> lDiversityReportSql)
+    "l_diversity_report" -> lDiversityReportSql,
+    "holt_winters_forecast" -> holtWintersForecastSql,
+    "embed_jl_projection" -> embedJlProjectionSql)
 }

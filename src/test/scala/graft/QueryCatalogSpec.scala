@@ -2609,6 +2609,36 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(misflagged == 0)
   }
 
+  test("holt-winters reassembles level + trend + seasonal per horizon") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("holt_winters_forecast")(spark, dir).cache()
+    val types = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(df.count() == types * 7, "7 horizons per type")
+    // forecast rounds once; the three components round separately and
+    // h multiplies the trend's rounding — the bound is (2 + h/2 + 1)µ
+    val broken = df.filter(
+      abs(col("forecast") - (col("level") + col("h").cast("double") * col("trend")
+        + col("seasonal"))) > 6.1e-6).count()
+    assert(broken == 0, "forecast must decompose up to component rounding")
+    // the weekly shape is bounded by the observed daily peak
+    val peak = Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")), col("event_type")).count()
+      .agg(max("count")).head.getLong(0).toDouble
+    assert(df.filter(abs(col("seasonal")) > peak).count() == 0)
+  }
+
+  test("jl projection preserves probe distances within the distortion band") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("embed_jl_projection")(spark, dir).cache()
+    assert(df.count() == 30L * 29 / 2, "the full probe half-matrix")
+    assert(df.filter(col("d2_orig") <= 0 || col("d2_proj") < 0).count() == 0)
+    // pointwise sanity band + unbiasedness of the mean ratio
+    assert(df.filter(col("ratio") < 0.1 || col("ratio") > 3.0).count() == 0)
+    val meanRatio = df.agg(avg("ratio")).head.getDouble(0)
+    assert(meanRatio > 0.7 && meanRatio < 1.3,
+      s"E[ratio] must be near 1 (unbiased projection): $meanRatio")
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
