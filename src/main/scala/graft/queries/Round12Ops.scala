@@ -1280,6 +1280,243 @@ object Round12Ops {
       |  CAST(round(d2p / d2o, 6) AS DOUBLE) AS ratio
       |FROM pairs ORDER BY va, vb""".stripMargin
 
+  /** #320 markov_attribution — Markov-chain removal-effect channel
+    * attribution (Anderl et al. 2014), the model-based alternative to
+    * purchase_attribution's last-touch rule: build the user-journey
+    * transition matrix over event types, compute each user's
+    * probability of reaching 'purchase' within a 4-step horizon, then
+    * for every channel REMOVE it (its transitions become lost mass —
+    * no renormalization, that's the point) and report how much
+    * conversion probability disappears. The matrix is
+    * |types|²-BOUNDED, so all six variants (full + 5 removals) ride
+    * ONE frame with a variant column through 4 unrolled
+    * matrix-vector multiplies — bounded joins, no iteration state, no
+    * driver math; the only data-scaled work is the (prev, next)
+    * transition count and the per-user first-event scan. Probability
+    * sums round 12 dp into DECIMAL (order-free); the oracle unrolls
+    * the same four steps as CTEs. Exact oracle.
+    */
+  def markovAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val steps = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+    val trans = steps.groupBy(col("event_type").as("src"), col("next").as("dst"))
+      .agg(count(lit(1)).as("c"))
+    val outTot = trans.groupBy(col("src")).agg(sum(col("c")).as("tot"))
+    val p = trans.join(outTot, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("c").cast("double") / col("tot").cast("double")).as("p"))
+    val starts = events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type").as("src")).agg(count(lit(1)).as("n"))
+    val types = trans.select(col("src")).union(trans.select(col("dst"))).distinct()
+    val variants = types.filter(col("src") =!= "purchase")
+      .select(col("src").as("removed"))
+      .unionByName(s.range(1).select(lit("none").as("removed")))
+    // per-variant surviving transition matrix and start distribution
+    val pv = variants.crossJoin(p)
+      .filter(col("removed") === "none" ||
+        (col("src") =!= col("removed") && col("dst") =!= col("removed")))
+    val sv = variants.crossJoin(starts)
+      .filter(col("removed") === "none" || col("src") =!= col("removed"))
+    val nUsers = starts.agg(sum(col("n")).as("nu"))
+    // v0: P(reach purchase in 0 steps | state) = [state = purchase]
+    var v = variants.crossJoin(types)
+      .select(col("removed"), col("src").as("state"),
+        when(col("src") === "purchase", lit(1.0)).otherwise(lit(0.0)).as("pr"))
+    for (_ <- 1 to 4) {
+      val stepped = pv
+        .join(v.select(col("removed"), col("state").as("dst"), col("pr")),
+          Seq("removed", "dst"))
+        .groupBy(col("removed"), col("src"))
+        .agg(sum(round(col("p") * col("pr"), 12).cast(Dec12)).as("inflow"))
+      v = variants.crossJoin(types)
+        .select(col("removed"), col("src").as("state"))
+        .join(stepped.select(col("removed"), col("src").as("state"),
+          col("inflow")), Seq("removed", "state"), "left")
+        .select(col("removed"), col("state"),
+          when(col("state") === "purchase", lit(1.0))
+            .otherwise(round(coalesce(col("inflow").cast("double"), lit(0.0)), 12)).as("pr"))
+    }
+    val conv = sv
+      .join(v.select(col("removed"), col("state").as("src"), col("pr")),
+        Seq("removed", "src"))
+      .crossJoin(broadcast(nUsers))
+      .groupBy(col("removed"))
+      .agg(sum(round(col("n").cast("double") / col("nu").cast("double") * col("pr"), 12)
+        .cast(Dec12)).as("conv"))
+    val full = conv.filter(col("removed") === "none")
+      .select(col("conv").as("conv_full"))
+    conv.crossJoin(broadcast(full))
+      .select(
+        col("removed"),
+        emit(col("conv").cast("double"), 6).as("conv_prob"),
+        emit(lit(1.0) - col("conv").cast("double") / col("conv_full").cast("double"), 6)
+          .as("removal_effect"))
+      .orderBy(col("removed"))
+  }
+
+  val markovAttributionSql: String = {
+    def step(prev: String, k: Int): String =
+      s"""s$k AS (
+         |  SELECT pv.removed, pv.src,
+         |    sum(CAST(round(pv.p * $prev.pr, 12) AS DECIMAL(38,12))) AS inflow
+         |  FROM pv JOIN $prev ON pv.removed = $prev.removed AND pv.dst = $prev.state
+         |  GROUP BY 1, 2
+         |),
+         |v$k AS (
+         |  SELECT vt.removed, vt.state,
+         |    CASE WHEN vt.state = 'purchase' THEN 1.0
+         |         ELSE round(coalesce(CAST(s$k.inflow AS DOUBLE), 0.0), 12) END AS pr
+         |  FROM vt LEFT JOIN s$k ON vt.removed = s$k.removed AND vt.state = s$k.src
+         |)""".stripMargin
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM events
+       |),
+       |trans AS (
+       |  SELECT event_type AS src, next AS dst, count(*) AS c
+       |  FROM seq WHERE next IS NOT NULL GROUP BY 1, 2
+       |),
+       |outtot AS (SELECT src, sum(c) AS tot FROM trans GROUP BY 1),
+       |p AS (
+       |  SELECT trans.src, trans.dst, CAST(c AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+       |  FROM trans JOIN outtot ON trans.src = outtot.src
+       |),
+       |starts AS (
+       |  SELECT event_type AS src, count(*) AS n FROM seq WHERE rn = 1 GROUP BY 1
+       |),
+       |types AS (SELECT DISTINCT src FROM (SELECT src FROM trans UNION SELECT dst FROM trans)),
+       |variants AS (
+       |  SELECT src AS removed FROM types WHERE src <> 'purchase'
+       |  UNION ALL SELECT 'none'
+       |),
+       |pv AS (
+       |  SELECT v.removed, p.src, p.dst, p.p FROM variants v CROSS JOIN p
+       |  WHERE v.removed = 'none' OR (p.src <> v.removed AND p.dst <> v.removed)
+       |),
+       |sv AS (
+       |  SELECT v.removed, s.src, s.n FROM variants v CROSS JOIN starts s
+       |  WHERE v.removed = 'none' OR s.src <> v.removed
+       |),
+       |nu AS (SELECT sum(n) AS nu FROM starts),
+       |vt AS (SELECT v.removed, t.src AS state FROM variants v CROSS JOIN types t),
+       |v0 AS (
+       |  SELECT removed, state,
+       |    CASE WHEN state = 'purchase' THEN 1.0 ELSE 0.0 END AS pr
+       |  FROM vt
+       |),
+       |${step("v0", 1)},
+       |${step("v1", 2)},
+       |${step("v2", 3)},
+       |${step("v3", 4)},
+       |conv AS (
+       |  SELECT sv.removed,
+       |    sum(CAST(round(CAST(sv.n AS DOUBLE) / CAST(nu.nu AS DOUBLE) * v4.pr, 12)
+       |      AS DECIMAL(38,12))) AS conv
+       |  FROM sv JOIN v4 ON sv.removed = v4.removed AND sv.src = v4.state
+       |  CROSS JOIN nu GROUP BY 1
+       |),
+       |fullc AS (SELECT conv AS conv_full FROM conv WHERE removed = 'none')
+       |SELECT removed,
+       |  CAST(round(CAST(conv AS DOUBLE), 6) AS DOUBLE) AS conv_prob,
+       |  CAST(round(1.0 - CAST(conv AS DOUBLE) / CAST(conv_full AS DOUBLE), 6) AS DOUBLE)
+       |    AS removal_effect
+       |FROM conv CROSS JOIN fullc ORDER BY removed""".stripMargin
+  }
+
+  /** #321 ab_sequential_monitor — the sequential-testing readout over
+    * a running experiment (Pocock/O'Brien–Fleming style alpha
+    * spending, the "when could we have stopped" audit beside
+    * ab_lift_report's fixed-horizon z-test — peeking at a fixed-α
+    * boundary inflates false positives, THIS is the boundary you may
+    * peek at): arms by user-id parity, per-day CUMULATIVE successes
+    * (value ≥ 50) and trials per arm (exact ints off one (day, arm)
+    * count), the pooled two-proportion z per day, and the
+    * OBF-approximate boundary z_b(t) = 1.96/√(t/T); crossed = |z| ≥
+    * boundary. Scale: one (day, arm)-keyed count, cumulative windows
+    * over the CALENDAR-bounded day table, closed-form arithmetic
+    * mirrored in both engines. Exact oracle.
+    */
+  def abSequentialMonitor(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .select(to_date(col("ts")).as("d"), (col("user_id") % 2).as("arm"),
+        when(col("value") >= 50.0, 1L).otherwise(0L).as("y"))
+      .groupBy(col("d"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("arm")).orderBy(col("d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = daily
+      .withColumn("cn", sum(col("n")).over(w))
+      .withColumn("ck", sum(col("k")).over(w))
+    val a0 = cum.filter(col("arm") === 0)
+      .select(col("d"), col("cn").as("n0"), col("ck").as("k0"))
+    val a1 = cum.filter(col("arm") === 1)
+      .select(col("d"), col("cn").as("n1"), col("ck").as("k1"))
+    val days = a0.join(a1, Seq("d"))
+    val maxD = days.agg(count(lit(1)).as("nd"))
+    val joined = days.crossJoin(broadcast(maxD))
+      .withColumn("t", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("d"))))
+    val p0 = col("k0").cast("double") / col("n0").cast("double")
+    val p1 = col("k1").cast("double") / col("n1").cast("double")
+    val pp = (col("k0") + col("k1")).cast("double") / (col("n0") + col("n1")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp)
+      * (lit(1.0) / col("n0").cast("double") + lit(1.0) / col("n1").cast("double")))
+    val z = (p1 - p0) / se
+    val bound = lit(1.96) / sqrt(col("t").cast("double") / col("nd").cast("double"))
+    joined.select(
+      col("d"), col("t"), col("n0"), col("k0"), col("n1"), col("k1"),
+      emit(z, 6).as("z"),
+      emit(bound, 6).as("boundary"),
+      (abs(round(z, 6).cast("double")) >= round(bound, 6).cast("double")).as("crossed"))
+      .orderBy(col("d"))
+  }
+
+  val abSequentialMonitorSql: String =
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, user_id % 2 AS arm, count(*) AS n,
+      |    CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |  FROM events GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT d, arm,
+      |    CAST(sum(n) OVER (PARTITION BY arm ORDER BY d) AS BIGINT) AS cn,
+      |    CAST(sum(k) OVER (PARTITION BY arm ORDER BY d) AS BIGINT) AS ck
+      |  FROM daily
+      |),
+      |days AS (
+      |  SELECT a.d, a.cn AS n0, a.ck AS k0, b.cn AS n1, b.ck AS k1
+      |  FROM (SELECT * FROM cum WHERE arm = 0) a
+      |  JOIN (SELECT * FROM cum WHERE arm = 1) b ON a.d = b.d
+      |),
+      |nd AS (SELECT count(*) AS nd FROM days),
+      |t AS (
+      |  SELECT days.*, nd.nd, row_number() OVER (ORDER BY d) AS t
+      |  FROM days CROSS JOIN nd
+      |),
+      |f AS (
+      |  SELECT d, t, n0, k0, n1, k1,
+      |    (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+      |      / sqrt((CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |        * (1.0 - CAST(k0 + k1 AS DOUBLE) / CAST(n0 + n1 AS DOUBLE))
+      |        * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE))) AS z,
+      |    CAST(1.96 AS DOUBLE) / sqrt(CAST(t AS DOUBLE) / CAST(nd AS DOUBLE)) AS boundary
+      |  FROM t
+      |)
+      |SELECT d, t, n0, k0, n1, k1,
+      |  CAST(round(z, 6) AS DOUBLE) AS z,
+      |  CAST(round(boundary, 6) AS DOUBLE) AS boundary,
+      |  abs(CAST(round(z, 6) AS DOUBLE)) >= CAST(round(boundary, 6) AS DOUBLE) AS crossed
+      |FROM f ORDER BY d""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -1296,7 +1533,9 @@ object Round12Ops {
     "embed_drift_report" -> (embedDriftReport(_, _)),
     "l_diversity_report" -> (lDiversityReport(_, _)),
     "holt_winters_forecast" -> (holtWintersForecast(_, _)),
-    "embed_jl_projection" -> (embedJlProjection(_, _)))
+    "embed_jl_projection" -> (embedJlProjection(_, _)),
+    "markov_attribution" -> (markovAttribution(_, _)),
+    "ab_sequential_monitor" -> (abSequentialMonitor(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -1313,5 +1552,7 @@ object Round12Ops {
     "embed_drift_report" -> embedDriftReportSql,
     "l_diversity_report" -> lDiversityReportSql,
     "holt_winters_forecast" -> holtWintersForecastSql,
-    "embed_jl_projection" -> embedJlProjectionSql)
+    "embed_jl_projection" -> embedJlProjectionSql,
+    "markov_attribution" -> markovAttributionSql,
+    "ab_sequential_monitor" -> abSequentialMonitorSql)
 }

@@ -2639,6 +2639,38 @@ class QueryCatalogSpec extends AnyFunSuite {
       s"E[ratio] must be near 1 (unbiased projection): $meanRatio")
   }
 
+  test("markov attribution removal effects are proper and none is the identity") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("markov_attribution")(spark, dir).cache()
+    val none = df.filter(col("removed") === "none").head
+    assert(none.getAs[Double]("removal_effect") == 0.0, "removing nothing removes nothing")
+    assert(df.filter(col("conv_prob") < 0 || col("conv_prob") > 1).count() == 0)
+    // removing a channel can only LOSE conversion mass (no renormalize)
+    val full = none.getAs[Double]("conv_prob")
+    assert(df.filter(col("conv_prob") > full + 1e-9).count() == 0)
+    assert(df.filter(col("removed") =!= "none" && col("removal_effect") < 0).count() == 0)
+    // removing 'view' must hurt: journeys that start there are lost
+    assert(df.filter(col("removed") === "view").head.getAs[Double]("removal_effect") > 0)
+  }
+
+  test("sequential monitor boundary decays and cumulative counts are monotone") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ab_sequential_monitor")(spark, dir).cache()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("t"))
+    val broken = df
+      .withColumn("pb", lag(col("boundary"), 1).over(w))
+      .withColumn("pn0", lag(col("n0"), 1).over(w))
+      .withColumn("pn1", lag(col("n1"), 1).over(w))
+      .filter(col("pb").isNotNull &&
+        (col("boundary") > col("pb") || col("n0") < col("pn0") || col("n1") < col("pn1")))
+      .count()
+    assert(broken == 0, "boundary must decay and counts must accumulate")
+    // the final boundary is the fixed-horizon 1.96
+    val last = df.orderBy(col("t").desc).head
+    assert(math.abs(last.getAs[Double]("boundary") - 1.96) < 1e-9)
+    assert(df.filter(col("k0") > col("n0") || col("k1") > col("n1")).count() == 0)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
