@@ -1517,6 +1517,189 @@ object Round12Ops {
       |  abs(CAST(round(z, 6) AS DOUBLE)) >= CAST(round(boundary, 6) AS DOUBLE) AS crossed
       |FROM f ORDER BY d""".stripMargin
 
+  /** #322 benford_audit — Benford's-law first-digit audit over the
+    * lineitem prices (the classic fabricated-numbers screen an
+    * accounting/data-quality review runs: organically-grown magnitudes
+    * follow P(d) = log10(1+1/d); injected or synthesized values
+    * don't): per digit the observed count/share, the Benford
+    * expectation and the chi-square contribution — the statistic sums
+    * in the spec. First digits come from INTEGER/string arithmetic
+    * (first char of floor(x) for x ≥ 1), never from a float log10
+    * whose boundary rounding could disagree between engines. Scale:
+    * one 9-group map-side-combinable aggregate; arithmetic on the
+    * bounded digit table. Exact oracle. (On THIS synthetic uniform
+    * data the audit loudly fails Benford — which is the correct
+    * answer, and exactly what it is for.)
+    */
+  def benfordAudit(s: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.lineitem(s, dir)
+      .filter(col("l_extendedprice") >= 1.0)
+      .select(substring(floor(col("l_extendedprice")).cast("long").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("obs"))
+    val tot = digits.agg(sum(col("obs")).as("n"))
+    // ln(x)/ln(10) — the same two-op chain in both engines (a dedicated
+    // log10 could differ in the last ulp from the quotient form)
+    digits.crossJoin(broadcast(tot))
+      .withColumn("p_benford",
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+      .select(
+        col("digit"), col("obs"),
+        emit(col("obs").cast("double") / col("n").cast("double"), 6).as("share"),
+        emit(col("p_benford"), 6).as("p_benford"),
+        emit(
+          (col("obs").cast("double") - col("n").cast("double") * col("p_benford"))
+            * (col("obs").cast("double") - col("n").cast("double") * col("p_benford"))
+            / (col("n").cast("double") * col("p_benford")), 4).as("chi2_term"))
+      .orderBy(col("digit"))
+  }
+
+  val benfordAuditSql: String =
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+      |    count(*) AS obs
+      |  FROM lineitem WHERE l_extendedprice >= 1.0 GROUP BY 1
+      |),
+      |tot AS (SELECT sum(obs) AS n FROM d)
+      |SELECT digit, obs,
+      |  CAST(round(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS share,
+      |  CAST(round((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 6) AS DOUBLE) AS p_benford,
+      |  CAST(round(
+      |    (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+      |    * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
+      |    / (CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 4) AS DOUBLE) AS chi2_term
+      |FROM d CROSS JOIN tot ORDER BY digit""".stripMargin
+
+  /** #323 corpus_budget_select — data selection under a token budget
+    * (the knapsack every training run solves: best corpus that fits
+    * 100k tokens): rank docs by quality-per-token (the
+    * doc_quality_classifier score over the token_count device), take
+    * greedily until the cumulative token budget closes — emitted with
+    * each doc's cumulative spend. The greedy-by-ratio rule IS the
+    * fractional-knapsack optimum, the standard curation heuristic.
+    * Scale: the ratio is two per-row expressions off one scan; the
+    * greedy running sum is the percentiles_range TWO-PASS shape — 1000
+    * fixed ratio bands, per-band token totals (fine agg), cross-band
+    * offsets from a cumulative over the ≤1001-row band table, then a
+    * window PARTITIONED BY BAND adds within-band sums; bands past the
+    * budget prune before the window ever sees them. No
+    * single-partition global window anywhere. Exact oracle: the SQL
+    * states the simple global-window form; the bucketed plan is
+    * output-identical because band order embeds rank order.
+    */
+  def corpusBudgetSelect(s: SparkSession, dir: String): DataFrame = {
+    val budget = 100000L
+    val scored = Round9Ops.docQualityClassifier(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+      .withColumn("ratio", round(col("score") / col("n_tokens").cast("double"), 12))
+      // ratio ∈ [−0.5, 0.5]: 1000 fixed bands bucket the ranked order so
+      // the running sum never needs a single-partition global window
+      // (the percentiles_range two-pass discipline) — the window below
+      // partitions BY BUCKET; the cross-bucket offset comes from a
+      // cumulative over the ≤1001-row bucket table
+      .withColumn("bkt", floor(col("ratio") * 1000).cast("long"))
+    val bucketTotals = scored.groupBy(col("bkt")).agg(sum(col("n_tokens")).as("bt"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bkt").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = bucketTotals // bounded: the global window is over ≤1001 rows
+      .withColumn("offset", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      // buckets starting past the budget can't contribute — prune early
+      .filter(col("offset") <= budget)
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("ratio").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    scored
+      .join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_tokens", col("offset") + sum(col("n_tokens")).over(wIn))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("n_tokens"), emit(col("score"), 6).as("score"),
+        emit(col("ratio"), 6).as("ratio"), col("cum_tokens"))
+      .orderBy(col("cum_tokens"))
+  }
+
+  val corpusBudgetSelectSql: String =
+    s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
+       |ranked AS (
+       |  SELECT doc_id, n_tokens, score,
+       |    round(score / CAST(n_tokens AS DOUBLE), 12) AS ratio,
+       |    CAST(sum(n_tokens) OVER (ORDER BY round(score / CAST(n_tokens AS DOUBLE), 12) DESC, doc_id) AS BIGINT)
+       |      AS cum_tokens
+       |  FROM clf
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CAST(round(score, 6) AS DOUBLE) AS score,
+       |  CAST(round(ratio, 6) AS DOUBLE) AS ratio, cum_tokens
+       |FROM ranked WHERE cum_tokens <= 100000
+       |ORDER BY cum_tokens""".stripMargin
+
+  /** #324 t_closeness_report — t-closeness (Li, Li & Venkatasubramanian
+    * 2007), completing the engine's privacy-audit trio: k_anonymity
+    * bounds re-identification, l_diversity bounds attribute
+    * uniformity, THIS bounds distribution leakage — a class whose
+    * segment mix differs sharply from the global mix reveals
+    * information even at high l. For categorical attributes with unit
+    * ground distance the Earth Mover's Distance reduces to total
+    * variation: t = ½ Σ_seg |p_class(seg) − p_global(seg)|. Per
+    * (nation, $1k-band) class: size, t, and the t > 0.4 flag. Scale:
+    * two fine-key aggregates (class×segment and global segment) met
+    * by broadcast, TVD terms 12-dp-rounded into an order-free DECIMAL
+    * sum over the bounded class×segment matrix. Exact oracle.
+    */
+  def tClosenessReport(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.customer(s, dir)
+      .select(col("c_nationkey"), floor(col("c_acctbal") / 1000).as("bal_band"),
+        col("c_mktsegment"))
+    val global = base.groupBy(col("c_mktsegment")).agg(count(lit(1)).as("g"))
+    val gTot = global.agg(sum(col("g")).as("gt"))
+    val cls = base.groupBy(col("c_nationkey"), col("bal_band"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("c"))
+    val clsTot = cls.groupBy(col("c_nationkey"), col("bal_band"))
+      .agg(sum(col("c")).as("class_size"))
+    // dense class × segment matrix: absent segments contribute p=0
+    val dense = clsTot.crossJoin(broadcast(global)).crossJoin(broadcast(gTot))
+      .join(cls, Seq("c_nationkey", "bal_band", "c_mktsegment"), "left")
+      .select(
+        col("c_nationkey"), col("bal_band"), col("class_size"),
+        round(
+          abs(coalesce(col("c"), lit(0L)).cast("double") / col("class_size").cast("double")
+            - col("g").cast("double") / col("gt").cast("double")), 12)
+          .cast(Dec12).as("term"))
+    dense.groupBy(col("c_nationkey"), col("bal_band"), col("class_size"))
+      .agg(sum(col("term")).as("tvd2"))
+      .select(
+        col("c_nationkey"), col("bal_band"), col("class_size"),
+        emit(col("tvd2").cast("double") / lit(2.0), 6).as("t"))
+      .withColumn("above_t04", col("t") > 0.4)
+      .orderBy(col("c_nationkey"), col("bal_band"))
+  }
+
+  val tClosenessReportSql: String =
+    """WITH base AS (
+      |  SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_band, c_mktsegment FROM customer
+      |),
+      |global AS (SELECT c_mktsegment, count(*) AS g FROM base GROUP BY 1),
+      |gt AS (SELECT sum(g) AS gt FROM global),
+      |cls AS (
+      |  SELECT c_nationkey, bal_band, c_mktsegment, count(*) AS c FROM base GROUP BY 1, 2, 3
+      |),
+      |clstot AS (
+      |  SELECT c_nationkey, bal_band, CAST(sum(c) AS BIGINT) AS class_size FROM cls GROUP BY 1, 2
+      |),
+      |dense AS (
+      |  SELECT ct.c_nationkey, ct.bal_band, ct.class_size,
+      |    CAST(round(abs(CAST(coalesce(cls.c, 0) AS DOUBLE) / CAST(ct.class_size AS DOUBLE)
+      |      - CAST(g.g AS DOUBLE) / CAST(gt.gt AS DOUBLE)), 12) AS DECIMAL(38,12)) AS term
+      |  FROM clstot ct CROSS JOIN global g CROSS JOIN gt
+      |  LEFT JOIN cls ON cls.c_nationkey = ct.c_nationkey AND cls.bal_band = ct.bal_band
+      |    AND cls.c_mktsegment = g.c_mktsegment
+      |)
+      |SELECT c_nationkey, bal_band, class_size,
+      |  CAST(round(CAST(sum(term) AS DOUBLE) / 2.0, 6) AS DOUBLE) AS t,
+      |  CAST(round(CAST(sum(term) AS DOUBLE) / 2.0, 6) AS DOUBLE) > 0.4 AS above_t04
+      |FROM dense GROUP BY 1, 2, 3
+      |ORDER BY c_nationkey, bal_band""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -1535,7 +1718,10 @@ object Round12Ops {
     "holt_winters_forecast" -> (holtWintersForecast(_, _)),
     "embed_jl_projection" -> (embedJlProjection(_, _)),
     "markov_attribution" -> (markovAttribution(_, _)),
-    "ab_sequential_monitor" -> (abSequentialMonitor(_, _)))
+    "ab_sequential_monitor" -> (abSequentialMonitor(_, _)),
+    "benford_audit" -> (benfordAudit(_, _)),
+    "corpus_budget_select" -> (corpusBudgetSelect(_, _)),
+    "t_closeness_report" -> (tClosenessReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -1554,5 +1740,8 @@ object Round12Ops {
     "holt_winters_forecast" -> holtWintersForecastSql,
     "embed_jl_projection" -> embedJlProjectionSql,
     "markov_attribution" -> markovAttributionSql,
-    "ab_sequential_monitor" -> abSequentialMonitorSql)
+    "ab_sequential_monitor" -> abSequentialMonitorSql,
+    "benford_audit" -> benfordAuditSql,
+    "corpus_budget_select" -> corpusBudgetSelectSql,
+    "t_closeness_report" -> tClosenessReportSql)
 }

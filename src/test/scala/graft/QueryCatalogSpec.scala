@@ -2671,6 +2671,46 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.filter(col("k0") > col("n0") || col("k1") > col("n1")).count() == 0)
   }
 
+  test("benford audit is a proper digit distribution against the law") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("benford_audit")(spark, dir).cache()
+    assert(df.count() == 9)
+    assert(math.abs(df.agg(sum("share")).head.getDouble(0) - 1.0) < 1e-4)
+    assert(math.abs(df.agg(sum("p_benford")).head.getDouble(0) - 1.0) < 1e-4)
+    assert(df.filter(col("chi2_term") < 0).count() == 0)
+    val obs = df.agg(sum("obs")).head.getLong(0)
+    val priced = Tables.lineitem(spark, dir).filter(col("l_extendedprice") >= 1.0).count()
+    assert(obs == priced, "every priced line contributes one digit")
+  }
+
+  test("budget select equals the plain greedy running-sum cut") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("corpus_budget_select")(spark, dir).cache()
+    assert(df.filter(col("cum_tokens") > 100000).count() == 0)
+    // the bucketed two-pass must equal the naive global-window greedy
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ratio").desc, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = graft.queries.Round9Ops.docQualityClassifier(spark, dir)
+      .withColumn("ratio", round(col("score") / col("n_tokens").cast("double"), 12))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= 100000)
+      .select("doc_id", "cum_tokens")
+    assert(df.select("doc_id", "cum_tokens").except(naive).count() == 0)
+    assert(naive.except(df.select("doc_id", "cum_tokens")).count() == 0)
+  }
+
+  test("t-closeness is a bounded distance over the same classes as l-diversity") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("t_closeness_report")(spark, dir).cache()
+    val lDiv = SparkEntry.queries("l_diversity_report")(spark, dir)
+    assert(df.count() == lDiv.count(), "same quasi-identifier classes")
+    assert(df.filter(col("t") < 0 || col("t") > 1).count() == 0, "TVD is in [0,1]")
+    assert(df.filter(col("above_t04") =!= (col("t") > 0.4)).count() == 0)
+    // a single-member class is maximally far from the 5-way global mix
+    assert(df.filter(col("class_size") === 1 && col("t") < 0.5).count() == 0)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
