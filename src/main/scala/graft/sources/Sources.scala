@@ -299,6 +299,42 @@ object Sources {
       .mkString
   }
 
+  /** Right-to-be-forgotten EXECUTION — the effectful side of the
+    * catalog's user_erasure_audit (§2 #304). GDPR deletes arrive
+    * continuously; a lake cannot rewrite 100 TB per request, so the
+    * standard shape is (1) requests append to a tiny TOMBSTONE index,
+    * (2) every read anti-joins it (erasure is immediately effective),
+    * (3) a periodic sweep physically rewrites and the tombstones for
+    * swept users can then be dropped. Duplicate/re-delivered requests
+    * are harmless: the read path distincts, the sweep is idempotent.
+    */
+  def appendTombstones(requests: DataFrame, tombDir: String): Unit =
+    requests.select(col("user_id").cast("long").as("user_id")).distinct()
+      .write.mode(SaveMode.Append).parquet(tombDir)
+
+  def readTombstones(s: SparkSession, tombDir: String): DataFrame =
+    s.read.parquet(tombDir).select(col("user_id")).distinct()
+
+  /** The logical erasure every consumer reads through: a broadcast
+    * anti join against the (tiny) tombstone set. At 100 TB the
+    * tombstones are a fraction of one dimension — the join costs a
+    * broadcast, never a shuffle of the fact table.
+    */
+  def readActive(table: DataFrame, tombstones: DataFrame): DataFrame =
+    table.join(broadcast(tombstones), Seq("user_id"), "left_anti")
+
+  /** The physical sweep: rewrite the table minus tombstoned users.
+    * Returns (rows_deleted, rows_kept) as the sweep's audit record.
+    * Idempotent — re-sweeping an already-swept table deletes zero.
+    */
+  def sweepErasure(s: SparkSession, table: DataFrame, tombstones: DataFrame,
+      outDir: String): (Long, Long) = {
+    val active = readActive(table, tombstones)
+    active.write.mode(SaveMode.Overwrite).parquet(outDir)
+    val kept = s.read.parquet(outDir).count()
+    (table.count() - kept, kept)
+  }
+
   def buildHashIndex(docs: DataFrame, outDir: String): Unit =
     docs
       .select(md5(graft.queries.Round5Ops.normText(col("text"))).as("h"), col("doc_id"))

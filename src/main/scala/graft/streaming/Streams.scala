@@ -944,6 +944,25 @@ object Streams {
       sink(admitted)
     }
 
+  /** #49x erasureStream — continuous right-to-be-forgotten intake:
+    * GDPR requests arrive as a stream and fold into the tombstone
+    * index ([[graft.sources.Sources.appendTombstones]]) each
+    * micro-batch via foreachBatch — the indexedIntakeStream shape,
+    * and for the same reason: the erasure horizon is ALL history, so
+    * the dedup/erasure artifact must live OUTSIDE per-query checkpoint
+    * state where every consumer (batch sweep, serving read, the next
+    * stream) shares it. Effective immediately through
+    * [[graft.sources.Sources.readActive]]'s broadcast anti join;
+    * re-delivered requests are no-ops (read-side distinct). Spec pins
+    * mid-stream effectiveness and re-delivery idempotence.
+    */
+  def erasureStream(
+      requests: DataFrame, tombDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    requests.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sources.Sources.appendTombstones(batch, tombDir)
+    }
+
   /** #39g continuous twin of post_link_domains: raw firehose records →
     * parse ([[firehoseIntakeStream]]'s stateless projection) → explode
     * outbound links → running per-domain counts in update mode. State

@@ -550,4 +550,27 @@ class SourcesSpec extends AnyFunSuite {
     assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(user_id,8)"),
       "range predicates must reach the parquet scan")
   }
+
+  test("erasure tombstones hide users at read and the sweep is physical and idempotent") {
+    import org.apache.spark.sql.functions._
+    val tomb = Files.createTempDirectory("graft_tomb").toString
+    val out1 = Files.createTempDirectory("graft_swept1").toString
+    val out2 = Files.createTempDirectory("graft_swept2").toString
+    val ev = Tables.events(spark, dir)
+    val reqs = ev.select(col("user_id")).distinct().filter(col("user_id") % 7 === 0)
+    Sources.appendTombstones(reqs, tomb)
+    Sources.appendTombstones(reqs, tomb) // re-delivered batch
+    val tombs = Sources.readTombstones(spark, tomb)
+    assert(tombs.count() == reqs.count(), "re-delivery must not grow the effective set")
+    val active = Sources.readActive(ev, tombs)
+    assert(active.filter(col("user_id") % 7 === 0).count() == 0, "erased users must vanish")
+    assert(active.count() == ev.filter(col("user_id") % 7 =!= 0).count(),
+      "everyone else survives")
+    val (deleted, kept) = Sources.sweepErasure(spark, ev, tombs, out1)
+    assert(kept == active.count() && deleted == ev.count() - kept)
+    // the physical sweep equals the logical view, and re-sweeping is a no-op
+    assert(spark.read.parquet(out1).count() == kept)
+    val (deleted2, kept2) = Sources.sweepErasure(spark, spark.read.parquet(out1), tombs, out2)
+    assert(deleted2 == 0 && kept2 == kept, "sweep must be idempotent")
+  }
 }

@@ -1136,6 +1136,28 @@ class StreamingSpec extends AnyFunSuite {
       s"served drift table must equal batch psi_drift: $served vs $batch")
   }
 
+  test("erasure stream tombstones take effect mid-stream and re-delivery is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val tomb = java.nio.file.Files.createTempDirectory("graft_tomb_s").toString
+    val ev = Tables.events(spark, dir)
+    val in = MemoryStream[Long]
+    val q = Streams.erasureStream(in.toDF().withColumnRenamed("value", "user_id"), tomb)
+      .start()
+    in.addData(0L, 7L); q.processAllAvailable()
+    // effective immediately through the read path, mid-stream
+    val after1 = graft.sources.Sources.readActive(
+      ev, graft.sources.Sources.readTombstones(spark, tomb))
+    assert(after1.filter(col("user_id").isin(0L, 7L)).count() == 0)
+    in.addData(7L, 14L); q.processAllAvailable(); q.stop() // 7 re-delivered
+    val tombs = graft.sources.Sources.readTombstones(spark, tomb)
+    assert(tombs.count() == 3, "re-delivered request must not grow the set")
+    val after2 = graft.sources.Sources.readActive(ev, tombs)
+    assert(after2.filter(col("user_id").isin(0L, 7L, 14L)).count() == 0)
+    assert(after2.count() == ev.filter(!col("user_id").isin(0L, 7L, 14L)).count())
+  }
+
   test("holt forecast served over drained counts equals the batch table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
