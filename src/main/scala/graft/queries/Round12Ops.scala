@@ -1700,6 +1700,127 @@ object Round12Ops {
       |FROM dense GROUP BY 1, 2, 3
       |ORDER BY c_nationkey, bal_band""".stripMargin
 
+  /** #325 rank_rbo_report — Rank-Biased Overlap (Webber, Moffat &
+    * Zobel 2010) between the exact float top-10 and the int8-quantized
+    * top-10 per query: ann_recall_report counts set hits, RBO is the
+    * RANK-AWARE agreement (top-weighted, p=0.9) — the metric that
+    * distinguishes "same 10 neighbors, reshuffled" from "lost the top
+    * 1". Truncated form RBO@10 = (1−p)·Σ_d p^(d−1)·|A_d∩B_d|/d.
+    * Overlap-at-depth comes from ONE (query, vec) equi-join of the two
+    * rank tables (≤10 matches per query) crossed with the bounded
+    * depth axis; p^(d−1) for d ≤ 10 is exactly representable at 9 dp,
+    * so round(pow, 9) is bit-identical in both engines. Everything
+    * after the two kNN rankings is broadcast-sized. Exact oracle (the
+    * two ranking chains are the catalog's own oracle-verified CTEs).
+    */
+  def rankRboReport(s: SparkSession, dir: String): DataFrame = {
+    val a = TextOps.embedKnn(s, dir).select(col("query_id"), col("vec_id"), col("rn").as("rna"))
+    val b = TextOps.embedQuantizedKnn(s, dir)
+      .select(col("query_id"), col("vec_id"), col("rn").as("rnb"))
+    val matches = a.join(b, Seq("query_id", "vec_id"))
+      .select(col("query_id"), greatest(col("rna"), col("rnb")).as("depth_in"))
+    val depths = s.range(1, 11).select(col("id").cast("int").as("d"))
+    val queries0 = a.select(col("query_id")).distinct()
+    val overlaps = queries0.crossJoin(broadcast(depths))
+      .join(matches, Seq("query_id"), "left")
+      .groupBy(col("query_id"), col("d"))
+      .agg(sum(when(col("depth_in") <= col("d"), 1L).otherwise(0L)).as("ov"))
+    overlaps
+      .select(col("query_id"), col("d"), col("ov"),
+        round(pow(lit(0.9), col("d").cast("double") - lit(1.0)), 9).as("w"))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(round(col("w") * col("ov").cast("double") / col("d").cast("double"), 12)
+          .cast(Dec12)).as("acc"),
+        max(when(col("d") === 10, col("ov"))).as("overlap10"))
+      .select(col("query_id"),
+        emit(lit(0.1) * col("acc").cast("double"), 6).as("rbo"),
+        col("overlap10"))
+      .orderBy(col("query_id"))
+  }
+
+  val rankRboReportSql: String =
+    s"""WITH a0 AS (${TextOps.embedKnnSql}),
+       |b0 AS (${TextOps.embedQuantizedKnnSql}),
+       |m AS (
+       |  SELECT a0.query_id, greatest(a0.rn, bq.rnb) AS depth_in
+       |  FROM a0 JOIN (SELECT query_id, vec_id, rn AS rnb FROM b0) bq
+       |    ON a0.query_id = bq.query_id AND a0.vec_id = bq.vec_id
+       |),
+       |qs AS (SELECT DISTINCT query_id FROM a0),
+       |ds AS (SELECT unnest(generate_series(1, 10)) AS d),
+       |ov AS (
+       |  SELECT qs.query_id, ds.d,
+       |    CAST(sum(CASE WHEN m.depth_in <= ds.d THEN 1 ELSE 0 END) AS BIGINT) AS ov
+       |  FROM qs CROSS JOIN ds LEFT JOIN m ON m.query_id = qs.query_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT query_id,
+       |  CAST(round(0.1 * CAST(sum(CAST(round(
+       |    round(pow(0.9, CAST(d AS DOUBLE) - 1.0), 9) * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE),
+       |    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) AS rbo,
+       |  max(CASE WHEN d = 10 THEN ov END) AS overlap10
+       |FROM ov GROUP BY query_id ORDER BY query_id""".stripMargin
+
+  /** #326 classifier_auc — ROC AUC for the quality-classifier score
+    * against the weak lang='en' label, completing the classifier QA
+    * beside #310's calibration (calibration says "are the
+    * probabilities honest", AUC says "does it rank at all"): AUC =
+    * (U-statistic)/(P·N) with midrank tie handling, computed WITHOUT a
+    * global sort via the distinct-score histogram — 2U = Σ_s
+    * n_pos(s)·(2·cum_neg_below(s) + n_neg(s)) stays ALL-INTEGER (no
+    * float accumulation anywhere), the percentiles_freq "one row per
+    * distinct value" exact path; the cumulative window runs over the
+    * distinct-score relation, never raw docs. Exact oracle.
+    */
+  def classifierAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = Round9Ops.docQualityClassifier(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("score"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val hist = scored.groupBy(col("score"))
+      .agg(sum(col("y")).as("np"), sum(lit(1L) - col("y")).as("nn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val u2 = hist // the window is over the bounded distinct-score table
+      .withColumn("cum_nn", coalesce(sum(col("nn")).over(w), lit(0L)))
+      .select((col("np") * (lit(2L) * col("cum_nn") + col("nn"))).as("u2t"),
+        col("np"), col("nn"))
+      .agg(sum(col("u2t")).as("u2"), sum(col("np")).as("p"), sum(col("nn")).as("n"))
+    u2.select(
+      col("p").as("n_pos"), col("n").as("n_neg"),
+      emit(col("u2").cast("double") / (lit(2.0) * col("p").cast("double") * col("n").cast("double")), 6)
+        .as("auc"),
+      emit(col("u2").cast("double") / (col("p").cast("double") * col("n").cast("double")) - lit(1.0), 6)
+        .as("gini"))
+  }
+
+  val classifierAucSql: String =
+    s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
+       |scored AS (
+       |  SELECT clf.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM clf JOIN documents d ON clf.doc_id = d.doc_id
+       |),
+       |hist AS (
+       |  SELECT score, CAST(sum(y) AS BIGINT) AS np, CAST(sum(1 - y) AS BIGINT) AS nn
+       |  FROM scored GROUP BY 1
+       |),
+       |cum AS (
+       |  SELECT np, nn,
+       |    CAST(coalesce(sum(nn) OVER (ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_nn
+       |  FROM hist
+       |),
+       |agg AS (
+       |  SELECT CAST(sum(np * (2 * cum_nn + nn)) AS BIGINT) AS u2,
+       |    CAST(sum(np) AS BIGINT) AS p, CAST(sum(nn) AS BIGINT) AS n
+       |  FROM cum
+       |)
+       |SELECT p AS n_pos, n AS n_neg,
+       |  CAST(round(CAST(u2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS DOUBLE) AS auc,
+       |  CAST(round(CAST(u2 AS DOUBLE) / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) - 1.0, 6) AS DOUBLE) AS gini
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -1721,7 +1842,9 @@ object Round12Ops {
     "ab_sequential_monitor" -> (abSequentialMonitor(_, _)),
     "benford_audit" -> (benfordAudit(_, _)),
     "corpus_budget_select" -> (corpusBudgetSelect(_, _)),
-    "t_closeness_report" -> (tClosenessReport(_, _)))
+    "t_closeness_report" -> (tClosenessReport(_, _)),
+    "rank_rbo_report" -> (rankRboReport(_, _)),
+    "classifier_auc" -> (classifierAuc(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -1743,5 +1866,7 @@ object Round12Ops {
     "ab_sequential_monitor" -> abSequentialMonitorSql,
     "benford_audit" -> benfordAuditSql,
     "corpus_budget_select" -> corpusBudgetSelectSql,
-    "t_closeness_report" -> tClosenessReportSql)
+    "t_closeness_report" -> tClosenessReportSql,
+    "rank_rbo_report" -> rankRboReportSql,
+    "classifier_auc" -> classifierAucSql)
 }

