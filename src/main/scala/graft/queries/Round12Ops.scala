@@ -1821,6 +1821,259 @@ object Round12Ops {
        |  CAST(round(CAST(u2 AS DOUBLE) / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) - 1.0, 6) AS DOUBLE) AS gini
        |FROM agg""".stripMargin
 
+  /** #327 ks_drift_test — two-sample Kolmogorov–Smirnov test of the
+    * doc-length distribution between the first and second half of the
+    * doc-id space, per language: psi_drift reads a BINNED divergence
+    * and quantile_drift a few fixed quantiles; KS is the binless
+    * sup-norm over the WHOLE distribution with a significance
+    * boundary (D_crit = 1.358·√((n1+n2)/(n1·n2)), α=0.05). The sup is
+    * exact rational arithmetic end to end: per (lang, n_chars) counts
+    * collapse the corpus to the distinct-value histogram in ONE
+    * map-side-combinable agg; the cumulative ECDFs run over that
+    * value-domain-bounded relation (window partitioned by lang, never
+    * raw docs); D's numerator |F1·n2 − F2·n1| stays in DECIMAL(38,0)
+    * (the graph_assortativity overflow rule) and only the final
+    * quotient touches floats. Exact oracle.
+    */
+  def ksDriftTest(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val d0 = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val span = d0.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val hist = d0.crossJoin(broadcast(span))
+      .select(col("lang"), col("n_chars"),
+        when((col("doc_id") - col("lo")) * 2 <= (col("hi") - col("lo")), 1)
+          .otherwise(2).as("half"))
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = hist.groupBy(col("lang"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    hist
+      .withColumn("f1", sum(col("c1")).over(w))
+      .withColumn("f2", sum(col("c2")).over(w))
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("n1"), col("n2"),
+        abs(dec0(col("f1")) * dec0(col("n2")) - dec0(col("f2")) * dec0(col("n1"))).as("num"))
+      .groupBy(col("lang"), col("n1"), col("n2"))
+      .agg(max(col("num")).as("mnum"))
+      .select(col("lang"), col("n1"), col("n2"),
+        emit(col("mnum").cast("double") / (col("n1").cast("double") * col("n2").cast("double")), 6)
+          .as("ks_d"),
+        emit(lit(1.358) * sqrt((col("n1") + col("n2")).cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))), 6).as("d_crit"))
+      .withColumn("drifted", col("ks_d") > col("d_crit"))
+      .orderBy(col("lang"))
+  }
+
+  val ksDriftTestSql: String =
+    """WITH span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      |hist AS (
+      |  SELECT lang, n_chars,
+      |    CAST(sum(CASE WHEN (doc_id - lo) * 2 <= (hi - lo) THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN (doc_id - lo) * 2 <= (hi - lo) THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      |  FROM documents CROSS JOIN span GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT lang, n_chars, c1, c2,
+      |    CAST(sum(c1) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+      |    CAST(sum(c2) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+      |  FROM hist
+      |),
+      |tot AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      |        FROM hist GROUP BY 1),
+      |sup AS (
+      |  SELECT cum.lang, tot.n1, tot.n2,
+      |    max(abs(CAST(f1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+      |          - CAST(f2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))) AS mnum
+      |  FROM cum JOIN tot ON cum.lang = tot.lang GROUP BY 1, 2, 3
+      |)
+      |SELECT lang, n1, n2,
+      |  CAST(round(CAST(mnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE) AS ks_d,
+      |  CAST(round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS DOUBLE) AS d_crit,
+      |  CAST(round(CAST(mnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE)
+      |    > CAST(round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS DOUBLE) AS drifted
+      |FROM sup ORDER BY lang""".stripMargin
+
+  /** #328 token_label_mi — mutual information between token PRESENCE
+    * and the lang='en' label over the 50 highest-document-frequency
+    * tokens: the feature-selection table a classifier pipeline ranks
+    * candidate features with (the classifier ops consume hashed
+    * features; THIS says which observable tokens carry label signal).
+    * All four contingency cells derive from exact longs: one
+    * doc-level presence distinct + one token agg (the only
+    * data-volume shuffles), top-50 selection is TakeOrdered (count
+    * desc, token asc — deterministic), and the MI chain runs per-row
+    * on the bounded 50-row table against single-row broadcast totals,
+    * each cell term ln-quotient mirrored operation-for-operation in
+    * both engines (0·log 0 = 0 by guard). Exact oracle.
+    */
+  def tokenLabelMi(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pres = docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val byTok = pres.groupBy(col("token"))
+      .agg(count(lit(1)).as("doc_freq"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n11"))
+      .orderBy(col("doc_freq").desc, col("token")).limit(50)
+    val tot = docs.agg(count(lit(1)).as("nn"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+    def term(nij: Column, rowMarg: Column, colMarg: Column, nn: Column): Column =
+      when(nij > 0,
+        nij.cast("double") / nn.cast("double")
+          * log(nn.cast("double") * nij.cast("double")
+            / (rowMarg.cast("double") * colMarg.cast("double"))) / log(lit(2.0)))
+        .otherwise(lit(0.0))
+    byTok.crossJoin(broadcast(tot))
+      .select(col("token"), col("doc_freq"), col("n11"),
+        (col("doc_freq") - col("n11")).as("n10"),
+        (col("n_en") - col("n11")).as("n01"),
+        (col("nn") - col("n_en") - col("doc_freq") + col("n11")).as("n00"),
+        col("nn"), col("n_en"))
+      .select(col("token"), col("doc_freq"), col("n11"),
+        emit(
+          term(col("n11"), col("doc_freq"), col("n_en"), col("nn"))
+            + term(col("n10"), col("doc_freq"), col("nn") - col("n_en"), col("nn"))
+            + term(col("n01"), col("nn") - col("doc_freq"), col("n_en"), col("nn"))
+            + term(col("n00"), col("nn") - col("doc_freq"), col("nn") - col("n_en"), col("nn")),
+          6).as("mi_bits"))
+      .orderBy(col("mi_bits").desc, col("token"))
+  }
+
+  val tokenLabelMiSql: String =
+    """WITH pres AS (
+      |  SELECT DISTINCT doc_id, lang, token FROM (
+      |    SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents
+      |  ) WHERE token <> ''
+      |),
+      |bytok AS (
+      |  SELECT token, count(*) AS doc_freq,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n11
+      |  FROM pres GROUP BY 1 ORDER BY doc_freq DESC, token LIMIT 50
+      |),
+      |tot AS (SELECT count(*) AS nn,
+      |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en FROM documents),
+      |cells AS (
+      |  SELECT token, doc_freq, n11,
+      |    doc_freq - n11 AS n10, n_en - n11 AS n01,
+      |    nn - n_en - doc_freq + n11 AS n00, nn, n_en
+      |  FROM bytok CROSS JOIN tot
+      |)
+      |SELECT token, doc_freq, n11,
+      |  CAST(round(
+      |    (CASE WHEN n11 > 0 THEN CAST(n11 AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ln(CAST(nn AS DOUBLE) * CAST(n11 AS DOUBLE) / (CAST(doc_freq AS DOUBLE) * CAST(n_en AS DOUBLE))) / ln(2.0) ELSE 0.0 END)
+      |    + (CASE WHEN n10 > 0 THEN CAST(n10 AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ln(CAST(nn AS DOUBLE) * CAST(n10 AS DOUBLE) / (CAST(doc_freq AS DOUBLE) * CAST(nn - n_en AS DOUBLE))) / ln(2.0) ELSE 0.0 END)
+      |    + (CASE WHEN n01 > 0 THEN CAST(n01 AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ln(CAST(nn AS DOUBLE) * CAST(n01 AS DOUBLE) / (CAST(nn - doc_freq AS DOUBLE) * CAST(n_en AS DOUBLE))) / ln(2.0) ELSE 0.0 END)
+      |    + (CASE WHEN n00 > 0 THEN CAST(n00 AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ln(CAST(nn AS DOUBLE) * CAST(n00 AS DOUBLE) / (CAST(nn - doc_freq AS DOUBLE) * CAST(nn - n_en AS DOUBLE))) / ln(2.0) ELSE 0.0 END)
+      |  , 6) AS DOUBLE) AS mi_bits
+      |FROM cells ORDER BY mi_bits DESC, token""".stripMargin
+
+  /** #329 spearman_len_score — Spearman rank correlation per source
+    * between document length and the quality-classifier score: the
+    * monotone-association audit ("does the learned filter just read
+    * length?") that Pearson on raw values can't answer under a skewed
+    * length distribution. Midranks with tie handling computed WITHOUT
+    * a global sort: per-source distinct-value histograms give
+    * 2·midrank = 2·cum_below + n_v + 1 as exact INTEGERS (half-unit
+    * ranks; ρ is scale-invariant so the ×2 cancels), cumulative
+    * windows run over the value-domain-bounded histograms only, docs
+    * re-join their ranks on fine (source, value) keys, and all five
+    * moments sum in DECIMAL(38,0) (ΣR² ~ 4N³ overflows long at
+    * production N — the graph_assortativity rule). Only the final
+    * ρ quotient touches floats, mirrored; zero-variance sources emit
+    * null by guard. Exact oracle.
+    */
+  def spearmanLenScore(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val wp = org.apache.spark.sql.expressions.Window
+    val scored = Round9Ops.docQualityClassifier(s, dir).select(col("doc_id"), col("score"))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+    def ranks(vcol: String, rname: String): DataFrame = {
+      val w = wp.partitionBy(col("source")).orderBy(col(vcol))
+        .rowsBetween(wp.unboundedPreceding, -1)
+      scored.groupBy(col("source"), col(vcol)).agg(count(lit(1)).as("nv"))
+        .select(col("source"), col(vcol),
+          (lit(2) * coalesce(sum(col("nv")).over(w), lit(0L)) + col("nv") + 1).as(rname))
+    }
+    val m = scored
+      .join(ranks("n_chars", "rx"), Seq("source", "n_chars"))
+      .join(ranks("score", "ry"), Seq("source", "score"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(dec0(col("rx"))).as("sx"), sum(dec0(col("ry"))).as("sy"),
+        sum(dec0(col("rx")) * dec0(col("ry"))).as("sxy"),
+        sum(dec0(col("rx")) * dec0(col("rx"))).as("sxx"),
+        sum(dec0(col("ry")) * dec0(col("ry"))).as("syy"))
+    m.select(col("source"), col("n_docs"),
+      (dec0(col("n_docs")) * col("sxy") - col("sx") * col("sy")).as("covn"),
+      (dec0(col("n_docs")) * col("sxx") - col("sx") * col("sx")).as("varx"),
+      (dec0(col("n_docs")) * col("syy") - col("sy") * col("sy")).as("vary"))
+      .select(col("source"), col("n_docs"),
+        when(col("varx") > 0 && col("vary") > 0,
+          emit(col("covn").cast("double")
+            / sqrt(col("varx").cast("double") * col("vary").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("rho"))
+      .orderBy(col("source"))
+  }
+
+  val spearmanLenScoreSql: String =
+    s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
+       |scored AS (
+       |  SELECT d.source, d.n_chars, clf.score
+       |  FROM clf JOIN documents d ON clf.doc_id = d.doc_id
+       |),
+       |rxh AS (
+       |  SELECT source, n_chars,
+       |    2 * CAST(coalesce(sum(count(*)) OVER (PARTITION BY source ORDER BY n_chars
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      + count(*) + 1 AS rx
+       |  FROM scored GROUP BY 1, 2
+       |),
+       |ryh AS (
+       |  SELECT source, score,
+       |    2 * CAST(coalesce(sum(count(*)) OVER (PARTITION BY source ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |      + count(*) + 1 AS ry
+       |  FROM scored GROUP BY 1, 2
+       |),
+       |m AS (
+       |  SELECT s.source, count(*) AS n_docs,
+       |    sum(CAST(rx AS DECIMAL(38,0))) AS sx, sum(CAST(ry AS DECIMAL(38,0))) AS sy,
+       |    sum(CAST(rx AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0))) AS sxy,
+       |    sum(CAST(rx AS DECIMAL(38,0)) * CAST(rx AS DECIMAL(38,0))) AS sxx,
+       |    sum(CAST(ry AS DECIMAL(38,0)) * CAST(ry AS DECIMAL(38,0))) AS syy
+       |  FROM scored s
+       |  JOIN rxh ON s.source = rxh.source AND s.n_chars = rxh.n_chars
+       |  JOIN ryh ON s.source = ryh.source AND s.score = ryh.score
+       |  GROUP BY 1
+       |),
+       |fin AS (
+       |  SELECT source, n_docs,
+       |    CAST(n_docs AS DECIMAL(38,0)) * sxy - sx * sy AS covn,
+       |    CAST(n_docs AS DECIMAL(38,0)) * sxx - sx * sx AS varx,
+       |    CAST(n_docs AS DECIMAL(38,0)) * syy - sy * sy AS vary
+       |  FROM m
+       |)
+       |SELECT source, n_docs,
+       |  CASE WHEN varx > 0 AND vary > 0 THEN
+       |    CAST(round(CAST(covn AS DOUBLE)
+       |      / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6) AS DOUBLE)
+       |  ELSE NULL END AS rho
+       |FROM fin ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -1844,7 +2097,10 @@ object Round12Ops {
     "corpus_budget_select" -> (corpusBudgetSelect(_, _)),
     "t_closeness_report" -> (tClosenessReport(_, _)),
     "rank_rbo_report" -> (rankRboReport(_, _)),
-    "classifier_auc" -> (classifierAuc(_, _)))
+    "classifier_auc" -> (classifierAuc(_, _)),
+    "ks_drift_test" -> (ksDriftTest(_, _)),
+    "token_label_mi" -> (tokenLabelMi(_, _)),
+    "spearman_len_score" -> (spearmanLenScore(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -1868,5 +2124,8 @@ object Round12Ops {
     "corpus_budget_select" -> corpusBudgetSelectSql,
     "t_closeness_report" -> tClosenessReportSql,
     "rank_rbo_report" -> rankRboReportSql,
-    "classifier_auc" -> classifierAucSql)
+    "classifier_auc" -> classifierAucSql,
+    "ks_drift_test" -> ksDriftTestSql,
+    "token_label_mi" -> tokenLabelMiSql,
+    "spearman_len_score" -> spearmanLenScoreSql)
 }

@@ -2758,6 +2758,81 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(auc - expected) < 1e-6, s"histogram AUC $auc vs pairwise $expected")
   }
 
+  test("ks drift test is bounded, conserves counts and flags consistently") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ks_drift_test")(spark, dir).cache()
+    assert(df.count() == 5, "one row per language")
+    assert(df.filter(col("ks_d") < 0 || col("ks_d") > 1).count() == 0)
+    assert(df.filter(col("d_crit") <= 0).count() == 0)
+    assert(df.filter(col("drifted") =!= (col("ks_d") > col("d_crit"))).count() == 0)
+    // the two halves partition each language's documents
+    val perLang = Tables.documents(spark, dir).groupBy("lang").count()
+    val joined = df.join(perLang, Seq("lang"))
+      .filter(col("n1") + col("n2") =!= col("count")).count()
+    assert(joined == 0, "n1 + n2 must equal the language's doc count")
+    // D computed against a driver-side ECDF for one language
+    val docs = Tables.documents(spark, dir).filter(col("lang") === "en")
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.map(_._1); val (lo, hi) = (ids.min, ids.max)
+    val first = docs.filter { case (id, _) => (id - lo) * 2 <= (hi - lo) }.map(_._2).sorted
+    val second = docs.filter { case (id, _) => (id - lo) * 2 > (hi - lo) }.map(_._2).sorted
+    val vals = (first ++ second).distinct.sorted
+    val dMax = vals.map { v =>
+      math.abs(first.count(_ <= v).toDouble / first.length
+        - second.count(_ <= v).toDouble / second.length)
+    }.max
+    val got = df.filter(col("lang") === "en").head.getAs[Double]("ks_d")
+    assert(math.abs(got - dMax) < 1e-5, s"engine D $got vs driver ECDF sup $dMax")
+  }
+
+  test("token-label MI is non-negative with consistent cells") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("token_label_mi")(spark, dir).cache()
+    assert(df.count() > 0 && df.count() <= 50)
+    assert(df.filter(col("mi_bits") < -1e-9).count() == 0,
+      "mutual information is non-negative up to 6-dp rounding")
+    assert(df.filter(col("n11") > col("doc_freq") || col("n11") < 0).count() == 0)
+    assert(df.select("token").distinct().count() == df.count())
+    // doc_freq never exceeds the corpus size
+    val nn = Tables.documents(spark, dir).count()
+    assert(df.filter(col("doc_freq") > nn).count() == 0)
+  }
+
+  test("spearman rho matches a driver-side midrank computation") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("spearman_len_score")(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).select("source").distinct().count())
+    assert(df.filter(col("rho") < -1 || col("rho") > 1).count() == 0)
+    val src = df.head.getAs[String]("source")
+    val pairs = graft.queries.Round9Ops.docQualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score"))
+      .join(Tables.documents(spark, dir).filter(col("source") === src)
+        .select("doc_id", "n_chars"), Seq("doc_id"))
+      .select("n_chars", "score").collect()
+      .map(r => (r.getLong(0).toDouble, r.getDouble(1)))
+    def midranks(xs: Array[Double]): Array[Double] = {
+      val byVal = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var i = 0
+      while (i < byVal.length) {
+        var j = i
+        while (j < byVal.length && byVal(j)._1 == byVal(i)._1) j += 1
+        val r = (i + 1 + j) / 2.0 // mean of ranks i+1..j
+        (i until j).foreach(k => out(byVal(k)._2) = r)
+        i = j
+      }
+      out
+    }
+    val rx = midranks(pairs.map(_._1)); val ry = midranks(pairs.map(_._2))
+    val n = rx.length.toDouble
+    val (sx, sy) = (rx.sum, ry.sum)
+    val sxy = rx.zip(ry).map { case (a, b) => a * b }.sum
+    val sxx = rx.map(a => a * a).sum; val syy = ry.map(a => a * a).sum
+    val expected = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = df.filter(col("source") === src).head.getAs[Double]("rho")
+    assert(math.abs(got - expected) < 1e-5, s"engine rho $got vs driver midrank rho $expected")
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
