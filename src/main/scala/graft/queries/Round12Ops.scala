@@ -2074,6 +2074,337 @@ object Round12Ops {
        |  ELSE NULL END AS rho
        |FROM fin ORDER BY source""".stripMargin
 
+  /** #330 gain_capture_curve — the cumulative-gains table for the
+    * quality classifier (decile capture and lift): the operational
+    * readout beside AUC/calibration — "screening the top d·10% of
+    * docs by score captures what share of the positives, at what lift
+    * over random". Exact under ties WITHOUT a global sort: the
+    * distinct-score histogram cumulates score-desc, each decile cut
+    * (d·N div 10, integer) lands in exactly ONE boundary group via a
+    * range join against the bounded 10-row decile axis, and the
+    * boundary group's positives are attributed FRACTIONALLY
+    * (pos_above·n_b + pos_b·(cut − cum_above)) — the standard gains
+    * interpolation — kept in DECIMAL(38,0) (products ~P·N overflow
+    * long at production scale); only the final shares divide as
+    * floats, mirrored. Exact oracle.
+    */
+  def gainCaptureCurve(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val wp = org.apache.spark.sql.expressions.Window
+    val scored = Round9Ops.docQualityClassifier(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("score"), when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val hist = scored.groupBy(col("score"))
+      .agg(count(lit(1)).as("nb"), sum(col("y")).as("pb"))
+    val w = wp.orderBy(col("score").desc).rowsBetween(wp.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("cum_above", coalesce(sum(col("nb")).over(w), lit(0L)))
+      .withColumn("pos_above", coalesce(sum(col("pb")).over(w), lit(0L)))
+    val tot = hist.agg(sum(col("nb")).as("nn"), sum(col("pb")).as("p"))
+    val deciles = s.range(1, 11).select(col("id").cast("int").as("decile"))
+    cum.crossJoin(broadcast(tot)).crossJoin(broadcast(deciles))
+      .withColumn("cut", expr("(decile * nn) div 10"))
+      .filter(col("cum_above") < col("cut") && col("cum_above") + col("nb") >= col("cut"))
+      .select(col("decile"), col("cut").as("rows_at_cut"),
+        (dec0(col("pos_above")) * dec0(col("nb"))
+          + dec0(col("pb")) * dec0(col("cut") - col("cum_above"))).as("num"),
+        col("nb"), col("p"), col("nn"), col("cut"))
+      .select(col("decile"), col("rows_at_cut"),
+        emit(col("num").cast("double") / (col("nb").cast("double") * col("p").cast("double")), 6)
+          .as("capture"),
+        emit(col("num").cast("double") / (col("nb").cast("double") * col("p").cast("double"))
+          / (col("cut").cast("double") / col("nn").cast("double")), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  val gainCaptureCurveSql: String =
+    s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
+       |scored AS (
+       |  SELECT clf.score, CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM clf JOIN documents d ON clf.doc_id = d.doc_id
+       |),
+       |hist AS (
+       |  SELECT score, count(*) AS nb, CAST(sum(y) AS BIGINT) AS pb
+       |  FROM scored GROUP BY 1
+       |),
+       |cum AS (
+       |  SELECT score, nb, pb,
+       |    CAST(coalesce(sum(nb) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_above,
+       |    CAST(coalesce(sum(pb) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos_above
+       |  FROM hist
+       |),
+       |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS nn, CAST(sum(pb) AS BIGINT) AS p FROM hist),
+       |ds AS (SELECT unnest(generate_series(1, 10)) AS decile),
+       |bound AS (
+       |  SELECT decile, (decile * nn) // 10 AS cut,
+       |    CAST(pos_above AS DECIMAL(38,0)) * CAST(nb AS DECIMAL(38,0))
+       |      + CAST(pb AS DECIMAL(38,0)) * CAST((decile * nn) // 10 - cum_above AS DECIMAL(38,0)) AS num,
+       |    nb, p, nn
+       |  FROM cum CROSS JOIN tot CROSS JOIN ds
+       |  WHERE cum_above < (decile * nn) // 10 AND cum_above + nb >= (decile * nn) // 10
+       |)
+       |SELECT decile, cut AS rows_at_cut,
+       |  CAST(round(CAST(num AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(p AS DOUBLE)), 6) AS DOUBLE) AS capture,
+       |  CAST(round(CAST(num AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(p AS DOUBLE))
+       |    / (CAST(cut AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS DOUBLE) AS lift
+       |FROM bound ORDER BY decile""".stripMargin
+
+  /** #331 cramers_v_matrix — χ² independence tests with Cramér's V
+    * effect size across the schema's categorical column pairs
+    * (documents lang×source, events type×day-of-week, orders
+    * priority×status): the data-profiling association matrix that
+    * says which "independent" dimensions actually co-vary (a
+    * lang-skewed source or a weekday-skewed event type silently
+    * biases every stratified sample drawn on one axis). Each pair is
+    * ONE map-side-combinable contingency agg; expected counts and χ²
+    * terms run over the FULL r×c cross (absent cells contribute E —
+    * omitting them understates χ²) built by crossing the bounded
+    * margin relations; per-cell terms are 12-dp rounded into an
+    * order-free DECIMAL sum (the events_autocorr discipline). Exact
+    * oracle.
+    */
+  def cramersVMatrix(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+    def one(pair: String, src: DataFrame): DataFrame = {
+      val cells = src.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nij"))
+      val ra = cells.groupBy(col("a")).agg(sum(col("nij")).as("r"))
+      val cb = cells.groupBy(col("b")).agg(sum(col("nij")).as("c"))
+      val full = ra.crossJoin(broadcast(cb))
+        .join(cells, Seq("a", "b"), "left")
+        .select(col("a"), col("b"), col("r"), col("c"),
+          coalesce(col("nij"), lit(0L)).as("nij"))
+      val nTot = cells.agg(sum(col("nij")).as("nn"))
+      val dims = cells.agg(countDistinct(col("a")).as("da"), countDistinct(col("b")).as("db"))
+      val e = col("r").cast("double") * col("c").cast("double") / col("nn").cast("double")
+      val t = (col("nij").cast("double") - e) * (col("nij").cast("double") - e) / e
+      full.crossJoin(broadcast(nTot))
+        .select(col("nn"), round(t, 12).cast(Dec12).as("term"))
+        .groupBy(col("nn")).agg(sum(col("term")).as("chi2"))
+        .crossJoin(broadcast(dims))
+        .select(
+          lit(pair).as("pair"), col("nn").as("n"),
+          ((col("da") - 1) * (col("db") - 1)).as("dof"),
+          emit(col("chi2").cast("double"), 4).as("chi2"),
+          emit(sqrt(col("chi2").cast("double")
+            / (col("nn").cast("double") * least(col("da") - 1, col("db") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+    }
+    val docs = Tables.documents(s, dir).select(col("lang").as("a"), col("source").as("b"))
+    val evts = Tables.events(s, dir).select(
+      col("event_type").as("a"),
+      ((floor(unix_timestamp(col("ts")) / 86400) + 4) % 7).cast("long").as("b"))
+    val ords = Tables.orders(s, dir)
+      .select(col("o_orderpriority").as("a"), col("o_orderstatus").as("b"))
+    one("doc_lang_x_source", docs)
+      .unionByName(one("event_type_x_dow", evts.select(col("a"), col("b").cast("string").as("b"))))
+      .unionByName(one("order_priority_x_status", ords))
+      .orderBy(col("pair"))
+  }
+
+  val cramersVMatrixSql: String = {
+    def block(pair: String, from: String): String =
+      s"""SELECT '$pair' AS pair, n, dof, chi2, cramers_v FROM (
+         |  WITH cells AS (SELECT a, b, count(*) AS nij FROM ($from) GROUP BY 1, 2),
+         |  ra AS (SELECT a, CAST(sum(nij) AS BIGINT) AS r FROM cells GROUP BY 1),
+         |  cb AS (SELECT b, CAST(sum(nij) AS BIGINT) AS c FROM cells GROUP BY 1),
+         |  tot AS (SELECT CAST(sum(nij) AS BIGINT) AS nn FROM cells),
+         |  dims AS (SELECT count(DISTINCT a) AS da, count(DISTINCT b) AS db FROM cells),
+         |  full_cells AS (
+         |    SELECT ra.a, cb.b, ra.r, cb.c, CAST(coalesce(cells.nij, 0) AS BIGINT) AS nij
+         |    FROM ra CROSS JOIN cb LEFT JOIN cells ON ra.a = cells.a AND cb.b = cells.b
+         |  ),
+         |  chi AS (
+         |    SELECT nn, sum(CAST(round(
+         |      (CAST(nij AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      * (CAST(nij AS DOUBLE) - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+         |      / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)), 12) AS DECIMAL(38,12))) AS chi2
+         |    FROM full_cells CROSS JOIN tot GROUP BY 1
+         |  )
+         |  SELECT nn AS n, (da - 1) * (db - 1) AS dof,
+         |    CAST(round(CAST(chi2 AS DOUBLE), 4) AS DOUBLE) AS chi2,
+         |    CAST(round(sqrt(CAST(chi2 AS DOUBLE)
+         |      / (CAST(nn AS DOUBLE) * CAST(least(da - 1, db - 1) AS DOUBLE))), 6) AS DOUBLE) AS cramers_v
+         |  FROM chi CROSS JOIN dims
+         |)""".stripMargin
+    block("doc_lang_x_source", "SELECT lang AS a, source AS b FROM documents") +
+      "\nUNION ALL\n" +
+      block("event_type_x_dow",
+        "SELECT event_type AS a, CAST((CAST(floor(epoch(ts) / 86400) AS BIGINT) + 4) % 7 AS VARCHAR) AS b FROM events") +
+      "\nUNION ALL\n" +
+      block("order_priority_x_status",
+        "SELECT o_orderpriority AS a, o_orderstatus AS b FROM orders") +
+      "\nORDER BY pair"
+  }
+
+  /** #332 forecast_backtest — one-step-ahead backtest of the two
+    * structural baselines every forecast must beat (Hyndman's
+    * forecasting-101 rule): naive (tomorrow = today) vs seasonal
+    * naive (tomorrow = same weekday last week), MAE per event type
+    * over the last 14 days of the dense calendar. The models the
+    * catalog ships (#307/#318) are only trustworthy relative to THESE
+    * floors — a Holt fit that loses to seasonal-naive is a bug
+    * report. Predictions are equi-joins on the day index (k−1, k−7)
+    * over the calendar-bounded dense frame; errors are exact longs,
+    * means via the mean6 device. Exact oracle.
+    */
+  def forecastBacktest(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val types = daily.select(col("event_type")).distinct()
+    val dense = types.crossJoin(broadcast(span))
+      .select(col("event_type"), col("lo"), col("hi"),
+        explode(expr("sequence(0, datediff(hi, lo))")).as("k"))
+      .join(
+        daily.crossJoin(broadcast(span))
+          .groupBy(col("event_type"), datediff(col("d"), col("lo")).as("k"))
+          .agg(sum(col("x")).as("x0")),
+        Seq("event_type", "k"), "left")
+      .select(col("event_type"), col("k"),
+        datediff(col("hi"), col("lo")).as("kmax"),
+        coalesce(col("x0"), lit(0L)).as("x"))
+    val base = dense.select(col("event_type"), col("k"), col("x"))
+    val lag1 = base.select(col("event_type"), (col("k") + 1).as("k"), col("x").as("p1"))
+    val lag7 = base.select(col("event_type"), (col("k") + 7).as("k"), col("x").as("p7"))
+    dense
+      .join(lag1, Seq("event_type", "k"))
+      .join(lag7, Seq("event_type", "k"))
+      .filter(col("k") > col("kmax") - 14)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("x") - col("p1"))).as("s1"),
+        sum(abs(col("x") - col("p7"))).as("s7"))
+      .select(col("event_type"), col("n_days"),
+        Round6Ops.mean6(col("s1").cast(Dec), col("n_days")).as("mae_naive"),
+        Round6Ops.mean6(col("s7").cast(Dec), col("n_days")).as("mae_seasonal"))
+      .withColumn("winner",
+        when(col("mae_seasonal") < col("mae_naive"), "seasonal")
+          .when(col("mae_seasonal") > col("mae_naive"), "naive")
+          .otherwise("tie"))
+      .orderBy(col("event_type"))
+  }
+
+  val forecastBacktestSql: String = {
+    val m1 = Round6Ops.mean6Sql("s1", "n_days")
+    val m7 = Round6Ops.mean6Sql("s7", "n_days")
+    s"""WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+       |span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+       |types AS (SELECT DISTINCT event_type FROM ev),
+       |ks AS (
+       |  SELECT unnest(generate_series(0, datediff('day', lo, hi))) AS k FROM span
+       |),
+       |cal AS (
+       |  SELECT t.event_type, ks.k, s.kmax
+       |  FROM types t
+       |  CROSS JOIN ks
+       |  CROSS JOIN (SELECT datediff('day', lo, hi) AS kmax FROM span) s
+       |),
+       |cnt AS (
+       |  SELECT event_type, datediff('day', lo, d) AS k, count(*) AS x
+       |  FROM ev, span GROUP BY 1, 2
+       |),
+       |dense AS (
+       |  SELECT cal.event_type, cal.k, cal.kmax, CAST(coalesce(cnt.x, 0) AS BIGINT) AS x
+       |  FROM cal LEFT JOIN cnt ON cal.event_type = cnt.event_type AND cal.k = cnt.k
+       |),
+       |j AS (
+       |  SELECT d.event_type, d.x, a.x AS p1, b.x AS p7
+       |  FROM dense d
+       |  JOIN dense a ON a.event_type = d.event_type AND a.k = d.k - 1
+       |  JOIN dense b ON b.event_type = d.event_type AND b.k = d.k - 7
+       |  WHERE d.k > d.kmax - 14
+       |),
+       |agg AS (
+       |  SELECT event_type, count(*) AS n_days,
+       |    CAST(sum(abs(x - p1)) AS DECIMAL(38,6)) AS s1,
+       |    CAST(sum(abs(x - p7)) AS DECIMAL(38,6)) AS s7
+       |  FROM j GROUP BY 1
+       |)
+       |SELECT event_type, n_days,
+       |  $m1 AS mae_naive,
+       |  $m7 AS mae_seasonal,
+       |  CASE WHEN $m7 < $m1 THEN 'seasonal'
+       |       WHEN $m7 > $m1 THEN 'naive' ELSE 'tie' END AS winner
+       |FROM agg ORDER BY event_type""".stripMargin
+  }
+
+  /** #333 gini_report — the Gini coefficient of per-user purchase
+    * revenue and per-user event volume: the single-number inequality
+    * read behind revenue_concentration's top-share table (two
+    * engagement mixes can share a top-10% share yet differ wildly in
+    * G; churn and whale risk track G). Exact under ties WITHOUT a
+    * global sort: the sorted-rank identity Σ(2i−n−1)x_i collapses per
+    * tie group to x_v·n_v·(2·cum_below + n_v − n), so the whole
+    * statistic reads off the distinct-value histogram + one
+    * cumulative window over it, every term an exact DECIMAL product
+    * (value·n·n ~ 1e24 at production scale — decimal, never long);
+    * only the final G quotient divides as floats, mirrored. Exact
+    * oracle.
+    */
+  def giniReport(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+    def gini(perUser: DataFrame, label: String): DataFrame = {
+      val hist = perUser.groupBy(col("v")).agg(count(lit(1)).as("nv"))
+      val w = wp.orderBy(col("v")).rowsBetween(wp.unboundedPreceding, -1)
+      val cum = hist.withColumn("cb", coalesce(sum(col("nv")).over(w), lit(0L)))
+      val tot = hist.agg(sum(col("nv")).as("n"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n"),
+          (col("v") * col("nv").cast("decimal(19,0)")).as("sv"),
+          (col("v") * col("nv").cast("decimal(19,0)")
+            * (lit(2) * col("cb") + col("nv") - col("n")).cast("decimal(19,0)")).as("gnum"))
+        .groupBy(col("n"))
+        .agg(sum(col("sv")).as("total"), sum(col("gnum")).as("gn"))
+        .select(lit(label).as("measure"), col("n").as("n_users"),
+          emit(col("total").cast("double"), 6).as("total"),
+          emit(col("gn").cast("double") / (col("n").cast("double") * col("total").cast("double")), 6)
+            .as("gini"))
+    }
+    val rev = events(s, dir).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(round(col("value"), 6).cast(Dec)).as("v"))
+    val cnt = events(s, dir).groupBy(col("user_id"))
+      .agg(count(lit(1)).cast(Dec).as("v"))
+    gini(rev, "purchase_revenue").unionByName(gini(cnt, "event_count"))
+      .orderBy(col("measure"))
+  }
+
+  val giniReportSql: String = {
+    def block(label: String, perUser: String): String =
+      s"""SELECT '$label' AS measure, n_users, total, gini FROM (
+         |  WITH pu AS ($perUser),
+         |  hist AS (SELECT v, count(*) AS nv FROM pu GROUP BY 1),
+         |  cum AS (
+         |    SELECT v, nv,
+         |      CAST(coalesce(sum(nv) OVER (ORDER BY v
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+         |    FROM hist
+         |  ),
+         |  tot AS (SELECT CAST(sum(nv) AS BIGINT) AS n FROM hist),
+         |  agg AS (
+         |    SELECT n,
+         |      sum(v * CAST(nv AS DECIMAL(19,0))) AS total,
+         |      sum(v * CAST(nv AS DECIMAL(19,0)) * CAST(2 * cb + nv - n AS DECIMAL(19,0))) AS gn
+         |    FROM cum CROSS JOIN tot GROUP BY 1
+         |  )
+         |  SELECT n AS n_users,
+         |    CAST(round(CAST(total AS DOUBLE), 6) AS DOUBLE) AS total,
+         |    CAST(round(CAST(gn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS DOUBLE) AS gini
+         |  FROM agg
+         |)""".stripMargin
+    block("purchase_revenue",
+      "SELECT user_id, CAST(sum(CAST(round(value, 6) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS v " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1") +
+      "\nUNION ALL\n" +
+      block("event_count",
+        "SELECT user_id, CAST(count(*) AS DECIMAL(38,6)) AS v FROM events GROUP BY 1") +
+      "\nORDER BY measure"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -2100,7 +2431,11 @@ object Round12Ops {
     "classifier_auc" -> (classifierAuc(_, _)),
     "ks_drift_test" -> (ksDriftTest(_, _)),
     "token_label_mi" -> (tokenLabelMi(_, _)),
-    "spearman_len_score" -> (spearmanLenScore(_, _)))
+    "spearman_len_score" -> (spearmanLenScore(_, _)),
+    "gain_capture_curve" -> (gainCaptureCurve(_, _)),
+    "cramers_v_matrix" -> (cramersVMatrix(_, _)),
+    "forecast_backtest" -> (forecastBacktest(_, _)),
+    "gini_report" -> (giniReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -2127,5 +2462,9 @@ object Round12Ops {
     "classifier_auc" -> classifierAucSql,
     "ks_drift_test" -> ksDriftTestSql,
     "token_label_mi" -> tokenLabelMiSql,
-    "spearman_len_score" -> spearmanLenScoreSql)
+    "spearman_len_score" -> spearmanLenScoreSql,
+    "gain_capture_curve" -> gainCaptureCurveSql,
+    "cramers_v_matrix" -> cramersVMatrixSql,
+    "forecast_backtest" -> forecastBacktestSql,
+    "gini_report" -> giniReportSql)
 }

@@ -2833,6 +2833,60 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-5, s"engine rho $got vs driver midrank rho $expected")
   }
 
+  test("gain curve is monotone and saturates at decile 10") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("gain_capture_curve")(spark, dir).cache()
+    assert(df.count() == 10)
+    assert(df.filter(col("capture") < 0 || col("capture") > 1.000001).count() == 0)
+    val rows = df.orderBy("decile").collect().map(_.getAs[Double]("capture"))
+    assert(rows.zip(rows.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "cumulative capture must be non-decreasing")
+    val last = df.filter(col("decile") === 10).head
+    assert(math.abs(last.getAs[Double]("capture") - 1.0) < 1e-6)
+    assert(math.abs(last.getAs[Double]("lift") - 1.0) < 1e-6)
+    assert(df.filter(col("lift") <= 0).count() == 0)
+  }
+
+  test("cramers v is bounded and counts reconcile per pair") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cramers_v_matrix")(spark, dir).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("cramers_v") < 0 || col("cramers_v") > 1.000001).count() == 0)
+    assert(df.filter(col("chi2") < 0 || col("dof") < 1).count() == 0)
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(df.filter(col("pair") === "doc_lang_x_source").head.getAs[Long]("n") == nDocs)
+    val nEv = Tables.events(spark, dir).count()
+    assert(df.filter(col("pair") === "event_type_x_dow").head.getAs[Long]("n") == nEv)
+  }
+
+  test("forecast backtest scores a full holdout fortnight per type") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("forecast_backtest")(spark, dir).cache()
+    assert(df.count() == Tables.events(spark, dir).select("event_type").distinct().count())
+    assert(df.filter(col("n_days") =!= 14).count() == 0,
+      "the dense calendar guarantees 14 scored days per type")
+    assert(df.filter(col("mae_naive") < 0 || col("mae_seasonal") < 0).count() == 0)
+    val bad = df.filter(
+      (col("winner") === "seasonal" && col("mae_seasonal") >= col("mae_naive"))
+        || (col("winner") === "naive" && col("mae_naive") >= col("mae_seasonal"))
+        || (col("winner") === "tie" && col("mae_naive") =!= col("mae_seasonal"))).count()
+    assert(bad == 0, "winner label must agree with the MAE comparison")
+  }
+
+  test("gini matches a driver-side sorted-rank computation") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("gini_report")(spark, dir).cache()
+    assert(df.count() == 2)
+    assert(df.filter(col("gini") < 0 || col("gini") >= 1).count() == 0)
+    val counts = Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(_.getLong(1).toDouble).sorted
+    val n = counts.length
+    val num = counts.zipWithIndex.map { case (x, i) => (2 * (i + 1) - n - 1) * x }.sum
+    val expected = num / (n * counts.sum)
+    val got = df.filter(col("measure") === "event_count").head.getAs[Double]("gini")
+    assert(math.abs(got - expected) < 1e-5, s"engine gini $got vs driver $expected")
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
