@@ -2405,6 +2405,192 @@ object Round12Ops {
       "\nORDER BY measure"
   }
 
+  /** #334 isotonic_calibration — monotone (isotonic) recalibration of
+    * the classifier's reliability table: #310 MEASURES the per-bin
+    * calibration gap, this produces the FIX — the pool-adjacent-
+    * violators solution, computed not by the sequential PAV sweep but
+    * by its closed minimax identity ŷ_i = max_{j≤i} min_{k≥i}
+    * rate(j,k) (Robertson–Wright–Dykstra), which is pure relational
+    * algebra over the BOUNDED 10-bin table: window prefix sums give
+    * every interval rate from exact long counts (≤100 interval rows),
+    * two grouped min/max aggs finish — no iteration, no driver math,
+    * nothing data-volume-sized past the one binning agg. Interval
+    * rates divide exact longs as doubles (correctly-rounded IEEE,
+    * identical both engines). Exact oracle.
+    */
+  def isotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+    val bins = Round9Ops.docQualityClassifier(s, dir)
+      .select(col("doc_id"), (col("score") + lit(0.5)).as("c"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y")), Seq("doc_id"))
+      .select(least(floor(col("c") * 10).cast("long"), lit(9L)).as("bin"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+    val wcum = wp.orderBy(col("bin")).rowsBetween(wp.unboundedPreceding, 0)
+    val pre = bins // the window is over the bounded ≤10-bin relation
+      .withColumn("cn", sum(col("n")).over(wcum))
+      .withColumn("ck", sum(col("k")).over(wcum))
+    val lo = pre.select(col("bin").as("j"), (col("cn") - col("n")).as("cnj"),
+      (col("ck") - col("k")).as("ckj"))
+    val hi = pre.select(col("bin").as("kb"), col("cn").as("cnk"), col("ck").as("ckk"))
+    val ivl = lo.crossJoin(broadcast(hi)).filter(col("j") <= col("kb"))
+      .select(col("j"), col("kb"),
+        ((col("ckk") - col("ckj")).cast("double")
+          / (col("cnk") - col("cnj")).cast("double")).as("rate"))
+    bins.select(col("bin"), col("n"), col("k"))
+      .crossJoin(broadcast(ivl))
+      .filter(col("j") <= col("bin") && col("kb") >= col("bin"))
+      .groupBy(col("bin"), col("n"), col("k"), col("j"))
+      .agg(min(col("rate")).as("mn"))
+      .groupBy(col("bin"), col("n"), col("k"))
+      .agg(max(col("mn")).as("cal"))
+      .select(col("bin"), col("n"), col("k"),
+        emit(col("k").cast("double") / col("n").cast("double"), 6).as("frac_pos"),
+        emit(col("cal"), 6).as("calibrated"))
+      .orderBy(col("bin"))
+  }
+
+  val isotonicCalibrationSql: String =
+    s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
+       |b AS (
+       |  SELECT least(CAST(floor((clf.score + 0.5) * 10) AS BIGINT), 9) AS bin,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM clf JOIN documents d ON clf.doc_id = d.doc_id
+       |),
+       |bins AS (SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS k FROM b GROUP BY 1),
+       |pre AS (
+       |  SELECT bin, n, k,
+       |    CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+       |    CAST(sum(k) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ck
+       |  FROM bins
+       |),
+       |ivl AS (
+       |  SELECT lo.j, hi.kb,
+       |    CAST(hi.ckk - lo.ckj AS DOUBLE) / CAST(hi.cnk - lo.cnj AS DOUBLE) AS rate
+       |  FROM (SELECT bin AS j, cn - n AS cnj, ck - k AS ckj FROM pre) lo
+       |  CROSS JOIN (SELECT bin AS kb, cn AS cnk, ck AS ckk FROM pre) hi
+       |  WHERE lo.j <= hi.kb
+       |),
+       |step1 AS (
+       |  SELECT bins.bin, bins.n, bins.k, ivl.j, min(ivl.rate) AS mn
+       |  FROM bins CROSS JOIN ivl
+       |  WHERE ivl.j <= bins.bin AND ivl.kb >= bins.bin
+       |  GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT bin, n, k,
+       |  CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS frac_pos,
+       |  CAST(round(max(mn), 6) AS DOUBLE) AS calibrated
+       |FROM step1 GROUP BY 1, 2, 3 ORDER BY bin""".stripMargin
+
+  /** #335 neyman_allocation — optimal stratified-sample allocation
+    * (Neyman 1934): per source stratum, allocate sampling budget
+    * ∝ N_h·σ_h (big AND variable strata deserve more samples) — the
+    * design table corpus_sample's uniform rates should be replaced by
+    * when estimating corpus statistics cheaply at 100 TB. Per-stratum
+    * variance from exact integer moments in DECIMAL(38,0) (Σx² ~
+    * maxlen²·N overflows long), σ and the allocation weights as
+    * mirrored float chains; the cross-stratum weight total follows
+    * the house order-free rule (6-dp round → DECIMAL sum) and comes
+    * back as a single-row broadcast. One map-side agg touches data.
+    * Exact oracle.
+    */
+  def neymanAllocation(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val m = Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec0(col("n_chars"))).as("sx"),
+        sum(dec0(col("n_chars")) * dec0(col("n_chars"))).as("sxx"))
+    val sigma = sqrt((dec0(col("n")) * col("sxx") - col("sx") * col("sx")).cast("double")
+      / (col("n").cast("double") * col("n").cast("double")))
+    val weighted = m.select(col("source"), col("n"), round(col("n") * sigma, 6).as("w"))
+    val tot = weighted.agg(sum(col("w").cast(Dec12)).as("tw"))
+    weighted.crossJoin(broadcast(tot))
+      .select(col("source"), col("n").as("n_docs"),
+        emit(col("w") / col("n").cast("double"), 6).as("sigma"),
+        emit(col("w") / col("tw").cast("double"), 6).as("alloc_share"),
+        emit(col("w") / col("tw").cast("double") * lit(10000.0), 2).as("alloc_10k"))
+      .orderBy(col("source"))
+  }
+
+  val neymanAllocationSql: String =
+    """WITH m AS (
+      |  SELECT source, count(*) AS n,
+      |    sum(CAST(n_chars AS DECIMAL(38,0))) AS sx,
+      |    sum(CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))) AS sxx
+      |  FROM documents GROUP BY 1
+      |),
+      |wts AS (
+      |  SELECT source, n,
+      |    round(n * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))), 6) AS w
+      |  FROM m
+      |),
+      |tot AS (SELECT sum(CAST(w AS DECIMAL(38,12))) AS tw FROM wts)
+      |SELECT source, n AS n_docs,
+      |  CAST(round(w / CAST(n AS DOUBLE), 6) AS DOUBLE) AS sigma,
+      |  CAST(round(w / CAST(tw AS DOUBLE), 6) AS DOUBLE) AS alloc_share,
+      |  CAST(round(w / CAST(tw AS DOUBLE) * 10000.0, 2) AS DOUBLE) AS alloc_10k
+      |FROM wts CROSS JOIN tot ORDER BY source""".stripMargin
+
+  /** #336 power_analysis — the sample-size design table for a
+    * two-proportion test at the observed baselines: per event type,
+    * p0 = the measured share of users who fire it; for each relative
+    * lift in {1,2,5,10}%, the per-arm n the standard formula
+    * (z_{α/2}√(2p̄q̄) + z_β√(p0q0+p1q1))²/(p1−p0)² demands at α=0.05,
+    * power 0.8 — the "how long must this experiment run" readout that
+    * closes the A/B family (#266 measures a finished test, #321
+    * monitors a running one, THIS sizes the next one). Baselines are
+    * exact longs (the type's event count vs total events — its
+    * traffic share, a real multinomial proportion; per-user reach is
+    * degenerate here since every user fires every type); the formula
+    * is a bounded |types|×4 per-row float chain, mirrored. Exact
+    * oracle.
+    */
+  def powerAnalysis(s: SparkSession, dir: String): DataFrame = {
+    val byType = events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("u"))
+    val tot = events(s, dir).agg(count(lit(1)).as("ut"))
+    val lifts = s.range(0, 4).select(
+      element_at(array(lit(0.01), lit(0.02), lit(0.05), lit(0.10)),
+        (col("id") + 1).cast("int")).as("lift"))
+    val p0 = col("u").cast("double") / col("ut").cast("double")
+    val p1 = p0 * (lit(1.0) + col("lift"))
+    val pbar = (p0 + p1) / lit(2.0)
+    val num = lit(1.959964) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar)) +
+      lit(0.841621) * sqrt(p0 * (lit(1.0) - p0) + p1 * (lit(1.0) - p1))
+    byType.crossJoin(broadcast(tot)).crossJoin(broadcast(lifts))
+      .filter(p1 < 1.0)
+      .select(col("event_type"), col("lift"),
+        emit(p0, 6).as("p0"), emit(p1, 6).as("p1"),
+        emit(num * num / ((p1 - p0) * (p1 - p0)), 2).as("n_per_arm"))
+      .orderBy(col("event_type"), col("lift"))
+  }
+
+  val powerAnalysisSql: String =
+    """WITH bt AS (
+      |  SELECT event_type, count(*) AS u FROM events GROUP BY 1
+      |),
+      |tot AS (SELECT count(*) AS ut FROM events),
+      |lifts AS (SELECT unnest([0.01, 0.02, 0.05, 0.10]) AS lift),
+      |g AS (
+      |  SELECT event_type, lift,
+      |    CAST(u AS DOUBLE) / CAST(ut AS DOUBLE) AS p0,
+      |    CAST(u AS DOUBLE) / CAST(ut AS DOUBLE) * (1.0 + lift) AS p1
+      |  FROM bt CROSS JOIN tot CROSS JOIN lifts
+      |)
+      |SELECT event_type, lift,
+      |  CAST(round(p0, 6) AS DOUBLE) AS p0,
+      |  CAST(round(p1, 6) AS DOUBLE) AS p1,
+      |  CAST(round(
+      |    (1.959964 * sqrt(2.0 * ((p0 + p1) / 2.0) * (1.0 - (p0 + p1) / 2.0))
+      |     + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+      |    * (1.959964 * sqrt(2.0 * ((p0 + p1) / 2.0) * (1.0 - (p0 + p1) / 2.0))
+      |     + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
+      |    / ((p1 - p0) * (p1 - p0)), 2) AS DOUBLE) AS n_per_arm
+      |FROM g WHERE p1 < 1.0 ORDER BY event_type, lift""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -2435,7 +2621,10 @@ object Round12Ops {
     "gain_capture_curve" -> (gainCaptureCurve(_, _)),
     "cramers_v_matrix" -> (cramersVMatrix(_, _)),
     "forecast_backtest" -> (forecastBacktest(_, _)),
-    "gini_report" -> (giniReport(_, _)))
+    "gini_report" -> (giniReport(_, _)),
+    "isotonic_calibration" -> (isotonicCalibration(_, _)),
+    "neyman_allocation" -> (neymanAllocation(_, _)),
+    "power_analysis" -> (powerAnalysis(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -2466,5 +2655,8 @@ object Round12Ops {
     "gain_capture_curve" -> gainCaptureCurveSql,
     "cramers_v_matrix" -> cramersVMatrixSql,
     "forecast_backtest" -> forecastBacktestSql,
-    "gini_report" -> giniReportSql)
+    "gini_report" -> giniReportSql,
+    "isotonic_calibration" -> isotonicCalibrationSql,
+    "neyman_allocation" -> neymanAllocationSql,
+    "power_analysis" -> powerAnalysisSql)
 }

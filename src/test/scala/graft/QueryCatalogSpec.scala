@@ -2887,6 +2887,69 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(got - expected) < 1e-5, s"engine gini $got vs driver $expected")
   }
 
+  test("isotonic calibration matches a sequential PAV sweep") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("isotonic_calibration")(spark, dir).cache()
+    val rows = df.orderBy("bin").collect()
+    val cal = rows.map(_.getAs[Double]("calibrated"))
+    assert(cal.zip(cal.tail).forall { case (a, b) => b >= a - 1e-9 },
+      "isotonic output must be non-decreasing")
+    assert(cal.forall(c => c >= 0 && c <= 1))
+    // classic pool-adjacent-violators on the same (n, k) bins
+    case class Blk(var w: Long, var s: Long)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[Blk]
+    rows.foreach { r =>
+      blocks += Blk(r.getAs[Long]("n"), r.getAs[Long]("k"))
+      while (blocks.length > 1 && {
+        val a = blocks(blocks.length - 2); val b = blocks.last
+        a.s * b.w >= b.s * a.w // rate(a) >= rate(b) → pool
+      }) {
+        val b = blocks.remove(blocks.length - 1)
+        blocks.last.w += b.w; blocks.last.s += b.s
+      }
+    }
+    // expand per-bin: walk blocks against bins by weight
+    val perBin = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var bi = 0
+    blocks.foreach { b =>
+      var acc = 0L
+      while (acc < b.w) { acc += rows(bi).getAs[Long]("n"); perBin += b.s.toDouble / b.w; bi += 1 }
+      assert(acc == b.w, "PAV blocks must align to bin boundaries")
+    }
+    assert(perBin.length == cal.length)
+    cal.zip(perBin).foreach { case (got, exp) =>
+      assert(math.abs(got - exp) < 1e-6, s"minimax $got vs sequential PAV $exp")
+    }
+    // pooled means preserve total positive mass
+    val mass = rows.map(r => r.getAs[Long]("n").toDouble).zip(cal).map { case (n, c) => n * c }.sum
+    val kTot = rows.map(_.getAs[Long]("k")).sum.toDouble
+    assert(math.abs(mass - kTot) < kTot * 1e-5 + 1.0)
+  }
+
+  test("neyman allocation shares sum to one and scale with n·sigma") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("neyman_allocation")(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).select("source").distinct().count())
+    assert(df.filter(col("sigma") < 0 || col("alloc_share") < 0).count() == 0)
+    val total = df.agg(sum("alloc_share")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-4, s"shares sum to $total")
+    val chk = df.filter(
+      abs(col("alloc_10k") - col("alloc_share") * 10000) > 1.0).count()
+    assert(chk == 0, "alloc_10k must be the share scaled to the 10k budget")
+  }
+
+  test("power analysis demands fewer samples for bigger lifts") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("power_analysis")(spark, dir).cache()
+    assert(df.count() == 20, "5 types x 4 lifts")
+    assert(df.filter(col("n_per_arm") <= 0).count() == 0)
+    val bad = df.as("a").join(df.as("b"),
+      col("a.event_type") === col("b.event_type") && col("a.lift") < col("b.lift")
+        && col("a.n_per_arm") <= col("b.n_per_arm")).count()
+    assert(bad == 0, "n_per_arm must strictly decrease as the detectable lift grows")
+    assert(df.filter(abs(col("p1") - col("p0") * (lit(1.0) + col("lift"))) > 1e-4).count() == 0)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
