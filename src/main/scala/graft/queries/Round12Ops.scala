@@ -2591,6 +2591,217 @@ object Round12Ops {
       |    / ((p1 - p0) * (p1 - p0)), 2) AS DOUBLE) AS n_per_arm
       |FROM g WHERE p1 < 1.0 ORDER BY event_type, lift""".stripMargin
 
+  /** #337 concentration_report — Herfindahl–Hirschman concentration
+    * across the platform's load-bearing mixes (docs by source, events
+    * by type, revenue by customer nation): HHI = Σ share², effective
+    * group count 1/HHI, and the top-1 share — the single-number "how
+    * dependent are we on one source/type/market" read that
+    * corpus_mix_report's full table doesn't collapse to. Each
+    * dimension is ONE map-side agg (revenue adds a broadcast dim
+    * join); share² terms are 12-dp rounded into order-free DECIMAL
+    * sums over the bounded group relations; top-1 via max of exact
+    * totals. Exact oracle.
+    */
+  def concentrationReport(s: SparkSession, dir: String): DataFrame = {
+    def one(label: String, grouped: DataFrame): DataFrame = {
+      // grouped: (g, x) with x an exact DECIMAL total per group
+      val tot = grouped.agg(sum(col("x")).as("tx"), count(lit(1)).as("ng"),
+        max(col("x")).as("mx"))
+      val share = col("x").cast("double") / col("tx").cast("double")
+      grouped.crossJoin(broadcast(tot))
+        .select(col("ng"), col("tx"), col("mx"),
+          round(share * share, 12).cast(Dec12).as("s2"))
+        .groupBy(col("ng"), col("tx"), col("mx"))
+        .agg(sum(col("s2")).as("hhi"))
+        .select(lit(label).as("dimension"), col("ng").as("n_groups"),
+          emit(col("hhi").cast("double"), 6).as("hhi"),
+          emit(lit(1.0) / col("hhi").cast("double"), 4).as("effective_n"),
+          emit(col("mx").cast("double") / col("tx").cast("double"), 6).as("top1_share"))
+    }
+    val docs = Tables.documents(s, dir).groupBy(col("source").as("g"))
+      .agg(count(lit(1)).cast(Dec).as("x"))
+    val evts = events(s, dir).groupBy(col("event_type").as("g"))
+      .agg(count(lit(1)).cast(Dec).as("x"))
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("g"))
+      .agg(sum(round(col("o_totalprice"), 2).cast(Dec)).as("x"))
+    one("docs_by_source", docs)
+      .unionByName(one("events_by_type", evts))
+      .unionByName(one("revenue_by_nation", rev))
+      .orderBy(col("dimension"))
+  }
+
+  val concentrationReportSql: String = {
+    def block(label: String, grouped: String): String =
+      s"""SELECT '$label' AS dimension, n_groups, hhi, effective_n, top1_share FROM (
+         |  WITH g AS ($grouped),
+         |  tot AS (SELECT sum(x) AS tx, count(*) AS ng, max(x) AS mx FROM g),
+         |  agg AS (
+         |    SELECT ng, tx, mx,
+         |      sum(CAST(round(
+         |        (CAST(x AS DOUBLE) / CAST(tx AS DOUBLE)) * (CAST(x AS DOUBLE) / CAST(tx AS DOUBLE)),
+         |        12) AS DECIMAL(38,12))) AS hhi
+         |    FROM g CROSS JOIN tot GROUP BY 1, 2, 3
+         |  )
+         |  SELECT ng AS n_groups,
+         |    CAST(round(CAST(hhi AS DOUBLE), 6) AS DOUBLE) AS hhi,
+         |    CAST(round(1.0 / CAST(hhi AS DOUBLE), 4) AS DOUBLE) AS effective_n,
+         |    CAST(round(CAST(mx AS DOUBLE) / CAST(tx AS DOUBLE), 6) AS DOUBLE) AS top1_share
+         |  FROM agg
+         |)""".stripMargin
+    block("docs_by_source",
+      "SELECT source AS g, CAST(count(*) AS DECIMAL(38,6)) AS x FROM documents GROUP BY 1") +
+      "\nUNION ALL\n" +
+      block("events_by_type",
+        "SELECT event_type AS g, CAST(count(*) AS DECIMAL(38,6)) AS x FROM events GROUP BY 1") +
+      "\nUNION ALL\n" +
+      block("revenue_by_nation",
+        "SELECT c.c_nationkey AS g, CAST(sum(CAST(round(o.o_totalprice, 2) AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS x " +
+          "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1") +
+      "\nORDER BY dimension"
+  }
+
+  /** #338 ab_srm_check — sample-ratio-mismatch screen for the running
+    * experiment, per exposure day plus the overall rollup: SRM (a
+    * 50/50 split that isn't) is the most common way a real A/B test
+    * silently lies — a day of broken assignment logging biases every
+    * downstream readout, and the fix is detection, not statistics.
+    * Arms use ab_lift_report's seeded-md5 device verbatim (md5 hex
+    * first char < '8' IS exactly half the hash space, so 50/50 is the
+    * true null); per-day exposure = distinct users seen that day per
+    * arm (one fine agg), z = (nA−nB)/√(nA+nB) over exact longs,
+    * |z| > 3 flags. Exact oracle.
+    */
+  def abSrmCheck(s: SparkSession, dir: String): DataFrame = {
+    val exposed = events(s, dir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id")).distinct()
+      .select(col("day"),
+        when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", 1L)
+          .otherwise(0L).as("isA"))
+    val perDay = exposed.groupBy(col("day"))
+      .agg(sum(col("isA")).as("n_a"), sum(lit(1L) - col("isA")).as("n_b"))
+    val overall = events(s, dir).select(col("user_id")).distinct()
+      .select(when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", 1L)
+        .otherwise(0L).as("isA"))
+      .agg(sum(col("isA")).as("n_a"), sum(lit(1L) - col("isA")).as("n_b"))
+      .select(lit("ALL").as("day"), col("n_a"), col("n_b"))
+    val z = (col("n_a") - col("n_b")).cast("double") /
+      sqrt((col("n_a") + col("n_b")).cast("double"))
+    perDay.unionByName(overall)
+      .select(col("day"), col("n_a"), col("n_b"),
+        emit(z, 4).as("z_ratio"))
+      .withColumn("srm_flag", abs(col("z_ratio")) > 3.0)
+      .orderBy(col("day"))
+  }
+
+  val abSrmCheckSql: String =
+    """WITH exposed AS (
+      |  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, user_id FROM events
+      |),
+      |perday AS (
+      |  SELECT day,
+      |    CAST(sum(CASE WHEN md5('exp1:' || CAST(user_id AS VARCHAR)) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN md5('exp1:' || CAST(user_id AS VARCHAR)) < '8' THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM exposed GROUP BY 1
+      |),
+      |overall AS (
+      |  SELECT 'ALL' AS day,
+      |    CAST(sum(CASE WHEN md5('exp1:' || CAST(user_id AS VARCHAR)) < '8' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN md5('exp1:' || CAST(user_id AS VARCHAR)) < '8' THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM (SELECT DISTINCT user_id FROM events)
+      |),
+      |u AS (SELECT * FROM perday UNION ALL SELECT * FROM overall)
+      |SELECT day, n_a, n_b,
+      |  CAST(round(CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)), 4) AS DOUBLE) AS z_ratio,
+      |  abs(CAST(round(CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)), 4) AS DOUBLE)) > 3.0 AS srm_flag
+      |FROM u ORDER BY day""".stripMargin
+
+  /** #339 did_lift — difference-in-differences over the experiment's
+    * calendar: (post−pre) change in per-user purchase rate for arm B
+    * minus the same change for arm A — the causal-inference readout
+    * that survives a platform-wide level shift mid-experiment, which
+    * ab_lift_report's single post-only comparison would misattribute
+    * (parallel-trends is the stated assumption, not magic). Arms are
+    * the seeded-md5 device; periods split the event calendar at its
+    * midpoint (the psi_drift half rule); each of the four cells is an
+    * exposure/purchase pair of exact longs off ONE (arm, period,
+    * user) distinct + conditional agg; the DiD chain is a single
+    * mirrored float expression over the 4-cell row. Exact oracle.
+    */
+  def didLift(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(to_date(col("ts")).as("d"), col("user_id"), col("event_type"))
+    val span = ev.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val cells = ev.crossJoin(broadcast(span))
+      .select(
+        when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", "A")
+          .otherwise("B").as("arm"),
+        when(datediff(col("d"), col("lo")) * 2 <= datediff(col("hi"), col("lo")), "pre")
+          .otherwise("post").as("period"),
+        col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("pur"))
+      .groupBy(col("arm"), col("period"), col("user_id"))
+      .agg(max(col("pur")).as("conv"))
+      .groupBy(col("arm"), col("period"))
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+    val wide = cells.agg(
+      sum(when(col("arm") === "A" && col("period") === "pre", col("n_conv"))).as("ca_pre"),
+      sum(when(col("arm") === "A" && col("period") === "pre", col("n_users"))).as("na_pre"),
+      sum(when(col("arm") === "A" && col("period") === "post", col("n_conv"))).as("ca_post"),
+      sum(when(col("arm") === "A" && col("period") === "post", col("n_users"))).as("na_post"),
+      sum(when(col("arm") === "B" && col("period") === "pre", col("n_conv"))).as("cb_pre"),
+      sum(when(col("arm") === "B" && col("period") === "pre", col("n_users"))).as("nb_pre"),
+      sum(when(col("arm") === "B" && col("period") === "post", col("n_conv"))).as("cb_post"),
+      sum(when(col("arm") === "B" && col("period") === "post", col("n_users"))).as("nb_post"))
+    def rate(c: String, n: String): Column = col(c).cast("double") / col(n).cast("double")
+    wide.select(
+      emit(rate("ca_pre", "na_pre"), 6).as("rate_a_pre"),
+      emit(rate("ca_post", "na_post"), 6).as("rate_a_post"),
+      emit(rate("cb_pre", "nb_pre"), 6).as("rate_b_pre"),
+      emit(rate("cb_post", "nb_post"), 6).as("rate_b_post"),
+      emit((rate("cb_post", "nb_post") - rate("cb_pre", "nb_pre"))
+        - (rate("ca_post", "na_post") - rate("ca_pre", "na_pre")), 6).as("did"))
+  }
+
+  val didLiftSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id, event_type FROM events),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+      |pu AS (
+      |  SELECT
+      |    CASE WHEN md5('exp1:' || CAST(user_id AS VARCHAR)) < '8' THEN 'A' ELSE 'B' END AS arm,
+      |    CASE WHEN datediff('day', lo, d) * 2 <= datediff('day', lo, hi) THEN 'pre' ELSE 'post' END AS period,
+      |    user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM ev CROSS JOIN span GROUP BY 1, 2, 3
+      |),
+      |cells AS (
+      |  SELECT arm, period, count(*) AS n_users, CAST(sum(conv) AS BIGINT) AS n_conv
+      |  FROM pu GROUP BY 1, 2
+      |),
+      |w AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm='A' AND period='pre' THEN n_conv END) AS BIGINT) AS ca_pre,
+      |    CAST(sum(CASE WHEN arm='A' AND period='pre' THEN n_users END) AS BIGINT) AS na_pre,
+      |    CAST(sum(CASE WHEN arm='A' AND period='post' THEN n_conv END) AS BIGINT) AS ca_post,
+      |    CAST(sum(CASE WHEN arm='A' AND period='post' THEN n_users END) AS BIGINT) AS na_post,
+      |    CAST(sum(CASE WHEN arm='B' AND period='pre' THEN n_conv END) AS BIGINT) AS cb_pre,
+      |    CAST(sum(CASE WHEN arm='B' AND period='pre' THEN n_users END) AS BIGINT) AS nb_pre,
+      |    CAST(sum(CASE WHEN arm='B' AND period='post' THEN n_conv END) AS BIGINT) AS cb_post,
+      |    CAST(sum(CASE WHEN arm='B' AND period='post' THEN n_users END) AS BIGINT) AS nb_post
+      |  FROM cells
+      |)
+      |SELECT
+      |  CAST(round(CAST(ca_pre AS DOUBLE)/CAST(na_pre AS DOUBLE), 6) AS DOUBLE) AS rate_a_pre,
+      |  CAST(round(CAST(ca_post AS DOUBLE)/CAST(na_post AS DOUBLE), 6) AS DOUBLE) AS rate_a_post,
+      |  CAST(round(CAST(cb_pre AS DOUBLE)/CAST(nb_pre AS DOUBLE), 6) AS DOUBLE) AS rate_b_pre,
+      |  CAST(round(CAST(cb_post AS DOUBLE)/CAST(nb_post AS DOUBLE), 6) AS DOUBLE) AS rate_b_post,
+      |  CAST(round(
+      |    (CAST(cb_post AS DOUBLE)/CAST(nb_post AS DOUBLE) - CAST(cb_pre AS DOUBLE)/CAST(nb_pre AS DOUBLE))
+      |    - (CAST(ca_post AS DOUBLE)/CAST(na_post AS DOUBLE) - CAST(ca_pre AS DOUBLE)/CAST(na_pre AS DOUBLE)),
+      |    6) AS DOUBLE) AS did
+      |FROM w""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -2624,7 +2835,10 @@ object Round12Ops {
     "gini_report" -> (giniReport(_, _)),
     "isotonic_calibration" -> (isotonicCalibration(_, _)),
     "neyman_allocation" -> (neymanAllocation(_, _)),
-    "power_analysis" -> (powerAnalysis(_, _)))
+    "power_analysis" -> (powerAnalysis(_, _)),
+    "concentration_report" -> (concentrationReport(_, _)),
+    "ab_srm_check" -> (abSrmCheck(_, _)),
+    "did_lift" -> (didLift(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -2658,5 +2872,8 @@ object Round12Ops {
     "gini_report" -> giniReportSql,
     "isotonic_calibration" -> isotonicCalibrationSql,
     "neyman_allocation" -> neymanAllocationSql,
-    "power_analysis" -> powerAnalysisSql)
+    "power_analysis" -> powerAnalysisSql,
+    "concentration_report" -> concentrationReportSql,
+    "ab_srm_check" -> abSrmCheckSql,
+    "did_lift" -> didLiftSql)
 }

@@ -2950,6 +2950,48 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.filter(abs(col("p1") - col("p0") * (lit(1.0) + col("lift"))) > 1e-4).count() == 0)
   }
 
+  test("concentration report bounds HHI between 1/n and 1") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("concentration_report")(spark, dir).cache()
+    assert(df.count() == 3)
+    val bad = df.filter(
+      col("hhi") > 1.000001 || col("hhi") * col("n_groups") < 0.999999
+        || col("top1_share") * col("n_groups") < 0.999999
+        || col("top1_share") > 1.000001).count()
+    assert(bad == 0, "HHI ∈ [1/n, 1] and top1 ≥ 1/n")
+    // effective_n inverts hhi and can't exceed the group count
+    assert(df.filter(abs(col("effective_n") * col("hhi") - 1.0) > 1e-3).count() == 0)
+    assert(df.filter(col("effective_n") > col("n_groups") + 0.001).count() == 0)
+  }
+
+  test("srm check balances the md5 split and flags consistently") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ab_srm_check")(spark, dir).cache()
+    assert(df.filter(col("day") === "ALL").count() == 1)
+    assert(df.filter(col("srm_flag") =!= (abs(col("z_ratio")) > 3.0)).count() == 0)
+    // the seeded-md5 device IS a fair coin: the overall split must not SRM
+    val all = df.filter(col("day") === "ALL").head
+    assert(!all.getAs[Boolean]("srm_flag"),
+      s"md5 50/50 split flagged SRM: ${all.getAs[Double]("z_ratio")}")
+    // daily exposures cover every event day plus the rollup row
+    val days = Tables.events(spark, dir).select(to_date(col("ts"))).distinct().count()
+    assert(df.count() == days + 1)
+  }
+
+  test("did lift reconciles with its four cell rates") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("did_lift")(spark, dir).cache()
+    val r = df.head
+    val did = (r.getAs[Double]("rate_b_post") - r.getAs[Double]("rate_b_pre")) -
+      (r.getAs[Double]("rate_a_post") - r.getAs[Double]("rate_a_pre"))
+    assert(math.abs(r.getAs[Double]("did") - did) < 5e-6)
+    Seq("rate_a_pre", "rate_a_post", "rate_b_pre", "rate_b_post").foreach { c =>
+      val v = r.getAs[Double](c); assert(v >= 0 && v <= 1, s"$c = $v out of [0,1]")
+    }
+    // no real treatment exists in synthetic data: DiD should be small
+    assert(math.abs(r.getAs[Double]("did")) < 0.2)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
