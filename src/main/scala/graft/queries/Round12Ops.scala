@@ -2802,6 +2802,196 @@ object Round12Ops {
       |    6) AS DOUBLE) AS did
       |FROM w""".stripMargin
 
+  /** #340 ndcg_report — nDCG@10 of the int8-quantized ranking against
+    * the exact float ranking, graded relevance rel = 11 − exact_rank:
+    * the third face of retrieval QA (#277 counts set recall, #325
+    * reads rank agreement, THIS weighs graded GAIN by position — the
+    * metric that forgives a swap at rank 9 but punishes losing the
+    * top-1). DCG terms rel/log2(i+1) are 12-dp rounded into order-free
+    * DECIMAL sums per query; the ideal DCG is computed in-plan from
+    * the same broadcast depth axis through the identical float chain
+    * (never a hand-typed constant), so both engines derive it
+    * identically. Everything past the two kNN chains is
+    * broadcast-sized. Exact oracle.
+    */
+  def ndcgReport(s: SparkSession, dir: String): DataFrame = {
+    val exact = TextOps.embedKnn(s, dir)
+      .select(col("query_id"), col("vec_id"), col("rn").as("exact_rn"))
+    val retr = TextOps.embedQuantizedKnn(s, dir)
+      .select(col("query_id"), col("vec_id"), col("rn").as("i"))
+    val term = coalesce(lit(11L) - col("exact_rn"), lit(0L)).cast("double") /
+      (log(col("i").cast("double") + lit(1.0)) / log(lit(2.0)))
+    val dcg = retr.join(exact, Seq("query_id", "vec_id"), "left")
+      .select(col("query_id"), round(term, 12).cast(Dec12).as("t"))
+      .groupBy(col("query_id")).agg(sum(col("t")).as("dcg"))
+    val depths = s.range(1, 11).select(col("id").cast("int").as("r"))
+    val idcg = depths
+      .select(round((lit(11L) - col("r")).cast("double") /
+        (log(col("r").cast("double") + lit(1.0)) / log(lit(2.0))), 12).cast(Dec12).as("t"))
+      .agg(sum(col("t")).as("idcg"))
+    dcg.crossJoin(broadcast(idcg))
+      .select(col("query_id"),
+        emit(col("dcg").cast("double"), 6).as("dcg"),
+        emit(col("dcg").cast("double") / col("idcg").cast("double"), 6).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
+
+  val ndcgReportSql: String =
+    s"""WITH a0 AS (${TextOps.embedKnnSql}),
+       |b0 AS (${TextOps.embedQuantizedKnnSql}),
+       |dcg AS (
+       |  SELECT b0.query_id,
+       |    sum(CAST(round(
+       |      CAST(coalesce(11 - a0.rn, 0) AS DOUBLE)
+       |        / (ln(CAST(b0.rn AS DOUBLE) + 1.0) / ln(2.0)), 12) AS DECIMAL(38,12))) AS dcg
+       |  FROM b0 LEFT JOIN a0 ON b0.query_id = a0.query_id AND b0.vec_id = a0.vec_id
+       |  GROUP BY 1
+       |),
+       |idcg AS (
+       |  SELECT sum(CAST(round(
+       |    CAST(11 - r AS DOUBLE) / (ln(CAST(r AS DOUBLE) + 1.0) / ln(2.0)), 12) AS DECIMAL(38,12))) AS idcg
+       |  FROM (SELECT unnest(generate_series(1, 10)) AS r)
+       |)
+       |SELECT query_id,
+       |  CAST(round(CAST(dcg AS DOUBLE), 6) AS DOUBLE) AS dcg,
+       |  CAST(round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS DOUBLE) AS ndcg
+       |FROM dcg CROSS JOIN idcg ORDER BY query_id""".stripMargin
+
+  /** #341 brier_decomposition — the Brier score with Murphy's (1973)
+    * reliability/resolution/uncertainty decomposition over the 10-bin
+    * reliability partition: the PROPER scoring rule completing the
+    * classifier QA set (#310 tables the gaps, #326 ranks, #334
+    * recalibrates — this scores, and says how much of the loss is
+    * miscalibration vs missing discrimination). The total Brier sums
+    * per-row (c−y)² 12-dp-rounded into an order-free DECIMAL; the
+    * decomposition runs on the bounded bin table with exact long
+    * (n, k) and decimal Σc per bin, every derived term a mirrored
+    * float chain. Exact oracle.
+    */
+  def brierDecomposition(s: SparkSession, dir: String): DataFrame = {
+    val scored = Round9Ops.docQualityClassifier(s, dir)
+      .select(col("doc_id"), (col("score") + lit(0.5)).as("c"))
+      .join(Tables.documents(s, dir)
+        .select(col("doc_id"), when(col("lang") === "en", 1L).otherwise(0L).as("y")), Seq("doc_id"))
+    val brier = scored
+      .select(round((col("c") - col("y")) * (col("c") - col("y")), 12).cast(Dec12).as("sq"))
+      .agg(sum(col("sq")).as("ssq"), count(lit(1)).as("n"))
+    val bins = scored
+      .select(least(floor(col("c") * 10).cast("long"), lit(9L)).as("bin"), col("c"), col("y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), dsum(col("c")).as("sc"), sum(col("y")).as("k"))
+    val tot = bins.agg(sum(col("nb")).as("n"), sum(col("k")).as("kt"))
+    val cbar = col("sc").cast("double") / col("nb").cast("double")
+    val ybar = col("k").cast("double") / col("nb").cast("double")
+    val ybarAll = col("kt").cast("double") / col("n").cast("double")
+    val comp = bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("kt"),
+        round(col("nb").cast("double") * (cbar - ybar) * (cbar - ybar), 12).cast(Dec12).as("rel_t"),
+        round(col("nb").cast("double") * (ybar - ybarAll) * (ybar - ybarAll), 12).cast(Dec12).as("res_t"))
+      .groupBy(col("n"), col("kt"))
+      .agg(sum(col("rel_t")).as("rel"), sum(col("res_t")).as("res"))
+    comp.crossJoin(broadcast(brier.select(col("ssq"))))
+      .select(
+        col("n").as("n_docs"),
+        emit(col("ssq").cast("double") / col("n").cast("double"), 6).as("brier"),
+        emit(col("rel").cast("double") / col("n").cast("double"), 6).as("reliability"),
+        emit(col("res").cast("double") / col("n").cast("double"), 6).as("resolution"),
+        emit((col("kt").cast("double") / col("n").cast("double"))
+          * (lit(1.0) - col("kt").cast("double") / col("n").cast("double")), 6).as("uncertainty"))
+  }
+
+  val brierDecompositionSql: String =
+    s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
+       |sc AS (
+       |  SELECT clf.doc_id, CAST(clf.score + 0.5 AS DOUBLE) AS c,
+       |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+       |  FROM clf JOIN documents d ON clf.doc_id = d.doc_id
+       |),
+       |brier AS (
+       |  SELECT sum(CAST(round((c - y) * (c - y), 12) AS DECIMAL(38,12))) AS ssq, count(*) AS n
+       |  FROM sc
+       |),
+       |bins AS (
+       |  SELECT least(CAST(floor(c * 10) AS BIGINT), 9) AS bin,
+       |    count(*) AS nb, sum(CAST(c AS DECIMAL(38,6))) AS scb, CAST(sum(y) AS BIGINT) AS k
+       |  FROM sc GROUP BY 1
+       |),
+       |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS kt FROM bins),
+       |comp AS (
+       |  SELECT n, kt,
+       |    sum(CAST(round(CAST(nb AS DOUBLE)
+       |      * (CAST(scb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(k AS DOUBLE) / CAST(nb AS DOUBLE))
+       |      * (CAST(scb AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(k AS DOUBLE) / CAST(nb AS DOUBLE)),
+       |      12) AS DECIMAL(38,12))) AS rel,
+       |    sum(CAST(round(CAST(nb AS DOUBLE)
+       |      * (CAST(k AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(kt AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(k AS DOUBLE) / CAST(nb AS DOUBLE) - CAST(kt AS DOUBLE) / CAST(n AS DOUBLE)),
+       |      12) AS DECIMAL(38,12))) AS res
+       |  FROM bins CROSS JOIN tot GROUP BY 1, 2
+       |)
+       |SELECT n AS n_docs,
+       |  CAST(round(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS brier,
+       |  CAST(round(CAST(rel AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS reliability,
+       |  CAST(round(CAST(res AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS resolution,
+       |  CAST(round((CAST(kt AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * (1.0 - CAST(kt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS uncertainty
+       |FROM comp CROSS JOIN (SELECT ssq FROM brier)""".stripMargin
+
+  /** #342 hill_tail_index — the Hill (1975) estimator of the
+    * power-law tail index of per-user event volume: vocab_zipf_slope
+    * reads the rank-frequency law of WORDS, this reads the tail
+    * heaviness of USER activity — the number that says whether
+    * per-key state, skew salting, and hot-bucket caps face a
+    * log-normal shoulder or a true Pareto tail (γ ≥ 1/2 ⇒ infinite
+    * variance ⇒ uncapped per-key anything eventually loses). Order
+    * statistics WITHOUT a global sort: top-(k+1) activity counts via
+    * TakeOrdered (count desc, user asc — deterministic through ties),
+    * x_{k+1} from a rank filter on the bounded 101-row frame,
+    * ln(x_i/x_{k+1}) terms 12-dp rounded into an order-free DECIMAL
+    * sum. γ and α = 1/γ are mirrored float chains. Exact oracle.
+    */
+  def hillTailIndex(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+    val top = events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("x"))
+      .orderBy(col("x").desc, col("user_id")).limit(101)
+    val ranked = top // the window runs over the bounded ≤101-row frame
+      .withColumn("rn", row_number().over(wp.orderBy(col("x").desc, col("user_id"))))
+    // k adapts when fewer than 101 users exist: the deepest fetched
+    // order statistic is x_{k+1}, the k above it feed the estimator
+    val kmax = ranked.agg(max(col("rn")).as("rn_max"))
+    val xk1 = ranked.join(broadcast(kmax), col("rn") === col("rn_max"))
+      .select(col("x").as("xk1"), (col("rn_max") - 1).as("k"))
+    ranked.crossJoin(broadcast(xk1))
+      .filter(col("rn") <= col("k"))
+      .select(round(log(col("x").cast("double") / col("xk1").cast("double")), 12)
+        .cast(Dec12).as("t"), col("xk1"), col("k"))
+      .groupBy(col("xk1"), col("k")).agg(sum(col("t")).as("st"))
+      .select(col("k"), col("xk1").as("x_k1"),
+        emit(col("st").cast("double") / col("k").cast("double"), 6).as("gamma"),
+        emit(col("k").cast("double") / col("st").cast("double"), 6).as("alpha"))
+  }
+
+  val hillTailIndexSql: String =
+    """WITH act AS (SELECT user_id, count(*) AS x FROM events GROUP BY 1),
+      |top AS (SELECT user_id, x FROM act ORDER BY x DESC, user_id LIMIT 101),
+      |ranked AS (
+      |  SELECT x, row_number() OVER (ORDER BY x DESC, user_id) AS rn FROM top
+      |),
+      |km AS (SELECT max(rn) AS rn_max FROM ranked),
+      |xk1 AS (
+      |  SELECT ranked.x AS xk1, km.rn_max - 1 AS k
+      |  FROM ranked JOIN km ON ranked.rn = km.rn_max
+      |),
+      |terms AS (
+      |  SELECT xk1, k,
+      |    sum(CAST(round(ln(CAST(x AS DOUBLE) / CAST(xk1 AS DOUBLE)), 12) AS DECIMAL(38,12))) AS st
+      |  FROM ranked CROSS JOIN xk1 WHERE rn <= k GROUP BY 1, 2
+      |)
+      |SELECT k, xk1 AS x_k1,
+      |  CAST(round(CAST(st AS DOUBLE) / CAST(k AS DOUBLE), 6) AS DOUBLE) AS gamma,
+      |  CAST(round(CAST(k AS DOUBLE) / CAST(st AS DOUBLE), 6) AS DOUBLE) AS alpha
+      |FROM terms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -2838,7 +3028,10 @@ object Round12Ops {
     "power_analysis" -> (powerAnalysis(_, _)),
     "concentration_report" -> (concentrationReport(_, _)),
     "ab_srm_check" -> (abSrmCheck(_, _)),
-    "did_lift" -> (didLift(_, _)))
+    "did_lift" -> (didLift(_, _)),
+    "ndcg_report" -> (ndcgReport(_, _)),
+    "brier_decomposition" -> (brierDecomposition(_, _)),
+    "hill_tail_index" -> (hillTailIndex(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -2875,5 +3068,8 @@ object Round12Ops {
     "power_analysis" -> powerAnalysisSql,
     "concentration_report" -> concentrationReportSql,
     "ab_srm_check" -> abSrmCheckSql,
-    "did_lift" -> didLiftSql)
+    "did_lift" -> didLiftSql,
+    "ndcg_report" -> ndcgReportSql,
+    "brier_decomposition" -> brierDecompositionSql,
+    "hill_tail_index" -> hillTailIndexSql)
 }

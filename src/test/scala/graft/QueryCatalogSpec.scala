@@ -2992,6 +2992,60 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("did")) < 0.2)
   }
 
+  test("ndcg is bounded and scores a self-ranking at exactly one") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ndcg_report")(spark, dir).cache()
+    assert(df.count() == 5, "one row per probe query")
+    assert(df.filter(col("ndcg") < 0 || col("ndcg") > 1.000001).count() == 0)
+    assert(df.filter(col("dcg") <= 0).count() == 0,
+      "int8 keeps the top-10 set here, so every retrieved doc carries gain")
+    // self-identity: the exact ranking scored against itself is 1.0
+    val exact = graft.queries.TextOps.embedKnn(spark, dir)
+      .select(col("query_id"), col("rn"))
+    val selfDcg = exact
+      .select(col("query_id"),
+        round((lit(11L) - col("rn")).cast("double") /
+          (log(col("rn").cast("double") + 1.0) / log(lit(2.0))), 12).as("t"))
+      .groupBy("query_id").agg(sum("t").as("dcg"))
+    val idcg = selfDcg.agg(max("dcg")).head.getDouble(0)
+    assert(selfDcg.filter(abs(col("dcg") - idcg) > 1e-9).count() == 0,
+      "every query's self-DCG equals the ideal DCG")
+  }
+
+  test("brier decomposition components reconcile") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("brier_decomposition")(spark, dir).cache()
+    val r = df.head
+    val (brier, rel, res, unc) = (r.getAs[Double]("brier"), r.getAs[Double]("reliability"),
+      r.getAs[Double]("resolution"), r.getAs[Double]("uncertainty"))
+    assert(brier >= 0 && brier <= 1 && rel >= 0 && res >= 0 && unc >= 0 && unc <= 0.25)
+    // Murphy identity holds up to the within-bin forecast variance
+    // (bins are 0.1 wide, so the residual is bounded by 0.0025)
+    assert(math.abs(brier - (rel - res + unc)) < 0.003,
+      s"brier $brier vs rel-res+unc ${rel - res + unc}")
+    // uncertainty is the base-rate variance of the label itself
+    val docs = Tables.documents(spark, dir)
+    val p = docs.filter(col("lang") === "en").count().toDouble / docs.count()
+    assert(math.abs(unc - p * (1 - p)) < 1e-4)
+  }
+
+  test("hill estimator matches a driver-side order-statistic computation") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("hill_tail_index")(spark, dir).cache()
+    val r = df.head
+    val k = r.getAs[Number]("k").longValue
+    assert(k >= 1 && k <= 100)
+    val gamma = r.getAs[Double]("gamma")
+    assert(gamma > 0 && math.abs(r.getAs[Double]("alpha") - 1.0 / gamma) < 1e-3 * (1.0 / gamma))
+    val xs = Tables.events(spark, dir).groupBy("user_id").count()
+      .collect().map(_.getLong(1)).sorted(Ordering[Long].reverse)
+    val kk = math.min(100, xs.length - 1)
+    assert(k == kk)
+    val xk1 = xs(kk).toDouble
+    val expected = xs.take(kk).map(x => math.log(x / xk1)).sum / kk
+    assert(math.abs(gamma - expected) < 1e-5, s"engine gamma $gamma vs driver $expected")
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
