@@ -2674,17 +2674,21 @@ object Round12Ops {
     * arm (one fine agg), z = (nA−nB)/√(nA+nB) over exact longs,
     * |z| > 3 flags. Exact oracle.
     */
-  def abSrmCheck(s: SparkSession, dir: String): DataFrame = {
-    val exposed = events(s, dir)
-      .select(to_date(col("ts")).cast("string").as("day"), col("user_id")).distinct()
-      .select(col("day"),
-        when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", 1L)
-          .otherwise(0L).as("isA"))
-    val perDay = exposed.groupBy(col("day"))
+  /** The SRM arithmetic over any (day, user_id) exposure-pair frame —
+    * shared by the batch op and the streaming twin
+    * (streaming.srmFromPairs serves THIS over drained stream state,
+    * so stream ≡ batch is an identity, the psiFinish pattern). The
+    * caller may pass duplicate pairs; both roll-ups distinct first.
+    */
+  private[graft] def srmServe(pairs: DataFrame): DataFrame = {
+    val isA = when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", 1L)
+      .otherwise(0L)
+    val perDay = pairs.select(col("day"), col("user_id")).distinct()
+      .select(col("day"), isA.as("isA"))
+      .groupBy(col("day"))
       .agg(sum(col("isA")).as("n_a"), sum(lit(1L) - col("isA")).as("n_b"))
-    val overall = events(s, dir).select(col("user_id")).distinct()
-      .select(when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", 1L)
-        .otherwise(0L).as("isA"))
+    val overall = pairs.select(col("user_id")).distinct()
+      .select(isA.as("isA"))
       .agg(sum(col("isA")).as("n_a"), sum(lit(1L) - col("isA")).as("n_b"))
       .select(lit("ALL").as("day"), col("n_a"), col("n_b"))
     val z = (col("n_a") - col("n_b")).cast("double") /
@@ -2695,6 +2699,10 @@ object Round12Ops {
       .withColumn("srm_flag", abs(col("z_ratio")) > 3.0)
       .orderBy(col("day"))
   }
+
+  def abSrmCheck(s: SparkSession, dir: String): DataFrame =
+    srmServe(events(s, dir)
+      .select(to_date(col("ts")).cast("string").as("day"), col("user_id")))
 
   val abSrmCheckSql: String =
     """WITH exposed AS (
@@ -2992,6 +3000,194 @@ object Round12Ops {
       |  CAST(round(CAST(k AS DOUBLE) / CAST(st AS DOUBLE), 6) AS DOUBLE) AS alpha
       |FROM terms""".stripMargin
 
+  /** #343 mann_kendall_trend — the Mann–Kendall monotone-trend test
+    * per event type over the dense daily calendar: theil_sen gives
+    * the robust SLOPE, this gives the SIGNIFICANCE (S = Σ_{i<j}
+    * sign(x_j − x_i), tie-corrected variance, continuity-corrected
+    * z) — the standard pair for "is volume actually trending or am I
+    * reading noise". All pair work runs on the CALENDAR-bounded dense
+    * frame (a |days|²/2 self-join per type — ~1.8k pairs at 60 days,
+    * never data-volume-sized); S and both variance terms are exact
+    * integers (the tie term reads off the per-type value histogram),
+    * z is one mirrored float chain with the S∓1 correction. Exact
+    * oracle.
+    */
+  def mannKendallTrend(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val types = daily.select(col("event_type")).distinct()
+    val dense = types.crossJoin(broadcast(span))
+      .select(col("event_type"), explode(expr("sequence(0, datediff(hi, lo))")).as("k"))
+      .join(
+        daily.crossJoin(broadcast(span))
+          .groupBy(col("event_type"), datediff(col("d"), col("lo")).as("k"))
+          .agg(sum(col("x")).as("x0")),
+        Seq("event_type", "k"), "left")
+      .select(col("event_type"), col("k"), coalesce(col("x0"), lit(0L)).as("x"))
+    val a = dense.select(col("event_type"), col("k").as("ki"), col("x").as("xi"))
+    val b = dense.select(col("event_type"), col("k").as("kj"), col("x").as("xj"))
+    val sStat = a.join(b, Seq("event_type")).filter(col("ki") < col("kj"))
+      .groupBy(col("event_type"))
+      .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"),
+        (max(col("kj")) + 1).as("n"))
+    val ties = dense.groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
+    val varNum = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
+    val varS = varNum.cast("double") / lit(18.0)
+    val z = when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(varS))
+      .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(varS))
+      .otherwise(lit(0.0))
+    sStat.join(ties, Seq("event_type"))
+      .select(col("event_type"), col("n").as("n_days"), col("s"),
+        emit(varS, 4).as("var_s"),
+        emit(z, 4).as("z"),
+        when(abs(emit(z, 4)) > 1.96,
+          when(col("s") > 0, "rising").otherwise("falling")).otherwise("flat").as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  val mannKendallTrendSql: String =
+    """WITH ev AS (SELECT CAST(ts AS DATE) AS d, event_type FROM events),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM ev),
+      |types AS (SELECT DISTINCT event_type FROM ev),
+      |ks AS (SELECT unnest(generate_series(0, datediff('day', lo, hi))) AS k FROM span),
+      |cal AS (SELECT t.event_type, ks.k FROM types t CROSS JOIN ks),
+      |cnt AS (
+      |  SELECT event_type, datediff('day', lo, d) AS k, count(*) AS x
+      |  FROM ev, span GROUP BY 1, 2
+      |),
+      |dense AS (
+      |  SELECT cal.event_type, cal.k, CAST(coalesce(cnt.x, 0) AS BIGINT) AS x
+      |  FROM cal LEFT JOIN cnt ON cal.event_type = cnt.event_type AND cal.k = cnt.k
+      |),
+      |sstat AS (
+      |  SELECT a.event_type,
+      |    CAST(sum(CAST(sign(b.x - a.x) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(max(b.k) + 1 AS BIGINT) AS n
+      |  FROM dense a JOIN dense b ON a.event_type = b.event_type AND a.k < b.k
+      |  GROUP BY 1
+      |),
+      |ties AS (
+      |  SELECT event_type,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      |  FROM (SELECT event_type, x, count(*) AS t FROM dense GROUP BY 1, 2)
+      |  GROUP BY 1
+      |)
+      |SELECT sstat.event_type, n AS n_days, s,
+      |  CAST(round(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0, 4) AS DOUBLE) AS var_s,
+      |  CAST(round(CASE
+      |    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+      |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END, 4) AS DOUBLE) AS z,
+      |  CASE WHEN abs(CAST(round(CASE
+      |    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+      |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
+      |    ELSE 0.0 END, 4) AS DOUBLE)) > 1.96
+      |    THEN CASE WHEN s > 0 THEN 'rising' ELSE 'falling' END
+      |    ELSE 'flat' END AS trend
+      |FROM sstat JOIN ties ON sstat.event_type = ties.event_type
+      |ORDER BY sstat.event_type""".stripMargin
+
+  /** #344 heaps_law_fit — Heaps'-law exponent of the corpus: vocab
+    * growth V(N) = K·N^β measured at 10 cumulative doc-id prefixes,
+    * then log-log least squares for (β, K) — the number that projects
+    * tokenizer vocabulary pressure from a sample to the 100 TB corpus
+    * (vocab_zipf_slope reads frequency ranks at one snapshot; THIS
+    * reads growth). The cumulative-distinct trick avoids any
+    * re-scanning: each token's FIRST document (one min-agg over the
+    * token pairs) makes vocab-at-prefix a conditional count, and
+    * token mass at each prefix a conditional sum of per-doc counts —
+    * both against the broadcast 10-cutoff axis, so the corpus is read
+    * once. The OLS runs on the bounded 10-point log-log table with
+    * 12-dp DECIMAL term sums. Exact oracle.
+    */
+  def heapsLawFit(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val firstDoc = toks.groupBy(col("token")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+    val span = perDoc.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val cuts = s.range(1, 11).select(col("id").cast("int").as("p"))
+      .crossJoin(broadcast(span))
+      .select(col("p"), expr("lo + ((hi - lo) * p) div 10").as("cut"))
+    val nTok = perDoc.crossJoin(broadcast(cuts))
+      .filter(col("doc_id") <= col("cut"))
+      .groupBy(col("p")).agg(sum(col("nt")).as("n_tokens"))
+    val vocab = firstDoc.crossJoin(broadcast(cuts))
+      .filter(col("first_doc") <= col("cut"))
+      .groupBy(col("p")).agg(count(lit(1)).as("vocab"))
+    val pts = nTok.join(vocab, Seq("p"))
+      .select(col("p"), col("n_tokens"), col("vocab"),
+        round(log(col("n_tokens").cast("double")), 12).as("lx"),
+        round(log(col("vocab").cast("double")), 12).as("ly"))
+    val fit = pts.select(
+      count(lit(1)).cast("double").as("m"),
+      sum(col("lx").cast(Dec12)).cast("double").as("sx"),
+      sum(col("ly").cast(Dec12)).cast("double").as("sy"),
+      sum(round(col("lx") * col("ly"), 12).cast(Dec12)).cast("double").as("sxy"),
+      sum(round(col("lx") * col("lx"), 12).cast(Dec12)).cast("double").as("sxx"))
+      .select(
+        ((col("m") * col("sxy") - col("sx") * col("sy"))
+          / (col("m") * col("sxx") - col("sx") * col("sx"))).as("beta"),
+        col("m"), col("sx"), col("sy"), col("sxx"), col("sxy"))
+      .select(col("beta"),
+        exp((col("sy") - col("beta") * col("sx")) / col("m")).as("kcoef"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("p"), col("n_tokens"), col("vocab"),
+        emit(col("beta"), 6).as("beta"), emit(col("kcoef"), 4).as("k_coef"))
+      .orderBy(col("p"))
+  }
+
+  val heapsLawFitSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |  ) WHERE token <> ''
+      |),
+      |firstdoc AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+      |perdoc AS (SELECT doc_id, count(*) AS nt FROM toks GROUP BY 1),
+      |span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM perdoc),
+      |cuts AS (
+      |  SELECT p, lo + (hi - lo) * p // 10 AS cut
+      |  FROM (SELECT unnest(generate_series(1, 10)) AS p), span
+      |),
+      |ntok AS (
+      |  SELECT p, CAST(sum(nt) AS BIGINT) AS n_tokens
+      |  FROM perdoc CROSS JOIN cuts WHERE doc_id <= cut GROUP BY 1
+      |),
+      |voc AS (
+      |  SELECT p, count(*) AS vocab
+      |  FROM firstdoc CROSS JOIN cuts WHERE first_doc <= cut GROUP BY 1
+      |),
+      |pts AS (
+      |  SELECT ntok.p, n_tokens, vocab,
+      |    round(ln(CAST(n_tokens AS DOUBLE)), 12) AS lx,
+      |    round(ln(CAST(vocab AS DOUBLE)), 12) AS ly
+      |  FROM ntok JOIN voc ON ntok.p = voc.p
+      |),
+      |mom AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS m,
+      |    CAST(sum(CAST(lx AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(ly AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(round(lx * ly, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(round(lx * lx, 12) AS DECIMAL(38,12))) AS DOUBLE) AS sxx
+      |  FROM pts
+      |),
+      |fit AS (
+      |  SELECT (m * sxy - sx * sy) / (m * sxx - sx * sx) AS beta, m, sx, sy FROM mom
+      |),
+      |fin AS (
+      |  SELECT beta, exp((sy - beta * sx) / m) AS kcoef FROM fit
+      |)
+      |SELECT p, n_tokens, vocab,
+      |  CAST(round(beta, 6) AS DOUBLE) AS beta,
+      |  CAST(round(kcoef, 4) AS DOUBLE) AS k_coef
+      |FROM pts CROSS JOIN fin ORDER BY p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -3031,7 +3227,9 @@ object Round12Ops {
     "did_lift" -> (didLift(_, _)),
     "ndcg_report" -> (ndcgReport(_, _)),
     "brier_decomposition" -> (brierDecomposition(_, _)),
-    "hill_tail_index" -> (hillTailIndex(_, _)))
+    "hill_tail_index" -> (hillTailIndex(_, _)),
+    "mann_kendall_trend" -> (mannKendallTrend(_, _)),
+    "heaps_law_fit" -> (heapsLawFit(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -3071,5 +3269,7 @@ object Round12Ops {
     "did_lift" -> didLiftSql,
     "ndcg_report" -> ndcgReportSql,
     "brier_decomposition" -> brierDecompositionSql,
-    "hill_tail_index" -> hillTailIndexSql)
+    "hill_tail_index" -> hillTailIndexSql,
+    "mann_kendall_trend" -> mannKendallTrendSql,
+    "heaps_law_fit" -> heapsLawFitSql)
 }

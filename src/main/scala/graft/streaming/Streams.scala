@@ -1092,6 +1092,32 @@ object Streams {
   def holtFromCounts(live: DataFrame): DataFrame =
     graft.queries.Round12Ops.holtFromDaily(graft.Lineage.cut(live))
 
+  /** #49y streaming SRM screen — §2 #338 ab_srm_check as a continuous
+    * query: the live side is ONE update-mode count keyed by
+    * (day, user_id) — exposure pairs, map-side combined; the SRM
+    * table (per-day arm split z plus the ALL rollup) is SERVED from
+    * the drained pair state through the batch op's own arithmetic
+    * ([[graft.queries.Round12Ops.srmServe]] — the psiFinish
+    * serve-from-state pattern), so stream ≡ batch is an identity,
+    * spec-pinned. At scale the state is distinct (day, user) pairs;
+    * a long-running deployment bounds it with an event-time watermark
+    * on the day key (the #47 discipline) — the ALL rollup then covers
+    * the retained horizon, which is the window an SRM screen acts on
+    * anyway.
+    */
+  def srmPairsStream(events: DataFrame): DataFrame =
+    events.groupBy(
+      to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Serve the SRM table from drained exposure-pair state. The serve
+    * references the pair relation twice (per-day + overall distinct);
+    * snapshot the bounded state first so a sink-backed View doesn't
+    * break reference dedup (the holtFromCounts rule).
+    */
+  def srmFromPairs(pairs: DataFrame): DataFrame =
+    graft.queries.Round12Ops.srmServe(graft.Lineage.cut(pairs))
+
   /** Serve the PSI table from a drained live-counts state + baseline. */
   def psiFromCounts(baseline: DataFrame, live: DataFrame): DataFrame =
     graft.queries.Round11Ops.psiFinish(

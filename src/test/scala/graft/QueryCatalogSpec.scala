@@ -3046,6 +3046,49 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(gamma - expected) < 1e-5, s"engine gamma $gamma vs driver $expected")
   }
 
+  test("mann-kendall S matches a driver-side pair count") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("mann_kendall_trend")(spark, dir).cache()
+    assert(df.count() == Tables.events(spark, dir).select("event_type").distinct().count())
+    assert(df.filter(col("var_s") <= 0).count() == 0)
+    val flagged = df.filter(
+      (col("trend") === "rising" && (col("z") <= 1.96 || col("s") <= 0))
+        || (col("trend") === "falling" && (col("z") >= -1.96 || col("s") >= 0))).count()
+    assert(flagged == 0, "trend label must agree with z and the sign of S")
+    // brute-force S for one type over the dense calendar
+    val t = df.head.getAs[String]("event_type")
+    val daily = Tables.events(spark, dir).filter(col("event_type") === t)
+      .groupBy(to_date(col("ts")).as("d")).count()
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1))).toMap
+    val days = Tables.events(spark, dir)
+      .agg(min(to_date(col("ts"))), max(to_date(col("ts")))).head
+    val (lo, hi) = (days.getDate(0).toLocalDate.toEpochDay, days.getDate(1).toLocalDate.toEpochDay)
+    val xs = (lo to hi).map(k => daily.getOrElse(k, 0L)).toArray
+    var sPair = 0L
+    for (i <- xs.indices; j <- i + 1 until xs.length)
+      sPair += java.lang.Long.signum(xs(j) - xs(i))
+    val got = df.filter(col("event_type") === t).head.getAs[Long]("s")
+    assert(got == sPair, s"engine S $got vs driver pair count $sPair")
+  }
+
+  test("heaps points grow monotonically and the fit is consistent") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("heaps_law_fit")(spark, dir).cache()
+    assert(df.count() == 10)
+    val rows = df.orderBy("p").collect()
+    val nt = rows.map(_.getAs[Long]("n_tokens")); val vb = rows.map(_.getAs[Long]("vocab"))
+    assert(nt.zip(nt.tail).forall { case (a, b) => b >= a })
+    assert(vb.zip(vb.tail).forall { case (a, b) => b >= a })
+    // the final prefix covers the whole corpus
+    val allTok = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t")).filter(col("t") =!= "")
+    assert(nt.last == allTok.count())
+    assert(vb.last == allTok.distinct().count())
+    // one beta/k pair repeated on every row
+    assert(df.select("beta").distinct().count() == 1)
+    assert(df.select("k_coef").distinct().count() == 1)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()

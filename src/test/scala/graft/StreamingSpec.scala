@@ -1136,6 +1136,27 @@ class StreamingSpec extends AnyFunSuite {
       s"served drift table must equal batch psi_drift: $served vs $batch")
   }
 
+  test("srm stream served from drained pair state equals the batch check") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Ev]
+    val q = Streams.srmPairsStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("srmpairs").start()
+    val (a, b) = evs.splitAt(evs.length / 2)
+    in.addData(a: _*); q.processAllAvailable()
+    in.addData(b: _*); q.processAllAvailable(); q.stop()
+    val served = Streams.srmFromPairs(spark.table("srmpairs"))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("ab_srm_check")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch, "served SRM table must equal batch ab_srm_check")
+  }
+
   test("erasure stream tombstones take effect mid-stream and re-delivery is a no-op") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
