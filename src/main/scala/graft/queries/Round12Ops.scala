@@ -3188,6 +3188,173 @@ object Round12Ops {
       |  CAST(round(kcoef, 4) AS DOUBLE) AS k_coef
       |FROM pts CROSS JOIN fin ORDER BY p""".stripMargin
 
+  /** #345 kappa_agreement — Cohen's κ between the learned quality
+    * classifier and the zero-parameter length baseline (keep iff
+    * longer than the corpus mean): raw agreement between two
+    * keep/drop filters flatters both when the base rates are skewed —
+    * κ is agreement BEYOND CHANCE, the honest "is the model adding
+    * anything over the dumb rule" number. The length rule compares
+    * n_chars·N > Σchars in EXACT integers (never a float mean
+    * boundary); all four cells are one doc-key join + one conditional
+    * agg; p_o, p_e, κ are a mirrored float chain over the 1-row cell
+    * frame (products ~N² in DECIMAL). Exact oracle.
+    */
+  def kappaAgreement(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val tot = Tables.documents(s, dir)
+      .agg(count(lit(1)).as("nn"), sum(col("n_chars")).as("schars"))
+    val a = Round9Ops.docQualityClassifier(s, dir)
+      .select(col("doc_id"), (col("verdict") === "keep").as("keep_model"))
+    val cells = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), (col("n_chars") * col("nn") > col("schars")).as("keep_len"))
+      .join(a, Seq("doc_id"))
+      .agg(
+        sum(when(col("keep_model") && col("keep_len"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("keep_model") && !col("keep_len"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("keep_model") && col("keep_len"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("keep_model") && !col("keep_len"), 1L).otherwise(0L)).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val po = (col("n11") + col("n00")).cast("double") / n.cast("double")
+    val pe = ((dec0(col("n11") + col("n10")) * dec0(col("n11") + col("n01"))
+      + dec0(col("n01") + col("n00")) * dec0(col("n10") + col("n00")))
+      .cast("double")) / (dec0(n) * dec0(n)).cast("double")
+    cells.select(col("n11"), col("n10"), col("n01"), col("n00"),
+      emit(po, 6).as("p_observed"),
+      emit(pe, 6).as("p_chance"),
+      emit((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+  }
+
+  val kappaAgreementSql: String =
+    s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
+       |tot AS (SELECT count(*) AS nn, CAST(sum(n_chars) AS BIGINT) AS schars FROM documents),
+       |cells AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN clf.verdict = 'keep' AND d.n_chars * nn > schars THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+       |    CAST(sum(CASE WHEN clf.verdict = 'keep' AND NOT (d.n_chars * nn > schars) THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+       |    CAST(sum(CASE WHEN clf.verdict <> 'keep' AND d.n_chars * nn > schars THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+       |    CAST(sum(CASE WHEN clf.verdict <> 'keep' AND NOT (d.n_chars * nn > schars) THEN 1 ELSE 0 END) AS BIGINT) AS n00
+       |  FROM clf JOIN documents d ON clf.doc_id = d.doc_id CROSS JOIN tot
+       |)
+       |SELECT n11, n10, n01, n00,
+       |  CAST(round(CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS DOUBLE) AS p_observed,
+       |  CAST(round(CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+       |      + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0)) AS DOUBLE)
+       |    / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) AS DOUBLE), 6) AS DOUBLE) AS p_chance,
+       |  CAST(round(
+       |    (CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+       |     - CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+       |         + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0)) AS DOUBLE)
+       |       / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) AS DOUBLE))
+       |    / (1.0 - CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+       |         + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0)) AS DOUBLE)
+       |       / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) AS DOUBLE)), 6) AS DOUBLE) AS kappa
+       |FROM cells""".stripMargin
+
+  /** #346 entropy_rate — the empirical entropy rate of the user
+    * journey Markov chain, H = −Σ_ij (n_ij/T)·log2(n_ij/n_i·), with
+    * the predictability complement 1 − H/log2(|states|):
+    * markov_transitions ships the matrix, THIS collapses it to the
+    * "how predictable is the next action" number a recommender or
+    * prefetcher is bounded by (Song et al. 2010's limit-of-
+    * predictability read). One lead-window pass builds transition
+    * counts (the markov_transitions chain verbatim); every term after
+    * runs on the |types|²-bounded matrix, ln-quotients 12-dp rounded
+    * into order-free DECIMAL sums, state count in-plan. Exact oracle.
+    */
+  def entropyRate(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(wp))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = counts.groupBy(col("cur_type").as("tc")).agg(sum(col("n")).as("ni"))
+    val tot = counts.agg(sum(col("n")).as("t"),
+      countDistinct(col("cur_type")).as("n_states"))
+    val term = (col("n").cast("double") / col("t").cast("double")) *
+      (log(col("n").cast("double") / col("ni").cast("double")) / log(lit(2.0)))
+    counts.join(broadcast(rowTot), col("cur_type") === col("tc"))
+      .crossJoin(broadcast(tot))
+      .select(col("t"), col("n_states"), round(term, 12).cast(Dec12).as("term"))
+      .groupBy(col("t"), col("n_states"))
+      .agg((-sum(col("term"))).as("h"))
+      .select(col("t").as("n_transitions"), col("n_states"),
+        emit(col("h").cast("double"), 6).as("entropy_rate_bits"),
+        emit(log(col("n_states").cast("double")) / log(lit(2.0)), 6).as("max_entropy_bits"),
+        emit(lit(1.0) - col("h").cast("double")
+          / (log(col("n_states").cast("double")) / log(lit(2.0))), 6).as("predictability"))
+  }
+
+  val entropyRateSql: String =
+    """WITH t0 AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events
+      |),
+      |c AS (
+      |  SELECT event_type AS cur_type, next_type, count(*) AS n
+      |  FROM t0 WHERE next_type IS NOT NULL GROUP BY 1, 2
+      |),
+      |rt AS (SELECT cur_type AS tc, CAST(sum(n) AS BIGINT) AS ni FROM c GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t, count(DISTINCT cur_type) AS n_states FROM c),
+      |terms AS (
+      |  SELECT t, n_states,
+      |    sum(CAST(round(
+      |      (CAST(n AS DOUBLE) / CAST(t AS DOUBLE))
+      |        * (ln(CAST(n AS DOUBLE) / CAST(ni AS DOUBLE)) / ln(2.0)), 12) AS DECIMAL(38,12))) AS sh
+      |  FROM c JOIN rt ON c.cur_type = rt.tc CROSS JOIN tot
+      |  GROUP BY 1, 2
+      |)
+      |SELECT t AS n_transitions, n_states,
+      |  CAST(round(CAST(-sh AS DOUBLE), 6) AS DOUBLE) AS entropy_rate_bits,
+      |  CAST(round(ln(CAST(n_states AS DOUBLE)) / ln(2.0), 6) AS DOUBLE) AS max_entropy_bits,
+      |  CAST(round(1.0 - CAST(-sh AS DOUBLE) / (ln(CAST(n_states AS DOUBLE)) / ln(2.0)), 6) AS DOUBLE) AS predictability
+      |FROM terms""".stripMargin
+
+  /** #347 cv_fold_manifest — 5-fold cross-validation assignment with
+    * the balance audit: folds from the portable seeded-md5 device
+    * (deterministic, coordination-free, join-free — any worker
+    * recomputes membership from the id alone, the corpus_split rule),
+    * and per fold the size share and label (lang='en') share against
+    * the corpus-wide rate — the check that a fold didn't inherit a
+    * skewed stratum, which silently widens CV variance. One conditional
+    * agg over one scan; shares divide exact longs. Exact oracle.
+    */
+  def cvFoldManifest(s: SparkSession, dir: String): DataFrame = {
+    val folds = Tables.documents(s, dir)
+      .select(
+        (conv(substring(md5(concat(lit("cv:"), col("doc_id").cast("string"))), 1, 6), 16, 10)
+          .cast("long") % 5).as("fold"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val tot = folds.agg(count(lit(1)).as("nn"), sum(col("y")).as("ne"))
+    folds.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("y")).as("n_en"))
+      .crossJoin(broadcast(tot))
+      .select(col("fold"), col("n_docs"), col("n_en"),
+        emit(col("n_docs").cast("double") / col("nn").cast("double"), 6).as("size_share"),
+        emit(col("n_en").cast("double") / col("n_docs").cast("double"), 6).as("en_share"),
+        emit(col("n_en").cast("double") / col("n_docs").cast("double")
+          - col("ne").cast("double") / col("nn").cast("double"), 6).as("en_share_dev"))
+      .orderBy(col("fold"))
+  }
+
+  val cvFoldManifestSql: String =
+    """WITH f AS (
+      |  SELECT (CAST(concat('0x', substr(md5('cv:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) % 5) AS fold,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      |  FROM documents
+      |),
+      |tot AS (SELECT count(*) AS nn, CAST(sum(y) AS BIGINT) AS ne FROM f)
+      |SELECT fold, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_en,
+      |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(nn) AS DOUBLE), 6) AS DOUBLE) AS size_share,
+      |  CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS en_share,
+      |  CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    - CAST(any_value(ne) AS DOUBLE) / CAST(any_value(nn) AS DOUBLE), 6) AS DOUBLE) AS en_share_dev
+      |FROM f CROSS JOIN tot GROUP BY fold ORDER BY fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -3229,7 +3396,10 @@ object Round12Ops {
     "brier_decomposition" -> (brierDecomposition(_, _)),
     "hill_tail_index" -> (hillTailIndex(_, _)),
     "mann_kendall_trend" -> (mannKendallTrend(_, _)),
-    "heaps_law_fit" -> (heapsLawFit(_, _)))
+    "heaps_law_fit" -> (heapsLawFit(_, _)),
+    "kappa_agreement" -> (kappaAgreement(_, _)),
+    "entropy_rate" -> (entropyRate(_, _)),
+    "cv_fold_manifest" -> (cvFoldManifest(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -3271,5 +3441,8 @@ object Round12Ops {
     "brier_decomposition" -> brierDecompositionSql,
     "hill_tail_index" -> hillTailIndexSql,
     "mann_kendall_trend" -> mannKendallTrendSql,
-    "heaps_law_fit" -> heapsLawFitSql)
+    "heaps_law_fit" -> heapsLawFitSql,
+    "kappa_agreement" -> kappaAgreementSql,
+    "entropy_rate" -> entropyRateSql,
+    "cv_fold_manifest" -> cvFoldManifestSql)
 }

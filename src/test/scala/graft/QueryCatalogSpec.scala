@@ -3089,6 +3089,64 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.select("k_coef").distinct().count() == 1)
   }
 
+  test("kappa reconciles with its cells and never exceeds one") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("kappa_agreement")(spark, dir).cache()
+    val r = df.head
+    val (n11, n10, n01, n00) = (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    val n = n11 + n10 + n01 + n00
+    assert(n == Tables.documents(spark, dir).count(), "cells partition the corpus")
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble * (n11 + n01) + (n01 + n00).toDouble * (n10 + n00)) / (n.toDouble * n)
+    assert(math.abs(r.getAs[Double]("p_observed") - po) < 1e-5)
+    assert(math.abs(r.getAs[Double]("p_chance") - pe) < 1e-5)
+    val kappa = r.getAs[Double]("kappa")
+    assert(math.abs(kappa - (po - pe) / (1 - pe)) < 1e-4)
+    assert(kappa <= 1.000001 && kappa >= -1.000001)
+  }
+
+  test("entropy rate is bounded by the max entropy and matches a driver replay") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("entropy_rate")(spark, dir).cache()
+    val r = df.head
+    val h = r.getAs[Double]("entropy_rate_bits")
+    val hmax = r.getAs[Double]("max_entropy_bits")
+    assert(h >= 0 && h <= hmax + 1e-6, s"H $h must lie in [0, $hmax]")
+    assert(math.abs(r.getAs[Double]("predictability") - (1.0 - h / hmax)) < 1e-5)
+    // replay from the oracle-verified transition matrix
+    val m = SparkEntry.queries("markov_transitions")(spark, dir)
+      .select("cur_type", "n").collect()
+    val total = m.map(_.getAs[Long]("n")).sum.toDouble
+    val rowTot = m.groupBy(_.getString(0)).view.mapValues(_.map(_.getAs[Long]("n")).sum).toMap
+    val expected = -m.map { row =>
+      val nij = row.getAs[Long]("n").toDouble
+      nij / total * (math.log(nij / rowTot(row.getString(0))) / math.log(2.0))
+    }.sum
+    assert(math.abs(h - expected) < 1e-5, s"engine H $h vs replay $expected")
+    assert(r.getAs[Long]("n_transitions") == total.toLong)
+  }
+
+  test("cv folds partition the corpus with bounded label skew") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cv_fold_manifest")(spark, dir).cache()
+    assert(df.count() == 5)
+    assert(df.agg(sum("n_docs")).head.getLong(0) == Tables.documents(spark, dir).count())
+    assert(math.abs(df.agg(sum("size_share")).head.getDouble(0) - 1.0) < 1e-4)
+    // the md5 device spreads both size and label evenly
+    assert(df.filter(abs(col("size_share") - 0.2) > 0.05).count() == 0,
+      "each fold holds roughly a fifth of the corpus")
+    // statistical bound: a random fold's rate is within ~4σ of the
+    // corpus rate, σ = √(p(1−p)/n_fold)
+    val p = df.agg(sum("n_en")).head.getLong(0).toDouble /
+      df.agg(sum("n_docs")).head.getLong(0)
+    val offenders = df.collect().count { r =>
+      val nf = r.getAs[Long]("n_docs").toDouble
+      math.abs(r.getAs[Double]("en_share_dev")) > 4 * math.sqrt(p * (1 - p) / nf)
+    }
+    assert(offenders == 0, "fold label rates stay within 4 sigma of the corpus rate")
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
