@@ -3355,6 +3355,162 @@ object Round12Ops {
       |    - CAST(any_value(ne) AS DOUBLE) / CAST(any_value(nn) AS DOUBLE), 6) AS DOUBLE) AS en_share_dev
       |FROM f CROSS JOIN tot GROUP BY fold ORDER BY fold""".stripMargin
 
+  /** #348 dedup_threshold_sweep — near-dup threshold sensitivity over
+    * the adjacent-pair Jaccard probe (the same pair set
+    * minhash_calibration trusts): for each candidate cut {0.1 … 0.7,
+    * incl. the 0.35 production cut dedup_clusters ships}, how many
+    * probe pairs merge, the merge share, and the surviving doc count
+    * under chain merging (consecutive-pair edges ⇒ components = docs −
+    * merged edges, exactly) — the table a pipeline owner reads BEFORE
+    * moving the dedup knob, instead of discovering a 30% corpus cut
+    * after the run. Everything past the (oracle-verified) pair chain
+    * is a 6-row axis against bounded pair counts. Exact oracle.
+    */
+  def dedupThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.ngramJaccard(s, dir).select(col("jaccard"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    val thrs = s.range(0, 6).select(
+      element_at(array(lit(0.1), lit(0.2), lit(0.3), lit(0.35), lit(0.5), lit(0.7)),
+        (col("id") + 1).cast("int")).as("threshold"))
+    pairs.crossJoin(broadcast(thrs))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("jaccard") >= col("threshold"), 1L).otherwise(0L)).as("n_merged"),
+        count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("threshold"), col("n_merged"), col("n_pairs"),
+        emit(col("n_merged").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("merge_share"),
+        (col("n_docs") - col("n_merged")).as("survivors_if_merged"))
+      .orderBy(col("threshold"))
+  }
+
+  val dedupThresholdSweepSql: String =
+    s"""WITH pairs AS (${TextOps.ngramJaccardSql.replace("ORDER BY a", "")}),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |thrs AS (SELECT unnest([0.1, 0.2, 0.3, 0.35, 0.5, 0.7]) AS threshold),
+       |agg AS (
+       |  SELECT threshold,
+       |    CAST(sum(CASE WHEN jaccard >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_merged,
+       |    count(*) AS n_pairs
+       |  FROM pairs CROSS JOIN thrs GROUP BY 1
+       |)
+       |SELECT threshold, n_merged, n_pairs,
+       |  CAST(round(CAST(n_merged AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS DOUBLE) AS merge_share,
+       |  n_docs - n_merged AS survivors_if_merged
+       |FROM agg CROSS JOIN nd ORDER BY threshold""".stripMargin
+
+  /** #349 seasonal_strength — Hyndman's trend/seasonal strength of the
+    * daily volume series, F = max(0, 1 − Var(R)/Var(component + R)),
+    * computed over seasonal_decompose's own oracle-verified 6-dp
+    * component columns (both engines emit those columns bit-equal, so
+    * chaining float arithmetic on them stays mirrored — the
+    * rank_rbo_report rule): one number per component answering "is
+    * the weekly shape real enough that a seasonal model (#318) earns
+    * its keep over plain Holt (#307)", the decision forecast_backtest
+    * measures after the fact. Variance moments are 12-dp rounded into
+    * order-free DECIMAL sums over the calendar-bounded series. Exact
+    * oracle.
+    */
+  def seasonalStrength(s: SparkSession, dir: String): DataFrame = {
+    val comp = Round11Ops.seasonalDecompose(s, dir)
+      .select(col("n_events").cast("double").as("x"),
+        col("trend").as("t"), col("seasonal").as("sc"), col("residual").as("r"))
+    def varOf(c: Column, tag: String): Seq[Column] = Seq(
+      sum(round(c * c, 12).cast(Dec12)).as(s"s2_$tag"),
+      sum(round(c, 6).cast(Dec12)).as(s"s1_$tag"))
+    val m = comp.agg(
+      count(lit(1)).as("n"),
+      (varOf(col("r"), "r") ++ varOf(col("sc") + col("r"), "sr")
+        ++ varOf(col("t") + col("r"), "tr")): _*)
+    def variance(tag: String): Column = {
+      val mean = col(s"s1_$tag").cast("double") / col("n").cast("double")
+      col(s"s2_$tag").cast("double") / col("n").cast("double") - mean * mean
+    }
+    m.select(col("n").as("n_days"),
+      emit(variance("r"), 6).as("var_resid"),
+      emit(greatest(lit(0.0), lit(1.0) - variance("r") / variance("sr")), 6)
+        .as("f_seasonal"),
+      emit(greatest(lit(0.0), lit(1.0) - variance("r") / variance("tr")), 6)
+        .as("f_trend"))
+  }
+
+  val seasonalStrengthSql: String = {
+    def v(tag: String): String =
+      s"CAST(s2_$tag AS DOUBLE) / CAST(n AS DOUBLE) " +
+        s"- (CAST(s1_$tag AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1_$tag AS DOUBLE) / CAST(n AS DOUBLE))"
+    s"""WITH comp AS (${Round11Ops.seasonalDecomposeSql.replace("ORDER BY day", "")}),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(round(residual * residual, 12) AS DECIMAL(38,12))) AS s2_r,
+       |    sum(CAST(round(residual, 6) AS DECIMAL(38,12))) AS s1_r,
+       |    sum(CAST(round((seasonal + residual) * (seasonal + residual), 12) AS DECIMAL(38,12))) AS s2_sr,
+       |    sum(CAST(round(seasonal + residual, 6) AS DECIMAL(38,12))) AS s1_sr,
+       |    sum(CAST(round((trend + residual) * (trend + residual), 12) AS DECIMAL(38,12))) AS s2_tr,
+       |    sum(CAST(round(trend + residual, 6) AS DECIMAL(38,12))) AS s1_tr
+       |  FROM comp
+       |)
+       |SELECT n AS n_days,
+       |  CAST(round(${v("r")}, 6) AS DOUBLE) AS var_resid,
+       |  CAST(round(greatest(0.0, 1.0 - (${v("r")}) / (${v("sr")})), 6) AS DOUBLE) AS f_seasonal,
+       |  CAST(round(greatest(0.0, 1.0 - (${v("r")}) / (${v("tr")})), 6) AS DOUBLE) AS f_trend
+       |FROM m""".stripMargin
+  }
+
+  /** #350 embed_outlier_report — per-vector standardized anomaly score
+    * (diagonal Mahalanobis: Σ_d ((v_d−μ_d)/σ_d)²) with the top-20
+    * outliers: the index-hygiene screen upstream of every ANN family —
+    * a corrupt or wrongly-scaled vector poisons IVF centroids and PQ
+    * codebooks silently, and embed_dim_stats' per-dim table can't
+    * point at WHICH vectors. One posexplode pass against the
+    * broadcast 64-row (μ, σ) table (moments via the embed_dim_stats
+    * decimal discipline), per-vector terms 12-dp→DECIMAL, top-20 by
+    * the ROUNDED score (vec_id tie-break) as TakeOrdered. Zero-σ
+    * dims contribute nothing by guard. Exact oracle.
+    */
+  def embedOutlierReport(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select(col("vec_id"), col("pos"), col("vf").cast("double").as("v"))
+    val stats = e.groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"), dsum(col("v")).as("s1"),
+        sum(round(col("v") * col("v"), 12).cast(Dec12)).as("s2"))
+      .select(col("pos"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        (col("s2").cast("double") / col("n").cast("double")
+          - (col("s1").cast("double") / col("n").cast("double"))
+            * (col("s1").cast("double") / col("n").cast("double"))).as("vr"))
+    val term = when(col("vr") > 0,
+      round((col("v") - col("mu")) * (col("v") - col("mu")) / col("vr"), 12))
+      .otherwise(lit(0.0))
+    e.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), term.cast(Dec12).as("t"))
+      .groupBy(col("vec_id")).agg(sum(col("t")).as("sc"))
+      .select(col("vec_id"), emit(col("sc").cast("double"), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(20)
+  }
+
+  val embedOutlierReportSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, pos, CAST(embedding[pos + 1] AS DOUBLE) AS v
+      |  FROM embeddings, range(0, 64) t(pos)
+      |),
+      |stats AS (
+      |  SELECT pos,
+      |    CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+      |    CAST(sum(CAST(round(v * v, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      - (CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |        * (CAST(sum(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS vr
+      |  FROM e GROUP BY 1
+      |),
+      |terms AS (
+      |  SELECT vec_id,
+      |    sum(CAST(CASE WHEN vr > 0
+      |      THEN round((v - mu) * (v - mu) / vr, 12) ELSE 0.0 END AS DECIMAL(38,12))) AS sc
+      |  FROM e JOIN stats ON e.pos = stats.pos GROUP BY 1
+      |)
+      |SELECT vec_id, CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS score
+      |FROM terms ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -3399,7 +3555,10 @@ object Round12Ops {
     "heaps_law_fit" -> (heapsLawFit(_, _)),
     "kappa_agreement" -> (kappaAgreement(_, _)),
     "entropy_rate" -> (entropyRate(_, _)),
-    "cv_fold_manifest" -> (cvFoldManifest(_, _)))
+    "cv_fold_manifest" -> (cvFoldManifest(_, _)),
+    "dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
+    "seasonal_strength" -> (seasonalStrength(_, _)),
+    "embed_outlier_report" -> (embedOutlierReport(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -3444,5 +3603,8 @@ object Round12Ops {
     "heaps_law_fit" -> heapsLawFitSql,
     "kappa_agreement" -> kappaAgreementSql,
     "entropy_rate" -> entropyRateSql,
-    "cv_fold_manifest" -> cvFoldManifestSql)
+    "cv_fold_manifest" -> cvFoldManifestSql,
+    "dedup_threshold_sweep" -> dedupThresholdSweepSql,
+    "seasonal_strength" -> seasonalStrengthSql,
+    "embed_outlier_report" -> embedOutlierReportSql)
 }

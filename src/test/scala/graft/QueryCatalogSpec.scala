@@ -3147,6 +3147,56 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(offenders == 0, "fold label rates stay within 4 sigma of the corpus rate")
   }
 
+  test("dedup sweep is monotone in the threshold") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("dedup_threshold_sweep")(spark, dir).cache()
+    assert(df.count() == 6)
+    val rows = df.orderBy("threshold").collect()
+    val merged = rows.map(_.getAs[Long]("n_merged"))
+    assert(merged.zip(merged.tail).forall { case (a, b) => b <= a },
+      "raising the cut can only merge fewer pairs")
+    assert(rows.map(_.getAs[Long]("n_pairs")).distinct.length == 1,
+      "every threshold sees the same probe pair set")
+    val nDocs = Tables.documents(spark, dir).count()
+    assert(rows.forall(r =>
+      r.getAs[Long]("survivors_if_merged") == nDocs - r.getAs[Long]("n_merged")))
+  }
+
+  test("seasonal strength stays in [0,1] and reconciles with the components") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("seasonal_strength")(spark, dir).cache()
+    val r = df.head
+    val (fs, ft) = (r.getAs[Double]("f_seasonal"), r.getAs[Double]("f_trend"))
+    assert(fs >= 0 && fs <= 1 && ft >= 0 && ft <= 1)
+    assert(r.getAs[Double]("var_resid") >= 0)
+    // replay from the decompose table's columns
+    val comp = SparkEntry.queries("seasonal_decompose")(spark, dir)
+      .select("trend", "seasonal", "residual").collect()
+      .map(x => (x.getDouble(0), x.getDouble(1), x.getDouble(2)))
+    def variance(xs: Array[Double]) = {
+      val m = xs.sum / xs.length; xs.map(v => (v - m) * (v - m)).sum / xs.length
+    }
+    val vr = variance(comp.map(_._3))
+    val fsExp = math.max(0, 1 - vr / variance(comp.map(c => c._2 + c._3)))
+    val ftExp = math.max(0, 1 - vr / variance(comp.map(c => c._1 + c._3)))
+    assert(math.abs(fs - fsExp) < 1e-4, s"f_seasonal $fs vs replay $fsExp")
+    assert(math.abs(ft - ftExp) < 1e-4, s"f_trend $ft vs replay $ftExp")
+    assert(r.getAs[Long]("n_days") == comp.length)
+  }
+
+  test("embed outliers carry the largest standardized scores") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("embed_outlier_report")(spark, dir).cache()
+    assert(df.count() == 20)
+    assert(df.filter(col("score") < 0).count() == 0)
+    val scores = df.orderBy(col("score").desc).collect().map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // a standardized sum over 64 dims has expectation ~64: the top-20
+    // must sit above the expectation, else they are not outliers
+    assert(scores.head > 64.0, s"top outlier score ${scores.head} should exceed E[chi2_64]")
+    assert(df.select("vec_id").distinct().count() == 20)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
