@@ -3511,6 +3511,235 @@ object Round12Ops {
       |SELECT vec_id, CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS score
       |FROM terms ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
+  /** #351 graph_modularity — Newman modularity Q and per-community
+    * conductance for the label-propagation communities: #59 ships the
+    * PARTITION, this ships its QUALITY — the number that says whether
+    * those communities are structure or noise (Q≈0 ⇒ no better than
+    * random for the degree sequence) plus the per-community cut
+    * quality a partitioner/sharding decision reads. Per community
+    * vol, intra-edge and cut counts come from two label joins over
+    * the O(E) symmetric edge list; Q terms and conductance run on the
+    * bounded per-community table, 12-dp rounded into order-free
+    * DECIMAL sums; the TOTAL row (community = −1) carries Q. Exact
+    * oracle over the communities chain's own verified CTEs.
+    */
+  def graphModularity(s: SparkSession, dir: String): DataFrame = {
+    val dedges = Round2Ops.edgesDf(s, dir).distinct()
+    val sym = graft.Lineage.cut(
+      dedges.unionByName(dedges.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    val labels = graphCommunitiesLabels(s, dir)
+    val joined = sym
+      .join(labels.select(col("node").as("src"), col("community").as("cs")), Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("community").as("cd")), Seq("dst"))
+    val m2 = joined.agg(count(lit(1)).as("m2"))
+    val perC = joined.groupBy(col("cs").as("community"))
+      .agg(count(lit(1)).as("vol"),
+        sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("intra2"))
+    val nodes = labels.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+    val rows = perC.join(nodes, Seq("community")).crossJoin(broadcast(m2))
+      .select(col("community"), col("n_nodes"), col("vol"),
+        (col("vol") - col("intra2")).as("cut_edges"),
+        emit(when(least(col("vol"), col("m2") - col("vol")) > 0,
+          (col("vol") - col("intra2")).cast("double")
+            / least(col("vol"), col("m2") - col("vol")).cast("double"))
+          .otherwise(lit(0.0)), 6).as("conductance"),
+        round(col("intra2").cast("double") / col("m2").cast("double")
+          - (col("vol").cast("double") / col("m2").cast("double"))
+            * (col("vol").cast("double") / col("m2").cast("double")), 12).as("qt"))
+    val total = rows.agg(sum(col("qt").cast(Dec12)).as("q"),
+      sum(col("n_nodes")).as("nn"), sum(col("vol")).as("tv"),
+      sum(col("cut_edges")).as("tc"))
+      .select(lit(-1L).as("community"), col("nn").as("n_nodes"), col("tv").as("vol"),
+        col("tc").as("cut_edges"), lit(null).cast("double").as("conductance"),
+        emit(col("q").cast("double"), 6).as("q_term"))
+    rows.select(col("community"), col("n_nodes"), col("vol"), col("cut_edges"),
+      col("conductance"), emit(col("qt"), 6).as("q_term"))
+      .unionByName(total)
+      .orderBy(col("community"))
+  }
+
+  val graphModularitySql: String =
+    s"""WITH comm AS (${Round2Ops.graphCommunitiesSql.replace("ORDER BY node", "")}),
+       |e0 AS (${Round2Ops.edgesSql}),
+       |dedges AS (SELECT DISTINCT src, dst FROM e0),
+       |sym AS (
+       |  SELECT src, dst FROM dedges
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM dedges
+       |),
+       |joined AS (
+       |  SELECT ls.community AS cs, ld.community AS cd
+       |  FROM sym
+       |  JOIN comm ls ON sym.src = ls.node
+       |  JOIN comm ld ON sym.dst = ld.node
+       |),
+       |m2 AS (SELECT count(*) AS m2 FROM joined),
+       |perc AS (
+       |  SELECT cs AS community, count(*) AS vol,
+       |    CAST(sum(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS intra2
+       |  FROM joined GROUP BY 1
+       |),
+       |nodes AS (SELECT community, count(*) AS n_nodes FROM comm GROUP BY 1),
+       |rows0 AS (
+       |  SELECT perc.community, n_nodes, vol, vol - intra2 AS cut_edges,
+       |    CAST(round(CASE WHEN least(vol, m2 - vol) > 0
+       |      THEN CAST(vol - intra2 AS DOUBLE) / CAST(least(vol, m2 - vol) AS DOUBLE)
+       |      ELSE 0.0 END, 6) AS DOUBLE) AS conductance,
+       |    round(CAST(intra2 AS DOUBLE) / CAST(m2 AS DOUBLE)
+       |      - (CAST(vol AS DOUBLE) / CAST(m2 AS DOUBLE)) * (CAST(vol AS DOUBLE) / CAST(m2 AS DOUBLE)),
+       |      12) AS qt
+       |  FROM perc JOIN nodes ON perc.community = nodes.community CROSS JOIN m2
+       |)
+       |SELECT community, n_nodes, vol, cut_edges, conductance,
+       |  CAST(round(qt, 6) AS DOUBLE) AS q_term
+       |FROM rows0
+       |UNION ALL
+       |SELECT -1 AS community, CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+       |  CAST(sum(vol) AS BIGINT) AS vol, CAST(sum(cut_edges) AS BIGINT) AS cut_edges,
+       |  NULL AS conductance,
+       |  CAST(round(CAST(sum(CAST(qt AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) AS q_term
+       |FROM rows0
+       |ORDER BY community""".stripMargin
+
+  /** The communities labels as a reusable frame (the #59 chain minus
+    * its ORDER BY — modularity joins it twice).
+    */
+  private def graphCommunitiesLabels(s: SparkSession, dir: String): DataFrame =
+    graft.Lineage.cut(Round2Ops.graphCommunities(s, dir))
+
+  /** #352 covariate_balance_smd — standardized mean differences of
+    * pre-treatment covariates between the md5 experiment arms
+    * (Austin 2009's balance table): the check did_lift and
+    * ab_lift_report silently assume — randomization that failed on a
+    * covariate (|SMD| > 0.1) biases every downstream readout, and no
+    * outcome statistic will say so. Per-user covariates (event count,
+    * purchase count, purchase value, active days) collapse in ONE
+    * fine-keyed agg; per-(covariate, arm) moments are 6/12-dp rounded
+    * DECIMAL sums (order-free); SMD = (μA−μB)/√((s²A+s²B)/2) runs on
+    * the bounded 4-row frame, mirrored. Exact oracle.
+    */
+  def covariateBalanceSmd(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast("double")
+          .as("n_purchases"),
+        emit(dsum(when(col("event_type") === "purchase", round(col("value"), 6))
+          .otherwise(lit(0.0))), 6).as("purchase_value"),
+        countDistinct(to_date(col("ts"))).cast("double").as("active_days"))
+      .select(
+        when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", "A")
+          .otherwise("B").as("arm"),
+        explode(array(
+          struct(lit("n_events").as("cov"), col("n_events").as("x")),
+          struct(lit("n_purchases").as("cov"), col("n_purchases").as("x")),
+          struct(lit("purchase_value").as("cov"), col("purchase_value").as("x")),
+          struct(lit("active_days").as("cov"), col("active_days").as("x")))).as("c"))
+      .select(col("arm"), col("c.cov").as("cov"), col("c.x").as("x"))
+    val m = perUser.groupBy(col("cov"), col("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x"), 6).cast(Dec12)).as("s1"),
+        sum(round(col("x") * col("x"), 12).cast(Dec12)).as("s2"))
+      .select(col("cov"), col("arm"), col("n"),
+        (col("s1").cast("double") / col("n").cast("double")).as("mu"),
+        (col("s2").cast("double") / col("n").cast("double")
+          - (col("s1").cast("double") / col("n").cast("double"))
+            * (col("s1").cast("double") / col("n").cast("double"))).as("vr"))
+    val wide = m.groupBy(col("cov"))
+      .agg(
+        sum(when(col("arm") === "A", col("mu"))).as("mu_a"),
+        sum(when(col("arm") === "B", col("mu"))).as("mu_b"),
+        sum(when(col("arm") === "A", col("vr"))).as("vr_a"),
+        sum(when(col("arm") === "B", col("vr"))).as("vr_b"))
+    wide.select(col("cov"),
+      emit(col("mu_a"), 6).as("mean_a"), emit(col("mu_b"), 6).as("mean_b"),
+      emit((col("mu_a") - col("mu_b"))
+        / sqrt((col("vr_a") + col("vr_b")) / lit(2.0)), 6).as("smd"))
+      .withColumn("imbalanced", abs(col("smd")) > 0.1)
+      .orderBy(col("cov"))
+  }
+
+  val covariateBalanceSmdSql: String =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |    CAST(count(*) AS DOUBLE) AS n_events,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS n_purchases,
+      |    CAST(round(CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+      |      THEN round(value, 6) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE), 6) AS DOUBLE) AS purchase_value,
+      |    CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS active_days
+      |  FROM events GROUP BY 1
+      |),
+      |long AS (
+      |  SELECT CASE WHEN md5('exp1:' || CAST(user_id AS VARCHAR)) < '8' THEN 'A' ELSE 'B' END AS arm,
+      |    cov, x
+      |  FROM pu, LATERAL (VALUES
+      |    ('n_events', n_events), ('n_purchases', n_purchases),
+      |    ('purchase_value', purchase_value), ('active_days', active_days)) AS t(cov, x)
+      |),
+      |m AS (
+      |  SELECT cov, arm, count(*) AS n,
+      |    CAST(sum(CAST(round(x, 6) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu,
+      |    CAST(sum(CAST(round(x * x, 12) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |      - (CAST(sum(CAST(round(x, 6) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+      |        * (CAST(sum(CAST(round(x, 6) AS DECIMAL(38,12))) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS vr
+      |  FROM long GROUP BY 1, 2
+      |),
+      |wide AS (
+      |  SELECT cov,
+      |    sum(CASE WHEN arm = 'A' THEN mu END) AS mu_a,
+      |    sum(CASE WHEN arm = 'B' THEN mu END) AS mu_b,
+      |    sum(CASE WHEN arm = 'A' THEN vr END) AS vr_a,
+      |    sum(CASE WHEN arm = 'B' THEN vr END) AS vr_b
+      |  FROM m GROUP BY 1
+      |)
+      |SELECT cov,
+      |  CAST(round(mu_a, 6) AS DOUBLE) AS mean_a,
+      |  CAST(round(mu_b, 6) AS DOUBLE) AS mean_b,
+      |  CAST(round((mu_a - mu_b) / sqrt((vr_a + vr_b) / 2.0), 6) AS DOUBLE) AS smd,
+      |  abs(CAST(round((mu_a - mu_b) / sqrt((vr_a + vr_b) / 2.0), 6) AS DOUBLE)) > 0.1 AS imbalanced
+      |FROM wide ORDER BY cov""".stripMargin
+
+  /** #353 cold_start_coverage — the recommender cold-start table: per
+    * interaction threshold {1,2,5,10}, the share of users below it
+    * and the share of total events those users carry — the two
+    * numbers that decide whether a personalized model needs a
+    * popularity fallback tier and how much traffic that tier serves.
+    * One per-user count, then conditional sums against the broadcast
+    * 4-row axis; shares divide exact longs. Exact oracle.
+    */
+  def coldStartCoverage(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir).groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val thrs = s.range(0, 4).select(
+      element_at(array(lit(1L), lit(2L), lit(5L), lit(10L)), (col("id") + 1).cast("int"))
+        .as("threshold"))
+    perUser.crossJoin(broadcast(thrs))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("n") < col("threshold"), 1L).otherwise(0L)).as("cold_users"),
+        count(lit(1)).as("n_users"),
+        sum(when(col("n") < col("threshold"), col("n")).otherwise(0L)).as("cold_events"),
+        sum(col("n")).as("n_events"))
+      .select(col("threshold"), col("cold_users"), col("n_users"),
+        emit(col("cold_users").cast("double") / col("n_users").cast("double"), 6)
+          .as("cold_user_share"),
+        emit(col("cold_events").cast("double") / col("n_events").cast("double"), 6)
+          .as("cold_event_share"))
+      .orderBy(col("threshold"))
+  }
+
+  val coldStartCoverageSql: String =
+    """WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |thrs AS (SELECT unnest([1, 2, 5, 10]) AS threshold)
+      |SELECT threshold,
+      |  CAST(sum(CASE WHEN n < threshold THEN 1 ELSE 0 END) AS BIGINT) AS cold_users,
+      |  count(*) AS n_users,
+      |  CAST(round(CAST(sum(CASE WHEN n < threshold THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS cold_user_share,
+      |  CAST(round(CAST(sum(CASE WHEN n < threshold THEN n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(n) AS DOUBLE), 6) AS DOUBLE) AS cold_event_share
+      |FROM pu CROSS JOIN thrs GROUP BY threshold ORDER BY threshold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -3558,7 +3787,10 @@ object Round12Ops {
     "cv_fold_manifest" -> (cvFoldManifest(_, _)),
     "dedup_threshold_sweep" -> (dedupThresholdSweep(_, _)),
     "seasonal_strength" -> (seasonalStrength(_, _)),
-    "embed_outlier_report" -> (embedOutlierReport(_, _)))
+    "embed_outlier_report" -> (embedOutlierReport(_, _)),
+    "graph_modularity" -> (graphModularity(_, _)),
+    "covariate_balance_smd" -> (covariateBalanceSmd(_, _)),
+    "cold_start_coverage" -> (coldStartCoverage(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -3606,5 +3838,8 @@ object Round12Ops {
     "cv_fold_manifest" -> cvFoldManifestSql,
     "dedup_threshold_sweep" -> dedupThresholdSweepSql,
     "seasonal_strength" -> seasonalStrengthSql,
-    "embed_outlier_report" -> embedOutlierReportSql)
+    "embed_outlier_report" -> embedOutlierReportSql,
+    "graph_modularity" -> graphModularitySql,
+    "covariate_balance_smd" -> covariateBalanceSmdSql,
+    "cold_start_coverage" -> coldStartCoverageSql)
 }

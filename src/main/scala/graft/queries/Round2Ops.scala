@@ -19,7 +19,7 @@ object Round2Ops {
   /** Deterministic follows graph shared with GraphOps (same projection
     * of purchases into the 0..149 user space).
     */
-  private def edgesDf(s: SparkSession, dir: String): DataFrame =
+  private[graft] def edgesDf(s: SparkSession, dir: String): DataFrame =
     Tables
       .orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
@@ -28,7 +28,7 @@ object Round2Ops {
         ((col("l_suppkey") * 17 + col("l_partkey")) % 150).as("dst"))
       .filter(col("src") =!= col("dst"))
 
-  private val edgesSql: String =
+  private[graft] val edgesSql: String =
     """SELECT o_custkey % 150 AS src, (l_suppkey * 17 + l_partkey) % 150 AS dst
       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |WHERE o_custkey % 150 <> (l_suppkey * 17 + l_partkey) % 150""".stripMargin

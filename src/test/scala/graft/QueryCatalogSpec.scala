@@ -3197,6 +3197,66 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.select("vec_id").distinct().count() == 20)
   }
 
+  test("modularity totals conserve and Q stays in its theoretical band") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("graph_modularity")(spark, dir).cache()
+    val total = df.filter(col("community") === -1).head
+    val q = total.getAs[Double]("q_term")
+    assert(q >= -0.5 && q <= 1.0, s"modularity $q outside [-1/2, 1]")
+    val parts = df.filter(col("community") =!= -1).cache()
+    assert(parts.agg(sum("n_nodes")).head.getLong(0) == total.getAs[Long]("n_nodes"))
+    assert(parts.agg(sum("vol")).head.getLong(0) == total.getAs[Long]("vol"))
+    // per-community q terms sum to the total (up to 6-dp emits)
+    val sumQ = parts.agg(sum("q_term")).head.getDouble(0)
+    assert(math.abs(sumQ - q) < 1e-4 * math.max(1, parts.count()))
+    assert(parts.filter(col("conductance") < 0 || col("conductance") > 1.000001).count() == 0)
+    assert(parts.filter(col("cut_edges") < 0 || col("cut_edges") > col("vol")).count() == 0)
+  }
+
+  test("covariate balance reflects the fair md5 split") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("covariate_balance_smd")(spark, dir).cache()
+    assert(df.count() == 4)
+    assert(df.filter(col("imbalanced") =!= (abs(col("smd")) > 0.1)).count() == 0)
+    // replay one covariate's SMD driver-side
+    val pu = Tables.events(spark, dir).groupBy("user_id").count()
+      .withColumn("arm",
+        when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", "A").otherwise("B"))
+      .collect().map(r => (r.getAs[String]("arm"), r.getAs[Long]("count").toDouble))
+    // randomization by hash: SMD stays within sampling noise of zero,
+    // SE(SMD) ≈ √(1/nA + 1/nB)
+    val nA = pu.count(_._1 == "A").toDouble; val nB = pu.count(_._1 == "B").toDouble
+    val bound = 5 * math.sqrt(1 / nA + 1 / nB)
+    assert(df.filter(abs(col("smd")) > bound).count() == 0,
+      s"the md5 arms are randomized, so |SMD| must stay under $bound")
+    def stats(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(v => (v - m) * (v - m)).sum / xs.length)
+    }
+    val (ma, va) = stats(pu.filter(_._1 == "A").map(_._2))
+    val (mb, vb) = stats(pu.filter(_._1 == "B").map(_._2))
+    val expected = (ma - mb) / math.sqrt((va + vb) / 2)
+    val got = df.filter(col("cov") === "n_events").head.getAs[Double]("smd")
+    assert(math.abs(got - expected) < 1e-4, s"engine SMD $got vs replay $expected")
+  }
+
+  test("cold start shares are monotone and consistent") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cold_start_coverage")(spark, dir).cache()
+    assert(df.count() == 4)
+    val rows = df.orderBy("threshold").collect()
+    val us = rows.map(_.getAs[Double]("cold_user_share"))
+    val es = rows.map(_.getAs[Double]("cold_event_share"))
+    assert(us.zip(us.tail).forall { case (a, b) => b >= a - 1e-9 })
+    assert(es.zip(es.tail).forall { case (a, b) => b >= a - 1e-9 })
+    // cold users carry at most their user share of events (each has < t)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cold_event_share") <= r.getAs[Double]("cold_user_share") + 1e-9,
+        "below-threshold users cannot carry an above-average event share")
+    }
+    assert(rows.map(_.getAs[Long]("n_users")).distinct.length == 1)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
