@@ -3740,6 +3740,150 @@ object Round12Ops {
       |    / CAST(sum(n) AS DOUBLE), 6) AS DOUBLE) AS cold_event_share
       |FROM pu CROSS JOIN thrs GROUP BY threshold ORDER BY threshold""".stripMargin
 
+  /** #354 durbin_watson — the Durbin–Watson serial-correlation test on
+    * seasonal_decompose's residuals (DW = Σ(Δr)²/Σr², ρ₁ ≈ 1 − DW/2):
+    * the "are the leftovers actually white" closure of the
+    * decomposition family — a DW far from 2 means trend+seasonal
+    * missed structure and every downstream anomaly threshold on those
+    * residuals is mis-calibrated. Chains on the oracle-verified 6-dp
+    * residual column (the rank_rbo rule); the lag runs over the
+    * CALENDAR-bounded series, both quadratic-form sums 12-dp rounded
+    * into order-free DECIMALs. Exact oracle.
+    */
+  def durbinWatson(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+    val r = Round11Ops.seasonalDecompose(s, dir).select(col("day"), col("residual"))
+      .withColumn("rp", lag(col("residual"), 1).over(wp))
+    val m = r.agg(
+      count(lit(1)).as("n"),
+      sum(round(col("residual") * col("residual"), 12).cast(Dec12)).as("ss"),
+      sum(when(col("rp").isNotNull,
+        round((col("residual") - col("rp")) * (col("residual") - col("rp")), 12))
+        .otherwise(lit(0.0)).cast(Dec12)).as("sd"))
+    m.select(col("n").as("n_days"),
+      emit(col("sd").cast("double") / col("ss").cast("double"), 6).as("dw"),
+      emit(lit(1.0) - (col("sd").cast("double") / col("ss").cast("double")) / lit(2.0), 6)
+        .as("rho1"))
+  }
+
+  val durbinWatsonSql: String =
+    s"""WITH comp AS (${Round11Ops.seasonalDecomposeSql.replace("ORDER BY day", "")}),
+       |lagged AS (
+       |  SELECT residual, lag(residual) OVER (ORDER BY day) AS rp FROM comp
+       |),
+       |m AS (
+       |  SELECT count(*) AS n,
+       |    sum(CAST(round(residual * residual, 12) AS DECIMAL(38,12))) AS ss,
+       |    sum(CAST(CASE WHEN rp IS NOT NULL
+       |      THEN round((residual - rp) * (residual - rp), 12) ELSE 0.0 END AS DECIMAL(38,12))) AS sd
+       |  FROM lagged
+       |)
+       |SELECT n AS n_days,
+       |  CAST(round(CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS DOUBLE) AS dw,
+       |  CAST(round(1.0 - (CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE)) / 2.0, 6) AS DOUBLE) AS rho1
+       |FROM m""".stripMargin
+
+  /** #355 char_entropy_report — per-source character-level Shannon
+    * entropy (bits/char) with the character inventory: the
+    * lowest-level text-quality signal — mojibake, base64 blobs, and
+    * binary-in-text read HIGH, template/repeated filler reads LOW,
+    * and neither is visible to token statistics. The corpus reads
+    * once: each document explodes by character POSITION (a lateral
+    * range, no regex split ambiguity across engines), one
+    * (source, char) count, entropy terms ln-quotient 12-dp rounded
+    * into order-free DECIMAL sums over the bounded char-inventory
+    * relation. Exact oracle.
+    */
+  def charEntropyReport(s: SparkSession, dir: String): DataFrame = {
+    val chars = Tables.documents(s, dir)
+      .select(col("source"), col("text"),
+        explode(expr("sequence(1, length(text))")).as("i"))
+      .select(col("source"), expr("substring(text, i, 1)").as("ch"))
+    val counts = chars.groupBy(col("source"), col("ch")).agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col("source").as("s2"))
+      .agg(sum(col("n")).as("tn"), count(lit(1)).as("n_distinct"))
+    val term = (col("n").cast("double") / col("tn").cast("double")) *
+      (log(col("n").cast("double") / col("tn").cast("double")) / log(lit(2.0)))
+    counts.join(broadcast(tot), col("source") === col("s2"))
+      .select(col("source"), col("tn"), col("n_distinct"),
+        round(term, 12).cast(Dec12).as("t"))
+      .groupBy(col("source"), col("tn"), col("n_distinct"))
+      .agg((-sum(col("t"))).as("h"))
+      .select(col("source"), col("tn").as("n_chars"), col("n_distinct"),
+        emit(col("h").cast("double"), 6).as("entropy_bits_per_char"))
+      .orderBy(col("source"))
+  }
+
+  val charEntropyReportSql: String =
+    """WITH chars AS (
+      |  SELECT source, substr(text, CAST(i AS INT), 1) AS ch FROM (
+      |    SELECT source, text,
+      |      unnest(generate_series(1, CAST(length(text) AS BIGINT))) AS i
+      |    FROM documents
+      |  )
+      |),
+      |counts AS (SELECT source, ch, count(*) AS n FROM chars GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT source AS s2, CAST(sum(n) AS BIGINT) AS tn, count(*) AS n_distinct
+      |  FROM counts GROUP BY 1
+      |),
+      |terms AS (
+      |  SELECT source, tn, n_distinct,
+      |    sum(CAST(round(
+      |      (CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))
+      |        * (ln(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE)) / ln(2.0)), 12) AS DECIMAL(38,12))) AS sh
+      |  FROM counts JOIN tot ON counts.source = tot.s2
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT source, tn AS n_chars, n_distinct,
+      |  CAST(round(CAST(-sh AS DOUBLE), 6) AS DOUBLE) AS entropy_bits_per_char
+      |FROM terms ORDER BY source""".stripMargin
+
+  /** #356 bloom_sizing_advisor — Bloom filter design table for the
+    * star schema's runtime-filter join edges: per (edge, target FPR ∈
+    * {1%, 0.1%}) the optimal bit count m = −n·ln p/(ln 2)², hash
+    * count k = (m/n)·ln 2, and MiB — the capacity-planning numbers
+    * behind runtime_filtered_join and the erasure cascade's Bloom
+    * pruning (an undersized filter silently degrades to a scan-all;
+    * an oversized one evicts executor cache). Edge cardinalities are
+    * exact distinct counts (one agg per edge, the only data-sized
+    * work); the sizing chain is mirrored floats on the bounded 6-row
+    * grid. Exact oracle.
+    */
+  def bloomSizingAdvisor(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, keys: DataFrame): DataFrame =
+      keys.distinct().agg(count(lit(1)).as("n_keys")).select(lit(name).as("edge"), col("n_keys"))
+    val edges =
+      edge("orders.custkey", Tables.orders(s, dir).select(col("o_custkey")))
+        .unionByName(edge("lineitem.orderkey", Tables.lineitem(s, dir).select(col("l_orderkey"))))
+        .unionByName(edge("lineitem.partkey", Tables.lineitem(s, dir).select(col("l_partkey"))))
+    val fprs = s.range(0, 2).select(
+      element_at(array(lit(0.01), lit(0.001)), (col("id") + 1).cast("int")).as("fpr"))
+    val m = -col("n_keys").cast("double") * log(col("fpr")) / (log(lit(2.0)) * log(lit(2.0)))
+    edges.crossJoin(broadcast(fprs))
+      .select(col("edge"), col("n_keys"), col("fpr"),
+        emit(m, 2).as("m_bits"),
+        emit(m / col("n_keys").cast("double") * log(lit(2.0)), 2).as("k_hashes"),
+        emit(m / lit(8.0) / lit(1048576.0), 4).as("mib"))
+      .orderBy(col("edge"), col("fpr"))
+  }
+
+  val bloomSizingAdvisorSql: String =
+    """WITH edges AS (
+      |  SELECT 'orders.custkey' AS edge, count(DISTINCT o_custkey) AS n_keys FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.orderkey', count(DISTINCT l_orderkey) FROM lineitem
+      |  UNION ALL
+      |  SELECT 'lineitem.partkey', count(DISTINCT l_partkey) FROM lineitem
+      |),
+      |fprs AS (SELECT unnest([0.01, 0.001]) AS fpr)
+      |SELECT edge, n_keys, fpr,
+      |  CAST(round(-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0)), 2) AS DOUBLE) AS m_bits,
+      |  CAST(round((-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0)))
+      |    / CAST(n_keys AS DOUBLE) * ln(2.0), 2) AS DOUBLE) AS k_hashes,
+      |  CAST(round((-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0))) / 8.0 / 1048576.0, 4) AS DOUBLE) AS mib
+      |FROM edges CROSS JOIN fprs ORDER BY edge, fpr""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "user_erasure_audit" -> (userErasureAudit(_, _)),
     "dp_noisy_counts" -> (dpNoisyCounts(_, _)),
@@ -3790,7 +3934,10 @@ object Round12Ops {
     "embed_outlier_report" -> (embedOutlierReport(_, _)),
     "graph_modularity" -> (graphModularity(_, _)),
     "covariate_balance_smd" -> (covariateBalanceSmd(_, _)),
-    "cold_start_coverage" -> (coldStartCoverage(_, _)))
+    "cold_start_coverage" -> (coldStartCoverage(_, _)),
+    "durbin_watson" -> (durbinWatson(_, _)),
+    "char_entropy_report" -> (charEntropyReport(_, _)),
+    "bloom_sizing_advisor" -> (bloomSizingAdvisor(_, _)))
 
   val oracles: Map[String, String] = Map(
     "user_erasure_audit" -> userErasureAuditSql,
@@ -3841,5 +3988,8 @@ object Round12Ops {
     "embed_outlier_report" -> embedOutlierReportSql,
     "graph_modularity" -> graphModularitySql,
     "covariate_balance_smd" -> covariateBalanceSmdSql,
-    "cold_start_coverage" -> coldStartCoverageSql)
+    "cold_start_coverage" -> coldStartCoverageSql,
+    "durbin_watson" -> durbinWatsonSql,
+    "char_entropy_report" -> charEntropyReportSql,
+    "bloom_sizing_advisor" -> bloomSizingAdvisorSql)
 }

@@ -3257,6 +3257,56 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_users")).distinct.length == 1)
   }
 
+  test("durbin-watson sits in [0,4] and ties to rho") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("durbin_watson")(spark, dir).cache()
+    val r = df.head
+    val dw = r.getAs[Double]("dw")
+    assert(dw >= 0 && dw <= 4, s"DW $dw outside [0,4]")
+    assert(math.abs(r.getAs[Double]("rho1") - (1 - dw / 2)) < 1e-5)
+    // replay from the decompose residuals
+    val res = SparkEntry.queries("seasonal_decompose")(spark, dir)
+      .orderBy("day").collect().map(_.getAs[Double]("residual"))
+    val sd = res.zip(res.tail).map { case (a, b) => (b - a) * (b - a) }.sum
+    val ss = res.map(v => v * v).sum
+    assert(math.abs(dw - sd / ss) < 1e-4, s"engine DW $dw vs replay ${sd / ss}")
+    assert(r.getAs[Long]("n_days") == res.length)
+  }
+
+  test("char entropy is bounded by the alphabet size") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("char_entropy_report")(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).select("source").distinct().count())
+    val bad = df.collect().count { r =>
+      val h = r.getAs[Double]("entropy_bits_per_char")
+      val hmax = math.log(r.getAs[Long]("n_distinct").toDouble) / math.log(2.0)
+      h < 0 || h > hmax + 1e-6
+    }
+    assert(bad == 0, "0 <= H <= log2(distinct chars)")
+    // character mass reconciles with the documents' total text length
+    val totalChars = Tables.documents(spark, dir)
+      .agg(sum(length(col("text")))).head.getLong(0)
+    assert(df.agg(sum("n_chars")).head.getLong(0) == totalChars)
+  }
+
+  test("bloom advisor sizing follows the closed form") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("bloom_sizing_advisor")(spark, dir).cache()
+    assert(df.count() == 6)
+    // tighter FPR always costs more bits; k ≈ 9.6 bits/key * ln2 at 0.1%
+    val byEdge = df.collect().groupBy(_.getAs[String]("edge"))
+    byEdge.values.foreach { rows =>
+      val m = rows.sortBy(_.getAs[Double]("fpr")).map(_.getAs[Double]("m_bits"))
+      assert(m.head > m.last, "0.1% FPR needs more bits than 1%")
+    }
+    df.collect().foreach { r =>
+      val n = r.getAs[Long]("n_keys").toDouble
+      val m = -n * math.log(r.getAs[Double]("fpr")) / (math.log(2) * math.log(2))
+      assert(math.abs(r.getAs[Double]("m_bits") - m) < 0.51, "closed form must match")
+      assert(math.abs(r.getAs[Double]("k_hashes") - m / n * math.log(2)) < 0.02)
+    }
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
