@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Round10Ops.queries ++
       graft.queries.Round11Ops.queries ++
       graft.queries.Round12Ops.queries ++
+      graft.queries.Round13Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -52,6 +53,7 @@ object SparkEntry {
       graft.queries.Round10Ops.oracles ++
       graft.queries.Round11Ops.oracles ++
       graft.queries.Round12Ops.oracles ++
+      graft.queries.Round13Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -3307,6 +3307,57 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("watermark loss sweep is monotone in the delay") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("watermark_loss_sweep")(spark, dir).cache()
+    assert(df.count() == 25, "5 types x 5 delays")
+    val bad = df.as("a").join(df.as("b"),
+      col("a.event_type") === col("b.event_type") && col("a.delay_s") < col("b.delay_s")
+        && col("a.n_dropped") < col("b.n_dropped")).count()
+    assert(bad == 0, "a longer delay can only drop fewer events")
+    assert(df.filter(col("n_dropped") > col("n_events")).count() == 0)
+    // the sweep's row at the advisor's p99 must drop at most ~1%
+    assert(df.filter(col("drop_share") < 0 || col("drop_share") > 1).count() == 0)
+  }
+
+  test("position attribution conserves one credit per journey") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("position_attribution")(spark, dir).cache()
+    val totalCredit = df.agg(sum("credit")).head.getDouble(0)
+    val journeys = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("fp_ts"))
+      .join(Tables.events(spark, dir), Seq("user_id"))
+      .filter(col("ts") < col("fp_ts"))
+      .select("user_id").distinct().count()
+    assert(math.abs(totalCredit - journeys) < 1e-3 * journeys + 0.01,
+      s"credits $totalCredit must sum to one per journey ($journeys)")
+    assert(df.filter(col("credit") < 0).count() == 0)
+    assert(math.abs(df.agg(sum("credit_share")).head.getDouble(0) - 1.0) < 1e-4)
+  }
+
+  test("jarque-bera moments match a driver-side computation") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("jarque_bera_report")(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).select("source").distinct().count())
+    assert(df.filter(col("non_normal") =!= (col("jarque_bera") > 5.99)).count() == 0)
+    assert(df.filter(col("jarque_bera") < 0).count() == 0)
+    val src = df.head.getAs[String]("source")
+    val xs = Tables.documents(spark, dir).filter(col("source") === src)
+      .select("n_chars").collect().map(_.getLong(0).toDouble)
+    val n = xs.length.toDouble
+    val mu = xs.sum / n
+    val m2 = xs.map(v => (v - mu) * (v - mu)).sum / n
+    val m3 = xs.map(v => math.pow(v - mu, 3)).sum / n
+    val m4 = xs.map(v => math.pow(v - mu, 4)).sum / n
+    val skew = m3 / math.pow(m2, 1.5)
+    val kurt = m4 / (m2 * m2) - 3
+    val r = df.filter(col("source") === src).head
+    assert(math.abs(r.getAs[Double]("skewness") - skew) < 1e-4)
+    assert(math.abs(r.getAs[Double]("excess_kurtosis") - kurt) < 1e-4)
+    assert(math.abs(r.getAs[Double]("jarque_bera") - n / 6 * (skew * skew + kurt * kurt / 4)) < 0.01)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
