@@ -210,12 +210,176 @@ object Round13Ops {
        |FROM m ORDER BY source""".stripMargin
   }
 
+  /** #360 cluster_size_dist — the duplicate-cluster size histogram
+    * over #36b dedup_clusters' components: the REPORT face of
+    * near-dedup (a pipeline owner reads "how much of the corpus sits
+    * in 2-doc pairs vs 50-doc template families" — the shape decides
+    * whether near-dup is trimming noise or deleting a subpopulation).
+    * Two bounded aggs over the oracle-verified cluster labels
+    * (cluster → size → size histogram); doc/cluster shares divide
+    * exact longs. Exact oracle over the clusters chain's own CTEs.
+    */
+  def clusterSizeDist(s: SparkSession, dir: String): DataFrame = {
+    val sizes = TextOps.dedupClusters(s, dir)
+      .groupBy(col("cluster")).agg(count(lit(1)).as("sz"))
+    val tot = sizes.agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"))
+    sizes.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters_of_size"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters_of_size"),
+        (col("cluster_size") * col("n_clusters_of_size")).as("docs_in_size"),
+        emit((col("cluster_size") * col("n_clusters_of_size")).cast("double")
+          / col("n_docs").cast("double"), 6).as("doc_share"),
+        emit(col("n_clusters_of_size").cast("double") / col("n_clusters").cast("double"), 6)
+          .as("cluster_share"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val clusterSizeDistSql: String =
+    s"""WITH labels AS (${TextOps.dedupClustersSql.replace("ORDER BY doc_id", "")}),
+       |sizes AS (SELECT cluster, count(*) AS sz FROM labels GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs FROM sizes)
+       |SELECT sz AS cluster_size, count(*) AS n_clusters_of_size,
+       |  CAST(sz * count(*) AS BIGINT) AS docs_in_size,
+       |  CAST(round(CAST(sz * count(*) AS DOUBLE) / CAST(any_value(n_docs) AS DOUBLE), 6) AS DOUBLE) AS doc_share,
+       |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(n_clusters) AS DOUBLE), 6) AS DOUBLE) AS cluster_share
+       |FROM sizes CROSS JOIN tot GROUP BY sz ORDER BY cluster_size""".stripMargin
+
+  /** #361 token_burstiness — Church & Gale (1995) variance-to-mean
+    * ratio of per-document token occurrences, over the WHOLE corpus
+    * (absent docs are true zeros, handled in closed form: Σx and Σx²
+    * are unchanged by zero rows, only N enters): VMR ≈ 1 reads
+    * Poisson (function words), VMR ≫ 1 reads topical/bursty — the
+    * signal separating content terms from glue BEFORE any labeled
+    * data, and the reason tf-idf's df term isn't enough (df can't see
+    * within-doc clumping). One (doc, token) count + one token agg
+    * (Σx² in DECIMAL — occurrence²·N overflows long at corpus
+    * scale); top-20 among df ≥ 5 tokens by ROUNDED VMR (token
+    * tie-break) as TakeOrdered. Exact oracle.
+    */
+  def tokenBurstiness(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val occ = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("x"))
+    val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nn"))
+    val m = occ.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"), sum(dec0(col("x"))).as("s1"),
+        sum(dec0(col("x")) * dec0(col("x"))).as("s2"))
+    val mean = col("s1").cast("double") / col("nn").cast("double")
+    val vmr = (col("s2").cast("double") / col("nn").cast("double") - mean * mean) / mean
+    m.crossJoin(broadcast(nDocs))
+      .filter(col("df") >= 5)
+      .select(col("token"), col("df"), col("s1").cast("long").as("total_occ"),
+        emit(vmr, 6).as("vmr"))
+      .orderBy(col("vmr").desc, col("token")).limit(20)
+  }
+
+  val tokenBurstinessSql: String =
+    """WITH occ AS (
+      |  SELECT doc_id, token, count(*) AS x FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |  ) WHERE token <> '' GROUP BY 1, 2
+      |),
+      |nd AS (SELECT count(*) AS nn FROM documents),
+      |m AS (
+      |  SELECT token, count(*) AS df,
+      |    sum(CAST(x AS DECIMAL(38,0))) AS s1,
+      |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+      |  FROM occ GROUP BY 1
+      |)
+      |SELECT token, df, CAST(s1 AS BIGINT) AS total_occ,
+      |  CAST(round(
+      |    (CAST(s2 AS DOUBLE) / CAST(nn AS DOUBLE)
+      |     - (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)))
+      |    / (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS DOUBLE) AS vmr
+      |FROM m CROSS JOIN nd WHERE df >= 5
+      |ORDER BY vmr DESC, token LIMIT 20""".stripMargin
+
+  /** #362 log_odds_keyness — Monroe, Colaresi & Quinn (2008)
+    * Dirichlet-smoothed log-odds keyness between the two
+    * lexicographically first sources: WHICH words distinguish corpus
+    * A from corpus B, z-scored so rare-word noise doesn't top the
+    * list (the raw log-ratio's classic failure) — the
+    * corpus-comparison table behind every "what changed in this
+    * source" investigation. Two token histograms (one agg), uniform
+    * prior α=0.01 with α₀ = α·V (V in-plan), δ and its variance
+    * 1/(y_a+α)+1/(y_b+α) as mirrored ln chains over the vocab-sized
+    * relation, top-20 by ROUNDED |z| via TakeOrdered. Exact oracle.
+    */
+  def logOddsKeyness(s: SparkSession, dir: String): DataFrame = {
+    val two = Tables.documents(s, dir).select(col("source")).distinct()
+      .orderBy(col("source")).limit(2)
+      .select(col("source"), row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("source"))).as("side"))
+    val toks = Tables.documents(s, dir)
+      .join(broadcast(two), Seq("source"))
+      .select(col("side"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token"))
+      .agg(sum(when(col("side") === 1, 1L).otherwise(0L)).as("ya"),
+        sum(when(col("side") === 2, 1L).otherwise(0L)).as("yb"))
+    val tot = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"),
+      count(lit(1)).as("v"))
+    val alpha = lit(0.01)
+    val a0 = alpha * col("v").cast("double")
+    def lo(y: Column, n: Column): Column =
+      log((y.cast("double") + alpha)
+        / (n.cast("double") + a0 - y.cast("double") - alpha))
+    val delta = lo(col("ya"), col("na")) - lo(col("yb"), col("nb"))
+    val z = delta / sqrt(lit(1.0) / (col("ya").cast("double") + alpha)
+      + lit(1.0) / (col("yb").cast("double") + alpha))
+    counts.crossJoin(broadcast(tot))
+      .select(col("token"), col("ya"), col("yb"),
+        emit(delta, 6).as("log_odds"), emit(z, 4).as("z"))
+      .orderBy(abs(col("z")).desc, col("token")).limit(20)
+  }
+
+  val logOddsKeynessSql: String =
+    """WITH two AS (
+      |  SELECT source, row_number() OVER (ORDER BY source) AS side
+      |  FROM (SELECT DISTINCT source FROM documents ORDER BY source LIMIT 2)
+      |),
+      |toks AS (
+      |  SELECT side, token FROM (
+      |    SELECT two.side, unnest(string_split(d.text, ' ')) AS token
+      |    FROM documents d JOIN two ON d.source = two.source
+      |  ) WHERE token <> ''
+      |),
+      |counts AS (
+      |  SELECT token,
+      |    CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ya,
+      |    CAST(sum(CASE WHEN side = 2 THEN 1 ELSE 0 END) AS BIGINT) AS yb
+      |  FROM toks GROUP BY 1
+      |),
+      |tot AS (SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb,
+      |        count(*) AS v FROM counts)
+      |SELECT token, ya, yb,
+      |  CAST(round(
+      |    ln((CAST(ya AS DOUBLE) + 0.01) / (CAST(na AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) - CAST(ya AS DOUBLE) - 0.01))
+      |    - ln((CAST(yb AS DOUBLE) + 0.01) / (CAST(nb AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) - CAST(yb AS DOUBLE) - 0.01)),
+      |    6) AS DOUBLE) AS log_odds,
+      |  CAST(round(
+      |    (ln((CAST(ya AS DOUBLE) + 0.01) / (CAST(na AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) - CAST(ya AS DOUBLE) - 0.01))
+      |     - ln((CAST(yb AS DOUBLE) + 0.01) / (CAST(nb AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) - CAST(yb AS DOUBLE) - 0.01)))
+      |    / sqrt(1.0 / (CAST(ya AS DOUBLE) + 0.01) + 1.0 / (CAST(yb AS DOUBLE) + 0.01)),
+      |    4) AS DOUBLE) AS z
+      |FROM counts CROSS JOIN tot
+      |ORDER BY abs(z) DESC, token LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cluster_size_dist" -> (clusterSizeDist(_, _)),
+    "token_burstiness" -> (tokenBurstiness(_, _)),
+    "log_odds_keyness" -> (logOddsKeyness(_, _)),
     "watermark_loss_sweep" -> (watermarkLossSweep(_, _)),
     "position_attribution" -> (positionAttribution(_, _)),
     "jarque_bera_report" -> (jarqueBeraReport(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "cluster_size_dist" -> clusterSizeDistSql,
+    "token_burstiness" -> tokenBurstinessSql,
+    "log_odds_keyness" -> logOddsKeynessSql,
     "watermark_loss_sweep" -> watermarkLossSweepSql,
     "position_attribution" -> positionAttributionSql,
     "jarque_bera_report" -> jarqueBeraReportSql)

@@ -3358,6 +3358,49 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("jarque_bera") - n / 6 * (skew * skew + kurt * kurt / 4)) < 0.01)
   }
 
+  test("cluster size distribution conserves docs and clusters") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cluster_size_dist")(spark, dir).cache()
+    val docsTotal = df.agg(sum("docs_in_size")).head.getLong(0)
+    assert(docsTotal == Tables.documents(spark, dir).count(),
+      "every doc sits in exactly one cluster")
+    assert(math.abs(df.agg(sum("doc_share")).head.getDouble(0) - 1.0) < 1e-4)
+    assert(math.abs(df.agg(sum("cluster_share")).head.getDouble(0) - 1.0) < 1e-4)
+    assert(df.filter(col("cluster_size") < 1).count() == 0)
+    // sizes reconcile with the clusters op itself
+    val direct = SparkEntry.queries("dedup_clusters")(spark, dir)
+      .groupBy("cluster").count().groupBy("count").count().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    df.collect().foreach { r =>
+      assert(direct(r.getAs[Long]("cluster_size")) == r.getAs[Long]("n_clusters_of_size"))
+    }
+  }
+
+  test("token burstiness exceeds one for the bursty tail") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("token_burstiness")(spark, dir).cache()
+    assert(df.count() == 20)
+    assert(df.filter(col("df") < 5).count() == 0)
+    assert(df.filter(col("total_occ") < col("df")).count() == 0,
+      "total occurrences can't undercut document frequency")
+    val scores = df.orderBy(col("vmr").desc).collect().map(_.getAs[Double]("vmr"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    assert(scores.forall(_ >= 0), "VMR of counts is non-negative")
+  }
+
+  test("log-odds keyness is antisymmetric in the corpora") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("log_odds_keyness")(spark, dir).cache()
+    assert(df.count() == 20)
+    assert(df.select("token").distinct().count() == 20)
+    // sign agreement: a token overrepresented in A has positive delta and z
+    assert(df.filter(col("log_odds") * col("z") < 0).count() == 0,
+      "delta and its z-score must share a sign")
+    // |z| ranking is what the top-20 was cut on
+    val zs = df.orderBy(abs(col("z")).desc).collect().map(r => math.abs(r.getAs[Double]("z")))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
