@@ -368,7 +368,179 @@ object Round13Ops {
       |FROM counts CROSS JOIN tot
       |ORDER BY abs(z) DESC, token LIMIT 20""".stripMargin
 
+  /** #363 acf_table — the full autocorrelation function of the global
+    * daily volume series at lags 1…14: events_autocorr probes ONE
+    * hourly lag (24), THIS is the table that picks AR model order and
+    * confirms the weekly cycle (a spike at 7/14 and decay elsewhere),
+    * with the ±1.96/√n white-noise band the reading rule. ALL-INTEGER
+    * inner algebra: with scaled deviations d_t = n·x_t − S the ACF is
+    * r_L = Σ d_t·d_{t−L} / Σ d_t² — every product exact in
+    * DECIMAL(38,0) (n·x ~ N·volume overflows long), no float until
+    * the final quotient; the lag joins run on the CALENDAR-bounded
+    * dense frame against the broadcast 14-row lag axis. Exact oracle.
+    */
+  def acfTable(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = events(s, dir).groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+    val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val dense = span.select(explode(expr("sequence(0, datediff(hi, lo))")).as("k"))
+      .join(
+        daily.crossJoin(broadcast(span))
+          .groupBy(datediff(col("d"), col("lo")).as("k")).agg(sum(col("x")).as("x0")),
+        Seq("k"), "left")
+      .select(col("k"), coalesce(col("x0"), lit(0L)).as("x"))
+    val tot = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+    val dev = dense.crossJoin(broadcast(tot))
+      .select(col("k"), (dec0(col("n")) * dec0(col("x")) - dec0(col("sx"))).as("dv"), col("n"))
+    val denom = dev.agg(sum(col("dv") * col("dv")).as("ss"), max(col("n")).as("n"))
+    val lags = s.range(1, 15).select(col("id").cast("int").as("lag"))
+    val shifted = dev.select(col("k").as("kb"), col("dv").as("dvp"))
+    dev.crossJoin(broadcast(lags))
+      .join(shifted, col("kb") === col("k") - col("lag"))
+      .groupBy(col("lag"))
+      .agg(sum(col("dv") * col("dvp")).as("num"))
+      .crossJoin(broadcast(denom))
+      .select(col("lag"),
+        emit(col("num").cast("double") / col("ss").cast("double"), 6).as("acf"),
+        emit(lit(1.96) / sqrt(col("n").cast("double")), 6).as("white_band"))
+      .withColumn("significant", abs(col("acf")) > col("white_band"))
+      .orderBy(col("lag"))
+  }
+
+  val acfTableSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+      |ks AS (SELECT unnest(generate_series(0, datediff('day', lo, hi))) AS k FROM span),
+      |cnt AS (
+      |  SELECT datediff('day', lo, d) AS k, CAST(sum(x) AS BIGINT) AS x0
+      |  FROM daily, span GROUP BY 1
+      |),
+      |dense AS (
+      |  SELECT ks.k, CAST(coalesce(cnt.x0, 0) AS BIGINT) AS x
+      |  FROM ks LEFT JOIN cnt ON ks.k = cnt.k
+      |),
+      |tot AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx FROM dense),
+      |dev AS (
+      |  SELECT k, CAST(n AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))
+      |    - CAST(sx AS DECIMAL(38,0)) AS dv, n
+      |  FROM dense CROSS JOIN tot
+      |),
+      |denom AS (SELECT sum(dv * dv) AS ss, max(n) AS n FROM dev),
+      |lags AS (SELECT unnest(generate_series(1, 14)) AS lag),
+      |num AS (
+      |  SELECT lag, sum(a.dv * b.dv) AS num
+      |  FROM dev a CROSS JOIN lags JOIN dev b ON b.k = a.k - lag
+      |  GROUP BY 1
+      |)
+      |SELECT lag,
+      |  CAST(round(CAST(num AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS DOUBLE) AS acf,
+      |  CAST(round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS DOUBLE) AS white_band,
+      |  abs(CAST(round(CAST(num AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS DOUBLE))
+      |    > CAST(round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS DOUBLE) AS significant
+      |FROM num CROSS JOIN denom ORDER BY lag""".stripMargin
+
+  /** #364 ess_report — Kish effective sample size of the re-weighted
+    * corpus mix: corpus_mix_weights prescribes per-source weights,
+    * THIS prices what the weighting costs in statistical efficiency —
+    * ESS = (Σ t·w)²/(Σ t·w²) over token mass, efficiency = ESS/Σt
+    * (a mix pushed hard toward uniform can silently halve the
+    * effective data; this is the number that says so). Runs entirely
+    * on the bounded per-source weights table (the full-scan cost is
+    * inside the chained, oracle-verified mix report); products round
+    * 6-dp into order-free DECIMAL sums. Exact oracle.
+    */
+  def essReport(s: SparkSession, dir: String): DataFrame = {
+    val w = Round5Ops.corpusMixWeights(s, dir)
+      .select(col("source"), col("kept_tokens"), col("weight"))
+    val m = w.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("kept_tokens")).as("total_tokens"),
+      sum(round(col("kept_tokens") * col("weight"), 6).cast(Dec12)).as("sw"),
+      sum(round(col("kept_tokens") * col("weight") * col("weight"), 6).cast(Dec12)).as("sw2"))
+    m.select(col("n_sources"), col("total_tokens"),
+      emit(col("sw").cast("double") * col("sw").cast("double")
+        / col("sw2").cast("double"), 2).as("ess_tokens"),
+      emit(col("sw").cast("double") * col("sw").cast("double")
+        / col("sw2").cast("double") / col("total_tokens").cast("double"), 6)
+        .as("efficiency"))
+  }
+
+  val essReportSql: String =
+    s"""WITH w AS (${Round5Ops.corpusMixWeightsSql.replace("ORDER BY source", "")}),
+       |m AS (
+       |  SELECT count(*) AS n_sources,
+       |    CAST(sum(kept_tokens) AS BIGINT) AS total_tokens,
+       |    sum(CAST(round(kept_tokens * weight, 6) AS DECIMAL(38,12))) AS sw,
+       |    sum(CAST(round(kept_tokens * weight * weight, 6) AS DECIMAL(38,12))) AS sw2
+       |  FROM w
+       |)
+       |SELECT n_sources, total_tokens,
+       |  CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 2) AS DOUBLE) AS ess_tokens,
+       |  CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+       |    / CAST(total_tokens AS DOUBLE), 6) AS DOUBLE) AS efficiency
+       |FROM m""".stripMargin
+
+  /** #365 attribution_window_sweep — last-touch channel shares under
+    * lookback windows {1, 3, 7, ∞} days before the first purchase:
+    * the sensitivity table that says whether the attribution family's
+    * conclusions (#124/#320/#358) are ROBUST or an artifact of the
+    * window someone once picked — a channel whose share collapses
+    * from ∞→7d was earning credit only from stale touches. One
+    * journey join (the #124 chain), the window axis broadcast, per
+    * (window, user) last touch via max_by over exact (ts, event_id)
+    * order, shares divide exact longs. Exact oracle.
+    */
+  def attributionWindowSweep(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("fu")).agg(min(col("ts")).as("fp_ts"))
+    val journey = ev.join(fp, col("user_id") === col("fu") && col("ts") < col("fp_ts"))
+    val windows = s.range(0, 4).select(
+      element_at(array(lit(1), lit(3), lit(7), lit(9999)), (col("id") + 1).cast("int"))
+        .as("window_days"))
+    val last = journey.crossJoin(broadcast(windows))
+      .filter(unix_micros(col("ts")) >= unix_micros(col("fp_ts"))
+        - col("window_days").cast("long") * 86400000000L)
+      .groupBy(col("window_days"), col("user_id"))
+      .agg(max_by(col("event_type"), struct(col("ts"), col("event_id"))).as("channel"))
+    val tot = last.groupBy(col("window_days").as("w2")).agg(count(lit(1)).as("n_users_w"))
+    last.groupBy(col("window_days"), col("channel"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(broadcast(tot), col("window_days") === col("w2"))
+      .select(col("window_days"), col("channel"), col("n_users"),
+        emit(col("n_users").cast("double") / col("n_users_w").cast("double"), 6).as("share"))
+      .orderBy(col("window_days"), col("channel"))
+  }
+
+  val attributionWindowSweepSql: String =
+    """WITH fp AS (
+      |  SELECT user_id AS fu, min(ts) AS fp_ts FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1
+      |),
+      |j AS (
+      |  SELECT e.user_id, e.event_type, e.ts, e.event_id, fp.fp_ts
+      |  FROM events e JOIN fp ON e.user_id = fp.fu AND e.ts < fp.fp_ts
+      |),
+      |windows AS (SELECT CAST(unnest([1, 3, 7, 9999]) AS BIGINT) AS window_days),
+      |lastt AS (
+      |  SELECT window_days, user_id, event_type AS channel FROM (
+      |    SELECT window_days, user_id, event_type,
+      |      row_number() OVER (PARTITION BY window_days, user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM j CROSS JOIN windows
+      |    WHERE epoch_us(ts) >= epoch_us(fp_ts) - window_days * 86400000000
+      |  ) WHERE rn = 1
+      |),
+      |tot AS (SELECT window_days AS w2, count(*) AS n_users_w FROM lastt GROUP BY 1)
+      |SELECT window_days, channel, count(*) AS n_users,
+      |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(n_users_w) AS DOUBLE), 6) AS DOUBLE) AS share
+      |FROM lastt JOIN tot ON lastt.window_days = tot.w2
+      |GROUP BY 1, 2 ORDER BY window_days, channel""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "acf_table" -> (acfTable(_, _)),
+    "ess_report" -> (essReport(_, _)),
+    "attribution_window_sweep" -> (attributionWindowSweep(_, _)),
     "cluster_size_dist" -> (clusterSizeDist(_, _)),
     "token_burstiness" -> (tokenBurstiness(_, _)),
     "log_odds_keyness" -> (logOddsKeyness(_, _)),
@@ -377,6 +549,9 @@ object Round13Ops {
     "jarque_bera_report" -> (jarqueBeraReport(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "acf_table" -> acfTableSql,
+    "ess_report" -> essReportSql,
+    "attribution_window_sweep" -> attributionWindowSweepSql,
     "cluster_size_dist" -> clusterSizeDistSql,
     "token_burstiness" -> tokenBurstinessSql,
     "log_odds_keyness" -> logOddsKeynessSql,

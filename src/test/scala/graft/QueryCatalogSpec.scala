@@ -3401,6 +3401,66 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(zs.zip(zs.tail).forall { case (a, b) => a >= b })
   }
 
+  test("acf matches a driver-side replay and bounds hold") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("acf_table")(spark, dir).cache()
+    assert(df.count() == 14)
+    assert(df.filter(col("acf") < -1.000001 || col("acf") > 1.000001).count() == 0)
+    assert(df.filter(col("significant") =!= (abs(col("acf")) > col("white_band"))).count() == 0)
+    // replay lag-1 and lag-7 from the dense daily series
+    val daily = Tables.events(spark, dir).groupBy(to_date(col("ts")).as("d")).count()
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1))).toMap
+    val (lo, hi) = (daily.keys.min, daily.keys.max)
+    val xs = (lo to hi).map(k => daily.getOrElse(k, 0L).toDouble).toArray
+    val mu = xs.sum / xs.length
+    val den = xs.map(v => (v - mu) * (v - mu)).sum
+    def acf(l: Int) = (l until xs.length).map(t => (xs(t) - mu) * (xs(t - l) - mu)).sum / den
+    Seq(1, 7).foreach { l =>
+      val got = df.filter(col("lag") === l).head.getAs[Double]("acf")
+      assert(math.abs(got - acf(l)) < 1e-5, s"lag $l: engine $got vs replay ${acf(l)}")
+    }
+  }
+
+  test("ess efficiency is bounded by one and hit only at uniform weights") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ess_report")(spark, dir).cache()
+    val r = df.head
+    val eff = r.getAs[Double]("efficiency")
+    assert(eff > 0 && eff <= 1.000001, s"Kish efficiency $eff must lie in (0,1]")
+    assert(r.getAs[Double]("ess_tokens") <= r.getAs[Long]("total_tokens") + 1)
+    // replay from the weights table
+    val w = SparkEntry.queries("corpus_mix_weights")(spark, dir)
+      .select("kept_tokens", "weight").collect()
+      .map(x => (x.getAs[Long]("kept_tokens").toDouble, x.getAs[Double]("weight")))
+    val sw = w.map { case (t, wt) => t * wt }.sum
+    val sw2 = w.map { case (t, wt) => t * wt * wt }.sum
+    assert(math.abs(r.getAs[Double]("ess_tokens") - sw * sw / sw2) < 1.0)
+  }
+
+  test("attribution window sweep shares sum to one per window") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("attribution_window_sweep")(spark, dir).cache()
+    val perWindow = df.groupBy("window_days")
+      .agg(sum("share").as("s"), sum("n_users").as("u")).collect()
+    assert(perWindow.length == 4)
+    perWindow.foreach { r =>
+      assert(math.abs(r.getAs[Double]("s") - 1.0) < 1e-4,
+        s"window ${r.get(0)} shares sum to ${r.getAs[Double]("s")}")
+    }
+    // the infinite window reproduces last-touch over the full journey:
+    // its user total equals the journey count
+    val journeys = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(min("ts").as("fp_ts"))
+      .join(Tables.events(spark, dir), Seq("user_id"))
+      .filter(col("ts") < col("fp_ts")).select("user_id").distinct().count()
+    val inf = perWindow.find(_.getAs[Number]("window_days").longValue == 9999L).get
+    assert(inf.getAs[Long]("u") == journeys)
+    // narrower windows can only lose users
+    val us = perWindow.sortBy(_.getAs[Number]("window_days").longValue).map(_.getAs[Long]("u"))
+    assert(us.zip(us.tail).forall { case (a, b) => a <= b })
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
