@@ -537,10 +537,269 @@ object Round13Ops {
       |FROM lastt JOIN tot ON lastt.window_days = tot.w2
       |GROUP BY 1, 2 ORDER BY window_days, channel""".stripMargin
 
+  /** #366 emd_drift — the 1-D Wasserstein (earth-mover) distance
+    * between the first/second doc-id halves of the length
+    * distribution, per language: ks_drift_test reads the SUP norm
+    * (one bad value region), THIS reads the INTEGRAL ∫|F1−F2| dv —
+    * the metric that notices a small shift spread across the whole
+    * distribution, which KS under-weighs. Exact rational end to end:
+    * over consecutive distinct values, |F1·n2 − F2·n1|·Δv accumulates
+    * in DECIMAL(38,0) (the KS histogram + a lead over the
+    * value-domain-bounded relation), one division at the end. Exact
+    * oracle.
+    */
+  def emdDrift(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val wp = org.apache.spark.sql.expressions.Window
+    val d0 = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val span = d0.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val hist = d0.crossJoin(broadcast(span))
+      .select(col("lang"), col("n_chars"),
+        when((col("doc_id") - col("lo")) * 2 <= (col("hi") - col("lo")), 1)
+          .otherwise(2).as("half"))
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("c2"))
+    val wcum = wp.partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rowsBetween(wp.unboundedPreceding, 0)
+    val wlead = wp.partitionBy(col("lang")).orderBy(col("n_chars"))
+    val tot = hist.groupBy(col("lang"))
+      .agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+    hist
+      .withColumn("f1", sum(col("c1")).over(wcum))
+      .withColumn("f2", sum(col("c2")).over(wcum))
+      .withColumn("dv", lead(col("n_chars"), 1).over(wlead) - col("n_chars"))
+      .filter(col("dv").isNotNull)
+      .join(broadcast(tot), Seq("lang"))
+      .select(col("lang"), col("n1"), col("n2"),
+        (abs(dec0(col("f1")) * dec0(col("n2")) - dec0(col("f2")) * dec0(col("n1")))
+          * dec0(col("dv"))).as("seg"))
+      .groupBy(col("lang"), col("n1"), col("n2"))
+      .agg(sum(col("seg")).as("num"))
+      .select(col("lang"), col("n1"), col("n2"),
+        emit(col("num").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double")), 6).as("emd_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val emdDriftSql: String =
+    """WITH span AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      |hist AS (
+      |  SELECT lang, n_chars,
+      |    CAST(sum(CASE WHEN (doc_id - lo) * 2 <= (hi - lo) THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(sum(CASE WHEN (doc_id - lo) * 2 <= (hi - lo) THEN 0 ELSE 1 END) AS BIGINT) AS c2
+      |  FROM documents CROSS JOIN span GROUP BY 1, 2
+      |),
+      |cum AS (
+      |  SELECT lang, n_chars, c1, c2,
+      |    CAST(sum(c1) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+      |    CAST(sum(c2) OVER (PARTITION BY lang ORDER BY n_chars
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2,
+      |    lead(n_chars) OVER (PARTITION BY lang ORDER BY n_chars) - n_chars AS dv
+      |  FROM hist
+      |),
+      |tot AS (SELECT lang, CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2
+      |        FROM hist GROUP BY 1),
+      |seg AS (
+      |  SELECT cum.lang, n1, n2,
+      |    sum(abs(CAST(f1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+      |          - CAST(f2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
+      |        * CAST(dv AS DECIMAL(38,0))) AS num
+      |  FROM cum JOIN tot ON cum.lang = tot.lang
+      |  WHERE dv IS NOT NULL GROUP BY 1, 2, 3
+      |)
+      |SELECT lang, n1, n2,
+      |  CAST(round(CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE) AS emd_chars
+      |FROM seg ORDER BY lang""".stripMargin
+
+  /** #367 variance_ratio_test — Lo–MacKinlay variance ratios of the
+    * daily volume series at horizons q ∈ {2, 4, 8}: VR(q) =
+    * Var(q-day sums)/(q·Var(daily)) reads ≈1 for uncorrelated
+    * increments, >1 for trending/persistent series, <1 for
+    * mean-reverting — the aggregation-horizon diagnostic that says
+    * whether a weekly rollup hides or reveals the structure the daily
+    * monitors watch. The q-day overlapping sums are window sums over
+    * the CALENDAR-bounded dense frame; both variances accumulate from
+    * integer Σy/Σy² in DECIMAL(38,0), floats only in the final
+    * ratio. Exact oracle.
+    */
+  def varianceRatioTest(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val wp = org.apache.spark.sql.expressions.Window
+    val daily = events(s, dir).groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("x"))
+    val span = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val dense = span.select(explode(expr("sequence(0, datediff(hi, lo))")).as("k"))
+      .join(
+        daily.crossJoin(broadcast(span))
+          .groupBy(datediff(col("d"), col("lo")).as("k")).agg(sum(col("x")).as("x0")),
+        Seq("k"), "left")
+      .select(col("k"), coalesce(col("x0"), lit(0L)).as("x"))
+    val base = dense.agg(count(lit(1)).as("n"),
+      sum(dec0(col("x"))).as("s1"), sum(dec0(col("x")) * dec0(col("x"))).as("s2"))
+    def varD(n: Column, s1: Column, s2: Column): Column = {
+      val mean = s1.cast("double") / n.cast("double")
+      s2.cast("double") / n.cast("double") - mean * mean
+    }
+    val qs = s.range(0, 3).select(
+      element_at(array(lit(2), lit(4), lit(8)), (col("id") + 1).cast("int")).as("q"))
+    // rowsBetween(0, q-1) would need a per-row frame bound: express the
+    // q-sum as a self-join range instead (k ≤ k2 < k+q, bounded frame)
+    val qsums = dense.crossJoin(broadcast(qs))
+      .join(dense.select(col("k").as("k2"), col("x").as("x2")),
+        col("k2") >= col("k") && col("k2") < col("k") + col("q"))
+      .groupBy(col("q"), col("k"))
+      .agg(sum(col("x2")).as("y"), count(lit(1)).as("m"))
+      .filter(col("m") === col("q"))
+    val qm = qsums.groupBy(col("q"))
+      .agg(count(lit(1)).as("nq"),
+        sum(dec0(col("y"))).as("t1"), sum(dec0(col("y")) * dec0(col("y"))).as("t2"))
+    qm.crossJoin(broadcast(base))
+      .select(col("q"), col("nq"),
+        emit(varD(col("nq"), col("t1"), col("t2"))
+          / (col("q").cast("double") * varD(col("n"), col("s1"), col("s2"))), 6).as("vr"))
+      .withColumn("reading",
+        when(col("vr") > 1.2, "trending")
+          .when(col("vr") < 0.8, "mean_reverting").otherwise("random_walk_band"))
+      .orderBy(col("q"))
+  }
+
+  val varianceRatioTestSql: String =
+    """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS x FROM events GROUP BY 1),
+      |span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+      |ks AS (SELECT unnest(generate_series(0, datediff('day', lo, hi))) AS k FROM span),
+      |cnt AS (SELECT datediff('day', lo, d) AS k, CAST(sum(x) AS BIGINT) AS x0
+      |        FROM daily, span GROUP BY 1),
+      |dense AS (
+      |  SELECT ks.k, CAST(coalesce(cnt.x0, 0) AS BIGINT) AS x
+      |  FROM ks LEFT JOIN cnt ON ks.k = cnt.k
+      |),
+      |base AS (
+      |  SELECT count(*) AS n, sum(CAST(x AS DECIMAL(38,0))) AS s1,
+      |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+      |  FROM dense
+      |),
+      |qs AS (SELECT unnest([2, 4, 8]) AS q),
+      |qsums AS (
+      |  SELECT q, a.k, CAST(sum(b.x) AS BIGINT) AS y, count(*) AS m
+      |  FROM dense a CROSS JOIN qs JOIN dense b ON b.k >= a.k AND b.k < a.k + q
+      |  GROUP BY 1, 2 HAVING count(*) = q
+      |),
+      |qm AS (
+      |  SELECT q, count(*) AS nq, sum(CAST(y AS DECIMAL(38,0))) AS t1,
+      |    sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))) AS t2
+      |  FROM qsums GROUP BY 1
+      |)
+      |SELECT q, nq,
+      |  CAST(round(
+      |    (CAST(t2 AS DOUBLE) / CAST(nq AS DOUBLE)
+      |      - (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)) * (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)))
+      |    / (CAST(q AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))),
+      |    6) AS DOUBLE) AS vr,
+      |  CASE WHEN CAST(round(
+      |    (CAST(t2 AS DOUBLE) / CAST(nq AS DOUBLE)
+      |      - (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)) * (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)))
+      |    / (CAST(q AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))),
+      |    6) AS DOUBLE) > 1.2 THEN 'trending'
+      |    WHEN CAST(round(
+      |    (CAST(t2 AS DOUBLE) / CAST(nq AS DOUBLE)
+      |      - (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)) * (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)))
+      |    / (CAST(q AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))),
+      |    6) AS DOUBLE) < 0.8 THEN 'mean_reverting'
+      |    ELSE 'random_walk_band' END AS reading
+      |FROM qm CROSS JOIN base ORDER BY q""".stripMargin
+
+  /** #368 churn_hazard — the discrete-time life table of user churn
+    * by tenure week: per week w the risk set, observed churns (last
+    * activity in week w, uncensored), right-censored users (still
+    * active within 7 days of the data horizon — absence of evidence,
+    * not churn: the distinction that makes naive "days since last
+    * event" churn rates systematically pessimistic), the hazard
+    * h_w = churned/at_risk and the survival curve Π(1−h). One
+    * per-user (first, last) agg; the life table lives on the bounded
+    * tenure-week axis (reverse-cumulative risk set, cumulative
+    * 12-dp-rounded ln(1−h) sums for survival, mirrored). Exact
+    * oracle.
+    */
+  def churnHazard(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+    val perUser = events(s, dir).groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"), max(to_date(col("ts"))).as("last_d"))
+    val horizon = events(s, dir).agg(max(to_date(col("ts"))).as("hz"))
+    val marked = perUser.crossJoin(broadcast(horizon))
+      .select(
+        floor(datediff(col("last_d"), col("first_d")) / 7).cast("long").as("w"),
+        (datediff(col("hz"), col("last_d")) < 7).as("censored"))
+    val weekly = marked.groupBy(col("w"))
+      .agg(sum(when(!col("censored"), 1L).otherwise(0L)).as("churned"),
+        sum(when(col("censored"), 1L).otherwise(0L)).as("censored_n"))
+    val wrisk = wp.orderBy(col("w").desc).rowsBetween(wp.unboundedPreceding, 0)
+    val wsurv = wp.orderBy(col("w")).rowsBetween(wp.unboundedPreceding, 0)
+    weekly // both windows run over the bounded tenure-week axis
+      .withColumn("at_risk", sum(col("churned") + col("censored_n")).over(wrisk))
+      .withColumn("hazard6",
+        round(col("churned").cast("double") / col("at_risk").cast("double"), 6))
+      .withColumn("lnterm", // h=1 only at the final week: emit 0 there
+        when(col("hazard6") < 1.0, round(log(lit(1.0) - col("hazard6")), 12))
+          .otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(col("hazard6") >= 1.0, lit(0.0))
+          .otherwise(exp(sum(col("lnterm").cast(Dec12)).over(wsurv).cast("double"))))
+      .select(col("w").as("tenure_week"), col("at_risk"), col("churned"),
+        col("censored_n").as("censored"),
+        col("hazard6").cast("double").as("hazard"),
+        emit(col("survival"), 6).as("survival"))
+      .orderBy(col("tenure_week"))
+  }
+
+  val churnHazardSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS first_d, max(CAST(ts AS DATE)) AS last_d
+      |  FROM events GROUP BY 1
+      |),
+      |hz AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+      |marked AS (
+      |  SELECT CAST(floor(datediff('day', first_d, last_d) / 7.0) AS BIGINT) AS w,
+      |    datediff('day', last_d, hz) < 7 AS censored
+      |  FROM pu CROSS JOIN hz
+      |),
+      |weekly AS (
+      |  SELECT w,
+      |    CAST(sum(CASE WHEN NOT censored THEN 1 ELSE 0 END) AS BIGINT) AS churned,
+      |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT) AS censored_n
+      |  FROM marked GROUP BY 1
+      |),
+      |lt AS (
+      |  SELECT w, churned, censored_n,
+      |    CAST(sum(churned + censored_n) OVER (ORDER BY w DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS at_risk
+      |  FROM weekly
+      |),
+      |hzd AS (
+      |  SELECT w, at_risk, churned, censored_n,
+      |    round(CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE), 6) AS hazard6
+      |  FROM lt
+      |)
+      |SELECT w AS tenure_week, at_risk, churned, censored_n AS censored,
+      |  CAST(hazard6 AS DOUBLE) AS hazard,
+      |  CASE WHEN hazard6 >= 1.0 THEN 0.0 ELSE
+      |    CAST(round(exp(CAST(sum(CAST(CASE WHEN hazard6 < 1.0
+      |      THEN round(ln(1.0 - hazard6), 12) ELSE 0.0 END AS DECIMAL(38,12)))
+      |      OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS DOUBLE)
+      |  END AS survival
+      |FROM hzd ORDER BY tenure_week""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "acf_table" -> (acfTable(_, _)),
     "ess_report" -> (essReport(_, _)),
     "attribution_window_sweep" -> (attributionWindowSweep(_, _)),
+    "emd_drift" -> (emdDrift(_, _)),
+    "variance_ratio_test" -> (varianceRatioTest(_, _)),
+    "churn_hazard" -> (churnHazard(_, _)),
     "cluster_size_dist" -> (clusterSizeDist(_, _)),
     "token_burstiness" -> (tokenBurstiness(_, _)),
     "log_odds_keyness" -> (logOddsKeyness(_, _)),
@@ -552,6 +811,9 @@ object Round13Ops {
     "acf_table" -> acfTableSql,
     "ess_report" -> essReportSql,
     "attribution_window_sweep" -> attributionWindowSweepSql,
+    "emd_drift" -> emdDriftSql,
+    "variance_ratio_test" -> varianceRatioTestSql,
+    "churn_hazard" -> churnHazardSql,
     "cluster_size_dist" -> clusterSizeDistSql,
     "token_burstiness" -> tokenBurstinessSql,
     "log_odds_keyness" -> logOddsKeynessSql,

@@ -3461,6 +3461,67 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(us.zip(us.tail).forall { case (a, b) => a <= b })
   }
 
+  test("emd drift matches a driver-side ECDF integral") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("emd_drift")(spark, dir).cache()
+    assert(df.count() == 5)
+    assert(df.filter(col("emd_chars") < 0).count() == 0)
+    val docs = Tables.documents(spark, dir).filter(col("lang") === "en")
+      .select("doc_id", "n_chars").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = docs.map(_._1); val (lo, hi) = (ids.min, ids.max)
+    val first = docs.filter { case (id, _) => (id - lo) * 2 <= (hi - lo) }.map(_._2)
+    val second = docs.filter { case (id, _) => (id - lo) * 2 > (hi - lo) }.map(_._2)
+    val vals = (first ++ second).distinct.sorted
+    val emd = vals.zip(vals.tail).map { case (v, vn) =>
+      math.abs(first.count(_ <= v).toDouble / first.length
+        - second.count(_ <= v).toDouble / second.length) * (vn - v)
+    }.sum
+    val got = df.filter(col("lang") === "en").head.getAs[Double]("emd_chars")
+    assert(math.abs(got - emd) < 1e-5, s"engine EMD $got vs driver $emd")
+  }
+
+  test("variance ratios are positive and replayed at q=2") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("variance_ratio_test")(spark, dir).cache()
+    assert(df.count() == 3)
+    assert(df.filter(col("vr") <= 0).count() == 0)
+    val bad = df.filter(
+      (col("reading") === "trending" && col("vr") <= 1.2)
+        || (col("reading") === "mean_reverting" && col("vr") >= 0.8)
+        || (col("reading") === "random_walk_band" && (col("vr") > 1.2 || col("vr") < 0.8))).count()
+    assert(bad == 0)
+    val daily = Tables.events(spark, dir).groupBy(to_date(col("ts")).as("d")).count()
+      .collect().map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getLong(1))).toMap
+    val (lo, hi) = (daily.keys.min, daily.keys.max)
+    val xs = (lo to hi).map(k => daily.getOrElse(k, 0L).toDouble).toArray
+    def variance(v: Array[Double]) = {
+      val m = v.sum / v.length; v.map(x => (x - m) * (x - m)).sum / v.length
+    }
+    val sums2 = xs.sliding(2).map(_.sum).toArray
+    val expected = variance(sums2) / (2 * variance(xs))
+    val got = df.filter(col("q") === 2).head.getAs[Double]("vr")
+    assert(math.abs(got - expected) < 1e-5, s"engine VR(2) $got vs driver $expected")
+  }
+
+  test("churn life table conserves users and reads censoring correctly") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("churn_hazard")(spark, dir).cache()
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(df.agg(sum(col("churned") + col("censored"))).head.getLong(0) == users,
+      "every user is either churned or censored exactly once")
+    val first = df.orderBy("tenure_week").head
+    assert(first.getAs[Long]("at_risk") == users,
+      "the earliest week's risk set is the whole population")
+    assert(df.filter(col("hazard") < 0 || col("hazard") > 1).count() == 0)
+    val surv = df.orderBy("tenure_week").collect().map(_.getAs[Double]("survival"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "survival can only decline")
+    // on this synthetic data everyone is active near the horizon: the
+    // censoring logic must NOT read that as churn
+    val censoredShare = df.agg(sum("censored")).head.getLong(0).toDouble / users
+    assert(censoredShare > 0.9, "still-active users are censored, not churned")
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
