@@ -793,6 +793,196 @@ object Round13Ops {
       |  END AS survival
       |FROM hzd ORDER BY tenure_week""".stripMargin
 
+  /** #369 session_gap_sensitivity — the sessionize knob table: per
+    * candidate inactivity gap {10m, 30m, 60m}, the session count,
+    * events per session, and the share of consecutive-event pairs the
+    * cut breaks — the sweep a team reads BEFORE standardizing a
+    * session definition (every downstream funnel/retention number
+    * moves with this knob, and #25's 30m is a convention, not a
+    * law). One lag-window pass yields every inter-event gap; the
+    * sweep is conditional sums against the broadcast 3-row axis;
+    * sessions = users + broken pairs EXACTLY, so the whole table is
+    * integer until the final divisions. Exact oracle.
+    */
+  def sessionGapSensitivity(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(wp))
+    val tot = gaps.agg(count(lit(1)).as("n_events"),
+      countDistinct(col("user_id")).as("n_users"),
+      sum(when(col("gap_us").isNotNull, 1L).otherwise(0L)).as("n_pairs"))
+    val thrs = s.range(0, 3).select(
+      element_at(array(lit(600L), lit(1800L), lit(3600L)), (col("id") + 1).cast("int"))
+        .as("gap_s"))
+    gaps.crossJoin(broadcast(thrs))
+      .groupBy(col("gap_s"))
+      .agg(sum(when(col("gap_us") > col("gap_s") * 1000000L, 1L).otherwise(0L)).as("broken"))
+      .crossJoin(broadcast(tot))
+      .select(col("gap_s"),
+        (col("n_users") + col("broken")).as("n_sessions"),
+        emit(col("n_events").cast("double")
+          / (col("n_users") + col("broken")).cast("double"), 6).as("events_per_session"),
+        emit(col("broken").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("pair_break_share"))
+      .orderBy(col("gap_s"))
+  }
+
+  val sessionGapSensitivitySql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events
+      |),
+      |tot AS (
+      |  SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |    CAST(sum(CASE WHEN gap_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+      |  FROM g
+      |),
+      |thrs AS (SELECT CAST(unnest([600, 1800, 3600]) AS BIGINT) AS gap_s),
+      |agg AS (
+      |  SELECT gap_s,
+      |    CAST(sum(CASE WHEN gap_us > gap_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS broken
+      |  FROM g CROSS JOIN thrs GROUP BY 1
+      |)
+      |SELECT gap_s, n_users + broken AS n_sessions,
+      |  CAST(round(CAST(n_events AS DOUBLE) / CAST(n_users + broken AS DOUBLE), 6) AS DOUBLE) AS events_per_session,
+      |  CAST(round(CAST(broken AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS DOUBLE) AS pair_break_share
+      |FROM agg CROSS JOIN tot ORDER BY gap_s""".stripMargin
+
+  /** #370 pii_density_report — per-source PII density over the
+    * pii_scrub planted corpus (same deterministic planting rule, so
+    * the oracle stays exact): emails / phones per 1000 docs and the
+    * share of docs carrying any PII — the compliance TRIAGE face of
+    * #78 (scrubbing is per-doc; deciding WHICH source needs legal
+    * review before release is this table). One regex-count scan + one
+    * source agg; densities divide exact longs. Exact oracle.
+    */
+  def piiDensityReport(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.documents(s, dir).select(
+      col("source"),
+      concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+    withPii
+      .select(col("source"),
+        size(regexp_extract_all(col("text"), lit(Round4Ops.EmailRe), lit(0))).as("ne"),
+        size(regexp_extract_all(col("text"), lit(Round4Ops.PhoneRe), lit(0))).as("np"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ne")).as("n_emails"), sum(col("np")).as("n_phones"),
+        sum(when(col("ne") + col("np") > 0, 1L).otherwise(0L)).as("docs_with_pii"))
+      .select(col("source"), col("n_docs"), col("n_emails"), col("n_phones"),
+        emit(col("n_emails").cast("double") * lit(1000.0) / col("n_docs").cast("double"), 4)
+          .as("emails_per_1k"),
+        emit(col("n_phones").cast("double") * lit(1000.0) / col("n_docs").cast("double"), 4)
+          .as("phones_per_1k"),
+        emit(col("docs_with_pii").cast("double") / col("n_docs").cast("double"), 6)
+          .as("pii_doc_share"))
+      .orderBy(col("source"))
+  }
+
+  val piiDensityReportSql: String =
+    """WITH p AS (
+      |  SELECT source,
+      |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      |  FROM documents
+      |),
+      |c AS (
+      |  SELECT source,
+      |    len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', 0)) AS ne,
+      |    len(regexp_extract_all(text, '\+1-555-[0-9]{4}', 0)) AS np
+      |  FROM p
+      |)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(np) AS BIGINT) AS n_phones,
+      |  CAST(round(CAST(sum(ne) AS DOUBLE) * 1000.0 / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS emails_per_1k,
+      |  CAST(round(CAST(sum(np) AS DOUBLE) * 1000.0 / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS phones_per_1k,
+      |  CAST(round(CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS pii_doc_share
+      |FROM c GROUP BY 1 ORDER BY source""".stripMargin
+
+  /** #371 weekend_effect — Welch two-sample z of weekend vs weekday
+    * daily volume (the punchcard epoch-day weekday rule: Sat/Sun are
+    * dow 6 and 0): the seasonality check behind staffing/capacity
+    * decisions, stated as a test instead of an eyeballed punchcard —
+    * and the honest companion to seasonal_strength (strength says the
+    * weekly SHAPE exists; this says whether the weekend LEVEL shift
+    * specifically is significant). Daily counts from one fine agg;
+    * both groups' moments exact DECIMAL(38,0); the Welch chain runs
+    * mirrored on the single-row frame. Exact oracle.
+    */
+  def weekendEffect(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val daily = events(s, dir)
+      .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("ed"))
+      .agg(count(lit(1)).as("x"))
+      .select(col("x"),
+        (((col("ed") + 4) % 7 === 6) || ((col("ed") + 4) % 7 === 0)).as("weekend"))
+    val m = daily.groupBy(col("weekend"))
+      .agg(count(lit(1)).as("n"), sum(dec0(col("x"))).as("s1"),
+        sum(dec0(col("x")) * dec0(col("x"))).as("s2"))
+    val wide = m.agg(
+      sum(when(col("weekend"), col("n"))).as("nw"),
+      sum(when(col("weekend"), col("s1"))).as("sw1"),
+      sum(when(col("weekend"), col("s2"))).as("sw2"),
+      sum(when(!col("weekend"), col("n"))).as("nd"),
+      sum(when(!col("weekend"), col("s1"))).as("sd1"),
+      sum(when(!col("weekend"), col("s2"))).as("sd2"))
+    def mean(s1: Column, n: Column) = s1.cast("double") / n.cast("double")
+    def vr(s1: Column, s2: Column, n: Column) = {
+      val mu = mean(s1, n); s2.cast("double") / n.cast("double") - mu * mu
+    }
+    val z = (mean(col("sw1"), col("nw")) - mean(col("sd1"), col("nd"))) /
+      sqrt(vr(col("sw1"), col("sw2"), col("nw")) / col("nw").cast("double")
+        + vr(col("sd1"), col("sd2"), col("nd")) / col("nd").cast("double"))
+    wide.select(
+      col("nw").cast("long").as("n_weekend_days"), col("nd").cast("long").as("n_weekday_days"),
+      emit(mean(col("sw1"), col("nw")), 4).as("mean_weekend"),
+      emit(mean(col("sd1"), col("nd")), 4).as("mean_weekday"),
+      emit(z, 4).as("welch_z"))
+      .withColumn("significant", abs(col("welch_z")) > 1.96)
+  }
+
+  val weekendEffectSql: String = {
+    def mean(s1: String, n: String) = s"CAST($s1 AS DOUBLE) / CAST($n AS DOUBLE)"
+    def vr(s1: String, s2: String, n: String) =
+      s"CAST($s2 AS DOUBLE) / CAST($n AS DOUBLE) - (${mean(s1, n)}) * (${mean(s1, n)})"
+    val z = s"((${mean("sw1", "nw")}) - (${mean("sd1", "nd")})) / " +
+      s"sqrt((${vr("sw1", "sw2", "nw")}) / CAST(nw AS DOUBLE) + (${vr("sd1", "sd2", "nd")}) / CAST(nd AS DOUBLE))"
+    s"""WITH daily AS (
+       |  SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS ed, count(*) AS x
+       |  FROM events GROUP BY 1
+       |),
+       |flag AS (
+       |  SELECT x, ((ed + 4) % 7 = 6) OR ((ed + 4) % 7 = 0) AS weekend FROM daily
+       |),
+       |m AS (
+       |  SELECT weekend, count(*) AS n, sum(CAST(x AS DECIMAL(38,0))) AS s1,
+       |    sum(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))) AS s2
+       |  FROM flag GROUP BY 1
+       |),
+       |wide AS (
+       |  SELECT
+       |    sum(CASE WHEN weekend THEN n END) AS nw,
+       |    sum(CASE WHEN weekend THEN s1 END) AS sw1,
+       |    sum(CASE WHEN weekend THEN s2 END) AS sw2,
+       |    sum(CASE WHEN NOT weekend THEN n END) AS nd,
+       |    sum(CASE WHEN NOT weekend THEN s1 END) AS sd1,
+       |    sum(CASE WHEN NOT weekend THEN s2 END) AS sd2
+       |  FROM m
+       |)
+       |SELECT CAST(nw AS BIGINT) AS n_weekend_days, CAST(nd AS BIGINT) AS n_weekday_days,
+       |  CAST(round(${mean("sw1", "nw")}, 4) AS DOUBLE) AS mean_weekend,
+       |  CAST(round(${mean("sd1", "nd")}, 4) AS DOUBLE) AS mean_weekday,
+       |  CAST(round($z, 4) AS DOUBLE) AS welch_z,
+       |  abs(CAST(round($z, 4) AS DOUBLE)) > 1.96 AS significant
+       |FROM wide""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "acf_table" -> (acfTable(_, _)),
     "ess_report" -> (essReport(_, _)),
@@ -800,6 +990,9 @@ object Round13Ops {
     "emd_drift" -> (emdDrift(_, _)),
     "variance_ratio_test" -> (varianceRatioTest(_, _)),
     "churn_hazard" -> (churnHazard(_, _)),
+    "session_gap_sensitivity" -> (sessionGapSensitivity(_, _)),
+    "pii_density_report" -> (piiDensityReport(_, _)),
+    "weekend_effect" -> (weekendEffect(_, _)),
     "cluster_size_dist" -> (clusterSizeDist(_, _)),
     "token_burstiness" -> (tokenBurstiness(_, _)),
     "log_odds_keyness" -> (logOddsKeyness(_, _)),
@@ -814,6 +1007,9 @@ object Round13Ops {
     "emd_drift" -> emdDriftSql,
     "variance_ratio_test" -> varianceRatioTestSql,
     "churn_hazard" -> churnHazardSql,
+    "session_gap_sensitivity" -> sessionGapSensitivitySql,
+    "pii_density_report" -> piiDensityReportSql,
+    "weekend_effect" -> weekendEffectSql,
     "cluster_size_dist" -> clusterSizeDistSql,
     "token_burstiness" -> tokenBurstinessSql,
     "log_odds_keyness" -> logOddsKeynessSql,

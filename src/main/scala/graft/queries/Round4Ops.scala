@@ -381,8 +381,8 @@ object Round4Ops {
       |FROM t WHERE token <> ''
       |GROUP BY token ORDER BY tf DESC, token LIMIT 50""".stripMargin
 
-  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[graft] val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private[graft] val PhoneRe = "\\+1-555-[0-9]{4}"
 
   /** #76 PII scrubbing: redact emails and phone numbers before a corpus
     * leaves the pipeline, and report per-document redaction counts (the

@@ -3522,6 +3522,63 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(censoredShare > 0.9, "still-active users are censored, not churned")
   }
 
+  test("session gap sweep breaks monotonically fewer pairs as the gap widens") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("session_gap_sensitivity")(spark, dir).cache()
+    assert(df.count() == 3)
+    val rows = df.orderBy("gap_s").collect()
+    val sessions = rows.map(_.getAs[Long]("n_sessions"))
+    assert(sessions.zip(sessions.tail).forall { case (a, b) => b <= a },
+      "a wider gap can only merge sessions")
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(sessions.forall(_ >= users), "each user contributes at least one session")
+    val nEvents = Tables.events(spark, dir).count()
+    rows.foreach { r =>
+      val eps = r.getAs[Double]("events_per_session")
+      assert(math.abs(eps - nEvents.toDouble / r.getAs[Long]("n_sessions")) < 1e-4)
+    }
+    // the 30m row must agree with the sessionize op's session count
+    val s30 = SparkEntry.queries("sessionize")(spark, dir).count()
+    assert(rows(1).getAs[Long]("n_sessions") == s30,
+      s"30m sweep row ${rows(1).getAs[Long]("n_sessions")} vs sessionize $s30")
+  }
+
+  test("pii density reconciles with the per-doc scrub counts") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("pii_density_report")(spark, dir).cache()
+    assert(df.count() == Tables.documents(spark, dir).select("source").distinct().count())
+    // every doc gets exactly one planted email and phone, so densities
+    // must be AT LEAST 1000/1k; organic text may add more
+    assert(df.filter(col("emails_per_1k") < 1000 || col("phones_per_1k") < 1000).count() == 0)
+    assert(df.filter(abs(col("pii_doc_share") - 1.0) > 1e-9).count() == 0,
+      "the planting rule touches every document")
+    val totalEmails = df.agg(sum("n_emails")).head.getLong(0)
+    val scrub = SparkEntry.queries("pii_scrub")(spark, dir)
+      .agg(sum("n_emails")).head.getLong(0)
+    assert(totalEmails == scrub, "report totals must match the scrub op")
+  }
+
+  test("weekend effect matches a driver-side welch z") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("weekend_effect")(spark, dir).cache()
+    val r = df.head
+    assert(r.getAs[Boolean]("significant") == (math.abs(r.getAs[Double]("welch_z")) > 1.96))
+    val daily = Tables.events(spark, dir)
+      .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("ed")).count()
+      .collect().map(x => (x.getLong(0), x.getLong(1).toDouble))
+    val (we, wd) = daily.partition { case (ed, _) =>
+      val dow = ((ed + 4) % 7 + 7) % 7; dow == 6 || dow == 0
+    }
+    def stats(xs: Array[Double]) = {
+      val m = xs.sum / xs.length
+      (m, xs.map(v => (v - m) * (v - m)).sum / xs.length, xs.length)
+    }
+    val (mw, vw, nw) = stats(we.map(_._2)); val (md, vd, nd) = stats(wd.map(_._2))
+    val z = (mw - md) / math.sqrt(vw / nw + vd / nd)
+    assert(r.getAs[Long]("n_weekend_days") == nw && r.getAs[Long]("n_weekday_days") == nd)
+    assert(math.abs(r.getAs[Double]("welch_z") - z) < 1e-3, s"engine z vs replay $z")
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
