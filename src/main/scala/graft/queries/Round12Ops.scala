@@ -667,7 +667,8 @@ object Round12Ops {
     val toks = Tables.documents(s, dir)
       .select(col("source"), explode(split(col("text"), " ")).as("token"))
       .filter(col("token") =!= "")
-    val counts = toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+    val counts = graft.Lineage.cut( // vocab-sized histogram, read 3x
+      toks.groupBy(col("source"), col("token")).agg(count(lit(1)).as("c")))
     val srcTotals = counts.groupBy(col("source")).agg(sum(col("c")).as("tot"))
     val top = counts.groupBy(col("token")).agg(sum(col("c")).as("g"))
       .orderBy(col("g").desc, col("token")).limit(20).select(col("token"))
@@ -1303,17 +1304,23 @@ object Round12Ops {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next", lead(col("event_type"), 1).over(w))
       .filter(col("next").isNotNull)
-    val trans = steps.groupBy(col("event_type").as("src"), col("next").as("dst"))
-      .agg(count(lit(1)).as("c"))
+    val trans = graft.Lineage.cut( // |types|² — one scan, many readers
+      steps.groupBy(col("event_type").as("src"), col("next").as("dst"))
+        .agg(count(lit(1)).as("c")))
     val outTot = trans.groupBy(col("src")).agg(sum(col("c")).as("tot"))
-    val p = trans.join(outTot, Seq("src"))
+    // p / starts / types are |types|-bounded but feed the 4 unrolled
+    // matrix multiplies times 6 variants: cut their lineage or every
+    // multiply re-derives the full transition scan (plan audit read
+    // xchg=343 before these cuts)
+    val p = graft.Lineage.cut(trans.join(outTot, Seq("src"))
       .select(col("src"), col("dst"),
-        (col("c").cast("double") / col("tot").cast("double")).as("p"))
-    val starts = events(s, dir)
+        (col("c").cast("double") / col("tot").cast("double")).as("p")))
+    val starts = graft.Lineage.cut(events(s, dir)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .groupBy(col("event_type").as("src")).agg(count(lit(1)).as("n"))
-    val types = trans.select(col("src")).union(trans.select(col("dst"))).distinct()
+      .groupBy(col("event_type").as("src")).agg(count(lit(1)).as("n")))
+    val types = graft.Lineage.cut(
+      trans.select(col("src")).union(trans.select(col("dst"))).distinct())
     val variants = types.filter(col("src") =!= "purchase")
       .select(col("src").as("removed"))
       .unionByName(s.range(1).select(lit("none").as("removed")))
@@ -2168,7 +2175,10 @@ object Round12Ops {
   def cramersVMatrix(s: SparkSession, dir: String): DataFrame = {
     val wp = org.apache.spark.sql.expressions.Window
     def one(pair: String, src: DataFrame): DataFrame = {
-      val cells = src.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nij"))
+      // the contingency table is r×c-bounded but read five times
+      // (margins, totals, dims, full cross): cut or each re-scans
+      val cells = graft.Lineage.cut(
+        src.groupBy(col("a"), col("b")).agg(count(lit(1)).as("nij")))
       val ra = cells.groupBy(col("a")).agg(sum(col("nij")).as("r"))
       val cb = cells.groupBy(col("b")).agg(sum(col("nij")).as("c"))
       val full = ra.crossJoin(broadcast(cb))
@@ -2266,10 +2276,11 @@ object Round12Ops {
       .select(col("event_type"), col("k"),
         datediff(col("hi"), col("lo")).as("kmax"),
         coalesce(col("x0"), lit(0L)).as("x"))
-    val base = dense.select(col("event_type"), col("k"), col("x"))
+    val denseCut = graft.Lineage.cut(dense) // calendar-bounded, read 3x
+    val base = denseCut.select(col("event_type"), col("k"), col("x"))
     val lag1 = base.select(col("event_type"), (col("k") + 1).as("k"), col("x").as("p1"))
     val lag7 = base.select(col("event_type"), (col("k") + 7).as("k"), col("x").as("p7"))
-    dense
+    denseCut
       .join(lag1, Seq("event_type", "k"))
       .join(lag7, Seq("event_type", "k"))
       .filter(col("k") > col("kmax") - 14)
@@ -3026,13 +3037,14 @@ object Round12Ops {
           .agg(sum(col("x")).as("x0")),
         Seq("event_type", "k"), "left")
       .select(col("event_type"), col("k"), coalesce(col("x0"), lit(0L)).as("x"))
-    val a = dense.select(col("event_type"), col("k").as("ki"), col("x").as("xi"))
-    val b = dense.select(col("event_type"), col("k").as("kj"), col("x").as("xj"))
+    val denseCut = graft.Lineage.cut(dense) // calendar-bounded, read 3x
+    val a = denseCut.select(col("event_type"), col("k").as("ki"), col("x").as("xi"))
+    val b = denseCut.select(col("event_type"), col("k").as("kj"), col("x").as("xj"))
     val sStat = a.join(b, Seq("event_type")).filter(col("ki") < col("kj"))
       .groupBy(col("event_type"))
       .agg(sum(signum(col("xj") - col("xi")).cast("long")).as("s"),
         (max(col("kj")) + 1).as("n"))
-    val ties = dense.groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("t"))
+    val ties = denseCut.groupBy(col("event_type"), col("x")).agg(count(lit(1)).as("t"))
       .groupBy(col("event_type"))
       .agg(sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).as("tie_term"))
     val varNum = (col("n") * (col("n") - 1) * (lit(2) * col("n") + 5) - col("tie_term"))
@@ -3528,9 +3540,9 @@ object Round12Ops {
     val sym = graft.Lineage.cut(
       dedges.unionByName(dedges.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     val labels = graphCommunitiesLabels(s, dir)
-    val joined = sym
+    val joined = graft.Lineage.cut(sym // O(E) labeled edges, read twice
       .join(labels.select(col("node").as("src"), col("community").as("cs")), Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("community").as("cd")), Seq("dst"))
+      .join(labels.select(col("node").as("dst"), col("community").as("cd")), Seq("dst")))
     val m2 = joined.agg(count(lit(1)).as("m2"))
     val perC = joined.groupBy(col("cs").as("community"))
       .agg(count(lit(1)).as("vol"),

@@ -390,8 +390,9 @@ object Round13Ops {
         Seq("k"), "left")
       .select(col("k"), coalesce(col("x0"), lit(0L)).as("x"))
     val tot = dense.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-    val dev = dense.crossJoin(broadcast(tot))
-      .select(col("k"), (dec0(col("n")) * dec0(col("x")) - dec0(col("sx"))).as("dv"), col("n"))
+    val dev = graft.Lineage.cut( // calendar-bounded, read 3x (denom + both join sides)
+      dense.crossJoin(broadcast(tot))
+        .select(col("k"), (dec0(col("n")) * dec0(col("x")) - dec0(col("sx"))).as("dv"), col("n")))
     val denom = dev.agg(sum(col("dv") * col("dv")).as("ss"), max(col("n")).as("n"))
     val lags = s.range(1, 15).select(col("id").cast("int").as("lag"))
     val shifted = dev.select(col("k").as("kb"), col("dv").as("dvp"))
@@ -636,7 +637,8 @@ object Round13Ops {
           .groupBy(datediff(col("d"), col("lo")).as("k")).agg(sum(col("x")).as("x0")),
         Seq("k"), "left")
       .select(col("k"), coalesce(col("x0"), lit(0L)).as("x"))
-    val base = dense.agg(count(lit(1)).as("n"),
+    val denseCut = graft.Lineage.cut(dense) // calendar-bounded, read 3x
+    val base = denseCut.agg(count(lit(1)).as("n"),
       sum(dec0(col("x"))).as("s1"), sum(dec0(col("x")) * dec0(col("x"))).as("s2"))
     def varD(n: Column, s1: Column, s2: Column): Column = {
       val mean = s1.cast("double") / n.cast("double")
@@ -646,8 +648,8 @@ object Round13Ops {
       element_at(array(lit(2), lit(4), lit(8)), (col("id") + 1).cast("int")).as("q"))
     // rowsBetween(0, q-1) would need a per-row frame bound: express the
     // q-sum as a self-join range instead (k ≤ k2 < k+q, bounded frame)
-    val qsums = dense.crossJoin(broadcast(qs))
-      .join(dense.select(col("k").as("k2"), col("x").as("x2")),
+    val qsums = denseCut.crossJoin(broadcast(qs))
+      .join(denseCut.select(col("k").as("k2"), col("x").as("x2")),
         col("k2") >= col("k") && col("k2") < col("k") + col("q"))
       .groupBy(col("q"), col("k"))
       .agg(sum(col("x2")).as("y"), count(lit(1)).as("m"))
