@@ -985,10 +985,95 @@ object Round13Ops {
        |FROM wide""".stripMargin
   }
 
+  /** #372 pacf_table — the partial autocorrelation function at lags
+    * 1…14 via the Durbin–Levinson recursion, completing Box–Jenkins
+    * identification beside #363 (ACF tails ⇒ MA signature, PACF cuts
+    * off ⇒ AR order — the pair is how a forecaster picks the model
+    * the catalog's Holt family then has to beat). The inherently
+    * sequential recursion runs as a BOUNDED fold: the 14
+    * oracle-verified ACF emits collect to one array and the DL state
+    * (φ vector, innovation variance v) folds over 13 steps inside
+    * ONE aggregate HOF — no iteration state, no driver math, nothing
+    * data-sized past the ACF chain itself. Each step's φ_kk and v are
+    * 12-dp rounded so both engines' fold chains stay bit-identical
+    * (the EWMA/Holt discipline); the oracle replays the identical
+    * recursion as a recursive CTE carrying the φ LIST. Exact oracle.
+    */
+  def pacfTable(s: SparkSession, dir: String): DataFrame = {
+    val r = acfTable(s, dir)
+      .agg(sort_array(collect_list(struct(col("lag"), col("acf"), col("white_band")))).as("a"))
+      .select(expr("transform(a, x -> x.acf)").as("r"),
+        expr("element_at(transform(a, x -> x.white_band), 1)").as("wb"))
+    val folded = r.select(col("wb"), col("r"),
+      aggregate(
+        expr("sequence(2, 14)"),
+        expr("""named_struct(
+          'phis', array(element_at(r, 1)),
+          'v', round(1.0D - element_at(r, 1) * element_at(r, 1), 12),
+          'pacf', array(element_at(r, 1)))"""),
+        (acc, k) => {
+          val phis = acc.getField("phis")
+          val dot = aggregate(
+            zip_with(phis, reverse(slice(col("r"), lit(1), (k - 1).cast("int"))),
+              (a, b) => a * b),
+            lit(0.0), (a, b) => a + b)
+          val pkk = round(
+            (element_at(col("r"), k.cast("int")) - dot) / acc.getField("v"), 12)
+          val newPhis = concat(
+            zip_with(phis, reverse(phis), (p, q) => p - pkk * q),
+            array(pkk))
+          struct(
+            newPhis.as("phis"),
+            round(acc.getField("v") * (lit(1.0) - pkk * pkk), 12).as("v"),
+            concat(acc.getField("pacf"), array(pkk)).as("pacf"))
+        }).getField("pacf").as("pacf"))
+    folded
+      .select(col("wb"), posexplode(col("pacf")).as(Seq("pos", "p")))
+      .select((col("pos") + 1).as("lag"), emit(col("p"), 6).as("pacf"),
+        emit(col("wb"), 6).as("white_band"))
+      .withColumn("significant", abs(col("pacf")) > col("white_band"))
+      .orderBy(col("lag"))
+  }
+
+  val pacfTableSql: String =
+    s"""WITH RECURSIVE acf0 AS (${acfTableSql.replace("ORDER BY lag", "")}),
+       |rl AS (
+       |  SELECT list(acf ORDER BY lag) AS r, any_value(white_band) AS wb FROM acf0
+       |),
+       |dl AS (
+       |  SELECT 1 AS k, [r[1]] AS phis,
+       |    round(1.0 - r[1] * r[1], 12) AS v, [r[1]] AS pacf, r, wb
+       |  FROM rl
+       |  UNION ALL
+       |  SELECT k + 1,
+       |    list_append(
+       |      list_transform(list_zip(phis, list_reverse(phis)),
+       |        x -> x[1] - round((r[k + 1] - list_dot_product(phis,
+       |          list_reverse(r[1:k]))) / v, 12) * x[2]),
+       |      round((r[k + 1] - list_dot_product(phis, list_reverse(r[1:k]))) / v, 12)),
+       |    round(v * (1.0 - round((r[k + 1] - list_dot_product(phis,
+       |      list_reverse(r[1:k]))) / v, 12)
+       |      * round((r[k + 1] - list_dot_product(phis, list_reverse(r[1:k]))) / v, 12)), 12),
+       |    list_append(pacf,
+       |      round((r[k + 1] - list_dot_product(phis, list_reverse(r[1:k]))) / v, 12)),
+       |    r, wb
+       |  FROM dl WHERE k < 14
+       |),
+       |fin AS (SELECT pacf, wb FROM dl WHERE k = 14)
+       |SELECT u.i AS lag,
+       |  CAST(round(u.p, 6) AS DOUBLE) AS pacf,
+       |  CAST(round(wb, 6) AS DOUBLE) AS white_band,
+       |  abs(CAST(round(u.p, 6) AS DOUBLE)) > CAST(round(wb, 6) AS DOUBLE) AS significant
+       |FROM fin, LATERAL (
+       |  SELECT unnest(pacf) AS p, unnest(generate_series(1, len(pacf))) AS i
+       |) u
+       |ORDER BY lag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "acf_table" -> (acfTable(_, _)),
     "ess_report" -> (essReport(_, _)),
     "attribution_window_sweep" -> (attributionWindowSweep(_, _)),
+    "pacf_table" -> (pacfTable(_, _)),
     "emd_drift" -> (emdDrift(_, _)),
     "variance_ratio_test" -> (varianceRatioTest(_, _)),
     "churn_hazard" -> (churnHazard(_, _)),
@@ -1006,6 +1091,7 @@ object Round13Ops {
     "acf_table" -> acfTableSql,
     "ess_report" -> essReportSql,
     "attribution_window_sweep" -> attributionWindowSweepSql,
+    "pacf_table" -> pacfTableSql,
     "emd_drift" -> emdDriftSql,
     "variance_ratio_test" -> varianceRatioTestSql,
     "churn_hazard" -> churnHazardSql,

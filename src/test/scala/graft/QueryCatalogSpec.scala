@@ -3579,6 +3579,32 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("welch_z") - z) < 1e-3, s"engine z vs replay $z")
   }
 
+  test("pacf matches a driver-side durbin-levinson replay") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("pacf_table")(spark, dir).cache()
+    assert(df.count() == 14)
+    assert(df.filter(col("significant") =!= (abs(col("pacf")) > col("white_band"))).count() == 0)
+    val acf = SparkEntry.queries("acf_table")(spark, dir)
+      .orderBy("lag").collect().map(_.getAs[Double]("acf"))
+    // classic DL with the op's own 12-dp step rounding
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var phis = Array(acf(0)); var v = r12(1.0 - acf(0) * acf(0))
+    val pacf = scala.collection.mutable.ArrayBuffer(acf(0))
+    for (k <- 2 to 14) {
+      val dot = phis.zip(acf.slice(0, k - 1).reverse).map { case (a, b) => a * b }.sum
+      val pkk = r12((acf(k - 1) - dot) / v)
+      phis = phis.zip(phis.reverse).map { case (p, q) => p - pkk * q } :+ pkk
+      v = r12(v * (1 - pkk * pkk))
+      pacf += pkk
+    }
+    val got = df.orderBy("lag").collect().map(_.getAs[Double]("pacf"))
+    got.zip(pacf).zipWithIndex.foreach { case ((g, e), i) =>
+      assert(math.abs(g - e) < 1e-6, s"lag ${i + 1}: engine $g vs DL replay $e")
+    }
+    // pacf(1) must equal acf(1) by definition
+    assert(math.abs(got.head - acf.head) < 1e-9)
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
