@@ -1069,11 +1069,168 @@ object Round13Ops {
        |) u
        |ORDER BY lag""".stripMargin
 
+  /** #373 ljung_box — the Ljung–Box portmanteau test over the first
+    * 14 autocorrelations: Q = n(n+2)·Σ r_k²/(n−k) against the χ²₁₄
+    * 5% cut — durbin_watson asks "is lag-1 clean", THIS asks "are ALL
+    * the lags jointly clean", the standard residual-whiteness gate a
+    * forecasting pipeline runs before trusting any model comparison.
+    * Chains on the oracle-verified ACF emits (the rank_rbo rule); the
+    * Q terms are 12-dp rounded into an order-free DECIMAL sum over
+    * the bounded 14-row table; n re-derives in-plan from the dense
+    * calendar (never decoded from a rounded column). Exact oracle.
+    */
+  def ljungBox(s: SparkSession, dir: String): DataFrame = {
+    val acf = acfTable(s, dir).select(col("lag"), col("acf"))
+    val n = events(s, dir)
+      .agg((datediff(max(to_date(col("ts"))), min(to_date(col("ts")))) + 1).as("n"))
+    val term = round(col("acf") * col("acf")
+      / (col("n") - col("lag")).cast("double"), 12)
+    acf.crossJoin(broadcast(n))
+      .select(col("n"), term.cast(Dec12).as("t"))
+      .groupBy(col("n")).agg(sum(col("t")).as("st"))
+      .select(col("n").as("n_days"),
+        emit(col("n").cast("double") * (col("n").cast("double") + lit(2.0))
+          * col("st").cast("double"), 4).as("q_stat"),
+        lit(23.685).as("chi2_cut_5pct"))
+      .withColumn("reject_whiteness", col("q_stat") > col("chi2_cut_5pct"))
+  }
+
+  val ljungBoxSql: String =
+    s"""WITH acf0 AS (${acfTableSql.replace("ORDER BY lag", "")}),
+       |nn AS (
+       |  SELECT datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1 AS n
+       |  FROM events
+       |),
+       |terms AS (
+       |  SELECT n,
+       |    sum(CAST(round(acf * acf / CAST(n - lag AS DOUBLE), 12) AS DECIMAL(38,12))) AS st
+       |  FROM acf0 CROSS JOIN nn GROUP BY 1
+       |)
+       |SELECT n AS n_days,
+       |  CAST(round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(st AS DOUBLE), 4) AS DOUBLE) AS q_stat,
+       |  23.685 AS chi2_cut_5pct,
+       |  CAST(round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(st AS DOUBLE), 4) AS DOUBLE) > 23.685 AS reject_whiteness
+       |FROM terms""".stripMargin
+
+  /** #374 anova_length — one-way ANOVA of document length across the
+    * five languages (F, η², with the df1=4 large-N 5% cut 2.372
+    * documented in-column): the k-group generalization closing the
+    * test family (#371 Welch compares two groups; this asks whether
+    * ANY language differs) plus η² — the share of length variance
+    * language explains, which is what a stratified-length sampler
+    * actually needs to know. Per-group moments are exact
+    * DECIMAL(38,0) in ONE map-side agg; SSB/SSW assemble on the
+    * bounded 5-row group table with 12-dp rounded terms into DECIMAL
+    * sums, the F chain mirrored. Exact oracle.
+    */
+  def anovaLength(s: SparkSession, dir: String): DataFrame = {
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val g = Tables.documents(s, dir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(dec0(col("n_chars"))).as("s1"),
+        sum(dec0(col("n_chars")) * dec0(col("n_chars"))).as("s2"))
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("s1")).as("t1"),
+      count(lit(1)).as("gk"))
+    val mu = col("t1").cast("double") / col("nn").cast("double")
+    val mug = col("s1").cast("double") / col("n").cast("double")
+    val m = g.crossJoin(broadcast(tot))
+      .select(col("nn"), col("gk"),
+        round(col("n").cast("double") * (mug - mu) * (mug - mu), 12).cast(Dec12).as("ssb_t"),
+        round(col("s2").cast("double") - col("s1").cast("double") * mug, 12).cast(Dec12)
+          .as("ssw_t"))
+      .groupBy(col("nn"), col("gk"))
+      .agg(sum(col("ssb_t")).as("ssb"), sum(col("ssw_t")).as("ssw"))
+    val f = (col("ssb").cast("double") / (col("gk") - 1).cast("double")) /
+      (col("ssw").cast("double") / (col("nn") - col("gk")).cast("double"))
+    m.select(col("gk").as("n_groups"), col("nn").as("n_docs"),
+      emit(f, 4).as("f_stat"),
+      emit(col("ssb").cast("double")
+        / (col("ssb").cast("double") + col("ssw").cast("double")), 6).as("eta_sq"),
+      lit(2.372).as("f_cut_5pct_df4"))
+      .withColumn("significant", col("f_stat") > col("f_cut_5pct_df4"))
+  }
+
+  val anovaLengthSql: String =
+    """WITH g AS (
+      |  SELECT lang, count(*) AS n,
+      |    sum(CAST(n_chars AS DECIMAL(38,0))) AS s1,
+      |    sum(CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))) AS s2
+      |  FROM documents GROUP BY 1
+      |),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, sum(s1) AS t1, count(*) AS gk FROM g),
+      |m AS (
+      |  SELECT nn, gk,
+      |    sum(CAST(round(CAST(n AS DOUBLE)
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(t1 AS DOUBLE) / CAST(nn AS DOUBLE))
+      |      * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) - CAST(t1 AS DOUBLE) / CAST(nn AS DOUBLE)),
+      |      12) AS DECIMAL(38,12))) AS ssb,
+      |    sum(CAST(round(CAST(s2 AS DOUBLE)
+      |      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(38,12))) AS ssw
+      |  FROM g CROSS JOIN tot GROUP BY 1, 2
+      |)
+      |SELECT gk AS n_groups, nn AS n_docs,
+      |  CAST(round((CAST(ssb AS DOUBLE) / CAST(gk - 1 AS DOUBLE))
+      |    / (CAST(ssw AS DOUBLE) / CAST(nn - gk AS DOUBLE)), 4) AS DOUBLE) AS f_stat,
+      |  CAST(round(CAST(ssb AS DOUBLE) / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6) AS DOUBLE) AS eta_sq,
+      |  2.372 AS f_cut_5pct_df4,
+      |  CAST(round((CAST(ssb AS DOUBLE) / CAST(gk - 1 AS DOUBLE))
+      |    / (CAST(ssw AS DOUBLE) / CAST(nn - gk AS DOUBLE)), 4) AS DOUBLE) > 2.372 AS significant
+      |FROM m""".stripMargin
+
+  /** #375 k_anonymity_sweep — the generalization frontier for the
+    * customer quasi-identifier: per acctbal band width {500, 1000,
+    * 2000, 5000}, the minimum class size and the share of rows in
+    * classes below k=5 and k=10 — #263 audits ONE generalization,
+    * THIS is the utility-privacy menu a release decision actually
+    * reads (coarser bands cost analytic utility and buy anonymity;
+    * the sweep says how much of each). One scan per the broadcast
+    * width axis (map-side combinable fine agg), class histograms
+    * bounded; shares divide exact longs. Exact oracle.
+    */
+  def kAnonymitySweep(s: SparkSession, dir: String): DataFrame = {
+    val widths = s.range(0, 4).select(
+      element_at(array(lit(500), lit(1000), lit(2000), lit(5000)), (col("id") + 1).cast("int"))
+        .as("band_width"))
+    val classes = Tables.customer(s, dir)
+      .crossJoin(broadcast(widths))
+      .groupBy(col("band_width"), col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / col("band_width")).as("band"))
+      .agg(count(lit(1)).as("sz"))
+    classes.groupBy(col("band_width"))
+      .agg(count(lit(1)).as("n_classes"), min(col("sz")).as("min_class"),
+        sum(col("sz")).as("n_rows"),
+        sum(when(col("sz") < 5, col("sz")).otherwise(0L)).as("rows_below_k5"),
+        sum(when(col("sz") < 10, col("sz")).otherwise(0L)).as("rows_below_k10"))
+      .select(col("band_width"), col("n_classes"), col("min_class"),
+        emit(col("rows_below_k5").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share_below_k5"),
+        emit(col("rows_below_k10").cast("double") / col("n_rows").cast("double"), 6)
+          .as("share_below_k10"))
+      .orderBy(col("band_width"))
+  }
+
+  val kAnonymitySweepSql: String =
+    """WITH widths AS (SELECT unnest([500, 1000, 2000, 5000]) AS band_width),
+      |classes AS (
+      |  SELECT band_width, c_nationkey, c_mktsegment,
+      |    floor(c_acctbal / band_width) AS band, count(*) AS sz
+      |  FROM customer CROSS JOIN widths
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT band_width, count(*) AS n_classes, CAST(min(sz) AS BIGINT) AS min_class,
+      |  CAST(round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(sz) AS DOUBLE), 6) AS DOUBLE) AS share_below_k5,
+      |  CAST(round(CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(sz) AS DOUBLE), 6) AS DOUBLE) AS share_below_k10
+      |FROM classes GROUP BY 1 ORDER BY band_width""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "acf_table" -> (acfTable(_, _)),
     "ess_report" -> (essReport(_, _)),
     "attribution_window_sweep" -> (attributionWindowSweep(_, _)),
     "pacf_table" -> (pacfTable(_, _)),
+    "ljung_box" -> (ljungBox(_, _)),
+    "anova_length" -> (anovaLength(_, _)),
+    "k_anonymity_sweep" -> (kAnonymitySweep(_, _)),
     "emd_drift" -> (emdDrift(_, _)),
     "variance_ratio_test" -> (varianceRatioTest(_, _)),
     "churn_hazard" -> (churnHazard(_, _)),
@@ -1092,6 +1249,9 @@ object Round13Ops {
     "ess_report" -> essReportSql,
     "attribution_window_sweep" -> attributionWindowSweepSql,
     "pacf_table" -> pacfTableSql,
+    "ljung_box" -> ljungBoxSql,
+    "anova_length" -> anovaLengthSql,
+    "k_anonymity_sweep" -> kAnonymitySweepSql,
     "emd_drift" -> emdDriftSql,
     "variance_ratio_test" -> varianceRatioTestSql,
     "churn_hazard" -> churnHazardSql,

@@ -3605,6 +3605,61 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(got.head - acf.head) < 1e-9)
   }
 
+  test("ljung-box reconciles with the acf terms") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ljung_box")(spark, dir).cache()
+    val r = df.head
+    assert(r.getAs[Boolean]("reject_whiteness")
+      == (r.getAs[Double]("q_stat") > r.getAs[Double]("chi2_cut_5pct")))
+    assert(r.getAs[Double]("q_stat") >= 0)
+    val n = r.getAs[Number]("n_days").doubleValue
+    val acf = SparkEntry.queries("acf_table")(spark, dir)
+      .orderBy("lag").collect()
+    val q = n * (n + 2) * acf.map { a =>
+      val rk = a.getAs[Double]("acf"); rk * rk / (n - a.getAs[Int]("lag"))
+    }.sum
+    assert(math.abs(r.getAs[Double]("q_stat") - q) < 0.01, s"engine Q vs replay $q")
+    // the synthetic volume is near-uniform across days, so the test
+    // verdict itself is data-dependent; what must hold is the identity
+    // between Q and the ACF it chains on (checked above)
+  }
+
+  test("anova reconciles with per-group moments") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("anova_length")(spark, dir).cache()
+    val r = df.head
+    assert(r.getAs[Long]("n_groups") == 5)
+    val eta = r.getAs[Double]("eta_sq")
+    assert(eta >= 0 && eta <= 1)
+    assert(r.getAs[Boolean]("significant")
+      == (r.getAs[Double]("f_stat") > r.getAs[Double]("f_cut_5pct_df4")))
+    val xs = Tables.documents(spark, dir).select("lang", "n_chars").collect()
+      .map(x => (x.getString(0), x.getLong(1).toDouble))
+    val byLang = xs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val grand = xs.map(_._2).sum / xs.length
+    val ssb = byLang.values.map(g => g.length * math.pow(g.sum / g.length - grand, 2)).sum
+    val ssw = byLang.values.map(g => { val m = g.sum / g.length; g.map(v => (v - m) * (v - m)).sum }).sum
+    val f = (ssb / 4) / (ssw / (xs.length - 5))
+    assert(math.abs(r.getAs[Double]("f_stat") - f) < 0.01, s"engine F vs replay $f")
+  }
+
+  test("k-anonymity sweep trades utility for anonymity monotonically") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("k_anonymity_sweep")(spark, dir).cache()
+    assert(df.count() == 4)
+    val rows = df.orderBy("band_width").collect()
+    val classes = rows.map(_.getAs[Long]("n_classes"))
+    assert(classes.zip(classes.tail).forall { case (a, b) => b <= a },
+      "coarser bands can only merge classes")
+    val s5 = rows.map(_.getAs[Double]("share_below_k5"))
+    assert(s5.zip(s5.tail).forall { case (a, b) => b <= a + 1e-9 },
+      "coarser bands can only shrink the sub-k population")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share_below_k5") <= r.getAs[Double]("share_below_k10") + 1e-9)
+      assert(r.getAs[Long]("min_class") >= 1)
+    }
+  }
+
   test("embed drift report covers every dimension and splits the vector set in two") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("embed_drift_report")(spark, dir).cache()
