@@ -1223,7 +1223,210 @@ object Round13Ops {
       |    / CAST(sum(sz) AS DOUBLE), 6) AS DOUBLE) AS share_below_k10
       |FROM classes GROUP BY 1 ORDER BY band_width""".stripMargin
 
+  /** #376 dedup_editdist — edit-distance near-dup mining, the FOURTH
+    * near-dup family beside token-set Jaccard (MinHash), bit-sketch
+    * (SimHash) and embedding cosine: Levenshtein catches single-char
+    * typo/OCR/template-edit variants whose token sets and semantics
+    * both still differ, the classic record-linkage distance
+    * (Fellegi–Sunter's comparison vector uses it; reference dedup is
+    * exact-hash only, `main.rs:1916`). Pairwise Levenshtein is
+    * O(n²·L²) so it NEVER runs all-pairs: candidates come from a
+    * blocking key (lang, first-8-chars of the normalized 48-char
+    * prefix) — the blocking_report (#291) trade made executable; the
+    * block self-join runs under the family hot-bucket cap (modeled in
+    * the oracle's QUALIFY, the containment precedent) so per-key pair
+    * output stays bounded at any SF. The distance itself runs on the
+    * bounded 48-char prefix (L² on 48, not on document length).
+    * Deterministic planted variants (docs with doc_id ≡ 0 mod 89 get
+    * a twin with chars 9-10 mutated INSIDE the prefix but OUTSIDE the
+    * block key, id offset +1000000) prove detection identically in
+    * both engines — the synthetic corpus has no organic near-dups, the
+    * pii_scrub planting rule. Similarity divides exact ints once.
+    * Exact oracle.
+    */
+  def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("text"))
+    val variants = base
+      .filter(length(col("text")) >= 20)
+      .filter(col("doc_id") % 89 === 0)
+      .select(
+        (col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        concat(substring(col("text"), 1, 8), lit("ZQ"),
+          substring(col("text"), 11, Int.MaxValue)).as("text"))
+    val corpus = base.unionByName(variants)
+      .select(col("doc_id"), col("lang"),
+        substring(lower(col("text")), 1, 48).as("p"))
+      .withColumn("k", substring(col("p"), 1, 8))
+    val guarded = TextOps.dropHotBuckets(corpus, Seq("lang", "k"), "dedup_editdist_buckets")
+    guarded.select(col("lang"), col("k"), col("doc_id").as("a"), col("p").as("pa"))
+      .join(
+        guarded.select(col("lang"), col("k"), col("doc_id").as("b"), col("p").as("pb")),
+        Seq("lang", "k"))
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("pa"), col("pb")))
+      .filter(col("dist") <= 6)
+      .select(col("a"), col("b"), col("dist").cast("long").as("dist"),
+        emit(lit(1.0) - col("dist").cast("double") /
+          greatest(length(col("pa")), length(col("pb"))).cast("double"), 4).as("sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  val dedupEditdistSql: String =
+    s"""WITH base AS (SELECT doc_id, lang, text FROM documents),
+       |variants AS (
+       |  SELECT doc_id + 1000000 AS doc_id, lang,
+       |    substr(text, 1, 8) || 'ZQ' || substr(text, 11) AS text
+       |  FROM base WHERE length(text) >= 20 AND doc_id % 89 = 0
+       |),
+       |corpus AS (
+       |  SELECT doc_id, lang, substr(lower(text), 1, 48) AS p,
+       |    substr(lower(text), 1, 8) AS k
+       |  FROM (SELECT * FROM base UNION ALL SELECT * FROM variants)
+       |),
+       |guarded AS (
+       |  SELECT * FROM corpus
+       |  QUALIFY count(*) OVER (PARTITION BY lang, k) <= ${TextOps.PairBucketCap}
+       |),
+       |pairs AS (
+       |  SELECT g1.doc_id AS a, g2.doc_id AS b,
+       |    levenshtein(g1.p, g2.p) AS dist,
+       |    greatest(length(g1.p), length(g2.p)) AS plen
+       |  FROM guarded g1 JOIN guarded g2
+       |    ON g1.lang = g2.lang AND g1.k = g2.k AND g1.doc_id < g2.doc_id
+       |)
+       |SELECT a, b, CAST(dist AS BIGINT) AS dist,
+       |  CAST(round(1.0 - CAST(dist AS DOUBLE) / CAST(plen AS DOUBLE), 4) AS DOUBLE) AS sim
+       |FROM pairs WHERE dist <= 6
+       |ORDER BY a, b""".stripMargin
+
+  /** #377 logrank_test — the log-rank (Mantel–Cox) two-sample
+    * survival comparison over time-to-first-purchase between the A/B
+    * hash split, completing the survival family: conversion_survival
+    * draws ONE Kaplan–Meier curve, churn_hazard one life table — THIS
+    * is the test that says whether two curves DIFFER (the censoring-
+    * aware comparison a naive conversion-rate z gets wrong when
+    * observation windows differ per user). Users split by the
+    * ab_lift_report seeded-md5 device; duration = days from first
+    * event to first purchase, right-censored at the data horizon (no
+    * wall clock in the plan). At each event day: observed A-events vs
+    * expected d_j·N_A/N under H0, hypergeometric variance — all
+    * at-risk counts exact longs from ONE reverse-cumulative window
+    * over the bounded duration-day axis (the churn_hazard rule; never
+    * over raw events), per-day E/V terms 12-dp rounds into order-free
+    * DECIMAL sums, chi2 one double expression at the end. Exact
+    * oracle.
+    */
+  def logrankTest(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+    val perUser = events(s, dir).groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("first_d"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("purch_d"))
+    val horizon = events(s, dir).agg(max(to_date(col("ts"))).as("hz"))
+    val marked = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8", "A")
+          .otherwise("B").as("variant"),
+        when(col("purch_d").isNotNull, datediff(col("purch_d"), col("first_d")))
+          .otherwise(datediff(col("hz"), col("first_d"))).cast("long").as("d"),
+        col("purch_d").isNotNull.as("event"))
+    val daily = marked.groupBy(col("d"))
+      .agg(
+        sum(when(col("variant") === "A" && col("event"), 1L).otherwise(0L)).as("da"),
+        sum(when(col("variant") === "B" && col("event"), 1L).otherwise(0L)).as("db"),
+        sum(when(col("variant") === "A", 1L).otherwise(0L)).as("ta"),
+        sum(when(col("variant") === "B", 1L).otherwise(0L)).as("tb"))
+    val wrisk = wp.orderBy(col("d").desc).rowsBetween(wp.unboundedPreceding, 0)
+    // the window runs over the bounded duration-day axis, never raw rows
+    val risky = daily
+      .withColumn("na", sum(col("ta")).over(wrisk))
+      .withColumn("nb", sum(col("tb")).over(wrisk))
+    val dj = col("da") + col("db")
+    val n = col("na") + col("nb")
+    val terms = risky.filter(dj > 0)
+      .select(col("da"), col("db"),
+        round(dj.cast("double") * col("na").cast("double") / n.cast("double"), 12)
+          .cast(Dec12).as("e1t"),
+        when(n > 1,
+          round(dj.cast("double") * col("na").cast("double") / n.cast("double")
+            * col("nb").cast("double") / n.cast("double")
+            * (n - dj).cast("double") / (n - lit(1L)).cast("double"), 12))
+          .otherwise(lit(0.0)).cast(Dec12).as("vt"))
+      .agg(sum(col("da")).as("o1"), sum(col("db")).as("o2"),
+        sum(col("e1t")).as("e1"), sum(col("vt")).as("v"))
+    val sizes = marked.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"))
+    val e1d = col("e1").cast("double")
+    val chi2 = (col("o1").cast("double") - e1d) * (col("o1").cast("double") - e1d) /
+      greatest(col("v").cast("double"), lit(1e-12))
+    sizes.crossJoin(broadcast(terms))
+      .select(col("n_a"), col("n_b"), col("o1").as("conv_a"), col("o2").as("conv_b"),
+        emit(e1d, 6).as("expected_a"), emit(chi2, 4).as("chi2"),
+        lit(3.841).as("chi2_cut_5pct_df1"))
+      .withColumn("significant", col("chi2") > col("chi2_cut_5pct_df1"))
+  }
+
+  val logrankTestSql: String =
+    """WITH pu AS (
+      |  SELECT user_id, min(CAST(ts AS DATE)) AS first_d,
+      |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END) AS purch_d
+      |  FROM events GROUP BY 1
+      |),
+      |hz AS (SELECT max(CAST(ts AS DATE)) AS hz FROM events),
+      |marked AS (
+      |  SELECT
+      |    CASE WHEN md5('exp1:' || CAST(user_id AS VARCHAR)) < '8' THEN 'A' ELSE 'B' END AS variant,
+      |    CAST(CASE WHEN purch_d IS NOT NULL THEN datediff('day', first_d, purch_d)
+      |         ELSE datediff('day', first_d, hz) END AS BIGINT) AS d,
+      |    purch_d IS NOT NULL AS event
+      |  FROM pu CROSS JOIN hz
+      |),
+      |daily AS (
+      |  SELECT d,
+      |    CAST(sum(CASE WHEN variant = 'A' AND event THEN 1 ELSE 0 END) AS BIGINT) AS da,
+      |    CAST(sum(CASE WHEN variant = 'B' AND event THEN 1 ELSE 0 END) AS BIGINT) AS db,
+      |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ta,
+      |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS tb
+      |  FROM marked GROUP BY 1
+      |),
+      |risky AS (
+      |  SELECT d, da, db,
+      |    CAST(sum(ta) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS na,
+      |    CAST(sum(tb) OVER (ORDER BY d DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS nb
+      |  FROM daily
+      |),
+      |terms AS (
+      |  SELECT
+      |    CAST(sum(da) AS BIGINT) AS o1, CAST(sum(db) AS BIGINT) AS o2,
+      |    CAST(sum(CAST(round(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+      |      / CAST(na + nb AS DOUBLE), 12) AS DECIMAL(38,12))) AS DOUBLE) AS e1,
+      |    CAST(sum(CAST(CASE WHEN na + nb > 1 THEN
+      |      round(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE) / CAST(na + nb AS DOUBLE)
+      |        * CAST(nb AS DOUBLE) / CAST(na + nb AS DOUBLE)
+      |        * CAST(na + nb - (da + db) AS DOUBLE) / CAST(na + nb - 1 AS DOUBLE), 12)
+      |      ELSE 0.0 END AS DECIMAL(38,12))) AS DOUBLE) AS v
+      |  FROM risky WHERE da + db > 0
+      |),
+      |sizes AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM marked
+      |)
+      |SELECT n_a, n_b, o1 AS conv_a, o2 AS conv_b,
+      |  CAST(round(e1, 6) AS DOUBLE) AS expected_a,
+      |  CAST(round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+      |    / greatest(v, 1e-12), 4) AS DOUBLE) AS chi2,
+      |  3.841 AS chi2_cut_5pct_df1,
+      |  CAST(round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+      |    / greatest(v, 1e-12), 4) AS DOUBLE) > 3.841 AS significant
+      |FROM sizes CROSS JOIN terms""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "logrank_test" -> (logrankTest(_, _)),
+    "dedup_editdist" -> (dedupEditdist(_, _)),
     "acf_table" -> (acfTable(_, _)),
     "ess_report" -> (essReport(_, _)),
     "attribution_window_sweep" -> (attributionWindowSweep(_, _)),
@@ -1245,6 +1448,8 @@ object Round13Ops {
     "jarque_bera_report" -> (jarqueBeraReport(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "logrank_test" -> logrankTestSql,
+    "dedup_editdist" -> dedupEditdistSql,
     "acf_table" -> acfTableSql,
     "ess_report" -> essReportSql,
     "attribution_window_sweep" -> attributionWindowSweepSql,

@@ -10,8 +10,12 @@ import graft.{GraftSession, SparkEntry}
 object PlanAudit {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    // optional 2nd arg: comma-separated query names (incremental re-audit)
+    val only: Set[String] = args.drop(1).headOption.map(_.split(',').toSet).getOrElse(Set.empty)
     val spark = GraftSession.local()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val selected =
+      if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    selected.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val df = fn(spark, dir)
       // collect() executes df's OWN QueryExecution (a write would spawn
       // a fresh one), so AQE finalizes and codegen stages materialize

@@ -3672,6 +3672,40 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.filter(abs(col("shift_z")) > 10).count() == 0)
   }
 
+  test("edit-distance dedup recovers every planted variant pair") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("dedup_editdist")(spark, dir).cache()
+    val planted = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 20 && col("doc_id") % 89 === 0).count()
+    assert(planted > 0, "the planting rule must select some docs at sf0.001")
+    val recovered = df.filter(col("b") - col("a") === 1000000L)
+    assert(recovered.count() == planted,
+      "every planted twin shares its block key and sits within distance 2")
+    // the mutation touches exactly chars 9-10 of the prefix
+    assert(recovered.filter(col("dist") > 2).count() == 0)
+    assert(df.filter(col("sim") < 0 || col("sim") > 1).count() == 0)
+    assert(df.filter(col("dist") > 6).count() == 0, "threshold respected")
+  }
+
+  test("log-rank test conserves users and events and keys the flag off chi2") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("logrank_test")(spark, dir).cache()
+    assert(df.count() == 1)
+    val r = df.head
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    val buyers = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == users,
+      "the hash split must partition the user set")
+    assert(r.getAs[Long]("conv_a") + r.getAs[Long]("conv_b") == buyers,
+      "every purchasing user contributes exactly one event")
+    val e1 = r.getAs[Double]("expected_a")
+    assert(e1 >= 0 && e1 <= buyers, "expected events bounded by total events")
+    val chi2 = r.getAs[Double]("chi2")
+    assert(chi2 >= 0)
+    assert(r.getAs[Boolean]("significant") == (chi2 > 3.841))
+  }
+
   test("l-diversity classes partition the customers and l is bounded by size") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("l_diversity_report")(spark, dir).cache()
