@@ -1424,7 +1424,89 @@ object Round13Ops {
       |    / greatest(v, 1e-12), 4) AS DOUBLE) > 3.841 AS significant
       |FROM sizes CROSS JOIN terms""".stripMargin
 
+  /** #378 mann_whitney_test — the Mann–Whitney/Wilcoxon rank-sum test
+    * of doc length, EN vs non-EN: the NONPARAMETRIC two-sample
+    * location test beside weekend_effect's Welch z (Welch trusts
+    * moments a heavy-tailed length distribution does not have —
+    * jarque_bera_report says when that trust is fiction, THIS is the
+    * test to run then). U computed WITHOUT a global sort via the
+    * distinct-length histogram (the classifier_auc device): 2U₁ =
+    * Σ_v n₁(v)·(2·cumN₂below(v) + n₂(v)) stays ALL-INTEGER; the tie
+    * correction Σ(t³−t) sums in DECIMAL(38,0) (t³ overflows a long at
+    * 1e9 docs); the normal approximation's μ/σ chain runs once over
+    * the single aggregated row, mirrored operation-for-operation in
+    * the oracle. The cumulative window runs over the bounded
+    * distinct-length relation only. Exact oracle.
+    */
+  def mannWhitneyTest(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val hist = Tables.documents(s, dir)
+      .select(col("n_chars").as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("en"))
+      .groupBy(col("v"))
+      .agg(sum(col("en")).as("n1"), sum(lit(1L) - col("en")).as("n2"))
+    val w = wp.orderBy(col("v")).rowsBetween(wp.unboundedPreceding, -1)
+    // the window runs over the bounded distinct-length relation
+    val agg = hist
+      .withColumn("cum2", coalesce(sum(col("n2")).over(w), lit(0L)))
+      .select(
+        (col("n1") * (lit(2L) * col("cum2") + col("n2"))).as("u2t"),
+        col("n1"), col("n2"),
+        (dec0(col("n1") + col("n2")) * dec0(col("n1") + col("n2"))
+          * dec0(col("n1") + col("n2")) - dec0(col("n1") + col("n2"))).as("tiet"))
+      .agg(sum(col("u2t")).as("u2"), sum(col("n1")).as("na"),
+        sum(col("n2")).as("nb"), sum(col("tiet")).as("ties"))
+    val nd = (col("na") + col("nb")).cast("double")
+    val sigma = sqrt(
+      col("na").cast("double") * col("nb").cast("double") / lit(12.0)
+        * ((nd + lit(1.0)) - col("ties").cast("double") / (nd * (nd - lit(1.0)))))
+    val z = (col("u2").cast("double") - col("na").cast("double") * col("nb").cast("double")) /
+      (lit(2.0) * greatest(sigma, lit(1e-12)))
+    agg.select(col("na").as("n_en"), col("nb").as("n_other"), col("u2"),
+      emit(col("u2").cast("double")
+        / (lit(2.0) * col("na").cast("double") * col("nb").cast("double")), 6).as("auc"),
+      emit(z, 4).as("z"))
+      .withColumn("significant", abs(col("z")) > 1.96)
+  }
+
+  val mannWhitneyTestSql: String =
+    """WITH hist AS (
+      |  SELECT n_chars AS v,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n2
+      |  FROM documents GROUP BY 1
+      |),
+      |cum AS (
+      |  SELECT n1, n2,
+      |    CAST(coalesce(sum(n2) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum2
+      |  FROM hist
+      |),
+      |agg AS (
+      |  SELECT CAST(sum(n1 * (2 * cum2 + n2)) AS BIGINT) AS u2,
+      |    CAST(sum(n1) AS BIGINT) AS na, CAST(sum(n2) AS BIGINT) AS nb,
+      |    sum(CAST(n1 + n2 AS DECIMAL(38,0)) * CAST(n1 + n2 AS DECIMAL(38,0))
+      |      * CAST(n1 + n2 AS DECIMAL(38,0)) - CAST(n1 + n2 AS DECIMAL(38,0))) AS ties
+      |  FROM cum
+      |)
+      |SELECT na AS n_en, nb AS n_other, u2,
+      |  CAST(round(CAST(u2 AS DOUBLE)
+      |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS DOUBLE) AS auc,
+      |  CAST(round((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    / (2.0 * greatest(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |      * ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)
+      |        / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))), 1e-12)), 4)
+      |    AS DOUBLE) AS z,
+      |  abs(CAST(round((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |    / (2.0 * greatest(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+      |      * ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)
+      |        / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))), 1e-12)), 4)
+      |    AS DOUBLE)) > 1.96 AS significant
+      |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mann_whitney_test" -> (mannWhitneyTest(_, _)),
     "logrank_test" -> (logrankTest(_, _)),
     "dedup_editdist" -> (dedupEditdist(_, _)),
     "acf_table" -> (acfTable(_, _)),
@@ -1448,6 +1530,7 @@ object Round13Ops {
     "jarque_bera_report" -> (jarqueBeraReport(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "mann_whitney_test" -> mannWhitneyTestSql,
     "logrank_test" -> logrankTestSql,
     "dedup_editdist" -> dedupEditdistSql,
     "acf_table" -> acfTableSql,

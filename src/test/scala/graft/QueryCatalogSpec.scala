@@ -3706,6 +3706,25 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(r.getAs[Boolean]("significant") == (chi2 > 3.841))
   }
 
+  test("mann-whitney U matches a brute-force pairwise count") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("mann_whitney_test")(spark, dir).cache()
+    assert(df.count() == 1)
+    val r = df.head
+    val na = r.getAs[Long]("n_en"); val nb = r.getAs[Long]("n_other")
+    val u2 = r.getAs[Long]("u2")
+    assert(u2 >= 0 && u2 <= 2 * na * nb, "2U bounded by the pair space")
+    assert(r.getAs[Boolean]("significant") == (math.abs(r.getAs[Double]("z")) > 1.96))
+    // brute-force 2U over the (bounded at sf0.001) en x other pair space
+    val docs = Tables.documents(spark, dir).select(col("n_chars"), col("lang"))
+    val en = docs.filter(col("lang") === "en").select(col("n_chars").as("ve"))
+    val ot = docs.filter(col("lang") =!= "en").select(col("n_chars").as("vo"))
+    val u2Direct = en.crossJoin(ot)
+      .agg(sum(when(col("ve") > col("vo"), 2L)
+        .when(col("ve") === col("vo"), 1L).otherwise(0L))).head.getLong(0)
+    assert(u2 == u2Direct, s"histogram 2U $u2 vs pairwise $u2Direct")
+  }
+
   test("l-diversity classes partition the customers and l is bounded by size") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("l_diversity_report")(spark, dir).cache()
