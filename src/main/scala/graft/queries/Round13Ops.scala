@@ -1505,7 +1505,102 @@ object Round13Ops {
       |    AS DOUBLE)) > 1.96 AS significant
       |FROM agg""".stripMargin
 
+  /** #379 kruskal_wallis — the Kruskal–Wallis rank test of doc length
+    * across ALL languages: the k-group closure of mann_whitney_test
+    * exactly as anova_length closes weekend_effect on the parametric
+    * side (rank-based, so one heavy-tailed language cannot fake a
+    * location difference through its variance). Midranks from the
+    * distinct-length histogram, kept integer by doubling: 2R_g = Σ_v
+    * n_g(v)·(2·cumbelow(v) + t_v + 1) — the window runs over the
+    * bounded distinct-value relation, per-group sums are exact longs
+    * (Σ_g 2R_g = N(N+1) spec-pinned, the total-rank identity); H's
+    * Σ R_g²/n_g accumulates as 12-dp rounds into an order-free
+    * DECIMAL sum over the |langs|-row table, tie correction Σ(t³−t)
+    * in DECIMAL(38,0), the final H/correction chain one mirrored
+    * double expression vs the χ²₄ 5% cut. Exact oracle.
+    */
+  def kruskalWallis(s: SparkSession, dir: String): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window
+    def dec0(c: Column): Column = c.cast("decimal(38,0)")
+    val docs = Tables.documents(s, dir).select(col("lang"), col("n_chars").as("v"))
+    val byLangVal = docs.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("n"))
+    val byVal = byLangVal.groupBy(col("v")).agg(sum(col("n")).as("t"))
+    val w = wp.orderBy(col("v")).rowsBetween(wp.unboundedPreceding, -1)
+    // cumulative window over the bounded distinct-length relation
+    val withCum = byVal.withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
+    val perGroup = byLangVal.join(withCum, Seq("v"))
+      .select(col("lang"),
+        (col("n") * (lit(2L) * col("cumb") + col("t") + lit(1L))).as("r2t"), col("n"))
+      .groupBy(col("lang"))
+      .agg(sum(col("r2t")).as("r2"), sum(col("n")).as("ng"))
+    val totals = byVal.agg(sum(col("t")).as("nn"),
+      sum(dec0(col("t")) * dec0(col("t")) * dec0(col("t")) - dec0(col("t"))).as("ties"))
+    val sAgg = perGroup.crossJoin(broadcast(totals))
+      .select(col("nn"), col("ties"),
+        round((col("r2").cast("double") / lit(2.0)) * (col("r2").cast("double") / lit(2.0))
+          / col("ng").cast("double"), 12).cast(Dec12).as("st"),
+        col("r2"))
+      .groupBy(col("nn"), col("ties"))
+      .agg(sum(col("st")).as("s"), sum(col("r2")).as("r2sum"), count(lit(1)).as("gk"))
+    val nd = col("nn").cast("double")
+    val h = lit(12.0) / (nd * (nd + lit(1.0))) * col("s").cast("double") -
+      lit(3.0) * (nd + lit(1.0))
+    val corr = lit(1.0) - col("ties").cast("double") / (nd * nd * nd - nd)
+    sAgg.select(col("gk").as("n_groups"), col("nn").as("n_docs"), col("r2sum"),
+      emit(h, 4).as("h_stat"),
+      emit(h / corr, 4).as("h_tie_corrected"),
+      lit(9.488).as("chi2_cut_5pct_df4"))
+      .withColumn("significant", col("h_tie_corrected") > col("chi2_cut_5pct_df4"))
+  }
+
+  val kruskalWallisSql: String =
+    """WITH blv AS (
+      |  SELECT lang, n_chars AS v, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2
+      |),
+      |bv AS (SELECT v, CAST(sum(n) AS BIGINT) AS t FROM blv GROUP BY 1),
+      |cum AS (
+      |  SELECT v, t,
+      |    CAST(coalesce(sum(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb
+      |  FROM bv
+      |),
+      |pg AS (
+      |  SELECT lang, CAST(sum(blv.n * (2 * cum.cumb + cum.t + 1)) AS BIGINT) AS r2,
+      |    CAST(sum(blv.n) AS BIGINT) AS ng
+      |  FROM blv JOIN cum ON blv.v = cum.v GROUP BY 1
+      |),
+      |tot AS (
+      |  SELECT CAST(sum(t) AS BIGINT) AS nn,
+      |    sum(CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0)) * CAST(t AS DECIMAL(38,0))
+      |      - CAST(t AS DECIMAL(38,0))) AS ties
+      |  FROM bv
+      |),
+      |sa AS (
+      |  SELECT nn, ties,
+      |    sum(CAST(round((CAST(r2 AS DOUBLE) / 2.0) * (CAST(r2 AS DOUBLE) / 2.0)
+      |      / CAST(ng AS DOUBLE), 12) AS DECIMAL(38,12))) AS s,
+      |    CAST(sum(r2) AS BIGINT) AS r2sum, count(*) AS gk
+      |  FROM pg CROSS JOIN tot GROUP BY 1, 2
+      |)
+      |SELECT gk AS n_groups, nn AS n_docs, r2sum,
+      |  CAST(round(12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+      |    * CAST(s AS DOUBLE) - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 4) AS DOUBLE) AS h_stat,
+      |  CAST(round((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+      |    * CAST(s AS DOUBLE) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+      |    / (1.0 - CAST(ties AS DOUBLE)
+      |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        - CAST(nn AS DOUBLE))), 4) AS DOUBLE) AS h_tie_corrected,
+      |  9.488 AS chi2_cut_5pct_df4,
+      |  CAST(round((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+      |    * CAST(s AS DOUBLE) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
+      |    / (1.0 - CAST(ties AS DOUBLE)
+      |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
+      |        - CAST(nn AS DOUBLE))), 4) AS DOUBLE) > 9.488 AS significant
+      |FROM sa""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kruskal_wallis" -> (kruskalWallis(_, _)),
     "mann_whitney_test" -> (mannWhitneyTest(_, _)),
     "logrank_test" -> (logrankTest(_, _)),
     "dedup_editdist" -> (dedupEditdist(_, _)),
@@ -1530,6 +1625,7 @@ object Round13Ops {
     "jarque_bera_report" -> (jarqueBeraReport(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "kruskal_wallis" -> kruskalWallisSql,
     "mann_whitney_test" -> mannWhitneyTestSql,
     "logrank_test" -> logrankTestSql,
     "dedup_editdist" -> dedupEditdistSql,

@@ -3725,6 +3725,23 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(u2 == u2Direct, s"histogram 2U $u2 vs pairwise $u2Direct")
   }
 
+  test("kruskal-wallis rank sums satisfy the total-rank identity") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("kruskal_wallis")(spark, dir).cache()
+    assert(df.count() == 1)
+    val r = df.head
+    val n = r.getAs[Long]("n_docs")
+    assert(n == Tables.documents(spark, dir).count())
+    // sum of doubled midrank sums over all groups = N(N+1) exactly
+    assert(r.getAs[Long]("r2sum") == n * (n + 1),
+      "doubled rank sums must total the full rank mass")
+    assert(r.getAs[Long]("n_groups") == Tables.documents(spark, dir)
+      .select("lang").distinct().count())
+    assert(r.getAs[Double]("h_stat") >= -1e-6)
+    assert(r.getAs[Boolean]("significant") ==
+      (r.getAs[Double]("h_tie_corrected") > 9.488))
+  }
+
   test("l-diversity classes partition the customers and l is bounded by size") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("l_diversity_report")(spark, dir).cache()
