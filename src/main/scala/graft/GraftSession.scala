@@ -126,8 +126,18 @@ object OracleMath {
   /** Order-independent sum: cast to decimal first. */
   def dsum(c: Column): Column = sum(c.cast(Dec))
 
-  /** Round a decimal/double measure and emit as double. */
-  def emit(c: Column, scale: Int = 4): Column = round(c, scale).cast("double")
+  /** Round a decimal/double measure and emit as double.
+    *
+    * The trailing `+ 0.0` is the signed-zero house rule (round 7's
+    * `embed_covariance` lesson): IEEE `-0.0 + 0.0 = +0.0`, so any
+    * tiny negative that rounds to zero emits as `0.0` on BOTH engines.
+    * Spark's `round` goes through BigDecimal (which has no signed
+    * zero) so this side is already `+0.0` in practice, but the rule is
+    * kept symmetric with the oracle SQL's `+ 0.0` wrapper — DuckDB's
+    * `round` keeps the sign of the argument and DOES emit `-0.0`.
+    */
+  def emit(c: Column, scale: Int = 4): Column =
+    round(c, scale).cast("double") + lit(0.0)
 
   /** Exact average as sum/count on decimals, emitted as double. */
   def davg(c: Column, scale: Int = 4): Column =

@@ -114,6 +114,7 @@ object Registry {
     // bloom over the dim keys in a scalar subquery, probe it on the
     // fact side before the shuffle join. Fixed-size sketch state,
     // map-side merge, exactly like the engine's other sketches.
+    ensure("graft_cov_moments", exprs => CovMomentsAgg(exprs(0)))
     ensure("graft_bloom_agg", exprs =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1)))
@@ -138,4 +139,11 @@ object Registry {
     */
   def topK(score: Column, id: Column, k: Int): Column =
     call_function("graft_top_k", score, id, lit(k))
+
+  /** Full second-moment state of an `array<double>` column in one
+    * native aggregate pass (see [[CovMomentsAgg]]) — explode the
+    * result to the (i, j, v) moment frame.
+    */
+  def covMomentsAgg(embedding: Column): Column =
+    call_function("graft_cov_moments", embedding)
 }

@@ -53,6 +53,11 @@ case class Binding(
     nowEpochMs: Long,
     regexTargets: Map[String, Seq[String]],
     whereFields: Map[String, Column],
+    /** Names in `whereFields` bound to ARRAY columns, so a script's
+      * `x in field` compiles to array_contains instead of substring
+      * containment (both are Rhai `in` meanings).
+      */
+    whereArrayFields: Set[String] = Set.empty,
     scoreRoundScale: Int = 6,
     fieldCols: Map[String, Column] = Map.empty,
     lists: Map[String, DataFrame] = Map.empty,
@@ -499,7 +504,7 @@ object PipelineJson {
   private def whereBlock(script: String, b: Binding, invert: Boolean): Block = Compute.streamSafe { df =>
     val scoreCol = if (df.columns.contains("score")) col("score") else lit(0.0)
     val fields = Map("score" -> scoreCol) ++ b.whereFields
-    val pred = WhereDsl.compile(script, fields)
+    val pred = WhereDsl.compile(script, fields, b.whereArrayFields)
     df.filter(if (invert) !pred else pred)
   }
 
@@ -837,7 +842,7 @@ object PipelineJson {
         // a "value" script (the reference's Rhai expression, main.rs:2162)
         // compiles through the same DSL as `where` — arithmetic included
         val expr = if (n.hasNonNull("value"))
-          WhereDsl.compile(n.get("value").asText(), b.whereFields)
+          WhereDsl.compile(n.get("value").asText(), b.whereFields, b.whereArrayFields)
         else str(n, "from", "hn") match {
           case "hn" => hnExpr(b, str(n, "gravity", "1.8").toDouble)
           case "like_count" => resolveField(b, "like_count").cast("double")

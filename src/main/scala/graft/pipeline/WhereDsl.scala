@@ -9,15 +9,38 @@ import org.apache.spark.sql.functions._
   * runs inside whole-stage codegen — no per-row interpreter, and
   * Catalyst can push the compiled predicate into the scan.
   *
-  * Supported: identifiers (mapped to columns), numeric & string
-  * literals, comparison ops, `&&` `||` `!`, parentheses, `+ - * /`.
-  * Example: `likeCount > 10 && lang == "en"`.
+  * Supported surface (the scope the reference pushes is scalar post
+  * fields + `lang` + running `score`, main.rs:2596):
+  *   - identifiers (mapped to columns), numeric & string literals,
+  *     `true`/`false`, comparison ops, `&&` `||` `!`, parentheses,
+  *     `+ - * / %`;
+  *   - Rhai string methods as postfix calls: `text.contains("x")`,
+  *     `text.starts_with("x")`, `text.ends_with("x")`, `text.len()`,
+  *     `text.to_lower()` / `to_lowercase`, `text.to_upper()` /
+  *     `to_uppercase`, `text.trim()`, `text.index_of("x")` (−1 when
+  *     absent, Rhai semantics);
+  *   - `x in coll`: membership — `array_contains` when `coll` is a
+  *     declared array field, substring containment otherwise (both
+  *     Rhai `in` meanings);
+  *   - conditionals: Rhai `if c { a } else { b }` expressions and the
+  *     `c ? a : b` shorthand, compiled to `CASE WHEN`.
+  *
+  * Anything outside this surface still fails LOUDLY at compile time —
+  * a truncated parse must never silently weaken a filter.
+  *
+  * Example: `likeCount > 10 && lang == "en" && text.contains("spark")`.
   */
 object WhereDsl {
 
-  def compile(src: String, cols: Map[String, Column]): Column = {
-    val p = new Parser(tokenize(src), cols)
-    val out = p.parseOr()
+  def compile(src: String, cols: Map[String, Column]): Column =
+    compile(src, cols, Set.empty)
+
+  /** `arrayFields` names the identifiers bound to ARRAY columns so
+    * `in` can pick `array_contains` over substring containment.
+    */
+  def compile(src: String, cols: Map[String, Column], arrayFields: Set[String]): Column = {
+    val p = new Parser(tokenize(src), cols, arrayFields)
+    val out = p.parseExpr()
     require(
       p.toks.isEmpty,
       s"trailing tokens ${p.toks.take(3)} in: $src — a truncated parse would silently weaken the filter")
@@ -53,7 +76,7 @@ object WhereDsl {
         val two = if (i + 1 < src.length) src.substring(i, i + 2) else ""
         if (Set("&&", "||", "==", "!=", ">=", "<=").contains(two)) {
           out += Op(two); i += 2
-        } else if ("()<>!+-*/".contains(c)) { out += Op(c.toString); i += 1 }
+        } else if ("()<>!+-*/%{}?:.,".contains(c)) { out += Op(c.toString); i += 1 }
         else throw new IllegalArgumentException(s"bad char '$c' in: $src")
       }
     }
@@ -61,11 +84,25 @@ object WhereDsl {
   }
 
   // --- recursive-descent parser over precedence levels ---
-  private class Parser(var toks: List[Tok], cols: Map[String, Column]) {
+  private class Parser(var toks: List[Tok], cols: Map[String, Column], arrayFields: Set[String]) {
     private def peek: Option[Tok] = toks.headOption
     private def eat(): Tok = {
       require(toks.nonEmpty, "unexpected end of expression (unbalanced parenthesis?)")
       val t = toks.head; toks = toks.tail; t
+    }
+    private def expect(t: Tok, what: String): Unit =
+      require(eat() == t, s"expected $what")
+
+    /** Entry: ternary `?:` sits below `||` (C/Rhai precedence). */
+    def parseExpr(): Column = {
+      val c = parseOr()
+      if (peek.contains(Op("?"))) {
+        eat()
+        val a = parseExpr()
+        expect(Op(":"), ":")
+        val b = parseExpr()
+        when(c, a).otherwise(b)
+      } else c
     }
 
     def parseOr(): Column = {
@@ -92,6 +129,16 @@ object WhereDsl {
             case ">=" => l >= r
             case "<=" => l <= r
           }
+        case Some(Ident("in")) =>
+          // Rhai `in`: array membership when the rhs is a declared
+          // array field, substring containment otherwise
+          eat()
+          val rhsIsArray = peek match {
+            case Some(Ident(n)) => arrayFields.contains(n)
+            case _ => false
+          }
+          val r = parseAdd()
+          if (rhsIsArray) array_contains(r, l) else r.contains(l)
         case _ => l
       }
     }
@@ -111,23 +158,94 @@ object WhereDsl {
       while (go) peek match {
         case Some(Op("*")) => eat(); l = l * parseUnary()
         case Some(Op("/")) => eat(); l = l / parseUnary()
+        case Some(Op("%")) => eat(); l = l % parseUnary()
         case _ => go = false
       }
       l
     }
-    private def parseUnary(): Column = peek match {
+    private def parseUnary(): Column = postfix(parsePrimary())
+
+    private def parsePrimary(): Column = peek match {
       case Some(Op("!")) => eat(); !parseUnary()
       case Some(Op("-")) => eat(); -parseUnary()
       case Some(Op("(")) =>
-        eat(); val e = parseOr()
-        require(eat() == Op(")"), "expected )")
+        eat(); val e = parseExpr()
+        expect(Op(")"), ")")
         e
+      case Some(Ident("if")) =>
+        // Rhai if-EXPRESSION: `if c { a } else { b }` (else mandatory —
+        // an if without else is a statement, not a value)
+        eat()
+        val c = parseExpr()
+        expect(Op("{"), "{ after if condition")
+        val a = parseExpr()
+        expect(Op("}"), "} after then-branch")
+        expect(Ident("else"), "else (if-expressions need both branches)")
+        val b = peek match {
+          case Some(Ident("if")) => parsePrimary() // else-if chain
+          case _ =>
+            expect(Op("{"), "{ after else")
+            val x = parseExpr()
+            expect(Op("}"), "} after else-branch")
+            x
+        }
+        when(c, a).otherwise(b)
+      case Some(Ident("true")) => eat(); lit(true)
+      case Some(Ident("false")) => eat(); lit(false)
       case Some(Num(v)) => eat(); lit(v)
       case Some(Str(v)) => eat(); lit(v)
       case Some(Ident(v)) =>
         eat()
         cols.getOrElse(v, throw new IllegalArgumentException(s"unknown field $v"))
       case other => throw new IllegalArgumentException(s"unexpected $other")
+    }
+
+    /** Postfix method calls — the Rhai string API, compiled to native
+      * codegen'd string expressions.
+      */
+    private def postfix(base: Column): Column = {
+      var l = base
+      while (peek.contains(Op("."))) {
+        eat()
+        val name = eat() match {
+          case Ident(n) => n
+          case other => throw new IllegalArgumentException(s"expected method name after '.', got $other")
+        }
+        val args = scala.collection.mutable.ListBuffer[Column]()
+        if (peek.contains(Op("("))) {
+          eat()
+          if (!peek.contains(Op(")"))) {
+            args += parseExpr()
+            while (peek.contains(Op(","))) { eat(); args += parseExpr() }
+          }
+          expect(Op(")"), ") after method arguments")
+        }
+        def one(f: (Column, Column) => Column): Column = {
+          require(args.length == 1, s"$name takes exactly one argument")
+          f(l, args.head)
+        }
+        def zero(f: Column => Column): Column = {
+          require(args.isEmpty, s"$name takes no arguments")
+          f(l)
+        }
+        l = name match {
+          case "contains" => one(_.contains(_))
+          case "starts_with" => one(_.startsWith(_))
+          case "ends_with" => one(_.endsWith(_))
+          case "len" => zero(length)
+          case "to_lower" | "to_lowercase" => zero(lower)
+          case "to_upper" | "to_uppercase" => zero(upper)
+          case "trim" => zero(trim)
+          // Rhai index_of: 0-based, −1 when absent; Spark instr is
+          // 1-based with 0 when absent
+          case "index_of" => one((s, sub) => instr(s, sub) - lit(1))
+          case other =>
+            throw new IllegalArgumentException(
+              s"unsupported method .$other — supported: contains, starts_with, ends_with, " +
+                "len, to_lower(case), to_upper(case), trim, index_of")
+        }
+      }
+      l
     }
   }
 }

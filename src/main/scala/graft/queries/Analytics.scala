@@ -36,13 +36,13 @@ object Analytics {
 
   val q1AggSql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_qty,
-      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_base_price,
-      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_disc_price,
-      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_charge,
-      |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))) / COUNT(*), 4) AS DOUBLE) AS avg_qty,
-      |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) / COUNT(*), 4) AS DOUBLE) AS avg_price,
-      |  CAST(round(SUM(CAST(l_discount AS DECIMAL(38,6))) / COUNT(*), 6) AS DOUBLE) AS avg_disc,
+      |  (CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS sum_qty,
+      |  (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS sum_base_price,
+      |  (CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS sum_disc_price,
+      |  (CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS sum_charge,
+      |  (CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))) / COUNT(*), 4) AS DOUBLE) + 0.0) AS avg_qty,
+      |  (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) / COUNT(*), 4) AS DOUBLE) + 0.0) AS avg_price,
+      |  (CAST(round(SUM(CAST(l_discount AS DECIMAL(38,6))) / COUNT(*), 6) AS DOUBLE) + 0.0) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -73,7 +73,7 @@ object Analytics {
 
   val q3JoinTopkSql: String =
     """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
-      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      |  (CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
       |WHERE c_mktsegment = 'BUILDING'
@@ -114,7 +114,7 @@ object Analytics {
 
   val q5MultiJoinSql: String =
     """SELECT n_name,
-      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      |  (CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -147,8 +147,8 @@ object Analytics {
 
   val windowRunningSql: String =
     """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w_run, 4) AS DOUBLE) AS running_value,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w3 / COUNT(*) OVER w3, 4) AS DOUBLE) AS avg3
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w_run, 4) AS DOUBLE) + 0.0) AS running_value,
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w3 / COUNT(*) OVER w3, 4) AS DOUBLE) + 0.0) AS avg3
       |FROM events WHERE event_type = 'purchase'
       |WINDOW w_run AS (PARTITION BY user_id ORDER BY ts, event_id
       |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
@@ -200,7 +200,7 @@ object Analytics {
       |  MIN(epoch_ms(ts)) AS session_start_ms,
       |  MAX(epoch_ms(ts)) AS session_end_ms,
       |  COUNT(*) AS n_events,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS session_value
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS session_value
       |FROM sessions GROUP BY user_id, session_seq
       |ORDER BY user_id, session_seq""".stripMargin
 
@@ -387,7 +387,7 @@ object Analytics {
   val rollupAggSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |       coalesce(l_linestatus, 'ALL') AS linestatus,
-      |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_qty,
+      |  (CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS sum_qty,
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -411,7 +411,7 @@ object Analytics {
 
   val skewSaltedAggSql: String =
     """SELECT event_type,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value,
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_value,
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -466,10 +466,10 @@ object Analytics {
 
   val percentilesSql: String =
     """SELECT l_returnflag,
-      |  CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS p25,
-      |  CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) AS p50,
-      |  CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) AS p75,
-      |  CAST(round(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) AS p99
+      |  (CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) + 0.0) AS p25,
+      |  (CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) + 0.0) AS p50,
+      |  (CAST(round(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) + 0.0) AS p75,
+      |  (CAST(round(quantile_cont(l_extendedprice, 0.99), 4) AS DOUBLE) + 0.0) AS p99
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** #27c sketch-based percentiles (rows-only oracle): the 100 TB path.
@@ -556,7 +556,7 @@ object Analytics {
       |types AS (SELECT DISTINCT event_type FROM events),
       |daily AS (
       |  SELECT event_type, day, count(*) AS n,
-      |    CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value
+      |    (CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_value
       |  FROM f GROUP BY 1, 2
       |)
       |SELECT t.event_type, strftime(g.day, '%Y-%m-%d') AS day,
@@ -879,7 +879,7 @@ object Analytics {
       |)
       |SELECT coalesce(event_type, 'ALL') AS event_type,
       |       coalesce(month, 'ALL') AS month,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value,
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_value,
       |  COUNT(*) AS n
       |FROM e GROUP BY CUBE(event_type, month)
       |ORDER BY event_type, month""".stripMargin

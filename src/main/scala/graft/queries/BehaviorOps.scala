@@ -54,7 +54,7 @@ object BehaviorOps {
       |),
       |tot AS (SELECT cur_type, SUM(n) AS total FROM c GROUP BY 1)
       |SELECT c.cur_type, next_type, n,
-      |  CAST(round(n / total, 6) AS DOUBLE) AS p
+      |  (CAST(round(n / total, 6) AS DOUBLE) + 0.0) AS p
       |FROM c JOIN tot ON c.cur_type = tot.cur_type
       |ORDER BY c.cur_type, next_type""".stripMargin
 
@@ -149,7 +149,7 @@ object BehaviorOps {
       |  FROM events GROUP BY 1, 2
       |),
       |med AS (
-      |  SELECT event_type, CAST(round(quantile_cont(cnt, 0.5), 6) AS DOUBLE) AS med
+      |  SELECT event_type, (CAST(round(quantile_cont(cnt, 0.5), 6) AS DOUBLE) + 0.0) AS med
       |  FROM hourly GROUP BY 1
       |),
       |wm AS (
@@ -157,13 +157,13 @@ object BehaviorOps {
       |  FROM hourly JOIN med ON hourly.event_type = med.event_type
       |),
       |mad AS (
-      |  SELECT event_type, CAST(round(quantile_cont(abs(cnt - med), 0.5), 6) AS DOUBLE) AS mad
+      |  SELECT event_type, (CAST(round(quantile_cont(abs(cnt - med), 0.5), 6) AS DOUBLE) + 0.0) AS mad
       |  FROM wm GROUP BY 1
       |),
       |rz AS (
       |  SELECT wm.event_type, hour, cnt,
       |    CASE WHEN mad = 0 THEN 0.0
-      |         ELSE CAST(round(0.6745 * (cnt - med) / mad, 4) AS DOUBLE) END AS robust_z
+      |         ELSE (CAST(round(0.6745 * (cnt - med) / mad, 4) AS DOUBLE) + 0.0) END AS robust_z
       |  FROM wm JOIN mad ON wm.event_type = mad.event_type
       |)
       |SELECT event_type, hour, cnt, robust_z,
@@ -244,7 +244,7 @@ object BehaviorOps {
        |  SELECT event_type, hb + d AS hb_t, SUM(w * x) AS sm
        |  FROM hourly CROSS JOIN wt GROUP BY 1, 2
        |)
-       |SELECT h.event_type, h.hb, h.x, CAST(round(c.sm, 4) AS DOUBLE) AS ewma
+       |SELECT h.event_type, h.hb, h.x, (CAST(round(c.sm, 4) AS DOUBLE) + 0.0) AS ewma
        |FROM hourly h JOIN contrib c ON h.event_type = c.event_type AND h.hb = c.hb_t
        |ORDER BY 1, 2""".stripMargin
   }
@@ -308,8 +308,8 @@ object BehaviorOps {
   val quantileDriftSql: String =
     """WITH d AS (
       |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
-      |    CAST(round(quantile_cont(value, 0.5), 4) AS DOUBLE) AS p50,
-      |    CAST(round(quantile_cont(value, 0.9), 4) AS DOUBLE) AS p90
+      |    (CAST(round(quantile_cont(value, 0.5), 4) AS DOUBLE) + 0.0) AS p50,
+      |    (CAST(round(quantile_cont(value, 0.9), 4) AS DOUBLE) + 0.0) AS p90
       |  FROM events GROUP BY 1, 2
       |),
       |l AS (
@@ -319,8 +319,8 @@ object BehaviorOps {
       |  FROM d
       |)
       |SELECT event_type, day, p50, p90,
-      |  CAST(round(abs(p50 - p50_prev) / greatest(abs(p50_prev), 1e-9), 6) AS DOUBLE) AS p50_shift,
-      |  CAST(round(abs(p90 - p90_prev) / greatest(abs(p90_prev), 1e-9), 6) AS DOUBLE) AS p90_shift,
+      |  (CAST(round(abs(p50 - p50_prev) / greatest(abs(p50_prev), 1e-9), 6) AS DOUBLE) + 0.0) AS p50_shift,
+      |  (CAST(round(abs(p90 - p90_prev) / greatest(abs(p90_prev), 1e-9), 6) AS DOUBLE) + 0.0) AS p90_shift,
       |  CAST(CAST(round(abs(p50 - p50_prev) / greatest(abs(p50_prev), 1e-9), 6) AS DOUBLE) > 0.25 AS INT) AS flagged
       |FROM l WHERE p50_prev IS NOT NULL
       |ORDER BY event_type, day""".stripMargin
@@ -386,7 +386,7 @@ object BehaviorOps {
       |  SELECT * FROM (
       |    SELECT h.event_type, hour, cnt,
       |      CASE WHEN sd = 0 THEN 0.0
-      |           ELSE CAST(round((cnt - CAST(s1 AS DOUBLE) / n_h) / sd, 4) AS DOUBLE) END AS z
+      |           ELSE (CAST(round((cnt - CAST(s1 AS DOUBLE) / n_h) / sd, 4) AS DOUBLE) + 0.0) END AS z
       |    FROM hourly h JOIN sd ON h.event_type = sd.event_type
       |  ) WHERE abs(z) >= 2.0
       |),
@@ -402,7 +402,7 @@ object BehaviorOps {
       |  FROM pu JOIN flagged f ON pu.event_type = f.event_type AND pu.hour = f.hour
       |)
       |SELECT r.event_type, r.hour, CAST(r.rk AS BIGINT) AS rk, r.user_id, r.n_user,
-      |  CAST(round(r.n_user / f.cnt, 6) AS DOUBLE) AS share, f.z
+      |  (CAST(round(r.n_user / f.cnt, 6) AS DOUBLE) + 0.0) AS share, f.z
       |FROM ranked r JOIN flagged f ON r.event_type = f.event_type AND r.hour = f.hour
       |WHERE r.rk <= 5
       |ORDER BY r.event_type, r.hour, r.rk""".stripMargin
@@ -442,7 +442,7 @@ object BehaviorOps {
       |c AS (SELECT user_id, min(w) AS cw FROM um GROUP BY 1)
       |SELECT cw AS cohort_w, w - cw AS age,
       |  count(DISTINCT um.user_id) AS n_users,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue
       |FROM um JOIN c USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -515,9 +515,9 @@ object BehaviorOps {
       |SELECT event_type, n,
       |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
       |            sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0 THEN 0.0
-      |       ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |       ELSE (CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
       |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-      |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS DOUBLE) END AS r24
+      |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS DOUBLE) + 0.0) END AS r24
       |FROM m ORDER BY event_type""".stripMargin
 
   /** #144 rising_users — week-over-week activity risers: users whose
@@ -565,7 +565,7 @@ object BehaviorOps {
       |  GROUP BY 1
       |)
       |SELECT user_id, c_prev, c_last,
-      |  CAST(round((c_last + 1) / (c_prev + 1), 6) AS DOUBLE) AS rise
+      |  (CAST(round((c_last + 1) / (c_prev + 1), 6) AS DOUBLE) + 0.0) AS rise
       |FROM c ORDER BY rise DESC, user_id LIMIT 25""".stripMargin
 
   /** #145 user_overlap_matrix — audience overlap between event types:
@@ -603,7 +603,7 @@ object BehaviorOps {
       |  GROUP BY 1, 2
       |)
       |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_shared,
-      |  CAST(round(n_shared / (sa.n + sb.n - n_shared), 6) AS DOUBLE) AS jaccard
+      |  (CAST(round(n_shared / (sa.n + sb.n - n_shared), 6) AS DOUBLE) + 0.0) AS jaccard
       |FROM p JOIN sizes sa ON p.type_a = sa.event_type
       |JOIN sizes sb ON p.type_b = sb.event_type
       |ORDER BY type_a, type_b""".stripMargin
@@ -641,7 +641,7 @@ object BehaviorOps {
       |),
       |c AS (SELECT dow, hod, count(*) AS n FROM e GROUP BY 1, 2),
       |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c)
-      |SELECT dow, hod, n, CAST(round(n / total, 6) AS DOUBLE) AS share
+      |SELECT dow, hod, n, (CAST(round(n / total, 6) AS DOUBLE) + 0.0) AS share
       |FROM c CROSS JOIN t
       |ORDER BY dow, hod""".stripMargin
 
@@ -694,7 +694,7 @@ object BehaviorOps {
       |  FROM dau GROUP BY 1
       |)
       |SELECT ds.w AS week, n_days, wau,
-      |  CAST(round(dau_sum / (n_days * wau), 6) AS DOUBLE) AS stickiness
+      |  (CAST(round(dau_sum / (n_days * wau), 6) AS DOUBLE) + 0.0) AS stickiness
       |FROM ds JOIN wau ON ds.w = wau.w
       |ORDER BY week""".stripMargin
 

@@ -42,7 +42,7 @@ object DssOps {
       .agg(emit(dsum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
 
   val q6RevenueDeltaSql: String =
-    """SELECT CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+    """SELECT (CAST(round(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -82,7 +82,7 @@ object DssOps {
   val q7NationVolumeSql: String =
     s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        |  year(l_shipdate) AS l_year,
-       |  CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+       |  (CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue
        |FROM lineitem
        |JOIN supplier ON l_suppkey = s_suppkey
        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
@@ -122,7 +122,7 @@ object DssOps {
 
   val q10ReturnedItemsSql: String =
     s"""SELECT c_custkey, c_name, c_acctbal, n_name,
-       |  CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+       |  (CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue
        |FROM lineitem
        |JOIN orders ON l_orderkey = o_orderkey
        |JOIN customer ON o_custkey = c_custkey
@@ -157,14 +157,14 @@ object DssOps {
   val q14PromoShareSql: String =
     s"""WITH t AS (
        |  SELECT
-       |    CAST(round(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN $revSql ELSE 0.0 END AS DECIMAL(38,6))), 4) AS DOUBLE) AS promo_rev,
-       |    CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_rev
+       |    (CAST(round(SUM(CAST(CASE WHEN p_type = 'PROMO' THEN $revSql ELSE 0.0 END AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS promo_rev,
+       |    (CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_rev
        |  FROM lineitem JOIN part ON l_partkey = p_partkey
        |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
        |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
        |)
        |SELECT promo_rev, total_rev,
-       |  CAST(round(100.0 * promo_rev / total_rev, 6) AS DOUBLE) AS promo_share
+       |  (CAST(round(100.0 * promo_rev / total_rev, 6) AS DOUBLE) + 0.0) AS promo_share
        |FROM t""".stripMargin
 
   /** Q2 — the minimum-cost supplier per part (no partsupp table, so
@@ -208,7 +208,7 @@ object DssOps {
   val q2MinCostSupplierSql: String =
     """WITH pc AS (
       |  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
-      |    CAST(round(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(38,6))) / count(*), 6) AS DOUBLE) AS unit_cost
+      |    (CAST(round(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(38,6))) / count(*), 6) AS DOUBLE) + 0.0) AS unit_cost
       |  FROM lineitem
       |  JOIN part ON l_partkey = p_partkey
       |  JOIN supplier ON l_suppkey = s_suppkey
@@ -263,10 +263,10 @@ object DssOps {
       |  GROUP BY 1
       |),
       |t AS (
-      |  SELECT CAST(round(0.0008 * CAST(SUM(value_dec) AS DOUBLE), 4) AS DOUBLE) AS threshold
+      |  SELECT (CAST(round(0.0008 * CAST(SUM(value_dec) AS DOUBLE), 4) AS DOUBLE) + 0.0) AS threshold
       |  FROM pp
       |)
-      |SELECT l_partkey, CAST(round(value_dec, 4) AS DOUBLE) AS value
+      |SELECT l_partkey, (CAST(round(value_dec, 4) AS DOUBLE) + 0.0) AS value
       |FROM pp, t
       |WHERE CAST(round(value_dec, 4) AS DOUBLE) > threshold
       |ORDER BY value DESC, l_partkey""".stripMargin
@@ -298,7 +298,7 @@ object DssOps {
   val q15TopSupplierSql: String =
     s"""WITH ps AS (
        |  SELECT l_suppkey,
-       |    CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_rev
+       |    (CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_rev
        |  FROM lineitem
        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
@@ -342,10 +342,10 @@ object DssOps {
       |),
       |aq AS (
       |  SELECT l_partkey AS ak_partkey,
-      |    CAST(round(0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) / count(*) AS DOUBLE), 6) AS DOUBLE) AS half_avg_qty
+      |    (CAST(round(0.5 * CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) / count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS half_avg_qty
       |  FROM lb GROUP BY 1
       |)
-      |SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) / 7.0, 4) AS DOUBLE) AS avg_yearly
+      |SELECT (CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) / 7.0, 4) AS DOUBLE) + 0.0) AS avg_yearly
       |FROM lb JOIN aq ON l_partkey = ak_partkey
       |WHERE l_quantity < half_avg_qty""".stripMargin
 
@@ -390,8 +390,8 @@ object DssOps {
   val q8MarketShareSql: String =
     s"""WITH t AS (
        |  SELECT year(o_orderdate) AS o_year,
-       |    CAST(round(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1' THEN $revSql ELSE 0.0 END AS DECIMAL(38,6))), 4) AS DOUBLE) AS nation_rev,
-       |    CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_rev
+       |    (CAST(round(SUM(CAST(CASE WHEN n2.n_name = 'NATION_1' THEN $revSql ELSE 0.0 END AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS nation_rev,
+       |    (CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_rev
        |  FROM lineitem
        |  JOIN part ON l_partkey = p_partkey
        |  JOIN orders ON l_orderkey = o_orderkey
@@ -406,7 +406,7 @@ object DssOps {
        |  GROUP BY 1
        |)
        |SELECT o_year, nation_rev, total_rev,
-       |  CAST(round(nation_rev / total_rev, 6) AS DOUBLE) AS mkt_share
+       |  (CAST(round(nation_rev / total_rev, 6) AS DOUBLE) + 0.0) AS mkt_share
        |FROM t ORDER BY o_year""".stripMargin
 
   /** Q9 — product-line profit by supplier nation and order year, with
@@ -432,7 +432,7 @@ object DssOps {
 
   val q9ProfitByNationSql: String =
     s"""SELECT n_name, year(o_orderdate) AS o_year,
-       |  CAST(round(SUM(CAST($revSql - 0.4 * p_retailprice * l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_profit
+       |  (CAST(round(SUM(CAST($revSql - 0.4 * p_retailprice * l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS sum_profit
        |FROM lineitem
        |JOIN part ON l_partkey = p_partkey
        |JOIN orders ON l_orderkey = o_orderkey
@@ -466,7 +466,7 @@ object DssOps {
   }
 
   val q19DisjunctiveJoinSql: String =
-    s"""SELECT CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+    s"""SELECT (CAST(round(SUM(CAST($revSql AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue
        |FROM lineitem JOIN part ON l_partkey = p_partkey
        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1.0 AND 20.0)
        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10.0 AND 30.0)
@@ -594,13 +594,13 @@ object DssOps {
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1
        |),
-       |t AS (SELECT CAST(round(SUM(rev_d), 4) AS DOUBLE) AS total_rev FROM per)
+       |t AS (SELECT (CAST(round(SUM(rev_d), 4) AS DOUBLE) + 0.0) AS total_rev FROM per)
        |SELECT s_suppkey, s_name, n_name AS nation, n_lines,
-       |  CAST(round(n_returned / n_lines, 6) AS DOUBLE) AS return_rate,
-       |  CAST(round(n_slow / n_lines, 6) AS DOUBLE) AS slow_rate,
+       |  (CAST(round(n_returned / n_lines, 6) AS DOUBLE) + 0.0) AS return_rate,
+       |  (CAST(round(n_slow / n_lines, 6) AS DOUBLE) + 0.0) AS slow_rate,
        |  round(CAST(disc_d AS DOUBLE) / n_lines, 6) AS avg_discount,
-       |  CAST(round(rev_d, 4) AS DOUBLE) AS revenue,
-       |  CAST(round(CAST(round(rev_d, 4) AS DOUBLE) / total_rev, 6) AS DOUBLE) AS rev_share
+       |  (CAST(round(rev_d, 4) AS DOUBLE) + 0.0) AS revenue,
+       |  (CAST(round(CAST(round(rev_d, 4) AS DOUBLE) / total_rev, 6) AS DOUBLE) + 0.0) AS rev_share
        |FROM per
        |JOIN supplier ON l_suppkey = s_suppkey
        |JOIN nation ON s_nationkey = n_nationkey
@@ -663,9 +663,9 @@ object DssOps {
       |  round(CAST(sy AS DOUBLE) / n, 6) AS avg_quantity,
       |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
       |            sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0 THEN 0.0
-      |       ELSE CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |       ELSE (CAST(round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
       |         (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
-      |          sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE) END AS r_disc_qty
+      |          sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS DOUBLE) + 0.0) END AS r_disc_qty
       |FROM m ORDER BY p_brand""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

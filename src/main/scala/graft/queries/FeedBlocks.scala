@@ -61,7 +61,7 @@ object FeedBlocks {
 
   val filterCompareSql: String =
     """SELECT event_id, user_id, event_type,
-      |  CAST(round(value, 4) AS DOUBLE) AS value
+      |  (CAST(round(value, 4) AS DOUBLE) + 0.0) AS value
       |FROM events WHERE value >= 100.0 AND event_type <> 'error'
       |ORDER BY event_id""".stripMargin
 
@@ -131,10 +131,43 @@ object FeedBlocks {
   }
 
   val filterWhereSql: String =
-    """SELECT event_id, user_id, event_type, CAST(round(value, 4) AS DOUBLE) AS value
+    """SELECT event_id, user_id, event_type, (CAST(round(value, 4) AS DOUBLE) + 0.0) AS value
       |FROM events
       |WHERE value > 100 AND (event_type = 'purchase' OR event_type = 'view') AND user_id < 100
       |ORDER BY event_id""".stripMargin
+
+  /** #6b `where` script over the FULL Rhai surface (main.rs:1952's
+    * engine accepts arbitrary Rhai; the realistic payload space is
+    * scalar-field expressions plus the string API): method calls
+    * (`contains`, `starts_with`, `ends_with`, `len`, `to_lower`),
+    * if-expressions, the `?:` shorthand, and substring `in` — all
+    * compiled by WhereDsl to ONE codegen'd Catalyst predicate; no
+    * per-row interpreter anywhere.
+    */
+  def filterWhereRhai(s: SparkSession, dir: String): DataFrame = {
+    val pred = WhereDsl.compile(
+      """text.to_lower().contains("data") &&
+        |(if lang.starts_with("e") { nChars > 200 } else { nChars > 400 }) &&
+        |("b" in source ? true : text.len() < 900) &&
+        |!source.ends_with("xx")""".stripMargin,
+      Map(
+        "text" -> col("text"),
+        "lang" -> col("lang"),
+        "source" -> col("source"),
+        "nChars" -> col("n_chars")))
+    Tables.documents(s, dir)
+      .filter(pred)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val filterWhereRhaiSql: String =
+    """SELECT doc_id, lang, source, n_chars FROM documents
+      |WHERE contains(lower(text), 'data')
+      |  AND (CASE WHEN starts_with(lang, 'e') THEN n_chars > 200 ELSE n_chars > 400 END)
+      |  AND (CASE WHEN contains(source, 'b') THEN true ELSE length(text) < 900 END)
+      |  AND NOT ends_with(source, 'xx')
+      |ORDER BY doc_id""".stripMargin
 
   /** #7 duplicate removal: first event per (user, type) in time order
     * (main.rs:1916 keeps first occurrence; order made explicit).
@@ -193,7 +226,7 @@ object FeedBlocks {
 
   val scoreHnSql: String =
     s"""SELECT event_id,
-       |  CAST(round(value / power(($NowMs - epoch_ms(ts)) / 3600000.0 + 2.0, 1.8), 6) AS DOUBLE) AS score
+       |  (CAST(round(value / power(($NowMs - epoch_ms(ts)) / 3600000.0 + 2.0, 1.8), 6) AS DOUBLE) + 0.0) AS score
        |FROM events
        |ORDER BY score DESC, event_id LIMIT 100""".stripMargin
 
@@ -217,10 +250,10 @@ object FeedBlocks {
 
   val scoreNormalizeSql: String =
     s"""SELECT event_id,
-       |  CAST(round(
+       |  (CAST(round(
        |    value / (SELECT max(value) FROM events)
        |    + (epoch_ms(ts) - (${NowMs} - ${30L * 86400 * 1000})) / CAST((SELECT max(epoch_ms(ts) - (${NowMs} - ${30L * 86400 * 1000})) FROM events) AS DOUBLE)
-       |  , 6) AS DOUBLE) AS score
+       |  , 6) AS DOUBLE) + 0.0) AS score
        |FROM events ORDER BY score DESC, event_id LIMIT 200""".stripMargin
 
   /** #10 sort + head-N (main.rs:2229,2374): plans as
@@ -236,7 +269,7 @@ object FeedBlocks {
       .select(col("event_id"), col("user_id"), emit(col("value")).as("value"))
 
   val sortTopkSql: String =
-    """SELECT event_id, user_id, CAST(round(value, 4) AS DOUBLE) AS value
+    """SELECT event_id, user_id, (CAST(round(value, 4) AS DOUBLE) + 0.0) AS value
       |FROM events ORDER BY value DESC, event_id LIMIT 50""".stripMargin
 
   /** #11 posts_per_user limit (main.rs:2349): top 3 by value per user. */
@@ -249,7 +282,7 @@ object FeedBlocks {
       .orderBy(col("user_id"), col("value").desc, col("event_id"))
 
   val limitPerUserSql: String =
-    """SELECT user_id, event_id, CAST(round(value, 4) AS DOUBLE) AS value FROM (
+    """SELECT user_id, event_id, (CAST(round(value, 4) AS DOUBLE) + 0.0) AS value FROM (
       |  SELECT *, row_number() OVER (PARTITION BY user_id
       |                               ORDER BY value DESC, event_id) AS rn
       |  FROM events
@@ -292,10 +325,10 @@ object FeedBlocks {
 
   val stashPopUnionSql: String =
     """SELECT event_id, event_type, value FROM (
-      |  (SELECT event_id, event_type, CAST(round(value,4) AS DOUBLE) AS value
+      |  (SELECT event_id, event_type, (CAST(round(value,4) AS DOUBLE) + 0.0) AS value
       |   FROM events WHERE event_type = 'purchase' ORDER BY value DESC, event_id LIMIT 20)
       |  UNION ALL
-      |  (SELECT event_id, event_type, CAST(round(value,4) AS DOUBLE) AS value
+      |  (SELECT event_id, event_type, (CAST(round(value,4) AS DOUBLE) + 0.0) AS value
       |   FROM events WHERE event_type = 'signup' ORDER BY value DESC, event_id LIMIT 20)
       |) ORDER BY event_id""".stripMargin
 
@@ -319,7 +352,7 @@ object FeedBlocks {
   val replaceParentSql: String =
     """SELECT l_orderkey, l_linenumber,
       |  coalesce(o_orderkey, -1) AS parent_key,
-      |  CAST(round(coalesce(o_totalprice, 0.0), 4) AS DOUBLE) AS parent_price
+      |  (CAST(round(coalesce(o_totalprice, 0.0), 4) AS DOUBLE) + 0.0) AS parent_price
       |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_quantity >= 45
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
@@ -492,7 +525,7 @@ object FeedBlocks {
     """WITH likes AS (SELECT l_suppkey AS u, l_partkey AS p FROM lineitem),
       |user_cnt AS (SELECT u, COUNT(*) AS n_likes FROM likes GROUP BY u)
       |SELECT p,
-      |  CAST(round(SUM(CAST(round(1.0/(5.0 + n_likes), 10) AS DECIMAL(38,12))), 8) AS DOUBLE) AS like_score,
+      |  (CAST(round(SUM(CAST(round(1.0/(5.0 + n_likes), 10) AS DECIMAL(38,12))), 8) AS DOUBLE) + 0.0) AS like_score,
       |  COUNT(*) AS n_likers
       |FROM likes JOIN user_cnt USING (u)
       |GROUP BY p ORDER BY like_score DESC, p LIMIT 50""".stripMargin
@@ -544,7 +577,7 @@ object FeedBlocks {
       |  SELECT u, SUM(CAST(round(1.0/n_likers, 10) AS DECIMAL(38,12))) AS curator_score
       |  FROM likes JOIN seeds USING (p) GROUP BY u
       |)
-      |SELECT p, CAST(round(SUM(curator_score), 8) AS DOUBLE) AS score
+      |SELECT p, (CAST(round(SUM(curator_score), 8) AS DOUBLE) + 0.0) AS score
       |FROM likes JOIN curators USING (u)
       |GROUP BY p ORDER BY score DESC, p LIMIT 50""".stripMargin
 
@@ -665,7 +698,7 @@ object FeedBlocks {
       .orderBy(col("event_id"))
 
   val pointLookupSql: String =
-    """SELECT event_id, user_id, event_type, CAST(round(value, 4) AS DOUBLE) AS value
+    """SELECT event_id, user_id, event_type, (CAST(round(value, 4) AS DOUBLE) + 0.0) AS value
       |FROM events WHERE event_id IN (7, 42, 4242)
       |ORDER BY event_id""".stripMargin
 
@@ -708,7 +741,7 @@ object FeedBlocks {
        |  FROM windowed
        |), normed AS (
        |  SELECT event_id, user_id,
-       |    CAST(round(raw / MAX(raw) OVER (), 6) AS DOUBLE) AS score
+       |    (CAST(round(raw / MAX(raw) OVER (), 6) AS DOUBLE) + 0.0) AS score
        |  FROM scored
        |), limited AS (
        |  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY score DESC, event_id) AS rn
@@ -794,7 +827,7 @@ object FeedBlocks {
        |  SELECT * FROM w7 WHERE event_type = 'purchase'
        |)
        |SELECT event_id, user_id, event_type,
-       |  CAST(round(value * 2 + user_id, 4) AS DOUBLE) AS score
+       |  (CAST(round(value * 2 + user_id, 4) AS DOUBLE) + 0.0) AS score
        |FROM merged
        |ORDER BY round(value * 2 + user_id, 6) DESC, event_id LIMIT 100""".stripMargin
 
@@ -844,7 +877,7 @@ object FeedBlocks {
        |  FROM kept
        |), normed AS (
        |  SELECT event_id, user_id,
-       |    CAST(round(raw / MAX(raw) OVER (), 6) AS DOUBLE) AS score
+       |    (CAST(round(raw / MAX(raw) OVER (), 6) AS DOUBLE) + 0.0) AS score
        |  FROM scored
        |)
        |SELECT event_id, user_id, score
@@ -1014,7 +1047,7 @@ object FeedBlocks {
        |  QUALIFY row_number() OVER (PARTITION BY event_id ORDER BY event_id) = 1
        |)
        |SELECT event_id, user_id,
-       |  CAST(round(value / power(($NowMs - epoch_ms(ts)) / 3600000.0 + 2.0, 1.8), 6) AS DOUBLE) AS hn_score
+       |  (CAST(round(value / power(($NowMs - epoch_ms(ts)) / 3600000.0 + 2.0, 1.8), 6) AS DOUBLE) + 0.0) AS hn_score
        |FROM dedup2
        |ORDER BY hn_score DESC, event_id LIMIT 100""".stripMargin
 
@@ -1120,7 +1153,7 @@ object FeedBlocks {
       |),
       |filt AS (SELECT * FROM dedup WHERE n_chars > 100 AND lang <> 'zh'),
       |scored AS (
-      |  SELECT doc_id, source, CAST(round(n_chars % 17, 6) AS DOUBLE) AS score FROM filt
+      |  SELECT doc_id, source, (CAST(round(n_chars % 17, 6) AS DOUBLE) + 0.0) AS score FROM filt
       |),
       |lim AS (
       |  SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn
@@ -1158,7 +1191,7 @@ object FeedBlocks {
       |),
       |scored AS (
       |  SELECT p,
-      |    CAST(round(CAST(raw AS DOUBLE) / (SELECT CAST(MAX(raw) AS DOUBLE) FROM raw), 6) AS DOUBLE) AS score
+      |    (CAST(round(CAST(raw AS DOUBLE) / (SELECT CAST(MAX(raw) AS DOUBLE) FROM raw), 6) AS DOUBLE) + 0.0) AS score
       |  FROM raw
       |)
       |SELECT e.event_id, e.user_id, s.score
@@ -1197,7 +1230,7 @@ object FeedBlocks {
       |raw AS (SELECT p, SUM(cs) AS raw FROM likes JOIN curators USING (u) GROUP BY p),
       |scored AS (
       |  SELECT p,
-      |    CAST(round(CAST(raw AS DOUBLE) / (SELECT CAST(MAX(raw) AS DOUBLE) FROM raw), 6) AS DOUBLE) AS score
+      |    (CAST(round(CAST(raw AS DOUBLE) / (SELECT CAST(MAX(raw) AS DOUBLE) FROM raw), 6) AS DOUBLE) + 0.0) AS score
       |  FROM raw
       |)
       |SELECT e.event_id, e.user_id, s.score
@@ -1218,6 +1251,7 @@ object FeedBlocks {
     "sort_random" -> (sortRandom(_, _)),
     "filter_regex" -> (filterRegex(_, _)),
     "filter_where" -> (filterWhere(_, _)),
+    "filter_where_rhai" -> (filterWhereRhai(_, _)),
     "dedup_exact" -> (dedupExact(_, _)),
     "dedup_keep_dupes" -> (dedupKeepDupes(_, _)),
     "score_hn" -> (scoreHn(_, _)),
@@ -1258,6 +1292,7 @@ object FeedBlocks {
     "sort_random" -> sortRandomSql,
     "filter_regex" -> filterRegexSql,
     "filter_where" -> filterWhereSql,
+    "filter_where_rhai" -> filterWhereRhaiSql,
     "dedup_exact" -> dedupExactSql,
     "dedup_keep_dupes" -> dedupKeepDupesSql,
     "score_hn" -> scoreHnSql,

@@ -147,7 +147,7 @@ object GraphOps {
 
   val communityInputSql: String =
     """SELECT user_id, COUNT(*) AS n_events,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_value
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_value
       |FROM events
       |WHERE user_id IN (
       |  SELECT c_custkey FROM customer
@@ -253,7 +253,7 @@ object GraphOps {
        |${iter("i0", 1)},
        |${iter("i1", 2)},
        |${iter("i2", 3)}
-       |SELECT id, CAST(round(rank, 6) AS DOUBLE) AS rank
+       |SELECT id, (CAST(round(rank, 6) AS DOUBLE) + 0.0) AS rank
        |FROM i3 ORDER BY rank DESC, id""".stripMargin
   }
 
@@ -340,7 +340,7 @@ object GraphOps {
        |)
        |SELECT n_triangles, n_wedges,
        |  CASE WHEN n_wedges = 0 THEN 0.0
-       |       ELSE CAST(round(3.0 * n_triangles / n_wedges, 6) AS DOUBLE) END AS clustering_coeff
+       |       ELSE (CAST(round(3.0 * n_triangles / n_wedges, 6) AS DOUBLE) + 0.0) END AS clustering_coeff
        |FROM t CROSS JOIN w""".stripMargin
 
   /** #58c (r6) degree distribution — the log2-bucketed out-degree
@@ -414,7 +414,7 @@ object GraphOps {
        |  GROUP BY 1, 2
        |)
        |SELECT a, b, n_common,
-       |  CAST(round(n_common / (da.deg + db.deg - n_common), 6) AS DOUBLE) AS jaccard
+       |  (CAST(round(n_common / (da.deg + db.deg - n_common), 6) AS DOUBLE) + 0.0) AS jaccard
        |FROM p JOIN deg da ON a = da.src JOIN deg db ON b = db.src
        |ORDER BY jaccard DESC, a, b LIMIT 50""".stripMargin
 
@@ -566,7 +566,7 @@ object GraphOps {
     val den = sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
       sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))
     m.select(
-      col("n").as("n_directed_edges"),
+      col("n").cast("long").as("n_directed_edges"),
       when(den === 0.0, lit(0.0)).otherwise(emit(num.cast("double") / den, 6))
         .as("assortativity"))
   }
@@ -595,9 +595,9 @@ object GraphOps {
       |SELECT CAST(n AS BIGINT) AS n_directed_edges,
       |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
       |            sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0 THEN 0.0
-      |       ELSE CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
+      |       ELSE (CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) /
       |         (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-      |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS DOUBLE) END AS assortativity
+      |          sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS DOUBLE) + 0.0) END AS assortativity
       |FROM m""".stripMargin
 
   /** #58r graph_reciprocity — the directed-graph health metric beside
@@ -632,7 +632,7 @@ object GraphOps {
        |),
        |t AS (SELECT count(*) AS n_edges FROM edges)
        |SELECT n_edges, n_recip,
-       |  CAST(round(n_recip / n_edges, 6) AS DOUBLE) AS reciprocity
+       |  (CAST(round(n_recip / n_edges, 6) AS DOUBLE) + 0.0) AS reciprocity
        |FROM t, r""".stripMargin
 
   /** #302 graph_hits — Kleinberg's HITS (hubs & authorities, 3
@@ -716,8 +716,8 @@ object GraphOps {
        |$s2,
        |$s3
        |SELECT nodes.id AS id,
-       |  CAST(round(coalesce(a3.score, 0), 6) AS DOUBLE) AS authority,
-       |  CAST(round(coalesce(h3.score, 0), 6) AS DOUBLE) AS hub
+       |  (CAST(round(coalesce(a3.score, 0), 6) AS DOUBLE) + 0.0) AS authority,
+       |  (CAST(round(coalesce(h3.score, 0), 6) AS DOUBLE) + 0.0) AS hub
        |FROM nodes
        |LEFT JOIN a3 ON nodes.id = a3.id
        |LEFT JOIN h3 ON nodes.id = h3.id

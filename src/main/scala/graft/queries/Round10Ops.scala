@@ -157,7 +157,7 @@ object Round10Ops {
       |  SELECT source, sum(c) AS n FROM m GROUP BY 1
       |)
       |SELECT m.source, CAST(any_value(tot.n) AS BIGINT) AS n_docs,
-      |  CAST(round(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(38,12))), 6) AS DOUBLE) AS entropy
+      |  (CAST(round(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)), 12) AS DECIMAL(38,12))), 6) AS DOUBLE) + 0.0) AS entropy
       |FROM m JOIN tot ON m.source = tot.source
       |GROUP BY m.source ORDER BY m.source""".stripMargin
 
@@ -201,7 +201,7 @@ object Round10Ops {
       |    count(*) OVER (PARTITION BY user_id) AS n_ops
       |  FROM events
       |)
-      |SELECT user_id, CAST(round(value, 4) AS DOUBLE) AS last_value,
+      |SELECT user_id, (CAST(round(value, 4) AS DOUBLE) + 0.0) AS last_value,
       |  epoch_ms(ts) AS last_ts_ms, n_ops
       |FROM log WHERE rn = 1 AND op <> 'D'
       |ORDER BY user_id""".stripMargin
@@ -241,7 +241,7 @@ object Round10Ops {
       |  FROM customer GROUP BY 1, 2, 3
       |), tot AS (SELECT sum(sz) AS n_total FROM g)
       |SELECT sz AS group_size, count(*) AS n_groups, CAST(sum(sz) AS BIGINT) AS n_rows,
-      |  CAST(round(CAST(sum(sz) AS DOUBLE) / CAST(any_value(n_total) AS DOUBLE), 6) AS DOUBLE) AS row_share,
+      |  (CAST(round(CAST(sum(sz) AS DOUBLE) / CAST(any_value(n_total) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS row_share,
       |  sz < 5 AS below_k5
       |FROM g, tot GROUP BY sz ORDER BY group_size""".stripMargin
 
@@ -297,8 +297,8 @@ object Round10Ops {
       |  SELECT 'l_discount', least(floor((l_discount - lo2) / ((hi2 - lo2) / 10)), 9)::BIGINT, lo2, hi2 FROM lineitem, b
       |)
       |SELECT col AS "column", bin,
-      |  CAST(round(any_value(lo) + bin * (any_value(hi) - any_value(lo)) / 10, 6) AS DOUBLE) AS bin_lo,
-      |  CAST(round(any_value(lo) + (bin + 1) * (any_value(hi) - any_value(lo)) / 10, 6) AS DOUBLE) AS bin_hi,
+      |  (CAST(round(any_value(lo) + bin * (any_value(hi) - any_value(lo)) / 10, 6) AS DOUBLE) + 0.0) AS bin_lo,
+      |  (CAST(round(any_value(lo) + (bin + 1) * (any_value(hi) - any_value(lo)) / 10, 6) AS DOUBLE) + 0.0) AS bin_hi,
       |  count(*) AS n
       |FROM stacked GROUP BY col, bin ORDER BY "column", bin""".stripMargin
 
@@ -362,15 +362,15 @@ object Round10Ops {
       |  FROM m
       |)
       |SELECT CAST(na AS BIGINT) AS n_a, CAST(ca AS BIGINT) AS conv_a,
-      |  CAST(round(CAST(ca AS DOUBLE)/CAST(na AS DOUBLE), 6) AS DOUBLE) AS rate_a,
+      |  (CAST(round(CAST(ca AS DOUBLE)/CAST(na AS DOUBLE), 6) AS DOUBLE) + 0.0) AS rate_a,
       |  CAST(nb AS BIGINT) AS n_b, CAST(cb AS BIGINT) AS conv_b,
-      |  CAST(round(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE), 6) AS DOUBLE) AS rate_b,
-      |  CAST(round(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(ca AS DOUBLE)/CAST(na AS DOUBLE), 6) AS DOUBLE) AS abs_lift,
-      |  CAST(round((CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
+      |  (CAST(round(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE), 6) AS DOUBLE) + 0.0) AS rate_b,
+      |  (CAST(round(CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(ca AS DOUBLE)/CAST(na AS DOUBLE), 6) AS DOUBLE) + 0.0) AS abs_lift,
+      |  (CAST(round((CAST(cb AS DOUBLE)/CAST(nb AS DOUBLE) - CAST(ca AS DOUBLE)/CAST(na AS DOUBLE))
       |    / sqrt(greatest(
       |        (CAST(ca+cb AS DOUBLE)/CAST(na+nb AS DOUBLE)) * (1 - CAST(ca+cb AS DOUBLE)/CAST(na+nb AS DOUBLE))
       |          * (1.0/CAST(na AS DOUBLE) + 1.0/CAST(nb AS DOUBLE)),
-      |        1e-12)), 4) AS DOUBLE) AS z_score
+      |        1e-12)), 4) AS DOUBLE) + 0.0) AS z_score
       |FROM w""".stripMargin
 
   /** #257 shard_skew_report — the pre-write layout audit: docs hash
@@ -409,8 +409,8 @@ object Round10Ops {
       |  FROM documents GROUP BY 1
       |), tot AS (SELECT sum(n_docs) AS td, sum(n_bytes) AS tb FROM per)
       |SELECT shard, n_docs, CAST(n_bytes AS BIGINT) AS n_bytes,
-      |  CAST(round(CAST(n_docs AS DOUBLE) * 64 / CAST(td AS DOUBLE), 6) AS DOUBLE) AS doc_load_factor,
-      |  CAST(round(CAST(n_bytes AS DOUBLE) * 64 / CAST(tb AS DOUBLE), 6) AS DOUBLE) AS byte_load_factor
+      |  (CAST(round(CAST(n_docs AS DOUBLE) * 64 / CAST(td AS DOUBLE), 6) AS DOUBLE) + 0.0) AS doc_load_factor,
+      |  (CAST(round(CAST(n_bytes AS DOUBLE) * 64 / CAST(tb AS DOUBLE), 6) AS DOUBLE) + 0.0) AS byte_load_factor
       |FROM per, tot ORDER BY shard""".stripMargin
 
   /** #258 orders_backlog — the daily open-order curve (placed but not
@@ -515,7 +515,7 @@ object Round10Ops {
       |), m AS (SELECT band, count(*) AS n_customers FROM banded GROUP BY 1),
       |tot AS (SELECT sum(n_customers) AS t FROM m)
       |SELECT band, n_customers,
-      |  CAST(round(CAST(n_customers AS DOUBLE) / CAST(t AS DOUBLE), 6) AS DOUBLE) AS share
+      |  (CAST(round(CAST(n_customers AS DOUBLE) / CAST(t AS DOUBLE), 6) AS DOUBLE) + 0.0) AS share
       |FROM m, tot ORDER BY band""".stripMargin
 
   /** #264 audience_overlap_sketch — the 100 TB twin of #145
@@ -607,7 +607,7 @@ object Round10Ops {
       |  WHERE head_n >= 3
       |)
       |SELECT w1, w2, c, CAST(head_n AS BIGINT) AS head_n,
-      |  CAST(round(CAST(c AS DOUBLE) / CAST(head_n AS DOUBLE), 6) AS DOUBLE) AS p, rn
+      |  (CAST(round(CAST(c AS DOUBLE) / CAST(head_n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS p, rn
       |FROM ranked WHERE rn <= 5 ORDER BY w1, rn""".stripMargin
 
   /** #266 tokenizer_fertility — tokens-per-word and chars-per-token by
@@ -650,8 +650,8 @@ object Round10Ops {
       |)
       |SELECT lang, count(*) AS n_docs,
       |  CAST(sum(n_words) AS BIGINT) AS words, CAST(sum(n_tokens) AS BIGINT) AS tokens,
-      |  CAST(round(CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6) AS DOUBLE) AS fertility,
-      |  CAST(round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) AS DOUBLE) AS chars_per_token
+      |  (CAST(round(CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS fertility,
+      |  (CAST(round(CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS chars_per_token
       |FROM per GROUP BY lang ORDER BY lang""".stripMargin
 
   /** #267 conversion_survival — the Kaplan–Meier curve for
@@ -771,7 +771,7 @@ object Round10Ops {
         s" / CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 6) AS DOUBLE), 6) AS DOUBLE)"
     s"""WITH rev AS (
       |  SELECT user_id,
-      |    CAST(round(sum(CAST(round(value, 6) AS DECIMAL(38,6))), 6) AS DOUBLE) AS rev
+      |    (CAST(round(sum(CAST(round(value, 6) AS DECIMAL(38,6))), 6) AS DOUBLE) + 0.0) AS rev
       |  FROM events WHERE event_type = 'purchase' GROUP BY 1
       |), cuts AS (
       |  SELECT round(quantile_cont(rev, 0.99), 6) AS c99,
@@ -780,7 +780,7 @@ object Round10Ops {
       |  FROM rev
       |)
       |SELECT count(*) AS n_users,
-      |  CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_rev,
+      |  (CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_rev,
       |  ${share("c99")} AS top1_share,
       |  ${share("c90")} AS top10_share,
       |  ${share("c50")} AS top50_share
@@ -837,10 +837,10 @@ object Round10Ops {
       |  FROM pm GROUP BY 1
       |)
       |SELECT event_type, active_minutes, CAST(m AS BIGINT) AS total_minutes,
-      |  CAST(round(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE), 6) AS DOUBLE) AS mean_per_min,
-      |  CAST(round((CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
+      |  (CAST(round(CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE), 6) AS DOUBLE) + 0.0) AS mean_per_min,
+      |  (CAST(round((CAST(s2 AS DOUBLE) / CAST(m AS DOUBLE)
       |      - (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)))
-      |    / (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS DOUBLE) AS fano
+      |    / (CAST(s1 AS DOUBLE) / CAST(m AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS fano
       |FROM agg, span ORDER BY event_type""".stripMargin
 
   /** #271 rfm_migration — quarter-over-quarter customer segment
@@ -892,7 +892,7 @@ object Round10Ops {
     """WITH cq AS (
       |  SELECT o_custkey, year(o_orderdate) * 4 + quarter(o_orderdate) - 1 AS q,
       |    count(*) AS f,
-      |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS m
+      |    (CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS m
       |  FROM orders GROUP BY 1, 2
       |), meds AS (
       |  SELECT round(quantile_cont(f, 0.5), 6) AS med_f,
@@ -911,7 +911,7 @@ object Round10Ops {
       |  SELECT seg_from, seg_to, count(*) AS n FROM pairs GROUP BY 1, 2
       |), tot AS (SELECT seg_from, sum(n) AS row_n FROM m2 GROUP BY 1)
       |SELECT m2.seg_from, seg_to, n,
-      |  CAST(round(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 6) AS DOUBLE) AS p
+      |  (CAST(round(CAST(n AS DOUBLE) / CAST(row_n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS p
       |FROM m2 JOIN tot ON m2.seg_from = tot.seg_from
       |ORDER BY m2.seg_from, seg_to""".stripMargin
 
@@ -955,10 +955,10 @@ object Round10Ops {
       |  SELECT tok, unnest([64, 128, 256, 512, 1024, 2048, 4096, 8192]) AS cap FROM per
       |)
       |SELECT cap,
-      |  CAST(round(CAST(sum(CASE WHEN tok <= cap THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS doc_coverage,
+      |  (CAST(round(CAST(sum(CASE WHEN tok <= cap THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS doc_coverage,
       |  CAST(sum(tok) AS BIGINT) AS total_tokens,
       |  CAST(sum(least(tok, cap)) AS BIGINT) AS tokens_retained,
-      |  CAST(round(CAST(sum(least(tok, cap)) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 6) AS DOUBLE) AS token_coverage
+      |  (CAST(round(CAST(sum(least(tok, cap)) AS DOUBLE) / CAST(sum(tok) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS token_coverage
       |FROM ex GROUP BY cap ORDER BY cap""".stripMargin
 
   /** #273 fk_integrity_report — referential-integrity audit across
@@ -1008,9 +1008,9 @@ object Round10Ops {
          |  CAST(sum(CASE WHEN $fk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
          |  CAST((SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
          |        AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS BIGINT) AS n_orphans,
-         |  CAST(round(CAST((SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
+         |  (CAST(round(CAST((SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
          |        AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS DOUBLE)
-         |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS orphan_rate
+         |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS orphan_rate
          |FROM $child""".stripMargin
     Seq(
       audit("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
@@ -1151,9 +1151,9 @@ object Round10Ops {
       |  CAST(max(ed) - min(ed) + 1 AS BIGINT) AS span_d,
       |  count(DISTINCT event_type) AS n_types,
       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
-      |  CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value, 6) AS DECIMAL(38,6)) ELSE 0 END), 4) AS DOUBLE) AS purchase_value,
-      |  CAST(round(CAST(sum(CASE WHEN (ed + 4) % 7 >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS weekend_share,
-      |  CAST(round(CAST(sum(CASE WHEN hh < 6 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS night_share
+      |  (CAST(round(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value, 6) AS DECIMAL(38,6)) ELSE 0 END), 4) AS DOUBLE) + 0.0) AS purchase_value,
+      |  (CAST(round(CAST(sum(CASE WHEN (ed + 4) % 7 >= 5 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS weekend_share,
+      |  (CAST(round(CAST(sum(CASE WHEN hh < 6 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS night_share
       |FROM ev, hz GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** #277 ann_recall_report — the ANN evaluation harness as a catalog
@@ -1169,8 +1169,11 @@ object Round10Ops {
     * themselves rows-only).
     */
   def annRecallReport(s: SparkSession, dir: String): DataFrame = {
-    val exact = TextOps.queries("embed_knn")(s, dir)
-      .select(col("query_id"), col("vec_id"))
+    // the exact top-10 is consumed twice (the scalar |queries| and the
+    // hit probe) — cut it so embed_knn runs ONCE; it is k·|queries|
+    // rows, so the cut is pennies and the probe side broadcasts
+    val exact = graft.Lineage.cut(
+      TextOps.queries("embed_knn")(s, dir).select(col("query_id"), col("vec_id")))
     def tagged(name: String, df: DataFrame) =
       df.select(lit(name).as("method"), col("query_id"), col("vec_id"))
     val approx = tagged("lsh_bucketed", TextOps.queries("embed_lsh_knn")(s, dir))
@@ -1178,17 +1181,22 @@ object Round10Ops {
       .unionByName(tagged("pq_sampled", Round6Ops.queries("embed_pq_knn")(s, dir)))
       .unionByName(tagged("int8_quantized", TextOps.queries("embed_quantized_knn")(s, dir)))
     val nq = exact.agg(countDistinct(col("query_id")).as("nq"))
-    val hits = approx.join(exact, Seq("query_id", "vec_id"), "left_semi")
-      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
-    approx.groupBy(col("method")).agg(count(lit(1)).as("n_retrieved"))
-      .join(hits, Seq("method"), "left")
+    // ONE pass over the union: the old semi-join + separate count
+    // consumed `approx` twice, re-running all four kNN families — the
+    // left-probe form counts retrieved and hits in the same aggregate
+    approx
+      .join(broadcast(exact.withColumn("hit", lit(true))),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy(col("method"))
+      .agg(
+        count(lit(1)).as("n_retrieved"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
       .crossJoin(broadcast(nq)) // single row — the scalar stays in-plan
       .select(
-        col("method"), col("n_retrieved"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        emit(coalesce(col("n_hits"), lit(0L)).cast("double") /
+        col("method"), col("n_retrieved"), col("n_hits"),
+        emit(col("n_hits").cast("double") /
           col("n_retrieved").cast("double"), 6).as("hit_rate"),
-        emit(coalesce(col("n_hits"), lit(0L)).cast("double") /
+        emit(col("n_hits").cast("double") /
           (col("nq") * 10).cast("double"), 6).as("recall_at_10"))
       .orderBy(col("method"))
   }
@@ -1263,7 +1271,7 @@ object Round10Ops {
       |)
       |SELECT off AS day_off, CAST(n_at_risk AS BIGINT) AS n_at_risk,
       |  CAST(n_events AS BIGINT) AS n_events,
-      |  CAST(round(exp(CAST(sum(CAST(round(ln(greatest(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 1e-12)), 12) AS DECIMAL(38,12))) OVER (ORDER BY off ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS DOUBLE) AS km_survival
+      |  (CAST(round(exp(CAST(sum(CAST(round(ln(greatest(1.0 - CAST(n_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE), 1e-12)), 12) AS DECIMAL(38,12))) OVER (ORDER BY off ROWS UNBOUNDED PRECEDING) AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS km_survival
       |FROM risk ORDER BY day_off""".stripMargin
 
   /** #278 bpe_train — the full BPE training LOOP (Sennrich et al.,
@@ -1444,7 +1452,7 @@ object Round10Ops {
       s"""SELECT source, CAST(sum(wc) AS BIGINT) AS n_words,
          |  CAST(sum(wc * chars) AS BIGINT) AS n_chars,
          |  CAST(sum(wc * len(string_split(trim(seq), '  '))) AS BIGINT) AS n_tokens,
-         |  CAST(round(CAST(sum(wc * chars) AS DOUBLE) / CAST(sum(wc * len(string_split(trim(seq), '  '))) AS DOUBLE), 6) AS DOUBLE) AS chars_per_token
+         |  (CAST(round(CAST(sum(wc * chars) AS DOUBLE) / CAST(sum(wc * len(string_split(trim(seq), '  '))) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS chars_per_token
          |FROM w$rounds GROUP BY source ORDER BY source""".stripMargin
     (head +: stages).mkString(",\n") + "\n" + tail
   }

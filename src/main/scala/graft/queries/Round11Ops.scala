@@ -90,10 +90,10 @@ object Round11Ops {
       |  FROM wide, tot
       |)
       |SELECT event_type, CAST(n_first AS BIGINT) AS n_first, CAST(n_second AS BIGINT) AS n_second,
-      |  CAST(round(s1, 6) AS DOUBLE) AS share_first,
-      |  CAST(round(s2, 6) AS DOUBLE) AS share_second,
+      |  (CAST(round(s1, 6) AS DOUBLE) + 0.0) AS share_first,
+      |  (CAST(round(s2, 6) AS DOUBLE) + 0.0) AS share_second,
       |  CASE WHEN n_first = 0 OR n_second = 0 THEN NULL
-      |       ELSE CAST(round((s2 - s1) * ln(s2 / s1), 6) AS DOUBLE) END AS psi_term
+      |       ELSE (CAST(round((s2 - s1) * ln(s2 / s1), 6) AS DOUBLE) + 0.0) END AS psi_term
       |FROM sh ORDER BY event_type""".stripMargin
 
   /** The batch first-half baseline for the streaming drift monitor:
@@ -343,9 +343,9 @@ object Round11Ops {
       |),
       |seas AS (SELECT wd, sum(dev7) AS s_num, count(*) AS s_den FROM interior GROUP BY 1)
       |SELECT strftime(d, '%Y-%m-%d') AS day, CAST(c AS BIGINT) AS n_events,
-      |  CAST(round(CAST(sum7 AS DOUBLE) / 7.0, 6) AS DOUBLE) AS trend,
-      |  CAST(round(CAST(s_num AS DOUBLE) / (CAST(s_den AS DOUBLE) * 7.0), 6) AS DOUBLE) AS seasonal,
-      |  CAST(round((CAST(dev7 AS DOUBLE) - CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE)) / 7.0, 6) AS DOUBLE) AS residual
+      |  (CAST(round(CAST(sum7 AS DOUBLE) / 7.0, 6) AS DOUBLE) + 0.0) AS trend,
+      |  (CAST(round(CAST(s_num AS DOUBLE) / (CAST(s_den AS DOUBLE) * 7.0), 6) AS DOUBLE) + 0.0) AS seasonal,
+      |  (CAST(round((CAST(dev7 AS DOUBLE) - CAST(s_num AS DOUBLE) / CAST(s_den AS DOUBLE)) / 7.0, 6) AS DOUBLE) + 0.0) AS residual
       |FROM interior JOIN seas USING (wd) ORDER BY day""".stripMargin
 
   /** #285 compaction_plan — the small-files compaction planner: the
@@ -403,7 +403,7 @@ object Round11Ops {
       |SELECT CAST(floor(CAST(prior AS DOUBLE) / CAST(target AS DOUBLE)) AS BIGINT) AS bin,
       |  count(*) AS n_shards, CAST(sum(n_docs) AS BIGINT) AS n_docs,
       |  CAST(sum(bytes) AS BIGINT) AS bin_bytes,
-      |  CAST(round(CAST(sum(bytes) AS DOUBLE) / CAST(max(target) AS DOUBLE), 6) AS DOUBLE) AS fill_ratio
+      |  (CAST(round(CAST(sum(bytes) AS DOUBLE) / CAST(max(target) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS fill_ratio
       |FROM packed GROUP BY 1 ORDER BY bin""".stripMargin
 
   /** #286 corpus_mix_temperature — temperature-flattened source
@@ -453,9 +453,9 @@ object Round11Ops {
        |),
        |qtot AS (SELECT sum(q) AS qt FROM t)
        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(n_bytes AS BIGINT) AS n_bytes,
-       |  CAST(round(p, 6) AS DOUBLE) AS byte_share,
-       |  CAST(round(CAST(q AS DOUBLE) / CAST(qt AS DOUBLE), 6) AS DOUBLE) AS temp_share,
-       |  CAST(round((CAST(q AS DOUBLE) / CAST(qt AS DOUBLE)) / p, 6) AS DOUBLE) AS upsample
+       |  (CAST(round(p, 6) AS DOUBLE) + 0.0) AS byte_share,
+       |  (CAST(round(CAST(q AS DOUBLE) / CAST(qt AS DOUBLE), 6) AS DOUBLE) + 0.0) AS temp_share,
+       |  (CAST(round((CAST(q AS DOUBLE) / CAST(qt AS DOUBLE)) / p, 6) AS DOUBLE) + 0.0) AS upsample
        |FROM t, qtot ORDER BY source""".stripMargin
 
   /** #287 dedup_containment — asymmetric near-dup detection: pairs
@@ -520,7 +520,7 @@ object Round11Ops {
        |)
        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
        |  CAST(least(sa.n, sb.n) AS BIGINT) AS n_small,
-       |  CAST(round(CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS DOUBLE) AS containment
+       |  (CAST(round(CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE), 4) AS DOUBLE) + 0.0) AS containment
        |FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
        |WHERE CAST(inter AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE) >= $ContainmentThreshold
        |ORDER BY a, b""".stripMargin
@@ -599,8 +599,8 @@ object Round11Ops {
       |  ) WHERE vr = 1
       |)
       |SELECT la AS label, count(*) AS n_vecs,
-      |  sum(CASE WHEN majority <> la THEN 1 ELSE 0 END) AS n_disagree,
-      |  CAST(round(sum(CASE WHEN majority <> la THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE) AS noise_rate
+      |  CAST(sum(CASE WHEN majority <> la THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+      |  (CAST(round(sum(CASE WHEN majority <> la THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE) + 0.0) AS noise_rate
       |FROM verdicts GROUP BY 1 ORDER BY label""".stripMargin
 
   /** #289 doc_perplexity_bigram — the bigram upgrade of #79's unigram
@@ -660,7 +660,7 @@ object Round11Ops {
       |),
       |ppl AS (
       |  SELECT doc_id,
-      |    CAST(round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS DOUBLE) AS perplexity
+      |    (CAST(round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS DOUBLE) + 0.0) AS perplexity
       |  FROM lp GROUP BY doc_id
       |)
       |SELECT doc_id, perplexity, CAST(perplexity >= 31.0 AS INT) AS flagged
@@ -736,7 +736,7 @@ object Round11Ops {
       |tot AS (SELECT count(*) * (count(*) - 1) // 2 AS full_pairs FROM documents)
       |SELECT lang, len_band, n_docs,
       |  CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_pairs,
-      |  CAST(round(CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) / CAST(full_pairs AS DOUBLE), 6) AS DOUBLE) AS pair_share
+      |  (CAST(round(CAST(n_docs * (n_docs - 1) // 2 AS DOUBLE) / CAST(full_pairs AS DOUBLE), 6) AS DOUBLE) + 0.0) AS pair_share
       |FROM blocks, tot ORDER BY lang, len_band""".stripMargin
 
   /** #292 negative_sampling — deterministic contrastive negatives for
@@ -866,7 +866,7 @@ object Round11Ops {
        |  GROUP BY 1, 2
        |)
        |SELECT a, b, CAST(inter AS BIGINT) AS inter,
-       |  CAST(round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS DOUBLE) AS jaccard
+       |  (CAST(round(CAST(inter AS DOUBLE) / CAST(sa.n + sb.n - inter AS DOUBLE), 6) AS DOUBLE) + 0.0) AS jaccard
        |FROM inter JOIN sizes sa ON sa.source = a JOIN sizes sb ON sb.source = b
        |ORDER BY a, b""".stripMargin
 
@@ -944,30 +944,20 @@ object Round11Ops {
     * DECIMAL, so the state is MERGEABLE by plain keyed addition (the
     * scorecard_incremental property, for second moments).
     */
-  private[graft] def covMoments(emb: DataFrame): DataFrame = {
-    val xs = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("i"), col("x").cast("double").as("x"))
-    // the d²/2 products expand from each row's OWN array — a join-free
-    // narrow pass (the vec_id self-join shape shuffled both explode
-    // branches before producing the identical rows; this goes scan →
-    // generate → map-side partial agg with no exchange until the
-    // 2k-row (i,j) partials merge): 10.1 → ~4 s at sf0.1
-    val cross = emb
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(embedding) - 1), i ->
-          |  transform(sequence(i, size(embedding) - 1), j ->
-          |    struct(i, j, round(CAST(embedding[i] AS DOUBLE) * CAST(embedding[j] AS DOUBLE), 12) AS p))))"""
-          .stripMargin)).as("t"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p").cast(OracleMath.Dec12)).as("v"))
-    val dims = xs.groupBy(col("i"))
-      .agg(sum(round(col("x"), 12).cast(OracleMath.Dec12)).as("v"))
-      .select(col("i"), lit(-1).as("j"), col("v"))
-    val n = emb.agg(count(lit(1)).cast(OracleMath.Dec12).as("v"))
-      .select(lit(-1).as("i"), lit(-1).as("j"), col("v"))
-    cross.unionByName(dims).unionByName(n)
-  }
+  private[graft] def covMoments(emb: DataFrame): DataFrame =
+    // one native-aggregate pass (CovMomentsAgg): the d²/2 products
+    // accumulate into a fixed ~17 KB per-partition buffer instead of
+    // materializing 2,080 structs per row through a Generate — plan is
+    // scan → partial ObjectHashAggregate → single-buffer exchange →
+    // explode(2,145 rows). Replaced the explode/groupBy formulation
+    // (8.2 s at sf0.1, the catalog's slowest row; same values
+    // bit-exactly, Spark round/cast semantics replicated inside the
+    // aggregate's scaled12).
+    emb
+      .agg(graft.functions.Registry.covMomentsAgg(
+        col("embedding").cast("array<double>")).as("m"))
+      .select(explode(col("m")).as("t"))
+      .select(col("t.i").as("i"), col("t.j").as("j"), col("t.v").as("v"))
 
   /** Keyed fold of two moment states — associative exact addition. */
   private[graft] def mergeCovMoments(a: DataFrame, b: DataFrame): DataFrame =
@@ -1031,8 +1021,8 @@ object Round11Ops {
       |  GROUP BY 1, 2
       |)
       |SELECT i, j,
-      |  CAST(round(CAST(sxy AS DOUBLE) / n
-      |    - (CAST(ma.sx AS DOUBLE) / n) * (CAST(mb.sx AS DOUBLE) / n), 6) AS DOUBLE) AS cov
+      |  (CAST(round(CAST(sxy AS DOUBLE) / n
+      |    - (CAST(ma.sx AS DOUBLE) / n) * (CAST(mb.sx AS DOUBLE) / n), 6) AS DOUBLE) + 0.0) AS cov
       |FROM cross_m JOIN moments ma USING (i) JOIN moments mb ON mb.i = cross_m.j
       |CROSS JOIN n ORDER BY i, j""".stripMargin
 
@@ -1110,8 +1100,8 @@ object Round11Ops {
       |  ) WHERE vr = 1
       |)
       |SELECT true_label AS label, count(*) AS n_masked,
-      |  sum(CASE WHEN lb = true_label THEN 1 ELSE 0 END) AS n_recovered,
-      |  CAST(round(sum(CASE WHEN lb = true_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE) AS recovery_rate
+      |  CAST(sum(CASE WHEN lb = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_recovered,
+      |  (CAST(round(sum(CASE WHEN lb = true_label THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS DOUBLE) + 0.0) AS recovery_rate
       |FROM verdicts GROUP BY 1 ORDER BY label""".stripMargin
 
   /** #300 theil_sen_trend — the robust daily-volume trend per event
@@ -1155,7 +1145,7 @@ object Round11Ops {
       |  FROM daily l JOIN daily r ON l.event_type = r.event_type AND l.x < r.x
       |)
       |SELECT event_type, count(*) AS n_pairs,
-      |  CAST(round(quantile_cont(slope, 0.5), 6) AS DOUBLE) AS trend_per_day
+      |  (CAST(round(quantile_cont(slope, 0.5), 6) AS DOUBLE) + 0.0) AS trend_per_day
       |FROM slopes GROUP BY 1 ORDER BY event_type""".stripMargin
 
   /** #296 grouping_sets_report — the third member of the multi-level
@@ -1204,7 +1194,7 @@ object Round11Ops {
       |)
       |SELECT CAST(GROUPING(n_name) AS TINYINT) AS g_n, CAST(GROUPING(r_name) AS TINYINT) AS g_r,
       |  coalesce(n_name, 'ALL') AS n_name, coalesce(r_name, 'ALL') AS r_name,
-      |  CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue,
+      |  (CAST(round(sum(CAST(rev AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue,
       |  count(*) AS n_lines
       |FROM fact
       |GROUP BY GROUPING SETS ((n_name), (r_name), ())

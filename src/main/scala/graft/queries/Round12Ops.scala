@@ -138,9 +138,9 @@ object Round12Ops {
       |  FROM c
       |)
       |SELECT event_type, CAST(1.0 AS DOUBLE) AS epsilon,
-      |  CAST(round(CAST(n AS DOUBLE) +
+      |  (CAST(round(CAST(n AS DOUBLE) +
       |    CASE WHEN u < 0.5 THEN 1.0 * ln(2.0 * u)
-      |         ELSE -1.0 * ln(2.0 * (1.0 - u)) END, 6) AS DOUBLE) AS noisy_count
+      |         ELSE -1.0 * ln(2.0 * (1.0 - u)) END, 6) AS DOUBLE) + 0.0) AS noisy_count
       |FROM u ORDER BY event_type""".stripMargin
 
   /** #306 wilson_ci_report — per-type success-rate report with Wilson
@@ -190,13 +190,13 @@ object Round12Ops {
       |  FROM agg
       |)
       |SELECT event_type, n, k,
-      |  CAST(round(p, 6) AS DOUBLE) AS rate,
-      |  CAST(round((p + z2 / (2.0 * nd)
+      |  (CAST(round(p, 6) AS DOUBLE) + 0.0) AS rate,
+      |  (CAST(round((p + z2 / (2.0 * nd)
       |        - CAST(1.96 AS DOUBLE) * sqrt((p * (1.0 - p) + z2 / (4.0 * nd)) / nd))
-      |      / (1.0 + z2 / nd), 6) AS DOUBLE) AS ci_lo,
-      |  CAST(round((p + z2 / (2.0 * nd)
+      |      / (1.0 + z2 / nd), 6) AS DOUBLE) + 0.0) AS ci_lo,
+      |  (CAST(round((p + z2 / (2.0 * nd)
       |        + CAST(1.96 AS DOUBLE) * sqrt((p * (1.0 - p) + z2 / (4.0 * nd)) / nd))
-      |      / (1.0 + z2 / nd), 6) AS DOUBLE) AS ci_hi
+      |      / (1.0 + z2 / nd), 6) AS DOUBLE) + 0.0) AS ci_hi
       |FROM f ORDER BY event_type""".stripMargin
 
   /** #307 holt_forecast — Holt's linear-trend exponential smoothing
@@ -246,6 +246,11 @@ object Round12Ops {
     val folded = denseDaily(daily)
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("k"), col("x")))).as("arr"))
+      // Holt's init needs two observations (l₀ = x₁, t₀ = x₂ − x₁); on
+      // a degenerate single-day calendar the oracle's recursive CTE
+      // returns zero rows while element_at(arr, 2) here would emit
+      // null trend/forecast — both engines must agree: no rows
+      .filter(size(col("arr")) >= 2)
       .select(
         col("event_type"),
         aggregate(
@@ -302,9 +307,9 @@ object Round12Ops {
       |last AS (SELECT max(k) AS kmax FROM rec),
       |fin AS (SELECT event_type, l, t FROM rec, last WHERE k = kmax)
       |SELECT event_type, h,
-      |  CAST(round(l, 6) AS DOUBLE) AS level,
-      |  CAST(round(t, 6) AS DOUBLE) AS trend,
-      |  CAST(round(l + CAST(h AS DOUBLE) * t, 6) AS DOUBLE) AS forecast
+      |  (CAST(round(l, 6) AS DOUBLE) + 0.0) AS level,
+      |  (CAST(round(t, 6) AS DOUBLE) + 0.0) AS trend,
+      |  (CAST(round(l + CAST(h AS DOUBLE) * t, 6) AS DOUBLE) + 0.0) AS forecast
       |FROM fin, (SELECT unnest(generate_series(1, 7)) AS h)
       |ORDER BY event_type, h""".stripMargin
 
@@ -386,7 +391,7 @@ object Round12Ops {
        |${iter("i0", 1)},
        |${iter("i1", 2)},
        |${iter("i2", 3)}
-       |SELECT id, CAST(round(rank, 6) AS DOUBLE) AS ppr
+       |SELECT id, (CAST(round(rank, 6) AS DOUBLE) + 0.0) AS ppr
        |FROM i3 WHERE round(rank, 6) > 0.0 ORDER BY ppr DESC, id""".stripMargin
   }
 
@@ -456,10 +461,10 @@ object Round12Ops {
       |  SELECT count(*) AS n_types FROM counts
       |), scored AS (
       |  SELECT counts.w1, counts.w2, c, head_n,
-      |    CAST(round(
+      |    (CAST(round(
       |      greatest(CAST(c AS DOUBLE) - 0.75, 0.0) / CAST(head_n AS DOUBLE)
       |      + (0.75 * CAST(n1_fwd AS DOUBLE) / CAST(head_n AS DOUBLE))
-      |        * (CAST(n1_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)), 6) AS DOUBLE) AS p_kn
+      |        * (CAST(n1_bwd AS DOUBLE) / CAST(n_types AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS p_kn
       |  FROM counts
       |  JOIN heads ON counts.w1 = heads.w1
       |  JOIN cont ON counts.w2 = cont.w2
@@ -525,10 +530,10 @@ object Round12Ops {
        |  FROM b GROUP BY 1
        |)
        |SELECT bin, n, k,
-       |  CAST(round(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS mean_conf,
-       |  CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS frac_pos,
-       |  CAST(round(abs(CAST(round(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
-       |    - CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)), 6) AS DOUBLE) AS gap
+       |  (CAST(round(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS mean_conf,
+       |  (CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS frac_pos,
+       |  (CAST(round(abs(CAST(round(CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)
+       |    - CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS gap
        |FROM agg ORDER BY bin""".stripMargin
 
   /** #311 record_linkage — Fellegi–Sunter probabilistic record linkage
@@ -634,14 +639,14 @@ object Round12Ops {
       |    CAST(a_key = b_key AS INT) AS same_entity,
       |    CAST(a_seg = b_seg AS INT) AS agree_seg,
       |    CAST(a_bal = b_bal AS INT) AS agree_bal,
-      |    CAST(round(
+      |    (CAST(round(
       |      CASE WHEN a_seg = b_seg THEN log2(CAST(0.8 AS DOUBLE) / CAST(u_seg AS DOUBLE))
       |           ELSE log2((CAST(1.0 AS DOUBLE) - CAST(0.8 AS DOUBLE))
       |                     / (CAST(1.0 AS DOUBLE) - CAST(u_seg AS DOUBLE))) END
       |      + CASE WHEN a_bal = b_bal THEN log2((CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)) / CAST(u_bal AS DOUBLE))
       |             ELSE log2((CAST(1.0 AS DOUBLE) - (CAST(2.0 AS DOUBLE) / CAST(3.0 AS DOUBLE)))
       |                       / (CAST(1.0 AS DOUBLE) - CAST(u_bal AS DOUBLE))) END,
-      |      6) AS DOUBLE) AS score
+      |      6) AS DOUBLE) + 0.0) AS score
       |  FROM pairs
       |)
       |SELECT a_key, b_key, same_entity, agree_seg, agree_bal, score,
@@ -741,7 +746,7 @@ object Round12Ops {
       |  WHERE s.sigma > 0.0
       |)
       |SELECT a.source AS src_a, b.source AS src_b,
-      |  CAST(round(CAST(sum(abs(a.z - b.z)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS delta
+      |  (CAST(round(CAST(sum(abs(a.z - b.z)) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS delta
       |FROM z a JOIN z b ON a.token = b.token AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
 
@@ -871,11 +876,11 @@ object Round12Ops {
       |  FROM seq WHERE hwm IS NOT NULL
       |)
       |SELECT event_type, count(*) AS n,
-      |  CAST(round(quantile_cont(late_us, 0.5) / 1000000.0, 4) AS DOUBLE) AS p50_s,
-      |  CAST(round(quantile_cont(late_us, 0.95) / 1000000.0, 4) AS DOUBLE) AS p95_s,
-      |  CAST(round(quantile_cont(late_us, 0.99) / 1000000.0, 4) AS DOUBLE) AS p99_s,
-      |  CAST(round(CAST(max(late_us) AS DOUBLE) / 1000000.0, 4) AS DOUBLE) AS max_s,
-      |  CAST(round(quantile_cont(late_us, 0.99) / 1000000.0, 4) AS DOUBLE) AS recommended_delay_s
+      |  (CAST(round(quantile_cont(late_us, 0.5) / 1000000.0, 4) AS DOUBLE) + 0.0) AS p50_s,
+      |  (CAST(round(quantile_cont(late_us, 0.95) / 1000000.0, 4) AS DOUBLE) + 0.0) AS p95_s,
+      |  (CAST(round(quantile_cont(late_us, 0.99) / 1000000.0, 4) AS DOUBLE) + 0.0) AS p99_s,
+      |  (CAST(round(CAST(max(late_us) AS DOUBLE) / 1000000.0, 4) AS DOUBLE) + 0.0) AS max_s,
+      |  (CAST(round(quantile_cont(late_us, 0.99) / 1000000.0, 4) AS DOUBLE) + 0.0) AS recommended_delay_s
       |FROM late GROUP BY event_type ORDER BY event_type""".stripMargin
 
   /** #315 bot_detection_report — the behavioral bot screen a feed
@@ -973,9 +978,9 @@ object Round12Ops {
       |),
       |r AS (
       |  SELECT user_id, n_events, active_hours,
-      |    CAST(round(CAST(n_events AS DOUBLE) / CAST(active_hours AS DOUBLE), 4) AS DOUBLE) AS events_per_hour,
-      |    CAST(round(CASE WHEN mean_g > 0.0 THEN sqrt(var_g) / mean_g ELSE 0.0 END, 4) AS DOUBLE) AS gap_cv,
-      |    CAST(round(h_sum, 4) AS DOUBLE) AS type_entropy
+      |    (CAST(round(CAST(n_events AS DOUBLE) / CAST(active_hours AS DOUBLE), 4) AS DOUBLE) + 0.0) AS events_per_hour,
+      |    (CAST(round(CASE WHEN mean_g > 0.0 THEN sqrt(var_g) / mean_g ELSE 0.0 END, 4) AS DOUBLE) + 0.0) AS gap_cv,
+      |    (CAST(round(h_sum, 4) AS DOUBLE) + 0.0) AS type_entropy
       |  FROM j
       |)
       |SELECT user_id, n_events, active_hours, events_per_hour, gap_cv, type_entropy,
@@ -1008,6 +1013,10 @@ object Round12Ops {
     val folded = denseDaily(daily)
       .groupBy(col("event_type"))
       .agg(sort_array(collect_list(struct(col("k"), col("x")))).as("arr"))
+      // the two-week init (l₀, t₀, s₀) needs 14 observed days; the
+      // oracle's recursive CTE starts at k = 14 and returns zero rows
+      // on a shorter calendar, so both engines must agree: no rows
+      .filter(size(col("arr")) >= 2 * m)
       // init over the first two weeks: exact integral-double sums
       .withColumn("sum1", expr("aggregate(slice(arr, 1, 7), cast(0.0 as double), (a, e) -> a + e.x)"))
       .withColumn("sum2", expr("aggregate(slice(arr, 8, 7), cast(0.0 as double), (a, e) -> a + e.x)"))
@@ -1086,10 +1095,10 @@ object Round12Ops {
       |last AS (SELECT max(k) AS kmax FROM rec),
       |fin AS (SELECT event_type, l, t, sl FROM rec, last WHERE k = kmax)
       |SELECT event_type, h,
-      |  CAST(round(l, 6) AS DOUBLE) AS level,
-      |  CAST(round(t, 6) AS DOUBLE) AS trend,
-      |  CAST(round(sl[h], 6) AS DOUBLE) AS seasonal,
-      |  CAST(round(l + CAST(h AS DOUBLE) * t + sl[h], 6) AS DOUBLE) AS forecast
+      |  (CAST(round(l, 6) AS DOUBLE) + 0.0) AS level,
+      |  (CAST(round(t, 6) AS DOUBLE) + 0.0) AS trend,
+      |  (CAST(round(sl[h], 6) AS DOUBLE) + 0.0) AS seasonal,
+      |  (CAST(round(l + CAST(h AS DOUBLE) * t + sl[h], 6) AS DOUBLE) + 0.0) AS forecast
       |FROM fin, (SELECT unnest(generate_series(1, 7)) AS h)
       |ORDER BY event_type, h""".stripMargin
 
@@ -1162,9 +1171,9 @@ object Round12Ops {
       |  FROM m a JOIN m b ON a.dim = b.dim AND a.half = 1 AND b.half = 2
       |)
       |SELECT dim, n1, n2,
-      |  CAST(round(mu1, 6) AS DOUBLE) AS mean_first,
-      |  CAST(round(mu2, 6) AS DOUBLE) AS mean_second,
-      |  CAST(round((mu2 - mu1) / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 4) AS DOUBLE) AS shift_z
+      |  (CAST(round(mu1, 6) AS DOUBLE) + 0.0) AS mean_first,
+      |  (CAST(round(mu2, 6) AS DOUBLE) + 0.0) AS mean_second,
+      |  (CAST(round((mu2 - mu1) / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)), 4) AS DOUBLE) + 0.0) AS shift_z
       |FROM j ORDER BY dim""".stripMargin
 
   /** #317 l_diversity_report — the l-diversity audit (Machanavajjhala
@@ -1188,7 +1197,7 @@ object Round12Ops {
       .orderBy(col("c_nationkey"), col("bal_band"))
 
   val lDiversityReportSql: String =
-    """SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_band,
+    """SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
       |  count(*) AS class_size,
       |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l_distinct,
       |  count(DISTINCT c_mktsegment) < 3 AS below_l3
@@ -1276,9 +1285,9 @@ object Round12Ops {
       |  FROM pb a JOIN pb b ON a.vec_id < b.vec_id
       |)
       |SELECT va, vb,
-      |  CAST(round(d2o, 6) AS DOUBLE) AS d2_orig,
-      |  CAST(round(d2p, 6) AS DOUBLE) AS d2_proj,
-      |  CAST(round(d2p / d2o, 6) AS DOUBLE) AS ratio
+      |  (CAST(round(d2o, 6) AS DOUBLE) + 0.0) AS d2_orig,
+      |  (CAST(round(d2p, 6) AS DOUBLE) + 0.0) AS d2_proj,
+      |  (CAST(round(d2p / d2o, 6) AS DOUBLE) + 0.0) AS ratio
       |FROM pairs ORDER BY va, vb""".stripMargin
 
   /** #320 markov_attribution — Markov-chain removal-effect channel
@@ -1336,26 +1345,34 @@ object Round12Ops {
       .select(col("removed"), col("src").as("state"),
         when(col("src") === "purchase", lit(1.0)).otherwise(lit(0.0)).as("pr"))
     for (_ <- 1 to 4) {
+      // v and stepped are |variants|·|types| ≤ ~40 rows: BROADCAST
+      // both joins so each unrolled multiply costs one small groupBy
+      // exchange, not three
       val stepped = pv
-        .join(v.select(col("removed"), col("state").as("dst"), col("pr")),
+        .join(broadcast(v.select(col("removed"), col("state").as("dst"), col("pr"))),
           Seq("removed", "dst"))
         .groupBy(col("removed"), col("src"))
         .agg(sum(round(col("p") * col("pr"), 12).cast(Dec12)).as("inflow"))
       v = variants.crossJoin(types)
         .select(col("removed"), col("src").as("state"))
-        .join(stepped.select(col("removed"), col("src").as("state"),
-          col("inflow")), Seq("removed", "state"), "left")
+        .join(broadcast(stepped.select(col("removed"), col("src").as("state"),
+          col("inflow"))), Seq("removed", "state"), "left")
         .select(col("removed"), col("state"),
           when(col("state") === "purchase", lit(1.0))
             .otherwise(round(coalesce(col("inflow").cast("double"), lit(0.0)), 12)).as("pr"))
     }
-    val conv = sv
-      .join(v.select(col("removed"), col("state").as("src"), col("pr")),
+    // conv is consumed TWICE (the 'none' scalar and the per-variant
+    // rows): without a cut the full 4-multiply chain re-derives for
+    // each consumer — this cut took the plan audit's last
+    // triple-digit exchange count (xchg=100) down to the chain's
+    // natural size
+    val conv = graft.Lineage.cut(sv
+      .join(broadcast(v.select(col("removed"), col("state").as("src"), col("pr"))),
         Seq("removed", "src"))
       .crossJoin(broadcast(nUsers))
       .groupBy(col("removed"))
       .agg(sum(round(col("n").cast("double") / col("nu").cast("double") * col("pr"), 12)
-        .cast(Dec12)).as("conv"))
+        .cast(Dec12)).as("conv")))
     val full = conv.filter(col("removed") === "none")
       .select(col("conv").as("conv_full"))
     conv.crossJoin(broadcast(full))
@@ -1432,8 +1449,8 @@ object Round12Ops {
        |),
        |fullc AS (SELECT conv AS conv_full FROM conv WHERE removed = 'none')
        |SELECT removed,
-       |  CAST(round(CAST(conv AS DOUBLE), 6) AS DOUBLE) AS conv_prob,
-       |  CAST(round(1.0 - CAST(conv AS DOUBLE) / CAST(conv_full AS DOUBLE), 6) AS DOUBLE)
+       |  (CAST(round(CAST(conv AS DOUBLE), 6) AS DOUBLE) + 0.0) AS conv_prob,
+       |  (CAST(round(1.0 - CAST(conv AS DOUBLE) / CAST(conv_full AS DOUBLE), 6) AS DOUBLE) + 0.0)
        |    AS removal_effect
        |FROM conv CROSS JOIN fullc ORDER BY removed""".stripMargin
   }
@@ -1480,7 +1497,11 @@ object Round12Ops {
     val z = (p1 - p0) / se
     val bound = lit(1.96) / sqrt(col("t").cast("double") / col("nd").cast("double"))
     joined.select(
-      col("d"), col("t"), col("n0"), col("k0"), col("n1"), col("k1"),
+      // house rule: dates emit FORMATTED (DuckDB DATE surfaces as a
+      // midnight timestamp in the driver's pandas frame, a raw date
+      // column can never hash-match)
+      date_format(col("d"), "yyyy-MM-dd").as("d"),
+      col("t"), col("n0"), col("k0"), col("n1"), col("k1"),
       emit(z, 6).as("z"),
       emit(bound, 6).as("boundary"),
       (abs(round(z, 6).cast("double")) >= round(bound, 6).cast("double")).as("crossed"))
@@ -1518,10 +1539,10 @@ object Round12Ops {
       |    CAST(1.96 AS DOUBLE) / sqrt(CAST(t AS DOUBLE) / CAST(nd AS DOUBLE)) AS boundary
       |  FROM t
       |)
-      |SELECT d, t, n0, k0, n1, k1,
-      |  CAST(round(z, 6) AS DOUBLE) AS z,
-      |  CAST(round(boundary, 6) AS DOUBLE) AS boundary,
-      |  abs(CAST(round(z, 6) AS DOUBLE)) >= CAST(round(boundary, 6) AS DOUBLE) AS crossed
+      |SELECT strftime(d, '%Y-%m-%d') AS d, t, n0, k0, n1, k1,
+      |  (CAST(round(z, 6) AS DOUBLE) + 0.0) AS z,
+      |  (CAST(round(boundary, 6) AS DOUBLE) + 0.0) AS boundary,
+      |  abs(CAST(round(z, 6) AS DOUBLE)) >= (CAST(round(boundary, 6) AS DOUBLE) + 0.0) AS crossed
       |FROM f ORDER BY d""".stripMargin
 
   /** #322 benford_audit — Benford's-law first-digit audit over the
@@ -1569,12 +1590,12 @@ object Round12Ops {
       |),
       |tot AS (SELECT sum(obs) AS n FROM d)
       |SELECT digit, obs,
-      |  CAST(round(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS share,
-      |  CAST(round((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 6) AS DOUBLE) AS p_benford,
-      |  CAST(round(
+      |  (CAST(round(CAST(obs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS share,
+      |  (CAST(round((ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)), 6) AS DOUBLE) + 0.0) AS p_benford,
+      |  (CAST(round(
       |    (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
       |    * (CAST(obs AS DOUBLE) - CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)))
-      |    / (CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 4) AS DOUBLE) AS chi2_term
+      |    / (CAST(n AS DOUBLE) * (ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0))), 4) AS DOUBLE) + 0.0) AS chi2_term
       |FROM d CROSS JOIN tot ORDER BY digit""".stripMargin
 
   /** #323 corpus_budget_select — data selection under a token budget
@@ -1635,8 +1656,8 @@ object Round12Ops {
        |  FROM clf
        |)
        |SELECT doc_id, n_tokens,
-       |  CAST(round(score, 6) AS DOUBLE) AS score,
-       |  CAST(round(ratio, 6) AS DOUBLE) AS ratio, cum_tokens
+       |  (CAST(round(score, 6) AS DOUBLE) + 0.0) AS score,
+       |  (CAST(round(ratio, 6) AS DOUBLE) + 0.0) AS ratio, cum_tokens
        |FROM ranked WHERE cum_tokens <= 100000
        |ORDER BY cum_tokens""".stripMargin
 
@@ -1683,7 +1704,7 @@ object Round12Ops {
 
   val tClosenessReportSql: String =
     """WITH base AS (
-      |  SELECT c_nationkey, floor(c_acctbal / 1000) AS bal_band, c_mktsegment FROM customer
+      |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band, c_mktsegment FROM customer
       |),
       |global AS (SELECT c_mktsegment, count(*) AS g FROM base GROUP BY 1),
       |gt AS (SELECT sum(g) AS gt FROM global),
@@ -1702,7 +1723,7 @@ object Round12Ops {
       |    AND cls.c_mktsegment = g.c_mktsegment
       |)
       |SELECT c_nationkey, bal_band, class_size,
-      |  CAST(round(CAST(sum(term) AS DOUBLE) / 2.0, 6) AS DOUBLE) AS t,
+      |  (CAST(round(CAST(sum(term) AS DOUBLE) / 2.0, 6) AS DOUBLE) + 0.0) AS t,
       |  CAST(round(CAST(sum(term) AS DOUBLE) / 2.0, 6) AS DOUBLE) > 0.4 AS above_t04
       |FROM dense GROUP BY 1, 2, 3
       |ORDER BY c_nationkey, bal_band""".stripMargin
@@ -1763,9 +1784,9 @@ object Round12Ops {
        |  GROUP BY 1, 2
        |)
        |SELECT query_id,
-       |  CAST(round(0.1 * CAST(sum(CAST(round(
+       |  (CAST(round(0.1 * CAST(sum(CAST(round(
        |    round(pow(0.9, CAST(d AS DOUBLE) - 1.0), 9) * CAST(ov AS DOUBLE) / CAST(d AS DOUBLE),
-       |    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) AS rbo,
+       |    12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS rbo,
        |  max(CASE WHEN d = 10 THEN ov END) AS overlap10
        |FROM ov GROUP BY query_id ORDER BY query_id""".stripMargin
 
@@ -1824,8 +1845,8 @@ object Round12Ops {
        |  FROM cum
        |)
        |SELECT p AS n_pos, n AS n_neg,
-       |  CAST(round(CAST(u2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS DOUBLE) AS auc,
-       |  CAST(round(CAST(u2 AS DOUBLE) / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) - 1.0, 6) AS DOUBLE) AS gini
+       |  (CAST(round(CAST(u2 AS DOUBLE) / (2.0 * CAST(p AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS auc,
+       |  (CAST(round(CAST(u2 AS DOUBLE) / (CAST(p AS DOUBLE) * CAST(n AS DOUBLE)) - 1.0, 6) AS DOUBLE) + 0.0) AS gini
        |FROM agg""".stripMargin
 
   /** #327 ks_drift_test — two-sample Kolmogorov–Smirnov test of the
@@ -1901,10 +1922,10 @@ object Round12Ops {
       |  FROM cum JOIN tot ON cum.lang = tot.lang GROUP BY 1, 2, 3
       |)
       |SELECT lang, n1, n2,
-      |  CAST(round(CAST(mnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE) AS ks_d,
-      |  CAST(round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS DOUBLE) AS d_crit,
+      |  (CAST(round(CAST(mnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS ks_d,
+      |  (CAST(round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS DOUBLE) + 0.0) AS d_crit,
       |  CAST(round(CAST(mnum AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE)
-      |    > CAST(round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS DOUBLE) AS drifted
+      |    > (CAST(round(1.358 * sqrt(CAST(n1 + n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))), 6) AS DOUBLE) + 0.0) AS drifted
       |FROM sup ORDER BY lang""".stripMargin
 
   /** #328 token_label_mi — mutual information between token PRESENCE
@@ -1974,7 +1995,7 @@ object Round12Ops {
       |  FROM bytok CROSS JOIN tot
       |)
       |SELECT token, doc_freq, n11,
-      |  CAST(round(
+      |  (CAST(round(
       |    (CASE WHEN n11 > 0 THEN CAST(n11 AS DOUBLE) / CAST(nn AS DOUBLE)
       |      * ln(CAST(nn AS DOUBLE) * CAST(n11 AS DOUBLE) / (CAST(doc_freq AS DOUBLE) * CAST(n_en AS DOUBLE))) / ln(2.0) ELSE 0.0 END)
       |    + (CASE WHEN n10 > 0 THEN CAST(n10 AS DOUBLE) / CAST(nn AS DOUBLE)
@@ -1983,7 +2004,7 @@ object Round12Ops {
       |      * ln(CAST(nn AS DOUBLE) * CAST(n01 AS DOUBLE) / (CAST(nn - doc_freq AS DOUBLE) * CAST(n_en AS DOUBLE))) / ln(2.0) ELSE 0.0 END)
       |    + (CASE WHEN n00 > 0 THEN CAST(n00 AS DOUBLE) / CAST(nn AS DOUBLE)
       |      * ln(CAST(nn AS DOUBLE) * CAST(n00 AS DOUBLE) / (CAST(nn - doc_freq AS DOUBLE) * CAST(nn - n_en AS DOUBLE))) / ln(2.0) ELSE 0.0 END)
-      |  , 6) AS DOUBLE) AS mi_bits
+      |  , 6) AS DOUBLE) + 0.0) AS mi_bits
       |FROM cells ORDER BY mi_bits DESC, token""".stripMargin
 
   /** #329 spearman_len_score — Spearman rank correlation per source
@@ -2076,8 +2097,8 @@ object Round12Ops {
        |)
        |SELECT source, n_docs,
        |  CASE WHEN varx > 0 AND vary > 0 THEN
-       |    CAST(round(CAST(covn AS DOUBLE)
-       |      / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6) AS DOUBLE)
+       |    (CAST(round(CAST(covn AS DOUBLE)
+       |      / sqrt(CAST(varx AS DOUBLE) * CAST(vary AS DOUBLE)), 6) AS DOUBLE) + 0.0)
        |  ELSE NULL END AS rho
        |FROM fin ORDER BY source""".stripMargin
 
@@ -2153,9 +2174,9 @@ object Round12Ops {
        |  WHERE cum_above < (decile * nn) // 10 AND cum_above + nb >= (decile * nn) // 10
        |)
        |SELECT decile, cut AS rows_at_cut,
-       |  CAST(round(CAST(num AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(p AS DOUBLE)), 6) AS DOUBLE) AS capture,
-       |  CAST(round(CAST(num AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(p AS DOUBLE))
-       |    / (CAST(cut AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS DOUBLE) AS lift
+       |  (CAST(round(CAST(num AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(p AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS capture,
+       |  (CAST(round(CAST(num AS DOUBLE) / (CAST(nb AS DOUBLE) * CAST(p AS DOUBLE))
+       |    / (CAST(cut AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS lift
        |FROM bound ORDER BY decile""".stripMargin
 
   /** #331 cramers_v_matrix — χ² independence tests with Cramér's V
@@ -2233,9 +2254,9 @@ object Round12Ops {
          |    FROM full_cells CROSS JOIN tot GROUP BY 1
          |  )
          |  SELECT nn AS n, (da - 1) * (db - 1) AS dof,
-         |    CAST(round(CAST(chi2 AS DOUBLE), 4) AS DOUBLE) AS chi2,
-         |    CAST(round(sqrt(CAST(chi2 AS DOUBLE)
-         |      / (CAST(nn AS DOUBLE) * CAST(least(da - 1, db - 1) AS DOUBLE))), 6) AS DOUBLE) AS cramers_v
+         |    (CAST(round(CAST(chi2 AS DOUBLE), 4) AS DOUBLE) + 0.0) AS chi2,
+         |    (CAST(round(sqrt(CAST(chi2 AS DOUBLE)
+         |      / (CAST(nn AS DOUBLE) * CAST(least(da - 1, db - 1) AS DOUBLE))), 6) AS DOUBLE) + 0.0) AS cramers_v
          |  FROM chi CROSS JOIN dims
          |)""".stripMargin
     block("doc_lang_x_source", "SELECT lang AS a, source AS b FROM documents") +
@@ -2403,8 +2424,8 @@ object Round12Ops {
          |    FROM cum CROSS JOIN tot GROUP BY 1
          |  )
          |  SELECT n AS n_users,
-         |    CAST(round(CAST(total AS DOUBLE), 6) AS DOUBLE) AS total,
-         |    CAST(round(CAST(gn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS DOUBLE) AS gini
+         |    (CAST(round(CAST(total AS DOUBLE), 6) AS DOUBLE) + 0.0) AS total,
+         |    (CAST(round(CAST(gn AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS gini
          |  FROM agg
          |)""".stripMargin
     block("purchase_revenue",
@@ -2490,8 +2511,8 @@ object Round12Ops {
        |  GROUP BY 1, 2, 3, 4
        |)
        |SELECT bin, n, k,
-       |  CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS frac_pos,
-       |  CAST(round(max(mn), 6) AS DOUBLE) AS calibrated
+       |  (CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS frac_pos,
+       |  (CAST(round(max(mn), 6) AS DOUBLE) + 0.0) AS calibrated
        |FROM step1 GROUP BY 1, 2, 3 ORDER BY bin""".stripMargin
 
   /** #335 neyman_allocation — optimal stratified-sample allocation
@@ -2540,9 +2561,9 @@ object Round12Ops {
       |),
       |tot AS (SELECT sum(CAST(w AS DECIMAL(38,12))) AS tw FROM wts)
       |SELECT source, n AS n_docs,
-      |  CAST(round(w / CAST(n AS DOUBLE), 6) AS DOUBLE) AS sigma,
-      |  CAST(round(w / CAST(tw AS DOUBLE), 6) AS DOUBLE) AS alloc_share,
-      |  CAST(round(w / CAST(tw AS DOUBLE) * 10000.0, 2) AS DOUBLE) AS alloc_10k
+      |  (CAST(round(w / CAST(n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS sigma,
+      |  (CAST(round(w / CAST(tw AS DOUBLE), 6) AS DOUBLE) + 0.0) AS alloc_share,
+      |  (CAST(round(w / CAST(tw AS DOUBLE) * 10000.0, 2) AS DOUBLE) + 0.0) AS alloc_10k
       |FROM wts CROSS JOIN tot ORDER BY source""".stripMargin
 
   /** #336 power_analysis — the sample-size design table for a
@@ -2592,14 +2613,14 @@ object Round12Ops {
       |  FROM bt CROSS JOIN tot CROSS JOIN lifts
       |)
       |SELECT event_type, lift,
-      |  CAST(round(p0, 6) AS DOUBLE) AS p0,
-      |  CAST(round(p1, 6) AS DOUBLE) AS p1,
-      |  CAST(round(
+      |  (CAST(round(p0, 6) AS DOUBLE) + 0.0) AS p0,
+      |  (CAST(round(p1, 6) AS DOUBLE) + 0.0) AS p1,
+      |  (CAST(round(
       |    (1.959964 * sqrt(2.0 * ((p0 + p1) / 2.0) * (1.0 - (p0 + p1) / 2.0))
       |     + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
       |    * (1.959964 * sqrt(2.0 * ((p0 + p1) / 2.0) * (1.0 - (p0 + p1) / 2.0))
       |     + 0.841621 * sqrt(p0 * (1.0 - p0) + p1 * (1.0 - p1)))
-      |    / ((p1 - p0) * (p1 - p0)), 2) AS DOUBLE) AS n_per_arm
+      |    / ((p1 - p0) * (p1 - p0)), 2) AS DOUBLE) + 0.0) AS n_per_arm
       |FROM g WHERE p1 < 1.0 ORDER BY event_type, lift""".stripMargin
 
   /** #337 concentration_report — Herfindahl–Hirschman concentration
@@ -2657,9 +2678,9 @@ object Round12Ops {
          |    FROM g CROSS JOIN tot GROUP BY 1, 2, 3
          |  )
          |  SELECT ng AS n_groups,
-         |    CAST(round(CAST(hhi AS DOUBLE), 6) AS DOUBLE) AS hhi,
-         |    CAST(round(1.0 / CAST(hhi AS DOUBLE), 4) AS DOUBLE) AS effective_n,
-         |    CAST(round(CAST(mx AS DOUBLE) / CAST(tx AS DOUBLE), 6) AS DOUBLE) AS top1_share
+         |    (CAST(round(CAST(hhi AS DOUBLE), 6) AS DOUBLE) + 0.0) AS hhi,
+         |    (CAST(round(1.0 / CAST(hhi AS DOUBLE), 4) AS DOUBLE) + 0.0) AS effective_n,
+         |    (CAST(round(CAST(mx AS DOUBLE) / CAST(tx AS DOUBLE), 6) AS DOUBLE) + 0.0) AS top1_share
          |  FROM agg
          |)""".stripMargin
     block("docs_by_source",
@@ -2733,7 +2754,7 @@ object Round12Ops {
       |),
       |u AS (SELECT * FROM perday UNION ALL SELECT * FROM overall)
       |SELECT day, n_a, n_b,
-      |  CAST(round(CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)), 4) AS DOUBLE) AS z_ratio,
+      |  (CAST(round(CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)), 4) AS DOUBLE) + 0.0) AS z_ratio,
       |  abs(CAST(round(CAST(n_a - n_b AS DOUBLE) / sqrt(CAST(n_a + n_b AS DOUBLE)), 4) AS DOUBLE)) > 3.0 AS srm_flag
       |FROM u ORDER BY day""".stripMargin
 
@@ -2811,14 +2832,14 @@ object Round12Ops {
       |  FROM cells
       |)
       |SELECT
-      |  CAST(round(CAST(ca_pre AS DOUBLE)/CAST(na_pre AS DOUBLE), 6) AS DOUBLE) AS rate_a_pre,
-      |  CAST(round(CAST(ca_post AS DOUBLE)/CAST(na_post AS DOUBLE), 6) AS DOUBLE) AS rate_a_post,
-      |  CAST(round(CAST(cb_pre AS DOUBLE)/CAST(nb_pre AS DOUBLE), 6) AS DOUBLE) AS rate_b_pre,
-      |  CAST(round(CAST(cb_post AS DOUBLE)/CAST(nb_post AS DOUBLE), 6) AS DOUBLE) AS rate_b_post,
-      |  CAST(round(
+      |  (CAST(round(CAST(ca_pre AS DOUBLE)/CAST(na_pre AS DOUBLE), 6) AS DOUBLE) + 0.0) AS rate_a_pre,
+      |  (CAST(round(CAST(ca_post AS DOUBLE)/CAST(na_post AS DOUBLE), 6) AS DOUBLE) + 0.0) AS rate_a_post,
+      |  (CAST(round(CAST(cb_pre AS DOUBLE)/CAST(nb_pre AS DOUBLE), 6) AS DOUBLE) + 0.0) AS rate_b_pre,
+      |  (CAST(round(CAST(cb_post AS DOUBLE)/CAST(nb_post AS DOUBLE), 6) AS DOUBLE) + 0.0) AS rate_b_post,
+      |  (CAST(round(
       |    (CAST(cb_post AS DOUBLE)/CAST(nb_post AS DOUBLE) - CAST(cb_pre AS DOUBLE)/CAST(nb_pre AS DOUBLE))
       |    - (CAST(ca_post AS DOUBLE)/CAST(na_post AS DOUBLE) - CAST(ca_pre AS DOUBLE)/CAST(na_pre AS DOUBLE)),
-      |    6) AS DOUBLE) AS did
+      |    6) AS DOUBLE) + 0.0) AS did
       |FROM w""".stripMargin
 
   /** #340 ndcg_report — nDCG@10 of the int8-quantized ranking against
@@ -2872,8 +2893,8 @@ object Round12Ops {
        |  FROM (SELECT unnest(generate_series(1, 10)) AS r)
        |)
        |SELECT query_id,
-       |  CAST(round(CAST(dcg AS DOUBLE), 6) AS DOUBLE) AS dcg,
-       |  CAST(round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS DOUBLE) AS ndcg
+       |  (CAST(round(CAST(dcg AS DOUBLE), 6) AS DOUBLE) + 0.0) AS dcg,
+       |  (CAST(round(CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS DOUBLE) + 0.0) AS ndcg
        |FROM dcg CROSS JOIN idcg ORDER BY query_id""".stripMargin
 
   /** #341 brier_decomposition — the Brier score with Murphy's (1973)
@@ -2949,11 +2970,11 @@ object Round12Ops {
        |  FROM bins CROSS JOIN tot GROUP BY 1, 2
        |)
        |SELECT n AS n_docs,
-       |  CAST(round(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS brier,
-       |  CAST(round(CAST(rel AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS reliability,
-       |  CAST(round(CAST(res AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) AS resolution,
-       |  CAST(round((CAST(kt AS DOUBLE) / CAST(n AS DOUBLE))
-       |    * (1.0 - CAST(kt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DOUBLE) AS uncertainty
+       |  (CAST(round(CAST(ssq AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS brier,
+       |  (CAST(round(CAST(rel AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS reliability,
+       |  (CAST(round(CAST(res AS DOUBLE) / CAST(n AS DOUBLE), 6) AS DOUBLE) + 0.0) AS resolution,
+       |  (CAST(round((CAST(kt AS DOUBLE) / CAST(n AS DOUBLE))
+       |    * (1.0 - CAST(kt AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS uncertainty
        |FROM comp CROSS JOIN (SELECT ssq FROM brier)""".stripMargin
 
   /** #342 hill_tail_index — the Hill (1975) estimator of the
@@ -3007,8 +3028,8 @@ object Round12Ops {
       |  FROM ranked CROSS JOIN xk1 WHERE rn <= k GROUP BY 1, 2
       |)
       |SELECT k, xk1 AS x_k1,
-      |  CAST(round(CAST(st AS DOUBLE) / CAST(k AS DOUBLE), 6) AS DOUBLE) AS gamma,
-      |  CAST(round(CAST(k AS DOUBLE) / CAST(st AS DOUBLE), 6) AS DOUBLE) AS alpha
+      |  (CAST(round(CAST(st AS DOUBLE) / CAST(k AS DOUBLE), 6) AS DOUBLE) + 0.0) AS gamma,
+      |  (CAST(round(CAST(k AS DOUBLE) / CAST(st AS DOUBLE), 6) AS DOUBLE) + 0.0) AS alpha
       |FROM terms""".stripMargin
 
   /** #343 mann_kendall_trend — the Mann–Kendall monotone-trend test
@@ -3089,11 +3110,11 @@ object Round12Ops {
       |  GROUP BY 1
       |)
       |SELECT sstat.event_type, n AS n_days, s,
-      |  CAST(round(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0, 4) AS DOUBLE) AS var_s,
-      |  CAST(round(CASE
+      |  (CAST(round(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0, 4) AS DOUBLE) + 0.0) AS var_s,
+      |  (CAST(round(CASE
       |    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
       |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
-      |    ELSE 0.0 END, 4) AS DOUBLE) AS z,
+      |    ELSE 0.0 END, 4) AS DOUBLE) + 0.0) AS z,
       |  CASE WHEN abs(CAST(round(CASE
       |    WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
       |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(CAST(n * (n - 1) * (2 * n + 5) - tie_term AS DOUBLE) / 18.0)
@@ -3196,8 +3217,8 @@ object Round12Ops {
       |  SELECT beta, exp((sy - beta * sx) / m) AS kcoef FROM fit
       |)
       |SELECT p, n_tokens, vocab,
-      |  CAST(round(beta, 6) AS DOUBLE) AS beta,
-      |  CAST(round(kcoef, 4) AS DOUBLE) AS k_coef
+      |  (CAST(round(beta, 6) AS DOUBLE) + 0.0) AS beta,
+      |  (CAST(round(kcoef, 4) AS DOUBLE) + 0.0) AS k_coef
       |FROM pts CROSS JOIN fin ORDER BY p""".stripMargin
 
   /** #345 kappa_agreement — Cohen's κ between the learned quality
@@ -3249,18 +3270,18 @@ object Round12Ops {
        |  FROM clf JOIN documents d ON clf.doc_id = d.doc_id CROSS JOIN tot
        |)
        |SELECT n11, n10, n01, n00,
-       |  CAST(round(CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS DOUBLE) AS p_observed,
-       |  CAST(round(CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
+       |  (CAST(round(CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE), 6) AS DOUBLE) + 0.0) AS p_observed,
+       |  (CAST(round(CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
        |      + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0)) AS DOUBLE)
-       |    / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) AS DOUBLE), 6) AS DOUBLE) AS p_chance,
-       |  CAST(round(
+       |    / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS p_chance,
+       |  (CAST(round(
        |    (CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
        |     - CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
        |         + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0)) AS DOUBLE)
        |       / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) AS DOUBLE))
        |    / (1.0 - CAST(CAST(n11 + n10 AS DECIMAL(38,0)) * CAST(n11 + n01 AS DECIMAL(38,0))
        |         + CAST(n01 + n00 AS DECIMAL(38,0)) * CAST(n10 + n00 AS DECIMAL(38,0)) AS DOUBLE)
-       |       / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) AS DOUBLE)), 6) AS DOUBLE) AS kappa
+       |       / CAST(CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) * CAST(n11 + n10 + n01 + n00 AS DECIMAL(38,0)) AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS kappa
        |FROM cells""".stripMargin
 
   /** #346 entropy_rate — the empirical entropy rate of the user
@@ -3321,9 +3342,9 @@ object Round12Ops {
       |  GROUP BY 1, 2
       |)
       |SELECT t AS n_transitions, n_states,
-      |  CAST(round(CAST(-sh AS DOUBLE), 6) AS DOUBLE) AS entropy_rate_bits,
-      |  CAST(round(ln(CAST(n_states AS DOUBLE)) / ln(2.0), 6) AS DOUBLE) AS max_entropy_bits,
-      |  CAST(round(1.0 - CAST(-sh AS DOUBLE) / (ln(CAST(n_states AS DOUBLE)) / ln(2.0)), 6) AS DOUBLE) AS predictability
+      |  (CAST(round(CAST(-sh AS DOUBLE), 6) AS DOUBLE) + 0.0) AS entropy_rate_bits,
+      |  (CAST(round(ln(CAST(n_states AS DOUBLE)) / ln(2.0), 6) AS DOUBLE) + 0.0) AS max_entropy_bits,
+      |  (CAST(round(1.0 - CAST(-sh AS DOUBLE) / (ln(CAST(n_states AS DOUBLE)) / ln(2.0)), 6) AS DOUBLE) + 0.0) AS predictability
       |FROM terms""".stripMargin
 
   /** #347 cv_fold_manifest — 5-fold cross-validation assignment with
@@ -3361,10 +3382,10 @@ object Round12Ops {
       |),
       |tot AS (SELECT count(*) AS nn, CAST(sum(y) AS BIGINT) AS ne FROM f)
       |SELECT fold, count(*) AS n_docs, CAST(sum(y) AS BIGINT) AS n_en,
-      |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(nn) AS DOUBLE), 6) AS DOUBLE) AS size_share,
-      |  CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS en_share,
-      |  CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-      |    - CAST(any_value(ne) AS DOUBLE) / CAST(any_value(nn) AS DOUBLE), 6) AS DOUBLE) AS en_share_dev
+      |  (CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(nn) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS size_share,
+      |  (CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS en_share,
+      |  (CAST(round(CAST(sum(y) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    - CAST(any_value(ne) AS DOUBLE) / CAST(any_value(nn) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS en_share_dev
       |FROM f CROSS JOIN tot GROUP BY fold ORDER BY fold""".stripMargin
 
   /** #348 dedup_threshold_sweep — near-dup threshold sensitivity over
@@ -3407,7 +3428,7 @@ object Round12Ops {
        |  FROM pairs CROSS JOIN thrs GROUP BY 1
        |)
        |SELECT threshold, n_merged, n_pairs,
-       |  CAST(round(CAST(n_merged AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS DOUBLE) AS merge_share,
+       |  (CAST(round(CAST(n_merged AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS DOUBLE) + 0.0) AS merge_share,
        |  n_docs - n_merged AS survivors_if_merged
        |FROM agg CROSS JOIN nd ORDER BY threshold""".stripMargin
 
@@ -3462,9 +3483,9 @@ object Round12Ops {
        |  FROM comp
        |)
        |SELECT n AS n_days,
-       |  CAST(round(${v("r")}, 6) AS DOUBLE) AS var_resid,
-       |  CAST(round(greatest(0.0, 1.0 - (${v("r")}) / (${v("sr")})), 6) AS DOUBLE) AS f_seasonal,
-       |  CAST(round(greatest(0.0, 1.0 - (${v("r")}) / (${v("tr")})), 6) AS DOUBLE) AS f_trend
+       |  (CAST(round(${v("r")}, 6) AS DOUBLE) + 0.0) AS var_resid,
+       |  (CAST(round(greatest(0.0, 1.0 - (${v("r")}) / (${v("sr")})), 6) AS DOUBLE) + 0.0) AS f_seasonal,
+       |  (CAST(round(greatest(0.0, 1.0 - (${v("r")}) / (${v("tr")})), 6) AS DOUBLE) + 0.0) AS f_trend
        |FROM m""".stripMargin
   }
 
@@ -3520,7 +3541,7 @@ object Round12Ops {
       |      THEN round((v - mu) * (v - mu) / vr, 12) ELSE 0.0 END AS DECIMAL(38,12))) AS sc
       |  FROM e JOIN stats ON e.pos = stats.pos GROUP BY 1
       |)
-      |SELECT vec_id, CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) AS score
+      |SELECT vec_id, (CAST(round(CAST(sc AS DOUBLE), 6) AS DOUBLE) + 0.0) AS score
       |FROM terms ORDER BY score DESC, vec_id LIMIT 20""".stripMargin
 
   /** #351 graph_modularity — Newman modularity Q and per-community
@@ -3594,22 +3615,22 @@ object Round12Ops {
        |nodes AS (SELECT community, count(*) AS n_nodes FROM comm GROUP BY 1),
        |rows0 AS (
        |  SELECT perc.community, n_nodes, vol, vol - intra2 AS cut_edges,
-       |    CAST(round(CASE WHEN least(vol, m2 - vol) > 0
+       |    (CAST(round(CASE WHEN least(vol, m2 - vol) > 0
        |      THEN CAST(vol - intra2 AS DOUBLE) / CAST(least(vol, m2 - vol) AS DOUBLE)
-       |      ELSE 0.0 END, 6) AS DOUBLE) AS conductance,
+       |      ELSE 0.0 END, 6) AS DOUBLE) + 0.0) AS conductance,
        |    round(CAST(intra2 AS DOUBLE) / CAST(m2 AS DOUBLE)
        |      - (CAST(vol AS DOUBLE) / CAST(m2 AS DOUBLE)) * (CAST(vol AS DOUBLE) / CAST(m2 AS DOUBLE)),
        |      12) AS qt
        |  FROM perc JOIN nodes ON perc.community = nodes.community CROSS JOIN m2
        |)
        |SELECT community, n_nodes, vol, cut_edges, conductance,
-       |  CAST(round(qt, 6) AS DOUBLE) AS q_term
+       |  (CAST(round(qt, 6) AS DOUBLE) + 0.0) AS q_term
        |FROM rows0
        |UNION ALL
        |SELECT -1 AS community, CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
        |  CAST(sum(vol) AS BIGINT) AS vol, CAST(sum(cut_edges) AS BIGINT) AS cut_edges,
        |  NULL AS conductance,
-       |  CAST(round(CAST(sum(CAST(qt AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) AS q_term
+       |  (CAST(round(CAST(sum(CAST(qt AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS q_term
        |FROM rows0
        |ORDER BY community""".stripMargin
 
@@ -3677,8 +3698,8 @@ object Round12Ops {
       |  SELECT user_id,
       |    CAST(count(*) AS DOUBLE) AS n_events,
       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS DOUBLE) AS n_purchases,
-      |    CAST(round(CAST(sum(CAST(CASE WHEN event_type = 'purchase'
-      |      THEN round(value, 6) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE), 6) AS DOUBLE) AS purchase_value,
+      |    (CAST(round(CAST(sum(CAST(CASE WHEN event_type = 'purchase'
+      |      THEN round(value, 6) ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS purchase_value,
       |    CAST(count(DISTINCT CAST(ts AS DATE)) AS DOUBLE) AS active_days
       |  FROM events GROUP BY 1
       |),
@@ -3706,9 +3727,9 @@ object Round12Ops {
       |  FROM m GROUP BY 1
       |)
       |SELECT cov,
-      |  CAST(round(mu_a, 6) AS DOUBLE) AS mean_a,
-      |  CAST(round(mu_b, 6) AS DOUBLE) AS mean_b,
-      |  CAST(round((mu_a - mu_b) / sqrt((vr_a + vr_b) / 2.0), 6) AS DOUBLE) AS smd,
+      |  (CAST(round(mu_a, 6) AS DOUBLE) + 0.0) AS mean_a,
+      |  (CAST(round(mu_b, 6) AS DOUBLE) + 0.0) AS mean_b,
+      |  (CAST(round((mu_a - mu_b) / sqrt((vr_a + vr_b) / 2.0), 6) AS DOUBLE) + 0.0) AS smd,
       |  abs(CAST(round((mu_a - mu_b) / sqrt((vr_a + vr_b) / 2.0), 6) AS DOUBLE)) > 0.1 AS imbalanced
       |FROM wide ORDER BY cov""".stripMargin
 
@@ -3746,10 +3767,10 @@ object Round12Ops {
       |SELECT threshold,
       |  CAST(sum(CASE WHEN n < threshold THEN 1 ELSE 0 END) AS BIGINT) AS cold_users,
       |  count(*) AS n_users,
-      |  CAST(round(CAST(sum(CASE WHEN n < threshold THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS cold_user_share,
-      |  CAST(round(CAST(sum(CASE WHEN n < threshold THEN n ELSE 0 END) AS DOUBLE)
-      |    / CAST(sum(n) AS DOUBLE), 6) AS DOUBLE) AS cold_event_share
+      |  (CAST(round(CAST(sum(CASE WHEN n < threshold THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS cold_user_share,
+      |  (CAST(round(CAST(sum(CASE WHEN n < threshold THEN n ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(n) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS cold_event_share
       |FROM pu CROSS JOIN thrs GROUP BY threshold ORDER BY threshold""".stripMargin
 
   /** #354 durbin_watson — the Durbin–Watson serial-correlation test on
@@ -3791,8 +3812,8 @@ object Round12Ops {
        |  FROM lagged
        |)
        |SELECT n AS n_days,
-       |  CAST(round(CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS DOUBLE) AS dw,
-       |  CAST(round(1.0 - (CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE)) / 2.0, 6) AS DOUBLE) AS rho1
+       |  (CAST(round(CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS DOUBLE) + 0.0) AS dw,
+       |  (CAST(round(1.0 - (CAST(sd AS DOUBLE) / CAST(ss AS DOUBLE)) / 2.0, 6) AS DOUBLE) + 0.0) AS rho1
        |FROM m""".stripMargin
 
   /** #355 char_entropy_report — per-source character-level Shannon
@@ -3848,7 +3869,7 @@ object Round12Ops {
       |  GROUP BY 1, 2, 3
       |)
       |SELECT source, tn AS n_chars, n_distinct,
-      |  CAST(round(CAST(-sh AS DOUBLE), 6) AS DOUBLE) AS entropy_bits_per_char
+      |  (CAST(round(CAST(-sh AS DOUBLE), 6) AS DOUBLE) + 0.0) AS entropy_bits_per_char
       |FROM terms ORDER BY source""".stripMargin
 
   /** #356 bloom_sizing_advisor — Bloom filter design table for the
@@ -3890,10 +3911,10 @@ object Round12Ops {
       |),
       |fprs AS (SELECT unnest([0.01, 0.001]) AS fpr)
       |SELECT edge, n_keys, fpr,
-      |  CAST(round(-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0)), 2) AS DOUBLE) AS m_bits,
-      |  CAST(round((-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0)))
-      |    / CAST(n_keys AS DOUBLE) * ln(2.0), 2) AS DOUBLE) AS k_hashes,
-      |  CAST(round((-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0))) / 8.0 / 1048576.0, 4) AS DOUBLE) AS mib
+      |  (CAST(round(-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0)), 2) AS DOUBLE) + 0.0) AS m_bits,
+      |  (CAST(round((-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0)))
+      |    / CAST(n_keys AS DOUBLE) * ln(2.0), 2) AS DOUBLE) + 0.0) AS k_hashes,
+      |  (CAST(round((-CAST(n_keys AS DOUBLE) * ln(fpr) / (ln(2.0) * ln(2.0))) / 8.0 / 1048576.0, 4) AS DOUBLE) + 0.0) AS mib
       |FROM edges CROSS JOIN fprs ORDER BY edge, fpr""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -67,8 +67,8 @@ object Round13Ops {
       |SELECT event_type, delay_s,
       |  CAST(sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
       |  count(*) AS n_events,
-      |  CAST(round(CAST(sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS drop_share
+      |  (CAST(round(CAST(sum(CASE WHEN late_us > delay_s * 1000000 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS drop_share
       |FROM late CROSS JOIN delays
       |GROUP BY 1, 2 ORDER BY event_type, delay_s""".stripMargin
 
@@ -135,9 +135,9 @@ object Round13Ops {
       |  FROM pos
       |)
       |SELECT channel, count(*) AS n_touches,
-      |  CAST(round(CAST(sum(CAST(round(c, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) AS credit,
-      |  CAST(round(CAST(sum(CAST(round(c, 12) AS DECIMAL(38,12))) AS DOUBLE)
-      |    / CAST(any_value(n_journeys) AS DOUBLE), 6) AS DOUBLE) AS credit_share
+      |  (CAST(round(CAST(sum(CAST(round(c, 12) AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS credit,
+      |  (CAST(round(CAST(sum(CAST(round(c, 12) AS DECIMAL(38,12))) AS DOUBLE)
+      |    / CAST(any_value(n_journeys) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS credit_share
       |FROM cr CROSS JOIN tot GROUP BY channel ORDER BY channel""".stripMargin
 
   /** #359 jarque_bera_report — normality screen (skewness, excess
@@ -203,9 +203,9 @@ object Round13Ops {
        |  FROM documents GROUP BY 1
        |)
        |SELECT source, n AS n_docs,
-       |  CAST(round($skew, 6) AS DOUBLE) AS skewness,
-       |  CAST(round($kurt, 6) AS DOUBLE) AS excess_kurtosis,
-       |  CAST(round($jb, 4) AS DOUBLE) AS jarque_bera,
+       |  (CAST(round($skew, 6) AS DOUBLE) + 0.0) AS skewness,
+       |  (CAST(round($kurt, 6) AS DOUBLE) + 0.0) AS excess_kurtosis,
+       |  (CAST(round($jb, 4) AS DOUBLE) + 0.0) AS jarque_bera,
        |  CAST(round($jb, 4) AS DOUBLE) > 5.99 AS non_normal
        |FROM m ORDER BY source""".stripMargin
   }
@@ -241,8 +241,8 @@ object Round13Ops {
        |tot AS (SELECT count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs FROM sizes)
        |SELECT sz AS cluster_size, count(*) AS n_clusters_of_size,
        |  CAST(sz * count(*) AS BIGINT) AS docs_in_size,
-       |  CAST(round(CAST(sz * count(*) AS DOUBLE) / CAST(any_value(n_docs) AS DOUBLE), 6) AS DOUBLE) AS doc_share,
-       |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(n_clusters) AS DOUBLE), 6) AS DOUBLE) AS cluster_share
+       |  (CAST(round(CAST(sz * count(*) AS DOUBLE) / CAST(any_value(n_docs) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS doc_share,
+       |  (CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(n_clusters) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS cluster_share
        |FROM sizes CROSS JOIN tot GROUP BY sz ORDER BY cluster_size""".stripMargin
 
   /** #361 token_burstiness — Church & Gale (1995) variance-to-mean
@@ -290,10 +290,10 @@ object Round13Ops {
       |  FROM occ GROUP BY 1
       |)
       |SELECT token, df, CAST(s1 AS BIGINT) AS total_occ,
-      |  CAST(round(
+      |  (CAST(round(
       |    (CAST(s2 AS DOUBLE) / CAST(nn AS DOUBLE)
       |     - (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)))
-      |    / (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS DOUBLE) AS vmr
+      |    / (CAST(s1 AS DOUBLE) / CAST(nn AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS vmr
       |FROM m CROSS JOIN nd WHERE df >= 5
       |ORDER BY vmr DESC, token LIMIT 20""".stripMargin
 
@@ -356,15 +356,15 @@ object Round13Ops {
       |tot AS (SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb,
       |        count(*) AS v FROM counts)
       |SELECT token, ya, yb,
-      |  CAST(round(
+      |  (CAST(round(
       |    ln((CAST(ya AS DOUBLE) + 0.01) / (CAST(na AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) - CAST(ya AS DOUBLE) - 0.01))
       |    - ln((CAST(yb AS DOUBLE) + 0.01) / (CAST(nb AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) - CAST(yb AS DOUBLE) - 0.01)),
-      |    6) AS DOUBLE) AS log_odds,
-      |  CAST(round(
+      |    6) AS DOUBLE) + 0.0) AS log_odds,
+      |  (CAST(round(
       |    (ln((CAST(ya AS DOUBLE) + 0.01) / (CAST(na AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) - CAST(ya AS DOUBLE) - 0.01))
       |     - ln((CAST(yb AS DOUBLE) + 0.01) / (CAST(nb AS DOUBLE) + 0.01 * CAST(v AS DOUBLE) - CAST(yb AS DOUBLE) - 0.01)))
       |    / sqrt(1.0 / (CAST(ya AS DOUBLE) + 0.01) + 1.0 / (CAST(yb AS DOUBLE) + 0.01)),
-      |    4) AS DOUBLE) AS z
+      |    4) AS DOUBLE) + 0.0) AS z
       |FROM counts CROSS JOIN tot
       |ORDER BY abs(z) DESC, token LIMIT 20""".stripMargin
 
@@ -434,10 +434,10 @@ object Round13Ops {
       |  GROUP BY 1
       |)
       |SELECT lag,
-      |  CAST(round(CAST(num AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS DOUBLE) AS acf,
-      |  CAST(round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS DOUBLE) AS white_band,
+      |  (CAST(round(CAST(num AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS DOUBLE) + 0.0) AS acf,
+      |  (CAST(round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS white_band,
       |  abs(CAST(round(CAST(num AS DOUBLE) / CAST(ss AS DOUBLE), 6) AS DOUBLE))
-      |    > CAST(round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS DOUBLE) AS significant
+      |    > (CAST(round(1.96 / sqrt(CAST(n AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS significant
       |FROM num CROSS JOIN denom ORDER BY lag""".stripMargin
 
   /** #364 ess_report — Kish effective sample size of the re-weighted
@@ -476,9 +476,9 @@ object Round13Ops {
        |  FROM w
        |)
        |SELECT n_sources, total_tokens,
-       |  CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 2) AS DOUBLE) AS ess_tokens,
-       |  CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
-       |    / CAST(total_tokens AS DOUBLE), 6) AS DOUBLE) AS efficiency
+       |  (CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE), 2) AS DOUBLE) + 0.0) AS ess_tokens,
+       |  (CAST(round(CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE) / CAST(sw2 AS DOUBLE)
+       |    / CAST(total_tokens AS DOUBLE), 6) AS DOUBLE) + 0.0) AS efficiency
        |FROM m""".stripMargin
 
   /** #365 attribution_window_sweep — last-touch channel shares under
@@ -534,7 +534,7 @@ object Round13Ops {
       |),
       |tot AS (SELECT window_days AS w2, count(*) AS n_users_w FROM lastt GROUP BY 1)
       |SELECT window_days, channel, count(*) AS n_users,
-      |  CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(n_users_w) AS DOUBLE), 6) AS DOUBLE) AS share
+      |  (CAST(round(CAST(count(*) AS DOUBLE) / CAST(any_value(n_users_w) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS share
       |FROM lastt JOIN tot ON lastt.window_days = tot.w2
       |GROUP BY 1, 2 ORDER BY window_days, channel""".stripMargin
 
@@ -612,7 +612,7 @@ object Round13Ops {
       |  WHERE dv IS NOT NULL GROUP BY 1, 2, 3
       |)
       |SELECT lang, n1, n2,
-      |  CAST(round(CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE) AS emd_chars
+      |  (CAST(round(CAST(num AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS emd_chars
       |FROM seg ORDER BY lang""".stripMargin
 
   /** #367 variance_ratio_test — Lo–MacKinlay variance ratios of the
@@ -694,12 +694,12 @@ object Round13Ops {
       |  FROM qsums GROUP BY 1
       |)
       |SELECT q, nq,
-      |  CAST(round(
+      |  (CAST(round(
       |    (CAST(t2 AS DOUBLE) / CAST(nq AS DOUBLE)
       |      - (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)) * (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)))
       |    / (CAST(q AS DOUBLE) * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
       |      - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))),
-      |    6) AS DOUBLE) AS vr,
+      |    6) AS DOUBLE) + 0.0) AS vr,
       |  CASE WHEN CAST(round(
       |    (CAST(t2 AS DOUBLE) / CAST(nq AS DOUBLE)
       |      - (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)) * (CAST(t1 AS DOUBLE) / CAST(nq AS DOUBLE)))
@@ -789,9 +789,9 @@ object Round13Ops {
       |SELECT w AS tenure_week, at_risk, churned, censored_n AS censored,
       |  CAST(hazard6 AS DOUBLE) AS hazard,
       |  CASE WHEN hazard6 >= 1.0 THEN 0.0 ELSE
-      |    CAST(round(exp(CAST(sum(CAST(CASE WHEN hazard6 < 1.0
+      |    (CAST(round(exp(CAST(sum(CAST(CASE WHEN hazard6 < 1.0
       |      THEN round(ln(1.0 - hazard6), 12) ELSE 0.0 END AS DECIMAL(38,12)))
-      |      OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS DOUBLE)
+      |      OVER (ORDER BY w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6) AS DOUBLE) + 0.0)
       |  END AS survival
       |FROM hzd ORDER BY tenure_week""".stripMargin
 
@@ -849,8 +849,8 @@ object Round13Ops {
       |  FROM g CROSS JOIN thrs GROUP BY 1
       |)
       |SELECT gap_s, n_users + broken AS n_sessions,
-      |  CAST(round(CAST(n_events AS DOUBLE) / CAST(n_users + broken AS DOUBLE), 6) AS DOUBLE) AS events_per_session,
-      |  CAST(round(CAST(broken AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS DOUBLE) AS pair_break_share
+      |  (CAST(round(CAST(n_events AS DOUBLE) / CAST(n_users + broken AS DOUBLE), 6) AS DOUBLE) + 0.0) AS events_per_session,
+      |  (CAST(round(CAST(broken AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6) AS DOUBLE) + 0.0) AS pair_break_share
       |FROM agg CROSS JOIN tot ORDER BY gap_s""".stripMargin
 
   /** #370 pii_density_report — per-source PII density over the
@@ -901,10 +901,10 @@ object Round13Ops {
       |)
       |SELECT source, count(*) AS n_docs,
       |  CAST(sum(ne) AS BIGINT) AS n_emails, CAST(sum(np) AS BIGINT) AS n_phones,
-      |  CAST(round(CAST(sum(ne) AS DOUBLE) * 1000.0 / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS emails_per_1k,
-      |  CAST(round(CAST(sum(np) AS DOUBLE) * 1000.0 / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) AS phones_per_1k,
-      |  CAST(round(CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) AS pii_doc_share
+      |  (CAST(round(CAST(sum(ne) AS DOUBLE) * 1000.0 / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) + 0.0) AS emails_per_1k,
+      |  (CAST(round(CAST(sum(np) AS DOUBLE) * 1000.0 / CAST(count(*) AS DOUBLE), 4) AS DOUBLE) + 0.0) AS phones_per_1k,
+      |  (CAST(round(CAST(sum(CASE WHEN ne + np > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS pii_doc_share
       |FROM c GROUP BY 1 ORDER BY source""".stripMargin
 
   /** #371 weekend_effect — Welch two-sample z of weekend vs weekday
@@ -978,9 +978,9 @@ object Round13Ops {
        |  FROM m
        |)
        |SELECT CAST(nw AS BIGINT) AS n_weekend_days, CAST(nd AS BIGINT) AS n_weekday_days,
-       |  CAST(round(${mean("sw1", "nw")}, 4) AS DOUBLE) AS mean_weekend,
-       |  CAST(round(${mean("sd1", "nd")}, 4) AS DOUBLE) AS mean_weekday,
-       |  CAST(round($z, 4) AS DOUBLE) AS welch_z,
+       |  (CAST(round(${mean("sw1", "nw")}, 4) AS DOUBLE) + 0.0) AS mean_weekend,
+       |  (CAST(round(${mean("sd1", "nd")}, 4) AS DOUBLE) + 0.0) AS mean_weekday,
+       |  (CAST(round($z, 4) AS DOUBLE) + 0.0) AS welch_z,
        |  abs(CAST(round($z, 4) AS DOUBLE)) > 1.96 AS significant
        |FROM wide""".stripMargin
   }
@@ -1061,9 +1061,9 @@ object Round13Ops {
        |),
        |fin AS (SELECT pacf, wb FROM dl WHERE k = 14)
        |SELECT u.i AS lag,
-       |  CAST(round(u.p, 6) AS DOUBLE) AS pacf,
-       |  CAST(round(wb, 6) AS DOUBLE) AS white_band,
-       |  abs(CAST(round(u.p, 6) AS DOUBLE)) > CAST(round(wb, 6) AS DOUBLE) AS significant
+       |  (CAST(round(u.p, 6) AS DOUBLE) + 0.0) AS pacf,
+       |  (CAST(round(wb, 6) AS DOUBLE) + 0.0) AS white_band,
+       |  abs(CAST(round(u.p, 6) AS DOUBLE)) > (CAST(round(wb, 6) AS DOUBLE) + 0.0) AS significant
        |FROM fin, LATERAL (
        |  SELECT unnest(pacf) AS p, unnest(generate_series(1, len(pacf))) AS i
        |) u
@@ -1107,7 +1107,7 @@ object Round13Ops {
        |  FROM acf0 CROSS JOIN nn GROUP BY 1
        |)
        |SELECT n AS n_days,
-       |  CAST(round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(st AS DOUBLE), 4) AS DOUBLE) AS q_stat,
+       |  (CAST(round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(st AS DOUBLE), 4) AS DOUBLE) + 0.0) AS q_stat,
        |  23.685 AS chi2_cut_5pct,
        |  CAST(round(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) * CAST(st AS DOUBLE), 4) AS DOUBLE) > 23.685 AS reject_whiteness
        |FROM terms""".stripMargin
@@ -1168,9 +1168,9 @@ object Round13Ops {
       |  FROM g CROSS JOIN tot GROUP BY 1, 2
       |)
       |SELECT gk AS n_groups, nn AS n_docs,
-      |  CAST(round((CAST(ssb AS DOUBLE) / CAST(gk - 1 AS DOUBLE))
-      |    / (CAST(ssw AS DOUBLE) / CAST(nn - gk AS DOUBLE)), 4) AS DOUBLE) AS f_stat,
-      |  CAST(round(CAST(ssb AS DOUBLE) / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6) AS DOUBLE) AS eta_sq,
+      |  (CAST(round((CAST(ssb AS DOUBLE) / CAST(gk - 1 AS DOUBLE))
+      |    / (CAST(ssw AS DOUBLE) / CAST(nn - gk AS DOUBLE)), 4) AS DOUBLE) + 0.0) AS f_stat,
+      |  (CAST(round(CAST(ssb AS DOUBLE) / (CAST(ssb AS DOUBLE) + CAST(ssw AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS eta_sq,
       |  2.372 AS f_cut_5pct_df4,
       |  CAST(round((CAST(ssb AS DOUBLE) / CAST(gk - 1 AS DOUBLE))
       |    / (CAST(ssw AS DOUBLE) / CAST(nn - gk AS DOUBLE)), 4) AS DOUBLE) > 2.372 AS significant
@@ -1217,10 +1217,10 @@ object Round13Ops {
       |  GROUP BY 1, 2, 3, 4
       |)
       |SELECT band_width, count(*) AS n_classes, CAST(min(sz) AS BIGINT) AS min_class,
-      |  CAST(round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
-      |    / CAST(sum(sz) AS DOUBLE), 6) AS DOUBLE) AS share_below_k5,
-      |  CAST(round(CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE)
-      |    / CAST(sum(sz) AS DOUBLE), 6) AS DOUBLE) AS share_below_k10
+      |  (CAST(round(CAST(sum(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(sz) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS share_below_k5,
+      |  (CAST(round(CAST(sum(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(sz) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS share_below_k10
       |FROM classes GROUP BY 1 ORDER BY band_width""".stripMargin
 
   /** #376 dedup_editdist — edit-distance near-dup mining, the FOURTH
@@ -1295,7 +1295,7 @@ object Round13Ops {
        |    ON g1.lang = g2.lang AND g1.k = g2.k AND g1.doc_id < g2.doc_id
        |)
        |SELECT a, b, CAST(dist AS BIGINT) AS dist,
-       |  CAST(round(1.0 - CAST(dist AS DOUBLE) / CAST(plen AS DOUBLE), 4) AS DOUBLE) AS sim
+       |  (CAST(round(1.0 - CAST(dist AS DOUBLE) / CAST(plen AS DOUBLE), 4) AS DOUBLE) + 0.0) AS sim
        |FROM pairs WHERE dist <= 6
        |ORDER BY a, b""".stripMargin
 
@@ -1416,9 +1416,9 @@ object Round13Ops {
       |  FROM marked
       |)
       |SELECT n_a, n_b, o1 AS conv_a, o2 AS conv_b,
-      |  CAST(round(e1, 6) AS DOUBLE) AS expected_a,
-      |  CAST(round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
-      |    / greatest(v, 1e-12), 4) AS DOUBLE) AS chi2,
+      |  (CAST(round(e1, 6) AS DOUBLE) + 0.0) AS expected_a,
+      |  (CAST(round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
+      |    / greatest(v, 1e-12), 4) AS DOUBLE) + 0.0) AS chi2,
       |  3.841 AS chi2_cut_5pct_df1,
       |  CAST(round((CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1)
       |    / greatest(v, 1e-12), 4) AS DOUBLE) > 3.841 AS significant
@@ -1491,13 +1491,13 @@ object Round13Ops {
       |  FROM cum
       |)
       |SELECT na AS n_en, nb AS n_other, u2,
-      |  CAST(round(CAST(u2 AS DOUBLE)
-      |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS DOUBLE) AS auc,
-      |  CAST(round((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+      |  (CAST(round(CAST(u2 AS DOUBLE)
+      |    / (2.0 * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS DOUBLE) + 0.0) AS auc,
+      |  (CAST(round((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
       |    / (2.0 * greatest(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
       |      * ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)
       |        / (CAST(na + nb AS DOUBLE) * (CAST(na + nb AS DOUBLE) - 1.0)))), 1e-12)), 4)
-      |    AS DOUBLE) AS z,
+      |    AS DOUBLE) + 0.0) AS z,
       |  abs(CAST(round((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
       |    / (2.0 * greatest(sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
       |      * ((CAST(na + nb AS DOUBLE) + 1.0) - CAST(ties AS DOUBLE)
@@ -1584,13 +1584,13 @@ object Round13Ops {
       |  FROM pg CROSS JOIN tot GROUP BY 1, 2
       |)
       |SELECT gk AS n_groups, nn AS n_docs, r2sum,
-      |  CAST(round(12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
-      |    * CAST(s AS DOUBLE) - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 4) AS DOUBLE) AS h_stat,
-      |  CAST(round((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+      |  (CAST(round(12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
+      |    * CAST(s AS DOUBLE) - 3.0 * (CAST(nn AS DOUBLE) + 1.0), 4) AS DOUBLE) + 0.0) AS h_stat,
+      |  (CAST(round((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
       |    * CAST(s AS DOUBLE) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))
       |    / (1.0 - CAST(ties AS DOUBLE)
       |      / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE)
-      |        - CAST(nn AS DOUBLE))), 4) AS DOUBLE) AS h_tie_corrected,
+      |        - CAST(nn AS DOUBLE))), 4) AS DOUBLE) + 0.0) AS h_tie_corrected,
       |  9.488 AS chi2_cut_5pct_df4,
       |  CAST(round((12.0 / (CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0))
       |    * CAST(s AS DOUBLE) - 3.0 * (CAST(nn AS DOUBLE) + 1.0))

@@ -144,7 +144,7 @@ object Round2Ops {
   val percentilesFreqSql: String = {
     def one(p: String) =
       s"""SELECT l_returnflag AS grp, CAST($p AS DOUBLE) AS p,
-         |  CAST(round(percentile_cont($p) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE)), 4) AS DOUBLE) AS pct
+         |  (CAST(round(percentile_cont($p) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE)), 4) AS DOUBLE) + 0.0) AS pct
          |FROM lineitem GROUP BY 1""".stripMargin
     Seq("0.25", "0.5", "0.75", "0.95").map(one).mkString("", "\nUNION ALL\n", "\nORDER BY grp, p")
   }

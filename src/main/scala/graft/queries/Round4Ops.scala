@@ -130,8 +130,8 @@ object Round4Ops {
       |),
       |fr AS (
       |  SELECT doc_id, n2,
-      |    CAST(round(CAST(topc AS DOUBLE) / n2, 4) AS DOUBLE) AS top_frac,
-      |    CAST(round(CAST(dupc AS DOUBLE) / n2, 4) AS DOUBLE) AS dup_frac
+      |    (CAST(round(CAST(topc AS DOUBLE) / n2, 4) AS DOUBLE) + 0.0) AS top_frac,
+      |    (CAST(round(CAST(dupc AS DOUBLE) / n2, 4) AS DOUBLE) + 0.0) AS dup_frac
       |  FROM stats
       |)
       |SELECT doc_id, n2, top_frac, dup_frac,
@@ -509,7 +509,7 @@ object Round4Ops {
       |n AS (SELECT count(*) AS n_docs FROM documents),
       |scored AS (
       |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
-      |    CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1)), 4) AS DOUBLE) AS tfidf
+      |    (CAST(round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1)), 4) AS DOUBLE) + 0.0) AS tfidf
       |  FROM tf JOIN df USING (token) CROSS JOIN n
       |),
       |ranked AS (
@@ -566,7 +566,7 @@ object Round4Ops {
       |),
       |ppl AS (
       |  SELECT doc_id,
-      |    CAST(round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS DOUBLE) AS perplexity
+      |    (CAST(round(exp(-(CAST(sum(lp) AS DOUBLE) / count(*))), 4) AS DOUBLE) + 0.0) AS perplexity
       |  FROM lp GROUP BY doc_id
       |)
       |SELECT doc_id, perplexity, CAST(perplexity >= 31.0 AS INT) AS flagged

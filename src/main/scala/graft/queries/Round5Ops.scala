@@ -171,7 +171,7 @@ object Round5Ops {
       |  FROM tf JOIN dl USING (doc_id) JOIN dfr USING (token) CROSS JOIN stats
       |)
       |SELECT doc_id, count(*) AS n_terms,
-      |  CAST(round(CAST(sum(tscore) AS DOUBLE), 4) AS DOUBLE) AS score
+      |  (CAST(round(CAST(sum(tscore) AS DOUBLE), 4) AS DOUBLE) + 0.0) AS score
       |FROM term GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
@@ -222,7 +222,7 @@ object Round5Ops {
       |  FROM g JOIN dfr USING (g) GROUP BY doc_id
       |)
       |SELECT doc_id, n_grams, n_unique,
-      |  CAST(round(CAST(n_unique AS DOUBLE) / n_grams, 4) AS DOUBLE) AS novelty,
+      |  (CAST(round(CAST(n_unique AS DOUBLE) / n_grams, 4) AS DOUBLE) + 0.0) AS novelty,
       |  CAST(round(CAST(n_unique AS DOUBLE) / n_grams, 4) <= 0.05 AS INT) AS flagged
       |FROM nov ORDER BY doc_id""".stripMargin
 
@@ -272,7 +272,7 @@ object Round5Ops {
        |w AS (
        |  SELECT source, kept_tokens, mix_frac,
        |    CASE WHEN mix_frac = 0 THEN 0.0
-       |         ELSE CAST(round(least((1.0 / n_sources) / mix_frac, 3.0), 6) AS DOUBLE)
+       |         ELSE (CAST(round(least((1.0 / n_sources) / mix_frac, 3.0), 6) AS DOUBLE) + 0.0)
        |    END AS weight,
        |    CAST(round(
        |      CASE WHEN mix_frac = 0 THEN 0.0
@@ -282,7 +282,7 @@ object Round5Ops {
        |),
        |tot AS (SELECT sum(eff) AS eff_tot FROM w)
        |SELECT source, kept_tokens, mix_frac, weight,
-       |  CAST(round(CAST(eff AS DOUBLE) / CAST(eff_tot AS DOUBLE), 6) AS DOUBLE) AS eff_share
+       |  (CAST(round(CAST(eff AS DOUBLE) / CAST(eff_tot AS DOUBLE), 6) AS DOUBLE) + 0.0) AS eff_share
        |FROM w CROSS JOIN tot ORDER BY source""".stripMargin
 
   /** #86 event anomaly detection: per event type, z-score each hourly
@@ -360,7 +360,7 @@ object Round5Ops {
       |z AS (
       |  SELECT event_type, hour, cnt,
       |    CASE WHEN sd = 0 THEN 0.0
-      |         ELSE CAST(round((cnt - CAST(s1 AS DOUBLE) / n_h) / sd, 4) AS DOUBLE)
+      |         ELSE (CAST(round((cnt - CAST(s1 AS DOUBLE) / n_h) / sd, 4) AS DOUBLE) + 0.0)
       |    END AS z
       |  FROM hourly JOIN sd USING (event_type)
       |)
@@ -628,7 +628,7 @@ object Round5Ops {
   val q18TopkBigAggSql: String =
     """WITH big AS (
       |  SELECT l_orderkey,
-      |    CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) AS sum_qty
+      |    (CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS sum_qty
       |  FROM lineitem GROUP BY l_orderkey
       |  HAVING CAST(round(SUM(CAST(l_quantity AS DECIMAL(38,6))), 4) AS DOUBLE) > 250.0
       |)

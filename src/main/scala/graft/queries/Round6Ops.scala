@@ -205,9 +205,9 @@ object Round6Ops {
       |  FROM events
       |)
       |SELECT event_type, count(*) AS n_gaps,
-      |  CAST(round(SUM(CAST(gap_s AS DECIMAL(38,6))) / count(*), 4) AS DOUBLE) AS mean_s,
-      |  CAST(round(quantile_cont(gap_s, 0.5), 4) AS DOUBLE) AS p50_s,
-      |  CAST(round(quantile_cont(gap_s, 0.95), 4) AS DOUBLE) AS p95_s
+      |  (CAST(round(SUM(CAST(gap_s AS DECIMAL(38,6))) / count(*), 4) AS DOUBLE) + 0.0) AS mean_s,
+      |  (CAST(round(quantile_cont(gap_s, 0.5), 4) AS DOUBLE) + 0.0) AS p50_s,
+      |  (CAST(round(quantile_cont(gap_s, 0.95), 4) AS DOUBLE) + 0.0) AS p95_s
       |FROM g WHERE gap_s IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -272,7 +272,7 @@ object Round6Ops {
        |SELECT source, count(*) AS docs_in,
        |  CAST(sum(n_copies) AS BIGINT) AS copies_out,
        |  CAST(sum(n_copies * n_words) AS BIGINT) AS tokens_out,
-       |  CAST(round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4) AS DOUBLE) AS epoch_rate
+       |  (CAST(round(CAST(sum(n_copies) AS DOUBLE) / count(*), 4) AS DOUBLE) + 0.0) AS epoch_rate
        |FROM c GROUP BY source ORDER BY source""".stripMargin
 
   /** #98 the posts_per_user limit as a NATIVE bounded aggregate — the
@@ -295,7 +295,7 @@ object Round6Ops {
       .orderBy(col("user_id"), col("value").desc, col("event_id"))
 
   val limitPerUserAggSql: String =
-    """SELECT user_id, event_id, CAST(round(value, 4) AS DOUBLE) AS value FROM (
+    """SELECT user_id, event_id, (CAST(round(value, 4) AS DOUBLE) + 0.0) AS value FROM (
       |  SELECT *, row_number() OVER (PARTITION BY user_id
       |                               ORDER BY value DESC, event_id) AS rn
       |  FROM events
@@ -343,7 +343,7 @@ object Round6Ops {
       |  MIN(epoch_ms(ts)) AS session_start_ms,
       |  MAX(epoch_ms(ts)) AS session_end_ms,
       |  COUNT(*) AS n_events,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) AS session_value
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS session_value
       |FROM sessions GROUP BY user_id, seq
       |ORDER BY user_id, session_start_ms""".stripMargin
 
@@ -387,7 +387,7 @@ object Round6Ops {
 
   val runtimeFilteredJoinSql: String =
     """SELECT s_suppkey, s_name, count(*) AS n_lines,
-      |  CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) AS revenue
+      |  (CAST(round(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS revenue
       |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       |WHERE s_nationkey < 5
       |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin
@@ -523,8 +523,8 @@ object Round6Ops {
 
   val corpusWeightedSampleSql: String =
     """SELECT doc_id, source, n_chars,
-      |  CAST(round(ln((CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
-      |             / 16777216.0) * 1000000.0 / n_chars, 6) AS DOUBLE) AS es_key
+      |  (CAST(round(ln((CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+      |             / 16777216.0) * 1000000.0 / n_chars, 6) AS DOUBLE) + 0.0) AS es_key
       |FROM documents WHERE n_chars > 0
       |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin
 
@@ -699,7 +699,7 @@ object Round6Ops {
       |),
       |scored AS (
       |  SELECT qd.query_id, codes.vec_id,
-      |    CAST(round(SUM(CAST(qdot AS DECIMAL(38,12))), 6) AS DOUBLE) AS pq_score
+      |    (CAST(round(SUM(CAST(qdot AS DECIMAL(38,12))), 6) AS DOUBLE) + 0.0) AS pq_score
       |  FROM codes JOIN qd ON codes.s = qd.s AND codes.code = qd.j
       |  WHERE codes.vec_id <> qd.query_id
       |  GROUP BY 1, 2
@@ -778,7 +778,7 @@ object Round6Ops {
 
   val rollingWindowRangeSql: String =
     """SELECT user_id, event_id, epoch_ms(ts) // 1000 AS ts_s,
-      |  CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w7, 4) AS DOUBLE) AS w7_value,
+      |  (CAST(round(SUM(CAST(value AS DECIMAL(38,6))) OVER w7, 4) AS DOUBLE) + 0.0) AS w7_value,
       |  COUNT(*) OVER w7 AS w7_n
       |FROM events WHERE event_type = 'purchase'
       |WINDOW w7 AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
@@ -824,7 +824,7 @@ object Round6Ops {
       |  SELECT o_custkey,
       |    datediff('day', max(o_orderdate), TIMESTAMP '1998-01-01 00:00:00') AS recency_d,
       |    count(*) AS frequency,
-      |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) AS monetary
+      |    (CAST(round(SUM(CAST(o_totalprice AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS monetary
       |  FROM orders GROUP BY o_custkey
       |),
       |meds AS (
@@ -884,7 +884,7 @@ object Round6Ops {
       |  FROM cust WHERE c_acctbal > 0.0
       |)
       |SELECT c_nationkey, count(*) AS n_cust,
-      |  CAST(round(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 4) AS DOUBLE) AS total_bal
+      |  (CAST(round(SUM(CAST(c_acctbal AS DECIMAL(38,6))), 4) AS DOUBLE) + 0.0) AS total_bal
       |FROM cust CROSS JOIN cutoff
       |WHERE c_acctbal > avg_bal
       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
@@ -964,8 +964,8 @@ object Round6Ops {
       |  FROM pts
       |)
       |SELECT n_words,
-      |  CAST(round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) AS DOUBLE) AS zipf_slope,
-      |  CAST(round((sy - ((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)) * sx) / n_words, 4) AS DOUBLE) AS zipf_intercept
+      |  (CAST(round((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx), 4) AS DOUBLE) + 0.0) AS zipf_slope,
+      |  (CAST(round((sy - ((n_words * sxy - sx * sy) / (n_words * sxx - sx * sx)) * sx) / n_words, 4) AS DOUBLE) + 0.0) AS zipf_intercept
       |FROM m""".stripMargin
 
   /** #109 q16_parts_suppliers — the TPC-H Q16 shape: how many
@@ -1073,7 +1073,7 @@ object Round6Ops {
        |    $qs
        |  FROM probs
        |)
-       |SELECT day, CAST(round($kl, 6) AS DOUBLE) AS kl_prev
+       |SELECT day, (CAST(round($kl, 6) AS DOUBLE) + 0.0) AS kl_prev
        |FROM lagged WHERE q_${types.head} IS NOT NULL
        |ORDER BY day""".stripMargin
   }
@@ -1180,8 +1180,8 @@ object Round6Ops {
       |  FROM lm JOIN gm USING (pos) GROUP BY 1
       |)
       |SELECT sums.label, n_vecs,
-      |  CAST(round(CAST(dot AS DOUBLE) /
-      |    (sqrt(CAST(nl AS DOUBLE)) * sqrt(CAST(ng AS DOUBLE))), 6) AS DOUBLE) AS cos_global
+      |  (CAST(round(CAST(dot AS DOUBLE) /
+      |    (sqrt(CAST(nl AS DOUBLE)) * sqrt(CAST(ng AS DOUBLE))), 6) AS DOUBLE) + 0.0) AS cos_global
       |FROM sums JOIN n ON sums.label = n.label
       |ORDER BY sums.label""".stripMargin
 
@@ -1228,7 +1228,7 @@ object Round6Ops {
       |),
       |nd AS (SELECT count(*) AS n_docs FROM documents),
       |dfr AS (SELECT g, count(*) AS df FROM g GROUP BY 1 HAVING count(*) >= 3)
-      |SELECT g, df, CAST(round(CAST(df AS DOUBLE) / n_docs, 6) AS DOUBLE) AS doc_share
+      |SELECT g, df, (CAST(round(CAST(df AS DOUBLE) / n_docs, 6) AS DOUBLE) + 0.0) AS doc_share
       |FROM dfr CROSS JOIN nd
       |ORDER BY df DESC, g LIMIT 50""".stripMargin
 
@@ -1321,8 +1321,8 @@ object Round6Ops {
       |  GROUP BY 1, 2 HAVING count(*) >= 3
       |)
       |SELECT a, b, n_ab,
-      |  CAST(round(CAST(n_ab * n_orders AS DOUBLE) / (pa.n_part * pb.n_part), 6) AS DOUBLE) AS lift,
-      |  CAST(round(n_ab / n_orders, 6) AS DOUBLE) AS support
+      |  (CAST(round(CAST(n_ab * n_orders AS DOUBLE) / (pa.n_part * pb.n_part), 6) AS DOUBLE) + 0.0) AS lift,
+      |  (CAST(round(n_ab / n_orders, 6) AS DOUBLE) + 0.0) AS support
       |FROM p JOIN pn pa ON p.a = pa.pk JOIN pn pb ON p.b = pb.pk CROSS JOIN n
       |ORDER BY lift DESC, a, b LIMIT 40""".stripMargin
 
@@ -1356,7 +1356,7 @@ object Round6Ops {
        |),
        |t AS (SELECT labeled, sum(n) AS total FROM c GROUP BY 1)
        |SELECT c.labeled, predicted, n,
-       |  CAST(round(n / total, 6) AS DOUBLE) AS rate,
+       |  (CAST(round(n / total, 6) AS DOUBLE) + 0.0) AS rate,
        |  CAST(c.labeled = predicted AS INT) AS correct
        |FROM c JOIN t ON c.labeled = t.labeled
        |ORDER BY c.labeled, predicted""".stripMargin
@@ -1391,7 +1391,7 @@ object Round6Ops {
       |),
       |t AS (SELECT source, sum(n_docs) AS total FROM b GROUP BY 1)
       |SELECT b.source, bucket, n_docs, min_chars, max_chars,
-      |  CAST(round(n_docs / total, 6) AS DOUBLE) AS share
+      |  (CAST(round(n_docs / total, 6) AS DOUBLE) + 0.0) AS share
       |FROM b JOIN t ON b.source = t.source
       |ORDER BY b.source, bucket""".stripMargin
 
@@ -1535,7 +1535,7 @@ object Round6Ops {
       |  FROM events
       |)
       |SELECT column_name, n_rows, n_nulls,
-      |  CAST(round(n_nulls / n_rows, 6) AS DOUBLE) AS null_rate,
+      |  (CAST(round(n_nulls / n_rows, 6) AS DOUBLE) + 0.0) AS null_rate,
       |  n_distinct, min_val, max_val
       |FROM (
       |  SELECT n_rows, 'event_type' AS column_name, et_nulls AS n_nulls,

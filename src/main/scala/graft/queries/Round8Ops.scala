@@ -288,7 +288,7 @@ object Round8Ops {
     |    like_count / power((${FeedBlocks.NowMs} - ts_ms) / 3600000.0 + 2.0, 1.8) AS raw_s
     |  FROM windowed
     |), normed AS (
-    |  SELECT id, author, CAST(round(raw_s / MAX(raw_s) OVER (), 6) AS DOUBLE) AS score
+    |  SELECT id, author, (CAST(round(raw_s / MAX(raw_s) OVER (), 6) AS DOUBLE) + 0.0) AS score
     |  FROM scored
     |), limited AS (
     |  SELECT *, row_number() OVER (PARTITION BY author ORDER BY score DESC, id) AS rn
@@ -338,7 +338,7 @@ object Round8Ops {
       |tot AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY 1),
       |sh AS (SELECT tr.doc_id, count(*) AS n_shared FROM tr JOIN bg USING (g) GROUP BY 1)
       |SELECT d.doc_id, d.source, tot.n_grams, sh.n_shared,
-      |  CAST(round(sh.n_shared / tot.n_grams, 6) AS DOUBLE) AS coverage
+      |  (CAST(round(sh.n_shared / tot.n_grams, 6) AS DOUBLE) + 0.0) AS coverage
       |FROM sh JOIN tot USING (doc_id) JOIN documents d USING (doc_id)
       |ORDER BY coverage DESC, doc_id""".stripMargin
 

@@ -390,8 +390,8 @@ object Round9Ops {
       |  doc_id, es_key
       |FROM (
       |  SELECT doc_id, source,
-      |    CAST(round(ln((CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
-      |               / 16777216.0) * 1000000.0 / n_chars, 6) AS DOUBLE) AS es_key
+      |    (CAST(round(ln((CAST(concat('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5)
+      |               / 16777216.0) * 1000000.0 / n_chars, 6) AS DOUBLE) + 0.0) AS es_key
       |  FROM documents WHERE n_chars > 0)
       |QUALIFY rk <= 20
       |ORDER BY source, rk""".stripMargin
@@ -560,7 +560,7 @@ object Round9Ops {
       |    sign(CAST((SUM(CAST(v AS DECIMAL(38,6)))) * 1000000 AS BIGINT)) *
       |    floor((abs(CAST((SUM(CAST(v AS DECIMAL(38,6)))) * 1000000 AS BIGINT)) * 2 + (count(*))) / ((count(*)) * 2))
       |    / 1000000.0 END AS mean,
-      |  CAST(round(CAST(SUM(CAST(round(v * v, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS DOUBLE) AS mean_sq,
+      |  (CAST(round(CAST(SUM(CAST(round(v * v, 12) AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6) AS DOUBLE) + 0.0) AS mean_sq,
       |  min(v) AS vmin, max(v) AS vmax,
       |  CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
@@ -691,9 +691,9 @@ object Round9Ops {
       |),
       |grid AS (SELECT user_id, CAST(day AS DATE) AS day FROM days, (SELECT DISTINCT user_id FROM ev))
       |SELECT user_id, strftime(grid.day, '%Y-%m-%d') AS day,
-      |  CAST(round(last_value(obs_value IGNORE NULLS) OVER (
+      |  (CAST(round(last_value(obs_value IGNORE NULLS) OVER (
       |    PARTITION BY user_id ORDER BY grid.day
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS value,
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE) + 0.0) AS value,
       |  obs_value IS NOT NULL AS observed
       |FROM grid LEFT JOIN obs USING (user_id, day)
       |ORDER BY user_id, day""".stripMargin
@@ -785,7 +785,7 @@ object Round9Ops {
       |    len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) AS uni
       |  FROM s a JOIN s b ON a.doc_id < b.doc_id
       |)
-      |SELECT a, b, CAST(round(CAST(inter AS DOUBLE) / uni, 4) AS DOUBLE) AS jaccard
+      |SELECT a, b, (CAST(round(CAST(inter AS DOUBLE) / uni, 4) AS DOUBLE) + 0.0) AS jaccard
       |FROM pairs WHERE inter * 5 >= uni * 4
       |ORDER BY a, b""".stripMargin
 
@@ -926,7 +926,7 @@ object Round9Ops {
       |  FROM head
       |)
       |SELECT pct, CAST(min(rank) AS INT) AS vocab_size,
-      |  CAST(round(CAST(min_by(cum, rank) AS DOUBLE) / max(total), 6) AS DOUBLE) AS covered
+      |  (CAST(round(CAST(min_by(cum, rank) AS DOUBLE) / max(total), 6) AS DOUBLE) + 0.0) AS covered
       |FROM ranked, total, (VALUES (25), (50), (75), (90)) t(pct)
       |WHERE cum * 100 >= pct * total
       |GROUP BY pct ORDER BY pct""".stripMargin

@@ -305,7 +305,7 @@ object TextOps {
        |  JOIN guarded r ON l.band = r.band AND l.bandhash = r.bandhash AND l.doc_id < r.doc_id
        |),
        |cp AS (
-       |  SELECT a, b, CAST(round(MAX(est), 4) AS DOUBLE) AS est_jaccard
+       |  SELECT a, b, (CAST(round(MAX(est), 4) AS DOUBLE) + 0.0) AS est_jaccard
        |  FROM pairs GROUP BY a, b HAVING MAX(est) >= 0.5
        |)""".stripMargin
   }
@@ -555,7 +555,7 @@ object TextOps {
       |  GROUP BY g1.doc_id
       |)
       |SELECT s1.doc_id AS a, s1.doc_id + 1 AS b,
-      |  CAST(round(coalesce(i.inter, 0) * 1.0 / (s1.n + s2.n - coalesce(i.inter, 0)), 4) AS DOUBLE) AS jaccard
+      |  (CAST(round(coalesce(i.inter, 0) * 1.0 / (s1.n + s2.n - coalesce(i.inter, 0)), 4) AS DOUBLE) + 0.0) AS jaccard
       |FROM sizes s1
       |JOIN sizes s2 ON s2.doc_id = s1.doc_id + 1
       |LEFT JOIN inter i ON i.doc_id = s1.doc_id
@@ -710,7 +710,7 @@ object TextOps {
       |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
       |  FROM scored
       |)
-      |SELECT query_id, vec_id, CAST(round(cosine, 6) AS DOUBLE) AS cosine, rn
+      |SELECT query_id, vec_id, (CAST(round(cosine, 6) AS DOUBLE) + 0.0) AS cosine, rn
       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
   /** #38 LSH-bucketed ANN (rows-only oracle): 8 random-hyperplane sign
@@ -789,7 +789,7 @@ object TextOps {
       |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS nrm FROM e
       |)
       |SELECT a.vec_id AS a, b.vec_id AS b,
-      |  CAST(round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS DOUBLE) AS cosine
+      |  (CAST(round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS DOUBLE) + 0.0) AS cosine
       |FROM n a JOIN n b ON a.vec_id < b.vec_id
       |WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY a, b""".stripMargin
@@ -854,7 +854,7 @@ object TextOps {
        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rn
        |  FROM scored
        |)
-       |SELECT query_id, vec_id, bucket, CAST(round(cosine, 6) AS DOUBLE) AS cosine
+       |SELECT query_id, vec_id, bucket, (CAST(round(cosine, 6) AS DOUBLE) + 0.0) AS cosine
        |FROM ranked WHERE rn <= 3
        |ORDER BY query_id, cosine DESC, vec_id""".stripMargin
   }
@@ -1003,7 +1003,7 @@ object TextOps {
       |    row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, vec_id) AS rn
       |  FROM scored
       |)
-      |SELECT query_id, vec_id, CAST(round(qcos, 6) AS DOUBLE) AS qcos, rn
+      |SELECT query_id, vec_id, (CAST(round(qcos, 6) AS DOUBLE) + 0.0) AS qcos, rn
       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
 
   /** Seed centroids: the first k vectors (deterministic, zero-cost). */
@@ -1372,8 +1372,8 @@ object TextOps {
        |  FROM pred GROUP BY source
        |)
        |SELECT source, n_docs, n_tokens, kept_docs, kept_tokens,
-       |  CAST(round(CAST(kept_tokens AS DOUBLE)
-       |    / (SELECT sum(kept_tokens) FROM per), 6) AS DOUBLE) AS mix_frac
+       |  (CAST(round(CAST(kept_tokens AS DOUBLE)
+       |    / (SELECT sum(kept_tokens) FROM per), 6) AS DOUBLE) + 0.0) AS mix_frac
        |FROM per ORDER BY source""".stripMargin
 
   /** #40 quality scoring: word counts, distinct ratio, char stats —
@@ -1397,10 +1397,10 @@ object TextOps {
   val textQualitySql: String =
     s"""SELECT doc_id,
        |  len(string_split(text, ' ')) AS n_words,
-       |  CAST(round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) AS distinct_ratio,
-       |  CAST(round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) AS avg_token_len,
-       |  CAST(round(len(list_filter(string_split(text, ' '), w -> list_contains(${StopwordsEn
-        .mkString("['", "','", "']")}, w))) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) AS stopword_ratio,
+       |  (CAST(round(len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) + 0.0) AS distinct_ratio,
+       |  (CAST(round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) + 0.0) AS avg_token_len,
+       |  (CAST(round(len(list_filter(string_split(text, ' '), w -> list_contains(${StopwordsEn
+        .mkString("['", "','", "']")}, w))) * 1.0 / len(string_split(text, ' ')), 4) AS DOUBLE) + 0.0) AS stopword_ratio,
        |  CAST(length(text) = n_chars AS INT) AS len_matches_meta
        |FROM documents ORDER BY doc_id""".stripMargin
 

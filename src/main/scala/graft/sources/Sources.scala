@@ -329,10 +329,15 @@ object Sources {
     */
   def sweepErasure(s: SparkSession, table: DataFrame, tombstones: DataFrame,
       outDir: String): (Long, Long) = {
+    // count the INPUT before the overwrite: `table` is lazy, and if it
+    // was read from outDir itself (an in-place re-sweep) a count taken
+    // after the write would re-scan the already-rewritten data and
+    // corrupt the audit record
+    val total = table.count()
     val active = readActive(table, tombstones)
     active.write.mode(SaveMode.Overwrite).parquet(outDir)
     val kept = s.read.parquet(outDir).count()
-    (table.count() - kept, kept)
+    (total - kept, kept)
   }
 
   def buildHashIndex(docs: DataFrame, outDir: String): Unit =

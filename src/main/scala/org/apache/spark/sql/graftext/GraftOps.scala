@@ -51,4 +51,16 @@ object GraftOps {
         timeAttr(lp, leftTimeCol), timeAttr(rp, rightTimeCol),
         keyAttr(rp, rightTieCol)))
   }
+
+  /** Register the session's StateStoreCoordinator RPC endpoint (a
+    * private[sql] lazy val on StreamingQueryManager). A streaming
+    * query registers it as a side effect, but a session that ONLY
+    * reads state (`format("statestore")` over an existing checkpoint —
+    * the serving path) never starts one, and the state source's
+    * provider lookup then dies with RpcEndpointNotFoundException.
+    */
+  def ensureStateStoreCoordinator(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.asInstanceOf[SparkSession].streams.stateStoreCoordinator
+    ()
+  }
 }

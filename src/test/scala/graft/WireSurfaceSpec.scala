@@ -65,7 +65,8 @@ class WireSurfaceSpec extends AnyFunSuite {
     valueCol = "likes",
     nowEpochMs = NowMs,
     regexTargets = Map("text" -> Seq("lang")),
-    whereFields = Map("likes" -> col("likes")),
+    whereFields = Map("likes" -> col("likes"), "lang" -> col("lang"), "tags" -> col("tags")),
+    whereArrayFields = Set("tags"),
     fieldCols = Map(
       "repost_count" -> col("reposts"),
       "reply_count" -> col("replies"),
@@ -284,6 +285,57 @@ class WireSurfaceSpec extends AnyFunSuite {
         """{"blocks":[{"type":"remove","subject":"non_duplicates"}]}""", binding))
       .select(col("id")).as[Long].collect().toSeq
     assert(ids == Seq(2L))
+  }
+
+  test("where scripts: Rhai string methods compile to native predicates") {
+    // langs: 1=en 2=de 3=en 4=fr 5=en
+    assert(runWire("""{"type":"where","value":"lang.contains(\"e\")"}""").sorted
+      == Seq(1L, 2L, 3L, 5L))
+    assert(runWire("""{"type":"where","value":"lang.starts_with(\"e\")"}""").sorted
+      == Seq(1L, 3L, 5L))
+    assert(runWire("""{"type":"where","value":"lang.ends_with(\"n\")"}""").sorted
+      == Seq(1L, 3L, 5L))
+    assert(runWire("""{"type":"where","value":"lang.len() == 2"}""").size == 5)
+    assert(runWire("""{"type":"where","value":"lang.to_upper() == \"EN\""}""").sorted
+      == Seq(1L, 3L, 5L))
+    assert(runWire("""{"type":"where","value":"lang.to_lower().contains(\"E\") == false"}""").size == 5)
+    // Rhai index_of: 0-based, −1 when absent
+    assert(runWire("""{"type":"where","value":"lang.index_of(\"n\") == 1"}""").sorted
+      == Seq(1L, 3L, 5L))
+    assert(runWire("""{"type":"where","value":"lang.index_of(\"z\") == 0 - 1"}""").size == 5)
+  }
+
+  test("where scripts: `in` is array membership on array fields, substring otherwise") {
+    // tags: 1=[spark] 2=[Scala] 4=[spark, sql] — exact, case-sensitive membership
+    assert(runWire("""{"type":"where","value":"\"spark\" in tags"}""").sorted == Seq(1L, 4L))
+    assert(runWire("""{"type":"where","value":"\"Scala\" in tags"}""") == Seq(2L))
+    // substring containment on a string field
+    assert(runWire("""{"type":"where","value":"\"e\" in lang"}""").sorted
+      == Seq(1L, 2L, 3L, 5L))
+  }
+
+  test("where scripts: if-expressions and the ?: shorthand") {
+    // if c { a } else { b } as a VALUE (Rhai if-expression)
+    assert(runWire(
+      """{"type":"where","value":"if lang == \"en\" { likes > 40 } else { likes > 6 }"}""")
+      .sorted == Seq(1L, 4L, 5L))
+    // ternary shorthand, nested inside &&
+    assert(runWire(
+      """{"type":"where","value":"likes > 40 ? true : false"}""").sorted == Seq(1L, 5L))
+    assert(runWire(
+      """{"type":"where","value":"lang == \"de\" && (likes > 100 ? false : true)"}""")
+      == Seq(2L))
+    // else-if chain
+    assert(runWire(
+      """{"type":"where","value":"if lang == \"de\" { true } else if likes > 80 { true } else { false }"}""")
+      .sorted == Seq(2L, 5L))
+  }
+
+  test("where scripts: unsupported methods still fail loudly") {
+    intercept[IllegalArgumentException](
+      runWire("""{"type":"where","value":"lang.sub_string(0, 1) == \"e\""}"""))
+    intercept[IllegalArgumentException](
+      runWire("""{"type":"where","value":"if likes > 1 { true }"}"""))
   }
 
   test("where scripts see the running score (0 before any score block)") {

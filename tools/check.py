@@ -2,7 +2,15 @@
 """Local mimic of the driver's correctness gate: run after
 `sbt "runMain graft.Verify <sfDir> <outDir>"`. Compares each query's
 parquet dump against its DuckDB oracle (row count, schema names,
-value hash with columns sorted by name)."""
+value comparison with columns sorted by name).
+
+The value comparison is DRIVER-EXACT: every cell is rendered with
+Python `repr` of its native value and compared byte-for-byte — no
+float tolerance, no int/float coercion, signed-zero-distinct
+(`repr(-0.0) == '-0.0' != '0.0'`). Round 7 shipped 6 red rows because
+the previous version compared floats at 1e-12 tolerance and silently
+coerced int-vs-float column pairs; this version would have flagged all
+six locally."""
 import sys, os, json, glob
 import duckdb
 import pyarrow.parquet as pq
@@ -17,6 +25,29 @@ for t in "region nation customer supplier part orders lineitem events documents 
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+
+def canon(v):
+    """Driver-exact cell rendering: native-value repr, nulls unified,
+    -0.0 kept distinct from 0.0, int kept distinct from float."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if v != v:
+            return "∅"
+        return repr(v)
+    try:
+        if pd.isna(v):
+            return "∅"
+    except (TypeError, ValueError):
+        pass
+    return repr(v)
+
+
+def col_reprs(series):
+    return [canon(v) for v in series.tolist()]
+
+
 fails = []
 for name in sorted(os.listdir(outdir)):
     path = os.path.join(outdir, name)
@@ -45,27 +76,21 @@ for name in sorted(os.listdir(outdir)):
         print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); fails.append(name); continue
     g, e = got[gc].reset_index(drop=True), exp[gc].reset_index(drop=True)
     diff_cols = []
+    examples = []
     for c in gc:
-        gv, ev = g[c], e[c]
-        try:
-            if pd.api.types.is_float_dtype(gv) or pd.api.types.is_float_dtype(ev):
-                same = ((gv.astype(float) - ev.astype(float)).abs() < 1e-12) | (gv.isna() & ev.isna())
-            else:
-                same = (gv.astype(str) == ev.astype(str))
-            if not same.all():
-                diff_cols.append((c, int((~same).sum())))
-        except Exception as ex:
-            diff_cols.append((c, f"cmp-error {ex}"))
+        gr, er = col_reprs(g[c]), col_reprs(e[c])
+        bad = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
+        if bad:
+            diff_cols.append((c, len(bad)))
+            for i in bad[:3]:
+                examples.append(f"   row {i} col {c}: got={gr[i]} exp={er[i]}")
     if diff_cols:
         print(f"FAIL {name}: value diffs {diff_cols}")
-        for c, _ in diff_cols[:2]:
-            bad = (g[c].astype(str) != e[c].astype(str))
-            idx = bad[bad].index[:3]
-            for i in idx:
-                print(f"   row {i} col {c}: got={g[c][i]!r} exp={e[c][i]!r}")
+        for line in examples[:6]:
+            print(line)
         fails.append(name)
     else:
-        print(f"ok   {name}: {len(got)} rows hash-equal")
+        print(f"ok   {name}: {len(got)} rows repr-equal")
 
 print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
 sys.exit(1 if fails else 0)
