@@ -28,6 +28,7 @@ object SparkEntry {
       graft.queries.Round11Ops.queries ++
       graft.queries.Round12Ops.queries ++
       graft.queries.Round13Ops.queries ++
+      graft.queries.Round14Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -54,6 +55,7 @@ object SparkEntry {
       graft.queries.Round11Ops.oracles ++
       graft.queries.Round12Ops.oracles ++
       graft.queries.Round13Ops.oracles ++
+      graft.queries.Round14Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

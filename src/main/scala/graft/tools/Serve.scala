@@ -32,7 +32,7 @@ object Serve {
   /** All file scans under a plan, unwrapping AQE and subqueries (the
     * DPP filter hides its build side in a subquery).
     */
-  private def fileScans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
+  def fileScans(plan: SparkPlan): Seq[FileSourceScanExec] = plan match {
     case a: AdaptiveSparkPlanExec => fileScans(a.executedPlan)
     // AQE stages are LEAVES of the final plan — the executed scans
     // (with their populated metrics) live inside each stage's plan
@@ -46,7 +46,7 @@ object Serve {
     * containing `frag`: (files actually read, rows). `numFiles` is the
     * executed metric, so it reflects static AND dynamic pruning.
     */
-  private def scannedFiles(df: DataFrame, frag: String): Long =
+  def scannedFiles(df: DataFrame, frag: String): Long =
     fileScans(df.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains(frag)))
       .map(f => f.metrics.get("numFiles").map(_.value).getOrElse(-1L))

@@ -710,6 +710,20 @@ class QueryCatalogSpec extends AnyFunSuite {
     val planStr = indexed.queryExecution.executedPlan.toString
     assert(planStr.contains("dynamicpruning"),
       s"lists scan must be dynamically partition-pruned on cent_id:\n$planStr")
+    // and the EXECUTED scan metric must show the pruning actually
+    // fired: files read ≤ the distinct lists the 10 queries probe
+    // (re-derived here), never the full 16-partition layout blind
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val probedLists = queries.TextOps.nearestCentroids(
+      emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("e").as("qe")),
+      spark.read.parquet(new java.io.File(fresh, "centroids").toString)
+        .select(col("cent_id").cast("long").as("cent_id"), col("ce")),
+      "query_id", "qe", 2)
+      .select(col("cent_id")).distinct().count()
+    val scanned = graft.tools.Serve.scannedFiles(indexed, "lists")
+    assert(scanned > 0 && scanned <= probedLists,
+      s"DPP must read only the $probedLists probed list files, scanned=$scanned")
   }
 
   test("trained centroids survive a parquet round trip (train once, search many)") {
@@ -3750,5 +3764,35 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(df.filter(col("l_distinct") > col("class_size") || col("l_distinct") < 1).count() == 0)
     assert(df.filter(col("l_distinct") > 5).count() == 0, "only five segments exist")
     assert(df.filter(col("below_l3") =!= (col("l_distinct") < 3)).count() == 0)
+  }
+
+  test("bigram PMI rows respect the count floor and marginal bounds") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("bigram_pmi")(spark, dir).cache()
+    assert(df.count() > 0 && df.count() <= 50)
+    assert(df.filter(col("c") < 5).count() == 0, "count floor is 5")
+    // a pair's count can never exceed either of its position marginals
+    assert(df.filter(col("c") > col("c1") || col("c") > col("c2")).count() == 0)
+    // ordering: rounded PMI descending with (w1, w2) tie-break
+    val pmis = df.select(col("pmi")).collect().map(_.getDouble(0)).toSeq
+    assert(pmis == pmis.sortBy(-_), "rows must be sorted by PMI descending")
+  }
+
+  test("granger F-test: nested models, SSR_u <= SSR_r, F >= 0, both directions") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("granger_daily")(spark, dir).cache()
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("direction")).toSeq.sorted ==
+      Seq("purchase_to_view", "view_to_purchase"))
+    rows.foreach { r =>
+      val ssrR = r.getAs[Double]("ssr_restricted")
+      val ssrU = r.getAs[Double]("ssr_unrestricted")
+      // adding a regressor can never worsen an OLS fit (tiny slack for
+      // the 6-dp emit rounding)
+      assert(ssrU <= ssrR + 1e-5, s"nested-model SSR violated: $ssrU > $ssrR")
+      assert(r.getAs[Double]("f_stat") >= -1e-6)
+      assert(r.getAs[Boolean]("lagged_signal") == (r.getAs[Double]("f_stat") > 4.0))
+      assert(r.getAs[Long]("n") >= 2)
+    }
   }
 }
