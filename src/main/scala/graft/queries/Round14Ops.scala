@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.{OracleMath, Tables}
 
-/** Round-14 operators (repo round 8) — two axes the catalog did not
+/** Round-14 operators (repo round 8) — four axes the catalog did not
   * yet cover: collocation mining (PMI over adjacent word pairs — the
   * phrase-discovery primitive under every "merge multiword entities
-  * before training" preprocessing recipe) and lead-lag causal
-  * screening (a Granger-style F-test between daily event series —
-  * the first question a growth team asks of two correlated metrics).
+  * before training" preprocessing recipe), lead-lag causal screening
+  * (a Granger-style F-test between daily event series — the first
+  * question a growth team asks of two correlated metrics), spectral
+  * direction (the leading principal component of the embedding
+  * covariance via bounded power iteration), and the sequence-budget
+  * menu (the packing-strategy envelope per max_len candidate).
   * House rules as ever: cross-row totals stay exact (integer counts,
   * DECIMAL(38,0) cross-products), per-row float chains mirror the
   * oracle's operation order, rankings sort on ROUNDED measures with
@@ -238,11 +241,266 @@ object Round14Ops {
         |FROM ssr ORDER BY direction""".stripMargin
   }
 
+  /** #379 embed_pca_power — the leading principal component of the
+    * embedding covariance (the DIRECTION behind embed_drift_report's
+    * scalar drift: "which way is the corpus moving?"): four unrolled
+    * power iterations v ← normalize(C·v) from the uniform start, on
+    * the d²-BOUNDED covariance matrix #295 already maintains — so the
+    * only data-sized work is the one CovMomentsAgg pass; every
+    * multiply is a ~4k-row broadcast join + bounded aggregate.
+    * Per-step determinism is the markov_attribution device: products
+    * round 12 dp into order-free DECIMAL sums, components re-round
+    * 12 dp after each normalize, so both engines walk the identical
+    * IEEE chain. Emits per-dim loadings plus the Rayleigh quotient
+    * (the lead eigenvalue) and its share of total variance (trace).
+    * Exact oracle (the covariance CTE reused verbatim + four unrolled
+    * multiply CTEs).
+    */
+  def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val covU = graft.Lineage.cut(
+      Round11Ops.covTail(Round11Ops.covMoments(Tables.embeddings(s, dir))))
+    val m = covU.unionByName(
+      covU.filter(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+    val dims = covU.filter(col("i") === col("j")).select(col("i"))
+    val nd = dims.agg(count(lit(1)).as("nd"))
+    var v = dims.crossJoin(broadcast(nd))
+      .select(col("i"), round(lit(1.0) / sqrt(col("nd").cast("double")), 12).as("v"))
+    for (_ <- 1 to 4) {
+      val w = m
+        .join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
+        .groupBy(col("i"))
+        .agg(sum(round(col("cov") * col("v"), 12).cast(Dec12)).as("w"))
+      val nrm = w.agg(
+        sqrt(sum(round(col("w").cast("double") * col("w").cast("double"), 12)
+          .cast(Dec12)).cast("double")).as("nm"))
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("i"), round(col("w").cast("double") / col("nm"), 12).as("v"))
+    }
+    val vc = graft.Lineage.cut(v) // 64 rows; feeds the Rayleigh joins and the output
+    val ray = m
+      .join(broadcast(vc.select(col("i"), col("v").as("vi"))), Seq("i"))
+      .join(broadcast(vc.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
+      .agg(sum(round(col("cov") * col("vi") * col("vj"), 12).cast(Dec12)).as("lam"))
+    val tr = covU.filter(col("i") === col("j"))
+      .agg(sum(col("cov").cast(Dec12)).as("tr"))
+    vc.crossJoin(broadcast(ray)).crossJoin(broadcast(tr))
+      .select(
+        col("i").as("dim"),
+        emit(col("v"), 6).as("loading"),
+        emit(col("lam").cast("double"), 6).as("lead_eigenvalue"),
+        emit(col("lam").cast("double") / col("tr").cast("double"), 6).as("explained_share"))
+      .orderBy(col("dim"))
+  }
+
+  val embedPcaPowerSql: String = {
+    def mult(vin: String, k: Int): String =
+      s"""w$k AS (
+         |  SELECT m.i, sum(CAST(round(cov * v, 12) AS DECIMAL(38,12))) AS w
+         |  FROM m JOIN $vin ON $vin.i = m.j GROUP BY 1
+         |), n$k AS (
+         |  SELECT sqrt(CAST(sum(CAST(round(CAST(w AS DOUBLE) * CAST(w AS DOUBLE), 12)
+         |    AS DECIMAL(38,12))) AS DOUBLE)) AS nm FROM w$k
+         |), v$k AS (
+         |  SELECT i, round(CAST(w AS DOUBLE) / nm, 12) AS v FROM w$k, n$k
+         |)""".stripMargin
+    """WITH xs AS (
+      |  SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i)
+      |),
+      |n AS (SELECT count(*) AS n FROM embeddings),
+      |moments AS (
+      |  SELECT i, sum(CAST(round(x, 12) AS DECIMAL(38,12))) AS sx FROM xs GROUP BY 1
+      |),
+      |cross_m AS (
+      |  SELECT a.i AS i, b.i AS j,
+      |    sum(CAST(round(a.x * b.x, 12) AS DECIMAL(38,12))) AS sxy
+      |  FROM xs a JOIN xs b ON a.vec_id = b.vec_id AND a.i <= b.i
+      |  GROUP BY 1, 2
+      |),
+      |covu AS (
+      |  SELECT i, j,
+      |    (CAST(round(CAST(sxy AS DOUBLE) / n
+      |      - (CAST(ma.sx AS DOUBLE) / n) * (CAST(mb.sx AS DOUBLE) / n), 6) AS DOUBLE) + 0.0) AS cov
+      |  FROM cross_m JOIN moments ma USING (i) JOIN moments mb ON mb.i = cross_m.j
+      |  CROSS JOIN n
+      |),
+      |m AS (
+      |  SELECT i, j, cov FROM covu
+      |  UNION ALL
+      |  SELECT j AS i, i AS j, cov FROM covu WHERE i <> j
+      |),
+      |dims AS (SELECT i FROM covu WHERE i = j),
+      |nd AS (SELECT count(*) AS nd FROM dims),
+      |v0 AS (SELECT i, round(1.0 / sqrt(CAST(nd AS DOUBLE)), 12) AS v FROM dims, nd),
+      |""".stripMargin +
+      Seq(mult("v0", 1), mult("v1", 2), mult("v2", 3), mult("v3", 4)).mkString(",\n") +
+      """,
+        |ray AS (
+        |  SELECT sum(CAST(round(cov * a.v * b.v, 12) AS DECIMAL(38,12))) AS lam
+        |  FROM m JOIN v4 a ON a.i = m.i JOIN v4 b ON b.i = m.j
+        |),
+        |tr AS (SELECT sum(CAST(cov AS DECIMAL(38,12))) AS tr FROM covu WHERE i = j)
+        |SELECT v4.i AS dim,
+        |  (CAST(round(v, 6) AS DOUBLE) + 0.0) AS loading,
+        |  (CAST(round(CAST(lam AS DOUBLE), 6) AS DOUBLE) + 0.0) AS lead_eigenvalue,
+        |  (CAST(round(CAST(lam AS DOUBLE) / CAST(tr AS DOUBLE), 6) AS DOUBLE) + 0.0) AS explained_share
+        |FROM v4, ray, tr ORDER BY dim""".stripMargin
+  }
+
+  /** #380 packing_budget_sweep — the sequence-budget menu a
+    * pretraining team reads before fixing max_len: per (source, L ∈
+    * {256, 512, 1024, 2048}) the EXACT envelope of the three packing
+    * strategies — tokens lost to truncation (docs capped at L), pad
+    * waste under one-doc-per-sequence batching (Σ L − min(n, L)), and
+    * the optimal no-split lower bound ⌈Σ min(n, L) / L⌉ that any
+    * greedy packer is judged against (seq_pack #232 measures the
+    * zero-waste CONCAT strategy; this prices the alternatives).
+    * Analytic, not simulated: every figure is one exact aggregate —
+    * one token-count scan, a broadcast 4-row budget axis, a
+    * |sources|·4-row output; no per-group sequential fold, so nothing
+    * here caps group size at 100 TB. Shares divide exact longs (q14
+    * device). Exact oracle.
+    */
+  def packingBudgetSweep(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("source"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val budgets = s.range(1).select(explode(
+      array(lit(256L), lit(512L), lit(1024L), lit(2048L))).as("budget"))
+    toks.crossJoin(broadcast(budgets))
+      .groupBy(col("source"), col("budget"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(least(col("n"), col("budget"))).as("kept_tokens"),
+        sum(when(col("n") > col("budget"), 1L).otherwise(0L)).as("docs_truncated"),
+        sum(col("budget") - least(col("n"), col("budget"))).as("pad_tokens_onedoc"))
+      .select(
+        col("source"), col("budget"), col("n_docs"), col("total_tokens"),
+        col("kept_tokens"), col("docs_truncated"),
+        emit((col("total_tokens") - col("kept_tokens")).cast("double") /
+          col("total_tokens").cast("double"), 6).as("trunc_loss_share"),
+        emit(col("pad_tokens_onedoc").cast("double") /
+          (col("n_docs") * col("budget")).cast("double"), 6).as("pad_share_onedoc"),
+        expr("(kept_tokens + budget - 1) div budget").as("min_sequences"))
+      .orderBy(col("source"), col("budget"))
+  }
+
+  val packingBudgetSweepSql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n
+      |  FROM documents
+      |), nz AS (SELECT * FROM toks WHERE n > 0),
+      |budgets AS (SELECT unnest([256, 512, 1024, 2048]) AS budget)
+      |SELECT source, CAST(budget AS BIGINT) AS budget, count(*) AS n_docs,
+      |  CAST(sum(n) AS BIGINT) AS total_tokens,
+      |  CAST(sum(least(n, budget)) AS BIGINT) AS kept_tokens,
+      |  CAST(sum(CASE WHEN n > budget THEN 1 ELSE 0 END) AS BIGINT) AS docs_truncated,
+      |  (CAST(round(CAST(sum(n) - sum(least(n, budget)) AS DOUBLE)
+      |    / CAST(sum(n) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS trunc_loss_share,
+      |  (CAST(round(CAST(sum(budget - least(n, budget)) AS DOUBLE)
+      |    / CAST(count(*) * budget AS DOUBLE), 6) AS DOUBLE) + 0.0) AS pad_share_onedoc,
+      |  CAST((sum(least(n, budget)) + budget - 1) // budget AS BIGINT) AS min_sequences
+      |FROM nz CROSS JOIN budgets
+      |GROUP BY source, budget ORDER BY source, budget""".stripMargin
+
+  /** #381 contamination_gram_sweep — decontamination overlap as a
+    * FUNCTION of the n-gram size (the knob every eval-contamination
+    * policy fixes first: short grams over-flag boilerplate, long
+    * grams miss paraphrase — this table is the evidence): per n ∈
+    * {3, 4, 6, 8}, the benchmark gram vocabulary (doc_id < 5, the
+    * decontaminate #68 split), the training docs flagged by a shared
+    * gram, and the flagged share. ONE tokenize pass feeds all four
+    * sizes: a single per-doc window with lead(1..7) builds the n-gram
+    * columns, stacked by an in-row explode — no per-n rescan; the
+    * only data-sized shuffles are the per-n gram dedup and the
+    * gram-key semi join (never all-pairs, the decontaminate shape).
+    * Shares divide exact longs. Exact oracle (list-slice grams per n,
+    * UNION ALL).
+    */
+  def contaminationGramSweep(s: SparkSession, dir: String): DataFrame = {
+    val ns = Seq(3, 4, 6, 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val base0 = docs(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
+    val withLeads = (1 to 7).foldLeft(base0) { (df, j) =>
+      df.withColumn(s"w$j", lead(col("w0"), j).over(w))
+    }
+    def gram(n: Int) =
+      when(col(s"w${n - 1}").isNotNull,
+        concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*))
+    val stacked = withLeads
+      .select(col("doc_id"), explode(array(ns.map(n =>
+        struct(lit(n).as("n"), gram(n).as("g"))): _*)).as("t"))
+      .select(col("doc_id"), col("t.n").as("n"), col("t.g").as("g"))
+      .filter(col("g").isNotNull)
+      .dropDuplicates("n", "doc_id", "g")
+    val cut = graft.Lineage.cut(stacked) // feeds bench + train per n
+    val bench = cut.filter(col("doc_id") < 5).select(col("n"), col("g")).distinct()
+    val flagged = cut.filter(col("doc_id") >= 5)
+      .join(bench, Seq("n", "g"), "left_semi")
+      .select(col("n"), col("doc_id")).distinct()
+      .groupBy(col("n")).agg(count(lit(1)).as("docs_flagged"))
+    val trainDocs = docs(s, dir).filter(col("doc_id") >= 5)
+      .agg(count(lit(1)).as("train_docs"))
+    bench.groupBy(col("n")).agg(count(lit(1)).as("bench_grams"))
+      .join(flagged, Seq("n"), "left")
+      .crossJoin(broadcast(trainDocs))
+      .select(
+        col("n"), col("bench_grams"),
+        col("train_docs"),
+        coalesce(col("docs_flagged"), lit(0L)).as("docs_flagged"),
+        emit(coalesce(col("docs_flagged"), lit(0L)).cast("double") /
+          col("train_docs").cast("double"), 6).as("flagged_share"))
+      .orderBy(col("n"))
+  }
+
+  val contaminationGramSweepSql: String = {
+    def grams(n: Int) =
+      s"""SELECT $n AS n, doc_id,
+         |  unnest([array_to_string(ws[i:i+${n - 1}], ' ')
+         |          for i in range(1, greatest(len(ws) - ${n - 2}, 1))]) AS g
+         |FROM w""".stripMargin
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (
+      |  SELECT DISTINCT n, doc_id, g FROM (
+      |""".stripMargin +
+      Seq(3, 4, 6, 8).map(grams).mkString("\n  UNION ALL\n") +
+      """
+        |  )
+        |),
+        |bench AS (SELECT DISTINCT n, g FROM g WHERE doc_id < 5),
+        |flagged AS (
+        |  SELECT n, count(DISTINCT doc_id) AS docs_flagged
+        |  FROM (SELECT g.n, g.doc_id FROM g JOIN bench ON g.n = bench.n AND g.g = bench.g
+        |        WHERE g.doc_id >= 5)
+        |  GROUP BY 1
+        |),
+        |bg AS (SELECT n, count(*) AS bench_grams FROM bench GROUP BY 1),
+        |td AS (SELECT count(*) AS train_docs FROM documents WHERE doc_id >= 5)
+        |SELECT bg.n, bench_grams, train_docs,
+        |  coalesce(docs_flagged, 0) AS docs_flagged,
+        |  (CAST(round(CAST(coalesce(docs_flagged, 0) AS DOUBLE)
+        |    / CAST(train_docs AS DOUBLE), 6) AS DOUBLE) + 0.0) AS flagged_share
+        |FROM bg LEFT JOIN flagged ON bg.n = flagged.n CROSS JOIN td
+        |ORDER BY bg.n""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "contamination_gram_sweep" -> (contaminationGramSweep(_, _)),
+    "packing_budget_sweep" -> (packingBudgetSweep(_, _)),
     "bigram_pmi" -> (bigramPmi(_, _)),
-    "granger_daily" -> (grangerDaily(_, _)))
+    "granger_daily" -> (grangerDaily(_, _)),
+    "embed_pca_power" -> (embedPcaPower(_, _)))
 
   val oracles: Map[String, String] = Map(
+    "contamination_gram_sweep" -> contaminationGramSweepSql,
+    "packing_budget_sweep" -> packingBudgetSweepSql,
     "bigram_pmi" -> bigramPmiSql,
-    "granger_daily" -> grangerDailySql)
+    "granger_daily" -> grangerDailySql,
+    "embed_pca_power" -> embedPcaPowerSql)
 }

@@ -3778,6 +3778,55 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(pmis == pmis.sortBy(-_), "rows must be sorted by PMI descending")
   }
 
+  test("contamination gram sweep: flagging is anti-monotone in n") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("contamination_gram_sweep")(spark, dir).cache()
+    val rows = df.orderBy(col("n")).collect()
+    assert(rows.map(_.getAs[Int]("n")).toSeq == Seq(3, 4, 6, 8))
+    // every shared n-gram contains shared shorter grams, so a doc
+    // flagged at n is flagged at every smaller n: counts fall as n grows
+    val flagged = rows.map(_.getAs[Long]("docs_flagged")).toSeq
+    assert(flagged == flagged.sorted.reverse,
+      s"docs flagged must be anti-monotone in gram size, got $flagged")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("docs_flagged") <= r.getAs[Long]("train_docs"))
+      assert(r.getAs[Double]("flagged_share") >= 0.0 &&
+        r.getAs[Double]("flagged_share") <= 1.0)
+    }
+  }
+
+  test("packing budget sweep: conservation, monotone truncation, ceil bound") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("packing_budget_sweep")(spark, dir).cache()
+    assert(df.select("budget").distinct().count() == 4)
+    // kept + lost = total, and the no-split bound holds: min_sequences·L >= kept
+    assert(df.filter(col("kept_tokens") > col("total_tokens")).count() == 0)
+    assert(df.filter(col("min_sequences") * col("budget") < col("kept_tokens")).count() == 0)
+    assert(df.filter((col("min_sequences") - 1) * col("budget") >= col("kept_tokens")).count() == 0,
+      "min_sequences must be the exact ceiling")
+    // larger budgets can only keep more tokens (per source)
+    val viol = df.as("a").join(df.as("b"),
+      col("a.source") === col("b.source") && col("a.budget") < col("b.budget"))
+      .filter(col("a.kept_tokens") > col("b.kept_tokens"))
+      .count()
+    assert(viol == 0, "kept tokens must be monotone in the budget")
+  }
+
+  test("PCA power iteration: unit loadings, positive lead eigenvalue bounded by trace") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("embed_pca_power")(spark, dir).cache()
+    assert(df.count() == 64, "one loading per embedding dim")
+    val rows = df.collect()
+    val norm2 = rows.map(r => math.pow(r.getAs[Double]("loading"), 2)).sum
+    assert(math.abs(norm2 - 1.0) < 1e-3, s"loadings must be unit-norm, got |v|^2=$norm2")
+    val lam = rows.head.getAs[Double]("lead_eigenvalue")
+    val share = rows.head.getAs[Double]("explained_share")
+    assert(lam > 0, "covariance is PSD: the Rayleigh quotient is positive")
+    assert(share > 0 && share <= 1.0 + 1e-9, s"eigenvalue cannot exceed the trace, share=$share")
+    // all 64 rows carry the same scalar summary
+    assert(rows.forall(r => r.getAs[Double]("lead_eigenvalue") == lam))
+  }
+
   test("granger F-test: nested models, SSR_u <= SSR_r, F >= 0, both directions") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("granger_daily")(spark, dir).cache()
