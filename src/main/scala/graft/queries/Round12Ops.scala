@@ -1649,9 +1649,17 @@ object Round12Ops {
   val corpusBudgetSelectSql: String =
     s"""WITH clf AS (${Round9Ops.docQualityClassifierSql}),
        |ranked AS (
+       |  -- the DECIMAL(28,14) cast recovers the double's SHORTEST
+       |  -- decimal value before rounding, matching Spark's
+       |  -- BigDecimal(Double.toString) round semantics: DuckDB's bare
+       |  -- round() rounds the true binary expansion, and for a
+       |  -- quotient landing exactly on a half boundary at 12 dp the
+       |  -- two disagree (sf0.1 caught one cell: 0.0079525 exactly)
        |  SELECT doc_id, n_tokens, score,
-       |    round(score / CAST(n_tokens AS DOUBLE), 12) AS ratio,
-       |    CAST(sum(n_tokens) OVER (ORDER BY round(score / CAST(n_tokens AS DOUBLE), 12) DESC, doc_id) AS BIGINT)
+       |    round(CAST(score / CAST(n_tokens AS DOUBLE) AS DECIMAL(28,14)), 12) AS ratio,
+       |    CAST(sum(n_tokens) OVER (
+       |      ORDER BY round(CAST(score / CAST(n_tokens AS DOUBLE) AS DECIMAL(28,14)), 12) DESC,
+       |        doc_id) AS BIGINT)
        |      AS cum_tokens
        |  FROM clf
        |)

@@ -743,28 +743,59 @@ object Round9Ops {
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .filter(col("token") =!= "")
     val dfr = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    val perDoc = toks
+    // perDoc feeds the prefix explode AND both verify-side re-joins
+    val perDoc = graft.Lineage.cut(toks
       .join(dfr, Seq("token"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("sorted"))
-      .select(col("doc_id"), transform(col("sorted"), x => x.getField("token")).as("ts"))
+      .select(col("doc_id"), transform(col("sorted"), x => x.getField("token")).as("ts")))
     // τ = 0.8 ⇒ prefix length p = n − ⌈0.8n⌉ + 1 (positions 0..p−1)
     val prefixRows = perDoc
       .select(
         col("doc_id"), col("ts"),
         posexplode(col("ts")).as(Seq("pos", "token")))
       .filter(col("pos") < size(col("ts")) - ((size(col("ts")) * 4 + 4) / 5).cast("int") + 1)
-      .select(col("token"), col("doc_id"), col("ts"))
-    val guarded = TextOps.dropHotBuckets(prefixRows, Seq("token"), "ppjoin_hot_buckets")
-    val cand = guarded
-      .select(col("token"), col("doc_id").as("a"), col("ts").as("ts_a"))
-      .join(
-        guarded.select(col("token"), col("doc_id").as("b"), col("ts").as("ts_b")),
-        Seq("token"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b"), col("ts_a"), col("ts_b"))
+      .select(col("token"), col("doc_id"), size(col("ts")).as("n"), col("pos"))
+    // NO hot-bucket cap here: this entry's contract is the EXACT join
+    // (all pairs at τ ≥ 0.8, oracle-verified), and PPJoin's df-ascending
+    // prefix filter is itself the correctness-PRESERVING reduction — a
+    // cap would silently drop qualifying pairs exactly when the corpus
+    // is near-dup dense (the sf0.1 sweep caught 26.8k of 2.97M pairs
+    // surviving a capped run). On a boilerplate-flooded corpus the
+    // candidate set is the same order as the TRUE output — that cost is
+    // the answer, not an artifact; the capped best-effort forms are the
+    // rows-only production variants (dedup_containment_fast, neardup).
+    // Candidates dedup as bare id pairs BEFORE the arrays re-join, so
+    // the wide token lists never ride the candidate shuffle.
+    val cand = prefixRows
+      .select(col("token"), col("doc_id").as("a"), col("n").as("na"), col("pos").as("pa"))
+      .join(prefixRows.select(col("token"), col("doc_id").as("b"), col("n").as("nb"),
+        col("pos").as("pb")), Seq("token"))
+      // PPJoin's LENGTH + POSITIONAL filters ride the candidate join,
+      // both provably lossless at τ = 0.8:
+      //  - length: J ≥ 0.8 needs 0.8·|b| ≤ |a| (and symmetrically);
+      //  - positional: J ≥ 0.8 ⟺ inter ≥ (4/9)(|a|+|b|), and a pair's
+      //    FIRST shared token at positions (pa, pb) bounds the overlap
+      //    by 1 + min(|a|−pa−1, |b|−pb−1) — a qualifying pair always
+      //    keeps its first-shared-token row, so filtering every row and
+      //    deduping loses nothing.
+      // Together they cut the raw candidate stream before the dedup
+      // shuffle ever sees it (44.6M → well under half at sf0.1).
+      .filter(col("a") < col("b") &&
+        col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4 &&
+        (lit(1) + least(col("na") - 1 - col("pa"), col("nb") - 1 - col("pb"))) * 9 >=
+          (col("na") + col("nb")) * 4)
+      .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
+    // token arrays attach by BROADCAST (|docs| rows of sorted tokens,
+    // MBs at bench SFs): the candidate stream stays narrow through its
+    // one dedup shuffle and the wide arrays never shuffle per pair. At
+    // a scale where the doc-set relation outgrows a broadcast, the
+    // exact all-pairs contract itself is the limiting choice — the
+    // capped/LSH production variants are the documented path there.
     cand
+      .join(broadcast(perDoc.select(col("doc_id").as("a"), col("ts").as("ts_a"))), Seq("a"))
+      .join(broadcast(perDoc.select(col("doc_id").as("b"), col("ts").as("ts_b"))), Seq("b"))
       .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
       .withColumn("uni", size(col("ts_a")) + size(col("ts_b")) - col("inter"))
       .filter(col("inter") * 5 >= col("uni") * 4)

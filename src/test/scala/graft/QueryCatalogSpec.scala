@@ -1742,6 +1742,21 @@ class QueryCatalogSpec extends AnyFunSuite {
       assert(df.filter(col("a") >= col("b")).count() == 0, "pairs are ordered a < b")
       assert(df.groupBy("a", "b").count().filter(col("count") > 1).count() == 0)
       assert(df.filter(col("jaccard") < 0.7999).count() == 0, "τ = 0.8 cut must hold")
+      // COMPLETENESS against brute force — the r8 sf0.1 sweep caught a
+      // hot-bucket cap silently dropping 99% of qualifying pairs; the
+      // prefix/length/positional filters must lose NOTHING
+      val sets = Tables.documents(spark, dir)
+        .select(col("doc_id"), array_distinct(filter(split(col("text"), " "), t => t =!= "")).as("ts"))
+        .filter(size(col("ts")) > 0)
+      val brute = sets.select(col("doc_id").as("a"), col("ts").as("ta"))
+        .crossJoin(sets.select(col("doc_id").as("b"), col("ts").as("tb")))
+        .filter(col("a") < col("b"))
+        .withColumn("inter", size(array_intersect(col("ta"), col("tb"))))
+        .withColumn("uni", size(col("ta")) + size(col("tb")) - col("inter"))
+        .filter(col("inter") * 5 >= col("uni") * 4)
+        .count()
+      assert(df.count() == brute,
+        s"prefix-filtered join must find every qualifying pair: got ${df.count()} vs brute $brute")
     } finally { df.unpersist(); () }
   }
 
