@@ -408,9 +408,17 @@ object GraphOps {
   val graphNeighborJaccardSql: String =
     s"""WITH e AS (SELECT DISTINCT src, dst FROM ($edgesSql)),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |guarded AS (
+       |  -- mirrors the engine's hot-bucket cap (r8, the containment
+       |  -- precedent): exactness now holds at ANY SF instead of
+       |  -- relying on "the cap never fires at test SFs" — the trap
+       |  -- that silently broke set_similarity_join at sf0.1
+       |  SELECT src, dst FROM e
+       |  QUALIFY count(*) OVER (PARTITION BY dst) <= ${TextOps.PairBucketCap}
+       |),
        |p AS (
        |  SELECT e1.src AS a, e2.src AS b, count(*) AS n_common
-       |  FROM e e1 JOIN e e2 ON e1.dst = e2.dst AND e1.src < e2.src
+       |  FROM guarded e1 JOIN guarded e2 ON e1.dst = e2.dst AND e1.src < e2.src
        |  GROUP BY 1, 2
        |)
        |SELECT a, b, n_common,
