@@ -29,6 +29,7 @@ object SparkEntry {
       graft.queries.Round12Ops.queries ++
       graft.queries.Round13Ops.queries ++
       graft.queries.Round14Ops.queries ++
+      graft.queries.Round15Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -56,6 +57,7 @@ object SparkEntry {
       graft.queries.Round12Ops.oracles ++
       graft.queries.Round13Ops.oracles ++
       graft.queries.Round14Ops.oracles ++
+      graft.queries.Round15Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -3859,4 +3859,127 @@ class QueryCatalogSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n") >= 2)
     }
   }
+
+  test("welch t-test: one row per lang pair, symmetric sign, t/d agree in direction") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("welch_t_test")(spark, dir).cache()
+    val langs = Tables.documents(spark, dir).select("lang").distinct().count()
+    assert(df.count() == langs * (langs - 1) / 2, "one row per unordered pair")
+    assert(df.filter(col("lang_a") >= col("lang_b")).count() == 0)
+    df.collect().foreach { r =>
+      val t = r.getAs[Double]("t_stat")
+      val d = r.getAs[Double]("cohens_d")
+      // t and Cohen's d share the numerator mean_a - mean_b: same sign
+      assert(t * d >= 0, s"t=$t and d=$d must agree in sign")
+      val dfW = r.getAs[Double]("df_welch")
+      val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+      // Welch df is bounded by min(n)-1 below and n_a+n_b-2 above
+      assert(dfW >= math.min(nA, nB) - 1 - 1e-6 && dfW <= nA + nB - 2 + 1e-6,
+        s"df_welch=$dfW out of [${math.min(nA, nB) - 1}, ${nA + nB - 2}]")
+      assert(r.getAs[Boolean]("significant") == (math.abs(t) > 1.96))
+    }
+  }
+
+  test("OLS regression: R2 in [0,1], t-slope sign matches slope, fit passes the mean point") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ols_regression")(spark, dir).cache()
+    assert(df.count() == 3, "one row per return flag")
+    // cross-check against raw moments for one group
+    val raw = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "A")
+      .select(col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = raw.length.toDouble
+    val mx = raw.map(_._1).sum / n; val my = raw.map(_._2).sum / n
+    val sxx = raw.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val sxy = raw.map(p => (p._1 - mx) * (p._2 - my)).sum
+    val want = sxy / sxx
+    val got = df.filter(col("l_returnflag") === "A").head.getAs[Double]("slope")
+    assert(math.abs(got - want) < 1e-3, s"slope $got vs recomputed $want")
+    df.collect().foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1.0 + 1e-9, s"R2=$r2")
+      assert(r.getAs[Double]("slope") * r.getAs[Double]("t_slope") >= 0)
+      assert(r.getAs[Double]("resid_se") >= 0)
+    }
+  }
+
+  test("retrieval MRR: one row per query, bounded metrics, overlap matches rank_rbo") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("retrieval_mrr_report")(spark, dir).cache()
+    assert(df.count() == 5, "one row per probe query")
+    df.collect().foreach { r =>
+      val rr = r.getAs[Double]("reciprocal_rank")
+      assert(rr >= 0 && rr <= 1.0, s"rr=$rr")
+      // rr is 0 or 1/k for integer k <= 10
+      assert(rr == 0.0 || math.abs(1.0 / rr - math.round(1.0 / rr)) < 1e-6)
+      val p1 = r.getAs[Double]("p_at_1"); val p5 = r.getAs[Double]("p_at_5")
+      val p10 = r.getAs[Double]("p_at_10")
+      assert(p1 == 0.0 || p1 == 1.0)
+      // overlap counts are monotone in depth
+      assert(p1 * 1 <= p5 * 5 + 1e-9 && p5 * 5 <= p10 * 10 + 1e-9)
+      // a hit at rank 1 in both lists implies rr = 1
+      if (p1 == 1.0) assert(rr == 1.0, "exact top-1 at quantized rank 1 must give rr=1")
+    }
+    // p@10 * 10 must equal rank_rbo_report's overlap10 — same match frame
+    val rbo = SparkEntry.queries("rank_rbo_report")(spark, dir)
+      .select(col("query_id"), col("overlap10"))
+    val viol = df.join(rbo, Seq("query_id"))
+      .filter(round(col("p_at_10") * 10).cast("long") =!= col("overlap10"))
+      .count()
+    assert(viol == 0, "p_at_10*10 must equal rank_rbo overlap10")
+  }
+
+  test("tfidf cosine join: canonical pairs, bounded cosine, prefix filter is complete") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("tfidf_cosine_join")(spark, dir).cache()
+    assert(df.count() > 0, "the near-dup-dense corpus must produce pairs")
+    assert(df.filter(col("a") >= col("b")).count() == 0, "pairs are canonical a < b")
+    assert(df.groupBy("a", "b").count().filter(col("count") > 1).count() == 0)
+    assert(df.filter(col("cosine") < 0.75 || col("cosine") > 1.0 + 1e-6).count() == 0)
+    // completeness: the prefix-filtered candidate set must find every
+    // pair the unfiltered shared-token join finds (brute force at this SF)
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+    val dfr = toks.groupBy(col("token")).agg(count(lit(1)).as("dfc"))
+    val nd = Tables.documents(spark, dir).count().toDouble
+    val w = toks.join(dfr, Seq("token"))
+      .select(col("doc_id"), col("token"),
+        (col("tf").cast("double") * log(lit(nd) / col("dfc").cast("double"))).as("w"))
+    val norms = w.groupBy("doc_id")
+      .agg(sqrt(sum(round(col("w") * col("w"), 12).cast("decimal(38,12)")).cast("double")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val u = w.join(norms, Seq("doc_id"))
+      .select(col("doc_id"), col("token"), (col("w") / col("nrm")).as("u"))
+    val brute = u.select(col("doc_id").as("a"), col("token"), col("u").as("ua"))
+      .join(u.select(col("doc_id").as("b"), col("token"), col("u").as("ub")), Seq("token"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(sum(round(col("ua") * col("ub"), 12).cast("decimal(38,12)")).as("dot"))
+      .select(col("a"), col("b"),
+        (round(col("dot").cast("double"), 6).cast("double") + lit(0.0)).as("cosine"))
+      .filter(col("cosine") >= 0.75)
+    assert(df.count() == brute.count(),
+      "prefix-filtered join must find exactly the brute-force pair set")
+  }
+
+  test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
+    val rows = df.orderBy(col("decile")).collect()
+    assert(rows.map(_.getAs[Double]("decile")).toSeq ==
+      Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+    // quantiles are non-decreasing in the decile within each segment
+    val wd = rows.map(_.getAs[Double]("q_weekday")).toSeq
+    val we = rows.map(_.getAs[Double]("q_weekend")).toSeq
+    assert(wd == wd.sorted, "weekday deciles must be monotone")
+    assert(we == we.sorted, "weekend deciles must be monotone")
+    rows.foreach { r =>
+      val gap = r.getAs[Double]("gap")
+      // gap is rounded from the unrounded quantile difference: agree to 1e-3
+      assert(math.abs(gap - (r.getAs[Double]("q_weekend") - r.getAs[Double]("q_weekday"))) < 1e-3)
+      assert(r.getAs[Double]("ratio") > 0)
+    }
+  }
 }
