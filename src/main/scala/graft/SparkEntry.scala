@@ -30,6 +30,7 @@ object SparkEntry {
       graft.queries.Round13Ops.queries ++
       graft.queries.Round14Ops.queries ++
       graft.queries.Round15Ops.queries ++
+      graft.queries.Round16Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -58,6 +59,7 @@ object SparkEntry {
       graft.queries.Round13Ops.oracles ++
       graft.queries.Round14Ops.oracles ++
       graft.queries.Round15Ops.oracles ++
+      graft.queries.Round16Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

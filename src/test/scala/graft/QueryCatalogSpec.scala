@@ -3964,6 +3964,127 @@ class QueryCatalogSpec extends AnyFunSuite {
       "prefix-filtered join must find exactly the brute-force pair set")
   }
 
+  test("CUPED lift: one row, bounded variance reduction, adjusted means recompute") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("cuped_lift_report")(spark, dir).head
+    val vr = r.getAs[Double]("var_reduction")
+    assert(vr >= 0 && vr <= 1.0 + 1e-9, s"var_reduction=$vr must be rho-squared in [0,1]")
+    val na = r.getAs[Long]("n_a").toDouble; val nb = r.getAs[Long]("n_b").toDouble
+    val mxp = (na * r.getAs[Double]("pre_mean_a") + nb * r.getAs[Double]("pre_mean_b")) / (na + nb)
+    val theta = r.getAs[Double]("theta")
+    val adjA = r.getAs[Double]("mean_a") - theta * (r.getAs[Double]("pre_mean_a") - mxp)
+    val adjB = r.getAs[Double]("mean_b") - theta * (r.getAs[Double]("pre_mean_b") - mxp)
+    assert(math.abs(adjA - r.getAs[Double]("cuped_mean_a")) < 1e-3,
+      s"cuped_mean_a ${r.getAs[Double]("cuped_mean_a")} vs recomputed $adjA")
+    assert(math.abs(adjB - r.getAs[Double]("cuped_mean_b")) < 1e-3)
+    assert(math.abs(r.getAs[Double]("cuped_lift")
+      - (r.getAs[Double]("cuped_mean_b") - r.getAs[Double]("cuped_mean_a"))) < 1e-3)
+    assert(math.abs(r.getAs[Double]("raw_lift")
+      - (r.getAs[Double]("mean_b") - r.getAs[Double]("mean_a"))) < 1e-3)
+  }
+
+  test("Mantel-Haenszel: cells partition users, pooled OR inside the stratum OR envelope") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("mantel_haenszel")(spark, dir).cache()
+    val rows = df.collect()
+    assert(rows.length >= 1 && rows.length <= 3, "one row per occupied activity stratum")
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    val cellSum = rows.map(r => r.getAs[Long]("conv_b") + r.getAs[Long]("nonconv_b")
+      + r.getAs[Long]("conv_a") + r.getAs[Long]("nonconv_a")).sum
+    assert(cellSum == users, s"2x2 cells must partition the $users users, got $cellSum")
+    val orMh = Option(rows.head.getAs[Any]("or_mh")).map(_.asInstanceOf[Double])
+    assert(rows.forall(r =>
+      Option(r.getAs[Any]("or_mh")).map(_.asInstanceOf[Double]) == orMh),
+      "or_mh constant across rows")
+    val stratumOrs = rows.flatMap(r => Option(r.getAs[Any]("or_stratum")).map(_.asInstanceOf[Double]))
+    // MH is a weighted average of stratum ORs: when every stratum OR is
+    // defined, the pooled estimate must sit inside their envelope
+    if (stratumOrs.length == rows.length && orMh.isDefined) {
+      assert(orMh.get >= stratumOrs.min - 1e-6 && orMh.get <= stratumOrs.max + 1e-6,
+        s"or_mh=${orMh.get} outside [${stratumOrs.min}, ${stratumOrs.max}]")
+    }
+    stratumOrs.foreach(v => assert(v > 0, "odds ratios are positive when defined"))
+  }
+
+  test("CvM drift: same frame as KS, nonneg statistic") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cvm_drift_test")(spark, dir).cache()
+    val ks = SparkEntry.queries("ks_drift_test")(spark, dir)
+      .select(col("lang"), col("n1").as("kn1"), col("n2").as("kn2"))
+    assert(df.count() == ks.count(), "one row per lang, matching ks_drift_test")
+    // identical half-split: n1/n2 must agree with the KS row per lang
+    val viol = df.join(ks, Seq("lang"))
+      .filter(col("n1") =!= col("kn1") || col("n2") =!= col("kn2")).count()
+    assert(viol == 0, "CvM and KS must read the same half-split counts")
+    df.collect().foreach { r =>
+      assert(r.getAs[Double]("cvm_t") >= 0, "CvM statistic is a sum of squares")
+      assert(r.getAs[Boolean]("drifted") == (r.getAs[Double]("cvm_t") > 0.461))
+    }
+  }
+
+  test("distinct ngram report: counts bounded, totals shrink with n, ratios in (0,1]") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("distinct_ngram_report")(spark, dir).cache()
+    val sources = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(df.count() == sources * 3, "one row per (source, n in 1..3)")
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("distinct_grams") <= r.getAs[Long]("total_grams"))
+      val ratio = r.getAs[Double]("distinct_ratio")
+      assert(ratio > 0 && ratio <= 1.0, s"ratio=$ratio")
+    }
+    // per source, total n-grams shrink as n grows (each doc loses n-1 grams)
+    val bySource = df.collect().groupBy(_.getAs[String]("source"))
+    bySource.values.foreach { rs =>
+      val byN = rs.sortBy(_.getAs[Int]("n")).map(_.getAs[Long]("total_grams"))
+      assert(byN.zip(byN.tail).forall { case (a, b) => b <= a },
+        s"totals must be non-increasing in n: ${byN.mkString(",")}")
+    }
+  }
+
+  test("spectral power: three candidate periods, nonneg amplitude, one dominant") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("spectral_power")(spark, dir).cache()
+    val rows = df.orderBy(col("period")).collect()
+    assert(rows.map(_.getAs[Int]("period")).toSeq == Seq(7, 14, 30))
+    val tDays = rows.head.getAs[Long]("t_days")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("t_days") == tDays, "t_days constant")
+      assert(r.getAs[Double]("amplitude") >= 0)
+      // amplitude is 2*sqrt(A^2+B^2)/T: must match the emitted cos/sin sums to rounding
+      val a = r.getAs[Double]("a_cos"); val b = r.getAs[Double]("b_sin")
+      val amp = 2.0 * math.sqrt(a * a + b * b) / tDays
+      assert(math.abs(amp - r.getAs[Double]("amplitude")) < 1e-3,
+        s"amplitude ${r.getAs[Double]("amplitude")} vs recomputed $amp")
+    }
+    assert(rows.count(_.getAs[Boolean]("dominant")) >= 1, "at least one dominant period")
+    val maxAmp = rows.map(_.getAs[Double]("amplitude")).max
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("dominant") == (r.getAs[Double]("amplitude") >= maxAmp)))
+  }
+
+  test("MAP report: bounded AP, constant MAP equal to the AP mean, hits match MRR p@10") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("map_report")(spark, dir).cache()
+    val rows = df.collect()
+    assert(rows.length == 5, "one row per probe query")
+    rows.foreach { r =>
+      val ap = r.getAs[Double]("ap"); val h = r.getAs[Long]("n_hits")
+      assert(ap >= 0 && ap <= 1.0 + 1e-9)
+      assert(ap <= h / 10.0 + 1e-6, "AP cannot exceed hit share (each precision term <= 1)")
+      if (h == 0) assert(ap == 0.0)
+    }
+    val mapv = rows.head.getAs[Double]("map")
+    assert(rows.forall(_.getAs[Double]("map") == mapv), "map constant across rows")
+    val mean = rows.map(_.getAs[Double]("ap")).sum / rows.length
+    assert(math.abs(mapv - mean) < 1e-5, s"map=$mapv vs mean of aps $mean")
+    // n_hits is the same 10-deep overlap retrieval_mrr_report reports as p_at_10
+    val mrr = SparkEntry.queries("retrieval_mrr_report")(spark, dir)
+      .select(col("query_id"), round(col("p_at_10") * 10).cast("long").as("ov10"))
+    val viol = df.join(mrr, Seq("query_id"))
+      .filter(col("n_hits") =!= col("ov10")).count()
+    assert(viol == 0, "n_hits must equal the MRR report's 10-deep overlap")
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
