@@ -31,6 +31,7 @@ object SparkEntry {
       graft.queries.Round14Ops.queries ++
       graft.queries.Round15Ops.queries ++
       graft.queries.Round16Ops.queries ++
+      graft.queries.Round17Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -60,6 +61,7 @@ object SparkEntry {
       graft.queries.Round14Ops.oracles ++
       graft.queries.Round15Ops.oracles ++
       graft.queries.Round16Ops.oracles ++
+      graft.queries.Round17Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -4085,6 +4085,111 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(viol == 0, "n_hits must equal the MRR report's 10-deep overlap")
   }
 
+  test("Cochran-Armitage: tiers partition users, constant z, flag matches cut") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("cochran_armitage")(spark, dir).cache()
+    val rows = df.collect()
+    assert(rows.length >= 1 && rows.length <= 3)
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == users)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("heavy_share")
+      assert(share >= 0 && share <= 1.0)
+      assert(r.getAs[Long]("n_heavy") <= r.getAs[Long]("n_users"))
+      assert(r.getAs[Boolean]("significant_trend")
+        == (math.abs(r.getAs[Double]("ca_z")) > 1.96))
+    }
+    val z = rows.head.getAs[Double]("ca_z")
+    assert(rows.forall(_.getAs[Double]("ca_z") == z), "trend z constant across tier rows")
+    // the z and the raw T statistic must share a sign
+    assert(z * rows.head.getAs[Double]("ca_t") >= 0)
+  }
+
+  test("delta-method CI: two variants, CI brackets the ratio, constant z_diff") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("delta_method_ci")(spark, dir).cache()
+    val rows = df.collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq == Seq("A", "B"))
+    rows.foreach { r =>
+      val ratio = r.getAs[Double]("ratio")
+      assert(ratio > 0, "revenue per purchase is positive")
+      assert(r.getAs[Double]("se") >= 0)
+      assert(r.getAs[Double]("ci_lo") <= ratio + 1e-9)
+      assert(ratio <= r.getAs[Double]("ci_hi") + 1e-9)
+      // CI is symmetric around the ratio to rounding
+      assert(math.abs((r.getAs[Double]("ci_hi") - ratio) - (ratio - r.getAs[Double]("ci_lo"))) < 1e-4)
+    }
+    val zd = rows.head.getAs[Double]("z_diff")
+    assert(rows.forall(_.getAs[Double]("z_diff") == zd))
+  }
+
+  test("c-TF-IDF terms: top-10 per source, contiguous ranks, non-increasing weight") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("ctfidf_terms")(spark, dir).cache()
+    val bySource = df.collect().groupBy(_.getAs[String]("source"))
+    val sources = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(bySource.size == sources, "every source gets a term list")
+    bySource.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.length <= 10)
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val ws = sorted.map(_.getAs[Double]("ctfidf"))
+      assert(ws.zip(ws.tail).forall { case (a, b) => b <= a + 1e-9 },
+        "ctfidf non-increasing in rank")
+      assert(sorted.map(_.getAs[String]("token")).distinct.length == sorted.length)
+    }
+  }
+
+  test("Krippendorff alpha: value marginals count every code, alpha bounded above by 1") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("krippendorff_alpha")(spark, dir).head
+    val n = Tables.documents(spark, dir).count()
+    assert(r.getAs[Long]("codes_keep") + r.getAs[Long]("codes_drop") == 2 * n,
+      "two coders assign 2n codes")
+    assert(r.getAs[Double]("d_observed") >= 0 && r.getAs[Double]("d_observed") <= 1.0)
+    assert(r.getAs[Double]("d_expected") > 0)
+    assert(r.getAs[Double]("alpha") <= 1.0 + 1e-9)
+    // alpha and kappa correct the same observed agreement: same sign regime
+    assert(math.abs(r.getAs[Double]("alpha") - r.getAs[Double]("kappa")) < 0.5,
+      "alpha and kappa must be in the same neighborhood on balanced data")
+  }
+
+  test("Page-Hinkley: per-day rows, zero start, nonneg statistic, alarm matches lambda") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("page_hinkley")(spark, dir).cache()
+    val days = Tables.events(spark, dir).select(to_date(col("ts"))).distinct().count()
+    assert(df.count() == days, "one row per active day")
+    val rows = df.orderBy(col("day")).collect()
+    assert(rows.head.getAs[Double]("ph") == 0.0, "PH starts at zero")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ph") >= 0, "U - running min is nonnegative")
+      assert(r.getAs[Double]("mean_so_far") > 0)
+      assert(r.getAs[Boolean]("alarm") == (r.getAs[Double]("ph") > 5.0))
+    }
+  }
+
+  test("label separation: labels partition vectors, positive indexes, constant CH/DB") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("label_separation")(spark, dir).cache()
+    val rows = df.collect()
+    val labels = Tables.embeddings(spark, dir).select("label").distinct().count()
+    assert(rows.length == labels, "one row per label")
+    val total = Tables.embeddings(spark, dir).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == total)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("scatter") > 0)
+      assert(r.getAs[Double]("worst_ratio") > 0)
+    }
+    val ch = rows.head.getAs[Double]("ch_index")
+    val db = rows.head.getAs[Double]("db_index")
+    assert(rows.forall(r => r.getAs[Double]("ch_index") == ch
+      && r.getAs[Double]("db_index") == db))
+    assert(ch > 0 && db > 0)
+    // DB is the mean of the per-label worst ratios (to emit rounding)
+    val meanWorst = rows.map(_.getAs[Double]("worst_ratio")).sum / rows.length
+    assert(math.abs(db - meanWorst) < 1e-3, s"db=$db vs mean worst $meanWorst")
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
