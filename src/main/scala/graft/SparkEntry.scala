@@ -32,6 +32,7 @@ object SparkEntry {
       graft.queries.Round15Ops.queries ++
       graft.queries.Round16Ops.queries ++
       graft.queries.Round17Ops.queries ++
+      graft.queries.Round18Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -62,6 +63,7 @@ object SparkEntry {
       graft.queries.Round15Ops.oracles ++
       graft.queries.Round16Ops.oracles ++
       graft.queries.Round17Ops.oracles ++
+      graft.queries.Round18Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -80,6 +80,51 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact tf-idf dot product of two token-SORTED `array<struct<token
+  * string, u double>>` columns: a compiled two-pointer merge over the
+  * unsafe array data. Replaces the map_zip_with + aggregate HOF chain
+  * on the similarity-join verify path — HOF lambdas evaluate
+  * interpreted per element and map lookups are linear scans, measured
+  * 58 s for the 12M-pair verify at sf0.1 vs ~1 s of actual merge work.
+  * Arithmetic is bit-identical to the relational chain
+  * `sum(round(ua*ub, 12) :: DECIMAL)`: Spark's Round(double, 12) is
+  * BigDecimal.valueOf(prod).setScale(12, HALF_UP).toDouble and the
+  * following double→decimal cast re-parses the shortest repr — for
+  * |prod| ≤ 1 a 12-dp decimal has ≤ 15 significant digits, so the
+  * round-trip is lossless and the direct setScale(12, HALF_UP) value
+  * is the same decimal. Decimal addition is order-free, so the merge
+  * order cannot perturb the oracle hash.
+  */
+case class SortedTokenDot(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.DecimalType(30, 12)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    var j = 0
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    while (i < nx && j < ny) {
+      val sx = x.getStruct(i, 2)
+      val sy = y.getStruct(j, 2)
+      val c = sx.getUTF8String(0).compareTo(sy.getUTF8String(0))
+      if (c == 0) {
+        acc = acc.add(java.math.BigDecimal
+          .valueOf(sx.getDouble(1) * sy.getDouble(1))
+          .setScale(12, java.math.RoundingMode.HALF_UP))
+        i += 1; j += 1
+      } else if (c < 0) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.types.Decimal(acc, 30, 12)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object Registry {
 
   /** Column form routes through the registered SQL function (the public
@@ -115,6 +160,7 @@ object Registry {
     // fact side before the shuffle join. Fixed-size sketch state,
     // map-side merge, exactly like the engine's other sketches.
     ensure("graft_cov_moments", exprs => CovMomentsAgg(exprs(0)))
+    ensure("graft_sorted_dot", exprs => SortedTokenDot(exprs(0), exprs(1)))
     ensure("graft_bloom_agg", exprs =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1)))
@@ -130,6 +176,13 @@ object Registry {
     call_function("graft_dot", a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact decimal dot of two token-sorted struct arrays — the native
+    * [[SortedTokenDot]] merge; bit-identical to
+    * `sum(round(ua*ub, 12) :: DECIMAL(30,12))` over the shared tokens.
+    */
+  def sortedTokenDot(a: Column, b: Column): Column =
+    call_function("graft_sorted_dot", a, b)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 

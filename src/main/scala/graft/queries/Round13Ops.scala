@@ -1299,7 +1299,7 @@ object Round13Ops {
        |FROM pairs WHERE dist <= 6
        |ORDER BY a, b""".stripMargin
 
-  /** #377 logrank_test — the log-rank (Mantel–Cox) two-sample
+  /** #404 logrank_test — the log-rank (Mantel–Cox) two-sample
     * survival comparison over time-to-first-purchase between the A/B
     * hash split, completing the survival family: conversion_survival
     * draws ONE Kaplan–Meier curve, churn_hazard one life table — THIS
@@ -1424,7 +1424,7 @@ object Round13Ops {
       |    / greatest(v, 1e-12), 4) AS DOUBLE) > 3.841 AS significant
       |FROM sizes CROSS JOIN terms""".stripMargin
 
-  /** #378 mann_whitney_test — the Mann–Whitney/Wilcoxon rank-sum test
+  /** #405 mann_whitney_test — the Mann–Whitney/Wilcoxon rank-sum test
     * of doc length, EN vs non-EN: the NONPARAMETRIC two-sample
     * location test beside weekend_effect's Welch z (Welch trusts
     * moments a heavy-tailed length distribution does not have —
@@ -1505,7 +1505,7 @@ object Round13Ops {
       |    AS DOUBLE)) > 1.96 AS significant
       |FROM agg""".stripMargin
 
-  /** #379 kruskal_wallis — the Kruskal–Wallis rank test of doc length
+  /** #406 kruskal_wallis — the Kruskal–Wallis rank test of doc length
     * across ALL languages: the k-group closure of mann_whitney_test
     * exactly as anova_length closes weekend_effect on the parametric
     * side (rank-based, so one heavy-tailed language cannot fake a

@@ -3929,13 +3929,42 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(viol == 0, "p_at_10*10 must equal rank_rbo overlap10")
   }
 
+  test("SortedTokenDot equals the relational round-12-decimal sum on every doc pair") {
+    import org.apache.spark.sql.functions._
+    // token-sorted (token, u) arrays for a bounded sample of documents
+    val toks = Tables.documents(spark, dir)
+      .limit(40)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).cast("double").as("u"))
+    val arr = toks.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("token"), col("u")))).as("ts"))
+    val pairs = arr.select(col("doc_id").as("a"), col("ts").as("ta"))
+      .crossJoin(arr.select(col("doc_id").as("b"), col("ts").as("tb")))
+      .filter(col("a") < col("b"))
+    val DecA = org.apache.spark.sql.types.DecimalType(30, 12)
+    // relational reference: explode-join-aggregate with the same chain
+    val rel = toks.select(col("doc_id").as("a"), col("token"), col("u").as("ua"))
+      .join(toks.select(col("doc_id").as("b"), col("token"), col("u").as("ub")), Seq("token"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(round(col("ua") * col("ub"), 12).cast(DecA)).as("rel_dot"))
+    val nat = pairs.select(col("a"), col("b"),
+      graft.functions.Registry.sortedTokenDot(col("ta"), col("tb")).as("nat_dot"))
+    val joined = nat.join(rel, Seq("a", "b"), "left")
+      .select(col("nat_dot"), coalesce(col("rel_dot"), lit(0).cast(DecA)).as("rel_dot"))
+    val viol = joined.filter(col("nat_dot") =!= col("rel_dot")).count()
+    assert(viol == 0, "native merge must equal the relational decimal sum pair-for-pair")
+    assert(joined.count() > 100, "sample must actually exercise the merge")
+  }
+
   test("tfidf cosine join: canonical pairs, bounded cosine, prefix filter is complete") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("tfidf_cosine_join")(spark, dir).cache()
     assert(df.count() > 0, "the near-dup-dense corpus must produce pairs")
     assert(df.filter(col("a") >= col("b")).count() == 0, "pairs are canonical a < b")
     assert(df.groupBy("a", "b").count().filter(col("count") > 1).count() == 0)
-    assert(df.filter(col("cosine") < 0.75 || col("cosine") > 1.0 + 1e-6).count() == 0)
+    assert(df.filter(col("cosine") < 0.9 || col("cosine") > 1.0 + 1e-6).count() == 0)
     // completeness: the prefix-filtered candidate set must find every
     // pair the unfiltered shared-token join finds (brute force at this SF)
     val toks = Tables.documents(spark, dir)
@@ -3959,7 +3988,7 @@ class QueryCatalogSpec extends AnyFunSuite {
       .agg(sum(round(col("ua") * col("ub"), 12).cast("decimal(38,12)")).as("dot"))
       .select(col("a"), col("b"),
         (round(col("dot").cast("double"), 6).cast("double") + lit(0.0)).as("cosine"))
-      .filter(col("cosine") >= 0.75)
+      .filter(col("cosine") >= 0.9)
     assert(df.count() == brute.count(),
       "prefix-filtered join must find exactly the brute-force pair set")
   }
@@ -4188,6 +4217,102 @@ class QueryCatalogSpec extends AnyFunSuite {
     // DB is the mean of the per-label worst ratios (to emit rounding)
     val meanWorst = rows.map(_.getAs[Double]("worst_ratio")).sum / rows.length
     assert(math.abs(db - meanWorst) < 1e-3, s"db=$db vs mean worst $meanWorst")
+  }
+
+  test("mixture reweight: weights normalize, direction follows excess loss") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("mixture_reweight_step")(spark, dir).cache()
+    val sources = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(df.count() == sources, "one row per source")
+    val rows = df.collect()
+    val sumBase = rows.map(_.getAs[Double]("w_base")).sum
+    val sumNew = rows.map(_.getAs[Double]("w_new")).sum
+    assert(math.abs(sumBase - 1.0) < 1e-3, s"base weights sum to 1, got $sumBase")
+    assert(math.abs(sumNew - 1.0) < 1e-3, s"new weights sum to 1, got $sumNew")
+    // the mix-weighted excess must be ~zero by construction
+    val wExcess = rows.map(r => r.getAs[Double]("w_base") * r.getAs[Double]("excess")).sum
+    assert(math.abs(wExcess) < 1e-2, s"weighted excess $wExcess")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("w_new") > 0)
+      assert(r.getAs[Double]("loss") > 0, "cross-entropy is positive")
+      // multiplicative update moves weight toward harder sources; the
+      // normalizer shifts all, so compare the RATIO to the excess sign
+      // only when the excess is decisive
+      val ex = r.getAs[Double]("excess")
+      if (ex > 0.05) assert(r.getAs[Double]("w_new") >= r.getAs[Double]("w_base") * 0.999)
+      if (ex < -0.05) assert(r.getAs[Double]("w_new") <= r.getAs[Double]("w_base") * 1.001)
+    }
+  }
+
+  test("HAC mean SE: six lags, Bartlett weights, inflation consistent") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("hac_mean_se")(spark, dir).cache()
+    val rows = df.orderBy(col("lag")).collect()
+    assert(rows.map(_.getAs[Int]("lag")).toSeq == (0 to 5))
+    rows.zipWithIndex.foreach { case (r, k) =>
+      assert(math.abs(r.getAs[Double]("bartlett_w") - (1.0 - k / 6.0)) < 1e-3)
+    }
+    val head = rows.head
+    assert(head.getAs[Double]("gamma") > 0, "lag-0 autocovariance is the variance")
+    assert(head.getAs[Double]("se_naive") > 0 && head.getAs[Double]("se_hac") > 0)
+    assert(math.abs(head.getAs[Double]("inflation")
+      - head.getAs[Double]("se_hac") / head.getAs[Double]("se_naive")) < 1e-3)
+    // summary columns constant across lag rows
+    assert(rows.forall(r => r.getAs[Double]("se_hac") == head.getAs[Double]("se_hac")
+      && r.getAs[Long]("t_days") == head.getAs[Long]("t_days")))
+  }
+
+  test("lang drift interaction: three effects, correct dfs, nonneg SS and F") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("lang_drift_interaction")(spark, dir).cache()
+    val rows = df.orderBy(col("effect")).collect()
+    assert(rows.map(_.getAs[String]("effect")).toSeq ==
+      Seq("1_lang", "2_half", "3_interaction"))
+    val langs = Tables.documents(spark, dir).select("lang").distinct().count()
+    assert(rows(0).getAs[Long]("df1") == langs - 1)
+    assert(rows(1).getAs[Long]("df1") == 1)
+    assert(rows(2).getAs[Long]("df1") == (langs - 1) * 1)
+    val df2 = rows.head.getAs[Long]("df2")
+    assert(rows.forall(_.getAs[Long]("df2") == df2), "shared error df")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ss") >= 0)
+      assert(r.getAs[Double]("f_stat") >= 0)
+    }
+  }
+
+  test("best split stump: one row, gain bounded by parent entropy, sides partition") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("best_split_stump")(spark, dir).cache()
+    val rows = df.collect()
+    assert(rows.length == 1, "the argmax threshold is unique")
+    val r = rows.head
+    val docs = Tables.documents(spark, dir).count()
+    assert(r.getAs[Long]("n_left") + r.getAs[Long]("n_right") == docs)
+    assert(r.getAs[Long]("n_left") > 0 && r.getAs[Long]("n_right") > 0)
+    val gain = r.getAs[Double]("gain")
+    assert(gain >= 0, "information gain is nonnegative")
+    assert(gain <= r.getAs[Double]("parent_entropy") + 1e-9)
+    assert(r.getAs[Double]("parent_entropy") <= math.log(2.0) + 1e-9)
+    Seq("en_share_left", "en_share_right").foreach { c =>
+      val v = r.getAs[Double](c); assert(v >= 0 && v <= 1.0)
+    }
+  }
+
+  test("graph closeness: per-seed reach inside the merged distance map") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("graph_closeness")(spark, dir).cache()
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 3, "at most the three seeds")
+    val merged = SparkEntry.queries("graph_distances")(spark, dir).count()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("reached") >= 1)
+      assert(r.getAs[Long]("eccentricity") >= 1 && r.getAs[Long]("eccentricity") <= 4)
+      val c = r.getAs[Double]("closeness")
+      assert(c > 0 && c <= 1.0, s"closeness=$c in (0,1]")
+      // the merged union map must cover every per-seed ball
+      assert(r.getAs[Long]("reached") + 1 <= merged,
+        "per-seed reach cannot exceed the union distance map")
+    }
   }
 
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {

@@ -49,11 +49,19 @@ def col_reprs(series):
 
 
 fails = []
-for name in sorted(os.listdir(outdir)):
+# iterate the CLAIMED set (oracle keys + any dumped dirs), not just the
+# dirs present: a query that crashed inside Verify writes no directory,
+# and an os.listdir-only sweep would print "0 failures" for it (the
+# round-8 tfidf rewrite crash surfaced exactly this blind spot)
+dumped = {n for n in os.listdir(outdir) if os.path.isdir(os.path.join(outdir, n))}
+claimed = sorted(set(oracle) | dumped)
+for name in claimed:
     path = os.path.join(outdir, name)
-    if not os.path.isdir(path):
-        continue
     if only and name not in only:
+        continue
+    if not os.path.isdir(path):
+        print(f"FAIL {name}: no dump directory (query errored in Verify)")
+        fails.append(name)
         continue
     files = glob.glob(f"{path}/*.parquet")
     if not files:
