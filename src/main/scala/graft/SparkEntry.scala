@@ -33,6 +33,7 @@ object SparkEntry {
       graft.queries.Round16Ops.queries ++
       graft.queries.Round17Ops.queries ++
       graft.queries.Round18Ops.queries ++
+      graft.queries.Round19Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -64,6 +65,7 @@ object SparkEntry {
       graft.queries.Round16Ops.oracles ++
       graft.queries.Round17Ops.oracles ++
       graft.queries.Round18Ops.oracles ++
+      graft.queries.Round19Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -4315,6 +4315,103 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("good-Turing: conservation of mass shares, p0 = V(1)/N, GT counts track V ratios") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("good_turing_mass")(spark, dir).cache()
+    val rows = df.orderBy(col("m")).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val n = rows.head.getAs[Long]("n_tokens")
+    val p0 = rows.head.getAs[Double]("p0_unseen")
+    assert(p0 >= 0 && p0 < 1.0, s"p0=$p0")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vm") > 0)
+      // mass share = m*V(m)/N, each in (0,1]; their sum over ALL m is 1,
+      // over the m<=10 slice it is at most 1
+      val ms = r.getAs[Double]("mass_share")
+      assert(ms > 0 && ms <= 1.0 + 1e-9)
+      // gt_count = (m+1) V(m+1)/V(m) recomputes from the emitted cells
+      val want = (r.getAs[Long]("m") + 1).toDouble * r.getAs[Long]("vm_next") /
+        r.getAs[Long]("vm")
+      assert(math.abs(r.getAs[Double]("gt_count") - want) < 1e-3)
+    }
+    assert(rows.map(_.getAs[Double]("mass_share")).sum <= 1.0 + 1e-6)
+    // p0 recomputes from the m=1 row when present
+    rows.find(_.getAs[Long]("m") == 1L).foreach { r1 =>
+      assert(math.abs(p0 - r1.getAs[Long]("vm").toDouble / n) < 1e-3)
+    }
+  }
+
+  test("capture-recapture: Chapman estimate bounded below by observed union") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("capture_recapture")(spark, dir)
+    val r = df.collect().head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2"); val m = r.getAs[Long]("m")
+    assert(m <= math.min(n1, n2), "recaptured users are a subset of both windows")
+    val nHat = r.getAs[Double]("n_hat")
+    // Chapman is consistent: at least max(n1, n2), and sane vs the union
+    assert(nHat >= math.max(n1, n2) - 1e-6, s"n_hat=$nHat below max window")
+    val union = n1 + n2 - m
+    assert(nHat >= union * 0.5, "estimate cannot collapse far below the observed union")
+    assert(r.getAs[Double]("se") >= 0)
+    val rate = r.getAs[Double]("recapture_rate")
+    assert(rate > 0 && rate <= 1.0)
+    // all users observed -> the estimate approaches the true population
+    val users = Tables.events(spark, dir).select("user_id").distinct().count()
+    assert(nHat >= users * 0.8 && nHat <= users * 3.0,
+      s"n_hat=$nHat implausible vs $users observed users")
+  }
+
+  test("james-stein: shrunk means sit between raw and grand, weights in [0,1]") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("james_stein_means")(spark, dir).cache()
+    val langs = Tables.documents(spark, dir).select("lang").distinct().count()
+    assert(df.count() == langs)
+    df.collect().foreach { r =>
+      val w = r.getAs[Double]("shrink_weight")
+      assert(w >= 0 && w <= 1.0, s"weight $w")
+      val raw = r.getAs[Double]("raw_mean"); val gm = r.getAs[Double]("grand_mean")
+      val sh = r.getAs[Double]("shrunk_mean")
+      assert(sh >= math.min(raw, gm) - 1e-3 && sh <= math.max(raw, gm) + 1e-3,
+        s"shrunk $sh outside [$raw, $gm]")
+      // shrinkage recomputes from the emitted pieces
+      assert(math.abs(sh - (w * raw + (1 - w) * gm)) < 1e-2)
+    }
+    // larger groups shrink less: weight is monotone in n when tau2 > 0
+    val byN = df.orderBy(col("n")).collect()
+    if (byN.head.getAs[Double]("shrink_weight") > 0) {
+      byN.sliding(2).foreach { p =>
+        assert(p(0).getAs[Double]("shrink_weight") <= p(1).getAs[Double]("shrink_weight") + 1e-6)
+      }
+    }
+  }
+
+  test("conformal interval: coverage honors the 0.9 target on the calibration set") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("conformal_interval")(spark, dir).cache()
+    assert(df.count() == 3, "one row per return flag")
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("n_calib") > 0)
+      assert(r.getAs[Double]("q90_abs_resid") > 0)
+      val cov = r.getAs[Double]("coverage")
+      // split-conformal guarantee: ~0.9 by construction of the exact
+      // quantile — ties push it above, interpolation on a small
+      // calibration set can sit one order statistic under
+      val slack = 1.0 / math.max(r.getAs[Long]("n_calib").toDouble, 10.0) + 1e-6
+      assert(cov >= 0.9 - slack && cov <= 1.0, s"coverage=$cov")
+      assert(r.getAs[Double]("slope").abs > 0, "degenerate fit")
+    }
+    // the fit half and ols_regression's full-data fit agree in
+    // MAGNITUDE (a near-zero slope may flip sign between halves — the
+    // sampling noise the conformal interval itself prices)
+    val ols = SparkEntry.queries("ols_regression")(spark, dir)
+      .select(col("l_returnflag"), col("slope").as("full_slope"))
+    df.join(ols, Seq("l_returnflag")).collect().foreach { r =>
+      val h = r.getAs[Double]("slope"); val f = r.getAs[Double]("full_slope")
+      assert(math.abs(h - f) <= math.max(100.0, 2.0 * math.abs(f)),
+        s"half-fit slope $h implausibly far from full fit $f")
+    }
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
