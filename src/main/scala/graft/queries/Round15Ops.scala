@@ -396,6 +396,12 @@ object Round15Ops {
     // pair (the pair keeps its first-shared-token row); 1e-4 slack
     // dwarfs the double error in one product and two square roots.
     // On this corpus the bound cuts the candidate stream ~12M → ~1M.
+    // NOTE a p<q one-direction variant is provably complete too (a
+    // qualifying pair hits BOTH prefixes, so the canonical direction
+    // always exists) and halves the pre-dedup stream — but it MEASURED
+    // 5x slower end-to-end at sf0.1 (132 s vs 26.5 s isolated,
+    // hashes identical); keep the symmetric least/greatest form that
+    // the numbers favor.
     val cand = u.select(col("token"), col("doc_id").as("p"), col("u").as("up"))
       .join(prefix, Seq("token"))
       .filter(col("p") =!= col("q"))
