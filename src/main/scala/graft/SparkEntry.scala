@@ -34,6 +34,7 @@ object SparkEntry {
       graft.queries.Round17Ops.queries ++
       graft.queries.Round18Ops.queries ++
       graft.queries.Round19Ops.queries ++
+      graft.queries.Round20Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -66,6 +67,7 @@ object SparkEntry {
       graft.queries.Round17Ops.oracles ++
       graft.queries.Round18Ops.oracles ++
       graft.queries.Round19Ops.oracles ++
+      graft.queries.Round20Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

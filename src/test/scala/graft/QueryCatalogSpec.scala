@@ -4412,6 +4412,103 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("energy distance: nonneg within/between terms, d2 >= 0, grid identity vs brute force") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("energy_distance")(spark, dir).cache()
+    val r = df.collect().head
+    val a = r.getAs[Double]("e_between")
+    val b = r.getAs[Double]("e_within_weekday"); val c = r.getAs[Double]("e_within_weekend")
+    assert(a > 0 && b > 0 && c > 0)
+    val d2 = r.getAs[Double]("energy_d2")
+    // energy distance is a squared metric: 2A - B - C >= 0 always
+    assert(d2 >= -1e-9, s"energy d2=$d2 negative")
+    assert(math.abs(d2 - (2 * a - b - c)) < 1e-3, "d2 recomputes from the emitted terms")
+    assert(r.getAs[Double]("stat") >= -1e-9)
+    // the cumsum identity equals the brute-force pairwise mean on a sample
+    val vals = Tables.orders(spark, dir).select(col("o_totalprice")).limit(300)
+      .collect().map(_.getDouble(0))
+    val n = vals.length
+    val brute = (for (i <- 0 until n; j <- 0 until n) yield math.abs(vals(i) - vals(j))).sum / (n.toDouble * n)
+    // recompute with the same identity the op uses
+    val sorted = vals.sorted
+    var acc = 0.0; var prefix = 0.0
+    for (i <- sorted.indices) { acc += (2.0 * i - n + 1) * sorted(i) }
+    val identity = 2.0 * acc / (n.toDouble * n) // Σ|x-y| = 2Σ(2i-n+1)x_(i) over sorted, /n² for the V-stat
+    assert(math.abs(identity - brute) < 1e-6 * math.max(1.0, brute),
+      s"cumsum identity $identity vs brute $brute")
+  }
+
+  test("gumbel return levels: monotone in horizon, above the fitted mean") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("gumbel_return_levels")(spark, dir).cache()
+    val rows = df.orderBy(col("t_weeks")).collect()
+    assert(rows.map(_.getAs[Int]("t_weeks")).toSeq == Seq(4, 13, 52))
+    assert(rows.map(_.getAs[Long]("n_weeks")).distinct.length == 1)
+    val rl = rows.map(_.getAs[Double]("return_level"))
+    assert(rl(0) < rl(1) && rl(1) < rl(2), "longer horizon -> higher level")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("beta") > 0, "scale must be positive")
+      // the 4-week return level already exceeds the location mu
+      assert(r.getAs[Double]("return_level") > r.getAs[Double]("mu"))
+    }
+  }
+
+  test("yuen trimmed t: trimmed means inside group ranges, df bounded by welch-like caps") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("yuen_trimmed_t")(spark, dir).cache()
+    val r = df.collect().head
+    val hA = r.getAs[Long]("h_a"); val hB = r.getAs[Long]("h_b")
+    val nA = r.getAs[Long]("n_a"); val nB = r.getAs[Long]("n_b")
+    assert(hA >= nA - 2 * (nA / 5) - 1e-9 && hA <= nA)
+    assert(hB == nB - 2 * (nB / 5))
+    // trimmed mean lies inside the group's observed value range
+    val en = Tables.documents(spark, dir).filter(col("lang") === "en")
+      .agg(min(col("n_chars")), max(col("n_chars"))).head
+    val tm = r.getAs[Double]("trimmed_mean_en")
+    assert(tm >= en.getLong(0) && tm <= en.getLong(1))
+    val dfY = r.getAs[Double]("df_yuen")
+    assert(dfY >= math.min(hA, hB) - 1 - 1e-6 && dfY <= hA + hB - 2 + 1e-6,
+      s"df_yuen=$dfY out of [${math.min(hA, hB) - 1}, ${hA + hB - 2}]")
+    // trimmed mean is robust: it differs from the raw mean when tails are asymmetric,
+    // but must stay within the winsorized hull — sanity: finite t
+    assert(!r.getAs[Double]("t_yuen").isNaN)
+  }
+
+  test("js divergence: symmetric-bounded, zero iff identical, matches a hand recompute") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("js_divergence_sources")(spark, dir).cache()
+    val sources = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(df.count() == sources * (sources - 1) / 2, "one row per source pair")
+    df.collect().foreach { r =>
+      val js = r.getAs[Double]("js_divergence")
+      assert(js >= 0 && js <= math.log(2.0) + 1e-9, s"JS=$js outside [0, ln2]")
+      val dist = r.getAs[Double]("js_distance")
+      assert(math.abs(dist - math.sqrt(js)) < 1e-3)
+      assert(r.getAs[Long]("union_vocab") > 0)
+    }
+    // hand recompute for the lexicographically first pair
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("source"), col("token")).agg(count(lit(1)).as("c"))
+      .collect().groupBy(_.getString(0))
+    val srcs = toks.keys.toSeq.sorted
+    val (sa, sb) = (srcs(0), srcs(1))
+    def dist(s: String): Map[String, Double] = {
+      val rows = toks(s); val t = rows.map(_.getLong(2)).sum.toDouble
+      rows.map(r => r.getString(1) -> r.getLong(2) / t).toMap
+    }
+    val pa = dist(sa); val pb = dist(sb)
+    val keys = pa.keySet ++ pb.keySet
+    val want = keys.toSeq.map { k =>
+      val p = pa.getOrElse(k, 0.0); val q = pb.getOrElse(k, 0.0); val m = (p + q) / 2
+      (if (p > 0) p * math.log(p / m) else 0.0) + (if (q > 0) q * math.log(q / m) else 0.0)
+    }.sum / 2
+    val got = df.filter(col("src_a") === sa && col("src_b") === sb)
+      .head.getAs[Double]("js_divergence")
+    assert(math.abs(got - want) < 1e-3, s"JS($sa,$sb)=$got vs recomputed $want")
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
