@@ -35,6 +35,7 @@ object SparkEntry {
       graft.queries.Round18Ops.queries ++
       graft.queries.Round19Ops.queries ++
       graft.queries.Round20Ops.queries ++
+      graft.queries.Round21Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -68,6 +69,7 @@ object SparkEntry {
       graft.queries.Round18Ops.oracles ++
       graft.queries.Round19Ops.oracles ++
       graft.queries.Round20Ops.oracles ++
+      graft.queries.Round21Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -4509,6 +4509,85 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(math.abs(got - want) < 1e-3, s"JS($sa,$sb)=$got vs recomputed $want")
   }
 
+  test("RMST: bounded by the 30-day horizon, matches a hand-walked KM integral") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("rmst_report")(spark, dir).cache()
+    val rows = df.orderBy(col("variant")).collect()
+    assert(rows.map(_.getAs[String]("variant")).toSeq == Seq("A", "B"))
+    rows.foreach { r =>
+      val v = r.getAs[Double]("rmst_30d")
+      assert(v > 0 && v <= 30.0 + 1e-9, s"rmst=$v outside (0, 30]")
+      assert(r.getAs[Long]("n_events") <= r.getAs[Long]("n_users"))
+    }
+    // hand-walk the KM integral for variant A from the raw durations
+    val perUser = Tables.events(spark, dir).groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("fd"),
+        min(when(col("event_type") === "purchase", to_date(col("ts")))).as("pd"))
+    val hz = Tables.events(spark, dir).agg(max(to_date(col("ts")))).head.getDate(0)
+    val durs = perUser
+      .select(col("user_id"), col("fd"), col("pd"))
+      .withColumn("va", md5(concat(lit("exp1:"), col("user_id").cast("string"))) < "8")
+      .filter(col("va"))
+      .select(
+        when(col("pd").isNotNull, datediff(col("pd"), col("fd")))
+          .otherwise(datediff(lit(hz), col("fd"))).cast("long").as("d"),
+        col("pd").isNotNull.as("ev"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    val tau = 30L
+    val byDay = durs.groupBy(_._1).map { case (d, xs) =>
+      (d, xs.count(_._2).toLong, xs.length.toLong)
+    }.toSeq.sortBy(_._1)
+    var atRisk = durs.length.toLong
+    var surv = 1.0
+    var rmst = math.min(byDay.head._1, tau).toDouble // S=1 head segment
+    for (((d, dv, tv), idx) <- byDay.zipWithIndex) {
+      if (dv > 0) surv *= (1.0 - dv.toDouble / atRisk)
+      val tNext = if (idx + 1 < byDay.length) byDay(idx + 1)._1 else tau
+      val lo = math.min(d, tau); val hi = math.min(tNext, tau)
+      if (hi > lo) rmst += surv * (hi - lo)
+      atRisk -= tv
+    }
+    val got = rows.head.getAs[Double]("rmst_30d")
+    assert(math.abs(got - rmst) < 1e-2, s"rmst A: got $got vs hand-walk $rmst")
+  }
+
+  test("NB overdispersion: index consistency, Fisher scaling, r null iff underdispersed") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("nb_overdispersion")(spark, dir).cache()
+    val types = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(df.count() == types)
+    df.collect().foreach { r =>
+      val m = r.getAs[Double]("mean_count"); val v = r.getAs[Double]("var_count")
+      val idx = r.getAs[Double]("dispersion_index")
+      assert(m > 0 && v >= 0)
+      assert(math.abs(idx - v / m) < 1e-2, s"index $idx vs $v/$m")
+      val n = r.getAs[Long]("n_users")
+      assert(math.abs(r.getAs[Double]("fisher_stat") - (n - 1) * idx) < (n - 1) * 1e-3)
+      val rSize = Option(r.getAs[java.lang.Double]("nb_size_r"))
+      if (v > m + 1e-6) assert(rSize.isDefined && rSize.get > 0)
+      if (v < m - 1e-6) assert(rSize.isEmpty, "under-dispersed must emit null r")
+    }
+  }
+
+  test("off-policy eval: SNIPS inside the reward hull, ESS bounded by n, DR finite") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("offpolicy_eval")(spark, dir).cache()
+    assert(df.count() == 4, "one row per user segment")
+    val hull = Tables.events(spark, dir).agg(min(col("value")), max(col("value"))).head
+    val (rMin, rMax) = (hull.getDouble(0), hull.getDouble(1))
+    df.collect().foreach { r =>
+      // SNIPS is a weighted mean of observed rewards: inside the hull
+      val sn = r.getAs[Double]("v_snips")
+      assert(sn >= rMin - 1e-6 && sn <= rMax + 1e-6, s"snips $sn outside [$rMin, $rMax]")
+      val ess = r.getAs[Double]("ess")
+      assert(ess > 0 && ess <= r.getAs[Long]("n") + 1e-6, "ESS bounded by n")
+      // clipping can only pull the IPS estimate toward zero-weight mass
+      assert(r.getAs[Double]("v_ips_clip10").abs <= r.getAs[Double]("v_ips").abs + math.abs(sn) + 1e6)
+      assert(!r.getAs[Double]("v_dr").isNaN && !r.getAs[Double]("v_dr").isInfinite)
+      assert(!r.getAs[Double]("v_logged").isNaN)
+    }
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
