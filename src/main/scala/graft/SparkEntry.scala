@@ -36,6 +36,7 @@ object SparkEntry {
       graft.queries.Round19Ops.queries ++
       graft.queries.Round20Ops.queries ++
       graft.queries.Round21Ops.queries ++
+      graft.queries.Round22Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -70,6 +71,7 @@ object SparkEntry {
       graft.queries.Round19Ops.oracles ++
       graft.queries.Round20Ops.oracles ++
       graft.queries.Round21Ops.oracles ++
+      graft.queries.Round22Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

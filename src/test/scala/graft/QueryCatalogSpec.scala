@@ -4588,6 +4588,62 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("source transfer: full matrix, Gibbs inequality holds, diagonal gap is smoothing-only") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("source_transfer_entropy")(spark, dir).cache()
+    val k = Tables.documents(spark, dir).select("source").distinct().count()
+    assert(df.count() == k * k, "one row per ordered source pair incl. diagonal")
+    df.collect().foreach { r =>
+      // Gibbs: cross-entropy under ANY model >= the distribution's own entropy
+      assert(r.getAs[Double]("transfer_gap") >= -1e-6,
+        s"gap ${r.getAs[Double]("transfer_gap")} violates Gibbs")
+      assert(r.getAs[Double]("cross_entropy") > 0)
+      assert(r.getAs[Double]("self_entropy") >= 0)
+    }
+    // the matrix is genuinely asymmetric (the whole point vs JS):
+    // at least one ordered pair disagrees with its transpose
+    val t = df.select(col("src_train").as("src_eval"), col("src_eval").as("src_train"),
+      col("cross_entropy").as("ce_t"))
+    val asym = df.join(t, Seq("src_train", "src_eval"))
+      .filter(abs(col("cross_entropy") - col("ce_t")) > 1e-6).count()
+    assert(asym > 0, "transfer must be directional on a heterogeneous corpus")
+  }
+
+  test("smoothing sweep: four k rows, perplexity consistency, constant OOV share") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("smoothing_sweep")(spark, dir).cache()
+    val rows = df.orderBy(col("k")).collect()
+    assert(rows.map(_.getAs[Double]("k")).toSeq == Seq(0.01, 0.1, 1.0, 10.0))
+    assert(rows.map(_.getAs[Double]("oov_share")).distinct.length == 1,
+      "OOV share is a property of the split, not of k")
+    rows.foreach { r =>
+      val ce = r.getAs[Double]("cross_entropy")
+      assert(ce > 0)
+      assert(math.abs(r.getAs[Double]("perplexity") - math.exp(ce)) <
+        math.exp(ce) * 1e-3)
+      assert(r.getAs[Long]("vocab") > 0)
+    }
+  }
+
+  test("vocab budget coverage: monotone in budget, kept types capped, shares bounded") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("vocab_budget_coverage")(spark, dir).cache()
+    val rows = df.orderBy(col("budget")).collect()
+    assert(rows.map(_.getAs[Int]("budget")).toSeq == Seq(100, 1000, 5000))
+    val cov = rows.map(_.getAs[Double]("mass_coverage"))
+    assert(cov(0) <= cov(1) + 1e-9 && cov(1) <= cov(2) + 1e-9, "coverage monotone")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("kept_types") <=
+        math.min(r.getAs[Int]("budget").toLong, r.getAs[Long]("gram_types")))
+      val c = r.getAs[Double]("mass_coverage")
+      assert(c > 0 && c <= 1.0 + 1e-9)
+      val miss = r.getAs[Double]("type_miss_share")
+      assert(miss >= 0 && miss < 1.0)
+      // top-N by mass covers at least its type share of mass
+      assert(c + 1e-9 >= r.getAs[Long]("kept_types").toDouble / r.getAs[Long]("gram_types"))
+    }
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
