@@ -37,6 +37,7 @@ object SparkEntry {
       graft.queries.Round20Ops.queries ++
       graft.queries.Round21Ops.queries ++
       graft.queries.Round22Ops.queries ++
+      graft.queries.Round23Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -72,6 +73,7 @@ object SparkEntry {
       graft.queries.Round20Ops.oracles ++
       graft.queries.Round21Ops.oracles ++
       graft.queries.Round22Ops.oracles ++
+      graft.queries.Round23Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

@@ -4644,6 +4644,71 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("absorption probability: monotone in horizon, purchase absorbs at 1, probabilities bounded") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("absorption_probability")(spark, dir).cache()
+    val types = Tables.events(spark, dir).select("event_type").distinct().count()
+    assert(df.count() == types, "one row per state")
+    val purch = df.filter(col("start_state") === "purchase").head
+    assert(purch.getAs[Double]("p_absorb_2") == 1.0, "absorbing state stays absorbed")
+    assert(purch.getAs[Double]("p_absorb_8") == 1.0)
+    df.collect().foreach { r =>
+      val p2 = r.getAs[Double]("p_absorb_2")
+      val p4 = r.getAs[Double]("p_absorb_4")
+      val p8 = r.getAs[Double]("p_absorb_8")
+      Seq(p2, p4, p8).foreach(p => assert(p >= 0 && p <= 1.0 + 1e-9, s"p=$p"))
+      // absorption within k steps is monotone in k
+      assert(p2 <= p4 + 1e-9 && p4 <= p8 + 1e-9, s"not monotone: $p2 $p4 $p8")
+    }
+    // non-purchase states convert with positive probability on this corpus
+    assert(df.filter(col("start_state") =!= "purchase")
+      .filter(col("p_absorb_8") <= 0).count() == 0)
+  }
+
+  test("price elasticity: one row per brand, R2 bounded, slope matches a raw recompute") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("price_elasticity")(spark, dir).cache()
+    val brands = Tables.part(spark, dir).select("p_brand").distinct().count()
+    assert(df.count() == brands)
+    df.collect().foreach { r =>
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0 && r2 <= 1.0 + 1e-9, s"r2=$r2")
+      assert(r.getAs[Long]("n") > 0)
+    }
+    // recompute the slope for one brand from raw rows
+    val b = df.orderBy(col("p_brand")).head.getAs[String]("p_brand")
+    val raw = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_brand") === b),
+        col("l_partkey") === col("p_partkey"))
+      .select(log(col("l_extendedprice") / col("l_quantity")).as("x"),
+        log(col("l_quantity")).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val n = raw.length.toDouble
+    val mx = raw.map(_._1).sum / n; val my = raw.map(_._2).sum / n
+    val want = raw.map(p => (p._1 - mx) * (p._2 - my)).sum /
+      raw.map(p => (p._1 - mx) * (p._1 - mx)).sum
+    val got = df.filter(col("p_brand") === b).head.getAs[Double]("elasticity")
+    assert(math.abs(got - want) < 1e-3, s"slope $got vs recomputed $want")
+  }
+
+  test("safety stock: q95 above mean or z consistent, buffer arithmetic holds") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("safety_stock_report")(spark, dir).cache()
+    assert(df.count() > 0)
+    df.collect().foreach { r =>
+      val mean = r.getAs[Double]("mean_weekly")
+      val q95 = r.getAs[Double]("q95_weekly")
+      val ss = r.getAs[Double]("safety_stock")
+      assert(mean > 0 && r.getAs[Double]("sd_weekly") >= 0)
+      assert(math.abs(ss - (q95 - mean)) < 1e-2, "buffer = q95 - mean")
+      val z = r.getAs[Double]("implied_z")
+      assert(math.abs(z - ss / r.getAs[Double]("sd_weekly")) < 2e-2)
+      // the 95th percentile cannot sit below the 0th or above plausibility
+      assert(q95 >= 0)
+      assert(r.getAs[Long]("n_weeks") >= 2, "sd needs two weeks")
+    }
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
