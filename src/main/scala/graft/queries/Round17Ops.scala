@@ -348,10 +348,17 @@ object Round17Ops {
     * calendar grid (the documented bounded-frame pattern). Exact
     * oracle.
     */
-  def pageHinkley(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def pageHinkley(s: SparkSession, dir: String): DataFrame =
+    pageHinkleyFromDaily(Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The Page–Hinkley arithmetic over an already-aggregated (d, c)
+    * daily-count relation — shared verbatim by the streaming twin
+    * (graft.streaming.Streams.phFromCounts serves the drained live
+    * state through THIS function, so stream ≡ batch is an identity).
+    */
+  def pageHinkleyFromDaily(daily: DataFrame): DataFrame = {
     val wOrd = Window.orderBy(col("d"))
     val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
     val withMean = daily

@@ -160,10 +160,17 @@ object Round20Ops {
     * aggregate, one weekly max, a |weeks|-row moment reduce, 3
     * output rows. Exact oracle.
     */
-  def gumbelReturnLevels(s: SparkSession, dir: String): DataFrame = {
-    val daily = Tables.events(s, dir)
+  def gumbelReturnLevels(s: SparkSession, dir: String): DataFrame =
+    gumbelFromDaily(Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("d"))
-      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")))
+
+  /** The Gumbel fit over an already-aggregated (d, c) daily-count
+    * relation — shared verbatim by the streaming twin
+    * (graft.streaming.Streams.gumbelFromCounts serves the drained
+    * live state through THIS function: stream ≡ batch by identity).
+    */
+  def gumbelFromDaily(daily: DataFrame): DataFrame = {
     val weekly = daily
       .groupBy(date_format(date_trunc("week", col("d")), "yyyy-MM-dd").as("wk"))
       .agg(max(col("c")).as("mx"))

@@ -1084,6 +1084,36 @@ object Streams {
       .groupBy(to_date(col("ts")).as("d"), col("event_type"))
       .agg(count(lit(1)).as("x"))
 
+  /** #49z streaming Page–Hinkley drift alarm — §2 #397 as a continuous
+    * query: the live side is ONE update-mode daily count (map-side
+    * combined, |days| state rows; a deployment bounds it with an
+    * event-time watermark on the day key); the alarm table is SERVED
+    * from the drained state through the batch op's own arithmetic
+    * ([[graft.queries.Round17Ops.pageHinkleyFromDaily]]), so
+    * stream ≡ batch is an identity, spec-pinned.
+    */
+  def phCountsStream(events: DataFrame): DataFrame =
+    events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Serve the Page–Hinkley table from drained live daily counts
+    * (bounded state snapshot first — the holtFromCounts rule). */
+  def phFromCounts(live: DataFrame): DataFrame =
+    graft.queries.Round17Ops.pageHinkleyFromDaily(graft.Lineage.cut(live))
+
+  /** #49aa streaming Gumbel capacity fit — §2 #412 as a continuous
+    * query over the SAME daily-count state shape as the drift alarm
+    * (one update-mode aggregate; the weekly block maxima and the
+    * method-of-moments fit are constant-size arithmetic served from
+    * the drained state via
+    * [[graft.queries.Round20Ops.gumbelFromDaily]]): the return-level
+    * table refreshes continuously as days close, stream ≡ batch by
+    * identity, spec-pinned.
+    */
+  def gumbelFromCounts(live: DataFrame): DataFrame =
+    graft.queries.Round20Ops.gumbelFromDaily(graft.Lineage.cut(live))
+
   /** Serve the Holt forecast table from drained live daily counts.
     * The fold references the counts relation on both sides of its
     * densify join; a sink-backed View breaks reference dedup there,

@@ -1228,4 +1228,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedHist == batchHist,
       s"stream/batch divergence: $streamedHist vs $batchHist")
   }
+
+  test("page-hinkley alarm served over drained counts equals the batch table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Ev]
+    val q = Streams.phCountsStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("phct").start()
+    val (a, b) = evs.splitAt(evs.length / 2)
+    in.addData(a: _*); q.processAllAvailable()
+    in.addData(b: _*); q.processAllAvailable(); q.stop()
+    val served = Streams.phFromCounts(spark.table("phct"))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("page_hinkley")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch, "served drift table must equal batch page_hinkley")
+  }
+
+  test("gumbel return levels served over drained counts equal the batch fit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, dir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Ev].collect().toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    val in = MemoryStream[Ev]
+    val q = Streams.phCountsStream(in.toDF())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName("gbct").start()
+    // three incremental drains: the fit must refresh as weeks close
+    val (a, rest) = evs.splitAt(evs.length / 3)
+    val (b, c) = rest.splitAt(rest.length / 2)
+    in.addData(a: _*); q.processAllAvailable()
+    val early = Streams.gumbelFromCounts(spark.table("gbct")).collect()
+    assert(early.nonEmpty, "fit must be servable mid-stream")
+    in.addData(b: _*); q.processAllAvailable()
+    in.addData(c: _*); q.processAllAvailable(); q.stop()
+    val served = Streams.gumbelFromCounts(spark.table("gbct"))
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("gumbel_return_levels")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == batch, "served return levels must equal the batch fit")
+  }
 }
