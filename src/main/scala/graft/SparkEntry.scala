@@ -38,6 +38,7 @@ object SparkEntry {
       graft.queries.Round21Ops.queries ++
       graft.queries.Round22Ops.queries ++
       graft.queries.Round23Ops.queries ++
+      graft.queries.Round24Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -74,6 +75,7 @@ object SparkEntry {
       graft.queries.Round21Ops.oracles ++
       graft.queries.Round22Ops.oracles ++
       graft.queries.Round23Ops.oracles ++
+      graft.queries.Round24Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

