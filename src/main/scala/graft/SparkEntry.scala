@@ -39,6 +39,7 @@ object SparkEntry {
       graft.queries.Round22Ops.queries ++
       graft.queries.Round23Ops.queries ++
       graft.queries.Round24Ops.queries ++
+      graft.queries.Round25Ops.queries ++
       graft.queries.DssOps.queries ++
       graft.queries.BehaviorOps.queries
 
@@ -76,6 +77,7 @@ object SparkEntry {
       graft.queries.Round22Ops.oracles ++
       graft.queries.Round23Ops.oracles ++
       graft.queries.Round24Ops.oracles ++
+      graft.queries.Round25Ops.oracles ++
       graft.queries.DssOps.oracles ++
       graft.queries.BehaviorOps.oracles
 }

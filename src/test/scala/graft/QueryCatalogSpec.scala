@@ -4777,6 +4777,42 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(!a.isNaN && !a.isInfinite)
   }
 
+  test("silhouette: bounded scores, labels partition vectors, negatives counted consistently") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("silhouette_report")(spark, dir).cache()
+    val labels = Tables.embeddings(spark, dir).select("label").distinct().count()
+    assert(df.count() == labels, "one row per label")
+    val total = df.agg(sum(col("n_vecs"))).head.getLong(0)
+    assert(total == Tables.embeddings(spark, dir).count(), "labels partition the vectors")
+    df.collect().foreach { r =>
+      val m = r.getAs[Double]("mean_silhouette")
+      assert(m >= -1.0 - 1e-9 && m <= 1.0 + 1e-9, s"mean silhouette $m")
+      val negShare = r.getAs[Double]("negative_share")
+      assert(negShare >= 0 && negShare <= 1.0)
+      assert(math.abs(negShare -
+        r.getAs[Long]("n_negative").toDouble / r.getAs[Long]("n_vecs")) < 1e-3)
+    }
+  }
+
+  test("rich club: thresholds nest, density bounded, edges within the member set") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("rich_club_coefficient")(spark, dir).cache()
+    val rows = df.orderBy(col("k")).collect()
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(2L, 5L, 10L))
+    // higher threshold -> fewer (or equal) member nodes and edges
+    rows.sliding(2).foreach { p =>
+      assert(p(0).getAs[Long]("n_nodes") >= p(1).getAs[Long]("n_nodes"))
+      assert(p(0).getAs[Long]("n_edges") >= p(1).getAs[Long]("n_edges"))
+    }
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_nodes"); val e = r.getAs[Long]("n_edges")
+      assert(e <= n * (n - 1) / 2, "edges bounded by the complete graph")
+      Option(r.getAs[java.lang.Double]("phi")).foreach { phi =>
+        assert(phi >= 0 && phi <= 1.0 + 1e-9, s"phi=$phi")
+      }
+    }
+  }
+
   test("QQ drift table: nine deciles, monotone quantile columns, gap/ratio consistency") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("qq_drift_table")(spark, dir).cache()
