@@ -44,9 +44,17 @@ object Bench {
     val names = selected.toSeq.sortBy(_._1)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
-      // drain the previous queries' garbage outside the timed window —
-      // otherwise a random query pays a multi-second collection for its
-      // predecessors and the per-query numbers swing 3-5x run to run
+      // Reset shared-JVM state outside the timed window. r8 adjudication:
+      // over 780 executions the Lineage.cut localCheckpoint blocks pile up
+      // in executor storage (every iterative query pins its edge/centroid
+      // frames and nothing releases them), and the late-alphabet tail ran
+      // 6-10x its isolated cost (set_similarity_join 248s in-catalog vs
+      // 23.7s isolated, judge-verified). Unpersist every pinned block and
+      // drop cached relations so query N+1 starts from the same storage
+      // state as an isolated run; then GC so the ContextCleaner can also
+      // reap the orphaned shuffle files before the next timing starts.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()
       val ok =
@@ -81,7 +89,7 @@ object Bench {
       "\"" + name + "\":[" + samples.mkString(",") + "]"
     }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","harness":"2-pass-min/v2","queries":$qs,"passes":$perPass,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","harness":"2-pass-min/v3-cleanstate","queries":$qs,"passes":$perPass,"failed":$failed,"sf":"$sfDir"}"""
     // Persist FIRST, then print: the driver's log-tail capture clipped
     // the head of the stdout line in r3 AND r4 ("parsed": null) — the
     // authoritative copy is the file; the canonical path is named in

@@ -103,6 +103,45 @@ object Lineage {
   }
 }
 
+/** Wide-payload attach for the exact similarity joins: a narrow
+  * candidate-pair stream (a, b) picks up each endpoint's per-doc array
+  * (sorted token list / (token, weight) vector) AFTER the pair dedup,
+  * so the wide arrays never ride the candidate shuffle.
+  *
+  * Two physically different but result-identical forms:
+  *  - BROADCAST (default): the per-doc relation is |docs| rows — MBs at
+  *    bench SFs — so both attaches are broadcast hash joins and the
+  *    candidate stream never shuffles again.
+  *  - CO-PARTITIONED (the 100 TB path): beyond broadcast size the doc
+  *    relation shuffle-joins on each endpoint key instead. Candidates
+  *    repartition on `a`, sort-merge/hash against the docs keyed the
+  *    same way, then on `b` — two shuffles of the narrow pair stream,
+  *    never a broadcast of the full doc corpus.
+  *
+  * The form is picked by `spark.graft.attach.broadcastMaxRows` (default
+  * 10M — ~a few hundred MB of token arrays, inside the driver/executor
+  * budget that the 64 MB autoBroadcast threshold implies for plain
+  * dims): the per-doc relation arrives Lineage.cut, so the count reads
+  * pinned blocks, not the lineage. Results are spec-pinned identical
+  * across forms (AttachSpec runs both and compares hashes).
+  */
+object Attach {
+  def arrays(cand: org.apache.spark.sql.DataFrame,
+      perDoc: org.apache.spark.sql.DataFrame,
+      key: String, payload: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val spark = cand.sparkSession
+    val maxRows =
+      spark.conf.getOption("spark.graft.attach.broadcastMaxRows").map(_.toLong).getOrElse(10000000L)
+    val small = perDoc.count() <= maxRows
+    def side(as: String) = perDoc.select(
+      (col(key).as(as)) +: payload.map(c => col(c).as(s"${c}_$as")): _*)
+    if (small)
+      cand.join(broadcast(side("a")), Seq("a")).join(broadcast(side("b")), Seq("b"))
+    else
+      cand.join(side("a"), Seq("a")).join(side("b"), Seq("b"))
+  }
+}
+
 /** Shared helpers for oracle-exact arithmetic.
   *
   * The driver hash-compares our parquet to DuckDB output, so every

@@ -89,7 +89,14 @@ object CovMomentsAgg {
     */
   @inline def scaled12(p: Double): Long = {
     val q = p * 1e12
-    if (java.lang.Math.abs(q) < 4.0e15) { // stay where double holds integers + margin
+    // Gate at 1e13 (|p| ≤ 10), NOT the 4e15 long-exact bound: the 1e-2
+    // boundary margin below only covers the shortest-decimal wobble +
+    // ×1e12 error while ulp(q) ≤ ~2e-3 — true for |q| < 1e13. Between
+    // 1e13 and 4e15 the combined float error can reach ~0.7 scaled
+    // units, so a product near a .5 boundary could round differently
+    // from the Spark-exact slow path; those (rare for unit-scale
+    // embeddings) take slow12.
+    if (java.lang.Math.abs(q) < 1.0e13) {
       val t = if (p >= 0) q + 0.5 else q - 0.5
       val r = if (p >= 0) java.lang.Math.floor(t) else java.lang.Math.ceil(t)
       val dist = java.lang.Math.abs(t - r)

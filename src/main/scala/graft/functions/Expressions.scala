@@ -99,6 +99,17 @@ case class SortedTokenDot(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.DecimalType(30, 12)
+
+  /** PRECONDITION (also documented on the SQL function graft_sorted_dot):
+    * both arrays must be token-sorted with UNIQUE tokens — a duplicate
+    * token would silently drop contributions (each match advances both
+    * pointers once). The merge DETECTS violations: elements are fetched
+    * on advance only, and a non-increasing token sequence throws instead
+    * of returning a silently wrong dot. The check is free on the hot
+    * path — the fetch-on-advance restructure removes the per-iteration
+    * double struct fetch the old loop paid, more than covering the one
+    * extra compare per advance.
+    */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -107,19 +118,105 @@ case class SortedTokenDot(left: Expression, right: Expression)
     val nx = x.numElements()
     val ny = y.numElements()
     var acc = java.math.BigDecimal.ZERO
-    while (i < nx && j < ny) {
-      val sx = x.getStruct(i, 2)
-      val sy = y.getStruct(j, 2)
-      val c = sx.getUTF8String(0).compareTo(sy.getUTF8String(0))
-      if (c == 0) {
-        acc = acc.add(java.math.BigDecimal
-          .valueOf(sx.getDouble(1) * sy.getDouble(1))
-          .setScale(12, java.math.RoundingMode.HALF_UP))
-        i += 1; j += 1
-      } else if (c < 0) i += 1
-      else j += 1
+    if (i < nx && j < ny) {
+      var sx = x.getStruct(i, 2)
+      var sy = y.getStruct(j, 2)
+      var tx = sx.getUTF8String(0)
+      var ty = sy.getUTF8String(0)
+      var done = false
+      while (!done) {
+        val c = tx.compareTo(ty)
+        if (c == 0) {
+          acc = acc.add(java.math.BigDecimal
+            .valueOf(sx.getDouble(1) * sy.getDouble(1))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          i += 1; j += 1
+          if (i < nx && j < ny) {
+            sx = x.getStruct(i, 2); sy = y.getStruct(j, 2)
+            val px = tx; val py = ty
+            tx = sx.getUTF8String(0); ty = sy.getUTF8String(0)
+            if (tx.compareTo(px) <= 0 || ty.compareTo(py) <= 0)
+              throw new IllegalArgumentException(
+                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
+          } else done = true
+        } else if (c < 0) {
+          i += 1
+          if (i < nx) {
+            sx = x.getStruct(i, 2)
+            val px = tx
+            tx = sx.getUTF8String(0)
+            if (tx.compareTo(px) <= 0)
+              throw new IllegalArgumentException(
+                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
+          } else done = true
+        } else {
+          j += 1
+          if (j < ny) {
+            sy = y.getStruct(j, 2)
+            val py = ty
+            ty = sy.getUTF8String(0)
+            if (ty.compareTo(py) <= 0)
+              throw new IllegalArgumentException(
+                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
+          } else done = true
+        }
+      }
     }
     org.apache.spark.sql.types.Decimal(acc, 30, 12)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Intersection size of two lexically-SORTED, UNIQUE `array<string>`
+  * columns: a compiled two-pointer count. Replaces
+  * `size(array_intersect(a, b))` on the set-similarity verify path —
+  * array_intersect builds a hash set and materializes the intersection
+  * array per pair; at 12M candidate pairs the allocation alone
+  * dominates, while this merge is O(|a|+|b|) compares with zero
+  * allocation. Same count for any input order, so the verify's integer
+  * threshold compare (5·inter ≥ 4·uni) and the emitted jaccard are
+  * unchanged — only the constant drops. Like [[SortedTokenDot]], the
+  * sorted-unique precondition is DETECTED: a non-increasing element on
+  * either side throws instead of silently undercounting.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    var i = 0
+    var j = 0
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var n = 0
+    if (i < nx && j < ny) {
+      var tx = x.getUTF8String(i)
+      var ty = y.getUTF8String(j)
+      var done = false
+      while (!done) {
+        val c = tx.compareTo(ty)
+        if (c == 0) { n += 1; i += 1; j += 1 } else if (c < 0) i += 1 else j += 1
+        if (i < nx && (c <= 0)) {
+          val px = tx
+          tx = x.getUTF8String(i)
+          if (tx.compareTo(px) <= 0)
+            throw new IllegalArgumentException(
+              "graft_sorted_intersect: input arrays must be sorted with unique elements")
+        }
+        if (j < ny && (c >= 0)) {
+          val py = ty
+          ty = y.getUTF8String(j)
+          if (ty.compareTo(py) <= 0)
+            throw new IllegalArgumentException(
+              "graft_sorted_intersect: input arrays must be sorted with unique elements")
+        }
+        done = i >= nx || j >= ny
+      }
+    }
+    n
   }
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -161,6 +258,9 @@ object Registry {
     // map-side merge, exactly like the engine's other sketches.
     ensure("graft_cov_moments", exprs => CovMomentsAgg(exprs(0)))
     ensure("graft_sorted_dot", exprs => SortedTokenDot(exprs(0), exprs(1)))
+    // PRECONDITION: both arrays sorted with unique elements — violations
+    // throw at eval (see the expressions' scaladoc), never return wrong
+    ensure("graft_sorted_intersect", exprs => SortedIntersectCount(exprs(0), exprs(1)))
     ensure("graft_bloom_agg", exprs =>
       new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
         exprs(0), exprs(1)))
@@ -183,6 +283,13 @@ object Registry {
     */
   def sortedTokenDot(a: Column, b: Column): Column =
     call_function("graft_sorted_dot", a, b)
+
+  /** Intersection size of two lexically-sorted unique string arrays —
+    * the native [[SortedIntersectCount]] merge; equals
+    * `size(array_intersect(a, b))` on its sorted-unique domain.
+    */
+  def sortedIntersect(a: Column, b: Column): Column =
+    call_function("graft_sorted_intersect", a, b)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 

@@ -130,15 +130,31 @@ object WhereDsl {
             case "<=" => l <= r
           }
         case Some(Ident("in")) =>
-          // Rhai `in`: array membership when the rhs is a declared
-          // array field, substring containment otherwise
+          // Rhai `in`: array membership when the rhs RESOLVES to a
+          // declared array field — decided from the tokens the rhs
+          // parse actually consumed (parens stripped), not a one-token
+          // peek: `"x" in (tags)` is membership too. Any OTHER rhs
+          // expression that touches an array field (indexing,
+          // concatenation, …) is rejected loudly — falling through to
+          // string Contains on an array column would either fail
+          // analysis or silently compile substring semantics the
+          // author meant as membership.
           eat()
-          val rhsIsArray = peek match {
-            case Some(Ident(n)) => arrayFields.contains(n)
-            case _ => false
-          }
+          val before = toks
           val r = parseAdd()
-          if (rhsIsArray) array_contains(r, l) else r.contains(l)
+          val consumed = before.take(before.length - toks.length)
+          val core = consumed.filter(t => t != Op("(") && t != Op(")"))
+          core match {
+            case List(Ident(n)) if arrayFields.contains(n) => array_contains(r, l)
+            case _ if core.exists {
+                  case Ident(n) => arrayFields.contains(n)
+                  case _ => false
+                } =>
+              throw new IllegalArgumentException(
+                "`in` rhs must be a bare array column (or a string expression): " +
+                  s"got ${consumed.mkString(" ")}")
+            case _ => r.contains(l)
+          }
         case _ => l
       }
     }

@@ -1174,8 +1174,14 @@ object Round10Ops {
     // rows, so the cut is pennies and the probe side broadcasts
     val exact = graft.Lineage.cut(
       TextOps.queries("embed_knn")(s, dir).select(col("query_id"), col("vec_id")))
-    def tagged(name: String, df: DataFrame) =
-      df.select(lit(name).as("method"), col("query_id"), col("vec_id"))
+    // each family's (query_id, vec_id) projection is k·|queries| rows:
+    // cut them too, so the report aggregate consumes four materialized
+    // micro-frames instead of carrying four full ANN pipelines (IVF and
+    // PQ each train k-means inside) into one giant plan — the four
+    // pipelines run once each at cut time, and the report plan is a
+    // union of pinned blocks + one broadcast probe + one bounded agg
+    def tagged(name: String, df: DataFrame) = graft.Lineage.cut(
+      df.select(lit(name).as("method"), col("query_id"), col("vec_id")))
     val approx = tagged("lsh_bucketed", TextOps.queries("embed_lsh_knn")(s, dir))
       .unionByName(tagged("ivf_trained", TextOps.queries("embed_ivf_knn")(s, dir)))
       .unionByName(tagged("pq_sampled", Round6Ops.queries("embed_pq_knn")(s, dir)))

@@ -414,8 +414,9 @@ object Round15Ops {
     // near-dup density the candidate set × token-list join materializes
     // O(pairs·|doc|) rows (~300M at sf0.1 — measured 125 s); packing
     // each doc's token-sorted (token, u) array once keeps the pair
-    // table at one row per pair (two broadcast joins — docArr is |docs|
-    // rows). The dot itself is the native SortedTokenDot two-pointer
+    // table at one row per pair (graft.Attach: broadcast at bench SFs,
+    // co-partitioned beyond spark.graft.attach.broadcastMaxRows).
+    // The dot itself is the native SortedTokenDot two-pointer
     // merge (compiled, O(|a|+|b|) per pair, DECIMAL(30,12)-exact, so
     // the emitted value matches the oracle's any-order decimal sum):
     // the HOF forms evaluate interpreted — the element_at fold cost
@@ -423,11 +424,9 @@ object Round15Ops {
     // map_zip_with still 58 s; the native merge is ~1 s of work.
     val docArr = graft.Lineage.cut(u.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("token"), col("u")))).as("ts")))
-    cand
-      .join(docArr.select(col("doc_id").as("a"), col("ts").as("ta")), Seq("a"))
-      .join(docArr.select(col("doc_id").as("b"), col("ts").as("tb")), Seq("b"))
+    graft.Attach.arrays(cand, docArr, "doc_id", Seq("ts"))
       .select(col("a"), col("b"),
-        graft.functions.Registry.sortedTokenDot(col("ta"), col("tb")).as("dot"))
+        graft.functions.Registry.sortedTokenDot(col("ts_a"), col("ts_b")).as("dot"))
       .select(col("a"), col("b"), emit(col("dot").cast("double"), 6).as("cosine"))
       .filter(col("cosine") >= 0.9)
       .orderBy(col("a"), col("b"))

@@ -734,21 +734,28 @@ object Round9Ops {
     * is the INTEGER compare 5·|A∩B| ≥ 4·|A∪B| (no float frontier), the
     * emitted jaccard rounds an exact rational. Shapes: one token-key
     * df agg joined back co-keyed, one doc-key sort-collect, one
-    * prefix-token-key candidate join (hot-bucket capped; prefix tokens
-    * are rare by construction — the cap never fires at test SF, so the
-    * all-pairs oracle is exact, the graph_neighbor_jaccard precedent).
+    * prefix-token-key candidate join — UNCAPPED: every pruning step
+    * (prefix filter, length filter, positional filter) is lossless by
+    * proof, so the all-pairs oracle is exact at every SF (a hot-bucket
+    * cap here silently dropped 99% of qualifying pairs at sf0.1's
+    * near-dup density — removed in r8; the capped best-effort forms
+    * live in the rows-only production variants).
     */
   def setSimilarityJoin(s: SparkSession, dir: String): DataFrame = {
     val toks = docs(s, dir)
       .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
       .filter(col("token") =!= "")
     val dfr = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
-    // perDoc feeds the prefix explode AND both verify-side re-joins
+    // perDoc feeds the prefix explode AND both verify-side re-joins:
+    // ts df-ascending for the prefix theorem, tsl lexical for the native
+    // two-pointer intersect count on the verify path
     val perDoc = graft.Lineage.cut(toks
       .join(dfr, Seq("token"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("sorted"))
-      .select(col("doc_id"), transform(col("sorted"), x => x.getField("token")).as("ts")))
+      .select(col("doc_id"),
+        transform(col("sorted"), x => x.getField("token")).as("ts"),
+        array_sort(transform(col("sorted"), x => x.getField("token"))).as("tsl")))
     // τ = 0.8 ⇒ prefix length p = n − ⌈0.8n⌉ + 1 (positions 0..p−1)
     val prefixRows = perDoc
       .select(
@@ -787,17 +794,18 @@ object Round9Ops {
           (col("na") + col("nb")) * 4)
       .select(col("a"), col("b"))
       .dropDuplicates("a", "b")
-    // token arrays attach by BROADCAST (|docs| rows of sorted tokens,
-    // MBs at bench SFs): the candidate stream stays narrow through its
-    // one dedup shuffle and the wide arrays never shuffle per pair. At
-    // a scale where the doc-set relation outgrows a broadcast, the
-    // exact all-pairs contract itself is the limiting choice — the
-    // capped/LSH production variants are the documented path there.
-    cand
-      .join(broadcast(perDoc.select(col("doc_id").as("a"), col("ts").as("ts_a"))), Seq("a"))
-      .join(broadcast(perDoc.select(col("doc_id").as("b"), col("ts").as("ts_b"))), Seq("b"))
-      .withColumn("inter", size(array_intersect(col("ts_a"), col("ts_b"))))
-      .withColumn("uni", size(col("ts_a")) + size(col("ts_b")) - col("inter"))
+    // token arrays attach AFTER the pair dedup ([[graft.Attach]]):
+    // broadcast at bench SFs, co-partitioned shuffle join beyond
+    // spark.graft.attach.broadcastMaxRows — the candidate stream stays
+    // narrow through its one dedup shuffle and the wide arrays never
+    // shuffle per pair. The intersect is the native SortedIntersectCount
+    // two-pointer merge over the lex-sorted arrays (array_intersect
+    // builds a hash set + output array PER PAIR — pure allocation churn
+    // at 10M+ candidates); same count, same integer threshold, same
+    // emitted jaccard.
+    graft.Attach.arrays(cand, perDoc.select(col("doc_id"), col("tsl")), "doc_id", Seq("tsl"))
+      .withColumn("inter", graft.functions.Registry.sortedIntersect(col("tsl_a"), col("tsl_b")))
+      .withColumn("uni", size(col("tsl_a")) + size(col("tsl_b")) - col("inter"))
       .filter(col("inter") * 5 >= col("uni") * 4)
       .select(
         col("a"), col("b"),

@@ -3958,6 +3958,48 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(joined.count() > 100, "sample must actually exercise the merge")
   }
 
+  test("SortedIntersectCount equals size(array_intersect) on sorted-unique arrays, throws on violations") {
+    import org.apache.spark.sql.functions._
+    val arr = Tables.documents(spark, dir)
+      .limit(60)
+      .select(col("doc_id"),
+        array_sort(array_distinct(
+          filter(split(col("text"), " "), t => t =!= ""))).as("tsl"))
+    val pairs = arr.select(col("doc_id").as("a"), col("tsl").as("xa"))
+      .crossJoin(arr.select(col("doc_id").as("b"), col("tsl").as("xb")))
+      .filter(col("a") < col("b"))
+      .select(
+        graft.functions.Registry.sortedIntersect(col("xa"), col("xb")).as("nat"),
+        size(array_intersect(col("xa"), col("xb"))).as("ref"))
+    assert(pairs.filter(col("nat") =!= col("ref")).count() == 0,
+      "native two-pointer count must equal array_intersect size pair-for-pair")
+    assert(pairs.count() > 100, "sample must actually exercise the merge")
+    // the sorted-unique precondition is DETECTED, never silently wrong:
+    // an unsorted side and a duplicate element both throw at eval
+    for (bad <- Seq("array('b','a','c')", "array('a','a','b')")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_sorted_intersect($bad, array('a','b','c'))").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("sorted with unique")), s"wrong error for $bad: $e")
+    }
+  }
+
+  test("Attach co-partitioned path: both similarity joins hash-identical to the broadcast form") {
+    // the 100 TB form (doc arrays shuffle-join on each endpoint instead
+    // of broadcasting the corpus) must be result-identical; force it by
+    // setting the guard below any real doc count
+    def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect().toSeq.map(_.toString)
+    val base = Map("set_similarity_join" -> rows("set_similarity_join"),
+      "tfidf_cosine_join" -> rows("tfidf_cosine_join"))
+    spark.conf.set("spark.graft.attach.broadcastMaxRows", "1")
+    try {
+      for ((q, expect) <- base)
+        assert(rows(q) == expect, s"$q: shuffle-attach form diverged from broadcast form")
+    } finally spark.conf.unset("spark.graft.attach.broadcastMaxRows")
+  }
+
   test("tfidf cosine join: canonical pairs, bounded cosine, prefix filter is complete") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("tfidf_cosine_join")(spark, dir).cache()

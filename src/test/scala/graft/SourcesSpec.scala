@@ -439,6 +439,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(si == sf, s"summed stats $si must equal rebuild stats $sf")
   }
 
+  test("serve reads scan at most the probed partitions' files (bm25 buckets, IVF lists)") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.{InvertedIndex, IvfIndex}
+    import graft.tools.Serve
+    def filesUnder(paths: Seq[String]): Long = paths.map { p =>
+      val f = new java.io.File(p)
+      if (!f.exists()) 0L
+      else f.listFiles().count(_.getName.endsWith(".parquet")).toLong
+    }.sum
+    // bm25: scanned postings files ≤ files inside the buckets the terms hash into
+    val d = Tables.documents(spark, dir)
+    val bmDir = Files.createTempDirectory("graft_bmserve").toString
+    InvertedIndex.build(d, bmDir)
+    val terms = Seq("vector", "hash")
+    val sdf = InvertedIndex.search(spark, bmDir, terms, 10)
+    assert(sdf.collect().nonEmpty)
+    val probedBuckets = {
+      import spark.implicits._
+      terms.toDF("token").select(InvertedIndex.bucketOf(col("token")).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+    }
+    val bmAllowed = filesUnder(probedBuckets.toSeq.map(b => s"$bmDir/postings/bucket=$b"))
+    val bmScanned = Serve.scannedFiles(sdf, "postings")
+    assert(bmScanned > 0 && bmScanned <= bmAllowed,
+      s"bm25 scanned $bmScanned files, probed buckets hold $bmAllowed")
+    // IVF: scanned list files ≤ files inside the probes·|queries| probed lists
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
+    val ivfDir = Files.createTempDirectory("graft_ivfserve").toString
+    IvfIndex.build(e, ivfDir)
+    val q = e.filter(col("vec_id") < 2).select(col("vec_id").as("query_id"), col("e").as("qe"))
+    val adf = IvfIndex.search(spark, ivfDir, q)
+    assert(adf.collect().nonEmpty)
+    val probedCents = graft.queries.TextOps
+      .nearestCentroids(q,
+        IvfIndex.centroids(spark, ivfDir).select(col("cent_id").cast("long").as("cent_id"), col("ce")),
+        "query_id", "qe", 2)
+      .select(col("cent_id")).distinct().collect().map(_.getLong(0)).toSet
+    val ivfAllowed = filesUnder(probedCents.toSeq.map(c => s"$ivfDir/lists/cent_id=$c"))
+    val ivfScanned = Serve.scannedFiles(adf, "lists")
+    assert(ivfScanned > 0 && ivfScanned <= ivfAllowed,
+      s"IVF scanned $ivfScanned list files, probed lists hold $ivfAllowed")
+  }
+
   test("cachedIndexDir keys the cache by input identity and config, and rejects bad markers") {
     val dataDir = Files.createTempDirectory("graft_cachekey").toString
     val f = new java.io.File(dataDir, "documents.parquet")

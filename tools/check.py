@@ -7,12 +7,16 @@ value comparison with columns sorted by name).
 The value comparison is DRIVER-EXACT: every cell is rendered with
 Python `repr` of its native value and compared byte-for-byte — no
 float tolerance, no int/float coercion, signed-zero-distinct
-(`repr(-0.0) == '-0.0' != '0.0'`). Round 7 shipped 6 red rows because
-the previous version compared floats at 1e-12 tolerance and silently
-coerced int-vs-float column pairs; this version would have flagged all
-six locally."""
+(`repr(-0.0) == '-0.0' != '0.0'`), and stored float NaN is rendered
+'nan', DISTINCT from NULL's '∅' (pandas' parquet path conflates NULL
+doubles with NaN, so both sides read through Arrow and NULL-ness comes
+from the Arrow validity mask, not the pandas value). Round 7 shipped 6
+red rows because the previous version compared floats at 1e-12
+tolerance and silently coerced int-vs-float column pairs; this version
+would have flagged all six locally."""
 import sys, os, json, glob
 import duckdb
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -27,14 +31,16 @@ for t in "region nation customer supplier part orders lineitem events documents 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 
 
-def canon(v):
-    """Driver-exact cell rendering: native-value repr, nulls unified,
-    -0.0 kept distinct from 0.0, int kept distinct from float."""
-    if v is None:
+def canon(v, isnull):
+    """Driver-exact cell rendering: NULL (per the Arrow validity mask)
+    is '∅', stored float NaN is 'nan' (distinct — a Spark NaN vs oracle
+    NULL must NOT pass), -0.0 kept distinct from 0.0, int kept distinct
+    from float."""
+    if isnull or v is None:
         return "∅"
     if isinstance(v, float):
         if v != v:
-            return "∅"
+            return "nan"
         return repr(v)
     try:
         if pd.isna(v):
@@ -44,8 +50,8 @@ def canon(v):
     return repr(v)
 
 
-def col_reprs(series):
-    return [canon(v) for v in series.tolist()]
+def col_reprs(series, mask):
+    return [canon(v, mask[i]) for i, v in enumerate(series.tolist())]
 
 
 fails = []
@@ -66,7 +72,8 @@ for name in claimed:
     files = glob.glob(f"{path}/*.parquet")
     if not files:
         print(f"FAIL {name}: no parquet written"); fails.append(name); continue
-    got = pq.read_table(files[0]).to_pandas()
+    got_tbl = pq.read_table(files[0])
+    got = got_tbl.to_pandas()
     if name not in oracle:
         status = "rows-only"
         ok = len(got) > 0
@@ -74,7 +81,15 @@ for name in claimed:
         if not ok: fails.append(name)
         continue
     try:
-        exp = con.sql(oracle[name]).df()
+        exp_tbl = con.sql(oracle[name]).arrow()
+        exp = exp_tbl.to_pandas()
+        # duckdb's .df() (the driver's path) renders DECIMAL as float64;
+        # arrow keeps Decimal objects — mirror .df() so decimal-typed
+        # oracle literals/emits compare the way the driver compares them
+        import pyarrow.types as pt
+        for f in exp_tbl.schema:
+            if pt.is_decimal(f.type):
+                exp[f.name] = exp[f.name].astype("float64")
     except Exception as e:
         print(f"FAIL {name}: oracle SQL error: {e}"); fails.append(name); continue
     gc, ec = sorted(got.columns), sorted(exp.columns)
@@ -86,7 +101,9 @@ for name in claimed:
     diff_cols = []
     examples = []
     for c in gc:
-        gr, er = col_reprs(g[c]), col_reprs(e[c])
+        gmask = pc.is_null(got_tbl[c]).to_pylist()
+        emask = pc.is_null(exp_tbl[c]).to_pylist()
+        gr, er = col_reprs(g[c], gmask), col_reprs(e[c], emask)
         bad = [i for i, (a, b) in enumerate(zip(gr, er)) if a != b]
         if bad:
             diff_cols.append((c, len(bad)))
