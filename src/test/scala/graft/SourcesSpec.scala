@@ -461,9 +461,14 @@ class SourcesSpec extends AnyFunSuite {
         .distinct().collect().map(_.getInt(0)).toSet
     }
     val bmAllowed = filesUnder(probedBuckets.toSeq.map(b => s"$bmDir/postings/bucket=$b"))
-    val bmScanned = Serve.scannedFiles(sdf, "postings")
-    assert(bmScanned > 0 && bmScanned <= bmAllowed,
-      s"bm25 scanned $bmScanned files, probed buckets hold $bmAllowed")
+    // the plan scans postings once per consumer (candidate join + df
+    // agg) — the pruning claim is PER SCAN: no scan may read a file
+    // outside the probed buckets
+    val bmScans = Serve.fileScans(sdf.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("postings")))
+      .map(_.metrics.get("numFiles").map(_.value).getOrElse(-1L))
+    assert(bmScans.nonEmpty && bmScans.forall(n => n > 0 && n <= bmAllowed),
+      s"bm25 per-scan files $bmScans, probed buckets hold $bmAllowed")
     // IVF: scanned list files ≤ files inside the probes·|queries| probed lists
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("e"))
