@@ -981,7 +981,7 @@ object Streams {
       .groupBy(col("domain"))
       .agg(count(lit(1)).as("n"))
 
-  /** #49r mauSketchStream — continuous twin of mau_hll_sliding (#251):
+  /** #49v mauSketchStream — continuous twin of mau_hll_sliding (#251):
     * per-day DataSketches HLL sketches maintained as streaming state.
     * hll_sketch_agg is a TypedImperativeAggregate, so the state store
     * holds ONE fixed-KB sketch buffer per day key and every
