@@ -3976,14 +3976,24 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(pairs.count() > 100, "sample must actually exercise the merge")
     // the sorted-unique precondition is DETECTED, never silently wrong:
     // an unsorted side and a duplicate element both throw at eval
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     for (bad <- Seq("array('b','a','c')", "array('a','a','b')")) {
       val e = intercept[Exception] {
         spark.sql(s"SELECT graft_sorted_intersect($bad, array('a','b','c'))").collect()
       }
-      def msgs(t: Throwable): Seq[String] =
-        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
       assert(msgs(e).exists(_.contains("sorted with unique")), s"wrong error for $bad: $e")
     }
+    // the dot's precondition is detected the same way (the out-of-order
+    // element must sit inside the merged region to be observable)
+    val ed = intercept[Exception] {
+      spark.sql("""SELECT graft_sorted_dot(
+        array(named_struct('token','b','u',1.0D), named_struct('token','a','u',2.0D),
+              named_struct('token','c','u',3.0D)),
+        array(named_struct('token','a','u',1.0D), named_struct('token','b','u',2.0D),
+              named_struct('token','c','u',3.0D)))""").collect()
+    }
+    assert(msgs(ed).exists(_.contains("token-sorted with unique")), s"wrong error: $ed")
   }
 
   test("Attach co-partitioned path: both similarity joins hash-identical to the broadcast form") {
