@@ -199,7 +199,8 @@ object GraphOps {
     * id tie-break (the engine-portable rank rule).
     */
   def pageRank(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir).distinct()
+    // consumed by nodes/deg AND every round's inflow join: cut once
+    val e = graft.Lineage.cut(edges(s, dir).distinct())
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("n")) // single-row broadcast
@@ -460,7 +461,8 @@ object GraphOps {
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"), greatest(col("src"), col("dst")).as("b"))
       .distinct()
-    kcoreOver(und, k = 20, rounds = 8)
+    // induced() re-reads und every peel round: cut once
+    kcoreOver(graft.Lineage.cut(und), k = 20, rounds = 8)
   }
 
   /** The peel over any undirected (a, b) edge frame — test entry.
@@ -620,7 +622,8 @@ object GraphOps {
     * engines emit the identical double.
     */
   def graphReciprocity(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir).distinct()
+    // e is both semi-join sides AND the total: cut once
+    val e = graft.Lineage.cut(edges(s, dir).distinct())
     val recip = e.join(
       e.select(col("dst").as("src"), col("src").as("dst")),
       Seq("src", "dst"),
@@ -655,7 +658,10 @@ object GraphOps {
     * as generated CTEs.
     */
   def graphHits(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir).distinct()
+    // e feeds SIX per-round joins + the node roster: cut once or every
+    // consumer re-runs the orders⋈lineitem derivation (r9: 6.3 s → the
+    // per-round work is then joins over the ≤22k-row pinned edge set)
+    val e = graft.Lineage.cut(edges(s, dir).distinct())
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val nRow = nodes.agg(count(lit(1)).as("n"))

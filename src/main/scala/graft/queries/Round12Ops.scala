@@ -329,7 +329,8 @@ object Round12Ops {
     * the same three rounds unrolled as CTEs.
     */
   def personalizedPagerank(s: SparkSession, dir: String): DataFrame = {
-    val e = GraphOps.edges(s, dir).distinct()
+    // consumed by nodes/deg AND every round's inflow join: cut once
+    val e = graft.Lineage.cut(GraphOps.edges(s, dir).distinct())
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
     val seedN = nodes.filter(col("id") < 5).agg(count(lit(1)).as("ns"))

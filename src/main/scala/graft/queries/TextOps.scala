@@ -1781,6 +1781,10 @@ object TextOps {
     // (the expensive subtree) executes twice, one per reference
     val cp = graft.Lineage.cut(
       dedupMinhashMd5(s, dir).select(col("a"), col("b"), col("est_jaccard")))
+    // NOTE (r9, measured): do NOT cut gd — the three re-derivations of
+    // the distinct gram pass are cheaper than pinning it (4.2 s with
+    // re-derivation vs 4.8 s cut at sf0.1); the expensive subtree here
+    // is the md5 signature pipeline, already cut above
     val gd = gramRows(docs(s, dir), 3, distinct = true)
     val sizes = gd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = gd.select(col("doc_id").as("a"), col("g"))

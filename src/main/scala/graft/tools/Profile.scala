@@ -14,10 +14,60 @@ object Profile {
     println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n rows)")
   }
 
+  /** Stage-by-stage wall-clock of set_similarity_join (r9: the verify
+    * went native; this locates the next constant).
+    */
+  def setsim(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(col("token") =!= "")
+    val dfr = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    def buildPerDoc() = graft.Lineage.cut(toks
+      .join(dfr, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("token")))).as("sorted"))
+      .select(col("doc_id"),
+        transform(col("sorted"), x => x.getField("token")).as("ts"),
+        array_sort(transform(col("sorted"), x => x.getField("token"))).as("tsl")))
+    // warmup pass
+    buildPerDoc().count()
+    time("perDoc-build+cut")(buildPerDoc().count())
+    val perDoc = buildPerDoc()
+    val prefixRows = perDoc
+      .select(col("doc_id"), col("ts"), posexplode(col("ts")).as(Seq("pos", "token")))
+      .filter(col("pos") < size(col("ts")) - ((size(col("ts")) * 4 + 4) / 5).cast("int") + 1)
+      .select(col("token"), col("doc_id"), size(col("ts")).as("n"), col("pos"))
+    time("prefix-rows")(prefixRows.count())
+    val raw = prefixRows
+      .select(col("token"), col("doc_id").as("a"), col("n").as("na"), col("pos").as("pa"))
+      .join(prefixRows.select(col("token"), col("doc_id").as("b"), col("n").as("nb"),
+        col("pos").as("pb")), Seq("token"))
+    time("raw-candidate-join")(raw.count())
+    val filtered = raw.filter(col("a") < col("b") &&
+      col("na") * 5 >= col("nb") * 4 && col("nb") * 5 >= col("na") * 4 &&
+      (lit(1) + least(col("na") - 1 - col("pa"), col("nb") - 1 - col("pb"))) * 9 >=
+        (col("na") + col("nb")) * 4)
+    time("filtered-candidates")(filtered.count())
+    val cand = filtered.select(col("a"), col("b")).dropDuplicates("a", "b")
+    time("dedup-pairs")(cand.count())
+    val attached = graft.Attach.arrays(cand, perDoc.select(col("doc_id"), col("tsl")), "doc_id", Seq("tsl"))
+    time("attach+intersect+emit") {
+      attached
+        .withColumn("inter", graft.functions.Registry.sortedIntersect(col("tsl_a"), col("tsl_b")))
+        .withColumn("uni", size(col("tsl_a")) + size(col("tsl_b")) - col("inter"))
+        .filter(col("inter") * 5 >= col("uni") * 4)
+        .count()
+    }
+    time("full-query")(graft.queries.Round9Ops.queries("set_similarity_join")(spark, dir).count())
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = GraftSession.local()
     import graft.queries.TextOps
+
+    if (args.drop(1).headOption.contains("setsim")) { setsim(spark, dir); spark.stop(); return }
 
     val docs = Tables.documents(spark, dir)
     val words = split(col("text"), " ")
