@@ -480,8 +480,13 @@ object Round11Ops {
         when(ld(2).isNotNull, concat_ws(" ", col("w0"), ld(1), ld(2))).as("g"))
       .filter(col("g").isNotNull)
       .distinct()
-    val guarded = TextOps.dropHotBuckets(grams, Seq("g"), "dedup_containment_buckets")
-    val sizes = grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // grams carries a per-doc window (the lead chain) and feeds THREE
+    // consumers (hot-bucket guard + sizes + its own distinct); guarded
+    // is BOTH sides of the intersection self-join — cut each once (r9)
+    val gramsCut = graft.Lineage.cut(grams)
+    val guarded = graft.Lineage.cut(
+      TextOps.dropHotBuckets(gramsCut, Seq("g"), "dedup_containment_buckets"))
+    val sizes = gramsCut.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = guarded.select(col("doc_id").as("a"), col("g"))
       .join(guarded.select(col("doc_id").as("b"), col("g")), Seq("g"))
       .filter(col("a") < col("b"))
@@ -552,12 +557,20 @@ object Round11Ops {
       col("e").as("ea"), col("nrm").as("na"))
     val right = withNorm.select(col("vec_id").as("b"), col("label").as("lb"),
       col("e").as("eb"), col("nrm").as("nb"))
-    val wRank = Window.partitionBy(col("a")).orderBy(col("cosine").desc, col("b"))
-    val votes = left.join(broadcast(right), col("a") =!= col("b"))
+    // top-10 via the native bounded TopKPairs aggregate, NOT a window:
+    // the crossJoin keeps each a's n−1 candidates in one partition, so
+    // the map-side partial collapses n² scored rows to n×k BEFORE any
+    // exchange — the row_number form hash-exchanged and sorted the full
+    // n² frame (r9: 3.9 → the vote join below is then k·n rows). Same
+    // selection order (score DESC, id ASC ≡ cosine desc, b asc).
+    val topn = left.join(broadcast(right.select(col("b"), col("eb"), col("nb"))),
+        col("a") =!= col("b"))
       .withColumn("cosine", Registry.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .select(col("a"), col("la"), col("b"), col("lb"), col("cosine"))
-      .withColumn("rn", row_number().over(wRank))
-      .filter(col("rn") <= 10)
+      .groupBy(col("a"), col("la"))
+      .agg(Registry.topK(col("cosine"), col("b"), 10).as("_top"))
+      .select(col("a"), col("la"), explode(col("_top.id")).as("b"))
+    val votes = topn
+      .join(broadcast(right.select(col("b"), col("lb"))), Seq("b"))
       .groupBy(col("a"), col("la"), col("lb"))
       .agg(count(lit(1)).as("v"))
     val wVote = Window.partitionBy(col("a")).orderBy(col("v").desc, col("lb"))
