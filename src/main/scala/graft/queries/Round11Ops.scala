@@ -480,12 +480,13 @@ object Round11Ops {
         when(ld(2).isNotNull, concat_ws(" ", col("w0"), ld(1), ld(2))).as("g"))
       .filter(col("g").isNotNull)
       .distinct()
-    // grams carries a per-doc window (the lead chain) and feeds THREE
-    // consumers (hot-bucket guard + sizes + its own distinct); guarded
-    // is BOTH sides of the intersection self-join — cut each once (r9)
+    // grams carries a per-doc window (the lead chain) and feeds FOUR
+    // reads (hot-bucket guard ×2 + sizes + both self-join sides through
+    // the guard): cut it once BEFORE the guard, so the window pipeline
+    // computes once while the guard's observe() metrics stay in the
+    // final plan (r9)
     val gramsCut = graft.Lineage.cut(grams)
-    val guarded = graft.Lineage.cut(
-      TextOps.dropHotBuckets(gramsCut, Seq("g"), "dedup_containment_buckets"))
+    val guarded = TextOps.dropHotBuckets(gramsCut, Seq("g"), "dedup_containment_buckets")
     val sizes = gramsCut.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = guarded.select(col("doc_id").as("a"), col("g"))
       .join(guarded.select(col("doc_id").as("b"), col("g")), Seq("g"))

@@ -310,12 +310,13 @@ object Round4Ops {
     // the MOSS over-common-fingerprint rule: a fingerprint shared by
     // more than cap docs is boilerplate; pairing inside it would emit
     // m²/2 rows under one join key (TextOps.dropHotBuckets scaladoc)
-    // fp is BOTH sides of the self-join: cut once or the whole per-doc
-    // gram-hash pipeline (the md5 oracle tax, or xxhash in production)
-    // executes twice — the frame itself is a fraction of the gram table
-    // (r9: the expensive-frame-consumed-twice rule)
-    val fp = graft.Lineage.cut(
-      TextOps.dropHotBuckets(raw, Seq("fp"), "winnow_hot_buckets", bucketCap))
+    // the raw fingerprint frame (the whole per-doc gram-hash pipeline —
+    // md5 oracle tax, or xxhash in production) is read twice inside the
+    // hot-bucket guard and the guarded result twice more by the
+    // self-join: cut BEFORE the guard, so it computes once while the
+    // guard's observe() metrics stay in the final plan (r9)
+    val fp = TextOps.dropHotBuckets(
+      graft.Lineage.cut(raw), Seq("fp"), "winnow_hot_buckets", bucketCap)
     val l = fp.select(col("doc_id").as("a"), col("fp"))
     val r = fp.select(col("doc_id").as("b"), col("fp"))
     l.join(r, Seq("fp"))

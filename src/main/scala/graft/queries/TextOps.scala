@@ -201,11 +201,15 @@ object TextOps {
 
   private[graft] def minhashPairs(docsDf: DataFrame, cap: Option[Int] = None): DataFrame = {
     val sigCols = (0 until 16).map(i => col(s"m$i"))
-    val banded = minhashBandedRows(docsDf)
-    // guarded is BOTH sides of the band self-join: cut once or the
-    // shingle→16-permutation signature pipeline executes twice (r9)
-    val guarded = graft.Lineage.cut(
-      dropHotBuckets(banded, Seq("band", "bandhash"), "minhash_hot_buckets", cap))
+    // banded (the shingle→16-permutation signature pipeline) is read
+    // TWICE inside dropHotBuckets (sizes + semi-join) and the guarded
+    // result is BOTH sides of the band self-join — cut the expensive
+    // frame BEFORE the guard, so it computes once while the guard's
+    // observe() metrics stay in the final plan (HotBucketSpec reads
+    // queryExecution.observedMetrics; a cut after the guard would
+    // truncate them away) (r9)
+    val banded = graft.Lineage.cut(minhashBandedRows(docsDf))
+    val guarded = dropHotBuckets(banded, Seq("band", "bandhash"), "minhash_hot_buckets", cap)
     val left = guarded.select(
       col("band"), col("bandhash"), col("doc_id").as("a"),
       array(sigCols: _*).as("sig_a"))
@@ -255,10 +259,11 @@ object TextOps {
             md5(concat_ws("|", sigCols.slice(b * 4, b * 4 + 4): _*))): _*)): _*)
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bandhash")
-    // guarded is BOTH sides of the band self-join: cut once or the
-    // 4-md5-per-gram signature pipeline executes twice (r9)
-    val guarded = graft.Lineage.cut(
-      dropHotBuckets(banded, Seq("band", "bandhash"), "minhash_md5_hot_buckets"))
+    // the banded 4-md5-per-gram signature frame is read twice inside
+    // the guard and the guarded result twice more by the self-join:
+    // cut BEFORE the guard (observe() stays in the final plan) (r9)
+    val guarded = dropHotBuckets(graft.Lineage.cut(banded),
+      Seq("band", "bandhash"), "minhash_md5_hot_buckets")
     def side(tag: String) = guarded.select(
       col("band") +: col("bandhash") +: col("doc_id").as(tag) +:
         (0 until 16).map(i => col(s"m$i").as(s"m${i}_$tag")): _*)
@@ -370,10 +375,12 @@ object TextOps {
         shiftright(col("simhash"), k * 16).bitwiseAND(0xFFFFL)): _*)))
       .withColumnRenamed("pos", "seg")
       .withColumnRenamed("col", "seghash")
-    // seg is BOTH sides of the block self-join: cut once or the
-    // 64-bit-sum fingerprint aggregate executes twice (r9)
-    val seg = graft.Lineage.cut(
-      dropHotBuckets(banded, Seq("seg", "seghash"), "simhash_hot_buckets", cap))
+    // the banded fingerprint frame is read twice inside the guard and
+    // the guarded result twice more by the self-join: cut BEFORE the
+    // guard (observe() metrics must stay in the final plan — the
+    // minhashPairs note) (r9)
+    val seg = dropHotBuckets(graft.Lineage.cut(banded),
+      Seq("seg", "seghash"), "simhash_hot_buckets", cap)
     // distinct column names on the probe side: joining two projections
     // of the same frame on same-named attributes makes Spark warn about
     // trivially-true predicates while it disambiguates — renaming is
@@ -432,11 +439,11 @@ object TextOps {
         posexplode(array(col("s0"), col("s1"), col("s2"), col("s3"))))
       .withColumnRenamed("pos", "seg")
       .withColumnRenamed("col", "segval")
-    // exploded is BOTH sides of the block self-join: cut once or the
-    // md5-per-word + 64-bit-sum pipeline executes twice (r9; the frame
-    // is 4 rows/doc)
-    val exploded = graft.Lineage.cut(
-      dropHotBuckets(banded, Seq("seg", "segval"), "simhash_md5_hot_buckets"))
+    // the banded md5-fingerprint frame is read twice inside the guard
+    // and the guarded result twice more by the self-join: cut BEFORE
+    // the guard (observe() stays in the final plan) (r9)
+    val exploded = dropHotBuckets(graft.Lineage.cut(banded),
+      Seq("seg", "segval"), "simhash_md5_hot_buckets")
     val l = exploded.select(
       col("seg"), col("segval"), col("doc_id").as("a"),
       col("s0").as("a0"), col("s1").as("a1"), col("s2").as("a2"), col("s3").as("a3"))
