@@ -118,12 +118,14 @@ object Lineage {
   *    same way, then on `b` — two shuffles of the narrow pair stream,
   *    never a broadcast of the full doc corpus.
   *
-  * The form is picked by `spark.graft.attach.broadcastMaxRows` (default
-  * 10M — ~a few hundred MB of token arrays, inside the driver/executor
-  * budget that the 64 MB autoBroadcast threshold implies for plain
-  * dims): the per-doc relation arrives Lineage.cut, so the count reads
-  * pinned blocks, not the lineage. Results are spec-pinned identical
-  * across forms (AttachSpec runs both and compares hashes).
+  * The form is picked by `spark.graft.attach.broadcastMaxRows`
+  * (default 1M: at the corpus's ~30 tokens/doc a row is ~200-500 B of
+  * array payload, so 1M rows is ~200-500 MB broadcast — the practical
+  * executor-memory ceiling for a build side; a 10× bigger default
+  * would broadcast multi-GB relations). The per-doc relation arrives
+  * Lineage.cut, so the count reads pinned blocks, not the lineage.
+  * Results are spec-pinned identical across forms (the Attach spec
+  * runs both and compares hashes).
   */
 object Attach {
   def arrays(cand: org.apache.spark.sql.DataFrame,
@@ -131,7 +133,7 @@ object Attach {
       key: String, payload: Seq[String]): org.apache.spark.sql.DataFrame = {
     val spark = cand.sparkSession
     val maxRows =
-      spark.conf.getOption("spark.graft.attach.broadcastMaxRows").map(_.toLong).getOrElse(10000000L)
+      spark.conf.getOption("spark.graft.attach.broadcastMaxRows").map(_.toLong).getOrElse(1000000L)
     val small = perDoc.count() <= maxRows
     def side(as: String) = perDoc.select(
       (col(key).as(as)) +: payload.map(c => col(c).as(s"${c}_$as")): _*)
