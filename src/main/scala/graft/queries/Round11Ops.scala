@@ -770,6 +770,11 @@ object Round11Ops {
   val NegativesPerUser = 4
 
   def negativeSampling(s: SparkSession, dir: String): DataFrame = {
+    // NOTE (r9, measured): positives is read twice (user roster +
+    // anti-join) but cutting it REGRESSED 3.7 → 10.3 s at sf0.1 — a
+    // pinned LogicalRDD loses the size statistics the planner uses to
+    // shape the anti-join, and the re-derivation is one cheap co-keyed
+    // join. Leave it uncut.
     val positives = Tables.orders(s, dir)
       .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("user_id"), col("l_partkey").as("part_id"))

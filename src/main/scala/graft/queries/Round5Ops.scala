@@ -468,13 +468,17 @@ object Round5Ops {
     * (doc_id, source, text, n_words) working set.
     */
   private[graft] def recipeTail(d: DataFrame, deduped: DataFrame): DataFrame = {
+    // the deduped working set is read twice (contamination grams + the
+    // final anti-join) and its upstream is the expensive part of every
+    // recipe variant (language gate + dedup stage): cut once (r9)
+    val dd = graft.Lineage.cut(deduped)
     val evalGrams =
       TextOps.gramRows(d.filter(col("doc_id") < 5), 4).select(col("g")).distinct()
-    val contaminated = TextOps.gramRows(deduped.filter(col("doc_id") >= 5), 4)
+    val contaminated = TextOps.gramRows(dd.filter(col("doc_id") >= 5), 4)
       .join(evalGrams, Seq("g"), "left_semi")
       .select(col("doc_id"))
       .distinct()
-    deduped
+    dd
       .filter(col("doc_id") >= 5)
       .join(contaminated, Seq("doc_id"), "left_anti")
       .withColumn("h", md5(concat(lit("split1:"), col("doc_id").cast("string"))))

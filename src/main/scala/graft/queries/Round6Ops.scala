@@ -42,14 +42,18 @@ object Round6Ops {
   /** The near-dedup stage over a gated (doc_id, source, text, n_words)
     * working set — test entry point for the planted near-duplicate.
     */
-  private[graft] def nearDedupDocs(gated: DataFrame): DataFrame =
-    gated
-      .join(
-        TextOps.minhashPairs(gated.select(col("doc_id"), col("text")))
+  private[graft] def nearDedupDocs(gated: DataFrame): DataFrame = {
+    // gated carries the language/length/diversity gate (per-row n-gram
+    // language scoring — the expensive map) and is read twice here
+    // (the MinHash pair mining AND the survivor anti-join): cut once (r9)
+    val g = graft.Lineage.cut(gated)
+    g.join(
+        TextOps.minhashPairs(g.select(col("doc_id"), col("text")))
           .select(col("b").as("doc_id"))
           .distinct(),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"), col("text"), col("n_words"))
+  }
 
   /** #93 TPC-H Q13 (customer distribution): how many customers placed
     * 0, 1, 2, … orders — the canonical OUTER-join histogram and the
