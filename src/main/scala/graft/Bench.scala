@@ -8,6 +8,19 @@ import org.apache.spark.sql.SparkSession
   * Prints ONE JSON line for the driver.
   */
 object Bench {
+
+  /** Reset the shared-JVM state one query leaves for the next —
+    * spec-pinned (BenchSpec): after reset no pinned RDD blocks and no
+    * cached relations remain, so query N+1 starts from the same
+    * storage state as an isolated run. r8 adjudication: without this,
+    * Lineage.cut localCheckpoint blocks piled up over ~780 executions
+    * and inflated late-catalog rows 6-10× their isolated cost.
+    */
+  def resetSharedState(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    System.gc()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: comma-separated query names (local profiling subset)
@@ -44,18 +57,10 @@ object Bench {
     val names = selected.toSeq.sortBy(_._1)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Boolean) = {
-      // Reset shared-JVM state outside the timed window. r8 adjudication:
-      // over 780 executions the Lineage.cut localCheckpoint blocks pile up
-      // in executor storage (every iterative query pins its edge/centroid
-      // frames and nothing releases them), and the late-alphabet tail ran
-      // 6-10x its isolated cost (set_similarity_join 248s in-catalog vs
-      // 23.7s isolated, judge-verified). Unpersist every pinned block and
-      // drop cached relations so query N+1 starts from the same storage
-      // state as an isolated run; then GC so the ContextCleaner can also
-      // reap the orphaned shuffle files before the next timing starts.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-      spark.catalog.clearCache()
-      System.gc()
+      // reset shared-JVM state OUTSIDE the timed window (see
+      // resetSharedState; the GC also lets the ContextCleaner reap
+      // orphaned shuffle files before the next timing starts)
+      resetSharedState(spark)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
