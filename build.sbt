@@ -57,3 +57,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx$forkedHeap",
 )
+// experiment hook: extra JVM flags for the forked run/test JVMs
+// (e.g. SPARK_GRAFT_EXTRA_JVM="-XX:ReservedCodeCacheSize=1g") —
+// lets A/B runs vary JVM sizing without editing the build
+javaOptions ++= sys.env.get("SPARK_GRAFT_EXTRA_JVM")
+  .map(_.split("\\s+").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)

@@ -6,8 +6,26 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR, forcing full execution through the noop sink
   * (a bare .count() would let column pruning skip computed columns).
   * Prints ONE JSON line for the driver.
+  *
+  * Harness v4-chunked (r10): the adjudicated heavy rows (default
+  * `set_similarity_join,tfidf_cosine_join`) run in their OWN fresh
+  * JVM, forked from here with the parent's classpath and JVM args,
+  * and their numbers merge into the one JSON line. Rationale
+  * (r8/r9 judge adjudication): in-catalog heavy-row passes are
+  * bimodal — 18/27 s isolated, intermittently 150-260 s after ~300
+  * in-JVM query executions — and two generations of in-place cleanup
+  * (System.gc, unpersist+clearCache) did not remove it. The fork is
+  * structural: whatever JVM state ~1,170 executions accumulate
+  * (code-cache/metaspace/GC old-gen), the heavy rows never see it.
+  * Env knobs: SPARK_GRAFT_HEAVY (csv, override the isolated set),
+  * SPARK_GRAFT_NO_CHUNK=1 (force everything in-JVM — the probe
+  * experiment mode), SPARK_GRAFT_PROBE=1 (log JVM state + per-query
+  * GC/JIT deltas to stderr around every timed query).
   */
 object Bench {
+
+  /** The rows that run in their own fresh JVM in full-catalog mode. */
+  val defaultHeavy = "set_similarity_join,tfidf_cosine_join"
 
   /** Reset the shared-JVM state one query leaves for the next —
     * spec-pinned (BenchSpec): after reset no pinned RDD blocks and no
@@ -21,15 +39,131 @@ object Bench {
     spark.catalog.clearCache()
     System.gc()
   }
+
+  // ---- JVM-state probe (SPARK_GRAFT_PROBE=1): names the in-JVM ----
+  // ---- inflation cause with numbers instead of suspicion        ----
+
+  private def pools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+  }
+
+  /** (gcTimeMs, jitTimeMs) monotonic counters for per-query deltas. */
+  def gcJitNow(): (Long, Long) = {
+    import scala.jdk.CollectionConverters._
+    val gc = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).filter(_ >= 0).sum
+    val jit = Option(java.lang.management.ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported).map(_.getTotalCompilationTime).getOrElse(-1L)
+    (gc, jit)
+  }
+
+  /** ContextCleaner reference-queue depth via reflection (the field is
+    * private[spark]); -1 when unreadable — the probe never throws.
+    */
+  def cleanerQueueSize(spark: SparkSession): Long =
+    try {
+      val cleaner = classOf[org.apache.spark.SparkContext]
+        .getMethod("cleaner").invoke(spark.sparkContext).asInstanceOf[Option[AnyRef]]
+      cleaner.map { c =>
+        val f = c.getClass.getDeclaredFields.find(_.getName.endsWith("referenceBuffer")).get
+        f.setAccessible(true)
+        f.get(c) match {
+          case s: java.util.Set[_]    => s.size.toLong
+          case m: java.util.Map[_, _] => m.size.toLong
+          case _                      => -1L
+        }
+      }.getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+
+  /** One-line JVM snapshot: heap, metaspace, JIT code cache (the
+    * r9 prime suspects: code-cache exhaustion disables the compiler
+    * intermittently; metaspace pressure forces full-GC class
+    * unloading), loaded classes, cumulative GC, cleaner queue.
+    */
+  def jvmProbe(spark: SparkSession): String = {
+    val mm = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+    def mb(v: Long) = v >> 20
+    def used(name: String) = pools.filter(_.getName.contains(name)).map(_.getUsage.getUsed).sum
+    val code = pools.filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getUsed).sum
+    val codeMax = pools.filter(_.getName.startsWith("CodeHeap")).map(_.getUsage.getMax).sum
+    val classes = java.lang.management.ManagementFactory.getClassLoadingMXBean.getLoadedClassCount
+    val (gcMs, jitMs) = gcJitNow()
+    s"heap=${mb(mm.getUsed)}/${mb(mm.getMax)}M meta=${mb(used("Metaspace"))}M " +
+      s"code=${mb(code)}/${mb(codeMax)}M classes=$classes gcMs=$gcMs jitMs=$jitMs " +
+      s"cleanQ=${cleanerQueueSize(spark)} pinned=${spark.sparkContext.getPersistentRDDs.size}"
+  }
+
+  // ---- fresh-JVM chunk for the heavy rows ----
+
+  /** Fork `graft.Bench <names csv>` in a fresh JVM (same classpath +
+    * JVM args as this one — `run/fork := true` gives us a real
+    * java.class.path) and parse its per-query pass samples back.
+    * The child's stdout goes to a log file, NEVER this stdout: the
+    * driver parses the parent's single JSON line. Returns None on any
+    * failure (caller falls back to in-JVM timing).
+    */
+  def runIsolated(names: Seq[String], sfDir: String): Option[Map[String, Seq[Option[Double]]]] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
+      val cp = System.getProperty("java.class.path")
+      // pass through memory/module/system-property args; drop anything
+      // process-specific a wrapper might have added (agents, ports)
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments.asScala
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val out = java.nio.file.Files.createTempFile("bench-heavy-", ".json")
+      val log = java.nio.file.Files.createTempFile("bench-heavy-", ".log")
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp, "graft.Bench", names.mkString(","))).asJava
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.redirectOutput(log.toFile)
+      pb.redirectErrorStream(true)
+      System.err.println(s"[bench] isolating ${names.mkString(",")} in a fresh JVM (log: $log)")
+      val p = pb.start()
+      val timeoutS = sys.env.getOrElse("SPARK_GRAFT_CHUNK_TIMEOUT", "1800").toLong
+      if (!p.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)) {
+        p.destroyForcibly(); System.err.println(s"[bench] isolated chunk timed out after ${timeoutS}s"); None
+      } else if (p.exitValue() != 0) {
+        System.err.println(s"[bench] isolated chunk exited ${p.exitValue()} (log: $log)"); None
+      } else {
+        val json = java.nio.file.Files.readString(out)
+        val parsed = names.map { n =>
+          val re = ("\"" + java.util.regex.Pattern.quote(n) + "\":\\[([^\\]]*)\\]").r
+          n -> re.findFirstMatchIn(json).map(_.group(1).split(',').toSeq.map {
+            case "null" => None
+            case s      => Some(s.toDouble)
+          })
+        }
+        // every requested row must come back with at least one good
+        // sample, or the whole chunk is treated as failed — a partial
+        // merge would silently understate the total
+        if (parsed.forall(_._2.exists(_.flatten.nonEmpty)))
+          Some(parsed.map { case (n, s) => n -> s.get }.toMap)
+        else { System.err.println(s"[bench] isolated chunk output incomplete (log: $log)"); None }
+      }
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] isolated chunk failed: ${e.getMessage}"); None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // optional arg: comma-separated query names (local profiling subset)
+    // optional arg: comma-separated query names (local profiling subset;
+    // ALSO the child-chunk mode — a subset run never re-chunks)
     val only: Set[String] = args.headOption.map(_.split(',').toSet).getOrElse(Set.empty)
     // a typo'd subset would otherwise silently benchmark nothing
     val unknown = only.diff(SparkEntry.queries.keySet)
     if (unknown.nonEmpty)
       System.err.println(s"[bench] unknown query names ignored: ${unknown.toSeq.sorted.mkString(", ")}")
-    def selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    val selected = if (only.isEmpty) SparkEntry.queries else SparkEntry.queries.filter(kv => only(kv._1))
+    val probe = sys.env.get("SPARK_GRAFT_PROBE").contains("1")
+    val noChunk = sys.env.get("SPARK_GRAFT_NO_CHUNK").contains("1")
+    val heavy: Set[String] =
+      if (only.nonEmpty || noChunk) Set.empty
+      else sys.env.getOrElse("SPARK_GRAFT_HEAVY", defaultHeavy)
+        .split(',').filter(_.nonEmpty).toSet.intersect(selected.keySet)
+    val inJvm = selected -- heavy
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,7 +176,7 @@ object Bench {
 
     // one warm-up pass over a tiny SF amortizes JIT/codegen compilation
     // out of the measured numbers (the driver measures steady-state)
-    selected.foreach { case (_, fn) =>
+    inJvm.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -54,13 +188,15 @@ object Bench {
     // recorded a 7.9x phantom regression that an isolated JVM couldn't
     // reproduce. Separating the two samples by a full catalog pass
     // decorrelates the noise; the min is then a defensible steady-state.
-    val names = selected.toSeq.sortBy(_._1)
-    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Boolean) = {
+    val names = inJvm.toSeq.sortBy(_._1)
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        pass: Int): (Double, Boolean) = {
       // reset shared-JVM state OUTSIDE the timed window (see
       // resetSharedState; the GC also lets the ContextCleaner reap
       // orphaned shuffle files before the next timing starts)
       resetSharedState(spark)
+      if (probe) System.err.println(s"[probe] pre  $name pass=$pass ${jvmProbe(spark)}")
+      val (gc0, jit0) = gcJitNow()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -68,12 +204,40 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (probe) {
+        val (gc1, jit1) = gcJitNow()
+        System.err.println(
+          f"[probe] post $name pass=$pass dt=$dt%.2fs dGcMs=${gc1 - gc0} dJitMs=${jit1 - jit0}")
+      }
+      (dt, ok)
     }
-    val passes = (1 to 2).map { _ => names.map { case (n, fn) => n -> timeOne(n, fn) } }
-    val results = names.map { case (name, _) =>
+    val passes = (1 to 2).map { p => names.map { case (n, fn) => n -> timeOne(n, fn, p) } }
+    val inJvmSamples: Map[String, Seq[Option[Double]]] = names.map { case (name, _) =>
+      name -> passes.map(_.collectFirst { case (`name`, (t, ok)) => if (ok) Some(t) else None }.flatten)
+    }.toMap
+
+    // heavy rows: fresh JVM first; in-JVM fallback keeps the bench
+    // complete (and says so on stderr) if the fork cannot run
+    val heavySorted = heavy.toSeq.sorted
+    val (heavySamples, isolatedOk) =
+      if (heavySorted.isEmpty) (Map.empty[String, Seq[Option[Double]]], false)
+      else runIsolated(heavySorted, sfDir) match {
+        case Some(m) => (m, true)
+        case None =>
+          System.err.println("[bench] FALLBACK: timing heavy rows in-JVM (expect inflation)")
+          val m = heavySorted.map { n =>
+            val fn = selected(n)
+            n -> (1 to 2).map { p => val (t, ok) = timeOne(n, fn, p); if (ok) Some(t) else None }
+          }.toMap
+          (m, false)
+      }
+
+    val allSamples = inJvmSamples ++ heavySamples
+    val allNames = selected.keySet.toSeq.sorted
+    val results = allNames.map { name =>
       // a failed attempt must not masquerade as a fast run
-      val goodTimes = passes.flatMap(_.collect { case (`name`, (t, true)) => t })
+      val goodTimes = allSamples.getOrElse(name, Seq.empty).flatten
       (name, if (goodTimes.nonEmpty) goodTimes.min else -1.0, goodTimes.nonEmpty)
     }
     // failed queries serialize as null, never a numeric sentinel: a
@@ -87,14 +251,18 @@ object Bench {
     // per-pass raw samples + a harness version stamp: cross-round totals
     // are only comparable under the SAME methodology (the r4→r5 harness
     // change read as a phantom 1.22× regression until adjudicated), so
-    // the JSON self-describes how it was measured
-    val perPass = names.map { case (name, _) =>
-      val samples = passes.map(_.collectFirst { case (`name`, (t, ok)) => if (ok) f"$t%.3f" else "null" }
-        .getOrElse("null"))
-      "\"" + name + "\":[" + samples.mkString(",") + "]"
+    // the JSON self-describes how it was measured; "isolated" names the
+    // rows timed in their own fresh JVM (empty when not chunking)
+    val perPass = allNames.map { name =>
+      val samples = allSamples.getOrElse(name, Seq.empty)
+        .map(_.map(t => f"$t%.3f").getOrElse("null"))
+      "\"" + name + "\":[" + (if (samples.isEmpty) "null,null" else samples.mkString(",")) + "]"
     }.mkString("{", ",", "}")
+    val isolated =
+      (if (isolatedOk) heavySorted else Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val harness = if (only.isEmpty && !noChunk) "2-pass-min/v4-chunked" else "2-pass-min/v3-cleanstate"
     val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","harness":"2-pass-min/v3-cleanstate","queries":$qs,"passes":$perPass,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","harness":"$harness","isolated":$isolated,"queries":$qs,"passes":$perPass,"failed":$failed,"sf":"$sfDir"}"""
     // Persist FIRST, then print: the driver's log-tail capture clipped
     // the head of the stdout line in r3 AND r4 ("parsed": null) — the
     // authoritative copy is the file; the canonical path is named in

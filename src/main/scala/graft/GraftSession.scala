@@ -118,23 +118,80 @@ object Lineage {
   *    same way, then on `b` — two shuffles of the narrow pair stream,
   *    never a broadcast of the full doc corpus.
   *
-  * The form is picked by `spark.graft.attach.broadcastMaxRows`
-  * (default 1M: at the corpus's ~30 tokens/doc a row is ~200-500 B of
-  * array payload, so 1M rows is ~200-500 MB broadcast — the practical
-  * executor-memory ceiling for a build side; a 10× bigger default
-  * would broadcast multi-GB relations). The per-doc relation arrives
-  * Lineage.cut, so the count reads pinned blocks, not the lineage.
+  * Form selection is DRIVER-SIDE ONLY — no Spark job at construction
+  * (r9 shipped an eager `perDoc.count()` here: an extra job on every
+  * execution of the catalog's two heaviest queries, and at 100 TB the
+  * decision must come from statistics, not a count). Precedence:
+  *   1. `spark.graft.attach.form` = broadcast | shuffle — explicit
+  *      override (the cross-form identity spec uses it);
+  *   2. optimizer row-count statistics when defined (CBO) vs
+  *      `spark.graft.attach.broadcastMaxRows` (default 1M: at ~30
+  *      tokens/doc a row is ~200-500 B of array payload, so 1M rows
+  *      is ~200-500 MB — the practical executor-memory ceiling for a
+  *      build side);
+  *   3. the MATERIALIZED byte size of the Lineage.cut blocks (exact,
+  *      from the block manager's storage info — this is why the
+  *      precondition below matters) vs
+  *      `spark.graft.attach.broadcastMaxBytes` (default 512 MiB of
+  *      in-memory block size);
+  *   4. the optimizer sizeInBytes ESTIMATE vs the same byte cap —
+  *      unknown sizes estimate huge, so an uncut, unstatted relation
+  *      conservatively takes the shuffle form (never an OOM'd
+  *      broadcast at scale).
+  *
+  * PRECONDITION (documented, warned, not forced): `perDoc` should
+  * arrive `Lineage.cut`. The cut is what makes (3) exact, and — cut
+  * or not — each side joins the relation once per endpoint, so an
+  * uncut lineage would be DERIVED TWICE inside the query. Attach
+  * warns on stderr when no pinned leaf is found rather than cutting
+  * implicitly: an eager checkpoint hidden inside what looks like a
+  * pure plan constructor surprised callers in r9 (ADVICE), and the
+  * warning keeps the constructor pure.
+  *
   * Results are spec-pinned identical across forms (the Attach spec
   * runs both and compares hashes).
   */
 object Attach {
+  /** Materialized in-memory size of the plan's pinned leaf RDDs, from
+    * driver-side storage info only (None when nothing is pinned).
+    */
+  private def pinnedBytes(df: org.apache.spark.sql.DataFrame): Option[Long] = {
+    val leafIds = df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    if (leafIds.isEmpty) None
+    else {
+      val infos = df.sparkSession.sparkContext.getRDDStorageInfo
+        .filter(i => leafIds.contains(i.id))
+      if (infos.isEmpty) None else Some(infos.map(i => i.memSize + i.diskSize).sum)
+    }
+  }
+
   def arrays(cand: org.apache.spark.sql.DataFrame,
       perDoc: org.apache.spark.sql.DataFrame,
       key: String, payload: Seq[String]): org.apache.spark.sql.DataFrame = {
     val spark = cand.sparkSession
+    val conf = spark.conf
     val maxRows =
-      spark.conf.getOption("spark.graft.attach.broadcastMaxRows").map(_.toLong).getOrElse(1000000L)
-    val small = perDoc.count() <= maxRows
+      conf.getOption("spark.graft.attach.broadcastMaxRows").map(_.toLong).getOrElse(1000000L)
+    val maxBytes = conf.getOption("spark.graft.attach.broadcastMaxBytes").map(_.toLong)
+      .getOrElse(512L * 1024 * 1024)
+    val small = conf.getOption("spark.graft.attach.form") match {
+      case Some("broadcast") => true
+      case Some("shuffle")   => false
+      case _ =>
+        val stats = perDoc.queryExecution.optimizedPlan.stats
+        stats.rowCount.map(_ <= maxRows).getOrElse {
+          pinnedBytes(perDoc) match {
+            case Some(bytes) => bytes <= maxBytes
+            case None =>
+              System.err.println(
+                "[attach] perDoc has no pinned leaf (did the caller skip Lineage.cut?); " +
+                  s"gating on the optimizer estimate ${stats.sizeInBytes} B")
+              stats.sizeInBytes <= maxBytes
+          }
+        }
+    }
     def side(as: String) = perDoc.select(
       (col(key).as(as)) +: payload.map(c => col(c).as(s"${c}_$as")): _*)
     if (small)

@@ -110,6 +110,25 @@ case class SortedTokenDot(left: Expression, right: Expression)
     * double struct fetch the old loop paid, more than covering the one
     * extra compare per advance.
     */
+  /** Fetch element i, rejecting null elements / null struct fields with
+    * the expression's descriptive error instead of an opaque NPE from
+    * the pointer compare (these are publicly registered SQL functions;
+    * array_intersect-style null tolerance is NOT offered because a
+    * null token has no sort position — the precondition is simply
+    * extended to "non-null").
+    */
+  private def fetch(arr: org.apache.spark.sql.catalyst.util.ArrayData, i: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        "graft_sorted_dot: null array element (arrays must be token-sorted, unique, non-null)")
+    val s = arr.getStruct(i, 2)
+    if (s.isNullAt(0) || s.isNullAt(1))
+      throw new IllegalArgumentException(
+        "graft_sorted_dot: null token or weight in struct element")
+    s
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -119,8 +138,8 @@ case class SortedTokenDot(left: Expression, right: Expression)
     val ny = y.numElements()
     var acc = java.math.BigDecimal.ZERO
     if (i < nx && j < ny) {
-      var sx = x.getStruct(i, 2)
-      var sy = y.getStruct(j, 2)
+      var sx = fetch(x, i)
+      var sy = fetch(y, j)
       var tx = sx.getUTF8String(0)
       var ty = sy.getUTF8String(0)
       var done = false
@@ -132,7 +151,7 @@ case class SortedTokenDot(left: Expression, right: Expression)
             .setScale(12, java.math.RoundingMode.HALF_UP))
           i += 1; j += 1
           if (i < nx && j < ny) {
-            sx = x.getStruct(i, 2); sy = y.getStruct(j, 2)
+            sx = fetch(x, i); sy = fetch(y, j)
             val px = tx; val py = ty
             tx = sx.getUTF8String(0); ty = sy.getUTF8String(0)
             if (tx.compareTo(px) <= 0 || ty.compareTo(py) <= 0)
@@ -142,7 +161,7 @@ case class SortedTokenDot(left: Expression, right: Expression)
         } else if (c < 0) {
           i += 1
           if (i < nx) {
-            sx = x.getStruct(i, 2)
+            sx = fetch(x, i)
             val px = tx
             tx = sx.getUTF8String(0)
             if (tx.compareTo(px) <= 0)
@@ -152,7 +171,7 @@ case class SortedTokenDot(left: Expression, right: Expression)
         } else {
           j += 1
           if (j < ny) {
-            sy = y.getStruct(j, 2)
+            sy = fetch(y, j)
             val py = ty
             ty = sy.getUTF8String(0)
             if (ty.compareTo(py) <= 0)
@@ -184,6 +203,21 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  /** Like [[SortedTokenDot.fetch]]: a null element gets the descriptive
+    * precondition error, never an opaque NPE out of the compare (a null
+    * has no sort position, so the sorted-unique precondition simply
+    * extends to non-null — unlike array_intersect, which may skip
+    * nulls, this is a registered SQL function that refuses them).
+    */
+  private def elem(arr: org.apache.spark.sql.catalyst.util.ArrayData, i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = {
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        "graft_sorted_intersect: null array element (arrays must be sorted, unique, non-null)")
+    arr.getUTF8String(i)
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -193,22 +227,22 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     val ny = y.numElements()
     var n = 0
     if (i < nx && j < ny) {
-      var tx = x.getUTF8String(i)
-      var ty = y.getUTF8String(j)
+      var tx = elem(x, i)
+      var ty = elem(y, j)
       var done = false
       while (!done) {
         val c = tx.compareTo(ty)
         if (c == 0) { n += 1; i += 1; j += 1 } else if (c < 0) i += 1 else j += 1
         if (i < nx && (c <= 0)) {
           val px = tx
-          tx = x.getUTF8String(i)
+          tx = elem(x, i)
           if (tx.compareTo(px) <= 0)
             throw new IllegalArgumentException(
               "graft_sorted_intersect: input arrays must be sorted with unique elements")
         }
         if (j < ny && (c >= 0)) {
           val py = ty
-          ty = y.getUTF8String(j)
+          ty = elem(y, j)
           if (ty.compareTo(py) <= 0)
             throw new IllegalArgumentException(
               "graft_sorted_intersect: input arrays must be sorted with unique elements")

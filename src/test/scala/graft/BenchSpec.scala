@@ -32,4 +32,16 @@ class BenchSpec extends AnyFunSuite {
     // within their own execution)
     assert(SparkEntry.queries("page_rank")(spark, dir).count() > 0)
   }
+
+  test("runIsolated forks a fresh JVM and returns parseable per-pass samples") {
+    // the v4-chunked contract: heavy rows are timed in their own JVM
+    // and merged back — this pins the fork + JSON round-trip on a cheap
+    // row so a classpath/arg regression fails the suite, not BENCH_r{N}
+    val r = Bench.runIsolated(Seq("sort_random"), dir)
+    assert(r.isDefined, "fresh-JVM chunk failed (see stderr for the child log path)")
+    val samples = r.get("sort_random")
+    assert(samples.length == 2, s"expected 2 pass samples, got $samples")
+    assert(samples.flatten.nonEmpty && samples.flatten.forall(t => t > 0 && t < 300),
+      s"implausible isolated samples: $samples")
+  }
 }

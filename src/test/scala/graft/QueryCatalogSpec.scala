@@ -3994,20 +3994,65 @@ class QueryCatalogSpec extends AnyFunSuite {
               named_struct('token','c','u',3.0D)))""").collect()
     }
     assert(msgs(ed).exists(_.contains("token-sorted with unique")), s"wrong error: $ed")
+    // null elements get the DESCRIPTIVE precondition error, not an NPE
+    // out of the pointer compare (r9 ADVICE: these are public SQL
+    // functions — a null has no sort position, so the precondition
+    // extends to non-null and violations must say so)
+    val en = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_intersect(array('a', cast(null as string), 'c'), " +
+        "array('a','b'))").collect()
+    }
+    assert(msgs(en).exists(_.contains("null array element")), s"wrong error: $en")
+    val end = intercept[Exception] {
+      spark.sql("""SELECT graft_sorted_dot(
+        array(named_struct('token','a','u',1.0D), cast(null as struct<token:string,u:double>)),
+        array(named_struct('token','a','u',1.0D), named_struct('token','b','u',2.0D)))""").collect()
+    }
+    assert(msgs(end).exists(_.contains("null array element")), s"wrong error: $end")
   }
 
   test("Attach co-partitioned path: both similarity joins hash-identical to the broadcast form") {
     // the 100 TB form (doc arrays shuffle-join on each endpoint instead
-    // of broadcasting the corpus) must be result-identical; force it by
-    // setting the guard below any real doc count
+    // of broadcasting the corpus) must be result-identical; force it
+    // with the explicit form override (r10: the auto gate reads
+    // driver-side statistics, so forcing by row threshold no longer
+    // reaches the decision when no CBO row count exists)
     def rows(q: String) = SparkEntry.queries(q)(spark, dir).collect().toSeq.map(_.toString)
     val base = Map("set_similarity_join" -> rows("set_similarity_join"),
       "tfidf_cosine_join" -> rows("tfidf_cosine_join"))
-    spark.conf.set("spark.graft.attach.broadcastMaxRows", "1")
+    spark.conf.set("spark.graft.attach.form", "shuffle")
     try {
       for ((q, expect) <- base)
         assert(rows(q) == expect, s"$q: shuffle-attach form diverged from broadcast form")
-    } finally spark.conf.unset("spark.graft.attach.broadcastMaxRows")
+    } finally spark.conf.unset("spark.graft.attach.form")
+  }
+
+  test("Attach form selection runs no Spark job and broadcasts the cut per-doc side") {
+    import org.apache.spark.sql.functions._
+    // construction of the heavy queries must be job-free (r9 shipped an
+    // eager perDoc.count() inside Attach — an extra job per execution)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // Lineage.cut inside the query constructor legitimately runs jobs;
+    // measure only the Attach call itself on a pre-cut relation
+    val perDoc = graft.Lineage.cut(
+      Tables.documents(spark, dir).select(col("doc_id"),
+        array_sort(split(col("text"), " ")).as("tsl")))
+    val cand = perDoc.select(col("doc_id").as("a")).crossJoin(
+      perDoc.select(col("doc_id").as("b"))).filter(col("a") < col("b")).limit(10)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val attached = graft.Attach.arrays(cand, perDoc, "doc_id", Seq("tsl"))
+      Thread.sleep(500) // listener bus is async; zero-after-wait is the assertion
+      assert(jobs.get() == 0, s"Attach construction ran ${jobs.get()} Spark job(s)")
+      // the cut relation is small → the auto gate must pick broadcast
+      val phys = attached.queryExecution.executedPlan.toString
+      assert(phys.contains("BroadcastHashJoin") || phys.contains("BroadcastNestedLoopJoin"),
+        s"small cut per-doc side did not broadcast:\n$phys")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("tfidf cosine join: canonical pairs, bounded cosine, prefix filter is complete") {
