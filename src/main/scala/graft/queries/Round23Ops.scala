@@ -63,21 +63,33 @@ object Round23Ops {
     var alpha = states.select(col("st"),
       when(col("st") === "purchase", 1.0).otherwise(0.0).as("a"))
     val snapshots = scala.collection.mutable.Map[Int, DataFrame]()
+    // every relation in the iteration is ≤|states|² rows, but the cut
+    // mat/states frames carry no size statistics, so unhinted joins
+    // planned as sort-merge — 18 SMJs and the audit table's heaviest
+    // plan (r9, xchg 98). Broadcast-pin every bounded side, and cut α
+    // at the snapshot steps (each consumed twice: next iteration AND
+    // the final join). A/B at sf0.1: original 3.40 s / xchg 98 / 18
+    // SMJ, broadcasts without cuts 3.78 / xchg 76, broadcasts + cuts
+    // 3.36 / xchg 30 / 0 SMJ — equal wall locally with the plan you'd
+    // want at scale (no sort-merge on unbounded-estimated frames, plan
+    // depth bounded by the cuts).
     for (step <- 1 to 8) {
       alpha = states
         .join(
-          mat.join(alpha.select(col("st").as("nxt"), col("a")), Seq("nxt"))
+          broadcast(mat
+            .join(broadcast(alpha.select(col("st").as("nxt"), col("a"))), Seq("nxt"))
             .groupBy(col("cur").as("st"))
             .agg(round(sum(round(col("p") * col("a"), 12).cast(Dec12)).cast("double"), 12)
-              .as("a0")),
+              .as("a0"))),
           Seq("st"), "left")
         .select(col("st"), coalesce(col("a0"),
           when(col("st") === "purchase", 1.0).otherwise(0.0)).as("a"))
-      if (step == 2 || step == 4 || step == 8) snapshots(step) = alpha
+      if (step == 2 || step == 4) { alpha = graft.Lineage.cut(alpha); snapshots(step) = alpha }
+      if (step == 8) snapshots(step) = alpha
     }
     snapshots(2).select(col("st"), col("a").as("p2"))
-      .join(snapshots(4).select(col("st"), col("a").as("p4")), Seq("st"))
-      .join(snapshots(8).select(col("st"), col("a").as("p8")), Seq("st"))
+      .join(broadcast(snapshots(4).select(col("st"), col("a").as("p4"))), Seq("st"))
+      .join(broadcast(snapshots(8).select(col("st"), col("a").as("p8"))), Seq("st"))
       .select(col("st").as("start_state"),
         emit(col("p2"), 6).as("p_absorb_2"),
         emit(col("p4"), 6).as("p_absorb_4"),

@@ -32,29 +32,45 @@ object Round25Ops {
     * label_separation's aggregate CH/DB scores). Centroids are exact
     * decimal means per (label, dim); per-point squared distances are
     * 12-dp-rounded term sums in DECIMAL(38,12) (order-free), the
-    * sqrt/ratio chain mirrored; the only data-sized relations are the
-    * n·d explode and the n·d·k distance frame (k = |labels|,
-    * broadcast). Exact oracle (range(0,64) explode device).
+    * sqrt/ratio chain mirrored. Shape (r10): the ONLY data-sized
+    * relations are the n·d centroid explode and the n-row vector
+    * scan — the k centroid vectors pack into ONE broadcast row and
+    * every per-(vector, centroid) distance is the native
+    * [[graft.functions.RoundedDistSq]] computed IN-ROW (r9 shipped an
+    * n·d·k exploded frame shuffled through a (vec, label, label2)
+    * aggregate: 64× more rows and the audit table's 2.95 x10₂ growth;
+    * the decimal term stream is identical, so the oracle hash is
+    * unchanged). Exact oracle (range(0,64) explode device).
     */
   def silhouetteReport(s: SparkSession, dir: String): DataFrame = {
     val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
-    val e = Tables.embeddings(s, dir)
+    val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), col("label").cast("long").as("label"),
-        posexplode(col("embedding")).as(Seq("pos", "vf")))
-      .select(col("vec_id"), col("label"), col("pos"), col("vf").cast("double").as("v"))
-    val eCut = graft.Lineage.cut(e)
-    val cen = eCut.groupBy(col("label").as("label2"), col("pos"))
+        transform(col("embedding"), v => v.cast("double")).as("emb"))
+    // exact decimal mean per (label, dim), packed dim-ordered per label,
+    // then ALL k centroids into one broadcastable row (k = |labels| is
+    // bounded; the collect order is irrelevant — own-label lookup is a
+    // filter, foreign-b is a min)
+    val cen = base
+      .select(col("label").as("label2"), posexplode(col("emb")).as(Seq("pos", "v")))
+      .groupBy(col("label2"), col("pos"))
       .agg((sum(col("v").cast(Dec6)).cast("double") / count(lit(1)).cast("double"))
         .as("c"))
-    val d2 = eCut.join(broadcast(cen), Seq("pos"))
-      .groupBy(col("vec_id"), col("label"), col("label2"))
-      .agg(sum(round((col("v") - col("c")) * (col("v") - col("c")), 12).cast(Dec12))
-        .as("d2"))
-    val dist = d2.select(col("vec_id"), col("label"), col("label2"),
-      round(sqrt(col("d2").cast("double")), 12).as("dist"))
-    val perPoint = dist.groupBy(col("vec_id"), col("label"))
-      .agg(max(when(col("label2") === col("label"), col("dist"))).as("a"),
-        min(when(col("label2") =!= col("label"), col("dist"))).as("b"))
+      .groupBy(col("label2"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cemb"))
+      .groupBy()
+      .agg(collect_list(struct(col("label2"), col("cemb"))).as("cens"))
+    val perPoint = base.crossJoin(broadcast(cen))
+      .withColumn("dists", transform(col("cens"), cn => struct(
+        cn.getField("label2").as("l2"),
+        round(sqrt(graft.functions.Registry
+          .roundedDistSq(col("emb"), cn.getField("cemb")).cast("double")), 12).as("dist"))))
+      .select(col("vec_id"), col("label"),
+        get(transform(filter(col("dists"), d => d.getField("l2") === col("label")),
+          d => d.getField("dist")), lit(0)).as("a"),
+        array_min(transform(filter(col("dists"), d => d.getField("l2") =!= col("label")),
+          d => d.getField("dist"))).as("b"))
       .select(col("vec_id"), col("label"),
         when(greatest(col("a"), col("b")) > 0.0,
           round((col("b") - col("a")) / greatest(col("a"), col("b")), 12))

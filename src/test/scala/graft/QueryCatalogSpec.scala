@@ -4874,6 +4874,35 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(!a.isNaN && !a.isInfinite)
   }
 
+  test("RoundedDistSq equals the exploded relational rounded-term decimal sum") {
+    import org.apache.spark.sql.functions._
+    // the silhouette argmin device leans on this identity: the native
+    // in-row distance must reproduce the (row, dim)-exploded relational
+    // chain decimal-for-decimal, or the oracle hash drifts
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), v => v.cast("double")).as("emb"))
+      .limit(30)
+    val pairs = e.select(col("vec_id").as("a"), col("emb").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("emb").as("eb")))
+      .filter(col("a") < col("b"))
+    val native = pairs.select(col("a"), col("b"),
+      graft.functions.Registry.roundedDistSq(col("ea"), col("eb")).as("d2"))
+    val rel = pairs
+      .select(col("a"), col("b"), col("eb"), posexplode(col("ea")).as(Seq("pos", "va")))
+      .select(col("a"), col("b"), col("va"), col("eb")(col("pos")).as("vb"))
+      .groupBy("a", "b")
+      .agg(sum(round((col("va") - col("vb")) * (col("va") - col("vb")), 12)
+        .cast(org.apache.spark.sql.types.DecimalType(38, 12))).as("d2r"))
+    val joined = native.join(rel, Seq("a", "b"))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("d2") =!= col("d2r")).count() == 0,
+      "native RoundedDistSq diverged from the relational chain")
+    // length mismatch yields null, like the DotProduct contract
+    val mm = spark.sql(
+      "SELECT graft_dist2_dec(array(1.0D, 2.0D), array(1.0D)) AS d").head
+    assert(mm.isNullAt(0), "length mismatch must yield null")
+  }
+
   test("silhouette: bounded scores, labels partition vectors, negatives counted consistently") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("silhouette_report")(spark, dir).cache()

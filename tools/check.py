@@ -74,6 +74,15 @@ for name in claimed:
         print(f"FAIL {name}: no parquet written"); fails.append(name); continue
     got_tbl = pq.read_table(files[0])
     got = got_tbl.to_pandas()
+    # mirror the decimal→float64 rule on the SPARK side too (r9 ADVICE:
+    # oracle-only mirroring would false-FAIL a DECIMAL-typed Spark dump
+    # against the oracle's float repr; latent today because catalog
+    # queries cast emitted decimals to double, but the gate should not
+    # depend on that convention holding)
+    import pyarrow.types as pt
+    for f in got_tbl.schema:
+        if pt.is_decimal(f.type):
+            got[f.name] = got[f.name].astype("float64")
     if name not in oracle:
         status = "rows-only"
         ok = len(got) > 0

@@ -17,6 +17,19 @@ sfs = ["sf0.001", "sf0.01", "sf0.1"]
 for sf, run in zip(sfs, runs):
     assert sf in run["sf"], f"{run['sf']} does not look like {sf}"
 
+# growth ratios are only meaningful within ONE methodology: refuse to
+# mix harness generations across the three inputs or against what the
+# file already holds (the stamp exists precisely to prevent silent
+# cross-methodology comparison — r9 ADVICE)
+harnesses = {r.get("harness", "<unstamped>") for r in runs}
+assert len(harnesses) == 1, f"inputs measured under different harnesses: {sorted(harnesses)}"
+harness = harnesses.pop()
+prev = scale.get("harness")
+assert prev is None or prev == harness, (
+    f"BENCH_SCALE.json holds {prev} entries; refusing to merge {harness} rows onto them "
+    f"(delete/regenerate the file to switch methodologies)")
+scale["harness"] = harness
+
 common = set(runs[0]["queries"])
 for r in runs[1:]:
     common &= {k for k, v in r["queries"].items() if v is not None}
