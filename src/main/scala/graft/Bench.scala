@@ -7,17 +7,25 @@ import org.apache.spark.sql.SparkSession
   * (a bare .count() would let column pruning skip computed columns).
   * Prints ONE JSON line for the driver.
   *
-  * Harness v4-chunked (r10): the adjudicated heavy rows (default
-  * `set_similarity_join,tfidf_cosine_join`) run in their OWN fresh
-  * JVM, forked from here with the parent's classpath and JVM args,
-  * and their numbers merge into the one JSON line. Rationale
-  * (r8/r9 judge adjudication): in-catalog heavy-row passes are
-  * bimodal — 18/27 s isolated, intermittently 150-260 s after ~300
-  * in-JVM query executions — and two generations of in-place cleanup
-  * (System.gc, unpersist+clearCache) did not remove it. The fork is
-  * structural: whatever JVM state ~1,170 executions accumulate
-  * (code-cache/metaspace/GC old-gen), the heavy rows never see it.
-  * Env knobs: SPARK_GRAFT_HEAVY (csv, override the isolated set),
+  * Harness v4-chunked (r10): in full-catalog mode the catalog is
+  * split into fixed-size chunks and EVERY chunk runs in its own fresh
+  * JVM, forked from here with the parent's classpath and JVM args;
+  * the adjudicated heavy rows (default
+  * `set_similarity_join,tfidf_cosine_join`) always form their own
+  * chunk. Per-chunk JSON merges into the one output line. Rationale
+  * (r8/r9 judge adjudication + the r10 probe run): in-catalog query
+  * passes degrade with in-JVM execution count — the heavy rows
+  * bimodally 1.5-9× their fresh-JVM cost, the light tail ~10-30% —
+  * and the r10 probe EXONERATED every cleanable suspect with numbers
+  * (GC time ≤4 s and JIT-compile time ≤4 s inside a 70 s inflated
+  * window, code cache 133/240 MiB with compilation never stopped,
+  * metaspace flat, cleaner queue ≤1.5k, zero pinned blocks): what
+  * remains is JIT code-quality state (profile pollution across ~1,000
+  * diverse codegen stages), which no in-place cleanup resets. The
+  * fork is the structural fix: each chunk sees at most
+  * 2×chunkSize executions of history.
+  * Env knobs: SPARK_GRAFT_HEAVY (csv, override the isolated heavy
+  * set), SPARK_GRAFT_CHUNK_SIZE (default 64 rows per fresh JVM),
   * SPARK_GRAFT_NO_CHUNK=1 (force everything in-JVM — the probe
   * experiment mode), SPARK_GRAFT_PROBE=1 (log JVM state + per-query
   * GC/JIT deltas to stderr around every timed query).
@@ -163,7 +171,6 @@ object Bench {
       if (only.nonEmpty || noChunk) Set.empty
       else sys.env.getOrElse("SPARK_GRAFT_HEAVY", defaultHeavy)
         .split(',').filter(_.nonEmpty).toSet.intersect(selected.keySet)
-    val inJvm = selected -- heavy
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -174,21 +181,6 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
 
-    // one warm-up pass over a tiny SF amortizes JIT/codegen compilation
-    // out of the measured numbers (the driver measures steady-state)
-    inJvm.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
-
-    // TWO COMPLETE PASSES over the catalog, per-query min ACROSS passes
-    // (not min-of-two-consecutive): back-to-back runs of the same query
-    // share whatever GC/codegen-cache pileup its 100 predecessors left
-    // behind, so both samples are biased the same way — r4's driver run
-    // recorded a 7.9x phantom regression that an isolated JVM couldn't
-    // reproduce. Separating the two samples by a full catalog pass
-    // decorrelates the noise; the min is then a defensible steady-state.
-    val names = inJvm.toSeq.sortBy(_._1)
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         pass: Int): (Double, Boolean) = {
       // reset shared-JVM state OUTSIDE the timed window (see
@@ -212,28 +204,54 @@ object Bench {
       }
       (dt, ok)
     }
-    val passes = (1 to 2).map { p => names.map { case (n, fn) => n -> timeOne(n, fn, p) } }
-    val inJvmSamples: Map[String, Seq[Option[Double]]] = names.map { case (name, _) =>
-      name -> passes.map(_.collectFirst { case (`name`, (t, ok)) => if (ok) Some(t) else None }.flatten)
-    }.toMap
 
-    // heavy rows: fresh JVM first; in-JVM fallback keeps the bench
-    // complete (and says so on stderr) if the fork cannot run
-    val heavySorted = heavy.toSeq.sorted
-    val (heavySamples, isolatedOk) =
-      if (heavySorted.isEmpty) (Map.empty[String, Seq[Option[Double]]], false)
-      else runIsolated(heavySorted, sfDir) match {
-        case Some(m) => (m, true)
-        case None =>
-          System.err.println("[bench] FALLBACK: timing heavy rows in-JVM (expect inflation)")
-          val m = heavySorted.map { n =>
-            val fn = selected(n)
-            n -> (1 to 2).map { p => val (t, ok) = timeOne(n, fn, p); if (ok) Some(t) else None }
-          }.toMap
-          (m, false)
+    /** Warm-up then TWO COMPLETE PASSES over the subset, per-query min
+      * ACROSS passes (not min-of-two-consecutive): back-to-back runs of
+      * the same query share whatever JIT/GC state its predecessors left
+      * behind, so both samples are biased the same way — r4's driver run
+      * recorded a 7.9x phantom regression that an isolated JVM couldn't
+      * reproduce. Separating the two samples by a full subset pass
+      * decorrelates the noise; the min is then a defensible steady-state.
+      * The warm-up pass over a tiny SF amortizes JIT/codegen compilation
+      * out of the measured numbers (the driver measures steady-state).
+      */
+    def runInJvm(subset: Seq[String]): Map[String, Seq[Option[Double]]] = {
+      val fns = subset.sorted.map(n => n -> selected(n))
+      fns.foreach { case (_, fn) =>
+        try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
       }
+      val passes = (1 to 2).map { p => fns.map { case (n, fn) => n -> timeOne(n, fn, p) } }
+      fns.map { case (name, _) =>
+        name -> passes.map(_.collectFirst { case (`name`, (t, ok)) => if (ok) Some(t) else None }
+          .flatten)
+      }.toMap
+    }
 
-    val allSamples = inJvmSamples ++ heavySamples
+    // full-catalog mode: every chunk in its own fresh JVM (heavy rows
+    // always alone); in-JVM fallback per chunk keeps the bench complete
+    // (and says so on stderr) if a fork cannot run
+    val (allSamples, isolatedNames) =
+      if (only.nonEmpty || noChunk) (runInJvm(selected.keySet.toSeq.sorted), Seq.empty[String])
+      else {
+        val chunkSize =
+          math.max(1, sys.env.getOrElse("SPARK_GRAFT_CHUNK_SIZE", "64").toInt)
+        val rest = (selected.keySet -- heavy).toSeq.sorted
+        val chunks = rest.grouped(chunkSize).toSeq ++
+          (if (heavy.nonEmpty) Seq(heavy.toSeq.sorted) else Nil)
+        val acc = scala.collection.mutable.Map[String, Seq[Option[Double]]]()
+        val iso = scala.collection.mutable.ArrayBuffer[String]()
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          System.err.println(s"[bench] chunk ${i + 1}/${chunks.size} (${c.size} queries)")
+          runIsolated(c, sfDir) match {
+            case Some(m) => acc ++= m; iso ++= c
+            case None =>
+              System.err.println("[bench] FALLBACK: timing chunk in-JVM (expect inflation)")
+              acc ++= runInJvm(c)
+          }
+        }
+        (acc.toMap, iso.toSeq.sorted)
+      }
     val allNames = selected.keySet.toSeq.sorted
     val results = allNames.map { name =>
       // a failed attempt must not masquerade as a fast run
@@ -258,8 +276,7 @@ object Bench {
         .map(_.map(t => f"$t%.3f").getOrElse("null"))
       "\"" + name + "\":[" + (if (samples.isEmpty) "null,null" else samples.mkString(",")) + "]"
     }.mkString("{", ",", "}")
-    val isolated =
-      (if (isolatedOk) heavySorted else Seq.empty).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val isolated = isolatedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val harness = if (only.isEmpty && !noChunk) "2-pass-min/v4-chunked" else "2-pass-min/v3-cleanstate"
     val line =
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","harness":"$harness","isolated":$isolated,"queries":$qs,"passes":$perPass,"failed":$failed,"sf":"$sfDir"}"""
