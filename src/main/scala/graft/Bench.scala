@@ -144,10 +144,13 @@ object Bench {
             case s      => Some(s.toDouble)
           })
         }
-        // every requested row must come back with at least one good
-        // sample, or the whole chunk is treated as failed — a partial
-        // merge would silently understate the total
-        if (parsed.forall(_._2.exists(_.flatten.nonEmpty)))
+        // every requested row's samples array must be PRESENT in the
+        // child JSON or the chunk is treated as broken (a partial merge
+        // would silently understate the total); a row that legitimately
+        // failed in the child comes back [null,null] and surfaces in
+        // the merged "failed" list — it must NOT trigger a whole-chunk
+        // in-JVM fallback re-run
+        if (parsed.forall(_._2.isDefined))
           Some(parsed.map { case (n, s) => n -> s.get }.toMap)
         else { System.err.println(s"[bench] isolated chunk output incomplete (log: $log)"); None }
       }
