@@ -85,6 +85,12 @@ object GraftSession {
   */
 object Lineage {
   def cut(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // SPARK_GRAFT_NO_CUT=1: identity (dev-only, for tools/PlanDump) —
+    // a cut frame dumps as an opaque `Scan ExistingRDD`, so plan
+    // evidence for anything upstream of a cut needs the uncut logical
+    // chain; results are identical either way, only re-derivation cost
+    // differs. Bench/Verify never set it.
+    if (sys.env.get("SPARK_GRAFT_NO_CUT").contains("1")) return df
     val spark = df.sparkSession
     val reliable = spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")
     if (reliable) {

@@ -96,8 +96,7 @@ case class DotProduct(left: Expression, right: Expression)
   * order cannot perturb the oracle hash.
   */
 case class SortedTokenDot(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.DecimalType(30, 12)
 
   /** PRECONDITION (also documented on the SQL function graft_sorted_dot):
@@ -108,81 +107,23 @@ case class SortedTokenDot(left: Expression, right: Expression)
     * of returning a silently wrong dot. The check is free on the hot
     * path — the fetch-on-advance restructure removes the per-iteration
     * double struct fetch the old loop paid, more than covering the one
-    * extra compare per advance.
+    * extra compare per advance. The merge body lives in
+    * [[NativeMerges.sortedTokenDot]] so the interpreted eval and the
+    * generated code share one implementation — r9 shipped this as
+    * CodegenFallback, which turned the verify Project into an
+    * interpreted island and broke whole-stage codegen for the heaviest
+    * stage of the catalog's two heaviest queries (guide §4: no
+    * non-codegen expressions in the hot path).
     */
-  /** Fetch element i, rejecting null elements / null struct fields with
-    * the expression's descriptive error instead of an opaque NPE from
-    * the pointer compare (these are publicly registered SQL functions;
-    * array_intersect-style null tolerance is NOT offered because a
-    * null token has no sort position — the precondition is simply
-    * extended to "non-null").
-    */
-  private def fetch(arr: org.apache.spark.sql.catalyst.util.ArrayData, i: Int)
-      : org.apache.spark.sql.catalyst.InternalRow = {
-    if (arr.isNullAt(i))
-      throw new IllegalArgumentException(
-        "graft_sorted_dot: null array element (arrays must be token-sorted, unique, non-null)")
-    val s = arr.getStruct(i, 2)
-    if (s.isNullAt(0) || s.isNullAt(1))
-      throw new IllegalArgumentException(
-        "graft_sorted_dot: null token or weight in struct element")
-    s
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeMerges.sortedTokenDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    var i = 0
-    var j = 0
-    val nx = x.numElements()
-    val ny = y.numElements()
-    var acc = java.math.BigDecimal.ZERO
-    if (i < nx && j < ny) {
-      var sx = fetch(x, i)
-      var sy = fetch(y, j)
-      var tx = sx.getUTF8String(0)
-      var ty = sy.getUTF8String(0)
-      var done = false
-      while (!done) {
-        val c = tx.compareTo(ty)
-        if (c == 0) {
-          acc = acc.add(java.math.BigDecimal
-            .valueOf(sx.getDouble(1) * sy.getDouble(1))
-            .setScale(12, java.math.RoundingMode.HALF_UP))
-          i += 1; j += 1
-          if (i < nx && j < ny) {
-            sx = fetch(x, i); sy = fetch(y, j)
-            val px = tx; val py = ty
-            tx = sx.getUTF8String(0); ty = sy.getUTF8String(0)
-            if (tx.compareTo(px) <= 0 || ty.compareTo(py) <= 0)
-              throw new IllegalArgumentException(
-                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
-          } else done = true
-        } else if (c < 0) {
-          i += 1
-          if (i < nx) {
-            sx = fetch(x, i)
-            val px = tx
-            tx = sx.getUTF8String(0)
-            if (tx.compareTo(px) <= 0)
-              throw new IllegalArgumentException(
-                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
-          } else done = true
-        } else {
-          j += 1
-          if (j < ny) {
-            sy = fetch(y, j)
-            val py = ty
-            ty = sy.getUTF8String(0)
-            if (ty.compareTo(py) <= 0)
-              throw new IllegalArgumentException(
-                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
-          } else done = true
-        }
-      }
-    }
-    org.apache.spark.sql.types.Decimal(acc, 30, 12)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeMerges.sortedTokenDot($a, $b);")
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -200,16 +141,144 @@ case class SortedTokenDot(left: Expression, right: Expression)
   * either side throws instead of silently undercounting.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
-  /** Like [[SortedTokenDot.fetch]]: a null element gets the descriptive
-    * precondition error, never an opaque NPE out of the compare (a null
-    * has no sort position, so the sorted-unique precondition simply
-    * extends to non-null — unlike array_intersect, which may skip
-    * nulls, this is a registered SQL function that refuses them).
+  /** Merge body in [[NativeMerges.sortedIntersect]] (shared by the
+    * interpreted eval and the generated call — see [[SortedTokenDot]]
+    * for why CodegenFallback was removed in r10). A null element gets
+    * the descriptive precondition error, never an opaque NPE out of
+    * the compare (a null has no sort position, so the sorted-unique
+    * precondition simply extends to non-null).
     */
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeMerges.sortedIntersect(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeMerges.sortedIntersect($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Oracle-exact squared euclidean distance of two ARRAY<DOUBLE>
+  * columns as DECIMAL(38,12): Σᵢ round((aᵢ−bᵢ)², 12) summed in
+  * decimal. Bit-identical BY CONSTRUCTION to the relational chain
+  * `sum(round((v - c) * (v - c), 12) :: DECIMAL(38,12))` over an
+  * exploded (row, dim) frame — each term replays Spark's exact
+  * Round(double, 12) (BigDecimal.valueOf → setScale(12, HALF_UP) →
+  * toDouble) then the double→decimal cast (valueOf → setScale), and
+  * decimal addition is order-free. Exists so the argmin family
+  * (silhouette, k-means assign) can compute per-(vector, centroid)
+  * distance IN-ROW over a k-row broadcast centroid table instead of
+  * materializing the n·d·k exploded frame and shuffling it through a
+  * (vec, label, label2) aggregate — at 64 dims that is 64× fewer rows
+  * and one less shuffle, with the oracle hash unchanged.
+  */
+case class RoundedDistSq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DecimalType(38, 12)
+  override def nullable: Boolean = true
+
+  /** Merge body in [[NativeMerges.roundedDistSq]] (shared by the
+    * interpreted eval and the generated call — see [[SortedTokenDot]]
+    * for why CodegenFallback was removed in r10). Null on length
+    * mismatch, like the exploded relational chain it mirrors.
+    */
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeMerges.roundedDistSq(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"""
+         |${ev.value} = graft.functions.NativeMerges.roundedDistSq($a, $b);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Static merge bodies shared by the native expressions' interpreted
+  * eval and their generated code: `doGenCode` emits one static call, so
+  * the expressions participate in whole-stage codegen (no interpreted
+  * Project island, no per-row closure dispatch) while the loop itself
+  * stays ordinary JIT-compiled JVM code with a single implementation
+  * to test. Null-element / unsorted-input violations throw the
+  * descriptive precondition errors documented on the SQL functions.
+  */
+object NativeMerges {
+  private def fetchDot(arr: org.apache.spark.sql.catalyst.util.ArrayData, i: Int)
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        "graft_sorted_dot: null array element (arrays must be token-sorted, unique, non-null)")
+    val s = arr.getStruct(i, 2)
+    if (s.isNullAt(0) || s.isNullAt(1))
+      throw new IllegalArgumentException(
+        "graft_sorted_dot: null token or weight in struct element")
+    s
+  }
+
+  def sortedTokenDot(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      y: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.types.Decimal = {
+    var i = 0
+    var j = 0
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var acc = java.math.BigDecimal.ZERO
+    if (i < nx && j < ny) {
+      var sx = fetchDot(x, i)
+      var sy = fetchDot(y, j)
+      var tx = sx.getUTF8String(0)
+      var ty = sy.getUTF8String(0)
+      var done = false
+      while (!done) {
+        val c = tx.compareTo(ty)
+        if (c == 0) {
+          acc = acc.add(java.math.BigDecimal
+            .valueOf(sx.getDouble(1) * sy.getDouble(1))
+            .setScale(12, java.math.RoundingMode.HALF_UP))
+          i += 1; j += 1
+          if (i < nx && j < ny) {
+            sx = fetchDot(x, i); sy = fetchDot(y, j)
+            val px = tx; val py = ty
+            tx = sx.getUTF8String(0); ty = sy.getUTF8String(0)
+            if (tx.compareTo(px) <= 0 || ty.compareTo(py) <= 0)
+              throw new IllegalArgumentException(
+                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
+          } else done = true
+        } else if (c < 0) {
+          i += 1
+          if (i < nx) {
+            sx = fetchDot(x, i)
+            val px = tx
+            tx = sx.getUTF8String(0)
+            if (tx.compareTo(px) <= 0)
+              throw new IllegalArgumentException(
+                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
+          } else done = true
+        } else {
+          j += 1
+          if (j < ny) {
+            sy = fetchDot(y, j)
+            val py = ty
+            ty = sy.getUTF8String(0)
+            if (ty.compareTo(py) <= 0)
+              throw new IllegalArgumentException(
+                "graft_sorted_dot: input arrays must be token-sorted with unique tokens")
+          } else done = true
+        }
+      }
+    }
+    org.apache.spark.sql.types.Decimal(acc, 30, 12)
+  }
+
   private def elem(arr: org.apache.spark.sql.catalyst.util.ArrayData, i: Int)
       : org.apache.spark.unsafe.types.UTF8String = {
     if (arr.isNullAt(i))
@@ -218,9 +287,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     arr.getUTF8String(i)
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  def sortedIntersect(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      y: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
     var i = 0
     var j = 0
     val nx = x.numElements()
@@ -252,32 +320,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     }
     n
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
-}
 
-/** Oracle-exact squared euclidean distance of two ARRAY<DOUBLE>
-  * columns as DECIMAL(38,12): Σᵢ round((aᵢ−bᵢ)², 12) summed in
-  * decimal. Bit-identical BY CONSTRUCTION to the relational chain
-  * `sum(round((v - c) * (v - c), 12) :: DECIMAL(38,12))` over an
-  * exploded (row, dim) frame — each term replays Spark's exact
-  * Round(double, 12) (BigDecimal.valueOf → setScale(12, HALF_UP) →
-  * toDouble) then the double→decimal cast (valueOf → setScale), and
-  * decimal addition is order-free. Exists so the argmin family
-  * (silhouette, k-means assign) can compute per-(vector, centroid)
-  * distance IN-ROW over a k-row broadcast centroid table instead of
-  * materializing the n·d·k exploded frame and shuffling it through a
-  * (vec, label, label2) aggregate — at 64 dims that is 64× fewer rows
-  * and one less shuffle, with the oracle hash unchanged.
-  */
-case class RoundedDistSq(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  override def dataType: DataType = org.apache.spark.sql.types.DecimalType(38, 12)
-  override def nullable: Boolean = true
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+  def roundedDistSq(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      y: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.types.Decimal = {
     val n = x.numElements()
     if (n != y.numElements()) return null
     var acc = java.math.BigDecimal.ZERO
@@ -296,8 +341,6 @@ case class RoundedDistSq(left: Expression, right: Expression)
     }
     org.apache.spark.sql.types.Decimal(acc, 38, 12)
   }
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
-    copy(left = l, right = r)
 }
 
 object Registry {

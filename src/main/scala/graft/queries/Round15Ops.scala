@@ -402,8 +402,18 @@ object Round15Ops {
     // 5x slower end-to-end at sf0.1 (132 s vs 26.5 s isolated,
     // hashes identical); keep the symmetric least/greatest form that
     // the numbers favor.
+    // REPARTITION THE PROBE SIDE (r10, measured): the u side broadcasts
+    // by token, so the probe (prefix) side keeps the window's doc_id
+    // exchange partitioning, which AQE coalesces to ~2 partitions at
+    // its ~3 MB size — and the candidate explosion (→ 14.7M rows at
+    // sf0.1) plus the map-side pair dedup then run on 2 cores for ~12 s
+    // while 30 idle. AQE cannot see output growth through a join (guide
+    // §2.5); spreading the narrow prefix rows across the configured
+    // shuffle parallelism costs one ~3 MB exchange and unlocks the full
+    // core count on the exploding stage.
+    val probeParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val cand = u.select(col("token"), col("doc_id").as("p"), col("u").as("up"))
-      .join(prefix, Seq("token"))
+      .join(prefix.repartition(probeParts, col("token")), Seq("token"))
       .filter(col("p") =!= col("q"))
       .filter(col("up") * col("uq") +
         col("rq") * sqrt(greatest(lit(1.0) - col("up") * col("up"), lit(0.0))) >=
@@ -424,12 +434,18 @@ object Round15Ops {
     // map_zip_with still 58 s; the native merge is ~1 s of work.
     val docArr = graft.Lineage.cut(u.groupBy(col("doc_id"))
       .agg(array_sort(collect_list(struct(col("token"), col("u")))).as("ts")))
-    graft.Attach.arrays(cand, docArr, "doc_id", Seq("ts"))
+    val verified = graft.Attach.arrays(cand, docArr, "doc_id", Seq("ts"))
       .select(col("a"), col("b"),
         graft.functions.Registry.sortedTokenDot(col("ts_a"), col("ts_b")).as("dot"))
       .select(col("a"), col("b"), emit(col("dot").cast("double"), 6).as("cosine"))
       .filter(col("cosine") >= 0.9)
-      .orderBy(col("a"), col("b"))
+    // cut BEFORE the global sort (r10, measured): the orderBy's range
+    // exchange samples its child in a separate job, so without the cut
+    // the post-dedup verify segment (attach joins + native dot over
+    // ~12M candidates — two ~20 s 32-task stages in the profile, ~670 s
+    // of CPU each) executes TWICE. Pinning the qualifying pairs makes
+    // the sampling pass read pinned blocks instead (guide §3.3).
+    graft.Lineage.cut(verified).orderBy(col("a"), col("b"))
   }
 
   val tfidfCosineJoinSql: String =

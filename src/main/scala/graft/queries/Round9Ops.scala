@@ -774,8 +774,21 @@ object Round9Ops {
     // rows-only production variants (dedup_containment_fast, neardup).
     // Candidates dedup as bare id pairs BEFORE the arrays re-join, so
     // the wide token lists never ride the candidate shuffle.
+    // REPARTITION THE PROBE SIDE (r10, measured): the build side
+    // broadcasts by token, so the probe side inherits perDoc's pinned
+    // partitioning — 1-2 blocks at bench SFs (the perDoc agg exchange
+    // AQE-coalesced BEFORE the cut pinned it), and the candidate
+    // explosion (116k prefix rows → 44.6M raw candidates at sf0.1) plus
+    // the map-side pair dedup then run on 1-2 cores while 30 idle. AQE
+    // cannot see output growth through a join (guide §2.5), so spread
+    // the narrow prefix rows across the configured shuffle parallelism
+    // explicitly — an exchange of ~3 MB unlocks 32× on the exploding
+    // stage. Hash by token (deterministic under retry, no pre-sort;
+    // prefix tokens are df-ascending-rare, so the key is near-uniform).
+    val probeParts = s.conf.get("spark.sql.shuffle.partitions").toInt
     val cand = prefixRows
       .select(col("token"), col("doc_id").as("a"), col("n").as("na"), col("pos").as("pa"))
+      .repartition(probeParts, col("token"))
       .join(prefixRows.select(col("token"), col("doc_id").as("b"), col("n").as("nb"),
         col("pos").as("pb")), Seq("token"))
       // PPJoin's LENGTH + POSITIONAL filters ride the candidate join,
@@ -803,14 +816,23 @@ object Round9Ops {
     // builds a hash set + output array PER PAIR — pure allocation churn
     // at 10M+ candidates); same count, same integer threshold, same
     // emitted jaccard.
-    graft.Attach.arrays(cand, perDoc.select(col("doc_id"), col("tsl")), "doc_id", Seq("tsl"))
+    val verified = graft.Attach
+      .arrays(cand, perDoc.select(col("doc_id"), col("tsl")), "doc_id", Seq("tsl"))
       .withColumn("inter", graft.functions.Registry.sortedIntersect(col("tsl_a"), col("tsl_b")))
       .withColumn("uni", size(col("tsl_a")) + size(col("tsl_b")) - col("inter"))
       .filter(col("inter") * 5 >= col("uni") * 4)
       .select(
         col("a"), col("b"),
         emit(col("inter").cast("double") / col("uni"), 4).as("jaccard"))
-      .orderBy(col("a"), col("b"))
+    // cut BEFORE the global sort (r10, measured): the orderBy's range
+    // exchange samples its child in a separate job, so without the cut
+    // the whole post-dedup verify segment (attach joins + native
+    // intersect over ~12M candidates) executes TWICE — the profiler
+    // showed two back-to-back 32-task stages each reading the full
+    // dedup shuffle. Pinning the verified pairs (narrow rows) makes the
+    // sampling pass read pinned blocks instead (guide §3.3:
+    // materialize an intermediate to stop plan re-execution).
+    graft.Lineage.cut(verified).orderBy(col("a"), col("b"))
   }
 
   val setSimilarityJoinSql: String =
