@@ -18,6 +18,18 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // NOTE (r10, measured): lowering
+    // spark.sql.adaptive.coalescePartitions.minPartitionSize (1 MB
+    // default) to 64 KB looked like the fix for AQE collapsing
+    // small-but-CPU-dense shuffles onto 2-3 cores, but a 6-query A/B
+    // read 23.6 s (default) vs 32.9 s (64k): at these stage sizes the
+    // per-task fixed costs dwarf the parallelism gained, exactly the
+    // guide §1.2 warning that config is the LAST lever. Core
+    // starvation on genuinely expensive narrow stages is fixed
+    // per-operator with GraftSession.fan instead; the env knob stays
+    // for future A/Bs.
+    sys.env.get("SPARK_GRAFT_MIN_PART_SIZE").foreach(
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", _))
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     // dims (region/nation/customer/part/supplier at test SF) broadcast freely
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
@@ -50,6 +62,30 @@ object GraftSession {
         spark.experimental.extraOptimizations :+ graft.plans.PushdownTimeConversions
     functions.Registry.registerAll(spark)
     spark
+  }
+
+  /** Spread a narrow-but-CPU-heavy frame across the session's cores
+    * when its scan cannot (r10, measured): the bench corpora are
+    * single-file single-row-group parquet, so a scan is AT MOST ONE
+    * TASK per file no matter the split count, and any fused
+    * scan→project→join→partial-agg stage runs single-threaded while
+    * the other cores idle (StageProfile read parallelism ≈ 1.0× on
+    * most of the tail's expensive rows). AQE cannot help — it splits
+    * shuffles, not scans. The helper is scale-adaptive, not a local
+    * tune: it fires ONLY when the frame's planned partition count
+    * cannot occupy `defaultParallelism` (at production scale a fact
+    * scan has thousands of splits and this is the identity), and the
+    * redistribution it inserts is by definition bounded by the small
+    * input that made the condition true. Hash-repartition on the
+    * caller's key — deterministic under retry and free of the local
+    * sort a round-robin repartition pays (SPARK-23207).
+    */
+  def fan(df: org.apache.spark.sql.DataFrame, keys: Column*): org.apache.spark.sql.DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val target = sc.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.isEmpty) df.repartition(target)
+    else df.repartition(target, keys: _*)
   }
 
   def local(cores: Int = 32, shufflePartitions: Int = 32): SparkSession = {

@@ -133,7 +133,10 @@ object Round15Ops {
   def olsRegression(s: SparkSession, dir: String): DataFrame = {
     val q = col("l_quantity")
     val p = col("l_extendedprice")
-    val g = Tables.lineitem(s, dir)
+    // fan the single-row-group lineitem scan (r10): the decimal moment
+    // pass otherwise fuses with the scan into one task (see
+    // conformal_interval, same shape; identity at production splits)
+    val g = graft.GraftSession.fan(Tables.lineitem(s, dir), col("l_orderkey"))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),

@@ -258,7 +258,11 @@ object Round19Ops {
     * share aggregate. Exact oracle.
     */
   def conformalInterval(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // fan the single-row-group lineitem scan (r10, measured): the fit's
+    // decimal moment pass fused with the scan into a ~2 s near-serial
+    // stage at sf0.1; the fan spreads the four projected columns across
+    // the cores (identity once the scan has enough splits)
+    val li = graft.GraftSession.fan(Tables.lineitem(s, dir), col("l_orderkey"))
       .select(col("l_returnflag").as("flag"), (col("l_orderkey") % 2).as("par"),
         col("l_quantity").as("x"), col("l_extendedprice").as("y"))
     val Dec6 = org.apache.spark.sql.types.DecimalType(38, 6)

@@ -154,7 +154,15 @@ object Round23Ops {
     * grouped moment pass, |brands| rows. Exact oracle.
     */
   def priceElasticity(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // fan the single-row-group lineitem scan (r10, measured): the fused
+    // scan→bcast-join→ln/round/decimal partial agg ran as ONE task
+    // (5.9 s CPU at sf0.1, parallelism 1.0×); spreading the three
+    // projected columns across the cores costs a ~10 MB exchange and
+    // parallelizes the five per-row decimal quantizations — see
+    // GraftSession.fan for why this is scale-adaptive, not a local tune
+    val li = graft.GraftSession
+      .fan(Tables.lineitem(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice")), col("l_partkey"))
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
       .select(col("p_brand"),

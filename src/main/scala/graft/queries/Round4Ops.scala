@@ -299,7 +299,12 @@ object Round4Ops {
     val hs = transform(
       sequence(lit(0), size(ws) - 8),
       i => hashed(slice(ws, i + 1, lit(8))))
-    val raw = docsDf
+    // fan the single-row-group docs scan (r10, measured): the whole
+    // per-doc gram-hash array pipeline below is map-side by design, so
+    // it FUSES WITH THE SCAN into one task (2.3 s single-task stage at
+    // sf0.1 — ~700 md5s per doc on one core). GraftSession.fan is the
+    // identity when the scan already fills the configured parallelism.
+    val raw = graft.GraftSession.fan(docsDf, col("doc_id"))
       .filter(size(ws) >= 8)
       .select(col("doc_id"), hs.as("hs"))
       .select(

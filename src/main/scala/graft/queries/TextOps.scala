@@ -130,6 +130,13 @@ object TextOps {
   private[queries] def gramRows(docsDf: DataFrame, n: Int, distinct: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val parts = col("w0") +: (1 until n).map(j => lead(col("w0"), j).over(w))
+    // NOTE (r10, measured): pinning the window's (doc_id) exchange at
+    // shuffle.partitions width (so AQE can't coalesce the post-window
+    // hash stage to 2-3 tasks) read as a clear win on paper and LOST on
+    // the bench — dedup_minhash 1.4 → 2.8 s, minhash_calibration
+    // 4.9 → 6.9 s, corpus_recipe_neardup 3.3 → 4.9 s in a same-session
+    // A/B. At these per-partition sizes the extra task/exchange
+    // overhead beats the parallelism; left coalesced on purpose.
     val raw = docsDf
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w0")))
       .withColumn("g", concat_ws(" ", parts: _*))

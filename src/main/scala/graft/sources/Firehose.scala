@@ -181,8 +181,17 @@ object Firehose {
   // skip-on-error path.
   // ---------------------------------------------------------------
 
-  /** events → one raw post-record JSON line per event. */
+  /** events → one raw post-record JSON line per event.
+    *
+    * The input fans across the session's cores first (r10, measured):
+    * every caller feeds the single-row-group events scan, so the
+    * synthesis concat AND the downstream from_json parse ran as ONE
+    * task (two ~1.5 s single-task stages at sf0.1 in parse_post_records
+    * — the ingest front door). GraftSession.fan is the identity
+    * whenever the scan already fills the configured parallelism.
+    */
   def synthPostRecords(events: DataFrame): DataFrame = {
+    val fanned = graft.GraftSession.fan(events, col("event_id"))
     val e = col("event_id")
     val u = col("user_id")
     def s(c: Column): Column = c.cast("string")
@@ -245,7 +254,7 @@ object Firehose {
       when(m(2) === 0, concat(lit(",\"repostCount\":"), s(pmod(u, lit(20)))))
         .otherwise(lit("")),
       lit("}"))
-    events.select(e.as("event_id"), raw.as("raw"))
+    fanned.select(e.as("event_id"), raw.as("raw"))
   }
 
   /** customer → one raw profile-record JSON line per customer; the

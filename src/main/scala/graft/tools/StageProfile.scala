@@ -23,10 +23,16 @@ object StageProfile {
       swRecords: Long, spill: Long, outRecords: Long)
 
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    val names = args(0).split(',').filter(_.nonEmpty)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 2
     val spark = GraftSession.local()
+    names.foreach(profileOne(spark, _, dir, reps))
+    spark.stop()
+  }
+
+  def profileOne(spark: org.apache.spark.sql.SparkSession, name: String, dir: String,
+      reps: Int): Unit = {
     val fn = SparkEntry.queries(name)
 
     val rows = mutable.ArrayBuffer[StageRow]()
@@ -78,6 +84,6 @@ object StageProfile {
       println(f"  [sums] stage-wall=$wallSum%.2fs executor-run=$runSum%.2fs " +
         f"(parallelism=${runSum / wallSum}%.1fx) driver-gap=${dt - wallSum}%.2fs")
     }
-    spark.stop()
+    spark.sparkContext.removeSparkListener(listener)
   }
 }
