@@ -29,6 +29,12 @@ object Tables {
     else raw
   }
   def documents(s: SparkSession, dir: String): DataFrame = load(s, dir, "documents")
+  // NOTE (r10, measured): fanning embeddings HERE for every consumer
+  // was a wash (family A/B 39.6 → 38.3 s): the brute-distance rows won
+  // 1-2 s each, but the multi-pipeline reports (ann_recall_report,
+  // ann_probe_curve, embed_kmeans_report) reference this table many
+  // times and paid the exchange + planning cost per reference. The fan
+  // is applied inside the measured winners instead.
   def embeddings(s: SparkSession, dir: String): DataFrame = load(s, dir, "embeddings")
 
   private def load(s: SparkSession, dir: String, name: String): DataFrame =

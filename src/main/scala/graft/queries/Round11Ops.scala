@@ -545,8 +545,11 @@ object Round11Ops {
   def labelNoiseReport(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Registry
     val cap = 20000L
+    // fan the single-row-group embeddings scan (r10, measured): the
+    // brute-force dot stage fused with it into one task (identity at
+    // production splits; A/B in OPTIMIZATION_r10.md)
     val emb = TextOps.requireBounded(
-      Tables.embeddings(s, dir)
+      graft.GraftSession.fan(Tables.embeddings(s, dir), col("vec_id"))
         .select(
           col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("e")),
@@ -972,7 +975,11 @@ object Round11Ops {
     // (8.2 s at sf0.1, the catalog's slowest row; same values
     // bit-exactly, Spark round/cast semantics replicated inside the
     // aggregate's scaled12).
-    emb
+    // fan the single-row-group embeddings scan (r10, measured): the
+    // partial ObjectHashAggregate otherwise fuses with the scan into
+    // one task for the whole d²/2 product accumulation (identity at
+    // production split counts; A/B in OPTIMIZATION_r10.md)
+    graft.GraftSession.fan(emb, col("vec_id"))
       .agg(graft.functions.Registry.covMomentsAgg(
         col("embedding").cast("array<double>")).as("m"))
       .select(explode(col("m")).as("t"))
@@ -1057,8 +1064,11 @@ object Round11Ops {
   def labelPropagationEval(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.Registry
     val cap = 20000L
+    // fan the single-row-group embeddings scan (r10, measured): the
+    // brute-force dot stage fused with it into one task (identity at
+    // production splits; A/B in OPTIMIZATION_r10.md)
     val emb = TextOps.requireBounded(
-      Tables.embeddings(s, dir)
+      graft.GraftSession.fan(Tables.embeddings(s, dir), col("vec_id"))
         .select(
           col("vec_id"), col("label"),
           transform(col("embedding"), x => x.cast("double")).as("e")),
