@@ -225,13 +225,41 @@ object NativeMerges {
     s
   }
 
+  /** Unscaled (scale-12) HALF_UP rounding of a unit-vector product,
+    * bit-identical to `BigDecimal.valueOf(p).setScale(12, HALF_UP)`
+    * (Spark's Round(double, 12) chain) but without the Double.toString
+    * parse on the hot path. Domain: p ∈ [0, 1] (products of unit-vector
+    * components — tf-idf weights are non-negative). Why the fast path
+    * is exact outside the guard band: with r = shortest-repr decimal of
+    * p (what valueOf parses), |r − p| ≤ ulp(p)/2, so
+    * |p·1e12 − r·1e12| ≤ 1.2e-4, and the double multiply adds
+    * ≤ ulp(1e12)/2 ≈ 6.2e-5 — total < 2.3e-4. HALF_UP differs from
+    * floor(y + 0.5) only when y sits within that error of a .5 tie, so
+    * any y farther than 1e-3 from the tie floors identically; ties
+    * fall back to the exact BigDecimal chain (~0.2% of terms).
+    */
+  private[graft] def roundedUnscaled12(p: Double): Long = {
+    val y = p * 1e12
+    val f = y - Math.floor(y)
+    // the 2e12 cap keeps ulp(y) ≤ 2.5e-4 so the 1e-3 guard still
+    // dominates the total error; |p| > 2 (outside the unit-vector
+    // domain this function serves) takes the exact slow path entirely
+    if (y >= 0.0 && y < 2.0e12 && Math.abs(f - 0.5) > 1e-3) Math.floor(y + 0.5).toLong
+    else java.math.BigDecimal.valueOf(p)
+      .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+  }
+
   def sortedTokenDot(x: org.apache.spark.sql.catalyst.util.ArrayData,
       y: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.types.Decimal = {
     var i = 0
     var j = 0
     val nx = x.numElements()
     val ny = y.numElements()
-    var acc = java.math.BigDecimal.ZERO
+    // unscaled scale-12 accumulator: each |term| ≤ 1e12 and docs carry
+    // ≤ ~1e4 tokens, so the exact sum stays far inside Long range; the
+    // value equals the BigDecimal sum the oracle chain adds (decimal
+    // addition at one scale IS integer addition of unscaled values)
+    var acc = 0L
     if (i < nx && j < ny) {
       var sx = fetchDot(x, i)
       var sy = fetchDot(y, j)
@@ -241,9 +269,7 @@ object NativeMerges {
       while (!done) {
         val c = tx.compareTo(ty)
         if (c == 0) {
-          acc = acc.add(java.math.BigDecimal
-            .valueOf(sx.getDouble(1) * sy.getDouble(1))
-            .setScale(12, java.math.RoundingMode.HALF_UP))
+          acc += roundedUnscaled12(sx.getDouble(1) * sy.getDouble(1))
           i += 1; j += 1
           if (i < nx && j < ny) {
             sx = fetchDot(x, i); sy = fetchDot(y, j)

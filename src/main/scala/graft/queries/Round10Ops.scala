@@ -1180,12 +1180,29 @@ object Round10Ops {
     // PQ each train k-means inside) into one giant plan — the four
     // pipelines run once each at cut time, and the report plan is a
     // union of pinned blocks + one broadcast probe + one bounded agg
-    def tagged(name: String, df: DataFrame) = graft.Lineage.cut(
+    // the four family pipelines are INDEPENDENT and each is a mostly
+    // serial chain of small stages, so their eager cuts ran one after
+    // another with ~1 core busy; materializing them from a small thread
+    // pool overlaps the four pipelines on idle cores (guide §2.6 —
+    // actions are only sequential because the driver calls them
+    // sequentially). Results are pinned frames either way; r10 measured
+    // the report 6.5 → ~4 s with the overlap.
+    def tagged(name: String, df: => DataFrame) = () => graft.Lineage.cut(
       df.select(lit(name).as("method"), col("query_id"), col("vec_id")))
-    val approx = tagged("lsh_bucketed", TextOps.queries("embed_lsh_knn")(s, dir))
-      .unionByName(tagged("ivf_trained", TextOps.queries("embed_ivf_knn")(s, dir)))
-      .unionByName(tagged("pq_sampled", Round6Ops.queries("embed_pq_knn")(s, dir)))
-      .unionByName(tagged("int8_quantized", TextOps.queries("embed_quantized_knn")(s, dir)))
+    val families = Seq(
+      tagged("lsh_bucketed", TextOps.queries("embed_lsh_knn")(s, dir)),
+      tagged("ivf_trained", TextOps.queries("embed_ivf_knn")(s, dir)),
+      tagged("pq_sampled", Round6Ops.queries("embed_pq_knn")(s, dir)),
+      tagged("int8_quantized", TextOps.queries("embed_quantized_knn")(s, dir)))
+    val approx = {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(java.util.concurrent.Executors.newFixedThreadPool(4))
+      val cut = Await.result(Future.sequence(families.map(f => Future(f()))), Duration.Inf)
+      ec.asInstanceOf[scala.concurrent.ExecutionContextExecutorService].shutdown()
+      cut.reduce(_.unionByName(_))
+    }
     val nq = exact.agg(countDistinct(col("query_id")).as("nq"))
     // ONE pass over the union: the old semi-join + separate count
     // consumed `approx` twice, re-running all four kNN families — the

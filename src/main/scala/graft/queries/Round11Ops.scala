@@ -788,6 +788,11 @@ object Round11Ops {
       .orderBy(col("sold").desc, col("part_id"))
       .limit(TopNegativeCandidates)
       .select(col("part_id"))
+    // NOTE (r10, measured): repartitioning the 15k-user roster before
+    // the ×256 candidate explosion (AQE coalesces the distinct to one
+    // partition) did not move the bench (3.81 → 3.85 s) — the cost
+    // lives in the anti-join + window stage, which already runs ~16
+    // tasks. Left alone.
     val users = positives.select(col("user_id")).distinct()
     val wPick = Window.partitionBy(col("user_id")).orderBy(col("draw"), col("part_id"))
     users.crossJoin(broadcast(candidates))

@@ -556,13 +556,20 @@ object Round6Ops {
     * 8-way sum is order-independent through DECIMAL(38,12).
     */
   def embedPqKnn(s: SparkSession, dir: String): DataFrame = {
-    val e = pqEmb(s, dir)
+    val e = pqEmb(s, dir, fanned = true)
     pqScore(pqSubs(e), pqSampledCodebook(e))
   }
 
-  private[graft] def pqEmb(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
+  // `fanned` (r10, measured): embed_pq_knn wins from spreading the
+  // single-row-group embeddings scan (1.65 → 1.05 s at sf0.1) but the
+  // TRAINED form LOSES (4.38 → 4.99 s — its three Lloyd cut
+  // iterations each pay the wider partitioning in partial-agg merges),
+  // so each caller picks per measurement.
+  private[graft] def pqEmb(s: SparkSession, dir: String, fanned: Boolean = false): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+    (if (fanned) graft.GraftSession.fan(base, col("vec_id")) else base)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("emb"))
+  }
 
   /** (vec_id, s, v): each vector split into m=8 dim-8 subvectors. */
   private[graft] def pqSubs(e: DataFrame): DataFrame =

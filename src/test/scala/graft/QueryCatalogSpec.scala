@@ -3958,6 +3958,27 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(joined.count() > 100, "sample must actually exercise the merge")
   }
 
+  test("roundedUnscaled12 fast path equals the BigDecimal HALF_UP chain on adversarial doubles") {
+    // the r10 fast path floors p*1e12 + 0.5 outside a 1e-3 tie guard;
+    // this pins bit-equality against the exact chain on (a) dense
+    // random unit products, (b) values manufactured AT and NEAR .5
+    // ties (the fallback region), (c) representability edge cases
+    def exact(p: Double): Long = java.math.BigDecimal.valueOf(p)
+      .setScale(12, java.math.RoundingMode.HALF_UP).unscaledValue().longValueExact()
+    val rnd = new scala.util.Random(42)
+    val dense = Seq.fill(200000)(rnd.nextDouble())
+    val ties = (0 until 20000).map(k => (k * 997 + 0.5) / 1e12) // decimal .5 ties at scale 12
+    val nearTies = (0 until 20000).flatMap { k =>
+      val base = (k * 991 + 0.5) / 1e12
+      Seq(base + 1e-16, base - 1e-16, base + 2e-15, base - 2e-15)
+    }
+    val edges = Seq(0.0, 1.0, 0.999999999999, 1e-13, 4.9e-13, 5e-13, 5.1e-13,
+      0.3333333333333333, 2.0 - 1e-12, 1.9999999999995)
+    for (p <- dense ++ ties ++ nearTies ++ edges)
+      assert(graft.functions.NativeMerges.roundedUnscaled12(p) == exact(p),
+        s"fast path diverges from BigDecimal HALF_UP at p=$p")
+  }
+
   test("SortedIntersectCount equals size(array_intersect) on sorted-unique arrays, throws on violations") {
     import org.apache.spark.sql.functions._
     val arr = Tables.documents(spark, dir)
