@@ -240,8 +240,12 @@ object Bench {
         val chunkSize =
           math.max(1, sys.env.getOrElse("SPARK_GRAFT_CHUNK_SIZE", "64").toInt)
         val rest = (selected.keySet -- heavy).toSeq.sorted
-        val chunks = rest.grouped(chunkSize).toSeq ++
-          (if (heavy.nonEmpty) Seq(heavy.toSeq.sorted) else Nil)
+        // each heavy row gets its OWN virgin JVM (r10): with both heavy
+        // joins sharing one chunk, the row that ran second drew the
+        // bimodal in-JVM inflation on both passes ([54.0, 26.3] s vs
+        // 13.5-18 s isolated in the same session) — the min-of-2 can
+        // only absorb what one pass escapes
+        val chunks = rest.grouped(chunkSize).toSeq ++ heavy.toSeq.sorted.map(Seq(_))
         val acc = scala.collection.mutable.Map[String, Seq[Option[Double]]]()
         val iso = scala.collection.mutable.ArrayBuffer[String]()
         chunks.zipWithIndex.foreach { case (c, i) =>

@@ -831,7 +831,10 @@ object Round9Ops {
     // showed two back-to-back 32-task stages each reading the full
     // dedup shuffle. Pinning the verified pairs (narrow rows) makes the
     // sampling pass read pinned blocks instead (guide §3.3:
-    // materialize an intermediate to stop plan re-execution).
+    // materialize an intermediate to stop plan re-execution). An A/B
+    // at round close read no-cut [33.1, 21.8] vs cut [21.2, 18.0] in
+    // adjacent sessions (both noisy — the row is bimodal in-JVM): the
+    // cut form keeps the structurally smaller execution.
     graft.Lineage.cut(verified).orderBy(col("a"), col("b"))
   }
 
