@@ -109,9 +109,12 @@ object Bench {
     * java.class.path) and parse its per-query pass samples back.
     * The child's stdout goes to a log file, NEVER this stdout: the
     * driver parses the parent's single JSON line. Returns None on any
-    * failure (caller falls back to in-JVM timing).
+    * failure (caller falls back to in-JVM timing). `passes` sets how
+    * many timed passes the child runs after its warm-up (the per-PASS
+    * fork for the heavy rows passes 1).
     */
-  def runIsolated(names: Seq[String], sfDir: String): Option[Map[String, Seq[Option[Double]]]] =
+  def runIsolated(names: Seq[String], sfDir: String, passes: Int = 2)
+      : Option[Map[String, Seq[Option[Double]]]] =
     try {
       import scala.jdk.CollectionConverters._
       val javaBin = java.nio.file.Paths.get(System.getProperty("java.home"), "bin", "java").toString
@@ -126,6 +129,7 @@ object Bench {
       val pb = new ProcessBuilder(cmd)
       pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
       pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_PASSES", passes.toString)
       pb.redirectOutput(log.toFile)
       pb.redirectErrorStream(true)
       System.err.println(s"[bench] isolating ${names.mkString(",")} in a fresh JVM (log: $log)")
@@ -157,6 +161,41 @@ object Bench {
     } catch {
       case e: Throwable => System.err.println(s"[bench] isolated chunk failed: ${e.getMessage}"); None
     }
+
+  /** Render the ONE output JSON line the driver parses. Extracted so
+    * BenchSpec can pin byte-level stability: the line must start with
+    * `{"metric"` and round-trip through a strict JSON parser — the r9
+    * line failed the driver's parser and cost round 10 its whole
+    * round-over-round comparison (PERF_r10 `prev_bench_ok: false`).
+    */
+  def renderLine(allNames: Seq[String], allSamples: Map[String, Seq[Option[Double]]],
+      isolatedNames: Seq[String], harness: String, sfDir: String): String = {
+    val results = allNames.map { name =>
+      // a failed attempt must not masquerade as a fast run
+      val goodTimes = allSamples.getOrElse(name, Seq.empty).flatten
+      (name, if (goodTimes.nonEmpty) goodTimes.min else -1.0, goodTimes.nonEmpty)
+    }
+    // failed queries serialize as null, never a numeric sentinel: a
+    // consumer that sums the map without reading "failed" should break
+    // loudly, not ingest -1.0 as a timing
+    val qs = results
+      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null") }
+      .mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    // per-pass raw samples + a harness version stamp: cross-round totals
+    // are only comparable under the SAME methodology (the r4→r5 harness
+    // change read as a phantom 1.22× regression until adjudicated), so
+    // the JSON self-describes how it was measured; "isolated" names the
+    // rows timed in their own fresh JVM (empty when not chunking)
+    val perPass = allNames.map { name =>
+      val samples = allSamples.getOrElse(name, Seq.empty)
+        .map(_.map(t => f"$t%.3f").getOrElse("null"))
+      "\"" + name + "\":[" + (if (samples.isEmpty) "null,null" else samples.mkString(",")) + "]"
+    }.mkString("{", ",", "}")
+    val isolated = isolatedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","harness":"$harness","isolated":$isolated,"queries":$qs,"passes":$perPass,"failed":$failed,"sf":"$sfDir"}"""
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -224,7 +263,15 @@ object Bench {
         try fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
-      val passes = (1 to 2).map { p => fns.map { case (n, fn) => n -> timeOne(n, fn, p) } }
+      // SPARK_GRAFT_PASSES: how many timed passes after the warm-up
+      // (default 2 — the 2-pass-min contract). The per-PASS fork for
+      // the heavy rows (r11) runs two 1-pass children and merges, so
+      // each heavy pass sees a TRULY virgin JVM: the r10 driver run
+      // showed the bimodal JIT inflation can fire within a single
+      // row's own JVM when warm-up + 2 passes share it (tfidf charged
+      // [45.3, 36.8] while fresh-JVM single runs read 10-16 s).
+      val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt)
+      val passes = (1 to nPasses).map { p => fns.map { case (n, fn) => n -> timeOne(n, fn, p) } }
       fns.map { case (name, _) =>
         name -> passes.map(_.collectFirst { case (`name`, (t, ok)) => if (ok) Some(t) else None }
           .flatten)
@@ -250,7 +297,29 @@ object Bench {
         val iso = scala.collection.mutable.ArrayBuffer[String]()
         chunks.zipWithIndex.foreach { case (c, i) =>
           System.err.println(s"[bench] chunk ${i + 1}/${chunks.size} (${c.size} queries)")
-          runIsolated(c, sfDir) match {
+          // heavy rows fork PER PASS (r11): warm-up + 2 passes inside
+          // one JVM is already 3 executions of a ~1,600-line plan, and
+          // the r10 driver artifact showed the JIT inflation firing on
+          // BOTH tfidf passes inside its own virgin JVM. Two 1-pass
+          // children give each measured pass a fresh JVM; the min of
+          // the two decorrelated samples is the same 2-pass-min
+          // statistic as before, measured under strictly cleaner state.
+          val perPass = c.size == 1 && heavy(c.head)
+          val merged: Option[Map[String, Seq[Option[Double]]]] =
+            if (perPass) {
+              val runs = (1 to 2).map { p =>
+                System.err.println(s"[bench]   heavy ${c.head} pass $p (own fresh JVM)")
+                runIsolated(c, sfDir, passes = 1)
+              }
+              if (runs.forall(_.isDefined))
+                Some(Map(c.head -> runs.flatMap(_.get(c.head))))
+              else {
+                System.err.println(
+                  s"[bench] per-pass fork failed for ${c.head}; single-fork 2-pass fallback")
+                runIsolated(c, sfDir)
+              }
+            } else runIsolated(c, sfDir)
+          merged match {
             case Some(m) => acc ++= m; iso ++= c
             case None =>
               System.err.println("[bench] FALLBACK: timing chunk in-JVM (expect inflation)")
@@ -260,33 +329,9 @@ object Bench {
         (acc.toMap, iso.toSeq.sorted)
       }
     val allNames = selected.keySet.toSeq.sorted
-    val results = allNames.map { name =>
-      // a failed attempt must not masquerade as a fast run
-      val goodTimes = allSamples.getOrElse(name, Seq.empty).flatten
-      (name, if (goodTimes.nonEmpty) goodTimes.min else -1.0, goodTimes.nonEmpty)
-    }
-    // failed queries serialize as null, never a numeric sentinel: a
-    // consumer that sums the map without reading "failed" should break
-    // loudly, not ingest -1.0 as a timing
-    val qs = results
-      .map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) f"$v%.3f" else "null") }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    // per-pass raw samples + a harness version stamp: cross-round totals
-    // are only comparable under the SAME methodology (the r4→r5 harness
-    // change read as a phantom 1.22× regression until adjudicated), so
-    // the JSON self-describes how it was measured; "isolated" names the
-    // rows timed in their own fresh JVM (empty when not chunking)
-    val perPass = allNames.map { name =>
-      val samples = allSamples.getOrElse(name, Seq.empty)
-        .map(_.map(t => f"$t%.3f").getOrElse("null"))
-      "\"" + name + "\":[" + (if (samples.isEmpty) "null,null" else samples.mkString(",")) + "]"
-    }.mkString("{", ",", "}")
-    val isolated = isolatedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val harness = if (only.isEmpty && !noChunk) "2-pass-min/v4-chunked" else "2-pass-min/v3-cleanstate"
-    val line =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","harness":"$harness","isolated":$isolated,"queries":$qs,"passes":$perPass,"failed":$failed,"sf":"$sfDir"}"""
+    val harness =
+      if (only.isEmpty && !noChunk) "2-pass-min/v5-passfork" else "2-pass-min/v3-cleanstate"
+    val line = renderLine(allNames, allSamples, isolatedNames, harness, sfDir)
     // Persist FIRST, then print: the driver's log-tail capture clipped
     // the head of the stdout line in r3 AND r4 ("parsed": null) — the
     // authoritative copy is the file; the canonical path is named in

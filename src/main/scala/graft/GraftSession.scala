@@ -83,7 +83,22 @@ object GraftSession {
   def fan(df: org.apache.spark.sql.DataFrame, keys: Column*): org.apache.spark.sql.DataFrame = {
     val sc = df.sparkSession.sparkContext
     val target = sc.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df
+    // PRECONDITION (r10 ADVICE, now enforced): fan() reads the planned
+    // partition count through df.rdd, and with AQE enabled that
+    // finalizes the physical plan — on an input that already contains
+    // an Exchange it would eagerly MATERIALIZE the shuffle stages as a
+    // throwaway side job (the RDD lineage is not reused by the
+    // repartitioned frame below). Every intended call site passes an
+    // exchange-free scan/project frame, where .rdd is pure DAG
+    // construction; for anything already carrying an exchange, fan is
+    // the identity — post-shuffle parallelism is AQE's job, and the
+    // single-row-group scan starvation fan exists for cannot occur
+    // behind a shuffle. sparkPlan (pre-AQE) is planning-only, so this
+    // guard runs no job either.
+    val hasExchange = df.queryExecution.sparkPlan
+      .find(_.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange]).isDefined
+    if (hasExchange) df
+    else if (df.rdd.getNumPartitions >= target) df
     else if (keys.isEmpty) df.repartition(target)
     else df.repartition(target, keys: _*)
   }

@@ -128,40 +128,101 @@ case class SortedTokenDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Intersection size of two lexically-SORTED, UNIQUE `array<string>`
-  * columns: a compiled two-pointer count. Replaces
-  * `size(array_intersect(a, b))` on the set-similarity verify path —
-  * array_intersect builds a hash set and materializes the intersection
-  * array per pair; at 12M candidate pairs the allocation alone
-  * dominates, while this merge is O(|a|+|b|) compares with zero
-  * allocation. Same count for any input order, so the verify's integer
-  * threshold compare (5·inter ≥ 4·uni) and the emitted jaccard are
-  * unchanged — only the constant drops. Like [[SortedTokenDot]], the
-  * sorted-unique precondition is DETECTED: a non-increasing element on
-  * either side throws instead of silently undercounting.
+/** Intersection size of two SORTED, UNIQUE `array<string>` (lexical
+  * order) or `array<bigint>` (numeric order) columns: a compiled
+  * two-pointer count. Replaces `size(array_intersect(a, b))` on the
+  * set-similarity verify path — array_intersect builds a hash set and
+  * materializes the intersection array per pair; at 12M candidate
+  * pairs the allocation alone dominates, while this merge is
+  * O(|a|+|b|) compares with zero allocation. Same count for any input
+  * order, so the verify's integer threshold compare
+  * (5·inter ≥ 4·uni) and the emitted jaccard are unchanged — only the
+  * constant drops. The LONG form exists for the r11 int-token
+  * dictionary: |A∩B| is invariant under any token→id bijection, and a
+  * one-instruction long compare replaces the byte-wise
+  * UTF8String.compareTo that dominated the verify stage's CPU. Like
+  * [[SortedTokenDot]], the sorted-unique precondition is DETECTED: a
+  * non-increasing element on either side throws instead of silently
+  * undercounting.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
 
-  /** Merge body in [[NativeMerges.sortedIntersect]] (shared by the
-    * interpreted eval and the generated call — see [[SortedTokenDot]]
-    * for why CodegenFallback was removed in r10). A null element gets
-    * the descriptive precondition error, never an opaque NPE out of
-    * the compare (a null has no sort position, so the sorted-unique
+  private lazy val isLong = left.dataType match {
+    case org.apache.spark.sql.types.ArrayType(LongType, _) => true
+    case _                                                 => false
+  }
+
+  /** Merge body in [[NativeMerges.sortedIntersect]] /
+    * [[NativeMerges.sortedIntersectLong]] (shared by the interpreted
+    * eval and the generated call — see [[SortedTokenDot]] for why
+    * CodegenFallback was removed in r10). A null element gets the
+    * descriptive precondition error, never an opaque NPE out of the
+    * compare (a null has no sort position, so the sorted-unique
     * precondition simply extends to non-null).
     */
   override def nullSafeEval(a: Any, b: Any): Any =
-    NativeMerges.sortedIntersect(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    if (isLong)
+      NativeMerges.sortedIntersectLong(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    else
+      NativeMerges.sortedIntersect(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isLong) "sortedIntersectLong" else "sortedIntersect"
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.NativeMerges.sortedIntersect($a, $b);")
+      s"${ev.value} = graft.functions.NativeMerges.$m($a, $b);")
+  }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Exact tf-idf dot product over the r11 int-token dictionary layout:
+  * four parallel PRIMITIVE arrays — (idsA: array<bigint>, wsA:
+  * array<double>, idsB, wsB), each (ids, ws) pair element-aligned and
+  * id-sorted with unique ids. Computes the same
+  * `sum(round(wa*wb, 12) :: DECIMAL(30,12))` over shared ids as
+  * [[SortedTokenDot]] does over shared tokens — when the ids come from
+  * a token→id BIJECTION the matched product set is identical and
+  * decimal addition is order-free, so the value is bit-identical to
+  * the string form (spec-pinned). Why it exists (guide §1.2 per-task
+  * work, r10 verdict item 1): the string merge pays a byte-wise
+  * UTF8String.compareTo plus an UnsafeRow struct fetch per advance —
+  * ~2 allocations and a memory-compare per element across ~10⁹
+  * advances at sf0.1 — while this form is two primitive array reads
+  * and a long compare, with zero per-element allocation. The
+  * sorted-unique precondition is DETECTED like the string form's:
+  * non-increasing ids or a length mismatch between an (ids, ws) pair
+  * throw, never return a silently wrong dot.
+  */
+case class SortedIdWeightDot(idsA: Expression, wsA: Expression,
+    idsB: Expression, wsB: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.QuaternaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.DecimalType(30, 12)
+  override def first: Expression = idsA
+  override def second: Expression = wsA
+  override def third: Expression = idsB
+  override def fourth: Expression = wsB
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    NativeMerges.sortedIdDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      d.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c, d) =>
+      s"${ev.value} = graft.functions.NativeMerges.sortedIdDot($a, $b, $c, $d);")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): Expression =
+    copy(idsA = f, wsA = s, idsB = t, wsB = q)
 }
 
 /** Oracle-exact squared euclidean distance of two ARRAY<DOUBLE>
@@ -269,7 +330,14 @@ object NativeMerges {
       while (!done) {
         val c = tx.compareTo(ty)
         if (c == 0) {
-          acc += roundedUnscaled12(sx.getDouble(1) * sy.getDouble(1))
+          // addExact (r11, ADVICE): graft_sorted_dot is a publicly
+          // registered SQL function, and the unscaled-long accumulator
+          // is only magnitude-safe on its documented unit-vector
+          // domain — an out-of-domain call (huge weights × many
+          // matches) must throw ArithmeticException like the
+          // expression's other loud precondition checks, never wrap
+          // into a silently wrong decimal
+          acc = Math.addExact(acc, roundedUnscaled12(sx.getDouble(1) * sy.getDouble(1)))
           i += 1; j += 1
           if (i < nx && j < ny) {
             sx = fetchDot(x, i); sy = fetchDot(y, j)
@@ -347,6 +415,111 @@ object NativeMerges {
     n
   }
 
+  /** Long twin of [[sortedIntersect]] for the r11 int-token dictionary:
+    * same two-pointer merge, same precondition detection, but the
+    * compare is one long subtraction instead of a byte-wise
+    * UTF8String.compareTo. |A∩B| is bijection-invariant, so the count
+    * equals the string form's on dictionary-mapped inputs.
+    */
+  private def elemLong(arr: org.apache.spark.sql.catalyst.util.ArrayData, i: Int,
+      fn: String): Long = {
+    if (arr.isNullAt(i))
+      throw new IllegalArgumentException(
+        s"$fn: null array element (arrays must be sorted, unique, non-null)")
+    arr.getLong(i)
+  }
+
+  def sortedIntersectLong(x: org.apache.spark.sql.catalyst.util.ArrayData,
+      y: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    if (i < nx && j < ny) {
+      // on-advance sortedness/null detection, same contract as the
+      // string form: elements past the shorter side's exhaustion are
+      // never fetched, so only the merged region is validated
+      var a = elemLong(x, i, "graft_sorted_intersect")
+      var b = elemLong(y, j, "graft_sorted_intersect")
+      var done = false
+      while (!done) {
+        val c = java.lang.Long.compare(a, b)
+        if (c == 0) { n += 1; i += 1; j += 1 } else if (c < 0) i += 1 else j += 1
+        if (i < nx && c <= 0) {
+          val pa = a
+          a = elemLong(x, i, "graft_sorted_intersect")
+          if (a <= pa)
+            throw new IllegalArgumentException(
+              "graft_sorted_intersect: input arrays must be sorted with unique elements")
+        }
+        if (j < ny && c >= 0) {
+          val pb = b
+          b = elemLong(y, j, "graft_sorted_intersect")
+          if (b <= pb)
+            throw new IllegalArgumentException(
+              "graft_sorted_intersect: input arrays must be sorted with unique elements")
+        }
+        done = i >= nx || j >= ny
+      }
+    }
+    n
+  }
+
+  /** Merge body of [[SortedIdWeightDot]]: two-pointer dot over four
+    * primitive arrays — (ids, ws) element-aligned per side, ids sorted
+    * unique. Accumulates the identical unscaled scale-12 longs as
+    * [[sortedTokenDot]] (same [[roundedUnscaled12]] per matched
+    * product, Math.addExact so out-of-domain magnitudes throw loudly);
+    * decimal addition is order-free, so a token→id bijection gives the
+    * bit-identical DECIMAL(30,12).
+    */
+  def sortedIdDot(xIds: org.apache.spark.sql.catalyst.util.ArrayData,
+      xWs: org.apache.spark.sql.catalyst.util.ArrayData,
+      yIds: org.apache.spark.sql.catalyst.util.ArrayData,
+      yWs: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.types.Decimal = {
+    val nx = xIds.numElements()
+    val ny = yIds.numElements()
+    if (nx != xWs.numElements() || ny != yWs.numElements())
+      throw new IllegalArgumentException(
+        "graft_sorted_iddot: ids and weights arrays must be element-aligned")
+    var i = 0
+    var j = 0
+    var acc = 0L
+    if (i < nx && j < ny) {
+      var a = elemLong(xIds, i, "graft_sorted_iddot")
+      var b = elemLong(yIds, j, "graft_sorted_iddot")
+      var done = false
+      while (!done) {
+        val c = java.lang.Long.compare(a, b)
+        if (c == 0) {
+          if (xWs.isNullAt(i) || yWs.isNullAt(j))
+            throw new IllegalArgumentException(
+              "graft_sorted_iddot: null weight (arrays must be id-sorted, unique, non-null)")
+          acc = Math.addExact(acc, roundedUnscaled12(xWs.getDouble(i) * yWs.getDouble(j)))
+          i += 1; j += 1
+        } else if (c < 0) i += 1
+        else j += 1
+        if (i < nx && c <= 0) {
+          val pa = a
+          a = elemLong(xIds, i, "graft_sorted_iddot")
+          if (a <= pa)
+            throw new IllegalArgumentException(
+              "graft_sorted_iddot: input arrays must be id-sorted with unique ids")
+        }
+        if (j < ny && c >= 0) {
+          val pb = b
+          b = elemLong(yIds, j, "graft_sorted_iddot")
+          if (b <= pb)
+            throw new IllegalArgumentException(
+              "graft_sorted_iddot: input arrays must be id-sorted with unique ids")
+        }
+        done = i >= nx || j >= ny
+      }
+    }
+    org.apache.spark.sql.types.Decimal(acc, 30, 12)
+  }
+
   def roundedDistSq(x: org.apache.spark.sql.catalyst.util.ArrayData,
       y: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.types.Decimal = {
     val n = x.numElements()
@@ -405,6 +578,8 @@ object Registry {
     // map-side merge, exactly like the engine's other sketches.
     ensure("graft_cov_moments", exprs => CovMomentsAgg(exprs(0)))
     ensure("graft_sorted_dot", exprs => SortedTokenDot(exprs(0), exprs(1)))
+    ensure("graft_sorted_iddot", exprs =>
+      SortedIdWeightDot(exprs(0), exprs(1), exprs(2), exprs(3)))
     // PRECONDITION: both arrays sorted with unique elements — violations
     // throw at eval (see the expressions' scaladoc), never return wrong
     ensure("graft_sorted_intersect", exprs => SortedIntersectCount(exprs(0), exprs(1)))
@@ -432,12 +607,19 @@ object Registry {
   def sortedTokenDot(a: Column, b: Column): Column =
     call_function("graft_sorted_dot", a, b)
 
-  /** Intersection size of two lexically-sorted unique string arrays —
-    * the native [[SortedIntersectCount]] merge; equals
+  /** Intersection size of two sorted unique arrays (lexical strings or
+    * numeric longs) — the native [[SortedIntersectCount]] merge; equals
     * `size(array_intersect(a, b))` on its sorted-unique domain.
     */
   def sortedIntersect(a: Column, b: Column): Column =
     call_function("graft_sorted_intersect", a, b)
+
+  /** Exact decimal dot over the int-token dictionary layout — the
+    * native [[SortedIdWeightDot]] merge over four primitive arrays;
+    * bit-identical to [[sortedTokenDot]] on bijection-mapped inputs.
+    */
+  def sortedIdDot(idsA: Column, wsA: Column, idsB: Column, wsB: Column): Column =
+    call_function("graft_sorted_iddot", idsA, wsA, idsB, wsB)
 
   /** Oracle-exact Σ round((aᵢ−bᵢ)², 12) as DECIMAL(38,12) — the native
     * [[RoundedDistSq]]; equals the exploded relational

@@ -1197,11 +1197,15 @@ object Round10Ops {
     val approx = {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext =
-        ExecutionContext.fromExecutorService(java.util.concurrent.Executors.newFixedThreadPool(4))
-      val cut = Await.result(Future.sequence(families.map(f => Future(f()))), Duration.Inf)
-      ec.asInstanceOf[scala.concurrent.ExecutionContextExecutorService].shutdown()
-      cut.reduce(_.unionByName(_))
+      // daemon threads + try/finally shutdown (r10 ADVICE): a family
+      // pipeline that throws must not leak non-daemon pool threads that
+      // keep the driver JVM alive after main exits
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+        r => { val t = new Thread(r, "ann-recall-cut"); t.setDaemon(true); t })
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try Await.result(Future.sequence(families.map(f => Future(f()))), Duration.Inf)
+        .reduce(_.unionByName(_))
+      finally pool.shutdown()
     }
     val nq = exact.agg(countDistinct(col("query_id")).as("nq"))
     // ONE pass over the union: the old semi-join + separate count

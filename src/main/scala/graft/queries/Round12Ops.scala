@@ -1310,73 +1310,99 @@ object Round12Ops {
   def markovAttribution(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val steps = events(s, dir)
+    // ONE windowed scan feeds BOTH the transition matrix and the start
+    // distribution (r11, §2.4: r10 ran two events scans, two window
+    // sorts and two cuts — lead and row_number share one window spec,
+    // so one pass computes both; the dst-null groups are the per-user
+    // last events, filtered where trans is read). coalesce(1) before
+    // the cut pins the |types|²-bounded result as a SINGLE-PARTITION
+    // leaf: SinglePartition satisfies every ClusteredDistribution, so
+    // the entire bounded tail below — crossJoins, 4 unrolled
+    // multiplies, the conv rollup — plans with ZERO exchanges and zero
+    // broadcast stages (each multiply cost 2 broadcast builds + 1
+    // shuffle before: 37 stages, 1.9 s of driver gap at r10 close).
+    val agg = graft.Lineage.cut(events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("next", lead(col("event_type"), 1).over(w))
-      .filter(col("next").isNotNull)
-    val trans = graft.Lineage.cut( // |types|² — one scan, many readers
-      steps.groupBy(col("event_type").as("src"), col("next").as("dst"))
-        .agg(count(lit(1)).as("c")))
-    val outTot = trans.groupBy(col("src")).agg(sum(col("c")).as("tot"))
-    // p / starts / types are |types|-bounded but feed the 4 unrolled
-    // matrix multiplies times 6 variants: cut their lineage or every
-    // multiply re-derives the full transition scan (plan audit read
-    // xchg=343 before these cuts)
-    val p = graft.Lineage.cut(trans.join(outTot, Seq("src"))
-      .select(col("src"), col("dst"),
-        (col("c").cast("double") / col("tot").cast("double")).as("p")))
-    val starts = graft.Lineage.cut(events(s, dir)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .groupBy(col("event_type").as("src")).agg(count(lit(1)).as("n")))
-    val types = graft.Lineage.cut(
-      trans.select(col("src")).union(trans.select(col("dst"))).distinct())
+      .groupBy(col("event_type").as("src"), col("next").as("dst"))
+      .agg(count(lit(1)).as("c"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_start"))
+      .coalesce(1))
+    val trans = agg.filter(col("dst").isNotNull).select(col("src"), col("dst"), col("c"))
+    // out-degree totals via a src-partitioned window over the bounded
+    // leaf (same c/tot doubles as the old outTot join, no exchange)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val p = trans
+      .withColumn("p", col("c").cast("double") / sum(col("c")).over(wTot).cast("double"))
+      .select(col("src"), col("dst"), col("p"))
+    val starts = agg.groupBy(col("src")).agg(sum(col("n_start")).as("n"))
+      .filter(col("n") > 0)
+    val types = agg
+      .select(explode(array(col("src"), col("dst"))).as("src"))
+      .filter(col("src").isNotNull).distinct()
+    // coalesce(1) collapses the union's 2-partition output so every
+    // downstream cross product is SinglePartition × SinglePartition;
+    // the shuffle_replicate_nl hint then plans a 1-partition cartesian
+    // instead of a BroadcastNestedLoopJoin — no broadcast stage per
+    // cross product even inside the cut materializations
     val variants = types.filter(col("src") =!= "purchase")
       .select(col("src").as("removed"))
-      .unionByName(s.range(1).select(lit("none").as("removed")))
-    // per-variant surviving transition matrix and start distribution
-    val pv = variants.crossJoin(p)
+      .unionByName(s.range(0, 1, 1, 1).select(lit("none").as("removed")))
+      .coalesce(1)
+    val nUsers = starts.agg(sum(col("n")).as("nu"))
+    // the three bounded cross products are consumed by every unrolled
+    // multiply: cut each as a SinglePartition leaf so (a) the loop plan
+    // references leaves, not re-derived subtrees (the r10 xchg=343
+    // lesson), and (b) the loop's joins/aggregates inherit
+    // SinglePartition and plan no exchange. nu rides sv as a column so
+    // the conv rollup needs no scalar cross join.
+    val pv = graft.Lineage.cut(variants.crossJoin(p.hint("shuffle_replicate_nl"))
       .filter(col("removed") === "none" ||
         (col("src") =!= col("removed") && col("dst") =!= col("removed")))
-    val sv = variants.crossJoin(starts)
+      .coalesce(1))
+    val sv = graft.Lineage.cut(variants
+      .crossJoin(starts.hint("shuffle_replicate_nl"))
+      .crossJoin(nUsers.hint("shuffle_replicate_nl"))
       .filter(col("removed") === "none" || col("src") =!= col("removed"))
-    val nUsers = starts.agg(sum(col("n")).as("nu"))
-    // v0: P(reach purchase in 0 steps | state) = [state = purchase]
-    var v = variants.crossJoin(types)
+      .coalesce(1))
+    val vt = graft.Lineage.cut(
+      variants.crossJoin(types.hint("shuffle_replicate_nl")).coalesce(1))
+    // v0: P(reach purchase in 0 steps | state) = [state = purchase];
+    // merge-hinted joins keep the planner off broadcast (a broadcast
+    // exchange is a whole extra query stage per multiply — SMJ on
+    // SinglePartition children is a local sort, zero exchanges)
+    var v = vt
       .select(col("removed"), col("src").as("state"),
         when(col("src") === "purchase", lit(1.0)).otherwise(lit(0.0)).as("pr"))
     for (_ <- 1 to 4) {
-      // v and stepped are |variants|·|types| ≤ ~40 rows: BROADCAST
-      // both joins so each unrolled multiply costs one small groupBy
-      // exchange, not three
       val stepped = pv
-        .join(broadcast(v.select(col("removed"), col("state").as("dst"), col("pr"))),
+        .join(v.select(col("removed"), col("state").as("dst"), col("pr")).hint("merge"),
           Seq("removed", "dst"))
         .groupBy(col("removed"), col("src"))
         .agg(sum(round(col("p") * col("pr"), 12).cast(Dec12)).as("inflow"))
-      v = variants.crossJoin(types)
-        .select(col("removed"), col("src").as("state"))
-        .join(broadcast(stepped.select(col("removed"), col("src").as("state"),
-          col("inflow"))), Seq("removed", "state"), "left")
+      v = vt.select(col("removed"), col("src").as("state"))
+        .join(stepped.select(col("removed"), col("src").as("state"),
+          col("inflow")).hint("merge"), Seq("removed", "state"), "left")
         .select(col("removed"), col("state"),
           when(col("state") === "purchase", lit(1.0))
             .otherwise(round(coalesce(col("inflow").cast("double"), lit(0.0)), 12)).as("pr"))
     }
     // conv is consumed TWICE (the 'none' scalar and the per-variant
-    // rows): without a cut the full 4-multiply chain re-derives for
-    // each consumer — this cut took the plan audit's last
-    // triple-digit exchange count (xchg=100) down to the chain's
-    // natural size
+    // rows): cut so the 4-multiply chain runs once; the 'none' scalar
+    // attaches via an all-rows window over the ≤|types| leaf instead
+    // of a filtered broadcast cross join
     val conv = graft.Lineage.cut(sv
-      .join(broadcast(v.select(col("removed"), col("state").as("src"), col("pr"))),
+      .join(v.select(col("removed"), col("state").as("src"), col("pr")).hint("merge"),
         Seq("removed", "src"))
-      .crossJoin(broadcast(nUsers))
       .groupBy(col("removed"))
       .agg(sum(round(col("n").cast("double") / col("nu").cast("double") * col("pr"), 12)
-        .cast(Dec12)).as("conv")))
-    val full = conv.filter(col("removed") === "none")
-      .select(col("conv").as("conv_full"))
-    conv.crossJoin(broadcast(full))
+        .cast(Dec12)).as("conv"))
+      .coalesce(1))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    conv
+      .withColumn("conv_full", max(when(col("removed") === "none", col("conv"))).over(wAll))
       .select(
         col("removed"),
         emit(col("conv").cast("double"), 6).as("conv_prob"),
@@ -3566,19 +3592,34 @@ object Round12Ops {
     * oracle over the communities chain's own verified CTEs.
     */
   def graphModularity(s: SparkSession, dir: String): DataFrame = {
-    val dedges = Round2Ops.edgesDf(s, dir).distinct()
-    val sym = graft.Lineage.cut(
-      dedges.unionByName(dedges.select(col("dst").as("src"), col("src").as("dst"))).distinct())
-    val labels = graphCommunitiesLabels(s, dir)
-    val joined = graft.Lineage.cut(sym // O(E) labeled edges, read twice
+    // r11 (§2.4, verdict item 3 — plan breadth): reuse the communities
+    // chain's OWN sym and labels cuts instead of re-deriving a second
+    // sym (dedges scan + union + distinct + cut) and re-cutting the
+    // already-cut labels through an extra global sort; and read the
+    // O(E) labeled-edge join ONCE — perC is the |communities|-bounded
+    // frame, so cut THAT, and m2 (= Σ vol, exactly count(*) of joined:
+    // every joined row carries a cs) comes from perC, not a second
+    // full pass over E. Plan: 42 stages → ~28, two O(E)
+    // materializations and one full-agg pass removed.
+    val (sym, labelsRaw) = Round2Ops.communityParts(s, dir)
+    val labels = labelsRaw.select(col("node"), col("label").as("community"))
+    val joined = sym // O(E) labeled edges, consumed once by perC
       .join(labels.select(col("node").as("src"), col("community").as("cs")), Seq("src"))
-      .join(labels.select(col("node").as("dst"), col("community").as("cd")), Seq("dst")))
-    val m2 = joined.agg(count(lit(1)).as("m2"))
-    val perC = joined.groupBy(col("cs").as("community"))
+      .join(labels.select(col("node").as("dst"), col("community").as("cd")), Seq("dst"))
+    val perC = graft.Lineage.cut(joined.groupBy(col("cs").as("community"))
       .agg(count(lit(1)).as("vol"),
         sum(when(col("cs") === col("cd"), 1L).otherwise(0L)).as("intra2"))
+      .coalesce(1))
+    // m2 = Σ vol attaches via an all-rows window over the bounded
+    // SinglePartition leaf (no broadcast stage, no second pass);
+    // nodes coalesces to SinglePartition so the merge-hinted join and
+    // the total rollup below plan zero exchanges
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val nodes = labels.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
-    val rows = perC.join(nodes, Seq("community")).crossJoin(broadcast(m2))
+      .coalesce(1)
+    val rows = perC.withColumn("m2", sum(col("vol")).over(wAll))
+      .join(nodes.hint("merge"), Seq("community"))
       .select(col("community"), col("n_nodes"), col("vol"),
         (col("vol") - col("intra2")).as("cut_edges"),
         emit(when(least(col("vol"), col("m2") - col("vol")) > 0,
@@ -3642,12 +3683,6 @@ object Round12Ops {
        |  (CAST(round(CAST(sum(CAST(qt AS DECIMAL(38,12))) AS DOUBLE), 6) AS DOUBLE) + 0.0) AS q_term
        |FROM rows0
        |ORDER BY community""".stripMargin
-
-  /** The communities labels as a reusable frame (the #59 chain minus
-    * its ORDER BY — modularity joins it twice).
-    */
-  private def graphCommunitiesLabels(s: SparkSession, dir: String): DataFrame =
-    graft.Lineage.cut(Round2Ops.graphCommunities(s, dir))
 
   /** #352 covariate_balance_smd — standardized mean differences of
     * pre-treatment covariates between the md5 experiment arms

@@ -362,11 +362,27 @@ object Round15Ops {
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val dfr = toks.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // INT-TOKEN DICTIONARY (r11, guide §1.2 + §2.3; r10 verdict item 1;
+    // same device as set_similarity_join — see Round9Ops for the full
+    // injectivity/determinism argument): tid = in-bucket rank · P +
+    // bucket is a bijection over the vocabulary, so the candidate join
+    // keyed on tid finds exactly the token-equal pairs, the verify
+    // merge matches exactly the shared tokens, and the per-match
+    // products — hence the order-free decimal dot — are bit-identical.
+    // The window ordering below stays (u DESC, token), so the indexed
+    // prefixes are byte-identical to the string form's.
+    val dictParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val wDict = Window.partitionBy(col("bkt")).orderBy(col("token"))
+    val dfrId = dfr
+      .withColumn("bkt", pmod(xxhash64(col("token")), lit(dictParts.toLong)))
+      .withColumn("tid",
+        row_number().over(wDict).cast("long") * dictParts + col("bkt"))
+      .select(col("token"), col("df"), col("tid"))
     val nDocs = Tables.documents(s, dir).agg(count(lit(1)).as("nd"))
     val weighted = toks
-      .join(dfr, Seq("token"))
+      .join(dfrId, Seq("token"))
       .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("token"),
+      .select(col("doc_id"), col("token"), col("tid"),
         (col("tf").cast("double") *
           log(col("nd").cast("double") / col("df").cast("double"))).as("w"))
     val norms = weighted
@@ -374,10 +390,10 @@ object Round15Ops {
       .agg(sqrt(sum(round(col("w") * col("w"), 12).cast(Dec12)).cast("double")).as("nrm"))
       .filter(col("nrm") > 0)
     // unit weights feed the prefix explode, both probe sides and the
-    // per-doc verify maps: cut once, shuffle once
+    // per-doc verify arrays: cut once, shuffle once
     val u = graft.Lineage.cut(weighted
       .join(norms, Seq("doc_id"))
-      .select(col("doc_id"), col("token"), (col("w") / col("nrm")).as("u")))
+      .select(col("doc_id"), col("token"), col("tid"), (col("w") / col("nrm")).as("u")))
     val wDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("u").desc, col("token"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -388,7 +404,7 @@ object Round15Ops {
     val prefix = u
       .withColumn("res_before", lit(1.0) - coalesce(sum(col("u") * col("u")).over(wDoc), lit(0.0)))
       .filter(col("res_before") >= lit(tau2 - 1e-6))
-      .select(col("token"), col("doc_id").as("q"), col("u").as("uq"),
+      .select(col("tid"), col("doc_id").as("q"), col("u").as("uq"),
         sqrt(greatest(col("res_before") - col("u") * col("u"), lit(0.0))).as("rq"))
     // positional prune, lossless by the first-shared-token argument: a
     // qualifying pair's FIRST shared token t in q's weight-descending
@@ -415,8 +431,8 @@ object Round15Ops {
     // shuffle parallelism costs one ~3 MB exchange and unlocks the full
     // core count on the exploding stage.
     val probeParts = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val cand = u.select(col("token"), col("doc_id").as("p"), col("u").as("up"))
-      .join(prefix.repartition(probeParts, col("token")), Seq("token"))
+    val cand = u.select(col("tid"), col("doc_id").as("p"), col("u").as("up"))
+      .join(prefix.repartition(probeParts, col("tid")), Seq("tid"))
       .filter(col("p") =!= col("q"))
       .filter(col("up") * col("uq") +
         col("rq") * sqrt(greatest(lit(1.0) - col("up") * col("up"), lit(0.0))) >=
@@ -435,11 +451,23 @@ object Round15Ops {
     // the HOF forms evaluate interpreted — the element_at fold cost
     // O(|a|·|b|) linear map scans (109 s at sf0.1's 12M candidates),
     // map_zip_with still 58 s; the native merge is ~1 s of work.
+    // r11: the per-doc vector packs as two PRIMITIVE arrays (id-sorted
+    // tids + aligned weights) instead of array<struct<token,u>> — the
+    // native merge then reads raw longs/doubles with zero per-element
+    // allocation (the struct form paid an UnsafeRow fetch per advance)
+    // and compares 8-byte ids instead of token bytes. Same matched
+    // pairs (bijection), same roundedUnscaled12 terms, same order-free
+    // decimal sum — bit-identical cosine (spec-pinned vs the string
+    // merge).
     val docArr = graft.Lineage.cut(u.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("token"), col("u")))).as("ts")))
-    val verified = graft.Attach.arrays(cand, docArr, "doc_id", Seq("ts"))
+      .agg(array_sort(collect_list(struct(col("tid"), col("u")))).as("p"))
+      .select(col("doc_id"),
+        transform(col("p"), x => x.getField("tid")).as("tids"),
+        transform(col("p"), x => x.getField("u")).as("us")))
+    val verified = graft.Attach.arrays(cand, docArr, "doc_id", Seq("tids", "us"))
       .select(col("a"), col("b"),
-        graft.functions.Registry.sortedTokenDot(col("ts_a"), col("ts_b")).as("dot"))
+        graft.functions.Registry.sortedIdDot(
+          col("tids_a"), col("us_a"), col("tids_b"), col("us_b")).as("dot"))
       .select(col("a"), col("b"), emit(col("dot").cast("double"), 6).as("cosine"))
       .filter(col("cosine") >= 0.9)
     // cut BEFORE the global sort (r10, measured): the orderBy's range

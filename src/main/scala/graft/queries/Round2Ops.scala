@@ -40,7 +40,17 @@ object Round2Ops {
     * shuffle (join on the neighbor key + two-phase count) — the shape
     * that scales to billion-edge graphs; no driver-side state.
     */
-  def graphCommunities(s: SparkSession, dir: String): DataFrame = {
+  def graphCommunities(s: SparkSession, dir: String): DataFrame =
+    communityParts(s, dir)._2
+      .select(col("node"), col("label").as("community")).orderBy(col("node"))
+
+  /** The label-propagation internals as reusable CUT frames —
+    * (symmetric deduped edges, final labels). graph_modularity (r11)
+    * consumes these directly instead of re-deriving its own sym cut
+    * and re-cutting the already-cut labels through an extra sort: one
+    * sym materialization and one labels materialization serve both.
+    */
+  private[queries] def communityParts(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val dedges = edgesDf(s, dir).distinct()
     // three propagation reads of the same edge set: materialize once
     // (Lineage.cut: localCheckpoint locally, reliable checkpoint when
@@ -65,7 +75,7 @@ object Round2Ops {
           .join(mode, Seq("node"), "left")
           .select(col("node"), coalesce(col("new_label"), col("label")).as("label")))
     }
-    labels.select(col("node"), col("label").as("community")).orderBy(col("node"))
+    (sym, labels)
   }
 
   val graphCommunitiesSql: String =

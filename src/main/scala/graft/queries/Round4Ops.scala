@@ -154,8 +154,19 @@ object Round4Ops {
       // sort the NARROW rows first — the range exchange + sort then
       // moves 3 primitive columns, and the per-row codec projection
       // (order-preserving) runs after: measured 5.6 → 3.6 s at sf0.1
-      // vs sorting the derived 8-column wide rows
-      .orderBy(col("event_id"))
+      // vs sorting the derived 8-column wide rows.
+      // r11 (StageProfile): a bare orderBy's range exchange is ~1.4 MB
+      // here, so AQE coalesced the post-sort stage to ONE partition
+      // and the whole codec projection below ran 3.0 s on one core
+      // while 31 idled. Pin the range width to the configured shuffle
+      // parallelism (scale-adaptive, same device as the heavy joins'
+      // probe repartition — at production widths this is what orderBy
+      // plans anyway) + sortWithinPartitions: identical global order
+      // (range partitions are ordered, event_id is unique), codec now
+      // 32-way. 3.05 → ~0.9 s.
+      .repartitionByRange(
+        s.conf.get("spark.sql.shuffle.partitions").toInt, col("event_id"))
+      .sortWithinPartitions(col("event_id"))
       .withColumn("tid", graft.functions.AtProto.microsToTid(col("ts_us")))
       .withColumn("decoded_us", graft.functions.AtProto.tidToMicros(col("tid")))
       // (r7/r8) the id-codec family's OTHER directions, oracle-covered:

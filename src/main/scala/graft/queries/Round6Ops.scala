@@ -664,11 +664,15 @@ object Round6Ops {
         .groupBy(col("vec_id"), col("s"))
         .agg(min_by(struct(col("j"), col("v")), struct(col("d2"), col("j"))).as("_b"))
         .select(col("s"), col("_b.j").as("j"), col("_b.v").as("v"))
+      // coalesce(1) between the aggregates (r11, same device as
+      // ivfCentroids): the (s, j, pos) mean frame is m·k·dim-bounded,
+      // so the array-collect re-group needs no second exchange
       cents = graft.Lineage.cut(
         assigned
           .select(col("s"), col("j"), posexplode(col("v")).as(Seq("pos", "x")))
           .groupBy(col("s"), col("j"), col("pos"))
           .agg(avg(col("x").cast(exactAvg)).cast("double").as("m"))
+          .coalesce(1)
           .groupBy(col("s"), col("j"))
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("s"), col("j"), transform(col("pm"), x => x.getField("m")).as("c")))

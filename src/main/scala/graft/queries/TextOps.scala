@@ -248,7 +248,19 @@ object TextOps {
     * job is to pin the banded-LSH pipeline's CORRECTNESS.
     */
   def dedupMinhashMd5(s: SparkSession, dir: String): DataFrame = {
+    // r11 (StageProfile, §2.5): the 4-md5-per-gram projection fuses
+    // with gramRows' AQE-coalesced window output — ~1M md5s on 2 cores
+    // (2.4 s of stage CPU at sf0.1, THE top stage of this query and of
+    // minhash_calibration which consumes cp). Repartition the NARROW
+    // (doc_id, g) rows (~3 MB) by doc_id first: the md5 projection and
+    // the 16-way min-agg then run at the configured shuffle width with
+    // NO extra agg exchange (co-partitioned on the groupBy key). This
+    // is NOT the r10 losing gram-width pin — that pinned the window
+    // exchange inside gramRows, paying a wide shuffle of raw
+    // posexploded words for every consumer; this moves only the final
+    // gram rows, only for the md5 twins.
     val withHashes = gramRows(docs(s, dir), 3, distinct = false)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(
         col("doc_id") +:
           (0 until 4).map(j => md5(concat(lit(s"$j:"), col("g"))).as(s"h$j")): _*)
@@ -421,9 +433,15 @@ object TextOps {
     * fingerprint→segment→block-join→hamming machinery end-to-end.
     */
   def dedupSimhashMd5(s: SparkSession, dir: String): DataFrame = {
+    // r11: same device as dedupMinhashMd5 — the md5 + 16-nibble decode
+    // + 64 bit-sums fused into the distinct's AQE-coalesced output (2
+    // cores); repartition the narrow distinct words by doc_id so the
+    // hash/decode stage runs at shuffle width, co-partitioned with the
+    // groupBy below (no extra agg exchange)
     val words = docs(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .dropDuplicates("doc_id", "w")
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id"))
       .select(col("doc_id"), md5(col("w")).as("h"))
     // decode the 16 leading hex nibbles ONCE per word row; the 64 bit
     // sums below each read one bit of one decoded nibble
@@ -1075,11 +1093,17 @@ object TextOps {
           struct(Registry.cosine(col("e"), col("ce")).as("csim"), negate(col("cent_id")).as("nid")))
           .as("_best"))
         .select(col("_best.cent_id").as("cent_id"), col("_best.e").as("e"))
+      // coalesce(1) between the two aggregates (r11): the (cent, pos)
+      // mean frame is k·dim-bounded, so the array-collect re-group
+      // runs on a SinglePartition child with NO second exchange — one
+      // stage fewer per Lloyd round, and the cut leaf pins
+      // SinglePartition for the next round's broadcast build
       cents = graft.Lineage.cut(
         assigned
           .select(col("cent_id"), posexplode(col("e")).as(Seq("pos", "v")))
           .groupBy(col("cent_id"), col("pos"))
           .agg(avg(col("v").cast(exactAvg)).cast("double").as("m"))
+          .coalesce(1)
           .groupBy(col("cent_id"))
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("cent_id"), transform(col("pm"), x => x.getField("m")).as("ce")))
@@ -1820,6 +1844,8 @@ object TextOps {
     // re-derivation vs 4.8 s cut at sf0.1); the expensive subtree here
     // is the md5 signature pipeline, already cut above
     val gd = gramRows(docs(s, dir), 3, distinct = true)
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("doc_id"), col("g"))
     val sizes = gd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common = gd.select(col("doc_id").as("a"), col("g"))
       .join(cp.select(col("a"), col("b")), Seq("a"))

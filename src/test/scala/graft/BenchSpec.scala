@@ -44,4 +44,47 @@ class BenchSpec extends AnyFunSuite {
     assert(samples.flatten.nonEmpty && samples.flatten.forall(t => t > 0 && t < 300),
       s"implausible isolated samples: $samples")
   }
+
+  test("runIsolated passes=1 returns exactly one sample (the per-pass heavy fork)") {
+    // the r11 heavy-row contract: each measured pass runs in its own
+    // virgin JVM (SPARK_GRAFT_PASSES=1 in the child); the parent merges
+    // two such runs into the same 2-sample shape as before
+    val r = Bench.runIsolated(Seq("sort_topk"), dir, passes = 1)
+    assert(r.isDefined, "fresh-JVM 1-pass chunk failed (see stderr for the child log path)")
+    val samples = r.get("sort_topk")
+    assert(samples.length == 1, s"expected 1 pass sample with passes=1, got $samples")
+    assert(samples.flatten.forall(t => t > 0 && t < 300), s"implausible sample: $samples")
+  }
+
+  test("the bench output line starts with {\"metric\" and round-trips strict JSON") {
+    // r9's line failed the driver's parser and cost round 10 its whole
+    // round-over-round comparison (PERF_r10 prev_bench_ok=false): pin
+    // the byte-level contract on the renderer, including the awkward
+    // corners (a failed row -> null samples + "failed" entry, and a
+    // never-sampled row -> [null,null])
+    val names = Seq("alpha_ok", "beta_failed", "gamma_missing")
+    val samples = Map(
+      "alpha_ok" -> Seq(Some(1.2345), Some(0.9876)),
+      "beta_failed" -> Seq[Option[Double]](None, None))
+    val line = Bench.renderLine(names, samples, Seq("alpha_ok"),
+      "2-pass-min/v5-passfork", "/root/testdata/sf0.001")
+    assert(line.startsWith("{\"metric\""),
+      s"driver tail-capture contract: line must start with {\"metric\" — got ${line.take(30)}")
+    assert(!line.contains('\n'), "the output must be ONE line")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.FAIL_ON_TRAILING_TOKENS, true)
+    val root = mapper.readTree(line) // throws on any malformed JSON
+    assert(root.get("metric").asText() == "total")
+    assert(root.get("unit").asText() == "sec")
+    assert(math.abs(root.get("value").asDouble() - 0.988) < 1e-9,
+      "total must be the per-query min sum")
+    assert(root.get("queries").get("alpha_ok").asDouble() == 0.988)
+    assert(root.get("queries").get("beta_failed").isNull,
+      "failed rows serialize as null, never a numeric sentinel")
+    assert(root.get("failed").toString == "[\"beta_failed\",\"gamma_missing\"]")
+    assert(root.get("passes").get("gamma_missing").toString == "[null,null]")
+    assert(root.get("isolated").toString == "[\"alpha_ok\"]")
+    assert(root.get("sf").asText() == "/root/testdata/sf0.001")
+  }
 }

@@ -4032,6 +4032,106 @@ class QueryCatalogSpec extends AnyFunSuite {
     assert(msgs(end).exists(_.contains("null array element")), s"wrong error: $end")
   }
 
+  test("int-token dictionary merges are bit-identical to the string merges under a bijection") {
+    import org.apache.spark.sql.functions._
+    // the r11 verify paths compare dictionary longs instead of token
+    // strings; this pins the exactness argument end-to-end on real
+    // corpus vocabulary: map tokens through the SAME injective
+    // bucket-rank dictionary the queries build, and require (a) the
+    // long intersect to equal the string intersect pair-for-pair and
+    // (b) the primitive-array id dot to equal SortedTokenDot's decimal
+    // bit-for-bit (same matched set, same roundedUnscaled12 terms,
+    // order-free decimal sum)
+    val toks = Tables.documents(spark, dir)
+      .limit(50)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).cast("double").as("u"))
+    val p = 7L // deliberately tiny bucket count: forces deep in-bucket ranks
+    val wDict = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("token"))
+    val dict = toks.select(col("token")).distinct()
+      .withColumn("bkt", pmod(xxhash64(col("token")), lit(p)))
+      .withColumn("tid", row_number().over(wDict).cast("long") * p + col("bkt"))
+      .select(col("token"), col("tid"))
+    // injectivity on the actual vocabulary (the proof obligation)
+    assert(dict.select(col("tid")).distinct().count() == dict.count(),
+      "dictionary must be collision-free")
+    val perDoc = toks.join(dict, Seq("token")).groupBy(col("doc_id"))
+      .agg(
+        array_sort(collect_list(struct(col("token"), col("u")))).as("ts"),
+        array_sort(collect_list(col("token"))).as("tsl"),
+        array_sort(collect_list(col("tid"))).as("tidl"),
+        array_sort(collect_list(struct(col("tid"), col("u")))).as("tp"))
+      .select(col("doc_id"), col("ts"), col("tsl"), col("tidl"),
+        transform(col("tp"), x => x.getField("tid")).as("tids"),
+        transform(col("tp"), x => x.getField("u")).as("us"))
+    def side(as: String) = perDoc.select(
+      col("doc_id").as(as), col("ts").as(s"ts_$as"), col("tsl").as(s"tsl_$as"),
+      col("tidl").as(s"tidl_$as"), col("tids").as(s"tids_$as"), col("us").as(s"us_$as"))
+    val pairs = side("a").crossJoin(side("b")).filter(col("a") < col("b"))
+      .select(
+        graft.functions.Registry.sortedIntersect(col("tsl_a"), col("tsl_b")).as("i_str"),
+        graft.functions.Registry.sortedIntersect(col("tidl_a"), col("tidl_b")).as("i_long"),
+        graft.functions.Registry.sortedTokenDot(col("ts_a"), col("ts_b")).as("d_str"),
+        graft.functions.Registry.sortedIdDot(
+          col("tids_a"), col("us_a"), col("tids_b"), col("us_b")).as("d_id"))
+    assert(pairs.filter(col("i_str") =!= col("i_long")).count() == 0,
+      "long intersect must equal string intersect pair-for-pair")
+    assert(pairs.filter(col("d_str") =!= col("d_id")).count() == 0,
+      "id dot must equal token dot bit-for-bit pair-for-pair")
+    assert(pairs.count() > 100, "sample must actually exercise the merges")
+    // precondition detection carries over to the long forms
+    def msgs2(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs2(x.getCause))
+    // the violation must sit inside the MERGED region to be observable
+    // (on-advance detection, same contract as the string form)
+    val eL = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_intersect(array(3L, 1L, 4L), array(1L, 3L))").collect()
+    }
+    assert(msgs2(eL).exists(_.contains("sorted with unique")), s"wrong error: $eL")
+    val eD = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_iddot(array(2L, 1L), array(1.0D, 2.0D), " +
+        "array(1L, 2L), array(1.0D, 2.0D))").collect()
+    }
+    assert(msgs2(eD).exists(_.contains("id-sorted with unique")), s"wrong error: $eD")
+    val eA = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_iddot(array(1L, 2L), array(1.0D), " +
+        "array(1L, 2L), array(1.0D, 2.0D))").collect()
+    }
+    assert(msgs2(eA).exists(_.contains("element-aligned")), s"wrong error: $eA")
+    // ADVICE r10: out-of-domain magnitudes must throw, never wrap. Two
+    // distinct loud paths: a single product whose scale-12 unscaled
+    // value exceeds Long range throws in the exact BigDecimal fallback
+    // (longValueExact), and per-term-representable products whose SUM
+    // overflows throw in Math.addExact — both surface as
+    // ArithmeticException, never a silently wrong decimal. (2000² = 4e6
+    // → 4e18 unscaled fits; three of them cross Long.MAX at the add.)
+    val big = "array(2000.0D, 2000.0D, 2000.0D)"
+    val eO = intercept[Exception] {
+      spark.sql(s"SELECT graft_sorted_iddot(array(1L, 2L, 3L), $big, " +
+        s"array(1L, 2L, 3L), $big)").collect()
+    }
+    assert(msgs2(eO).exists(m => m.toLowerCase.contains("overflow")), s"wrong error: $eO")
+    val eO2 = intercept[Exception] {
+      spark.sql("SELECT graft_sorted_iddot(array(1L), array(8000000.0D), " +
+        "array(1L), array(8000000.0D))").collect()
+    }
+    assert(msgs2(eO2).exists(m =>
+      m.toLowerCase.contains("overflow") || m.contains("out of long range")),
+      s"wrong error: $eO2")
+    // the string-form dot shares the accumulator contract (ADVICE fix
+    // landed in both)
+    val eO3 = intercept[Exception] {
+      spark.sql("""SELECT graft_sorted_dot(
+        array(named_struct('token','a','u',2000.0D), named_struct('token','b','u',2000.0D),
+              named_struct('token','c','u',2000.0D)),
+        array(named_struct('token','a','u',2000.0D), named_struct('token','b','u',2000.0D),
+              named_struct('token','c','u',2000.0D)))""").collect()
+    }
+    assert(msgs2(eO3).exists(m => m.toLowerCase.contains("overflow")), s"wrong error: $eO3")
+  }
+
   test("Attach co-partitioned path: both similarity joins hash-identical to the broadcast form") {
     // the 100 TB form (doc arrays shuffle-join on each endpoint instead
     // of broadcasting the corpus) must be result-identical; force it
