@@ -17,9 +17,16 @@ object Analytics {
     * map-side), filter pushed to parquet scan.
     */
   def q1Agg(s: SparkSession, dir: String): DataFrame = {
-    Tables
-      .lineitem(s, dir)
-      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    // fan the filtered fact scan (r11, StageProfile): the fused
+    // scan->filter->8-decimal-sum partial agg ran its CPU on the
+    // scan's 3 tasks; decimal sums/counts are order-free so fanning
+    // is result-identical (identity at production split counts)
+    graft.GraftSession
+      .fan(
+        Tables
+          .lineitem(s, dir)
+          .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp")),
+        col("l_orderkey"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         emit(dsum(col("l_quantity"))).as("sum_qty"),
@@ -372,8 +379,12 @@ object Analytics {
 
   /** #26 ROLLUP multi-level aggregate (one expand + one shuffle). */
   def rollupAgg(s: SparkSession, dir: String): DataFrame = {
-    Tables
-      .lineitem(s, dir)
+    // fan before the expand (r11): same fused-scan starvation as
+    // q1_agg; the 3-way expand keeps partial-agg state tiny (few
+    // groups), so the width costs nothing (cf. the grouping_sets NOTE
+    // where a 3-way JOIN fed the expand and the fan lost)
+    graft.GraftSession
+      .fan(Tables.lineitem(s, dir), col("l_orderkey"))
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(emit(dsum(col("l_quantity"))).as("sum_qty"), count(lit(1)).as("n"))
       .select(

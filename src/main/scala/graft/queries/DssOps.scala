@@ -619,7 +619,12 @@ object DssOps {
     * zipf-slope device), σ=0 → r=0. Means use the avg_bal device.
     */
   def discountUplift(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
+    // fan the fact scan (r11, StageProfile): the fused
+    // scan→bcast-join→6-decimal-sum partial agg ran 2.1 s of CPU on
+    // the scan's 3 tasks while 29 cores idled — the price_elasticity
+    // shape exactly; decimal sums are order-free so the result is
+    // unchanged (fan is the identity at production split counts)
+    val li = graft.GraftSession.fan(Tables.lineitem(s, dir), col("l_partkey"))
       .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
     val m = li

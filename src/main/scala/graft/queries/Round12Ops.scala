@@ -581,7 +581,11 @@ object Round12Ops {
     val uBal = uOf(col("b_bal"))(b).select(col("u").as("u_bal"))
     val mSeg = 0.8 // 4/5 of twins keep the segment code
     val mBal = 2.0 / 3.0 // 2/3 keep the exact dollar balance
-    val pairs = a
+    // fan the probe side (r11, StageProfile): the single-row-group
+    // customer scan fused scan→block-join→score into ONE task (0.7 s
+    // on one core while 31 idled — the GraftSession.fan starvation
+    // shape); the broadcast side and u scalars are unchanged
+    val pairs = graft.GraftSession.fan(a, col("a_key"))
       .join(b,
         col("a_nat") === col("b_nat") &&
           floor(col("a_bal") / 1000) === floor(col("b_bal") / 1000))

@@ -257,30 +257,42 @@ object Round14Ops {
     * multiply CTEs).
     */
   def embedPcaPower(s: SparkSession, dir: String): DataFrame = {
+    // r11 (the markov_attribution device, verdict item 3): everything
+    // past the one data-sized CovMomentsAgg pass is d²-bounded, so pin
+    // the cut covariance as a SINGLE-PARTITION leaf and the whole
+    // 4-multiply power iteration plans with zero exchanges and zero
+    // broadcast stages — the scalars (nd, per-step norm) attach via
+    // all-rows windows over the bounded frames instead of broadcast
+    // cross joins, and the multiplies are merge-hinted joins on
+    // SinglePartition children (34 stages / ~1.8 s driver gap before).
+    // Every arithmetic chain is unchanged: same rounded products, same
+    // order-free Dec12 sums, same doubles.
     val covU = graft.Lineage.cut(
-      Round11Ops.covTail(Round11Ops.covMoments(Tables.embeddings(s, dir))))
+      Round11Ops.covTail(Round11Ops.covMoments(Tables.embeddings(s, dir))).coalesce(1))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val m = covU.unionByName(
       covU.filter(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .coalesce(1)
     val dims = covU.filter(col("i") === col("j")).select(col("i"))
-    val nd = dims.agg(count(lit(1)).as("nd"))
-    var v = dims.crossJoin(broadcast(nd))
+    var v = dims.withColumn("nd", count(lit(1)).over(wAll))
       .select(col("i"), round(lit(1.0) / sqrt(col("nd").cast("double")), 12).as("v"))
     for (_ <- 1 to 4) {
       val w = m
-        .join(broadcast(v.select(col("i").as("j"), col("v"))), Seq("j"))
+        .join(v.select(col("i").as("j"), col("v")).hint("merge"), Seq("j"))
         .groupBy(col("i"))
         .agg(sum(round(col("cov") * col("v"), 12).cast(Dec12)).as("w"))
-      val nrm = w.agg(
-        sqrt(sum(round(col("w").cast("double") * col("w").cast("double"), 12)
-          .cast(Dec12)).cast("double")).as("nm"))
-      v = w.crossJoin(broadcast(nrm))
+      v = w
+        .withColumn("nm",
+          sqrt(sum(round(col("w").cast("double") * col("w").cast("double"), 12)
+            .cast(Dec12)).over(wAll).cast("double")))
         .select(col("i"), round(col("w").cast("double") / col("nm"), 12).as("v"))
     }
     val vc = graft.Lineage.cut(v) // 64 rows; feeds the Rayleigh joins and the output
     val ray = m
-      .join(broadcast(vc.select(col("i"), col("v").as("vi"))), Seq("i"))
-      .join(broadcast(vc.select(col("i").as("j"), col("v").as("vj"))), Seq("j"))
+      .join(vc.select(col("i"), col("v").as("vi")).hint("merge"), Seq("i"))
+      .join(vc.select(col("i").as("j"), col("v").as("vj")).hint("merge"), Seq("j"))
       .agg(sum(round(col("cov") * col("vi") * col("vj"), 12).cast(Dec12)).as("lam"))
     val tr = covU.filter(col("i") === col("j"))
       .agg(sum(col("cov").cast(Dec12)).as("tr"))
@@ -433,6 +445,16 @@ object Round14Ops {
     def gram(n: Int) =
       when(col(s"w${n - 1}").isNotNull,
         concat_ws(" ", (0 until n).map(j => col(s"w$j")): _*))
+    // NOTE (r11, measured — left alone on purpose): the dedup agg +
+    // checkpoint pin of ~270k gram rows runs on 2 AQE-coalesced cores
+    // (2.3 s of stage CPU). A width-pinned repartition on the dedup
+    // keys (the md5-twin device) measured pinned [3.72, 3.87] vs
+    // unpinned [3.69, 3.46] in adjacent same-session runs — at best
+    // neutral, because pre-dedup the stacked grams are ~4× the rows,
+    // so the pin trades the map-side partial dedup for a 4×-wider
+    // exchange (the r10 gram-width-pin trade). Unlike the md5 twins
+    // there is no heavy per-row compute after the exchange to
+    // parallelize, so the simpler unpinned form stays.
     val stacked = withLeads
       .select(col("doc_id"), explode(array(ns.map(n =>
         struct(lit(n).as("n"), gram(n).as("g"))): _*)).as("t"))

@@ -232,10 +232,16 @@ object Round21Ops {
     * aggregates + one broadcast-joined event pass. Exact oracle.
     */
   def offpolicyEval(s: SparkSession, dir: String): DataFrame = {
+    // fan before the cut (r11, StageProfile): the cut pinned the
+    // events scan's ONE partition, so every consumer — including the
+    // 1.0 s 7-decimal-sum IPS aggregate — ran single-task on the
+    // pinned leaf; keyless fan round-robins the narrow (seg, a, r)
+    // rows (seg/a have too few distinct values to hash on), and every
+    // downstream aggregate is an order-free decimal sum or count
     val ev = Tables.events(s, dir)
       .select((col("user_id") % 4).as("seg"), col("event_type").as("a"),
         col("value").as("r"))
-    val cut = graft.Lineage.cut(ev)
+    val cut = graft.Lineage.cut(graft.GraftSession.fan(ev))
     val nActions = cut.select(col("a")).distinct().count().toDouble
     val behav = cut.groupBy(col("seg"), col("a"))
       .agg(count(lit(1)).as("na"), sum(round(col("r"), 6).cast("decimal(38,6)")).as("sr"))
